@@ -1,0 +1,56 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": dir}.
+
+Execution is measured end-to-end per query with a `noop` sink (full compute,
+no driver-side result transfer) — the number the 2×-of-baseline gate reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "scan_project", "agg_group", "join_agg", "topn", "left_join",
+    "rollup_apply", "window_topk", "go_1step", "go_2step", "bfs_distances",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from nebula_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("nebula_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    # warm the JVM + parquet footer cache once, outside timing
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

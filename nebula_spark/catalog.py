@@ -1,0 +1,190 @@
+"""Graph spaces: the meta-service surface, Spark-first.
+
+The reference keeps spaces / tag schemas / edge-type schemas / TTL in a
+Raft-replicated meta service (``src/meta/``, schema thrift at
+``src/interface/meta.thrift:71-96``; TTL at ``meta.thrift:87-91``). Here a
+*space* is a named collection of tag tables and edge-type tables, each backed
+by a Parquet path (or an in-memory DataFrame in tests), each with a declared
+``StructType``. Partitioning (``partition_num`` in the reference's SpaceDesc,
+``meta.thrift:108``) maps to how the parquet is bucketed/repartitioned:
+vertices by ``vid``, edges by ``src`` — the Spark analog of the reference's
+key layout where all out-edges of a vertex are physically contiguous
+(``src/common/utils/NebulaKeyUtils.h:13-27``).
+
+TTL parity: the reference filters expired rows at read time and purges them
+in compaction (``src/storage/CompactionFilter.h:76-131``). We apply the same
+read-time filter ``ttl_col + ttl_duration >= now()`` in :meth:`GraphSpace.tag`
+/ :meth:`GraphSpace.edge`; the "compaction" analog is rewriting the parquet.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VID = "vid"
+SRC = "src"
+DST = "dst"
+RANK = "rank"
+
+
+@dataclass
+class TagDef:
+    """A vertex tag: ``vid`` + typed property columns.
+
+    Multi-tag vertices (``src/common/datatypes/Vertex.h:62-70``) fall out of
+    the model: the same vid may appear in several tag tables; the full vertex
+    is the outer join of its tag rows on ``vid``.
+    """
+
+    name: str
+    path: str | None = None
+    df: DataFrame | None = None
+    ttl_col: str | None = None
+    ttl_duration: int = 0  # seconds
+
+
+@dataclass
+class EdgeDef:
+    """An edge type: ``(src, dst, rank)`` key + typed property columns.
+
+    ``rank`` discriminates parallel edges (``src/common/datatypes/Edge.h:16-23``)
+    and is part of edge identity everywhere (joins, path-uniqueness filters).
+    """
+
+    name: str
+    path: str | None = None
+    df: DataFrame | None = None
+    ttl_col: str | None = None
+    ttl_duration: int = 0
+
+
+@dataclass
+class GraphSpace:
+    """A namespace of tag + edge-type tables (reference: graph space)."""
+
+    spark: SparkSession
+    name: str
+    tags: dict[str, TagDef] = field(default_factory=dict)
+    edges: dict[str, EdgeDef] = field(default_factory=dict)
+
+    # -- DDL ---------------------------------------------------------------
+    def create_tag(self, name: str, *, path: str | None = None,
+                   df: DataFrame | None = None, ttl_col: str | None = None,
+                   ttl_duration: int = 0) -> TagDef:
+        tag = TagDef(name, path, df, ttl_col, ttl_duration)
+        self.tags[name] = tag
+        return tag
+
+    def create_edge(self, name: str, *, path: str | None = None,
+                    df: DataFrame | None = None, ttl_col: str | None = None,
+                    ttl_duration: int = 0) -> EdgeDef:
+        edge = EdgeDef(name, path, df, ttl_col, ttl_duration)
+        self.edges[name] = edge
+        return edge
+
+    def drop_tag(self, name: str) -> None:
+        self.tags.pop(name, None)
+
+    def drop_edge(self, name: str) -> None:
+        self.edges.pop(name, None)
+
+    # -- reads -------------------------------------------------------------
+    def _load(self, d: TagDef | EdgeDef) -> DataFrame:
+        df = d.df if d.df is not None else self.spark.read.parquet(d.path)
+        if d.ttl_col and d.ttl_duration > 0:
+            # read-time TTL filter (CompactionFilter.h:76-131 parity)
+            df = df.filter(
+                F.col(d.ttl_col) + F.expr(f"INTERVAL {d.ttl_duration} SECOND")
+                >= F.current_timestamp()
+            )
+        return df
+
+    def tag(self, name: str) -> DataFrame:
+        """Tag table: ``vid`` + props. Catalyst prunes columns / pushes filters."""
+        return self._load(self.tags[name])
+
+    def edge(self, name: str) -> DataFrame:
+        """Edge table: ``src, dst, rank`` + props."""
+        return self._load(self.edges[name])
+
+    def vertex(self, vids_or_df, tags: list[str] | None = None) -> DataFrame:
+        """Assemble full vertices (all requested tags) for a vid set.
+
+        Reference: GetVertices (``GetVerticesExecutor.cpp:1-72``) — fetch tag
+        props for given vids. Here: left joins of the vid set against each tag
+        table; small vid sets broadcast automatically under AQE.
+        """
+        if isinstance(vids_or_df, DataFrame):
+            base = vids_or_df.select(VID).distinct()
+        else:
+            base = self.spark.createDataFrame([(v,) for v in vids_or_df], [VID])
+        for t in tags or list(self.tags):
+            tdf = self.tag(t)
+            props = [c for c in tdf.columns if c != VID]
+            renamed = tdf.select(
+                F.col(VID), *[F.col(c).alias(f"{t}_{c}") for c in props]
+            )
+            base = base.join(renamed, VID, "left")
+        return base
+
+
+# ---------------------------------------------------------------------------
+# TPC-H relational overlay (FIXTURES.md "Relational overlay"): view the
+# driver's synthetic star schema as a property graph so every traversal
+# operator is exercisable against the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = ("region", "nation", "customer",
+                                          "supplier", "part", "orders",
+                                          "lineitem", "events", "documents",
+                                          "embeddings")) -> dict[str, DataFrame]:
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def tpch_space(spark: SparkSession, sf_dir: str) -> GraphSpace:
+    """Build the FIXTURES.md graph overlay over /root/testdata parquet.
+
+    v_customer/v_supplier/v_part/v_nation/v_region as tags;
+    e_placed (customer→order), e_contains (order→part, rank=l_linenumber),
+    e_located_in (customer|supplier→nation), e_member_of (nation→region).
+    """
+    t = load_tables(spark, sf_dir, ("region", "nation", "customer",
+                                    "supplier", "part", "orders", "lineitem"))
+    sp = GraphSpace(spark, f"tpch:{sf_dir}")
+
+    sp.create_tag("customer", df=t["customer"].select(
+        F.col("c_custkey").alias(VID), "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"))
+    sp.create_tag("supplier", df=t["supplier"].select(
+        F.col("s_suppkey").alias(VID), "s_name", "s_nationkey", "s_acctbal"))
+    sp.create_tag("part", df=t["part"].select(
+        F.col("p_partkey").alias(VID), "p_name", "p_brand", "p_type",
+        "p_size", "p_retailprice"))
+    sp.create_tag("nation", df=t["nation"].select(
+        F.col("n_nationkey").cast("long").alias(VID), "n_name", "n_regionkey"))
+    sp.create_tag("region", df=t["region"].select(
+        F.col("r_regionkey").cast("long").alias(VID), "r_name"))
+    sp.create_tag("order", df=t["orders"].select(
+        F.col("o_orderkey").alias(VID), "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+
+    sp.create_edge("placed", df=t["orders"].select(
+        F.col("o_custkey").alias(SRC), F.col("o_orderkey").alias(DST),
+        F.lit(0).cast("long").alias(RANK), "o_totalprice", "o_orderdate"))
+    sp.create_edge("contains", df=t["lineitem"].select(
+        F.col("l_orderkey").alias(SRC), F.col("l_partkey").alias(DST),
+        F.col("l_linenumber").cast("long").alias(RANK), "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate"))
+    sp.create_edge("located_in", df=t["customer"].select(
+        F.col("c_custkey").alias(SRC),
+        F.col("c_nationkey").cast("long").alias(DST),
+        F.lit(0).cast("long").alias(RANK)))
+    sp.create_edge("member_of", df=t["nation"].select(
+        F.col("n_nationkey").cast("long").alias(SRC),
+        F.col("n_regionkey").cast("long").alias(DST),
+        F.lit(0).cast("long").alias(RANK)))
+    return sp

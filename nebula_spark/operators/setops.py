@@ -1,0 +1,55 @@
+"""Set operators (SURVEY.md §2.7).
+
+Reference requires identical column lists on both inputs
+(``src/graph/executor/query/SetExecutor.cpp:1-75``) — enforced here too;
+``unionByName`` additionally makes column *order* irrelevant, which the
+row-positional reference cannot do.
+
+Semantics detail: IntersectExecutor.cpp:12-50 / MinusExecutor.cpp:14-47 build
+a hash set of RHS rows and keep/drop LHS rows by membership — LHS duplicates
+survive and NULL cells compare equal (Value::operator== treats NULL==NULL).
+The faithful distributed translation is a null-safe left-semi / left-anti
+join on all columns, not Spark's distinct-ing ``intersect``/``except``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+
+def _check_cols(a: DataFrame, b: DataFrame) -> None:
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"set op requires identical columns: {a.columns} vs {b.columns}")
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union (kUnion): UNION ALL (UnionExecutor.cpp:12-38)."""
+    _check_cols(a, b)
+    return a.unionByName(b)
+
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """UNION without ALL = planner-added Dedup on top of Union."""
+    _check_cols(a, b)
+    return a.unionByName(b).distinct()
+
+
+def _membership_join(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
+    _check_cols(a, b)
+    bb = b.select(*a.columns).distinct()
+    cond = reduce(lambda acc, c: acc & a[c].eqNullSafe(bb[c]),
+                  a.columns[1:], a[a.columns[0]].eqNullSafe(bb[a.columns[0]]))
+    return a.join(bb, cond, how)
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Intersect (kIntersect): LHS rows present in RHS, duplicates kept."""
+    return _membership_join(a, b, "left_semi")
+
+
+def minus(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Minus (kMinus): LHS rows absent from RHS, duplicates kept."""
+    return _membership_join(a, b, "left_anti")

@@ -1,0 +1,82 @@
+"""GET SUBGRAPH: k-hop induced subgraph from a seed vid set (SURVEY.md §2.3).
+
+Reference: ``src/graph/executor/algo/SubgraphExecutor.cpp:26-199`` +
+``src/graph/planner/ngql/SubgraphPlanner.cpp`` — iterative frontier
+expansion collecting per-step vertex and edge sets, IN/OUT/BOTH, optional
+filters, dedup via a visited map.
+
+Spark-first: frontier expansion loop; visited set maintained as a DataFrame,
+dedup via anti-join; the collected edge set is the union of per-step hop
+joins. Returns (vertices_df, edges_df); edges_df keeps a ``step`` column
+(the reference reports per-step lists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nebula_spark.catalog import DST, SRC, VID
+from nebula_spark.operators.traverse import (
+    BROADCAST_FRONTIER_ROWS, oriented,
+)
+
+
+def k_hop_subgraph(edges: DataFrame, seeds: DataFrame, steps: int = 1,
+                   direction: str = "both",
+                   edge_filter: Column | None = None,
+                   with_props: bool = True,
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Expand ``steps`` hops from ``seeds``; return (vertices, edges).
+
+    ``vertices``: (vid, step) — step = hop at which first reached (0=seed).
+    ``edges``: oriented edge rows + ``step`` (hop that collected them).
+    Matching the reference, the final hop collects only edges *among*
+    already-visited vertices (SubgraphExecutor.cpp: the last round keeps
+    edges whose dst was seen before).
+    """
+    e_all = oriented(edges, direction)
+    if edge_filter is not None:
+        e_all = e_all.filter(edge_filter)
+
+    frontier = seeds.select(VID).distinct().persist()
+    visited = frontier.withColumn("step", F.lit(0)).persist()
+    collected: DataFrame | None = None
+    try:
+        for step in range(1, steps + 1):
+            n = frontier.count()
+            if n == 0:
+                break
+            f = F.broadcast(frontier) if n <= BROADCAST_FRONTIER_ROWS else frontier
+            hop = (e_all.join(f, e_all[SRC] == f[VID], "inner").drop(VID)
+                   .withColumn("step", F.lit(step))
+                   .localCheckpoint(eager=True))
+            collected = hop if collected is None else collected.unionByName(hop)
+            nxt = (hop.select(F.col(DST).alias(VID)).distinct()
+                   .join(visited.select(VID), VID, "left_anti")
+                   .withColumn("step", F.lit(step)).persist())
+            old = visited
+            visited = visited.unionByName(nxt).persist()
+            old.unpersist()
+            frontier.unpersist()
+            frontier = nxt.select(VID).persist()
+        # closing pass: edges among final-hop vertices back into the subgraph
+        # (reference's last round keeps only edges whose dst was seen before)
+        n = frontier.count()
+        if n > 0:
+            f = F.broadcast(frontier) if n <= BROADCAST_FRONTIER_ROWS else frontier
+            closing = (e_all.join(f, e_all[SRC] == f[VID], "inner").drop(VID)
+                       .join(visited.select(F.col(VID).alias(DST)).distinct(),
+                             DST, "left_semi")
+                       .withColumn("step", F.lit(steps + 1)))
+            collected = closing if collected is None \
+                else collected.unionByName(closing)
+        if collected is None:
+            collected = e_all.withColumn("step", F.lit(0)).limit(0)
+        # duplicate edges can be collected when direction="both" re-walks a
+        # closing edge; subgraph semantics are set semantics → dedup identity
+        collected = collected.dropDuplicates([SRC, DST, "rank", "_dir"])
+        return visited.select(VID, "step"), collected
+    finally:
+        frontier.unpersist()
+        visited.unpersist()

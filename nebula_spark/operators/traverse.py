@@ -1,0 +1,233 @@
+"""Traversal operators: GetNeighbors / GO / Traverse / AppendVertices /
+GetEdges (SURVEY.md §2.1, §2.3).
+
+Reference implementations:
+- GetNeighbors: ``src/graph/executor/query/GetNeighborsExecutor.cpp:1-102``
+  + storage chain ``src/storage/query/GetNeighborsProcessor.h:24`` (prefix
+  scan over the adjacency, request spec ``storage.thrift:128-166``).
+- GO loop: ``src/graph/planner/ngql/GoPlanner.cpp:15-90`` (Loop +
+  Expand/ExpandAll, ``ExpandAllExecutor.cpp:50-523``; GetDstBySrc dst-only
+  frontier ``src/storage/query/GetDstBySrcProcessor.cpp``).
+- Traverse (MATCH var-len expansion with path tracking + edge-uniqueness):
+  ``src/graph/executor/query/TraverseExecutor.cpp:25-676``.
+- AppendVertices: ``src/graph/executor/query/AppendVerticesExecutor.cpp:18-317``.
+- GetEdges: ``src/graph/executor/query/GetEdgesExecutor.cpp:1-112``.
+
+Spark-first translation: a hop is a join of the frontier against the edge
+table. The reference's storage-side pushdowns (edge filter, per-vertex limit,
+dedup — ``storage.thrift:140-158``) become: filter *before* the join
+(Catalyst pushes it into the parquet scan), window row_number per src for
+per-vertex limits, ``select(src,dst).distinct()`` for dst-only frontiers.
+Scale posture: the frontier is broadcast when small (seed sets almost always
+are), the edge table never moves; at 100 TB the edge table is
+bucketed-by-src parquet so even shuffle joins co-locate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nebula_spark.catalog import DST, RANK, SRC, VID
+
+# Frontiers at or below this row count are broadcast to the hop join.
+BROADCAST_FRONTIER_ROWS = 2_000_000
+
+
+def oriented(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """Orient an edge table so ``src`` is always the traversal origin.
+
+    Reference encodes reverse traversal as negative edge types
+    (``src/common/datatypes/Edge.h:16-23``); we swap columns instead and tag
+    the original direction in ``_dir`` (1=out, -1=in) so BOTH-direction
+    results keep edge identity.
+    """
+    props = [c for c in edges.columns if c not in (SRC, DST, RANK)]
+    out = edges.select(SRC, DST, RANK, *props, F.lit(1).alias("_dir"))
+    if direction == "out":
+        return out
+    rev = edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), RANK,
+                       *props, F.lit(-1).alias("_dir"))
+    if direction == "in":
+        return rev
+    if direction == "both":
+        return out.unionByName(rev)
+    raise ValueError(f"direction must be out|in|both, got {direction!r}")
+
+
+def get_neighbors(vids: DataFrame, edges: DataFrame, direction: str = "out",
+                  edge_filter: Column | None = None,
+                  limit_per_vertex: int | None = None,
+                  order_per_vertex: list | None = None,
+                  dedup_dst: bool = False,
+                  broadcast_frontier: bool | None = None) -> DataFrame:
+    """One hop from a vid set: the GetNeighbors RPC as a join.
+
+    Returns edge rows oriented origin→neighbor (columns src, dst, rank,
+    props…, _dir). Pushdown parity with storage.thrift:128-166:
+    ``edge_filter`` applies before the join (reaches the parquet scan);
+    ``limit_per_vertex`` (+ optional ``order_per_vertex``) reproduces the
+    per-vertex truncate/sample clause via a window, not a global limit;
+    ``dedup_dst`` reproduces GetDstBySrc's deduped dst-only frontier.
+    """
+    e = oriented(edges, direction)
+    if edge_filter is not None:
+        e = e.filter(edge_filter)
+    f = vids.select(VID).distinct()
+    if broadcast_frontier is None:
+        broadcast_frontier = True  # seed sets are small; loops override
+    if broadcast_frontier:
+        f = F.broadcast(f)
+    hop = e.join(f, e[SRC] == f[VID], "inner").drop(VID)
+    if limit_per_vertex is not None:
+        from pyspark.sql.window import Window
+        order = order_per_vertex or [F.col(DST), F.col(RANK)]
+        w = Window.partitionBy(SRC).orderBy(*order)
+        hop = (hop.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= limit_per_vertex).drop("_rn"))
+    if dedup_dst:
+        hop = hop.select(SRC, DST).distinct()
+    return hop
+
+
+def go(edges: DataFrame, start: DataFrame, min_steps: int = 1,
+       max_steps: int = 1, direction: str = "out",
+       edge_filter: Column | None = None,
+       early_stop: bool = True) -> DataFrame:
+    """GO M TO N STEPS: multi-hop expansion accumulating per-step edge rows.
+
+    Reference plan: Loop{Expand/ExpandAll} + UnionAllVersionVar accumulation
+    (GoPlanner.cpp:15-90, UnionAllVersionVarExecutor.cpp:1-45). Here: a
+    Python loop; each iteration joins the deduped frontier to the edge table
+    and unions the yield rows for steps in [min_steps, max_steps].
+
+    Adds a ``step`` column. Scale notes: the frontier is deduped every hop
+    (dst-only GetDstBySrc shape) and persisted; ``early_stop`` spends one
+    count() per hop to terminate on an empty frontier — at 100 TB that count
+    is trivially cheaper than a wasted hop join.
+    """
+    frontier = start.select(VID).distinct().persist()
+    results: DataFrame | None = None
+    try:
+        for step in range(1, max_steps + 1):
+            small = True
+            if early_stop:
+                n = frontier.count()
+                if n == 0:
+                    break
+                small = n <= BROADCAST_FRONTIER_ROWS
+            hop = get_neighbors(frontier, edges, direction, edge_filter,
+                                broadcast_frontier=small)
+            if step >= min_steps:
+                step_df = hop.withColumn("step", F.lit(step))
+                results = step_df if results is None else results.unionByName(step_df)
+            if step < max_steps:
+                nxt = hop.select(F.col(DST).alias(VID)).distinct().persist()
+                frontier.unpersist()
+                frontier = nxt
+        if results is None:
+            return get_neighbors(start.limit(0), edges, direction).withColumn(
+                "step", F.lit(1))
+        return results
+    finally:
+        frontier.unpersist()
+
+
+def _edge_id(prefix: str = "") -> Column:
+    return F.struct(F.col(f"{prefix}{SRC}").alias("s"),
+                    F.col(f"{prefix}{DST}").alias("d"),
+                    F.col(f"{prefix}{RANK}").alias("r"),
+                    F.col(f"{prefix}_dir").alias("t"))
+
+
+def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
+             max_hops: int = 1, direction: str = "out",
+             edge_filter: Column | None = None) -> DataFrame:
+    """MATCH variable-length expansion with per-path edge uniqueness.
+
+    Reference: TraverseExecutor.cpp:25-676 — expand ``[m..n]`` hops building
+    an edge-list column, openCypher relationship-uniqueness (an edge may
+    appear once per path; tracked via dst2PathsMap + hasSameEdgeInPath).
+
+    Returns one row per path: ``start_vid``, ``end_vid``, ``hops``,
+    ``path`` (array of edge structs (s,d,r,t)). The uniqueness filter is
+    ``NOT exists(path, e -> e == new_edge)`` — JVM-side higher-order
+    function, no UDF.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    e = oriented(edges, direction)
+    if edge_filter is not None:
+        e = e.filter(edge_filter)
+    e = e.select(SRC, DST, RANK, "_dir")
+    path_type = ArrayType(StructType([
+        StructField("s", e.schema[SRC].dataType),
+        StructField("d", e.schema[DST].dataType),
+        StructField("r", e.schema[RANK].dataType),
+        StructField("t", IntegerType()),
+    ]))
+
+    def zero_paths() -> DataFrame:
+        return (start.select(F.col(VID).alias("start_vid")).distinct()
+                .withColumn("end_vid", F.col("start_vid"))
+                .withColumn("hops", F.lit(0))
+                .withColumn("path", F.array().cast(path_type)))
+
+    paths = zero_paths()
+    results: DataFrame | None = None
+    for hop in range(1, max_hops + 1):
+        new_edge = _edge_id()
+        uniq = ~F.exists("path", lambda p: (p["s"] == F.col(SRC))
+                         & (p["d"] == F.col(DST)) & (p["r"] == F.col(RANK))
+                         & (p["t"] == F.col("_dir")))
+        stepped = (paths.join(e, paths["end_vid"] == e[SRC], "inner")
+                   .filter(uniq)
+                   .select(F.col("start_vid"),
+                           F.col(DST).alias("end_vid"),
+                           F.lit(hop).alias("hops"),
+                           F.concat("path", F.array(new_edge)).alias("path")))
+        stepped = stepped.localCheckpoint(eager=False) if hop % 4 == 0 else stepped
+        if hop >= min_hops:
+            results = stepped if results is None else results.unionByName(stepped)
+        paths = stepped
+    if min_hops == 0:
+        results = zero_paths() if results is None else zero_paths().unionByName(results)
+    return results
+
+
+def append_vertices(df: DataFrame, tag: DataFrame, on_col: str = DST,
+                    prefix: str = "v_") -> DataFrame:
+    """AppendVertices (kAppendVertices): fetch dst-vertex props as columns.
+
+    Reference fetches tag props for the pattern's trailing node and appends a
+    vertex value (AppendVerticesExecutor.cpp:18-317). Here: a left join
+    against the tag table with prefixed prop columns; left join preserves
+    dangling edges (reference keeps rows when the filter allows).
+    """
+    props = [c for c in tag.columns if c != VID]
+    renamed = tag.select(F.col(VID), *[F.col(c).alias(f"{prefix}{c}") for c in props])
+    return df.join(renamed, df[on_col] == renamed[VID], "left").drop(VID)
+
+
+def get_edges(keys: DataFrame, edges: DataFrame) -> DataFrame:
+    """GetEdges (kGetEdges): fetch edge props for (src, dst, rank) keys.
+
+    Reference: GetEdgesExecutor.cpp:1-112. Composite-key equi join; the key
+    set is typically tiny → broadcast.
+    """
+    return edges.join(F.broadcast(keys.select(SRC, DST, RANK).distinct()),
+                      [SRC, DST, RANK], "inner")
+
+
+def expand(frontier: DataFrame, edges: DataFrame, direction: str = "out",
+           edge_filter: Column | None = None,
+           transform: Callable[[DataFrame], DataFrame] | None = None) -> DataFrame:
+    """Expand (kExpand/kExpandAll): single frontier advance, returning the
+    next frontier (dst-only, deduped) — the GetDstBySrc fast path."""
+    hop = get_neighbors(frontier, edges, direction, edge_filter,
+                        broadcast_frontier=None)
+    if transform is not None:
+        hop = transform(hop)
+    return hop.select(F.col(DST).alias(VID)).distinct()

@@ -1,0 +1,52 @@
+"""Shared fixtures: one session per test run; tiny nba-style graph fixture
+synthesized per FIXTURES.md (cycles, multi-tag vids, NULL props, parallel
+edges — the data properties the reference's TCK corpus depends on)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from nebula_spark.session import get_spark
+    s = get_spark("nebula_spark_tests", **{
+        "spark.sql.shuffle.partitions": "4",
+        "spark.driver.memory": "4g",
+    })
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def nba(spark):
+    """player/team tags + like/serve edges with the required edge cases."""
+    players = spark.createDataFrame(
+        [("p1", "Tim", 42), ("p2", "Tony", 36), ("p3", "Manu", 41),
+         ("p4", None, 0), ("p5", "Kobe", -1)],
+        "vid string, name string, age long")
+    teams = spark.createDataFrame(
+        [("t1", "Spurs"), ("t2", "Lakers")], "vid string, name string")
+    like = spark.createDataFrame(
+        # cycle p1->p2->p1, self-like p3->p3, chain p1->p3->p5
+        [("p1", "p2", 0, 95), ("p2", "p1", 0, 95), ("p3", "p3", 0, 100),
+         ("p1", "p3", 0, 90), ("p3", "p5", 0, 80), ("p2", "p4", 0, 50)],
+        "src string, dst string, rank long, likeness long")
+    serve = spark.createDataFrame(
+        # parallel edges p1->t1 rank 0/1 (two stints)
+        [("p1", "t1", 0, 1997, 2016), ("p1", "t1", 1, 2016, 2018),
+         ("p2", "t1", 0, 2001, 2018), ("p5", "t2", 0, 1996, 2016)],
+        "src string, dst string, rank long, start_year long, end_year long")
+    return {"player": players, "team": teams, "like": like, "serve": serve}
+
+
+@pytest.fixture(scope="session")
+def tpch(spark):
+    from nebula_spark.catalog import load_tables
+    return load_tables(spark, SF_DIR)
