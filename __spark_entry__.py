@@ -188,7 +188,7 @@ def q_go_2step(spark: SparkSession, sf: str) -> DataFrame:
     contains = sp.edge("contains").select(
         F.concat(F.lit("o:"), F.col("src")).alias("src"),
         F.concat(F.lit("p:"), F.col("dst")).alias("dst"), "rank")
-    hop = go(placed.unionByName(contains), start, 2, 2)
+    hop = go([placed, contains], start, 2, 2)
     return dedup(hop.select(F.col("src").alias("o_key"),
                             F.col("dst").alias("p_key"), "rank"))
 
@@ -210,6 +210,169 @@ def q_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
     return bfs_shortest_paths(edges, seeds, max_hops=3)
 
 
+# ---------------------------------------------------------------------------
+# pipeline queries (dedup / similarity / text) — oracles share the exact same
+# md5-based hash constructions, generated from the same parameters
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_MD5_64_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _shingle_sql(k: int = 3) -> str:
+    return ("list_distinct(list_transform("
+            f"range(1, greatest(len(toks) - {k - 1}, 0) + 1), "
+            f"i -> array_to_string(toks[i:i+{k - 1}], ' ')))")
+
+
+def q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: token counts, quality score, fingerprint."""
+    from nebula_spark.pipeline.text import (
+        fingerprint, quality_score, token_count)
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    t = F.col("text")
+    return docs.select(
+        "doc_id", F.length(t).alias("n_chars_calc"),
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp64"))
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic distribution (rows-only check: the stopword
+    vote is our heuristic, not SQL-canonical)."""
+    from nebula_spark.pipeline.text import language_id
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    return (docs.select(language_id(F.col("text")).alias("lang_pred"))
+            .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang_pred"))
+
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from nebula_spark.pipeline import exact_dedup
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    return exact_dedup(docs)
+
+
+def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (8 perms, 3-shingles), signature as csv string."""
+    from nebula_spark.pipeline import minhash_signatures
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    sig = minhash_signatures(docs, k=3, num_hashes=8)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.transform("sig", lambda x: x.cast("string")), ",")
+        .alias("sig"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs (8 perms, 4 bands of 2)."""
+    from nebula_spark.pipeline import minhash_lsh_pairs
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    return minhash_lsh_pairs(docs, k=3, num_hashes=8, bands=4)
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from nebula_spark.pipeline import simhash64
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    return simhash64(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.4)."""
+    from nebula_spark.pipeline import ngram_jaccard_pairs
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.4)
+
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors."""
+    from nebula_spark.pipeline import brute_force_topk
+    embs = load_tables(spark, sf, ("embeddings",))["embeddings"]
+    q = embs.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return brute_force_topk(embs, q, k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: approximation is ours)."""
+    from nebula_spark.pipeline import lsh_bucketed_topk
+    embs = load_tables(spark, sf, ("embeddings",))["embeddings"]
+    q = embs.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return lsh_bucketed_topk(embs, q, k=10, n_planes=6)
+
+
+def q_near_dup_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact embedding near-dup pairs: all-pairs cosine ≥ 0.45
+    (synthetic random embeddings top out near 0.51)."""
+    from nebula_spark.functions.graphfns import cos_similarity
+    embs = load_tables(spark, sf, ("embeddings",))["embeddings"]
+    v = embs.select(F.col("vec_id").alias("id"),
+                    F.col("embedding").cast("array<double>").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round(cos_similarity(F.col("a.v"), F.col("b.v")), 6)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= 0.45))
+
+
+def _minhash_oracle() -> str:
+    from nebula_spark.pipeline.dedup import MINHASH_P, _perm_params
+    base = f"({_MD5_64_SQL.format(x='s')} % {MINHASH_P})"
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * {base} + {b}) % {MINHASH_P}))"
+        for a, b in _perm_params(8))
+    return f"""
+        WITH t AS (SELECT doc_id, {_shingle_sql(3)} AS sh
+                   FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents))
+        SELECT doc_id, array_to_string([{mins}], ',') AS sig FROM t
+    """
+
+
+def _simhash_oracle() -> str:
+    def mask(bit: int) -> int:
+        v = 1 << bit
+        return v - (1 << 64) if v >= (1 << 63) else v
+    h = f"list_transform(list_distinct(toks), t -> {_MD5_64_SQL.format(x='t')})"
+    terms = " + ".join(
+        "(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN x & ({m}) <> 0 "
+        "THEN 1 ELSE -1 END)) > 0 THEN CAST({m} AS BIGINT) ELSE 0 END)"
+        .format(m=mask(b)) for b in range(64))
+    return f"""
+        WITH t AS (SELECT doc_id, {h} AS h
+                   FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents))
+        SELECT doc_id, {terms} AS simhash FROM t
+    """
+
+
+def _jaccard_oracle() -> str:
+    return f"""
+        WITH sh AS (
+          SELECT doc_id AS id, len(sh) AS n, unnest(sh) AS s
+          FROM (SELECT doc_id, {_shingle_sql(3)} AS sh
+                FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents))
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+                 COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)
+               AS jaccard
+        FROM inter
+        WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) >= 0.4
+    """
+
+
+_COS_SQL = ("ROUND(list_cosine_similarity("
+            "list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+            "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_project": q_scan_project,
     "agg_group": q_agg_group,
@@ -227,6 +390,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "go_1step": q_go_1step,
     "go_2step": q_go_2step,
     "bfs_distances": q_bfs_distances,
+    "doc_stats": q_doc_stats,
+    "lang_id": q_lang_id,
+    "exact_dedup": q_exact_dedup,
+    "minhash": q_minhash,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "near_dup_cosine": q_near_dup_cosine,
 }
 
 ORACLES: dict[str, str] = {
@@ -339,7 +512,71 @@ ORACLES: dict[str, str] = {
         SELECT root AS src, vid AS dst, CAST(MIN(dist) AS INTEGER) AS dist
         FROM bfs WHERE dist > 0 GROUP BY root, vid
     """,
+    "doc_stats": f"""
+        SELECT doc_id, LENGTH(text) AS n_chars_calc,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               ROUND(
+                 0.4 * (CASE WHEN LENGTH(text) BETWEEN 100 AND 20000 THEN 1.0
+                        WHEN LENGTH(text) < 100 THEN LENGTH(text) / 100.0
+                        ELSE 20000.0 / LENGTH(text) END)
+               + 0.3 * (LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / GREATEST(LENGTH(text), 1))
+               + 0.15 * (CASE WHEN LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+                         <= 0.3 THEN 1.0 ELSE 0.5 END)
+               + 0.15 * (CASE WHEN LENGTH(text)
+                         / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END), 6) AS quality,
+               {_MD5_64_SQL.format(x=_NORM_SQL)} AS fp64
+        FROM documents
+    """,
+    "exact_dedup": f"""
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        FROM documents GROUP BY md5({_NORM_SQL})
+    """,
+    "minhash": _minhash_oracle(),
+    "minhash_lsh_pairs": None,  # filled below (needs the sig CTE)
+    "simhash": _simhash_oracle(),
+    "ngram_jaccard": _jaccard_oracle(),
+    "ann_topk": f"""
+        SELECT * FROM (
+          SELECT a.vec_id AS qid, b.vec_id AS cid, {_COS_SQL} AS cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY {_COS_SQL} DESC, b.vec_id) AS INT) AS rank
+          FROM embeddings a JOIN embeddings b ON a.vec_id <= 4)
+        WHERE rank <= 10
+    """,
+    "near_dup_cosine": f"""
+        SELECT * FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE cosine >= 0.45
+    """,
 }
+
+
+def _lsh_pairs_oracle() -> str:
+    from nebula_spark.pipeline.dedup import MINHASH_P, _perm_params
+    base = f"({_MD5_64_SQL.format(x='s')} % {MINHASH_P})"
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * {base} + {b}) % {MINHASH_P}))"
+        for a, b in _perm_params(8))
+    bands = " OR ".join(
+        f"(a.sig[{i * 2 + 1}] = b.sig[{i * 2 + 1}] AND "
+        f"a.sig[{i * 2 + 2}] = b.sig[{i * 2 + 2}])" for i in range(4))
+    return f"""
+        WITH sigs AS (
+          SELECT doc_id, [{mins}] AS sig
+          FROM (SELECT doc_id, {_shingle_sql(3)} AS sh
+                FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_filter(range(1, 9),
+                         i -> a.sig[i] = b.sig[i])) / 8.0, 6) AS est_jaccard
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({bands})
+    """
+
+
+ORACLES["minhash_lsh_pairs"] = _lsh_pairs_oracle()
 
 
 def entry(spark: SparkSession) -> DataFrame:

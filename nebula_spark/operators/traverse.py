@@ -92,7 +92,7 @@ def get_neighbors(vids: DataFrame, edges: DataFrame, direction: str = "out",
     return hop
 
 
-def go(edges: DataFrame, start: DataFrame, min_steps: int = 1,
+def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
        max_steps: int = 1, direction: str = "out",
        edge_filter: Column | None = None,
        early_stop: bool = True) -> DataFrame:
@@ -107,7 +107,16 @@ def go(edges: DataFrame, start: DataFrame, min_steps: int = 1,
     (dst-only GetDstBySrc shape) and persisted; ``early_stop`` spends one
     count() per hop to terminate on an empty frontier — at 100 TB that count
     is trivially cheaper than a wasted hop join.
+
+    ``edges`` may be a list with one edge table per step (GO ... OVER a
+    schedule of edge types): hop *k* then joins only its own table instead
+    of a union of all of them — at scale this halves (or better) the
+    scanned bytes per hop, the analog of the reference requesting only the
+    relevant edge type in each GetNeighbors RPC.
     """
+    per_step = isinstance(edges, (list, tuple))
+    if per_step and len(edges) != max_steps:
+        raise ValueError(f"per-step edges needs {max_steps} tables")
     frontier = start.select(VID).distinct().persist()
     results: DataFrame | None = None
     try:
@@ -118,17 +127,20 @@ def go(edges: DataFrame, start: DataFrame, min_steps: int = 1,
                 if n == 0:
                     break
                 small = n <= BROADCAST_FRONTIER_ROWS
-            hop = get_neighbors(frontier, edges, direction, edge_filter,
+            step_edges = edges[step - 1] if per_step else edges
+            hop = get_neighbors(frontier, step_edges, direction, edge_filter,
                                 broadcast_frontier=small)
             if step >= min_steps:
                 step_df = hop.withColumn("step", F.lit(step))
-                results = step_df if results is None else results.unionByName(step_df)
+                results = step_df if results is None else results.unionByName(
+                    step_df, allowMissingColumns=True)
             if step < max_steps:
                 nxt = hop.select(F.col(DST).alias(VID)).distinct().persist()
                 frontier.unpersist()
                 frontier = nxt
         if results is None:
-            return get_neighbors(start.limit(0), edges, direction).withColumn(
+            e0 = edges[0] if per_step else edges
+            return get_neighbors(start.limit(0), e0, direction).withColumn(
                 "step", F.lit(1))
         return results
     finally:

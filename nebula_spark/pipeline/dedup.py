@@ -1,0 +1,234 @@
+"""Deduplication at corpus scale: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Design for 100 TB: every method reduces to (1) a per-row signature computed
+with JVM-side expressions (no Python), (2) a shuffle keyed on
+signature/band/bucket — so the candidate-pair space is bucket-local, never
+all-pairs. The only all-pairs variant (`ngram_jaccard_pairs`) is for
+oracle-checkable small inputs and explicitly says so.
+
+Cross-engine determinism: every hash bottoms out in md5 (identical in Spark
+and DuckDB), so each operator has an exact SQL oracle — the correctness gate
+covers the *distributed* implementation, not a reimplementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash universal-hash parameters: h_i(x) = (a_i * x + b_i) mod P.
+# P < 2^31 keeps a_i * x + b_i within int64 after x is reduced mod P.
+MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
+_A_SEED, _B_SEED = 0x9E3779B1, 0x85EBCA77
+
+
+def _md5_64(c: Column) -> Column:
+    """Stable 60-bit integer from md5 hex — the cross-engine base hash."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs: a odd in [1, P), b in [0, P)."""
+    out = []
+    for i in range(num_hashes):
+        a = (_A_SEED * (2 * i + 1)) % MINHASH_P
+        b = (_B_SEED * (i + 1)) % MINHASH_P
+        out.append((a | 1, b))
+    return out
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for dedup: lower, collapse whitespace, trim."""
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                key_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text hash; keeps the minimum key per group.
+
+    Shuffle is on the 64-bit hash (uniform, no skew); the winner-per-group
+    is a min-aggregate, not a window sort — one pass, map-side combinable.
+    """
+    h = _md5_64(normalize_text(F.col(text_col)))
+    return (df.withColumn("_h", h)
+            .groupBy("_h")
+            .agg(F.min(key_col).alias(key_col),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .drop("_h"))
+
+
+def shingles(c: Column, k: int = 5, mode: str = "word") -> Column:
+    """k-shingles as an array column. word mode: k-grams of tokens;
+    char mode: k-grams of characters. Distinct (set semantics)."""
+    def safe_seq(n: Column) -> Column:
+        # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
+        return F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
+                .otherwise(F.array().cast("array<int>"))
+
+    if mode == "word":
+        toks = F.split(normalize_text(c), " ")
+        idx = safe_seq(F.size(toks))
+        sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    elif mode == "char":
+        s = normalize_text(c)
+        idx = safe_seq(F.length(s))
+        sh = F.transform(idx, lambda i: F.substring(s, i, F.lit(k)))
+    else:
+        raise ValueError(f"unknown shingle mode {mode!r}")
+    return F.array_distinct(sh)
+
+
+def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via shingle inverted index.
+
+    Not all-pairs: docs are exploded to (shingle, doc) and joined on the
+    shingle — the shuffle key is the shingle, candidate pairs share ≥1
+    shingle, and Jaccard = |∩| / (|A|+|B|−|∩|) falls out of a count
+    aggregate. This is the exact version of what MinHash approximates;
+    at 100 TB you run MinHash first and this only to confirm candidates.
+    """
+    sh = (df.select(F.col(key_col).alias("id"),
+                    shingles(F.col(text_col), k).alias("sh"))
+          .withColumn("n", F.size("sh"))
+          .select("id", "n", F.explode("sh").alias("s")))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (inter.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_signatures(df: DataFrame, key_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes`` universal
+    hashes, the min over the document's shingle set.
+
+    Entirely JVM-side: shingle → md5 base hash (mod P) → per-permutation
+    affine transform → array_min. One projection, zero shuffles.
+    """
+    base = F.transform(shingles(F.col(text_col), k),
+                       lambda s: _md5_64(s) % MINHASH_P)
+
+    def affine(a: int, b: int):
+        return lambda x: (a * x + b) % MINHASH_P
+
+    sig = F.array(*[F.array_min(F.transform(base, affine(a, b)))
+                    for a, b in _perm_params(num_hashes)])
+    return df.select(F.col(key_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, key_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """MinHash + LSH banding: candidate pairs agreeing on ≥1 full band.
+
+    rows-per-band r = num_hashes/bands; collision probability s^r per band.
+    Scale shape: explode to (band_id, band_signature) — the shuffle key —
+    then self-join per bucket. Estimated similarity = fraction of matching
+    signature positions, computed from the signatures (no second text pass).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, key_col, text_col, k, num_hashes).persist()
+    banded = sigs.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.array_join(F.slice("sig", i * r + 1, r), "_")
+                     .alias("bsig"))
+            for i in range(bands)])).alias("b"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.b.band") == F.col("b.b.band"))
+                   & (F.col("a.b.bsig") == F.col("b.b.bsig"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y),
+                           lambda v: v))
+           / F.lit(num_hashes))
+    return cand.select("id_a", "id_b",
+                       F.round(est, 6).alias("est_jaccard"))
+
+
+def simhash64(df: DataFrame, key_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """SimHash: 64-bit near-dup signature — per-token md5 hash, per-bit
+    weighted vote, sign → bit.
+
+    JVM-side trick: for each bit position, sum ±1 over token hashes
+    (aggregate over the token array), no UDF. 64 aggregate expressions is
+    heavy codegen but still one projection pass, no shuffle.
+    """
+    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    h = F.transform(toks, _md5_64)
+
+    def mask(bit: int) -> int:
+        v = 1 << bit
+        return v - (1 << 64) if v >= (1 << 63) else v  # signed int64 repr
+
+    def voter(bit: int):
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(mask(bit))) != 0, 1).otherwise(-1)
+
+    bits = []
+    for bit in range(64):
+        vote = F.aggregate(h, F.lit(0), voter(bit))
+        bits.append(F.when(vote > 0, F.lit(mask(bit))).otherwise(F.lit(0)))
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim.bitwiseOR(b)
+    return df.select(F.col(key_col).alias("id"), sim.alias("simhash"))
+
+
+def embedding_cosine_dups(emb: DataFrame, key_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.95,
+                          n_buckets: int = 8) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, random-hyperplane
+    bucketed (SimHash-for-vectors) so the pair join is bucket-local.
+
+    With ``n_buckets`` hyperplanes drawn from md5-seeded pseudo-random signs,
+    two vectors land in the same bucket when they agree on every hyperplane
+    side — high-cosine pairs almost always do for small n_buckets. Exact
+    cosine is then computed only within buckets.
+    """
+    from nebula_spark.functions.graphfns import cos_similarity
+
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    # deterministic pseudo-random hyperplane sign for (plane, dim)
+    def plane_sign(p: int):
+        return lambda i: F.when(
+            _md5_64(F.concat(F.lit(f"plane{p}:"), i.cast("string"))) % 2 == 0,
+            F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    bucket = F.concat_ws("", *[
+        F.when(F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.transform(dim_idx, plane_sign(p)),
+                       lambda x, s: x * s),
+            F.lit(0.0), lambda acc, v: acc + v) >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        for p in range(n_buckets)])
+    v = emb.select(F.col(key_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("v"),
+                   bucket.alias("bkt"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.round(cos_similarity(F.col("a.v"), F.col("b.v")), 6)
+                     .alias("cosine")))
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+baseline + LSH-bucketed scale path.
+
+The reference has no vector search; its `cos_similarity` container function
+(``src/common/function/FunctionManager.cpp``, containers section) is the
+scalar primitive. Here it becomes a distributed ANN surface over
+``embeddings(vec_id, embedding: array<float>, label)``.
+
+Scale posture: brute force is O(Q×N) but fully JVM-side and
+shuffle-minimal (queries broadcast, one window over N×Q scored rows —
+fine for reranking). The LSH variant buckets with random hyperplanes so
+each query scores only its bucket — the 100 TB path, trading recall
+(multi-probe over Hamming-adjacent buckets recovers most of it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nebula_spark.functions.graphfns import cos_similarity
+from nebula_spark.pipeline.dedup import _md5_64
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     corpus_key: str = "vec_id", corpus_vec: str = "embedding",
+                     query_key: str = "qid", query_vec: str = "qvec",
+                     ) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries × corpus scan.
+
+    Ties broken by corpus key (deterministic). Cosine rounded to 6 digits
+    *before* ranking so ranking is reproducible across engines/float orders.
+    """
+    q = F.broadcast(queries.select(F.col(query_key).alias("qid"),
+                                   _as_double(F.col(query_vec)).alias("qv")))
+    c = corpus.select(F.col(corpus_key).alias("cid"),
+                      _as_double(F.col(corpus_vec)).alias("cv"))
+    scored = c.crossJoin(q).select(
+        "qid", "cid", F.round(cos_similarity(F.col("cv"), F.col("qv")), 6)
+        .alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, salt: str = "ivf") -> Column:
+    """Random-hyperplane LSH bucket id (bit string) for a vector column.
+
+    Hyperplane components are ±1 derived from md5(salt, plane, dim) — fully
+    deterministic, identical across engines, no stored model. The Spark-side
+    analog of an IVF coarse quantizer with 2^n_planes cells.
+    """
+    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def sign(p: int):
+        return lambda i: F.when(
+            _md5_64(F.concat(F.lit(f"{salt}:{p}:"), i.cast("string"))) % 2 == 0,
+            F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    return F.concat_ws("", *[
+        F.when(F.aggregate(F.zip_with(_as_double(vec),
+                                      F.transform(dim_idx, sign(p)),
+                                      lambda x, s: x * s),
+                           F.lit(0.0), lambda a, v: a + v) >= 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for p in range(n_planes)])
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                      n_planes: int = 8,
+                      corpus_key: str = "vec_id", corpus_vec: str = "embedding",
+                      query_key: str = "qid", query_vec: str = "qvec",
+                      ) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. Recall < 1 by design; the scale path when Q×N is too big.
+
+    The bucket join is an equi-join on the bit-string — corpus partitioned
+    by bucket, queries broadcast; each task scores one bucket's slice.
+    """
+    c = corpus.select(F.col(corpus_key).alias("cid"),
+                      _as_double(F.col(corpus_vec)).alias("cv"),
+                      hyperplane_bucket(F.col(corpus_vec), n_planes)
+                      .alias("bkt"))
+    q = F.broadcast(queries.select(
+        F.col(query_key).alias("qid"),
+        _as_double(F.col(query_vec)).alias("qv"),
+        hyperplane_bucket(F.col(query_vec), n_planes).alias("bkt")))
+    scored = c.join(q, "bkt").select(
+        "qid", "cid",
+        F.round(cos_similarity(F.col("cv"), F.col("qv")), 6).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,141 @@
+"""Pipeline operator tests: text stats, dedup family, similarity, multimodal
+plumbing — on the driver's documents/embeddings tables plus tiny inline data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_spark.pipeline import (
+    brute_force_topk, exact_dedup, lsh_bucketed_topk, minhash_lsh_pairs,
+    minhash_signatures, ngram_jaccard_pairs, simhash64, text_stats,
+)
+from nebula_spark.pipeline.dedup import embedding_cosine_dups, shingles
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_text_stats(docs):
+    out = text_stats(docs.limit(20))
+    rows = out.collect()
+    assert all(r.n_tokens > 0 and 0 <= r.quality <= 1 for r in rows)
+    assert all(r.lang_pred in ("en", "de", "fr", "es", "und") for r in rows)
+    assert all(r.fp64 is not None for r in rows)
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string")
+    out = exact_dedup(df).collect()
+    assert len(out) == 2
+    groups = {r.doc_id: r.dup_count for r in out}
+    assert groups[1] == 2 and groups[3] == 1
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    got = df.select(shingles(F.col("t"), 2).alias("s")).first().s
+    assert got == ["a b", "b c", "c d"]
+    ch = df.select(shingles(F.col("t"), 3, "char").alias("s")).first().s
+    assert "a b" in ch and len(ch) == 5
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different text entirely here now")],
+        "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, k=2, threshold=0.3).collect()
+    assert len(out) == 1
+    assert (out[0].id_a, out[0].id_b) == (1, 2) and out[0].jaccard > 0.5
+
+
+def test_minhash_detects_neardups(spark):
+    base = "word%d " * 50
+    a = base % tuple(range(50))
+    b = base % tuple(list(range(49)) + [99])  # one token changed
+    c = "totally unrelated content " * 10
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string")
+    sigs = {r.id: r.sig for r in minhash_signatures(df, k=3).collect()}
+    agree = sum(x == y for x, y in zip(sigs[1], sigs[2])) / len(sigs[1])
+    assert agree > 0.5
+    pairs = minhash_lsh_pairs(df, k=3).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in ids
+    assert all(p != (1, 3) and p != (2, 3) for p in ids)
+
+
+def test_simhash_close_for_neardups(spark):
+    a = " ".join(f"tok{i}" for i in range(60))
+    b = " ".join(f"tok{i}" for i in range(59)) + " changed"
+    c = " ".join(f"zzz{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string")
+    h = {r.id: r.simhash for r in simhash64(df).collect()}
+    def ham(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+    assert ham(h[1], h[2]) <= 16
+
+
+def test_brute_force_topk(embs):
+    q = embs.limit(3).select(F.col("vec_id").alias("qid"),
+                             F.col("embedding").alias("qvec"))
+    out = brute_force_topk(embs, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    # self-match ranks first with cosine ~1
+    firsts = {r.qid: (r.cid, r.cosine) for r in rows if r.rank == 1}
+    for qid, (cid, cos) in firsts.items():
+        assert cid == qid and cos >= 0.999999
+
+
+def test_lsh_topk_subset_of_bucket(embs):
+    q = embs.limit(2).select(F.col("vec_id").alias("qid"),
+                             F.col("embedding").alias("qvec"))
+    out = lsh_bucketed_topk(embs, q, k=5, n_planes=4).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.rank <= 5
+    # self-vector always lands in its own bucket → rank-1 self match
+    firsts = {r.qid: r.cid for r in out if r.rank == 1}
+    assert all(cid == qid for qid, cid in firsts.items())
+
+
+def test_embedding_cosine_dups_selfjoin(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_cosine_dups(df, threshold=0.99, n_buckets=2).collect()
+    ids = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in ids and all(3 not in p for p in ids)
+
+
+def test_multimodal_fake_decode(spark):
+    from nebula_spark.pipeline.multimodal import frame_sample, image_features
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imgdata1")), (2, bytearray(b"imgdata2"))],
+        "doc_id long, content binary")
+    out = image_features(df, fake=True).collect()
+    assert len(out) == 2
+    assert all(len(r.feat) == 8 and r.channels == 3 for r in out)
+    # deterministic: same content → same fake features
+    again = image_features(df, fake=True).collect()
+    assert sorted((r.doc_id, r.width) for r in again) == \
+        sorted((r.doc_id, r.width) for r in out)
+    frames = frame_sample(df, fake=True, every_n=7).collect()
+    assert len(frames) > 0 and all(r.frame_idx % 7 == 0 for r in frames)
+    with pytest.raises(Exception, match="Pillow|NotImplemented"):
+        image_features(df, fake=False).collect()
