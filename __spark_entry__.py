@@ -210,6 +210,194 @@ def q_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
     return bfs_shortest_paths(edges, seeds, max_hops=3)
 
 
+def q_fetch_vertices(spark: SparkSession, sf: str) -> DataFrame:
+    """FETCH PROP (GetVertices): assemble tag props for a vid set."""
+    sp = tpch_space(spark, sf)
+    vids = sp.tag("customer").filter(F.col("vid") % 100 == 1).select("vid")
+    return sp.vertex(vids, tags=["customer"])
+
+
+def q_fetch_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """FETCH PROP ON edge (GetEdges): props for (src,dst,rank) keys."""
+    from nebula_spark.operators import get_edges
+    sp = tpch_space(spark, sf)
+    e = sp.edge("contains")
+    keys = e.filter((F.col("src") % 50 == 0) & (F.col("rank") <= 2))
+    return get_edges(keys, e).select("src", "dst", "rank", "l_quantity",
+                                     "l_extendedprice")
+
+
+def q_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """LOOKUP (IndexScan): predicate seek → Parquet pushdown."""
+    t = load_tables(spark, sf, ("part",))
+    return (filter_rows(t["part"], (F.col("p_size") >= 40)
+                        & F.col("p_type").startswith("STANDARD"))
+            .select("p_partkey", "p_name", "p_size", "p_type"))
+
+
+def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 5% sample via md5 bucketing (the distributed,
+    reproducible analog of the reference's reservoir Sample)."""
+    t = load_tables(spark, sf, ("orders",))
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                                1, 4), 16, 10).cast("long") % 20
+    return t["orders"].filter(bucket == 0).select("o_orderkey", "o_custkey")
+
+
+def q_scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-function battery (FunctionManager parity, §2.9)."""
+    from nebula_spark.functions import call
+    t = load_tables(spark, sf, ("part",))
+    p = t["part"].filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        call("abs", F.col("p_retailprice") * -1).alias("f_abs"),
+        call("floor", F.col("p_retailprice")).alias("f_floor"),
+        call("ceil", F.col("p_retailprice")).alias("f_ceil"),
+        F.round(call("sqrt", F.col("p_size").cast("double")), 10).alias("f_sqrt"),
+        F.round(call("pow", F.col("p_size").cast("double"), F.lit(2.0)), 6)
+        .alias("f_pow"),
+        call("sign", F.col("p_size").cast("double") - 25).alias("f_sign"),
+        call("lower", F.col("p_name")).alias("f_lower"),
+        call("upper", F.col("p_brand")).alias("f_upper"),
+        call("length", F.col("p_name")).alias("f_len"),
+        call("substr", F.col("p_type"), 1, 5).alias("f_substr"),
+        call("reverse", F.col("p_brand")).alias("f_rev"),
+        call("lpad", F.col("p_brand"), 12, "*").alias("f_lpad"),
+        call("concat_ws", "|", F.col("p_brand"), F.col("p_type"))
+        .alias("f_concat"),
+        call("size", call("split", F.col("p_type"), F.lit(" "))).alias("f_nwords"),
+        call("md5", F.col("p_name")).alias("f_md5"),
+        call("coalesce", F.lit(None).cast("string"), F.col("p_brand"))
+        .alias("f_coalesce"),
+        call("tointeger", F.col("p_retailprice")).alias("f_toint"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """json_extract (FunctionManager string fn) over events.props."""
+    t = load_tables(spark, sf, ("events",))
+    return (t["events"].filter(F.col("event_id") < 2000)
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("long").alias("k")))
+
+
+def q_window_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic windows (beyond-parity: reference has none, §2.8):
+    lag + running count per user over event time."""
+    from pyspark.sql.window import Window
+    t = load_tables(spark, sf, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (t["events"].filter(F.col("user_id") < 30)
+            .select("user_id", "event_id",
+                    F.lag("event_id").over(w).alias("prev_event"),
+                    F.count(F.lit(1)).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0))
+                    .alias("running_n")))
+
+
+def q_event_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch twin of the streaming path)."""
+    t = load_tables(spark, sf, ("events",))
+    return (t["events"]
+            .groupBy(F.date_trunc("day", F.col("ts")).alias("day"),
+                     F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("value").alias("sum_value"))
+            .orderBy("day", "event_type"))
+
+
+def q_paths_query(spark: SparkSession, sf: str) -> DataFrame:
+    """FIND ALL PATH with materialized path column (customer→nation→region)."""
+    from nebula_spark.operators.paths import all_paths
+    t = load_tables(spark, sf, ("customer", "nation", "region"))
+    e1 = t["customer"].select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+        F.lit(0).cast("long").alias("rank"))
+    e2 = t["nation"].select(
+        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
+        F.lit(0).cast("long").alias("rank"))
+    sources = t["customer"].filter(F.col("c_custkey") <= 10).select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("vid"))
+    targets = t["region"].select(F.concat(F.lit("r:"), F.col("r_regionkey"))
+                                 .alias("vid"))
+    p = all_paths(e1.unionByName(e2), sources, targets, max_hops=2)
+    return p.select(
+        "start_vid", "end_vid", "hops",
+        F.array_join(F.transform("path",
+                                 lambda e: F.concat(e["s"], F.lit(">"), e["d"])),
+                     "|").alias("path_str"))
+
+
+def q_subgraph(spark: SparkSession, sf: str) -> DataFrame:
+    """GET SUBGRAPH 2 STEPS: collected edge set with step tags."""
+    from nebula_spark.operators import k_hop_subgraph
+    t = load_tables(spark, sf, ("customer", "nation"))
+    e1 = t["customer"].select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+        F.lit(0).cast("long").alias("rank"))
+    e2 = t["nation"].select(
+        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
+        F.lit(0).cast("long").alias("rank"))
+    seeds = t["customer"].filter(F.col("c_custkey") <= 10).select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("vid"))
+    _, edges = k_hop_subgraph(e1.unionByName(e2), seeds, steps=2,
+                              direction="out")
+    return edges.select("src", "dst", "step")
+
+
+def q_go_1to2(spark: SparkSession, sf: str) -> DataFrame:
+    """GO 1 TO 2 STEPS: per-step result accumulation (UnionAllVersionVar)."""
+    sp = tpch_space(spark, sf)
+    start = sp.tag("customer").filter(F.col("vid") % 20 == 0).select(
+        F.concat(F.lit("c:"), F.col("vid")).alias("vid"))
+    placed = sp.edge("placed").select(
+        F.concat(F.lit("c:"), F.col("src")).alias("src"),
+        F.concat(F.lit("o:"), F.col("dst")).alias("dst"), "rank")
+    contains = sp.edge("contains").select(
+        F.concat(F.lit("o:"), F.col("src")).alias("src"),
+        F.concat(F.lit("p:"), F.col("dst")).alias("dst"), "rank")
+    hop = go([placed, contains], start, 1, 2)
+    return hop.select("src", "dst", "rank", "step")
+
+
+def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """UPDATE/UPSERT (mutate surface): read-modify-write customer balances
+    from an orders-derived update set; unmatched keys inserted (UPSERT)."""
+    from nebula_spark.operators.mutate import update_rows
+    t = load_tables(spark, sf, ("customer", "orders"))
+    table = t["customer"].select("c_custkey", "c_name", "c_acctbal")
+    upd = (t["orders"].filter(F.col("o_custkey") % 25 == 0)
+           .withColumn("c_custkey",
+                       F.col("o_custkey") + F.when(
+                           F.col("o_custkey") % 100 == 0, 1000000).otherwise(0))
+           .groupBy("c_custkey")
+           .agg(F.max("o_totalprice").alias("c_acctbal")))
+    return update_rows(table, upd, ["c_custkey"], insertable=True)
+
+
+def q_bfs_targets(spark: SparkSession, sf: str) -> DataFrame:
+    """FIND SHORTEST PATH FROM … TO …: BFS restricted to a target set."""
+    t = load_tables(spark, sf, ("customer", "nation", "region"))
+    e1 = t["customer"].select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+        F.lit(0).cast("long").alias("rank"))
+    e2 = t["nation"].select(
+        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
+        F.lit(0).cast("long").alias("rank"))
+    seeds = t["customer"].filter(F.col("c_custkey") <= 20).select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("vid"))
+    targets = t["region"].select(F.concat(F.lit("r:"), F.col("r_regionkey"))
+                                 .alias("vid"))
+    return bfs_shortest_paths(e1.unionByName(e2), seeds, targets, max_hops=3)
+
+
 # ---------------------------------------------------------------------------
 # pipeline queries (dedup / similarity / text) — oracles share the exact same
 # md5-based hash constructions, generated from the same parameters
@@ -390,6 +578,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "go_1step": q_go_1step,
     "go_2step": q_go_2step,
     "bfs_distances": q_bfs_distances,
+    "fetch_vertices": q_fetch_vertices,
+    "fetch_edges": q_fetch_edges,
+    "lookup": q_lookup,
+    "sample_hash": q_sample_hash,
+    "scalar_funcs": q_scalar_funcs,
+    "json_extract": q_json_extract,
+    "window_funcs": q_window_funcs,
+    "event_windows": q_event_windows,
+    "paths_query": q_paths_query,
+    "subgraph": q_subgraph,
+    "go_1to2": q_go_1to2,
+    "upsert": q_upsert,
+    "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
     "exact_dedup": q_exact_dedup,
@@ -511,6 +712,131 @@ ORACLES: dict[str, str] = {
         )
         SELECT root AS src, vid AS dst, CAST(MIN(dist) AS INTEGER) AS dist
         FROM bfs WHERE dist > 0 GROUP BY root, vid
+    """,
+    "fetch_vertices": """
+        SELECT c_custkey AS vid, c_name AS customer_c_name,
+               c_nationkey AS customer_c_nationkey,
+               c_acctbal AS customer_c_acctbal,
+               c_mktsegment AS customer_c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 1
+    """,
+    "fetch_edges": """
+        SELECT l_orderkey AS src, l_partkey AS dst,
+               CAST(l_linenumber AS BIGINT) AS rank, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_orderkey % 50 = 0 AND l_linenumber <= 2
+    """,
+    "lookup": """
+        SELECT p_partkey, p_name, p_size, p_type FROM part
+        WHERE p_size >= 40 AND p_type LIKE 'STANDARD%'
+    """,
+    "sample_hash": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+              % 20 = 0
+    """,
+    "scalar_funcs": """
+        SELECT p_partkey,
+               ABS(p_retailprice * -1) AS f_abs,
+               CAST(FLOOR(p_retailprice) AS BIGINT) AS f_floor,
+               CAST(CEIL(p_retailprice) AS BIGINT) AS f_ceil,
+               ROUND(SQRT(CAST(p_size AS DOUBLE)), 10) AS f_sqrt,
+               ROUND(POW(CAST(p_size AS DOUBLE), 2.0), 6) AS f_pow,
+               CAST(SIGN(CAST(p_size AS DOUBLE) - 25) AS DOUBLE) AS f_sign,
+               LOWER(p_name) AS f_lower, UPPER(p_brand) AS f_upper,
+               LENGTH(p_name) AS f_len,
+               SUBSTR(p_type, 1, 5) AS f_substr,
+               REVERSE(p_brand) AS f_rev,
+               LPAD(p_brand, 12, '*') AS f_lpad,
+               CONCAT_WS('|', p_brand, p_type) AS f_concat,
+               len(string_split(p_type, ' ')) AS f_nwords,
+               MD5(p_name) AS f_md5,
+               COALESCE(NULL, p_brand) AS f_coalesce,
+               CAST(TRUNC(p_retailprice) AS BIGINT) AS f_toint
+        FROM part WHERE p_partkey <= 500
+    """,
+    "json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_id < 2000
+    """,
+    "window_funcs": """
+        SELECT user_id, event_id,
+               LAG(event_id) OVER w AS prev_event,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS running_n
+        FROM events WHERE user_id < 30
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "event_windows": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+    "paths_query": """
+        WITH RECURSIVE edges AS (
+          SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst
+          FROM customer
+          UNION ALL
+          SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+        ), paths(start_vid, end_vid, hops, path_str) AS (
+          SELECT src, dst, 1, src || '>' || dst
+          FROM edges WHERE src IN
+            (SELECT 'c:' || c_custkey FROM customer WHERE c_custkey <= 10)
+          UNION ALL
+          SELECT p.start_vid, e.dst, p.hops + 1,
+                 p.path_str || '|' || e.src || '>' || e.dst
+          FROM paths p JOIN edges e ON p.end_vid = e.src WHERE p.hops < 2
+        )
+        SELECT start_vid, end_vid, hops, path_str FROM paths
+        WHERE end_vid LIKE 'r:%'
+    """,
+    "subgraph": """
+        SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst, 1 AS step
+        FROM customer WHERE c_custkey <= 10
+        UNION ALL
+        SELECT DISTINCT 'n:' || n_nationkey, 'r:' || n_regionkey, 2
+        FROM nation WHERE n_nationkey IN
+          (SELECT c_nationkey FROM customer WHERE c_custkey <= 10)
+    """,
+    "go_1to2": """
+        SELECT 'c:' || o_custkey AS src, 'o:' || o_orderkey AS dst,
+               CAST(0 AS BIGINT) AS rank, 1 AS step
+        FROM orders WHERE o_custkey % 20 = 0
+          AND o_custkey IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'o:' || l_orderkey, 'p:' || l_partkey,
+               CAST(l_linenumber AS BIGINT), 2
+        FROM lineitem WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders WHERE o_custkey % 20 = 0
+            AND o_custkey IN (SELECT c_custkey FROM customer))
+    """,
+    "upsert": """
+        WITH u AS (
+          SELECT o_custkey + CASE WHEN o_custkey % 100 = 0 THEN 1000000
+                                  ELSE 0 END AS c_custkey,
+                 MAX(o_totalprice) AS nb
+          FROM orders WHERE o_custkey % 25 = 0 GROUP BY 1)
+        SELECT c.c_custkey, c.c_name, COALESCE(u.nb, c.c_acctbal) AS c_acctbal
+        FROM customer c LEFT JOIN u USING (c_custkey)
+        UNION ALL
+        SELECT u.c_custkey, NULL AS c_name, u.nb AS c_acctbal
+        FROM u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+    "bfs_targets": """
+        WITH RECURSIVE edges AS (
+          SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst
+          FROM customer
+          UNION ALL
+          SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+        ), seeds AS (
+          SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 20
+        ), bfs(root, vid, dist) AS (
+          SELECT vid, vid, 0 FROM seeds
+          UNION
+          SELECT b.root, e.dst, b.dist + 1
+          FROM bfs b JOIN edges e ON b.vid = e.src WHERE b.dist < 3
+        )
+        SELECT root AS src, vid AS dst, CAST(MIN(dist) AS INTEGER) AS dist
+        FROM bfs WHERE dist > 0 AND vid LIKE 'r:%' GROUP BY root, vid
     """,
     "doc_stats": f"""
         SELECT doc_id, LENGTH(text) AS n_chars_calc,

@@ -142,7 +142,15 @@ def load_tables(spark: SparkSession, sf_dir: str,
                                           "supplier", "part", "orders",
                                           "lineitem", "events", "documents",
                                           "embeddings")) -> dict[str, DataFrame]:
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    out = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP(NANOS) read via nanosAsLong; ns div 1000 must be
+            # integer division — ns-since-epoch exceeds double precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out[n] = df
+    return out
 
 
 def tpch_space(spark: SparkSession, sf_dir: str) -> GraphSpace:

@@ -32,6 +32,9 @@ _DEFAULTS = {
     "spark.driver.memory": "16g",
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # the events table is written with TIMESTAMP(NANOS) which the vectorized
+    # parquet reader rejects; read as long and convert (catalog.load_tables)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

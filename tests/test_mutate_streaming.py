@@ -1,0 +1,139 @@
+"""Mutation + streaming operator tests."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from nebula_spark.operators.mutate import (
+    EDGE_KEY, VERTEX_KEY, commit_table, delete_rows, delete_vertex_cascade,
+    insert_rows, ttl_vacuum, update_rows,
+)
+
+
+def test_insert_overwrites_key(spark):
+    t = spark.createDataFrame([("v1", 10), ("v2", 20)], "vid string, age long")
+    rows = spark.createDataFrame([("v2", 99), ("v3", 30)], "vid string, age long")
+    out = {r.vid: r.age for r in insert_rows(t, rows, VERTEX_KEY).collect()}
+    assert out == {"v1": 10, "v2": 99, "v3": 30}
+
+
+def test_insert_if_not_exists(spark):
+    t = spark.createDataFrame([("v1", 10)], "vid string, age long")
+    rows = spark.createDataFrame([("v1", 99), ("v2", 20)], "vid string, age long")
+    out = {r.vid: r.age
+           for r in insert_rows(t, rows, VERTEX_KEY, if_not_exists=True).collect()}
+    assert out == {"v1": 10, "v2": 20}
+
+
+def test_update_partial_props_and_upsert(spark):
+    t = spark.createDataFrame([("v1", 10, "a"), ("v2", 20, "b")],
+                              "vid string, age long, name string")
+    upd = spark.createDataFrame([("v2", 99), ("v9", 5)], "vid string, age long")
+    plain = update_rows(t, upd, VERTEX_KEY)
+    got = {r.vid: (r.age, r.name) for r in plain.collect()}
+    assert got == {"v1": (10, "a"), "v2": (99, "b")}  # name preserved
+    up = update_rows(t, upd, VERTEX_KEY, insertable=True)
+    got = {r.vid: (r.age, r.name) for r in up.collect()}
+    assert got["v9"] == (5, None)
+
+
+def test_delete_edge_by_composite_key(spark):
+    e = spark.createDataFrame([("a", "b", 0, 1), ("a", "b", 1, 2), ("a", "c", 0, 3)],
+                              "src string, dst string, rank long, w long")
+    keys = spark.createDataFrame([("a", "b", 1)], "src string, dst string, rank long")
+    out = delete_rows(e, keys, EDGE_KEY).collect()
+    assert {(r.src, r.dst, r.rank) for r in out} == {("a", "b", 0), ("a", "c", 0)}
+
+
+def test_delete_vertex_cascade(spark):
+    tags = {"p": spark.createDataFrame([("v1", 1), ("v2", 2)], "vid string, x long")}
+    edges = {"e": spark.createDataFrame(
+        [("v1", "v2", 0), ("v2", "v3", 0), ("v3", "v4", 0)],
+        "src string, dst string, rank long")}
+    vids = spark.createDataFrame([("v2",)], ["vid"])
+    nt, ne = delete_vertex_cascade(tags, edges, vids)
+    assert [r.vid for r in nt["p"].collect()] == ["v1"]
+    assert {(r.src, r.dst) for r in ne["e"].collect()} == {("v3", "v4")}
+
+
+def test_ttl_vacuum(spark):
+    now = F.current_timestamp()
+    t = spark.range(1).select(
+        F.lit("old").alias("vid"), (now - F.expr("INTERVAL 2 HOUR")).alias("ts")
+    ).unionByName(spark.range(1).select(
+        F.lit("new").alias("vid"), now.alias("ts")))
+    out = ttl_vacuum(t, "ts", 3600).collect()
+    assert [r.vid for r in out] == ["new"]
+
+
+def test_commit_table_swap(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    commit_table(spark.range(5).toDF("n"), p)
+    assert spark.read.parquet(p).count() == 5
+    commit_table(spark.range(3).toDF("n"), p)
+    assert spark.read.parquet(p).count() == 3
+
+
+def test_windowed_counts_batch_and_sessionize(spark, tpch):
+    from nebula_spark.streaming import sessionize, windowed_event_counts
+    ev = tpch["events"]
+    w = windowed_event_counts(ev, "1 day")
+    assert w.columns == ["window_start", "event_type", "n", "sum_value"]
+    total = w.agg(F.sum("n")).first()[0]
+    assert total == ev.count()
+    s = sessionize(ev.filter(F.col("user_id") < 5), gap="30 minutes")
+    rows = s.collect()
+    assert all(r.n_events >= 1 and r.first_ts <= r.last_ts for r in rows)
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    """Real stream: file source → windowed agg → memory sink."""
+    from nebula_spark.streaming import windowed_event_counts
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "click", 1.0),
+         (2, "2024-01-01 10:20:00", "click", 2.0),
+         (3, "2024-01-01 11:05:00", "view", 3.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(src_dir + "/b0")
+    stream = (spark.readStream.schema("event_id long, ts timestamp, "
+                                      "event_type string, value double")
+              .parquet(src_dir + "/*"))
+    agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("win_test")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win_test").collect()
+    finally:
+        q.stop()
+    got = {(str(r.window_start), r.event_type): r.n for r in rows}
+    assert got[("2024-01-01 10:00:00", "click")] == 2
+    assert got[("2024-01-01 11:00:00", "view")] == 1
+
+
+def test_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState: per-user running totals over micro-batches."""
+    from nebula_spark.streaming.ingest import running_user_state
+    src_dir = str(tmp_path / "state_in")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [(1, 7, 1.5), (2, 7, 2.5), (3, 8, 1.0)],
+        "event_id long, user_id long, value double",
+    ).write.parquet(src_dir + "/b0")
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, value double")
+              .parquet(src_dir + "/*"))
+    q = (running_user_state(stream).writeStream.format("memory")
+         .queryName("state_test").outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM state_test").collect()
+    finally:
+        q.stop()
+    got = {r.user_id: (r.n_events, r.total_value) for r in rows}
+    assert got[7] == (2, 4.0) and got[8] == (1, 1.0)
