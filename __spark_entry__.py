@@ -365,6 +365,44 @@ def q_go_1to2(spark: SparkSession, sf: str) -> DataFrame:
     return hop.select("src", "dst", "rank", "step")
 
 
+def q_ngql_go_pipe(spark: SparkSession, sf: str) -> DataFrame:
+    """nGQL front end: LOOKUP | GO pipe, parsed and compiled by plans/."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        LOOKUP ON customer WHERE customer.vid % 10 == 0
+          YIELD customer.vid AS vid
+        | GO FROM $-.vid OVER placed WHERE placed.o_totalprice > 50000
+          YIELD src(edge) AS c_key, dst(edge) AS o_key,
+                placed.o_totalprice AS o_totalprice
+    """)
+
+
+def q_ngql_match_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH with implicit grouping through the front end."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        MATCH (c:customer)-[p:placed]->(o:order)
+        WHERE c.customer.c_mktsegment == "BUILDING"
+        RETURN c.customer.c_nationkey AS nk, count(*) AS n_orders
+        ORDER BY nk
+    """)
+
+
+def q_ngql_groupby_pipe(spark: SparkSession, sf: str) -> DataFrame:
+    """GO | GROUP BY pipe through the front end."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        LOOKUP ON customer WHERE customer.c_nationkey == 7
+          YIELD customer.vid AS vid
+        | GO FROM $-.vid OVER placed
+          YIELD src(edge) AS c, placed.o_orderdate AS d
+        | GROUP BY $-.c YIELD $-.c AS c_key, count(*) AS n
+    """)
+
+
 def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """UPDATE/UPSERT (mutate surface): read-modify-write customer balances
     from an orders-derived update set; unmatched keys inserted (UPSERT)."""
@@ -589,6 +627,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paths_query": q_paths_query,
     "subgraph": q_subgraph,
     "go_1to2": q_go_1to2,
+    "ngql_go_pipe": q_ngql_go_pipe,
+    "ngql_match_agg": q_ngql_match_agg,
+    "ngql_groupby_pipe": q_ngql_groupby_pipe,
     "upsert": q_upsert,
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
@@ -808,6 +849,23 @@ ORACLES: dict[str, str] = {
         FROM lineitem WHERE l_orderkey IN (
           SELECT o_orderkey FROM orders WHERE o_custkey % 20 = 0
             AND o_custkey IN (SELECT c_custkey FROM customer))
+    """,
+    "ngql_go_pipe": """
+        SELECT o_custkey AS c_key, o_orderkey AS o_key, o_totalprice
+        FROM orders WHERE o_custkey % 10 = 0 AND o_totalprice > 50000
+          AND o_custkey IN (SELECT c_custkey FROM customer)
+    """,
+    "ngql_match_agg": """
+        SELECT c_nationkey AS nk, COUNT(*) AS n_orders
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_nationkey ORDER BY nk
+    """,
+    "ngql_groupby_pipe": """
+        SELECT o_custkey AS c_key, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+        GROUP BY o_custkey
     """,
     "upsert": """
         WITH u AS (

@@ -191,10 +191,16 @@ def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
     results: DataFrame | None = None
     for hop in range(1, max_hops + 1):
         new_edge = _edge_id()
-        uniq = ~F.exists("path", lambda p: (p["s"] == F.col(SRC))
-                         & (p["d"] == F.col(DST)) & (p["r"] == F.col(RANK))
-                         & (p["t"] == F.col("_dir")))
-        stepped = (paths.join(e, paths["end_vid"] == e[SRC], "inner")
+        # edge-uniqueness via array_contains(path, struct(...)) — a lambda
+        # with outer column refs (F.exists) miscompiles on reused Datasets
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime)
+        uniq = ~F.array_contains(F.col("path"), new_edge)
+        # alias-qualified join: the edge table participates in every
+        # iteration, and df[col] cross-references break Spark's self-join
+        # disambiguation once the same base Dataset appears twice in lineage
+        stepped = (paths.alias("__p")
+                   .join(e.alias("__e"),
+                         F.col("__p.end_vid") == F.col(f"__e.{SRC}"), "inner")
                    .filter(uniq)
                    .select(F.col("start_vid"),
                            F.col(DST).alias("end_vid"),

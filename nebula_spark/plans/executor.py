@@ -1,0 +1,470 @@
+"""Compile parsed nGQL/MATCH statements into DataFrame plans over a
+GraphSpace.
+
+The analog of the reference's Validator+Planner+Executor stack
+(``src/graph/validator/GoValidator.cpp``, ``planner/ngql/GoPlanner.cpp``,
+``executor/query/*``): each sentence becomes a composition of the operator
+library; pipes pass DataFrames; Catalyst then does what the reference's 58
+optimizer rules did (SURVEY.md §4.2).
+
+Conventions:
+- GO hop result exposes edge props under their names plus ``src``/``dst``/
+  ``rank``; ``$^.tag.prop`` / ``$$.tag.prop`` join the tag tables on demand
+  (prop-deduction pass = a walk over the expression tuples, the analog of
+  DeducePropsVisitor).
+- MATCH binds aliases to prefixed columns ``<alias>__<prop>`` +
+  ``<alias>__vid``; RETURN applies openCypher implicit grouping when
+  aggregates and plain expressions mix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nebula_spark.catalog import DST, RANK, SRC, VID, GraphSpace
+from nebula_spark.functions.scalar import FUNCTIONS
+from nebula_spark.operators import go, k_hop_subgraph, traverse
+from nebula_spark.operators.paths import all_paths, bfs_shortest_paths
+from nebula_spark.plans import ngql as A
+
+_AGG_FNS = {"count", "sum", "avg", "max", "min", "std", "collect",
+            "collect_set", "bit_and", "bit_or", "bit_xor"}
+
+_GRAPH_FNS = {
+    "id": lambda c: c, "src": lambda _=None: F.col(SRC),
+    "dst": lambda _=None: F.col(DST), "rank": lambda _=None: F.col(RANK),
+}
+
+
+def _is_agg(e: tuple) -> bool:
+    if not isinstance(e, tuple):
+        return False
+    if e[0] in ("call", "call_distinct") and e[1] in _AGG_FNS:
+        return True
+    return any(_is_agg(x) for x in e[1:] if isinstance(x, tuple))
+
+
+def _walk(e, kinds: set[str], out: list) -> None:
+    if not isinstance(e, tuple):
+        return
+    if e[0] in kinds:
+        out.append(e)
+    for x in e[1:]:
+        if isinstance(x, tuple):
+            _walk(x, kinds, out)
+        elif isinstance(x, list):
+            for y in x:
+                _walk(y if isinstance(y, tuple) else (), kinds, out)
+
+
+class ExprCompiler:
+    """Expression tuples → Columns, with statement-specific ref resolution."""
+
+    def __init__(self, resolve):
+        self.resolve = resolve  # fn(kind, *args) -> Column
+
+    def col(self, e) -> Column:
+        if not isinstance(e, tuple):
+            raise ValueError(f"bad expr {e!r}")
+        op = e[0]
+        if op == "lit":
+            return F.lit(e[1])
+        if op == "list":
+            return F.array(*[self.col(x) for x in e[1:]])
+        if op in ("name", "edge_prop", "alias_tag_prop", "src_prop",
+                  "dst_prop", "input_prop", "var_prop"):
+            return self.resolve(*e)
+        if op in ("and", "or"):
+            a, b = self.col(e[1]), self.col(e[2])
+            return a & b if op == "and" else a | b
+        if op == "xor":
+            a, b = self.col(e[1]), self.col(e[2])
+            return (a | b) & ~(a & b)
+        if op == "not":
+            return ~self.col(e[1])
+        if op == "neg":
+            return -self.col(e[1])
+        if op in ("==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%"):
+            a, b = self.col(e[1]), self.col(e[2])
+            return {"==": a == b, "!=": a != b, "<": a < b, "<=": a <= b,
+                    ">": a > b, ">=": a >= b, "+": a + b, "-": a - b,
+                    "*": a * b, "/": a / b, "%": a % b}[op]
+        if op == "=~":
+            return self.col(e[1]).rlike(e[2][1] if e[2][0] == "lit"
+                                        else self.col(e[2]))
+        if op == "in":
+            return self.col(e[1]).isin(
+                *[x[1] for x in e[2][1:]]) if e[2][0] == "list" \
+                else F.array_contains(self.col(e[2]), self.col(e[1]))
+        if op == "is_null":
+            return self.col(e[1]).isNull()
+        if op == "starts_with":
+            return self.col(e[1]).startswith(self.col(e[2]))
+        if op == "ends_with":
+            return self.col(e[1]).endswith(self.col(e[2]))
+        if op == "contains_str":
+            return self.col(e[1]).contains(self.col(e[2]))
+        if op == "case":
+            whens, default = e[1], e[2]
+            c = F.when(self.col(whens[0][0]), self.col(whens[0][1]))
+            for cond, val in whens[1:]:
+                c = c.when(self.col(cond), self.col(val))
+            return c.otherwise(self.col(default)) if default else c
+        if op in ("call", "call_distinct"):
+            return self.call(e[1], list(e[2:]), distinct=op == "call_distinct")
+        raise ValueError(f"cannot compile {e!r}")
+
+    def call(self, name: str, args: list, distinct: bool = False) -> Column:
+        from nebula_spark.operators.aggregate import agg_call
+        if name in _AGG_FNS:
+            if args and args[0] == ("star",):
+                return agg_call("count", F.lit(1))
+            return agg_call(name, self.col(args[0]), distinct=distinct)
+        if name in _GRAPH_FNS:
+            if args and isinstance(args[0], tuple) and args[0][0] == "name":
+                try:
+                    return _GRAPH_FNS[name](self.resolve(*args[0]))
+                except Exception:  # noqa: BLE001 — id(edge)/src(edge) forms
+                    return _GRAPH_FNS[name]()
+            return _GRAPH_FNS[name]()
+        if name in FUNCTIONS:
+            return FUNCTIONS[name](*[self.col(a) for a in args])
+        raise ValueError(f"unknown function {name}")
+
+
+# --------------------------------------------------------------------------
+
+def _vid_frame(space: GraphSpace, vids, piped: DataFrame | None,
+               src_col: str | None) -> DataFrame:
+    if vids == "$-":
+        if piped is None:
+            raise ValueError("$- with no piped input")
+        col = src_col or piped.columns[0]
+        return piped.select(F.col(col).alias(VID)).distinct()
+    if isinstance(vids, str) and vids.startswith("$"):
+        raise ValueError("named variables not supported in this subset")
+    return space.spark.createDataFrame([(v,) for v in vids], [VID])
+
+
+def _edge_union(space: GraphSpace, names: list[str]) -> DataFrame:
+    dfs = []
+    for n in names:
+        e = space.edge(n)
+        props = [c for c in e.columns if c not in (SRC, DST, RANK)]
+        dfs.append(e.select(SRC, DST, RANK, F.lit(n).alias("_etype"), *props))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def _exec_go(space: GraphSpace, st: A.GoStmt,
+             piped: DataFrame | None) -> DataFrame:
+    start = _vid_frame(space, st.sources, piped, st.src_col)
+    edges = _edge_union(space, st.edges)
+    hop = go(edges, start, st.min_steps, st.max_steps, st.direction)
+
+    # prop deduction: which $^ / $$ tags does the statement touch?
+    refs: list = []
+    for y in st.yields:
+        _walk(y.expr, {"src_prop", "dst_prop"}, refs)
+    if st.where:
+        _walk(st.where, {"src_prop", "dst_prop"}, refs)
+    for kind, tag, _prop in refs:
+        side = SRC if kind == "src_prop" else DST
+        marker = f"__{side}_tag_{tag}__"
+        if any(c.startswith(marker) for c in hop.columns):
+            continue
+        t = space.tag(tag)
+        props = [c for c in t.columns if c != VID]
+        renamed = t.select(
+            F.col(VID).alias(f"{marker}vid"),
+            *[F.col(c).alias(f"{marker}{c}") for c in props])
+        hop = hop.join(renamed, hop[side] == renamed[f"{marker}vid"], "left") \
+                 .drop(f"{marker}vid")
+
+    def resolve(kind, *args):
+        if kind == "edge_prop":
+            ename, prop = args
+            if prop in ("_dst", "_src", "_rank"):
+                return F.col({"_dst": DST, "_src": SRC, "_rank": RANK}[prop])
+            return F.col(prop)
+        if kind == "src_prop":
+            return F.col(f"__src_tag_{args[0]}__{args[1]}")
+        if kind == "dst_prop":
+            return F.col(f"__dst_tag_{args[0]}__{args[1]}")
+        if kind == "name":
+            n = args[0]
+            if n == "edge":
+                raise ValueError("bare edge ref")
+            return F.col(n)
+        if kind == "input_prop":
+            return F.col(args[0])
+        raise ValueError(f"unresolvable {kind} {args}")
+
+    ec = ExprCompiler(resolve)
+    if st.where is not None:
+        hop = hop.filter(ec.col(st.where))
+    if not st.yields:
+        out = hop.select(F.col(DST).alias("dst"))
+    else:
+        cols = [ec.col(y.expr).alias(y.alias or f"c{i}")
+                for i, y in enumerate(st.yields)]
+        out = hop.select(*cols)
+    return out.distinct() if st.distinct else out
+
+
+def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
+                         piped: DataFrame | None) -> DataFrame:
+    vids = _vid_frame(space, st.vids, piped, st.src_col)
+    t = space.tag(st.tag)
+    out = vids.join(t, VID, "inner")
+
+    def resolve(kind, *args):
+        if kind == "edge_prop":      # parsed shape of tag.prop
+            return F.col(args[1])
+        if kind in ("name",):
+            return F.col(args[0])
+        raise ValueError(f"unresolvable {kind}")
+
+    ec = ExprCompiler(resolve)
+    if st.yields:
+        cols = [ec.col(y.expr).alias(y.alias or f"c{i}")
+                for i, y in enumerate(st.yields)]
+        # id(vertex) form: alias "vertex" resolves to vid
+        return out.select(*cols)
+    return out
+
+
+def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
+    t = space.tag(st.name) if st.name in space.tags else space.edge(st.name)
+
+    def resolve(kind, *args):
+        if kind == "edge_prop":
+            return F.col(args[1])
+        if kind == "name":
+            return F.col(args[0])
+        raise ValueError(f"unresolvable {kind}")
+
+    ec = ExprCompiler(resolve)
+    out = t.filter(ec.col(st.where)) if st.where is not None else t
+    if st.yields:
+        return out.select(*[ec.col(y.expr).alias(y.alias or f"c{i}")
+                            for i, y in enumerate(st.yields)])
+    return out
+
+
+def _exec_find_path(space: GraphSpace, st: A.FindPathStmt) -> DataFrame:
+    names = st.edges or list(space.edges)
+    edges = _edge_union(space, names)
+    src = _vid_frame(space, st.sources, None, None)
+    dst = _vid_frame(space, st.targets, None, None)
+    if st.kind == "shortest":
+        return bfs_shortest_paths(edges, src, dst, st.max_steps, st.direction)
+    p = all_paths(edges, src, dst, st.max_steps, st.direction,
+                  noloop=st.kind == "noloop")
+    return p.select(
+        "start_vid", "end_vid", "hops",
+        F.array_join(F.transform("path", lambda e: F.concat(
+            e["s"].cast("string"), F.lit(">"), e["d"].cast("string"))), "|")
+        .alias("path_str"))
+
+
+def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt) -> DataFrame:
+    from nebula_spark.operators.traverse import oriented
+    parts = []
+    if st.out_edges:
+        parts.append(oriented(_edge_union(space, st.out_edges), "out"))
+    if st.in_edges:
+        parts.append(oriented(_edge_union(space, st.in_edges), "in"))
+    if st.both_edges:
+        parts.append(oriented(_edge_union(space, st.both_edges), "both"))
+    if not parts:
+        parts = [oriented(_edge_union(space, list(space.edges)), "both")]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p, allowMissingColumns=True)
+    seeds = _vid_frame(space, st.sources, None, None)
+    # edges already oriented — pass direction="out" so orientation sticks
+    _, collected = k_hop_subgraph(
+        edges.drop("_dir"), seeds, st.steps, direction="out")
+    return collected
+
+
+def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
+                spark) -> DataFrame:
+    def resolve(kind, *args):
+        if kind == "input_prop":
+            return F.col(args[0])
+        if kind == "name":
+            return F.col(args[0])
+        if kind == "edge_prop":
+            return F.col(args[1])
+        raise ValueError(f"unresolvable {kind}")
+
+    ec = ExprCompiler(resolve)
+    base = piped if piped is not None else spark.range(1)
+    if st.where is not None:
+        base = base.filter(ec.col(st.where))
+    aggish = any(_is_agg(y.expr) for y in st.yields)
+    cols = [ec.col(y.expr).alias(y.alias or f"c{i}")
+            for i, y in enumerate(st.yields)]
+    if aggish:
+        out = base.agg(*cols)
+    else:
+        out = base.select(*cols)
+    return out.distinct() if st.distinct else out
+
+
+def _exec_group_by(st: A.GroupByStmt, piped: DataFrame) -> DataFrame:
+    def resolve(kind, *args):
+        if kind in ("input_prop", "name"):
+            return F.col(args[0])
+        if kind == "edge_prop":
+            return F.col(args[1])
+        raise ValueError(f"unresolvable {kind}")
+
+    ec = ExprCompiler(resolve)
+    keys = [ec.col(k) for k in st.keys]
+    aggs = [ec.col(y.expr).alias(y.alias or f"c{i}")
+            for i, y in enumerate(st.yields) if _is_agg(y.expr)]
+    grouped = piped.groupBy(*keys).agg(*aggs) if aggs else \
+        piped.select(*keys).distinct()
+    # final projection in yield order: non-agg items re-compile against the
+    # grouped output (their source columns are the group keys), agg items
+    # are picked up by alias
+    final = [F.col(y.alias or f"c{i}") if _is_agg(y.expr)
+             else ec.col(y.expr).alias(y.alias or f"c{i}")
+             for i, y in enumerate(st.yields)]
+    return grouped.select(*final)
+
+
+def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
+    # bind first node
+    n0 = st.nodes[0]
+    a0 = n0.alias or "_n0"
+    if n0.tag:
+        t = space.tag(n0.tag)
+    else:
+        raise ValueError("MATCH start node needs a :tag in this subset")
+    cur = t.select(F.col(VID).alias(f"{a0}__vid"),
+                   *[F.col(c).alias(f"{a0}__{c}")
+                     for c in t.columns if c != VID])
+    for k, v in n0.props.items():
+        cur = cur.filter(F.col(f"{a0}__{k}") == v)
+
+    prev_alias = a0
+    for idx, (me, mn) in enumerate(zip(st.edges, st.nodes[1:])):
+        na = mn.alias or f"_n{idx + 1}"
+        ea = me.alias or f"_e{idx}"
+        enames = me.types or list(space.edges)
+        edges = _edge_union(space, enames)
+        if me.min_hops == 1 and me.max_hops == 1:
+            from nebula_spark.operators.traverse import oriented
+            e = oriented(edges, me.direction)
+            eprops = [c for c in e.columns if c not in (SRC, DST, RANK)]
+            e = e.select(F.col(SRC).alias(f"{ea}__src"),
+                         F.col(DST).alias(f"{ea}__dst"),
+                         F.col(RANK).alias(f"{ea}__rank"),
+                         *[F.col(c).alias(f"{ea}__{c}") for c in eprops])
+            cur = cur.join(e, cur[f"{prev_alias}__vid"] == e[f"{ea}__src"],
+                           "inner")
+            end_col = f"{ea}__dst"
+        else:
+            tr = traverse(edges.select(SRC, DST, RANK), cur.select(
+                F.col(f"{prev_alias}__vid").alias(VID)).distinct(),
+                me.min_hops, me.max_hops, me.direction)
+            tr = tr.select(F.col("start_vid").alias(f"{prev_alias}__vid"),
+                           F.col("end_vid").alias(f"{ea}__dst"),
+                           F.col("hops").alias(f"{ea}__hops"))
+            cur = cur.join(tr, f"{prev_alias}__vid", "inner")
+            end_col = f"{ea}__dst"
+        if mn.tag:
+            t = space.tag(mn.tag)
+            tt = t.select(F.col(VID).alias(f"{na}__vid"),
+                          *[F.col(c).alias(f"{na}__{c}")
+                            for c in t.columns if c != VID])
+            cur = cur.join(tt, cur[end_col] == tt[f"{na}__vid"], "inner")
+        else:
+            cur = cur.withColumn(f"{na}__vid", F.col(end_col))
+        for k, v in mn.props.items():
+            cur = cur.filter(F.col(f"{na}__{k}") == v)
+        prev_alias = na
+
+    def resolve(kind, *args):
+        if kind == "alias_tag_prop":     # v.tag.prop
+            alias, _tag, prop = args
+            return F.col(f"{alias}__{prop}")
+        if kind == "edge_prop":          # e.prop or alias.prop
+            return F.col(f"{args[0]}__{args[1]}")
+        if kind == "name":
+            return F.col(f"{args[0]}__vid")
+        raise ValueError(f"unresolvable {kind} {args}")
+
+    ec = ExprCompiler(resolve)
+    if st.where is not None:
+        cur = cur.filter(ec.col(st.where))
+
+    items = [(y, ec.col(y.expr).alias(y.alias or f"c{i}"))
+             for i, y in enumerate(st.returns)]
+    has_agg = any(_is_agg(y.expr) for y, _ in items)
+    if has_agg:
+        keys = [c for y, c in items if not _is_agg(y.expr)]
+        aggs = [c for y, c in items if _is_agg(y.expr)]
+        out = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
+    else:
+        out = cur.select(*[c for _, c in items])
+    if st.distinct:
+        out = out.distinct()
+    if st.order_by:
+        names = [y.alias or f"c{i}" for i, y in enumerate(st.returns)]
+        order_cols = []
+        for e, asc in st.order_by:
+            c = (F.col(e[1]) if e[0] == "name" and e[1] in
+                 [y.alias for y in st.returns] else ec.col(e))
+            order_cols.append(c if asc else c.desc())
+        out = out.orderBy(*order_cols)
+    if st.limit is not None:
+        out = out.limit(st.limit)
+    return out
+
+
+def execute(space: GraphSpace, query: str) -> DataFrame:
+    """Parse + run a (possibly piped) nGQL/MATCH query against a space."""
+    pipeline = A.parse(query)
+    df: DataFrame | None = None
+    for st in pipeline.stages:
+        if isinstance(st, A.GoStmt):
+            df = _exec_go(space, st, df)
+        elif isinstance(st, A.FetchVerticesStmt):
+            df = _exec_fetch_vertices(space, st, df)
+        elif isinstance(st, A.LookupStmt):
+            df = _exec_lookup(space, st)
+        elif isinstance(st, A.FindPathStmt):
+            df = _exec_find_path(space, st)
+        elif isinstance(st, A.SubgraphStmt):
+            df = _exec_subgraph(space, st)
+        elif isinstance(st, A.YieldStmt):
+            df = _exec_yield(st, df, space.spark)
+        elif isinstance(st, A.GroupByStmt):
+            df = _exec_group_by(st, df)
+        elif isinstance(st, A.OrderByStmt):
+            def resolve(kind, *args):
+                if kind in ("input_prop", "name"):
+                    return F.col(args[0])
+                if kind == "edge_prop":
+                    return F.col(args[1])
+                raise ValueError(f"unresolvable {kind}")
+            ec = ExprCompiler(resolve)
+            cols = [ec.col(e) if asc else ec.col(e).desc()
+                    for e, asc in st.items]
+            df = df.orderBy(*cols)
+        elif isinstance(st, A.LimitStmt):
+            df = df.offset(st.offset).limit(st.count) if st.offset \
+                else df.limit(st.count)
+        elif isinstance(st, A.MatchStmt):
+            df = _exec_match(space, st)
+        else:
+            raise ValueError(f"unsupported statement {type(st).__name__}")
+    return df

@@ -1,0 +1,790 @@
+"""nGQL lexer + AST + recursive-descent parser.
+
+Grammar subset modeled on the reference's bison productions
+(``src/parser/parser.yy``: go_sentence :1424, lookup_sentence,
+fetch_vertices_sentence, find_path_sentence, get_subgraph_sentence,
+match_sentence, yield_sentence, pipes & set ops in compound sentences;
+sentence kinds ``src/parser/Sentence.h:30-137``). Coverage targets the
+query surface (DQL); DDL/admin is catalog API, not language.
+
+AST nodes are plain dataclasses; expressions are nested tuples
+``(op, *args)`` — compact, pattern-matchable, and trivially walkable for
+the prop-deduction pass the executor runs (the analog of
+``DeducePropsVisitor``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# --------------------------------------------------------------------------
+# lexer
+# --------------------------------------------------------------------------
+
+_TOKEN_SPEC = [
+    ("WS", r"\s+"),
+    ("COMMENT", r"//[^\n]*|#[^\n]*"),
+    ("FLOAT", r"\d+\.\d+"),
+    ("INT", r"\d+"),
+    ("STRING", r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\''),
+    ("DOTDOT", r"\.\."),
+    ("PIPE_REF", r"\$-\.[A-Za-z_][A-Za-z0-9_]*"),
+    ("SRC_REF", r"\$\^\.[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*"),
+    ("DST_REF", r"\$\$\.[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*"),
+    ("VAR_REF", r"\$[A-Za-z_][A-Za-z0-9_]*"),
+    ("PIPE_INPUT", r"\$-"),
+    ("ARROW_R", r"->"),
+    ("ARROW_L", r"<-"),
+    ("NEQ", r"!=|<>"),
+    ("LE", r"<="), ("GE", r">="), ("EQ", r"=="),
+    ("REGEX_M", r"=~"),
+    ("ASSIGN", r"="),
+    ("LT", r"<"), ("GT", r">"),
+    ("PLUS", r"\+"), ("MINUS", r"-"), ("STAR", r"\*"), ("SLASH", r"/"),
+    ("PCT", r"%"),
+    ("LP", r"\("), ("RP", r"\)"), ("LB", r"\["), ("RB", r"\]"),
+    ("LC", r"\{"), ("RC", r"\}"),
+    ("COMMA", r","), ("COLON", r":"), ("SEMI", r";"), ("DOT", r"\."),
+    ("PIPE", r"\|"),
+    ("NAME", r"[A-Za-z_][A-Za-z0-9_]*"),
+]
+_LEX = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC))
+
+_KEYWORDS = {
+    "go", "from", "over", "where", "yield", "steps", "step", "to", "upto",
+    "reversely", "bidirect", "fetch", "prop", "on", "lookup", "find",
+    "shortest", "all", "noloop", "path", "get", "subgraph", "with", "in",
+    "out", "both", "order", "by", "limit", "offset", "group", "asc", "desc",
+    "match", "return", "and", "or", "not", "xor", "distinct", "as", "true",
+    "false", "null", "is", "starts", "ends", "contains", "union", "minus",
+    "intersect", "of", "case", "when", "then", "else", "end", "sample",
+}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(s: str) -> list[Tok]:
+    out, i = [], 0
+    while i < len(s):
+        m = _LEX.match(s, i)
+        if not m:
+            raise SyntaxError(f"lex error at {i}: {s[i:i+20]!r}")
+        kind = m.lastgroup
+        text = m.group()
+        i = m.end()
+        if kind in ("WS", "COMMENT"):
+            continue
+        if kind == "NAME" and text.lower() in _KEYWORDS:
+            kind = "KW"
+            text = text.lower()
+        out.append(Tok(kind, text, m.start()))
+    out.append(Tok("EOF", "", len(s)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+@dataclass
+class YieldItem:
+    expr: tuple
+    alias: str | None
+
+
+@dataclass
+class GoStmt:
+    min_steps: int
+    max_steps: int
+    sources: list | str          # vid literals or "$-" / ("$var",)
+    src_col: str | None          # column when sources is a pipe/var ref
+    edges: list[str]
+    direction: str               # out|in|both
+    where: tuple | None
+    yields: list[YieldItem]
+    distinct: bool = False
+    sample: list[int] | None = None
+
+
+@dataclass
+class FetchVerticesStmt:
+    tag: str
+    vids: list | str
+    src_col: str | None
+    yields: list[YieldItem]
+
+
+@dataclass
+class FetchEdgesStmt:
+    edge: str
+    keys: list[tuple]            # (src, rank, dst)
+    yields: list[YieldItem]
+
+
+@dataclass
+class LookupStmt:
+    is_edge: bool
+    name: str
+    where: tuple | None
+    yields: list[YieldItem]
+
+
+@dataclass
+class FindPathStmt:
+    kind: str                    # shortest|all|noloop
+    sources: list | str
+    targets: list | str
+    edges: list[str] | None
+    direction: str
+    max_steps: int
+
+
+@dataclass
+class SubgraphStmt:
+    steps: int
+    sources: list | str
+    in_edges: list[str] | None
+    out_edges: list[str] | None
+    both_edges: list[str] | None
+
+
+@dataclass
+class YieldStmt:
+    yields: list[YieldItem]
+    where: tuple | None
+    distinct: bool = False
+
+
+@dataclass
+class GroupByStmt:
+    keys: list[tuple]
+    yields: list[YieldItem]
+
+
+@dataclass
+class OrderByStmt:
+    items: list[tuple]           # (expr, asc)
+
+
+@dataclass
+class LimitStmt:
+    count: int
+    offset: int = 0
+
+
+@dataclass
+class MatchNode:
+    alias: str | None
+    tag: str | None
+    props: dict = field(default_factory=dict)
+
+
+@dataclass
+class MatchEdge:
+    alias: str | None
+    types: list[str]
+    direction: str               # out|in|both
+    min_hops: int = 1
+    max_hops: int = 1
+
+
+@dataclass
+class MatchStmt:
+    nodes: list[MatchNode]
+    edges: list[MatchEdge]
+    where: tuple | None
+    returns: list[YieldItem]
+    order_by: list[tuple] | None
+    limit: int | None
+    distinct: bool = False
+
+
+@dataclass
+class Pipeline:
+    stages: list
+
+
+# --------------------------------------------------------------------------
+# parser
+# --------------------------------------------------------------------------
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    # -- token helpers
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "KW" and t.text in words
+
+    def eat(self, kind: str | None = None, text: str | None = None) -> Tok:
+        t = self.peek()
+        if kind and t.kind != kind:
+            raise SyntaxError(f"expected {kind}, got {t.kind} {t.text!r} @{t.pos}")
+        if text and t.text.lower() != text:
+            raise SyntaxError(f"expected {text!r}, got {t.text!r} @{t.pos}")
+        self.i += 1
+        return t
+
+    def eat_kw(self, *words: str) -> Tok:
+        t = self.peek()
+        if t.kind != "KW" or t.text not in words:
+            raise SyntaxError(f"expected {words}, got {t.text!r} @{t.pos}")
+        self.i += 1
+        return t
+
+    def try_kw(self, *words: str) -> bool:
+        if self.at_kw(*words):
+            self.i += 1
+            return True
+        return False
+
+    def name(self) -> str:
+        """Identifier position: allow keywords as names (tags/edges named
+        'order', 'limit', … are legal identifiers in the reference too)."""
+        t = self.peek()
+        if t.kind in ("NAME", "KW"):
+            self.i += 1
+            return t.text
+        raise SyntaxError(f"expected identifier, got {t.text!r} @{t.pos}")
+
+    # -- entry
+    def parse(self) -> Pipeline:
+        stages = [self.sentence()]
+        while self.peek().kind == "PIPE":
+            self.eat("PIPE")
+            stages.append(self.sentence())
+        if self.peek().kind == "SEMI":
+            self.eat("SEMI")
+        self.eat("EOF")
+        return Pipeline(stages)
+
+    def sentence(self):
+        if self.at_kw("go"):
+            return self.go_sentence()
+        if self.at_kw("fetch"):
+            return self.fetch_sentence()
+        if self.at_kw("lookup"):
+            return self.lookup_sentence()
+        if self.at_kw("find"):
+            return self.find_path_sentence()
+        if self.at_kw("get"):
+            return self.subgraph_sentence()
+        if self.at_kw("yield"):
+            return self.yield_sentence()
+        if self.at_kw("group"):
+            return self.group_by_sentence()
+        if self.at_kw("order"):
+            return self.order_by_sentence()
+        if self.at_kw("limit"):
+            return self.limit_sentence()
+        if self.at_kw("match"):
+            return self.match_sentence()
+        t = self.peek()
+        raise SyntaxError(f"unknown sentence start {t.text!r} @{t.pos}")
+
+    # -- GO (parser.yy:1424 go_sentence)
+    def go_sentence(self) -> GoStmt:
+        self.eat_kw("go")
+        mn = mx = 1
+        if self.peek().kind == "INT":
+            mn = mx = int(self.eat("INT").text)
+            if self.try_kw("to"):
+                mx = int(self.eat("INT").text)
+            self.eat_kw("steps", "step")
+        self.eat_kw("from")
+        sources, src_col = self.vid_list()
+        self.eat_kw("over")
+        edges = [self.eat("NAME").text]
+        while self.peek().kind == "COMMA":
+            self.eat("COMMA")
+            edges.append(self.eat("NAME").text)
+        direction = "out"
+        if self.try_kw("reversely"):
+            direction = "in"
+        elif self.try_kw("bidirect"):
+            direction = "both"
+        where = self.expr() if self.try_kw("where") else None
+        distinct = False
+        yields: list[YieldItem] = []
+        if self.try_kw("yield"):
+            distinct = self.try_kw("distinct")
+            yields = self.yield_items()
+        return GoStmt(mn, mx, sources, src_col, edges, direction, where,
+                      yields, distinct)
+
+    def vid_list(self):
+        t = self.peek()
+        if t.kind in ("PIPE_INPUT", "PIPE_REF"):
+            self.i += 1
+            col = t.text.split(".", 1)[1] if t.kind == "PIPE_REF" else None
+            return "$-", col
+        if t.kind == "VAR_REF":
+            self.i += 1
+            col = None
+            if self.peek().kind == "DOT":
+                self.eat("DOT")
+                col = self.eat("NAME").text
+            return t.text, col
+        vids = [self.literal()]
+        while self.peek().kind == "COMMA":
+            self.eat("COMMA")
+            vids.append(self.literal())
+        return vids, None
+
+    def literal(self):
+        t = self.peek()
+        if t.kind == "STRING":
+            self.i += 1
+            return t.text[1:-1]
+        if t.kind == "INT":
+            self.i += 1
+            return int(t.text)
+        if t.kind == "FLOAT":
+            self.i += 1
+            return float(t.text)
+        if t.kind == "MINUS":
+            self.i += 1
+            return -self.literal()
+        raise SyntaxError(f"expected literal, got {t.text!r} @{t.pos}")
+
+    def yield_items(self) -> list[YieldItem]:
+        items = [self.yield_item()]
+        while self.peek().kind == "COMMA":
+            self.eat("COMMA")
+            items.append(self.yield_item())
+        return items
+
+    def yield_item(self) -> YieldItem:
+        e = self.expr()
+        alias = None
+        if self.try_kw("as"):
+            alias = self.eat("NAME").text
+        return YieldItem(e, alias)
+
+    # -- FETCH
+    def fetch_sentence(self):
+        self.eat_kw("fetch")
+        self.eat_kw("prop")
+        self.eat_kw("on")
+        name = self.eat("NAME").text
+        if self.peek().kind in ("STRING", "INT", "PIPE_INPUT", "PIPE_REF",
+                                "VAR_REF", "FLOAT", "MINUS"):
+            # vertex form unless "src -> dst" follows
+            save = self.i
+            first = None
+            if self.peek().kind not in ("PIPE_INPUT", "PIPE_REF", "VAR_REF"):
+                first = self.literal()
+                if self.peek().kind == "ARROW_R":
+                    self.i = save
+                    return self.fetch_edges_tail(name)
+                self.i = save
+            vids, col = self.vid_list()
+            yields = []
+            if self.try_kw("yield"):
+                yields = self.yield_items()
+            return FetchVerticesStmt(name, vids, col, yields)
+        raise SyntaxError("FETCH: expected vid list")
+
+    def fetch_edges_tail(self, edge: str) -> FetchEdgesStmt:
+        keys = []
+        while True:
+            src = self.literal()
+            rank = 0
+            if self.peek().kind == "AT":
+                self.eat("AT")
+                rank = self.literal()
+            self.eat("ARROW_R")
+            dst = self.literal()
+            keys.append((src, rank, dst))
+            if self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                continue
+            break
+        yields = []
+        if self.try_kw("yield"):
+            yields = self.yield_items()
+        return FetchEdgesStmt(edge, keys, yields)
+
+    # -- LOOKUP
+    def lookup_sentence(self) -> LookupStmt:
+        self.eat_kw("lookup")
+        self.eat_kw("on")
+        name = self.eat("NAME").text
+        where = self.expr() if self.try_kw("where") else None
+        yields = []
+        if self.try_kw("yield"):
+            yields = self.yield_items()
+        return LookupStmt(False, name, where, yields)
+
+    # -- FIND PATH
+    def find_path_sentence(self) -> FindPathStmt:
+        self.eat_kw("find")
+        kind = self.eat_kw("shortest", "all", "noloop").text
+        self.eat_kw("path")
+        self.eat_kw("from")
+        sources, _ = self.vid_list()
+        self.eat_kw("to")
+        targets, _ = self.vid_list()
+        edges = None
+        direction = "out"
+        if self.try_kw("over"):
+            if self.peek().kind == "STAR":
+                self.eat("STAR")
+                edges = None
+            else:
+                edges = [self.eat("NAME").text]
+                while self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+                    edges.append(self.eat("NAME").text)
+            if self.try_kw("reversely"):
+                direction = "in"
+            elif self.try_kw("bidirect"):
+                direction = "both"
+        max_steps = 5
+        if self.try_kw("upto"):
+            max_steps = int(self.eat("INT").text)
+            self.eat_kw("steps", "step")
+        return FindPathStmt(kind, sources, targets, edges, direction, max_steps)
+
+    # -- GET SUBGRAPH
+    def subgraph_sentence(self) -> SubgraphStmt:
+        self.eat_kw("get")
+        self.eat_kw("subgraph")
+        self.try_kw("with")  # WITH PROP — props always included here
+        self.try_kw("prop")
+        steps = 1
+        if self.peek().kind == "INT":
+            steps = int(self.eat("INT").text)
+            self.eat_kw("steps", "step")
+        self.eat_kw("from")
+        sources, _ = self.vid_list()
+        in_e = out_e = both_e = None
+        while self.at_kw("in", "out", "both"):
+            d = self.eat_kw("in", "out", "both").text
+            es = [self.eat("NAME").text]
+            while self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                es.append(self.eat("NAME").text)
+            if d == "in":
+                in_e = es
+            elif d == "out":
+                out_e = es
+            else:
+                both_e = es
+        return SubgraphStmt(steps, sources, in_e, out_e, both_e)
+
+    # -- YIELD / GROUP BY / ORDER BY / LIMIT (pipe stages)
+    def yield_sentence(self) -> YieldStmt:
+        self.eat_kw("yield")
+        distinct = self.try_kw("distinct")
+        items = self.yield_items()
+        where = self.expr() if self.try_kw("where") else None
+        return YieldStmt(items, where, distinct)
+
+    def group_by_sentence(self) -> GroupByStmt:
+        self.eat_kw("group")
+        self.eat_kw("by")
+        keys = [self.expr()]
+        while self.peek().kind == "COMMA":
+            self.eat("COMMA")
+            keys.append(self.expr())
+        self.eat_kw("yield")
+        return GroupByStmt(keys, self.yield_items())
+
+    def order_by_sentence(self) -> OrderByStmt:
+        self.eat_kw("order")
+        self.eat_kw("by")
+        items = []
+        while True:
+            e = self.expr()
+            asc = True
+            if self.try_kw("desc"):
+                asc = False
+            else:
+                self.try_kw("asc")
+            items.append((e, asc))
+            if self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                continue
+            break
+        return OrderByStmt(items)
+
+    def limit_sentence(self) -> LimitStmt:
+        self.eat_kw("limit")
+        a = int(self.eat("INT").text)
+        if self.peek().kind == "COMMA":
+            self.eat("COMMA")
+            b = int(self.eat("INT").text)
+            return LimitStmt(b, a)
+        return LimitStmt(a)
+
+    # -- MATCH (subset)
+    def match_sentence(self) -> MatchStmt:
+        self.eat_kw("match")
+        nodes, edges = [self.match_node()], []
+        while self.peek().kind in ("MINUS", "ARROW_L"):
+            edges.append(self.match_edge())
+            nodes.append(self.match_node())
+        where = self.expr() if self.try_kw("where") else None
+        self.eat_kw("return")
+        distinct = self.try_kw("distinct")
+        rets = self.yield_items()
+        order_by = None
+        if self.try_kw("order"):
+            self.eat_kw("by")
+            order_by = []
+            while True:
+                e = self.expr()
+                asc = not self.try_kw("desc")
+                if asc:
+                    self.try_kw("asc")
+                order_by.append((e, asc))
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+                    continue
+                break
+        limit = None
+        if self.try_kw("limit"):
+            limit = int(self.eat("INT").text)
+        return MatchStmt(nodes, edges, where, rets, order_by, limit, distinct)
+
+    def match_node(self) -> MatchNode:
+        self.eat("LP")
+        alias = tag = None
+        if self.peek().kind == "NAME":
+            alias = self.eat("NAME").text
+        if self.peek().kind == "COLON":
+            self.eat("COLON")
+            tag = self.name()
+        props = {}
+        if self.peek().kind == "LC":
+            self.eat("LC")
+            while self.peek().kind != "RC":
+                k = self.eat("NAME").text
+                self.eat("COLON")
+                props[k] = self.literal()
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+            self.eat("RC")
+        self.eat("RP")
+        return MatchNode(alias, tag, props)
+
+    def match_edge(self) -> MatchEdge:
+        direction = "out"
+        if self.peek().kind == "ARROW_L":
+            self.eat("ARROW_L")
+            direction = "in"
+        else:
+            self.eat("MINUS")
+        alias, types, mn, mx = None, [], 1, 1
+        if self.peek().kind == "LB":
+            self.eat("LB")
+            if self.peek().kind == "NAME":
+                alias = self.eat("NAME").text
+            if self.peek().kind == "COLON":
+                self.eat("COLON")
+                types = [self.name()]
+                while self.peek().kind == "PIPE":
+                    self.eat("PIPE")
+                    types.append(self.name())
+            if self.peek().kind == "STAR":
+                self.eat("STAR")
+                if self.peek().kind == "INT":
+                    mn = mx = int(self.eat("INT").text)
+                    if self.peek().kind == "DOTDOT":
+                        self.eat("DOTDOT")
+                        mx = int(self.eat("INT").text)
+                elif self.peek().kind == "DOTDOT":
+                    self.eat("DOTDOT")
+                    mn = 1
+                    mx = int(self.eat("INT").text)
+                else:
+                    mn, mx = 1, 5
+            self.eat("RB")
+        if direction == "out":
+            if self.peek().kind == "ARROW_R":
+                self.eat("ARROW_R")
+            else:
+                self.eat("MINUS")
+                direction = "both"
+        else:
+            self.eat("MINUS")
+        return MatchEdge(alias, types, direction, mn, mx)
+
+    # -- expressions (Pratt)
+    def expr(self) -> tuple:
+        return self.expr_or()
+
+    def expr_or(self):
+        left = self.expr_and()
+        while self.at_kw("or", "xor"):
+            op = self.eat_kw("or", "xor").text
+            left = (op, left, self.expr_and())
+        return left
+
+    def expr_and(self):
+        left = self.expr_not()
+        while self.at_kw("and"):
+            self.eat_kw("and")
+            left = ("and", left, self.expr_not())
+        return left
+
+    def expr_not(self):
+        if self.try_kw("not"):
+            return ("not", self.expr_not())
+        return self.expr_cmp()
+
+    def expr_cmp(self):
+        left = self.expr_add()
+        t = self.peek()
+        if t.kind in ("EQ", "ASSIGN", "NEQ", "LT", "LE", "GT", "GE", "REGEX_M"):
+            self.i += 1
+            op = {"EQ": "==", "ASSIGN": "==", "NEQ": "!=", "LT": "<",
+                  "LE": "<=", "GT": ">", "GE": ">=", "REGEX_M": "=~"}[t.kind]
+            return (op, left, self.expr_add())
+        if self.at_kw("in"):
+            self.eat_kw("in")
+            return ("in", left, self.expr_add())
+        if self.at_kw("not") and self.peek(1).kind == "KW" \
+                and self.peek(1).text == "in":
+            self.eat_kw("not")
+            self.eat_kw("in")
+            return ("not", ("in", left, self.expr_add()))
+        if self.at_kw("is"):
+            self.eat_kw("is")
+            neg = self.try_kw("not")
+            self.eat_kw("null")
+            node = ("is_null", left)
+            return ("not", node) if neg else node
+        if self.at_kw("starts"):
+            self.eat_kw("starts")
+            self.eat_kw("with")
+            return ("starts_with", left, self.expr_add())
+        if self.at_kw("ends"):
+            self.eat_kw("ends")
+            self.eat_kw("with")
+            return ("ends_with", left, self.expr_add())
+        if self.at_kw("contains"):
+            self.eat_kw("contains")
+            return ("contains_str", left, self.expr_add())
+        return left
+
+    def expr_add(self):
+        left = self.expr_mul()
+        while self.peek().kind in ("PLUS", "MINUS"):
+            op = "+" if self.eat().kind == "PLUS" else "-"
+            left = (op, left, self.expr_mul())
+        return left
+
+    def expr_mul(self):
+        left = self.expr_unary()
+        while self.peek().kind in ("STAR", "SLASH", "PCT"):
+            k = self.eat().kind
+            op = {"STAR": "*", "SLASH": "/", "PCT": "%"}[k]
+            left = (op, left, self.expr_unary())
+        return left
+
+    def expr_unary(self):
+        if self.peek().kind == "MINUS":
+            self.eat("MINUS")
+            return ("neg", self.expr_unary())
+        return self.expr_atom()
+
+    def expr_atom(self):
+        t = self.peek()
+        if t.kind == "LP":
+            self.eat("LP")
+            e = self.expr()
+            self.eat("RP")
+            return e
+        if t.kind == "LB":       # list literal
+            self.eat("LB")
+            items = []
+            while self.peek().kind != "RB":
+                items.append(self.expr())
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+            self.eat("RB")
+            return ("list", *items)
+        if t.kind in ("STRING", "INT", "FLOAT"):
+            return ("lit", self.literal())
+        if t.kind == "KW" and t.text in ("true", "false"):
+            self.i += 1
+            return ("lit", t.text == "true")
+        if t.kind == "KW" and t.text == "null":
+            self.i += 1
+            return ("lit", None)
+        if t.kind == "KW" and t.text == "case":
+            return self.case_expr()
+        if t.kind == "PIPE_REF":
+            self.i += 1
+            return ("input_prop", t.text.split(".", 1)[1])
+        if t.kind == "SRC_REF":
+            self.i += 1
+            _, tag, prop = t.text.split(".")
+            return ("src_prop", tag.lstrip("$^."), prop)
+        if t.kind == "DST_REF":
+            self.i += 1
+            _, tag, prop = t.text.split(".")
+            return ("dst_prop", tag, prop)
+        if t.kind == "VAR_REF":
+            self.i += 1
+            self.eat("DOT")
+            return ("var_prop", t.text[1:], self.eat("NAME").text)
+        if t.kind == "NAME" or (t.kind == "KW" and t.text in
+                                ("all",)):  # fn names that are keywords
+            name = self.eat().text
+            if self.peek().kind == "LP":   # function call
+                self.eat("LP")
+                distinct = self.try_kw("distinct")
+                args = []
+                if self.peek().kind == "STAR":
+                    self.eat("STAR")
+                    args.append(("star",))
+                else:
+                    while self.peek().kind != "RP":
+                        args.append(self.expr())
+                        if self.peek().kind == "COMMA":
+                            self.eat("COMMA")
+                self.eat("RP")
+                return ("call_distinct" if distinct else "call",
+                        name.lower(), *args)
+            if self.peek().kind == "DOT":  # edge.prop or alias.tag.prop
+                self.eat("DOT")
+                p1 = self.eat("NAME").text
+                if self.peek().kind == "DOT":
+                    self.eat("DOT")
+                    p2 = self.eat("NAME").text
+                    return ("alias_tag_prop", name, p1, p2)
+                return ("edge_prop", name, p1)
+            return ("name", name)
+        raise SyntaxError(f"unexpected token {t.text!r} @{t.pos}")
+
+    def case_expr(self):
+        self.eat_kw("case")
+        whens = []
+        while self.at_kw("when"):
+            self.eat_kw("when")
+            cond = self.expr()
+            self.eat_kw("then")
+            whens.append((cond, self.expr()))
+        default = None
+        if self.try_kw("else"):
+            default = self.expr()
+        self.eat_kw("end")
+        return ("case", whens, default)
+
+
+def parse(query: str) -> Pipeline:
+    return Parser(tokenize(query)).parse()

@@ -1,0 +1,153 @@
+"""nGQL/MATCH front-end tests — queries shaped like the reference's TCK
+features (tests/tck/features/go, lookup, fetch, path, subgraph, match in
+/root/reference), run on the synthesized nba-style fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from nebula_spark.catalog import GraphSpace
+from nebula_spark.plans import execute, parse
+
+
+@pytest.fixture(scope="module")
+def space(spark, nba):
+    sp = GraphSpace(spark, "nba")
+    sp.create_tag("player", df=nba["player"])
+    sp.create_tag("team", df=nba["team"])
+    sp.create_edge("like", df=nba["like"])
+    sp.create_edge("serve", df=nba["serve"])
+    return sp
+
+
+def test_parse_roundtrip_shapes():
+    p = parse('GO 2 TO 3 STEPS FROM "a","b" OVER like, serve REVERSELY '
+              'WHERE like.likeness > 80 YIELD dst(edge) AS d | LIMIT 5')
+    assert len(p.stages) == 2
+    go = p.stages[0]
+    assert (go.min_steps, go.max_steps) == (2, 3)
+    assert go.edges == ["like", "serve"] and go.direction == "in"
+
+
+def test_go_basic(space):
+    df = execute(space,
+                 'GO FROM "p1" OVER like WHERE like.likeness >= 90 '
+                 'YIELD dst(edge) AS d, like.likeness AS w')
+    got = {(r.d, r.w) for r in df.collect()}
+    assert got == {("p2", 95), ("p3", 90)}
+
+
+def test_go_default_yield_and_reversely(space):
+    df = execute(space, 'GO FROM "p1" OVER like REVERSELY')
+    assert {r.dst for r in df.collect()} == {"p2"}
+
+
+def test_go_two_steps_pipe_groupby(space):
+    df = execute(space,
+                 'GO 2 STEPS FROM "p1" OVER like YIELD dst(edge) AS d '
+                 '| GROUP BY $-.d YIELD $-.d AS d, count(*) AS n')
+    got = {(r.d, r.n) for r in df.collect()}
+    # step2 from {p2,p3}: p2->p1,p2->p4,p3->p3,p3->p5
+    assert got == {("p1", 1), ("p4", 1), ("p3", 1), ("p5", 1)}
+
+
+def test_go_dst_prop_join(space):
+    df = execute(space,
+                 'GO FROM "p1" OVER like WHERE $$.player.age > 40 '
+                 'YIELD dst(edge) AS d, $$.player.name AS name')
+    got = {(r.d, r.name) for r in df.collect()}
+    assert got == {("p3", "Manu")}
+
+
+def test_go_pipe_into_go(space):
+    df = execute(space,
+                 'GO FROM "p1" OVER like YIELD dst(edge) AS d '
+                 '| GO FROM $-.d OVER like YIELD src(edge) AS s, dst(edge) AS d')
+    got = {(r.s, r.d) for r in df.collect()}
+    assert got == {("p2", "p1"), ("p2", "p4"), ("p3", "p3"), ("p3", "p5")}
+
+
+def test_lookup_where(space):
+    df = execute(space, 'LOOKUP ON player WHERE player.age > 40 '
+                        'YIELD player.name AS name, player.age AS age')
+    got = {(r.name, r.age) for r in df.collect()}
+    assert got == {("Tim", 42), ("Manu", 41)}
+
+
+def test_fetch_prop(space):
+    df = execute(space, 'FETCH PROP ON player "p1", "p2" '
+                        'YIELD player.name AS name')
+    assert {r.name for r in df.collect()} == {"Tim", "Tony"}
+
+
+def test_find_shortest_path(space):
+    df = execute(space, 'FIND SHORTEST PATH FROM "p1" TO "p5" OVER like '
+                        'UPTO 4 STEPS')
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].dist == 2
+
+
+def test_find_all_path(space):
+    df = execute(space, 'FIND ALL PATH FROM "p1" TO "p5" OVER like '
+                        'UPTO 3 STEPS')
+    got = {r.path_str for r in df.collect()}
+    assert got == {"p1>p3|p3>p5", "p1>p3|p3>p3|p3>p5"}
+
+
+def test_get_subgraph(space):
+    df = execute(space, 'GET SUBGRAPH 1 STEPS FROM "p1" OUT like')
+    got = {(r.src, r.dst) for r in df.collect()}
+    assert ("p1", "p2") in got and ("p1", "p3") in got
+
+
+def test_order_limit_pipe(space):
+    df = execute(space,
+                 'GO FROM "p1","p2","p3" OVER like '
+                 'YIELD src(edge) AS s, like.likeness AS w '
+                 '| ORDER BY $-.w DESC, $-.s | LIMIT 2')
+    rows = [(r.s, r.w) for r in df.collect()]
+    assert rows == [("p3", 100), ("p1", 95)]
+
+
+def test_yield_where_stage(space):
+    df = execute(space,
+                 'GO FROM "p1" OVER like YIELD dst(edge) AS d, '
+                 'like.likeness AS w | YIELD $-.d AS d WHERE $-.w > 92')
+    assert [r.d for r in df.collect()] == ["p2"]
+
+
+def test_match_basic(space):
+    df = execute(space,
+                 'MATCH (v:player)-[e:like]->(m:player) '
+                 'WHERE v.player.age > 40 '
+                 'RETURN v.player.name AS src_name, m.player.name AS dst_name,'
+                 ' e.likeness AS w')
+    got = {(r.src_name, r.dst_name, r.w) for r in df.collect()}
+    assert got == {("Tim", "Tony", 95), ("Tim", "Manu", 90),
+                   ("Manu", "Manu", 100), ("Manu", "Kobe", 80)}
+
+
+def test_match_var_len_and_agg(space):
+    df = execute(space,
+                 'MATCH (v:player)-[e:like*1..2]->(m:player) '
+                 'WHERE v.player.name == "Tim" '
+                 'RETURN m.player.name AS name, count(*) AS n '
+                 'ORDER BY name')
+    got = {(r.name, r.n) for r in df.collect()}
+    # 1 hop: Tony, Manu; 2 hops: Tim(via Tony), p4(None name, via Tony),
+    # Manu->Manu self, Kobe
+    assert ("Tony", 1) in got and ("Kobe", 1) in got
+    assert ("Manu", 2) in got  # direct + via self-loop
+
+
+def test_match_node_prop_filter(space):
+    df = execute(space,
+                 'MATCH (v:player {name: "Tim"})-[:serve]->(t:team) '
+                 'RETURN t.team.name AS team, count(*) AS stints')
+    got = {(r.team, r.stints) for r in df.collect()}
+    assert got == {("Spurs", 2)}  # parallel edges rank 0/1
+
+
+def test_syntax_error_position():
+    with pytest.raises(SyntaxError):
+        parse('GO FROM OVER like')
