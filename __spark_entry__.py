@@ -403,6 +403,32 @@ def q_ngql_groupby_pipe(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+def q_ngql_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operation (MINUS) through the front end: reference-faithful
+    left-duplicate-preserving semantics (MinusExecutor.cpp:14-47)."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        LOOKUP ON customer WHERE customer.c_nationkey == 3
+          YIELD customer.vid AS vid
+        MINUS
+        LOOKUP ON customer WHERE customer.c_acctbal < 0
+          YIELD customer.vid AS vid
+    """)
+
+
+def q_ngql_unwind(spark: SparkSession, sf: str) -> DataFrame:
+    """UNWIND pipe stage (UnwindExecutor.cpp:12-54): literal list explode
+    cross-product with piped rows."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        LOOKUP ON region YIELD region.vid AS rk
+        | UNWIND [1, 2, 3] AS q
+        | YIELD $-.rk AS rk, $-.q AS q
+    """)
+
+
 def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """UPDATE/UPSERT (mutate surface): read-modify-write customer balances
     from an orders-derived update set; unmatched keys inserted (UPSERT)."""
@@ -630,6 +656,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngql_go_pipe": q_ngql_go_pipe,
     "ngql_match_agg": q_ngql_match_agg,
     "ngql_groupby_pipe": q_ngql_groupby_pipe,
+    "ngql_setops": q_ngql_setops,
+    "ngql_unwind": q_ngql_unwind,
     "upsert": q_upsert,
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
@@ -866,6 +894,15 @@ ORACLES: dict[str, str] = {
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
         GROUP BY o_custkey
+    """,
+    "ngql_setops": """
+        SELECT c_custkey AS vid FROM customer WHERE c_nationkey = 3
+        EXCEPT
+        SELECT c_custkey AS vid FROM customer WHERE c_acctbal < 0
+    """,
+    "ngql_unwind": """
+        SELECT r_regionkey AS rk, q FROM region
+        CROSS JOIN (SELECT 1 AS q UNION ALL SELECT 2 UNION ALL SELECT 3) t
     """,
     "upsert": """
         WITH u AS (

@@ -430,9 +430,47 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     return out
 
 
-def execute(space: GraphSpace, query: str) -> DataFrame:
-    """Parse + run a (possibly piped) nGQL/MATCH query against a space."""
-    pipeline = A.parse(query)
+def _exec_unwind(st: A.UnwindStmt, piped: DataFrame | None,
+                 spark) -> DataFrame:
+    """UNWIND list → rows (``UnwindExecutor.cpp:12-54``): plain explode —
+    empty lists drop, matching the reference; non-list exprs pass through
+    as a single row. With piped input the other columns are kept
+    (``fromPipe`` semantics)."""
+    def resolve(kind, *args):
+        if kind in ("input_prop", "name"):
+            return F.col(args[0])
+        raise ValueError(f"unresolvable {kind} in UNWIND")
+    col = ExprCompiler(resolve).col(st.expr)
+    if piped is None:
+        piped = spark.range(1).select()
+    lit_list = st.expr[0] == "list" or (
+        st.expr[0] == "lit" and isinstance(st.expr[1], list))
+    if lit_list or st.expr[0] == "call":
+        return piped.select("*", F.explode(col).alias(st.alias))
+    # column ref: explode only if it is an array column, else passthrough
+    ref = st.expr[1] if st.expr[0] in ("input_prop", "name") else None
+    if ref is not None and dict(piped.dtypes).get(ref, "").startswith("array"):
+        return (piped.select("*", F.explode(col).alias(st.alias))
+                .drop(ref) if ref != st.alias else
+                piped.withColumn(st.alias, F.explode(col)))
+    return piped.withColumn(st.alias, col)
+
+
+def _execute_node(space: GraphSpace, node) -> DataFrame:
+    if isinstance(node, A.SetOp):
+        from nebula_spark.operators.setops import (intersect, minus,
+                                                   union_all, union_distinct)
+        left = _execute_node(space, node.left)
+        right = _execute_node(space, node.right)
+        if node.op == "union":
+            return (union_distinct if node.dedup else union_all)(left, right)
+        if node.op == "intersect":
+            return intersect(left, right)
+        return minus(left, right)
+    return _execute_pipeline(space, node)
+
+
+def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline) -> DataFrame:
     df: DataFrame | None = None
     for st in pipeline.stages:
         if isinstance(st, A.GoStmt):
@@ -465,6 +503,14 @@ def execute(space: GraphSpace, query: str) -> DataFrame:
                 else df.limit(st.count)
         elif isinstance(st, A.MatchStmt):
             df = _exec_match(space, st)
+        elif isinstance(st, A.UnwindStmt):
+            df = _exec_unwind(st, df, space.spark)
         else:
             raise ValueError(f"unsupported statement {type(st).__name__}")
     return df
+
+
+def execute(space: GraphSpace, query: str) -> DataFrame:
+    """Parse + run a (possibly piped, possibly set-op compound) nGQL/MATCH
+    query against a space."""
+    return _execute_node(space, A.parse(query))

@@ -59,6 +59,7 @@ _KEYWORDS = {
     "match", "return", "and", "or", "not", "xor", "distinct", "as", "true",
     "false", "null", "is", "starts", "ends", "contains", "union", "minus",
     "intersect", "of", "case", "when", "then", "else", "end", "sample",
+    "unwind",
 }
 
 
@@ -206,8 +207,25 @@ class MatchStmt:
 
 
 @dataclass
+class UnwindStmt:
+    expr: tuple
+    alias: str
+
+
+@dataclass
 class Pipeline:
     stages: list
+
+
+@dataclass
+class SetOp:
+    """UNION [ALL|DISTINCT] / INTERSECT / MINUS of two piped groups
+    (``src/graph/validator/SetValidator.cpp``; plain UNION implies a
+    Dedup on top — SURVEY.md §2.7)."""
+    op: str                      # union|intersect|minus
+    dedup: bool
+    left: "Pipeline | SetOp"
+    right: Pipeline
 
 
 # --------------------------------------------------------------------------
@@ -259,14 +277,29 @@ class Parser:
         raise SyntaxError(f"expected identifier, got {t.text!r} @{t.pos}")
 
     # -- entry
-    def parse(self) -> Pipeline:
+    def parse(self) -> "Pipeline | SetOp":
+        node: Pipeline | SetOp = self.pipeline_group()
+        # set ops are left-associative, equal precedence (parser.yy
+        # set_sentence); plain UNION implies dedup, UNION ALL keeps rows
+        while self.at_kw("union", "intersect", "minus"):
+            op = self.eat_kw("union", "intersect", "minus").text
+            dedup = True
+            if op == "union":
+                if self.try_kw("all"):
+                    dedup = False
+                else:
+                    self.try_kw("distinct")
+            node = SetOp(op, dedup, node, self.pipeline_group())
+        if self.peek().kind == "SEMI":
+            self.eat("SEMI")
+        self.eat("EOF")
+        return node
+
+    def pipeline_group(self) -> Pipeline:
         stages = [self.sentence()]
         while self.peek().kind == "PIPE":
             self.eat("PIPE")
             stages.append(self.sentence())
-        if self.peek().kind == "SEMI":
-            self.eat("SEMI")
-        self.eat("EOF")
         return Pipeline(stages)
 
     def sentence(self):
@@ -290,8 +323,17 @@ class Parser:
             return self.limit_sentence()
         if self.at_kw("match"):
             return self.match_sentence()
+        if self.at_kw("unwind"):
+            return self.unwind_sentence()
         t = self.peek()
         raise SyntaxError(f"unknown sentence start {t.text!r} @{t.pos}")
+
+    # -- UNWIND (UnwindValidator.cpp: non-list → 1 row, empty list dropped)
+    def unwind_sentence(self) -> UnwindStmt:
+        self.eat_kw("unwind")
+        e = self.expr()
+        self.eat_kw("as")
+        return UnwindStmt(e, self.name())
 
     # -- GO (parser.yy:1424 go_sentence)
     def go_sentence(self) -> GoStmt:

@@ -148,6 +148,43 @@ def test_match_node_prop_filter(space):
     assert got == {("Spurs", 2)}  # parallel edges rank 0/1
 
 
+def test_union_all_and_distinct(space):
+    q = ('GO FROM "p1" OVER like YIELD dst(edge) AS d '
+         'UNION ALL GO FROM "p2" OVER like YIELD dst(edge) AS d')
+    assert sorted(r.d for r in execute(space, q).collect()) \
+        == ["p1", "p2", "p3", "p4"]
+    q2 = ('GO FROM "p1" OVER like YIELD src(edge) AS s '
+          'UNION GO FROM "p1" OVER like YIELD src(edge) AS s')
+    assert [r.s for r in execute(space, q2).collect()] == ["p1"]
+
+
+def test_intersect_minus(space):
+    base = 'GO FROM "p1" OVER like YIELD dst(edge) AS d'
+    other = 'GO FROM "p2" OVER like REVERSELY YIELD src(edge) AS d'
+    # like: p1->{p2,p3}; in-edges of p2: {p1}->p2 ... src yields p2's liker
+    q = f"{base} INTERSECT GO FROM \"p4\" OVER like REVERSELY YIELD dst(edge) AS d"
+    # in-nbrs of p4 = p2 (p2->p4): YIELD dst(edge) reversed gives p2
+    got = sorted(r.d for r in execute(space, q).collect())
+    assert got == ["p2"]
+    # REVERSELY: src(edge) is the reversed-edge source = the start vertex
+    # (negative-edge-type view, Edge.h:16-23), so `other` yields {p2}
+    q2 = f"{base} MINUS {other}"
+    assert sorted(r.d for r in execute(space, q2).collect()) == ["p3"]
+
+
+def test_unwind_literal_and_pipe(space):
+    df = execute(space, 'UNWIND [1, 2, 3] AS x | YIELD $-.x AS x WHERE $-.x > 1')
+    assert sorted(r.x for r in df.collect()) == [2, 3]
+
+
+def test_unwind_after_go(space):
+    df = execute(space,
+                 'GO FROM "p1" OVER like YIELD dst(edge) AS d '
+                 '| UNWIND [10, 20] AS bonus')
+    rows = {(r.d, r.bonus) for r in df.collect()}
+    assert rows == {("p2", 10), ("p2", 20), ("p3", 10), ("p3", 20)}
+
+
 def test_syntax_error_position():
     with pytest.raises(SyntaxError):
         parse('GO FROM OVER like')
