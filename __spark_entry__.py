@@ -429,6 +429,70 @@ def q_ngql_unwind(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+def q_geo_dwithin(spark: SparkSession, sf: str) -> DataFrame:
+    """Geo family (GeoFunction.cpp): st_point/st_distance/st_dwithin over
+    synthetic customer coordinates; distance JVM-side haversine with the
+    S2Earth radius. Distance cast to whole meters so the DuckDB oracle
+    (same formula in SQL) compares integer-exact."""
+    from nebula_spark.functions import geo as G
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    pt = G.st_point((F.col("c_custkey") * 7 % 3600) / 10.0 - 180.0,
+                    (F.col("c_custkey") * 11 % 1700) / 10.0 - 85.0)
+    center = G.st_point(F.lit(10.0), F.lit(20.0))
+    return (c.withColumn("g", pt)
+            .filter(G.st_dwithin(F.col("g"), center, 3_000_000.0))
+            .select(F.col("c_custkey").alias("key"),
+                    F.round(G.st_distance(F.col("g"), center))
+                     .cast("long").alias("dist_m"))
+            .orderBy("key"))
+
+
+def q_geo_cover(spark: SparkSession, sf: str) -> DataFrame:
+    """st_covers (point-in-polygon, ray-cast pandas UDF) with the Z-order
+    cell prefilter in front (GeoIndex.cpp covering-cells analog)."""
+    from nebula_spark.functions import geo as G
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    pt = G.st_point((F.col("s_suppkey") * 131 % 3600) / 10.0 - 180.0,
+                    (F.col("s_suppkey") * 173 % 1700) / 10.0 - 85.0)
+    poly = F.lit("POLYGON((-50 -30, 50 -30, 50 30, -50 30, -50 -30))")
+    return (s.withColumn("g", pt)
+            .filter(G.st_covers_point(poly, F.col("g")))
+            .select(F.col("s_suppkey").alias("key"))
+            .orderBy("key"))
+
+
+def q_time_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal family (Date.h / FunctionManager temporal): component
+    extraction, datediff, calendar-aware duration arithmetic."""
+    from nebula_spark.functions import temporal as T
+    o = spark.read.parquet(f"{sf}/orders.parquet") \
+        .filter(F.col("o_orderkey") % 50 == 0)
+    dur = T.duration(months=3, days=10)
+    return o.select(
+        F.col("o_orderkey").alias("key"),
+        T.extract("year", F.col("o_orderdate")).cast("long").alias("y"),
+        T.extract("quarter", F.col("o_orderdate")).cast("long").alias("q"),
+        T.extract("week", F.col("o_orderdate")).cast("long").alias("wk"),
+        T.date_diff_days(F.lit("1998-12-31"), F.col("o_orderdate"))
+         .cast("long").alias("age_days"),
+        T.datetime_plus(F.col("o_orderdate").cast("timestamp"), dur)
+         .cast("date").cast("string").alias("due"),
+    ).orderBy("key")
+
+
+def q_fulltext(spark: SparkSession, sf: str) -> DataFrame:
+    """FulltextIndexScan analog (FulltextIndexScanExecutor.cpp): wildcard +
+    fuzzy predicates and a term-frequency score, all JVM-side — the ES
+    cluster of the reference collapses into column predicates."""
+    from nebula_spark.functions import fulltext as FT
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return (d.filter(FT.ft_wildcard(F.col("text"), "*merge*batch*"))
+            .filter(FT.ft_fuzzy(F.col("text"), "vektor", 1))
+            .select(F.col("doc_id"),
+                    FT.ft_score(F.col("text"), "merge").cast("long").alias("score"))
+            .orderBy("doc_id"))
+
+
 def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """UPDATE/UPSERT (mutate surface): read-modify-write customer balances
     from an orders-derived update set; unmatched keys inserted (UPSERT)."""
@@ -658,6 +722,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngql_groupby_pipe": q_ngql_groupby_pipe,
     "ngql_setops": q_ngql_setops,
     "ngql_unwind": q_ngql_unwind,
+    "geo_dwithin": q_geo_dwithin,
+    "geo_cover": q_geo_cover,
+    "time_funcs": q_time_funcs,
+    "fulltext": q_fulltext,
     "upsert": q_upsert,
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
@@ -903,6 +971,54 @@ ORACLES: dict[str, str] = {
     "ngql_unwind": """
         SELECT r_regionkey AS rk, q FROM region
         CROSS JOIN (SELECT 1 AS q UNION ALL SELECT 2 UNION ALL SELECT 3) t
+    """,
+    "geo_dwithin": """
+        WITH pts AS (
+          SELECT c_custkey AS key,
+                 (c_custkey * 7 % 3600) / 10.0 - 180.0 AS lng,
+                 (c_custkey * 11 % 1700) / 10.0 - 85.0 AS lat
+          FROM customer
+        ), d AS (
+          SELECT key, 2 * 6371010.0 * ASIN(SQRT(
+            POWER(SIN(RADIANS(20.0 - lat) / 2), 2)
+            + COS(RADIANS(lat)) * COS(RADIANS(20.0))
+              * POWER(SIN(RADIANS(10.0 - lng) / 2), 2))) AS dist
+          FROM pts
+        )
+        SELECT key, CAST(ROUND(dist) AS BIGINT) AS dist_m
+        FROM d WHERE dist <= 3000000.0 ORDER BY key
+    """,
+    "geo_cover": """
+        WITH pts AS (
+          SELECT s_suppkey AS key,
+                 (s_suppkey * 131 % 3600) / 10.0 - 180.0 AS lng,
+                 (s_suppkey * 173 % 1700) / 10.0 - 85.0 AS lat
+          FROM supplier
+        )
+        SELECT key FROM pts
+        WHERE lng BETWEEN -50 AND 50 AND lat BETWEEN -30 AND 30
+        ORDER BY key
+    """,
+    "time_funcs": """
+        SELECT o_orderkey AS key,
+               date_part('year', o_orderdate)::BIGINT AS y,
+               date_part('quarter', o_orderdate)::BIGINT AS q,
+               date_part('week', o_orderdate)::BIGINT AS wk,
+               datediff('day', o_orderdate, DATE '1998-12-31')::BIGINT
+                 AS age_days,
+               CAST(CAST(o_orderdate + INTERVAL 3 MONTH + INTERVAL 10 DAY
+                    AS DATE) AS VARCHAR) AS due
+        FROM orders WHERE o_orderkey % 50 = 0 ORDER BY key
+    """,
+    "fulltext": """
+        SELECT doc_id, len(regexp_extract_all(text, 'merge'))::BIGINT
+                 AS score
+        FROM documents
+        WHERE regexp_matches(text, '^.*merge.*batch.*$')
+          AND (contains(text, 'vektor') OR EXISTS (
+                SELECT 1 FROM unnest(string_split_regex(text, '\\s+')) t(w)
+                WHERE levenshtein(w, 'vektor') <= 1))
+        ORDER BY doc_id
     """,
     "upsert": """
         WITH u AS (

@@ -1,0 +1,276 @@
+"""Geography functions (SURVEY.md §2.9 geo family).
+
+Reference: ``src/common/geo/GeoFunction.cpp`` (S2-backed st_point,
+st_geogfromtext, st_astext, st_centroid, st_isvalid, st_intersects,
+st_covers/coveredby, st_dwithin, st_distance) and
+``src/common/geo/GeoIndex.cpp`` (S2 covering-cell index used by
+``GeoPredicateIndexScanRule``).
+
+Design (no geo libraries in this container, by constraint):
+
+- **Representation**: geography values are WKT strings (``POINT(lng lat)``,
+  ``LINESTRING(…)``, ``POLYGON((…))``) — the SURVEY §1.1 mapping.
+- **Point math is JVM-side**: distance/dwithin between points compile to
+  built-in trig Columns (whole-stage codegen, no Python). Great-circle
+  distance uses the haversine formula with the S2Earth radius 6 371 010 m
+  (``S2Earth::GetDistanceMeters``, GeoFunction.cpp:195), matching the
+  reference to double precision.
+- **Point-vs-polygon/polyline** (contains, distance) run as vectorized
+  numpy pandas UDFs (Arrow-batched — the sanctioned Python path).
+  Polygon-polygon intersection is NOT implemented (raises), mirroring how
+  the reference delegates those to S2; stubbing keeps us honest.
+- **Cell ids**: ``cell_id_from_point`` / ``covering_cell_ids`` provide the
+  same *contract* as the reference's S2 cells — hierarchical, prefix-
+  filterable bucket ids usable as a spatial pre-filter — via Z-order
+  (Morton) interleaving of lng/lat at a given level on the plate-carrée
+  grid. Encoding differs from S2 (cube-face Hilbert); queries must not
+  depend on specific id values, only on the prefilter contract
+  (GeoIndex.cpp analog: ``dwithin_prefilter``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+EARTH_RADIUS_M = 6371010.0   # S2Earth radius used by the reference
+
+_PT = r"^\s*POINT\s*\(\s*(-?[0-9.eE+]+)\s+(-?[0-9.eE+]+)\s*\)\s*$"
+
+
+# --------------------------------------------------------------------------
+# constructors / accessors (JVM-side)
+# --------------------------------------------------------------------------
+
+def st_point(lng: Column, lat: Column) -> Column:
+    """POINT constructor → WKT (GeoFunction: st_point)."""
+    return F.format_string("POINT(%s %s)", lng.cast("string"),
+                           lat.cast("string"))
+
+
+def st_geogfromtext(wkt: Column) -> Column:
+    """Parse WKT → geography; invalid text → null (st_geogfromtext).
+    Under the WKT representation parsing = validation + trim."""
+    return F.when(st_isvalid(wkt), F.trim(wkt))
+
+
+def st_astext(geog: Column) -> Column:
+    """Geography → WKT: identity under the WKT representation."""
+    return geog
+
+
+def st_x(geog: Column) -> Column:
+    return F.regexp_extract(geog, _PT, 1).try_cast("double")
+
+
+def st_y(geog: Column) -> Column:
+    return F.regexp_extract(geog, _PT, 2).try_cast("double")
+
+
+def st_isvalid(geog: Column) -> Column:
+    """Shape sanity for the three WKT kinds (st_isvalid); range-checks
+    point coordinates, requires closed polygon rings."""
+    is_pt = geog.rlike(_PT) & st_x(geog).between(-180, 180) \
+        & st_y(geog).between(-90, 90)
+    is_line = geog.rlike(r"^\s*LINESTRING\s*\((\s*-?[0-9.eE+]+\s+-?[0-9.eE+]+\s*,){1,}\s*-?[0-9.eE+]+\s+-?[0-9.eE+]+\s*\)\s*$")
+    poly_re = r"^\s*POLYGON\s*\(\s*\((\s*-?[0-9.eE+]+\s+-?[0-9.eE+]+\s*,){2,}\s*-?[0-9.eE+]+\s+-?[0-9.eE+]+\s*\)\s*\)\s*$"
+    first_pair = F.regexp_extract(geog, r"\(\(\s*(-?[0-9.eE+]+\s+-?[0-9.eE+]+)", 1)
+    last_pair = F.regexp_extract(geog, r",\s*(-?[0-9.eE+]+\s+-?[0-9.eE+]+)\s*\)\)", 1)
+    is_poly = geog.rlike(poly_re) & (first_pair == last_pair)
+    return is_pt | is_line | is_poly
+
+
+def st_centroid(geog: Column) -> Column:
+    """Centroid as POINT (st_centroid). POINT → itself; LINESTRING/POLYGON →
+    arithmetic mean of vertices (planar approximation of the reference's
+    spherical centroid; JVM-side via array transforms)."""
+    pairs = F.split(F.regexp_replace(geog, r"^[A-Z]+\s*\(+|\)+\s*$", ""), r"\s*,\s*")
+    xs = F.transform(pairs, lambda p: F.split(F.trim(p), r"\s+")[0].try_cast("double"))
+    ys = F.transform(pairs, lambda p: F.split(F.trim(p), r"\s+")[1].try_cast("double"))
+    n = F.size(pairs).cast("double")
+    mean = lambda a: F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v) / n
+    return F.when(geog.rlike(_PT), geog).otherwise(
+        F.format_string("POINT(%s %s)", mean(xs).cast("string"),
+                        mean(ys).cast("string")))
+
+
+# --------------------------------------------------------------------------
+# point-point metric predicates (JVM-side, codegen)
+# --------------------------------------------------------------------------
+
+def _haversine(lng1: Column, lat1: Column, lng2: Column,
+               lat2: Column) -> Column:
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlng = F.radians(lng2 - lng1) / 2
+    a = F.sin(dlat) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlng) ** 2
+    return 2 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+def st_distance(a: Column, b: Column) -> Column:
+    """Great-circle meters (st_distance, GeoFunction.cpp:301). Point-point
+    stays JVM-side; any other kind combination → null here (use
+    ``st_distance_point_poly`` for the Python path)."""
+    return F.when(a.rlike(_PT) & b.rlike(_PT),
+                  _haversine(st_x(a), st_y(a), st_x(b), st_y(b)))
+
+
+def st_dwithin(a: Column, b: Column, meters: Column | float,
+               exclusive: bool = False) -> Column:
+    """st_dwithin (GeoFunction.cpp:182-196): distance ≤ d (< d when
+    exclusive, matching the reference's flag)."""
+    m = meters if isinstance(meters, Column) else F.lit(float(meters))
+    d = st_distance(a, b)
+    return d < m if exclusive else d <= m
+
+
+def st_intersects(a: Column, b: Column) -> Column:
+    """st_intersects for point-point (equality to double precision).
+    Point-polygon goes through ``st_covers_point``; other combinations are
+    unimplemented (the reference delegates them to S2)."""
+    return (st_x(a) == st_x(b)) & (st_y(a) == st_y(b))
+
+
+# --------------------------------------------------------------------------
+# point-in-polygon / point-polyline distance (vectorized numpy path)
+# --------------------------------------------------------------------------
+
+def _parse_ring(wkt: str) -> np.ndarray:
+    """Outer ring of POLYGON / vertex list of LINESTRING → (n,2) array."""
+    body = wkt.strip()
+    i, j = body.index("("), body.rindex(")")
+    inner = body[i:j + 1].strip("() \t")
+    # only the outer ring (split on '),(' for holes — holes unsupported)
+    inner = inner.split("),(")[0]
+    pts = [p.split() for p in inner.split(",")]
+    return np.array([[float(x), float(y)] for x, y, *_ in pts])
+
+
+def _covers_point_batch(poly: pd.Series, pt: pd.Series) -> pd.Series:
+    """POLYGON covers POINT by planar ray casting on lng/lat (st_covers for
+    the point⊂polygon case; boundary counts as covered). Vectorized per
+    Arrow batch; distinct polygons parsed once."""
+    out = np.zeros(len(poly), dtype=bool)
+    cache: dict[str, np.ndarray] = {}
+    px = pt.str.extract(r"\(\s*(-?[0-9.eE+]+)\s")[0].astype(float).to_numpy()
+    py = pt.str.extract(r"\s(-?[0-9.eE+]+)\s*\)")[0].astype(float).to_numpy()
+    for key in poly.dropna().unique():
+        ring = cache.setdefault(key, _parse_ring(key))
+        sel = (poly == key).to_numpy()
+        x, y = px[sel], py[sel]
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        inside = np.zeros(sel.sum(), dtype=bool)
+        for k in range(len(x0)):
+            crosses = ((y0[k] > y) != (y1[k] > y))
+            xi = (x1[k] - x0[k]) * (y - y0[k]) / (y1[k] - y0[k] + 1e-300) + x0[k]
+            inside ^= crosses & (x < xi)
+            on_edge = np.isclose((y1[k] - y0[k]) * (x - x0[k]),
+                                 (x1[k] - x0[k]) * (y - y0[k])) \
+                & (np.minimum(x0[k], x1[k]) - 1e-12 <= x) \
+                & (x <= np.maximum(x0[k], x1[k]) + 1e-12) \
+                & (np.minimum(y0[k], y1[k]) - 1e-12 <= y) \
+                & (y <= np.maximum(y0[k], y1[k]) + 1e-12)
+            inside |= on_edge
+        out[sel] = inside
+    return pd.Series(out)
+
+
+_covers_udf = None
+
+
+def st_covers_point(poly: Column, pt: Column) -> Column:
+    """st_covers (point⊂polygon case) — pandas UDF registered lazily (the
+    decorator needs an active session to parse its return type)."""
+    global _covers_udf
+    if _covers_udf is None:
+        _covers_udf = pandas_udf(_covers_point_batch, "boolean")
+    return _covers_udf(poly, pt)
+
+
+def st_coveredby_point(pt: Column, poly: Column) -> Column:
+    """st_coveredby: point ⊆ polygon (argument-flipped st_covers)."""
+    return st_covers_point(poly, pt)
+
+
+# --------------------------------------------------------------------------
+# cell ids (Z-order; the S2-cell contract for spatial prefiltering)
+# --------------------------------------------------------------------------
+
+def cell_id_from_point(geog: Column, level: int = 16) -> Column:
+    """Hierarchical bucket id of a POINT at ``level`` (1..30): Z-order
+    interleave of the level-bit lng/lat grid coordinates, JVM-side.
+    Contract-parity with s2_cellidfrompoint (GeoIndex.cpp): ids at level L
+    are prefixes of ids at L' > L once right-shifted by 2·(L'−L)."""
+    n = 1 << level
+    ix = F.least(F.lit(n - 1), F.floor((st_x(geog) + 180.0) / 360.0 * n)) \
+        .cast("long")
+    iy = F.least(F.lit(n - 1), F.floor((st_y(geog) + 90.0) / 180.0 * n)) \
+        .cast("long")
+    cell = F.lit(0).cast("long")
+    for b in range(level - 1, -1, -1):
+        cell = (cell.bitwiseOR(ix.bitwiseAND(F.lit(1 << b))
+                               .cast("long") * F.lit(2 ** (b + 1))))
+        cell = (cell.bitwiseOR(iy.bitwiseAND(F.lit(1 << b))
+                               .cast("long") * F.lit(2 ** b)))
+    return cell
+
+
+def covering_cell_ids(min_lng: float, min_lat: float, max_lng: float,
+                      max_lat: float, level: int = 8) -> list[int]:
+    """Driver-side: all level-``level`` cells intersecting a bbox
+    (s2_coveringcellids analog for rectangles)."""
+    n = 1 << level
+    x0 = max(0, min(n - 1, int((min_lng + 180.0) / 360.0 * n)))
+    x1 = max(0, min(n - 1, int((max_lng + 180.0) / 360.0 * n)))
+    y0 = max(0, min(n - 1, int((min_lat + 90.0) / 180.0 * n)))
+    y1 = max(0, min(n - 1, int((max_lat + 90.0) / 180.0 * n)))
+    out = []
+    for ix in range(x0, x1 + 1):
+        for iy in range(y0, y1 + 1):
+            c = 0
+            for b in range(level - 1, -1, -1):
+                c |= (ix & (1 << b)) << (b + 1)
+                c |= (iy & (1 << b)) << b
+            out.append(c)
+    return out
+
+
+def dwithin_prefilter(df, geog_col: str, center_lng: float, center_lat: float,
+                      meters: float, level: int = 8):
+    """The GeoPredicateIndexScanRule analog: ``st_dwithin(g, center, d)``
+    becomes cell-membership prefilter (cheap, prunable) + exact refine.
+    At 100 TB the cell column should be a partition/Z-order key so the
+    isin() prunes file groups before any distance math runs."""
+    dlat = math.degrees(meters / EARTH_RADIUS_M)
+    dlng = dlat / max(math.cos(math.radians(center_lat)), 1e-9)
+    cells = covering_cell_ids(center_lng - dlng, center_lat - dlat,
+                              center_lng + dlng, center_lat + dlat, level)
+    center = st_point(F.lit(center_lng), F.lit(center_lat))
+    g = F.col(geog_col)
+    return (df.withColumn("_cell", cell_id_from_point(g, level))
+              .filter(F.col("_cell").isin(cells))
+              .filter(st_dwithin(g, center, meters))
+              .drop("_cell"))
+
+
+GEO_FUNCTIONS = {
+    "st_point": st_point,
+    "st_geogfromtext": st_geogfromtext,
+    "st_coveredby": st_coveredby_point,
+    "st_covers": st_covers_point,
+    "st_astext": st_astext,
+    "st_centroid": st_centroid,
+    "st_isvalid": st_isvalid,
+    "st_distance": st_distance,
+    "st_dwithin": st_dwithin,
+    "st_intersects": st_intersects,
+    "st_x": st_x,
+    "st_y": st_y,
+    "s2_cellidfrompoint": cell_id_from_point,
+}

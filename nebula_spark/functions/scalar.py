@@ -104,6 +104,16 @@ FUNCTIONS: dict[str, object] = {
     "tostring": lambda c: c.cast("string"),
 }
 
+# geo / temporal / fulltext families register into the same namespace
+# (FunctionManager keeps one flat registry too — FunctionManager.cpp:503)
+from nebula_spark.functions.fulltext import FULLTEXT_FUNCTIONS as _FT  # noqa: E402
+from nebula_spark.functions.geo import GEO_FUNCTIONS as _GEO  # noqa: E402
+from nebula_spark.functions.temporal import TEMPORAL_FUNCTIONS as _TMP  # noqa: E402
+
+FUNCTIONS.update(_GEO)
+FUNCTIONS.update(_TMP)
+FUNCTIONS.update(_FT)
+
 
 def call(name: str, *args: Column) -> Column:
     """Dynamic dispatch by nebula function name (case-insensitive),

@@ -1,0 +1,100 @@
+"""Temporal functions (SURVEY.md §2.9 temporal; reference
+``src/common/datatypes/Date.h:38,115,182``, ``Duration.h:20``, temporal
+registrations in ``src/common/function/FunctionManager.cpp``).
+
+Type mapping per SURVEY §1.1: DATE → DateType, DATETIME →
+TimestampNTZType, TIME → struct(hour, minute, sec, microsec) (no Spark
+TIME type), DURATION → struct(months, seconds, microseconds) — the
+reference's Duration is exactly (months, seconds, µs), deliberately NOT
+normalized (1 month ≠ fixed seconds), so CalendarInterval semantics are
+reproduced by applying months via add_months and seconds separately.
+All builders are JVM-side Columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# -- constructors ----------------------------------------------------------
+
+def d_date(s: Column) -> Column:
+    """date("2020-01-02") / date(datetime) (FunctionManager date)."""
+    return F.to_date(s)
+
+
+def d_datetime(s: Column) -> Column:
+    """datetime(...) → TimestampNTZ."""
+    return F.to_timestamp_ntz(s)
+
+
+def d_time(s: Column) -> Column:
+    """time("10:20:30") → struct(hour,minute,sec) — TIME has no Spark
+    type (SURVEY §1.1); struct compares correctly field-by-field."""
+    p = F.split(s, ":")
+    return F.struct(p[0].try_cast("int").alias("hour"),
+                    p[1].try_cast("int").alias("minute"),
+                    p[2].try_cast("double").alias("sec"))
+
+
+def d_timestamp(s: Column) -> Column:
+    """timestamp(...) → seconds since epoch (reference Timestamp = int64)."""
+    return F.unix_timestamp(F.to_timestamp(s))
+
+
+def duration(months: int = 0, days: int = 0, hours: int = 0,
+             minutes: int = 0, seconds: int = 0) -> Column:
+    """duration({months:…, days:…, …}) → struct(months, seconds)
+    (Duration.h:20 — months kept separate from seconds, unnormalized)."""
+    secs = ((days * 24 + hours) * 60 + minutes) * 60 + seconds
+    return F.struct(F.lit(months).alias("months"),
+                    F.lit(secs).cast("long").alias("seconds"))
+
+
+# -- arithmetic ------------------------------------------------------------
+
+def datetime_plus(ts: Column, dur: Column) -> Column:
+    """datetime + duration: months via add_months (calendar-aware), then
+    seconds — the reference's two-component application order."""
+    with_months = F.timestamp_add("MONTH", dur["months"], ts)
+    return F.timestamp_add("SECOND", dur["seconds"], with_months)
+
+
+def datetime_minus(ts: Column, dur: Column) -> Column:
+    with_months = F.timestamp_add("MONTH", -dur["months"], ts)
+    return F.timestamp_add("SECOND", -dur["seconds"], with_months)
+
+
+def date_diff_days(a: Column, b: Column) -> Column:
+    return F.datediff(a, b)
+
+
+# -- component extraction (kAttribute on DATE/DATETIME, and extract()) -----
+
+COMPONENTS = {
+    "year": F.year, "month": F.month, "day": F.day,
+    "quarter": F.quarter, "week": F.weekofyear, "dayofweek": F.dayofweek,
+    "hour": F.hour, "minute": F.minute, "second": F.second,
+}
+
+
+def extract(field: str, src: Column) -> Column:
+    """extract(unit FROM temporal) — unit names per the reference's
+    extract() (year/month/day/hour/minute/second + week/quarter)."""
+    fn = COMPONENTS.get(field.lower())
+    if fn is None:
+        raise ValueError(f"extract: unsupported field {field!r}")
+    return fn(src)
+
+
+TEMPORAL_FUNCTIONS = {
+    "date": d_date,
+    "datetime": d_datetime,
+    "time": d_time,
+    "timestamp": d_timestamp,
+    "year": F.year, "month": F.month, "day": F.day,
+    "quarter": F.quarter, "week": F.weekofyear,
+    "hour": F.hour, "minute": F.minute, "second": F.second,
+    "datediff": date_diff_days,
+}

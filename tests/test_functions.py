@@ -1,0 +1,53 @@
+"""Temporal + full-text function families (SURVEY.md §2.9 / §2.1
+FulltextIndexScan analog)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nebula_spark.functions import fulltext as FT
+from nebula_spark.functions import temporal as T
+
+
+def test_temporal_components_and_arith(spark):
+    df = spark.createDataFrame([("1995-11-30",)], ["d"]) \
+        .select(T.d_date(F.col("d")).alias("d"))
+    r = df.select(
+        T.extract("year", F.col("d")).alias("y"),
+        T.extract("quarter", F.col("d")).alias("q"),
+        T.datetime_plus(F.col("d").cast("timestamp"),
+                        T.duration(months=3)).cast("date").cast("string")
+         .alias("plus3m"),
+        T.date_diff_days(F.lit("1996-01-01"), F.col("d")).alias("dd"),
+    ).collect()[0]
+    # end-of-month clamp: Nov 30 + 3 months = Feb 29 (1996 is a leap year)
+    assert (r.y, r.q, r.plus3m, r.dd) == (1995, 4, "1996-02-29", 32)
+
+
+def test_time_struct(spark):
+    r = spark.range(1).select(T.d_time(F.lit("10:20:30.5")).alias("t")) \
+        .collect()[0].t
+    assert (r.hour, r.minute, r.sec) == (10, 20, 30.5)
+
+
+def test_duration_unnormalized(spark):
+    r = spark.range(1).select(T.duration(months=1, days=2, hours=3)
+                              .alias("dur")).collect()[0].dur
+    assert r.months == 1 and r.seconds == (2 * 24 + 3) * 3600
+
+
+def test_fulltext_predicates(spark):
+    df = spark.createDataFrame(
+        [(1, "fast hash join on rows"), (2, "slow merge sort"),
+         (3, "hash hash hash")], ["id", "t"])
+    c = F.col("t")
+    assert [r.id for r in df.filter(FT.ft_prefix(c, "fast")).collect()] == [1]
+    assert sorted(r.id for r in
+                  df.filter(FT.ft_wildcard(c, "*hash*")).collect()) == [1, 3]
+    assert [r.id for r in df.filter(FT.ft_regexp(c, "m.rge")).collect()] == [2]
+    # fuzzy: 'jion' is 1 transposition-ish (2 edits) from 'join'
+    assert [r.id for r in
+            df.filter(FT.ft_fuzzy(c, "jion", 2)).collect()] == [1]
+    scores = {r.id: r.s for r in
+              df.select("id", FT.ft_score(c, "hash").alias("s")).collect()}
+    assert scores == {1: 1, 2: 0, 3: 3}

@@ -1,0 +1,95 @@
+"""Geo function family (SURVEY.md §2.9; reference GeoFunction.cpp /
+GeoIndex.cpp). Point math is JVM-side; polygon cover is the numpy UDF
+path; cell ids follow the prefix contract of S2 cells."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_spark.functions import geo as G
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    return spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1.0, 0.0), (3, 10.0, 10.0), (4, -170.0, 80.0)],
+        ["id", "lng", "lat"],
+    ).withColumn("g", G.st_point(F.col("lng"), F.col("lat")))
+
+
+def test_point_roundtrip(pts):
+    r = pts.select(G.st_x("g").alias("x"), G.st_y("g").alias("y"),
+                   G.st_astext(F.col("g")).alias("t")).collect()
+    assert (r[0].x, r[0].y) == (0.0, 0.0)
+    assert r[1].t == "POINT(1.0 0.0)"
+
+
+def test_isvalid_and_fromtext(spark):
+    df = spark.createDataFrame(
+        [("POINT(1 2)",), ("POINT(200 2)",), ("LINESTRING(0 0, 1 1)",),
+         ("POLYGON((0 0, 1 0, 1 1, 0 0))",), ("POLYGON((0 0, 1 0, 1 1))",),
+         ("banana",)], ["w"])
+    got = [r.v for r in df.select(G.st_isvalid(F.col("w")).alias("v")).collect()]
+    assert got == [True, False, True, True, False, False]
+    parsed = [r.p for r in
+              df.select(G.st_geogfromtext(F.col("w")).alias("p")).collect()]
+    assert parsed[0] == "POINT(1 2)" and parsed[1] is None
+
+
+def test_distance_known_value(spark):
+    # 1° of longitude on the equator = R * pi/180
+    df = spark.range(1).select(
+        G.st_distance(G.st_point(F.lit(0.0), F.lit(0.0)),
+                      G.st_point(F.lit(1.0), F.lit(0.0))).alias("d"))
+    d = df.collect()[0].d
+    assert abs(d - G.EARTH_RADIUS_M * math.pi / 180) < 1e-6
+
+
+def test_dwithin_inclusive_exclusive(spark):
+    one_deg = G.EARTH_RADIUS_M * math.pi / 180
+    a = G.st_point(F.lit(0.0), F.lit(0.0))
+    b = G.st_point(F.lit(1.0), F.lit(0.0))
+    r = spark.range(1).select(
+        G.st_dwithin(a, b, one_deg + 1e-3).alias("win"),
+        G.st_dwithin(a, b, one_deg - 1e-3, exclusive=True).alias("wout"))
+    row = r.collect()[0]
+    assert row.win is True and row.wout is False
+
+
+def test_centroid_linestring(spark):
+    df = spark.range(1).select(
+        G.st_centroid(F.lit("LINESTRING(0 0, 2 0, 2 2, 0 2)")).alias("c"))
+    assert df.collect()[0].c == "POINT(1.0 1.0)"
+
+
+def test_covers_point(spark):
+    poly = "POLYGON((-50 -30, 50 -30, 50 30, -50 30, -50 -30))"
+    df = spark.createDataFrame(
+        [(poly, "POINT(0 0)"), (poly, "POINT(50 0)"), (poly, "POINT(51 0)"),
+         (poly, "POINT(0 30)"), (poly, "POINT(0 -31)")], ["p", "pt"])
+    got = [r.c for r in
+           df.select(G.st_covers_point(F.col("p"), F.col("pt")).alias("c"))
+           .collect()]
+    assert got == [True, True, False, True, False]
+
+
+def test_cell_prefix_contract(pts):
+    r = pts.select(G.cell_id_from_point(F.col("g"), 8).alias("c8"),
+                   G.cell_id_from_point(F.col("g"), 10).alias("c10")).collect()
+    for row in r:
+        assert row.c10 >> 4 == row.c8
+
+
+def test_covering_cells_and_prefilter(spark):
+    rows = [(i, float(i % 90), float(i % 45)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "lng", "lat"]) \
+        .withColumn("g", G.st_point(F.col("lng"), F.col("lat")))
+    exact = df.filter(
+        G.st_dwithin(F.col("g"), G.st_point(F.lit(10.0), F.lit(10.0)),
+                     500_000.0))
+    fast = G.dwithin_prefilter(df, "g", 10.0, 10.0, 500_000.0, level=6)
+    assert sorted(r.id for r in fast.collect()) \
+        == sorted(r.id for r in exact.collect())
