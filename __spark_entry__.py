@@ -493,6 +493,40 @@ def q_fulltext(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_cross_join(spark: SparkSession, sf: str) -> DataFrame:
+    """CartesianProduct / CrossJoin (CartesianProductExecutor.cpp:1-71):
+    region × nation grid with a computed column."""
+    from nebula_spark.operators import cross_join
+    t = load_tables(spark, sf, ("region", "nation"))
+    r = t["region"].select(F.col("r_regionkey").cast("long").alias("rk"),
+                           "r_name")
+    n = t["nation"].select(F.col("n_nationkey").cast("long").alias("nk"),
+                           "n_regionkey")
+    return (cross_join(r, n)
+            .select("rk", "r_name", "nk",
+                    (F.col("n_regionkey").cast("long") == F.col("rk"))
+                    .alias("is_home"))
+            .orderBy("rk", "nk"))
+
+
+def q_agg_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """The full reference aggregate-function set
+    (AggFunctionManager.cpp:26-255): STD (population), BIT_AND/OR/XOR,
+    COLLECT_SET — grouped by returnflag."""
+    from nebula_spark.operators.aggregate import agg_call
+    t = load_tables(spark, sf, ("lineitem",))
+    li = t["lineitem"].withColumn("lq", F.col("l_quantity").cast("long"))
+    return (aggregate(
+        li, ["l_returnflag"],
+        F.round(agg_call("std", F.col("lq")), 6).alias("std_qty"),
+        agg_call("bit_and", F.col("lq")).alias("band"),
+        agg_call("bit_or", F.col("lq")).alias("bor"),
+        agg_call("bit_xor", F.col("lq")).alias("bxor"),
+        F.array_join(F.array_sort(agg_call("collect_set", F.col("l_linestatus"))), ",")
+         .alias("statuses"),
+    ).orderBy("l_returnflag"))
+
+
 def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """UPDATE/UPSERT (mutate surface): read-modify-write customer balances
     from an orders-derived update set; unmatched keys inserted (UPSERT)."""
@@ -726,6 +760,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_cover": q_geo_cover,
     "time_funcs": q_time_funcs,
     "fulltext": q_fulltext,
+    "cross_join": q_cross_join,
+    "agg_funcs": q_agg_funcs,
     "upsert": q_upsert,
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
@@ -998,6 +1034,21 @@ ORACLES: dict[str, str] = {
         SELECT key FROM pts
         WHERE lng BETWEEN -50 AND 50 AND lat BETWEEN -30 AND 30
         ORDER BY key
+    """,
+    "cross_join": """
+        SELECT r_regionkey AS rk, r_name, n_nationkey AS nk,
+               (n_regionkey = r_regionkey) AS is_home
+        FROM region CROSS JOIN nation ORDER BY rk, nk
+    """,
+    "agg_funcs": """
+        SELECT l_returnflag,
+               ROUND(stddev_pop(CAST(l_quantity AS BIGINT)), 6) AS std_qty,
+               bit_and(CAST(l_quantity AS BIGINT)) AS band,
+               bit_or(CAST(l_quantity AS BIGINT)) AS bor,
+               bit_xor(CAST(l_quantity AS BIGINT)) AS bxor,
+               string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+                 AS statuses
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "time_funcs": """
         SELECT o_orderkey AS key,

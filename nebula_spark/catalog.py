@@ -110,6 +110,45 @@ class GraphSpace:
         """Edge table: ``src, dst, rank`` + props."""
         return self._load(self.edges[name])
 
+    # -- admin / meta surface (SURVEY.md §2.12) ----------------------------
+    def show_tags(self) -> list[str]:
+        """SHOW TAGS (ShowTagsExecutor analog)."""
+        return sorted(self.tags)
+
+    def show_edges(self) -> list[str]:
+        """SHOW EDGES."""
+        return sorted(self.edges)
+
+    def describe(self, name: str) -> list[tuple[str, str, bool]]:
+        """DESC TAG/EDGE: (field, type, nullable) rows from the actual
+        DataFrame schema — the meta-thrift column defs collapse into
+        StructType (meta.thrift:79-85)."""
+        d = self.tags.get(name) or self.edges.get(name)
+        if d is None:
+            raise KeyError(f"no tag or edge named {name!r}")
+        df = self._load(d)
+        return [(f.name, f.dataType.simpleString(), f.nullable)
+                for f in df.schema.fields]
+
+    def show_stats(self, refresh: bool = False) -> DataFrame:
+        """SUBMIT JOB STATS / SHOW STATS (ShowStatsExecutor.cpp analog):
+        row counts per tag/edge plus space totals. Counts are computed on
+        demand and cached on the space (the reference also materializes
+        stats via an explicit job, not per-query)."""
+        if refresh or not hasattr(self, "_stats"):
+            rows = []
+            for n in sorted(self.tags):
+                rows.append(("tag", n, self.tag(n).count()))
+            for n in sorted(self.edges):
+                rows.append(("edge", n, self.edge(n).count()))
+            rows.append(("space", "vertices",
+                         sum(c for k, _, c in rows if k == "tag")))
+            rows.append(("space", "edges",
+                         sum(c for k, _, c in rows if k == "edge")))
+            self._stats = rows
+        return self.spark.createDataFrame(self._stats,
+                                          ["kind", "name", "count"])
+
     def vertex(self, vids_or_df, tags: list[str] | None = None) -> DataFrame:
         """Assemble full vertices (all requested tags) for a vid set.
 
