@@ -493,6 +493,20 @@ def q_fulltext(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_ngql_optional_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Cypher clause chain through the front end: MATCH + OPTIONAL MATCH
+    (left join on the shared alias) + WITH implicit grouping."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        MATCH (c:customer) WHERE c.customer.c_nationkey == 5
+        OPTIONAL MATCH (c:customer)-[p:placed]->(o:order)
+        WITH c, count(o) AS n
+        RETURN c.customer.vid AS key, n
+        ORDER BY key
+    """)
+
+
 def q_cross_join(spark: SparkSession, sf: str) -> DataFrame:
     """CartesianProduct / CrossJoin (CartesianProductExecutor.cpp:1-71):
     region × nation grid with a computed column."""
@@ -762,6 +776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fulltext": q_fulltext,
     "cross_join": q_cross_join,
     "agg_funcs": q_agg_funcs,
+    "ngql_optional_match": q_ngql_optional_match,
     "upsert": q_upsert,
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
@@ -1034,6 +1049,12 @@ ORACLES: dict[str, str] = {
         SELECT key FROM pts
         WHERE lng BETWEEN -50 AND 50 AND lat BETWEEN -30 AND 30
         ORDER BY key
+    """,
+    "ngql_optional_match": """
+        SELECT c_custkey AS key, COUNT(o_orderkey) AS n
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        WHERE c_nationkey = 5
+        GROUP BY c_custkey ORDER BY key
     """,
     "cross_join": """
         SELECT r_regionkey AS rk, r_name, n_nationkey AS nk,

@@ -340,24 +340,36 @@ def _exec_group_by(st: A.GroupByStmt, piped: DataFrame) -> DataFrame:
     return grouped.select(*final)
 
 
-def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
-    # bind first node
-    n0 = st.nodes[0]
-    a0 = n0.alias or "_n0"
-    if n0.tag:
-        t = space.tag(n0.tag)
-    else:
-        raise ValueError("MATCH start node needs a :tag in this subset")
-    cur = t.select(F.col(VID).alias(f"{a0}__vid"),
-                   *[F.col(c).alias(f"{a0}__{c}")
-                     for c in t.columns if c != VID])
+def _bind_tag(space: GraphSpace, alias: str, tag: str | None) -> DataFrame:
+    """Tag table with alias-prefixed columns ({alias}__vid, {alias}__prop)."""
+    if tag is None:
+        raise ValueError("MATCH pattern start node needs a :tag")
+    t = space.tag(tag)
+    return t.select(F.col(VID).alias(f"{alias}__vid"),
+                    *[F.col(c).alias(f"{alias}__{c}")
+                      for c in t.columns if c != VID])
+
+
+def _build_pattern(space: GraphSpace, path: A.MatchPath,
+                   counter: list[int]) -> tuple[DataFrame, set[str]]:
+    """One pattern chain → DataFrame with alias-prefixed columns + the set
+    of node aliases it binds (the Traverse/AppendVertices emission,
+    TraverseExecutor.cpp:25-676 / AppendVerticesExecutor.cpp:18-317)."""
+    def fresh(prefix: str) -> str:
+        counter[0] += 1
+        return f"_{prefix}{counter[0]}"
+
+    n0 = path.nodes[0]
+    a0 = n0.alias or fresh("n")
+    aliases = {a0}
+    cur = _bind_tag(space, a0, n0.tag)
     for k, v in n0.props.items():
         cur = cur.filter(F.col(f"{a0}__{k}") == v)
 
     prev_alias = a0
-    for idx, (me, mn) in enumerate(zip(st.edges, st.nodes[1:])):
-        na = mn.alias or f"_n{idx + 1}"
-        ea = me.alias or f"_e{idx}"
+    for me, mn in zip(path.edges, path.nodes[1:]):
+        na = mn.alias or fresh("n")
+        ea = me.alias or fresh("e")
         enames = me.types or list(space.edges)
         edges = _edge_union(space, enames)
         if me.min_hops == 1 and me.max_hops == 1:
@@ -381,31 +393,113 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
             cur = cur.join(tr, f"{prev_alias}__vid", "inner")
             end_col = f"{ea}__dst"
         if mn.tag:
-            t = space.tag(mn.tag)
-            tt = t.select(F.col(VID).alias(f"{na}__vid"),
-                          *[F.col(c).alias(f"{na}__{c}")
-                            for c in t.columns if c != VID])
+            tt = _bind_tag(space, na, mn.tag)
             cur = cur.join(tt, cur[end_col] == tt[f"{na}__vid"], "inner")
         else:
             cur = cur.withColumn(f"{na}__vid", F.col(end_col))
         for k, v in mn.props.items():
             cur = cur.filter(F.col(f"{na}__{k}") == v)
+        aliases.add(na)
         prev_alias = na
+    return cur, aliases
 
+
+def _match_resolver(bound: set[str]):
+    """Expression resolver over the clause-chain frame: bound node aliases
+    → their __vid column; everything else → plain column (WITH/UNWIND
+    bindings)."""
     def resolve(kind, *args):
         if kind == "alias_tag_prop":     # v.tag.prop
             alias, _tag, prop = args
             return F.col(f"{alias}__{prop}")
-        if kind == "edge_prop":          # e.prop or alias.prop
+        if kind == "edge_prop":          # e.prop (or alias.prop)
             return F.col(f"{args[0]}__{args[1]}")
-        if kind == "name":
-            return F.col(f"{args[0]}__vid")
+        if kind in ("name", "input_prop"):
+            return F.col(f"{args[0]}__vid") if args[0] in bound \
+                else F.col(args[0])
         raise ValueError(f"unresolvable {kind} {args}")
+    return resolve
 
-    ec = ExprCompiler(resolve)
-    if st.where is not None:
-        cur = cur.filter(ec.col(st.where))
 
+def _project_items(cur: DataFrame, items: list[A.YieldItem],
+                   ec: ExprCompiler, bound: set[str]) -> tuple[DataFrame, set[str]]:
+    """WITH/RETURN projection with openCypher implicit grouping. A bare
+    alias item carries the whole binding ({alias}__*) through; aggregates
+    trigger grouping by every non-aggregate item."""
+    out_bound: set[str] = set()
+    has_agg = any(_is_agg(y.expr) for y in items)
+    keys, aggs = [], []
+    for i, y in enumerate(items):
+        bare = (y.expr[0] == "name" and y.expr[1] in bound
+                and y.alias in (None, y.expr[1]))
+        if bare:                 # carry the full binding
+            alias = y.expr[1]
+            cols = [F.col(c) for c in cur.columns
+                    if c.startswith(f"{alias}__")]
+            out_bound.add(alias)
+            keys.extend(cols)
+        else:
+            c = ec.col(y.expr).alias(y.alias or f"c{i}")
+            if has_agg and _is_agg(y.expr):
+                aggs.append(c)
+            else:
+                keys.append(c)
+    if has_agg:
+        out = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
+    else:
+        out = cur.select(*keys)
+    return out, out_bound
+
+
+def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
+    counter = [0]
+    cur: DataFrame | None = None
+    bound: set[str] = set()
+
+    for cl in st.clauses:
+        if isinstance(cl, A.MatchClause):
+            for path in cl.paths:
+                pat, aliases = _build_pattern(space, path, counter)
+                if cl.where is not None and cl.optional:
+                    # WHERE of an OPTIONAL MATCH filters the pattern side
+                    # BEFORE the left join (openCypher semantics)
+                    pat = pat.filter(
+                        ExprCompiler(_match_resolver(aliases)).col(cl.where))
+                if cur is None:
+                    cur = pat
+                else:
+                    shared = [a for a in sorted(bound & aliases)]
+                    how = "left" if cl.optional else "inner"
+                    if shared:
+                        keys = [f"{a}__vid" for a in shared]
+                        # pattern side re-binds shared aliases: drop its
+                        # duplicate prop columns, keep only new ones + keys
+                        dup = [c for c in pat.columns
+                               if any(c.startswith(f"{a}__") for a in shared)
+                               and c not in keys]
+                        cur = cur.join(pat.drop(*dup), on=keys, how=how)
+                    else:
+                        cur = cur.crossJoin(pat) if not cl.optional \
+                            else cur.join(pat, F.lit(True), "left")
+                bound |= aliases
+            if cl.where is not None and not cl.optional:
+                cur = cur.filter(
+                    ExprCompiler(_match_resolver(bound)).col(cl.where))
+        elif isinstance(cl, A.WithClause):
+            ec = ExprCompiler(_match_resolver(bound))
+            cur, carried = _project_items(cur, cl.items, ec, bound)
+            bound = carried
+            if cl.distinct:
+                cur = cur.distinct()
+            if cl.where is not None:
+                cur = cur.filter(
+                    ExprCompiler(_match_resolver(bound)).col(cl.where))
+        elif isinstance(cl, A.UnwindStmt):
+            cur = _exec_unwind(cl, cur, space.spark)
+        else:
+            raise ValueError(f"unknown clause {type(cl).__name__}")
+
+    ec = ExprCompiler(_match_resolver(bound))
     items = [(y, ec.col(y.expr).alias(y.alias or f"c{i}"))
              for i, y in enumerate(st.returns)]
     has_agg = any(_is_agg(y.expr) for y, _ in items)
@@ -418,11 +512,11 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     if st.distinct:
         out = out.distinct()
     if st.order_by:
-        names = [y.alias or f"c{i}" for i, y in enumerate(st.returns)]
+        ret_aliases = [y.alias for y in st.returns]
         order_cols = []
         for e, asc in st.order_by:
-            c = (F.col(e[1]) if e[0] == "name" and e[1] in
-                 [y.alias for y in st.returns] else ec.col(e))
+            c = (F.col(e[1]) if e[0] == "name" and e[1] in ret_aliases
+                 else ec.col(e))
             order_cols.append(c if asc else c.desc())
         out = out.orderBy(*order_cols)
     if st.limit is not None:

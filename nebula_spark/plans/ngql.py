@@ -59,7 +59,7 @@ _KEYWORDS = {
     "match", "return", "and", "or", "not", "xor", "distinct", "as", "true",
     "false", "null", "is", "starts", "ends", "contains", "union", "minus",
     "intersect", "of", "case", "when", "then", "else", "end", "sample",
-    "unwind",
+    "unwind", "optional",
 }
 
 
@@ -196,10 +196,34 @@ class MatchEdge:
 
 
 @dataclass
-class MatchStmt:
+class MatchPath:
+    """One comma-separated pattern: n0 -e0- n1 -e1- n2 …"""
     nodes: list[MatchNode]
     edges: list[MatchEdge]
+
+
+@dataclass
+class MatchClause:
+    paths: list[MatchPath]
     where: tuple | None
+    optional: bool = False
+
+
+@dataclass
+class WithClause:
+    """openCypher WITH: project/rebind (+ implicit grouping), optional
+    DISTINCT and post-WHERE (MatchValidator's with-clause contexts)."""
+    items: list[YieldItem]
+    where: tuple | None
+    distinct: bool = False
+
+
+@dataclass
+class MatchStmt:
+    """A full Cypher query: MATCH/OPTIONAL MATCH/WITH/UNWIND clause chain
+    ending in RETURN (MatchValidator.cpp builds the same per-clause
+    CypherContext list)."""
+    clauses: list                 # MatchClause | WithClause | UnwindStmt
     returns: list[YieldItem]
     order_by: list[tuple] | None
     limit: int | None
@@ -412,6 +436,15 @@ class Parser:
         alias = None
         if self.try_kw("as"):
             alias = self.eat("NAME").text
+        elif isinstance(e, tuple):
+            # default output name from the expression (reference derives
+            # column names from expression text): bare refs keep their
+            # last path component
+            if e[0] in ("name", "input_prop", "var_prop"):
+                alias = e[1] if e[0] == "name" else e[-1]
+            elif e[0] in ("edge_prop", "alias_tag_prop", "src_prop",
+                          "dst_prop"):
+                alias = e[-1]
         return YieldItem(e, alias)
 
     # -- FETCH
@@ -571,14 +604,48 @@ class Parser:
             return LimitStmt(b, a)
         return LimitStmt(a)
 
-    # -- MATCH (subset)
-    def match_sentence(self) -> MatchStmt:
-        self.eat_kw("match")
+    # -- MATCH (clause chain)
+    def match_path(self) -> MatchPath:
         nodes, edges = [self.match_node()], []
         while self.peek().kind in ("MINUS", "ARROW_L"):
             edges.append(self.match_edge())
             nodes.append(self.match_node())
+        return MatchPath(nodes, edges)
+
+    def match_clause(self, optional: bool) -> MatchClause:
+        self.eat_kw("match")
+        paths = [self.match_path()]
+        while self.peek().kind == "COMMA":
+            self.eat("COMMA")
+            paths.append(self.match_path())
         where = self.expr() if self.try_kw("where") else None
+        return MatchClause(paths, where, optional)
+
+    def with_clause(self) -> WithClause:
+        self.eat_kw("with")
+        distinct = self.try_kw("distinct")
+        items = self.yield_items()
+        where = self.expr() if self.try_kw("where") else None
+        return WithClause(items, where, distinct)
+
+    def match_sentence(self) -> MatchStmt:
+        clauses: list = []
+        while True:
+            if self.at_kw("match"):
+                clauses.append(self.match_clause(False))
+            elif self.at_kw("optional"):
+                self.eat_kw("optional")
+                clauses.append(self.match_clause(True))
+            elif self.at_kw("with"):
+                clauses.append(self.with_clause())
+            elif self.at_kw("unwind"):
+                clauses.append(self.unwind_sentence())
+            elif self.at_kw("return"):
+                break
+            else:
+                t = self.peek()
+                raise SyntaxError(
+                    f"expected MATCH/WITH/UNWIND/RETURN, got {t.text!r} @{t.pos}")
         self.eat_kw("return")
         distinct = self.try_kw("distinct")
         rets = self.yield_items()
@@ -599,7 +666,7 @@ class Parser:
         limit = None
         if self.try_kw("limit"):
             limit = int(self.eat("INT").text)
-        return MatchStmt(nodes, edges, where, rets, order_by, limit, distinct)
+        return MatchStmt(clauses, rets, order_by, limit, distinct)
 
     def match_node(self) -> MatchNode:
         self.eat("LP")

@@ -185,6 +185,44 @@ def test_unwind_after_go(space):
     assert rows == {("p2", 10), ("p2", 20), ("p3", 10), ("p3", 20)}
 
 
+def test_optional_match(space):
+    # players and, when present, the team they serve
+    df = execute(space,
+                 'MATCH (v:player) OPTIONAL MATCH (v:player)-[:serve]->(t:team) '
+                 'RETURN v.player.name AS name, t.team.name AS team')
+    got = {(r.name, r.team) for r in df.collect()}
+    assert ("Tim", "Spurs") in got
+    assert ("Manu", None) in got  # Manu serves no team in the fixture
+
+
+def test_match_with_clause(space):
+    # WITH + implicit grouping, then filter on the aggregated value
+    df = execute(space,
+                 'MATCH (v:player)-[e:like]->(m:player) '
+                 'WITH v, sum(e.likeness) AS s WHERE s > 150 '
+                 'RETURN v.player.name AS name, s')
+    got = {(r.name, r.s) for r in df.collect()}
+    # p1: 95+90, p2: 95+50=145 (filtered), p3: 100+80
+    assert got == {("Tim", 185), ("Manu", 180)}
+
+
+def test_match_multi_pattern(space):
+    # comma patterns share alias v: players who like someone AND serve a team
+    df = execute(space,
+                 'MATCH (v:player)-[:like]->(m:player), '
+                 '(v:player)-[:serve]->(t:team) '
+                 'RETURN DISTINCT v.player.name AS name')
+    # likers: p1,p2,p3; servers: p1,p2,p5 → intersection Tim, Tony
+    assert {r.name for r in df.collect()} == {"Tim", "Tony"}
+
+
+def test_match_unwind_clause(space):
+    df = execute(space,
+                 'MATCH (v:player {name: "Tim"}) UNWIND [1, 2] AS k '
+                 'RETURN v.player.name AS name, k')
+    assert {(r.name, r.k) for r in df.collect()} == {("Tim", 1), ("Tim", 2)}
+
+
 def test_syntax_error_position():
     with pytest.raises(SyntaxError):
         parse('GO FROM OVER like')
