@@ -117,6 +117,12 @@ class ExprCompiler:
 
     def call(self, name: str, args: list, distinct: bool = False) -> Column:
         from nebula_spark.operators.aggregate import agg_call
+        if name in ("nodes", "relationships", "length") and len(args) == 1 \
+                and isinstance(args[0], tuple) and args[0][0] == "name":
+            try:
+                return self.resolve("path_fn", name, args[0][1])
+            except ValueError:
+                pass                      # not a path → fall through
         if name in _AGG_FNS:
             if args and args[0] == ("star",):
                 return agg_call("count", F.lit(1))
@@ -350,8 +356,8 @@ def _bind_tag(space: GraphSpace, alias: str, tag: str | None) -> DataFrame:
                       for c in t.columns if c != VID])
 
 
-def _build_pattern(space: GraphSpace, path: A.MatchPath,
-                   counter: list[int]) -> tuple[DataFrame, set[str]]:
+def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
+                   seed: DataFrame | None = None) -> tuple[DataFrame, set[str]]:
     """One pattern chain → DataFrame with alias-prefixed columns + the set
     of node aliases it binds (the Traverse/AppendVertices emission,
     TraverseExecutor.cpp:25-676 / AppendVerticesExecutor.cpp:18-317)."""
@@ -362,9 +368,16 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath,
     n0 = path.nodes[0]
     a0 = n0.alias or fresh("n")
     aliases = {a0}
-    cur = _bind_tag(space, a0, n0.tag)
+    if n0.tag is None and seed is not None:
+        cur = seed                      # pre-bound vids from the outer frame
+    else:
+        cur = _bind_tag(space, a0, n0.tag)
     for k, v in n0.props.items():
         cur = cur.filter(F.col(f"{a0}__{k}") == v)
+
+    # per-hop path fragments for `p = (…)` bindings: each entry is an
+    # array<struct(s,d,r)> column expression over the final frame
+    path_parts: list = []
 
     prev_alias = a0
     for me, mn in zip(path.edges, path.nodes[1:]):
@@ -383,15 +396,24 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath,
             cur = cur.join(e, cur[f"{prev_alias}__vid"] == e[f"{ea}__src"],
                            "inner")
             end_col = f"{ea}__dst"
+            path_parts.append(F.array(F.struct(
+                F.col(f"{ea}__src").alias("s"),
+                F.col(f"{ea}__dst").alias("d"),
+                F.col(f"{ea}__rank").alias("r"))))
         else:
             tr = traverse(edges.select(SRC, DST, RANK), cur.select(
                 F.col(f"{prev_alias}__vid").alias(VID)).distinct(),
                 me.min_hops, me.max_hops, me.direction)
             tr = tr.select(F.col("start_vid").alias(f"{prev_alias}__vid"),
                            F.col("end_vid").alias(f"{ea}__dst"),
-                           F.col("hops").alias(f"{ea}__hops"))
+                           F.col("hops").alias(f"{ea}__hops"),
+                           F.col("path").alias(f"{ea}__path"))
             cur = cur.join(tr, f"{prev_alias}__vid", "inner")
             end_col = f"{ea}__dst"
+            path_parts.append(F.transform(
+                F.col(f"{ea}__path"),
+                lambda x: F.struct(x["s"].alias("s"), x["d"].alias("d"),
+                                   x["r"].alias("r"))))
         if mn.tag:
             tt = _bind_tag(space, na, mn.tag)
             cur = cur.join(tt, cur[end_col] == tt[f"{na}__vid"], "inner")
@@ -401,14 +423,87 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath,
             cur = cur.filter(F.col(f"{na}__{k}") == v)
         aliases.add(na)
         prev_alias = na
-    return cur, aliases
+
+    paths_bound: set[str] = set()
+    if path.path_alias:
+        pa = path.path_alias
+        cur = cur.withColumn(f"{pa}__start", F.col(f"{a0}__vid"))
+        cur = cur.withColumn(
+            f"{pa}__path",
+            F.concat(*path_parts) if path_parts else F.array())
+        paths_bound.add(pa)
+    return cur, aliases, paths_bound
 
 
-def _match_resolver(bound: set[str]):
+def _split_conjuncts(e: tuple) -> list[tuple]:
+    if isinstance(e, tuple) and e[0] == "and":
+        return _split_conjuncts(e[1]) + _split_conjuncts(e[2])
+    return [e]
+
+
+def _apply_pattern_pred(space: GraphSpace, cur: DataFrame, path: A.MatchPath,
+                        bound: set[str], counter: list[int],
+                        anti: bool) -> DataFrame:
+    """WHERE exists((v)-[:e]->(m)) / WHERE NOT exists(…) → left-semi /
+    left-anti join on the shared alias vids (PatternApplyExecutor.cpp:15-154,
+    anti flag :36). When the predicate's start node is a bound un-tagged
+    alias, the pattern is seeded from the current frame's distinct vids —
+    the frontier-seeded expansion, not a full re-scan."""
+    n0 = path.nodes[0]
+    seed = None
+    if n0.tag is None and n0.alias in bound:
+        seed = cur.select(F.col(f"{n0.alias}__vid")).distinct()
+    pat, aliases, _ = _build_pattern(space, path, counter, seed=seed)
+    shared = sorted(bound & aliases)
+    if not shared:
+        raise ValueError("pattern predicate must share an alias with MATCH")
+    keys = [f"{a}__vid" for a in shared]
+    rhs = pat.select(*keys).distinct()
+    return cur.join(rhs, on=keys, how="left_anti" if anti else "left_semi")
+
+
+def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
+                 bound: set[str], counter: list[int],
+                 pbound: set[str] = frozenset()) -> DataFrame:
+    """Apply a WHERE tree: top-level AND conjuncts that are pattern
+    predicates become PatternApply joins; the rest filters."""
+    plain: list[tuple] = []
+    for c in _split_conjuncts(where):
+        if isinstance(c, tuple) and c[0] == "pattern_pred":
+            cur = _apply_pattern_pred(space, cur, c[1], bound, counter, False)
+        elif (isinstance(c, tuple) and c[0] == "not"
+              and isinstance(c[1], tuple) and c[1][0] == "pattern_pred"):
+            cur = _apply_pattern_pred(space, cur, c[1][1], bound, counter,
+                                      True)
+        else:
+            plain.append(c)
+    if plain:
+        pred = plain[0]
+        for p in plain[1:]:
+            pred = ("and", pred, p)
+        cur = cur.filter(
+            ExprCompiler(_match_resolver(bound, pbound)).col(pred))
+    return cur
+
+
+def _match_resolver(bound: set[str], paths: set[str] = frozenset()):
     """Expression resolver over the clause-chain frame: bound node aliases
-    → their __vid column; everything else → plain column (WITH/UNWIND
-    bindings)."""
+    → their __vid column; path aliases → nodes()/relationships()/length();
+    everything else → plain column (WITH/UNWIND bindings)."""
     def resolve(kind, *args):
+        if kind == "path_fn":            # nodes(p) / relationships(p) / …
+            fn, alias = args
+            if alias not in paths:
+                raise ValueError(f"{alias!r} is not a bound path")
+            p = F.col(f"{alias}__path")
+            if fn == "length":
+                return F.size(p)
+            if fn == "relationships":
+                return p
+            if fn == "nodes":
+                return F.concat(F.array(F.col(f"{alias}__start")),
+                                F.transform(p, lambda x: x["d"]))
+            raise ValueError(f"unknown path function {fn}")
         if kind == "alias_tag_prop":     # v.tag.prop
             alias, _tag, prop = args
             return F.col(f"{alias}__{prop}")
@@ -455,16 +550,18 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     counter = [0]
     cur: DataFrame | None = None
     bound: set[str] = set()
+    pbound: set[str] = set()
 
     for cl in st.clauses:
         if isinstance(cl, A.MatchClause):
             for path in cl.paths:
-                pat, aliases = _build_pattern(space, path, counter)
+                pat, aliases, ppaths = _build_pattern(space, path, counter)
                 if cl.where is not None and cl.optional:
                     # WHERE of an OPTIONAL MATCH filters the pattern side
                     # BEFORE the left join (openCypher semantics)
                     pat = pat.filter(
-                        ExprCompiler(_match_resolver(aliases)).col(cl.where))
+                        ExprCompiler(_match_resolver(aliases, ppaths))
+                        .col(cl.where))
                 if cur is None:
                     cur = pat
                 else:
@@ -482,24 +579,26 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                         cur = cur.crossJoin(pat) if not cl.optional \
                             else cur.join(pat, F.lit(True), "left")
                 bound |= aliases
+                pbound |= ppaths
             if cl.where is not None and not cl.optional:
-                cur = cur.filter(
-                    ExprCompiler(_match_resolver(bound)).col(cl.where))
+                cur = _apply_where(space, cur, cl.where, bound, counter,
+                                   pbound)
         elif isinstance(cl, A.WithClause):
-            ec = ExprCompiler(_match_resolver(bound))
-            cur, carried = _project_items(cur, cl.items, ec, bound)
-            bound = carried
+            ec = ExprCompiler(_match_resolver(bound, pbound))
+            cur, carried = _project_items(cur, cl.items, ec, bound | pbound)
+            bound, pbound = carried & bound, carried & pbound
             if cl.distinct:
                 cur = cur.distinct()
             if cl.where is not None:
                 cur = cur.filter(
-                    ExprCompiler(_match_resolver(bound)).col(cl.where))
+                    ExprCompiler(_match_resolver(bound, pbound))
+                    .col(cl.where))
         elif isinstance(cl, A.UnwindStmt):
             cur = _exec_unwind(cl, cur, space.spark)
         else:
             raise ValueError(f"unknown clause {type(cl).__name__}")
 
-    ec = ExprCompiler(_match_resolver(bound))
+    ec = ExprCompiler(_match_resolver(bound, pbound))
     items = [(y, ec.col(y.expr).alias(y.alias or f"c{i}"))
              for i, y in enumerate(st.returns)]
     has_agg = any(_is_agg(y.expr) for y, _ in items)

@@ -197,9 +197,11 @@ class MatchEdge:
 
 @dataclass
 class MatchPath:
-    """One comma-separated pattern: n0 -e0- n1 -e1- n2 …"""
+    """One comma-separated pattern: n0 -e0- n1 -e1- n2 …; ``path_alias``
+    set for ``p = (…)…`` bindings (Path value, SURVEY §1.1)."""
     nodes: list[MatchNode]
     edges: list[MatchEdge]
+    path_alias: str | None = None
 
 
 @dataclass
@@ -612,12 +614,21 @@ class Parser:
             nodes.append(self.match_node())
         return MatchPath(nodes, edges)
 
+    def _maybe_named_path(self) -> MatchPath:
+        alias = None
+        if self.peek().kind == "NAME" and self.peek(1).kind == "ASSIGN":
+            alias = self.eat("NAME").text
+            self.eat("ASSIGN")
+        p = self.match_path()
+        p.path_alias = alias
+        return p
+
     def match_clause(self, optional: bool) -> MatchClause:
         self.eat_kw("match")
-        paths = [self.match_path()]
+        paths = [self._maybe_named_path()]
         while self.peek().kind == "COMMA":
             self.eat("COMMA")
-            paths.append(self.match_path())
+            paths.append(self._maybe_named_path())
         where = self.expr() if self.try_kw("where") else None
         return MatchClause(paths, where, optional)
 
@@ -854,6 +865,18 @@ class Parser:
         if t.kind == "NAME" or (t.kind == "KW" and t.text in
                                 ("all",)):  # fn names that are keywords
             name = self.eat().text
+            if name.lower() == "exists" and self.peek().kind == "LP":
+                # pattern predicate exists((v)-[:e]->(m)) → PatternApply
+                # (PatternApplyExecutor.cpp:15-154); backtrack if the
+                # argument turns out to be a plain expression
+                save = self.i
+                self.eat("LP")
+                try:
+                    path = self.match_path()
+                    self.eat("RP")
+                    return ("pattern_pred", path)
+                except SyntaxError:
+                    self.i = save
             if self.peek().kind == "LP":   # function call
                 self.eat("LP")
                 distinct = self.try_kw("distinct")

@@ -223,6 +223,46 @@ def test_match_unwind_clause(space):
     assert {(r.name, r.k) for r in df.collect()} == {("Tim", 1), ("Tim", 2)}
 
 
+def test_pattern_predicate_exists(space):
+    df = execute(space,
+                 'MATCH (v:player) WHERE exists((v)-[:serve]->(t:team)) '
+                 'RETURN v.player.name AS name')
+    assert {r.name for r in df.collect()} == {"Tim", "Tony", "Kobe"}
+
+
+def test_pattern_predicate_not_exists(space):
+    df = execute(space,
+                 'MATCH (v:player) WHERE NOT exists((v)-[:serve]->(t:team)) '
+                 'AND v.player.age > 0 RETURN v.player.name AS name')
+    assert {r.name for r in df.collect()} == {"Manu"}
+
+
+def test_named_path_fixed(space):
+    df = execute(space,
+                 'MATCH p = (v:player {name: "Tim"})-[:like]->(m:player) '
+                 'RETURN m.player.name AS name, length(p) AS n, '
+                 'nodes(p) AS vids')
+    got = {(r.name, r.n, tuple(r.vids)) for r in df.collect()}
+    assert got == {("Tony", 1, ("p1", "p2")), ("Manu", 1, ("p1", "p3"))}
+
+
+def test_named_path_varlen(space):
+    df = execute(space,
+                 'MATCH p = (v:player {name: "Tim"})-[:like*1..2]->(m:player) '
+                 'RETURN m.player.name AS name, length(p) AS n')
+    got = {(r.name, r.n) for r in df.collect()}
+    # 1 hop: Tony, Manu; 2 hops: Tim (p1>p2>p1), Manu (p1>p3>p3),
+    # Kobe (p1>p3>p5), None (p1>p2>p4)
+    assert ("Tony", 1) in got and ("Kobe", 2) in got and ("Tim", 2) in got
+
+
+def test_length_still_works_for_strings(space):
+    df = execute(space,
+                 'MATCH (v:player {name: "Tim"}) '
+                 'RETURN length(v.player.name) AS n')
+    assert df.collect()[0].n == 3
+
+
 def test_syntax_error_position():
     with pytest.raises(SyntaxError):
         parse('GO FROM OVER like')
