@@ -507,6 +507,20 @@ def q_ngql_optional_match(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+def q_ngql_listops(spark: SparkSession, sf: str) -> DataFrame:
+    """List expressions (§2.9): comprehension, reduce, subscript — all
+    JVM-side higher-order functions (transform/filter/aggregate)."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        LOOKUP ON order WHERE order.vid % 200 == 0 YIELD order.vid AS key
+        | YIELD $-.key AS key,
+                reduce(acc = 0, x IN [1, 2, 3] | acc + x * $-.key) AS s,
+                size([x IN [1, 2, 3, 4] WHERE x % 2 == 0]) AS n_even,
+                [10, 20, 30][1] AS second
+    """)
+
+
 def q_cross_join(spark: SparkSession, sf: str) -> DataFrame:
     """CartesianProduct / CrossJoin (CartesianProductExecutor.cpp:1-71):
     region × nation grid with a computed column."""
@@ -777,6 +791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_join": q_cross_join,
     "agg_funcs": q_agg_funcs,
     "ngql_optional_match": q_ngql_optional_match,
+    "ngql_listops": q_ngql_listops,
     "upsert": q_upsert,
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
@@ -1049,6 +1064,13 @@ ORACLES: dict[str, str] = {
         SELECT key FROM pts
         WHERE lng BETWEEN -50 AND 50 AND lat BETWEEN -30 AND 30
         ORDER BY key
+    """,
+    "ngql_listops": """
+        SELECT o_orderkey AS key,
+               CAST(6 * o_orderkey AS BIGINT) AS s,
+               2 AS n_even,
+               20 AS second
+        FROM orders WHERE o_orderkey % 200 = 0
     """,
     "ngql_optional_match": """
         SELECT c_custkey AS key, COUNT(o_orderkey) AS n

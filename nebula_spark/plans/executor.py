@@ -113,7 +113,58 @@ class ExprCompiler:
             return c.otherwise(self.col(default)) if default else c
         if op in ("call", "call_distinct"):
             return self.call(e[1], list(e[2:]), distinct=op == "call_distinct")
+        if op == "subscript":            # SubscriptExpression: 0-based lists
+            return F.element_at(self.col(e[1]),
+                                (self.col(e[2]) + 1).cast("int"))
+        if op == "slice":                # l[a..b] — end-exclusive
+            base = self.col(e[1])
+            lo = self.col(e[2]) if e[2] is not None else F.lit(0)
+            hi = self.col(e[3]) if e[3] is not None else F.size(base)
+            return F.slice(base, (lo + 1).cast("int"),
+                           F.greatest(hi - lo, F.lit(0)).cast("int"))
+        if op == "comprehension":        # [x IN l WHERE p | out]
+            _, var, lst, where, out = e
+            c = self.col(lst)
+            if where is not None:
+                c = F.filter(c, lambda x: self.scoped({var: x}).col(where))
+            if out is not None:
+                c = F.transform(c, lambda x: self.scoped({var: x}).col(out))
+            return c
+        if op == "pred_fn":              # all/any/none/single(x IN l WHERE p)
+            _, fn, var, lst, pred = e
+            c = self.col(lst)
+            lam = lambda x: self.scoped({var: x}).col(pred)  # noqa: E731
+            if fn == "all":
+                return F.forall(c, lam)
+            if fn == "any":
+                return F.exists(c, lam)
+            if fn == "none":
+                return ~F.exists(c, lam)
+            return F.size(F.filter(c, lam)) == 1      # single
+        if op == "reduce":               # reduce(acc = init, x IN l | body)
+            _, acc, init, var, lst, body = e
+            zero = self.col(init)
+            if init[0] == "lit" and isinstance(init[1], int):
+                # reference INT is int64 (Value.h); Spark aggregate() needs
+                # zero type == merge result type
+                zero = zero.cast("bigint")
+            return F.aggregate(
+                self.col(lst), zero,
+                lambda a, x: self.scoped({acc: a, var: x}).col(body))
         raise ValueError(f"cannot compile {e!r}")
+
+    def scoped(self, vars_: dict) -> "ExprCompiler":
+        """Child compiler where lambda variables shadow outer resolution;
+        ``var.prop`` on a struct element becomes a field access."""
+        outer = self.resolve
+
+        def resolve(kind, *args):
+            if kind == "name" and args[0] in vars_:
+                return vars_[args[0]]
+            if kind == "edge_prop" and args[0] in vars_:
+                return vars_[args[0]][args[1]]
+            return outer(kind, *args)
+        return ExprCompiler(resolve)
 
     def call(self, name: str, args: list, distinct: bool = False) -> Column:
         from nebula_spark.operators.aggregate import agg_call

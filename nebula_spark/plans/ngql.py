@@ -373,10 +373,10 @@ class Parser:
         self.eat_kw("from")
         sources, src_col = self.vid_list()
         self.eat_kw("over")
-        edges = [self.eat("NAME").text]
+        edges = [self.name()]
         while self.peek().kind == "COMMA":
             self.eat("COMMA")
-            edges.append(self.eat("NAME").text)
+            edges.append(self.name())
         direction = "out"
         if self.try_kw("reversely"):
             direction = "in"
@@ -454,7 +454,7 @@ class Parser:
         self.eat_kw("fetch")
         self.eat_kw("prop")
         self.eat_kw("on")
-        name = self.eat("NAME").text
+        name = self.name()
         if self.peek().kind in ("STRING", "INT", "PIPE_INPUT", "PIPE_REF",
                                 "VAR_REF", "FLOAT", "MINUS"):
             # vertex form unless "src -> dst" follows
@@ -497,7 +497,7 @@ class Parser:
     def lookup_sentence(self) -> LookupStmt:
         self.eat_kw("lookup")
         self.eat_kw("on")
-        name = self.eat("NAME").text
+        name = self.name()
         where = self.expr() if self.try_kw("where") else None
         yields = []
         if self.try_kw("yield"):
@@ -520,10 +520,10 @@ class Parser:
                 self.eat("STAR")
                 edges = None
             else:
-                edges = [self.eat("NAME").text]
+                edges = [self.name()]
                 while self.peek().kind == "COMMA":
                     self.eat("COMMA")
-                    edges.append(self.eat("NAME").text)
+                    edges.append(self.name())
             if self.try_kw("reversely"):
                 direction = "in"
             elif self.try_kw("bidirect"):
@@ -549,10 +549,10 @@ class Parser:
         in_e = out_e = both_e = None
         while self.at_kw("in", "out", "both"):
             d = self.eat_kw("in", "out", "both").text
-            es = [self.eat("NAME").text]
+            es = [self.name()]
             while self.peek().kind == "COMMA":
                 self.eat("COMMA")
-                es.append(self.eat("NAME").text)
+                es.append(self.name())
             if d == "in":
                 in_e = es
             elif d == "out":
@@ -819,7 +819,22 @@ class Parser:
         if self.peek().kind == "MINUS":
             self.eat("MINUS")
             return ("neg", self.expr_unary())
-        return self.expr_atom()
+        return self.expr_postfix()
+
+    def expr_postfix(self):
+        """Subscript / slice (SubscriptExpression): l[i], l[a..b]."""
+        e = self.expr_atom()
+        while self.peek().kind == "LB":
+            self.eat("LB")
+            lo = None if self.peek().kind == "DOTDOT" else self.expr()
+            if self.peek().kind == "DOTDOT":
+                self.eat("DOTDOT")
+                hi = None if self.peek().kind == "RB" else self.expr()
+                e = ("slice", e, lo, hi)
+            else:
+                e = ("subscript", e, lo)
+            self.eat("RB")
+        return e
 
     def expr_atom(self):
         t = self.peek()
@@ -828,8 +843,21 @@ class Parser:
             e = self.expr()
             self.eat("RP")
             return e
-        if t.kind == "LB":       # list literal
+        if t.kind == "LB":       # list literal or comprehension
             self.eat("LB")
+            # [x IN list WHERE pred | out] (ListComprehensionExpression)
+            if self.peek().kind == "NAME" and self.peek(1).kind == "KW" \
+                    and self.peek(1).text == "in":
+                var = self.eat("NAME").text
+                self.eat_kw("in")
+                lst = self.expr()
+                where = self.expr() if self.try_kw("where") else None
+                out = None
+                if self.peek().kind == "PIPE":
+                    self.eat("PIPE")
+                    out = self.expr()
+                self.eat("RB")
+                return ("comprehension", var, lst, where, out)
             items = []
             while self.peek().kind != "RB":
                 items.append(self.expr())
@@ -862,9 +890,38 @@ class Parser:
             self.i += 1
             self.eat("DOT")
             return ("var_prop", t.text[1:], self.eat("NAME").text)
-        if t.kind == "NAME" or (t.kind == "KW" and t.text in
-                                ("all",)):  # fn names that are keywords
+        if t.kind == "NAME" or (t.kind == "KW" and (
+                t.text in ("all",)           # fn names that are keywords
+                or self.peek(1).kind == "DOT")):  # kw-named tag/edge: order.vid
             name = self.eat().text
+            low = name.lower()
+            # all/any/none/single(x IN list WHERE pred) — PredicateExpression
+            if low in ("all", "any", "none", "single") \
+                    and self.peek().kind == "LP" \
+                    and self.peek(1).kind == "NAME" \
+                    and self.peek(2).kind == "KW" and self.peek(2).text == "in":
+                self.eat("LP")
+                var = self.eat("NAME").text
+                self.eat_kw("in")
+                lst = self.expr()
+                self.eat_kw("where")
+                pred = self.expr()
+                self.eat("RP")
+                return ("pred_fn", low, var, lst, pred)
+            # reduce(acc = init, x IN list | expr) — ReduceExpression
+            if low == "reduce" and self.peek().kind == "LP":
+                self.eat("LP")
+                acc = self.eat("NAME").text
+                self.eat("ASSIGN")
+                init = self.expr()
+                self.eat("COMMA")
+                var = self.eat("NAME").text
+                self.eat_kw("in")
+                lst = self.expr()
+                self.eat("PIPE")
+                body = self.expr()
+                self.eat("RP")
+                return ("reduce", acc, init, var, lst, body)
             if name.lower() == "exists" and self.peek().kind == "LP":
                 # pattern predicate exists((v)-[:e]->(m)) → PatternApply
                 # (PatternApplyExecutor.cpp:15-154); backtrack if the

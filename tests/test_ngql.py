@@ -263,6 +263,36 @@ def test_length_still_works_for_strings(space):
     assert df.collect()[0].n == 3
 
 
+def test_list_comprehension_and_preds(space):
+    df = execute(space, 'YIELD [x IN [1, 2, 3, 4] WHERE x % 2 == 0 | x * 10] AS l, '
+                        'all(x IN [1, 2] WHERE x > 0) AS a, '
+                        'any(x IN [1, 2] WHERE x > 1) AS b, '
+                        'none(x IN [1, 2] WHERE x > 2) AS c, '
+                        'single(x IN [1, 2] WHERE x == 2) AS d')
+    r = df.collect()[0]
+    assert list(r.l) == [20, 40]
+    assert (r.a, r.b, r.c, r.d) == (True, True, True, True)
+
+
+def test_reduce_and_subscript(space):
+    df = execute(space, 'YIELD reduce(acc = 0, x IN [1, 2, 3] | acc + x) AS s, '
+                        '[10, 20, 30][1] AS second, '
+                        '[10, 20, 30][0..2] AS front')
+    r = df.collect()[0]
+    assert r.s == 6 and r.second == 20 and list(r.front) == [10, 20]
+
+
+def test_reduce_over_path(space):
+    # reduce over relationships(p): total likeness along 2-hop paths
+    df = execute(space,
+                 'MATCH p = (v:player {name: "Tim"})-[:like*2..2]->(m:player) '
+                 'RETURN m.player.name AS name, '
+                 'reduce(acc = 0, e IN relationships(p) | acc + e.r) AS ranks')
+    rows = df.collect()
+    assert len(rows) >= 2  # p1>p2>p1, p1>p3>p3, p1>p3>p5 (+p4 not a player? p4 is)
+    assert all(r.ranks == 0 for r in rows)  # fixture ranks are all 0
+
+
 def test_syntax_error_position():
     with pytest.raises(SyntaxError):
         parse('GO FROM OVER like')
