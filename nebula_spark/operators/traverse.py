@@ -95,7 +95,10 @@ def get_neighbors(vids: DataFrame, edges: DataFrame, direction: str = "out",
 def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
        max_steps: int = 1, direction: str = "out",
        edge_filter: Column | None = None,
-       early_stop: bool = True) -> DataFrame:
+       early_stop: bool = True,
+       step_limits: list[int] | None = None,
+       step_samples: list[int] | None = None,
+       sample_seed: int = 42) -> DataFrame:
     """GO M TO N STEPS: multi-hop expansion accumulating per-step edge rows.
 
     Reference plan: Loop{Expand/ExpandAll} + UnionAllVersionVar accumulation
@@ -128,8 +131,20 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
                     break
                 small = n <= BROADCAST_FRONTIER_ROWS
             step_edges = edges[step - 1] if per_step else edges
+            # per-step truncate pushdown (truncate_clause,
+            # PushStepLimitDownGetNeighborsRule /
+            # PushStepSampleDownGetNeighborsRule): applied inside the hop,
+            # before the next frontier forms — exactly where the reference
+            # pushes it into the GetNeighbors RPC
+            lim = order = None
+            if step_limits is not None and step <= len(step_limits):
+                lim = step_limits[step - 1]
+            elif step_samples is not None and step <= len(step_samples):
+                lim = step_samples[step - 1]
+                order = [F.rand(sample_seed + step)]
             hop = get_neighbors(frontier, step_edges, direction, edge_filter,
-                                broadcast_frontier=small)
+                                broadcast_frontier=small,
+                                limit_per_vertex=lim, order_per_vertex=order)
             if step >= min_steps:
                 step_df = hop.withColumn("step", F.lit(step))
                 results = step_df if results is None else results.unionByName(

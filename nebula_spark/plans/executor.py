@@ -220,7 +220,8 @@ def _exec_go(space: GraphSpace, st: A.GoStmt,
              piped: DataFrame | None) -> DataFrame:
     start = _vid_frame(space, st.sources, piped, st.src_col)
     edges = _edge_union(space, st.edges)
-    hop = go(edges, start, st.min_steps, st.max_steps, st.direction)
+    hop = go(edges, start, st.min_steps, st.max_steps, st.direction,
+             step_limits=st.limits, step_samples=st.sample)
 
     # prop deduction: which $^ / $$ tags does the statement touch?
     refs: list = []

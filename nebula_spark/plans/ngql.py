@@ -111,6 +111,7 @@ class GoStmt:
     yields: list[YieldItem]
     distinct: bool = False
     sample: list[int] | None = None
+    limits: list[int] | None = None      # per-step per-vertex caps
 
 
 @dataclass
@@ -388,8 +389,25 @@ class Parser:
         if self.try_kw("yield"):
             distinct = self.try_kw("distinct")
             yields = self.yield_items()
+        # truncate clause (parser.yy go_sentence :1424-1430):
+        # SAMPLE [n1,…] (random per-vertex) / LIMIT [n1,…] (per-vertex cap)
+        sample = limits = None
+        if self.try_kw("sample"):
+            sample = self._int_list()
+        elif self.at_kw("limit") and self.peek(1).kind == "LB":
+            self.eat_kw("limit")
+            limits = self._int_list()
         return GoStmt(mn, mx, sources, src_col, edges, direction, where,
-                      yields, distinct)
+                      yields, distinct, sample, limits)
+
+    def _int_list(self) -> list[int]:
+        self.eat("LB")
+        out = [int(self.eat("INT").text)]
+        while self.peek().kind == "COMMA":
+            self.eat("COMMA")
+            out.append(int(self.eat("INT").text))
+        self.eat("RB")
+        return out
 
     def vid_list(self):
         t = self.peek()

@@ -293,6 +293,23 @@ def test_reduce_over_path(space):
     assert all(r.ranks == 0 for r in rows)  # fixture ranks are all 0
 
 
+def test_go_step_limit(space):
+    # per-vertex cap, deterministic order (dst, rank): p1 keeps only p2
+    df = execute(space, 'GO FROM "p1","p2" OVER like '
+                        'YIELD src(edge) AS s, dst(edge) AS d LIMIT [1]')
+    got = {(r.s, r.d) for r in df.collect()}
+    assert got == {("p1", "p2"), ("p2", "p1")}
+
+
+def test_go_step_sample(space):
+    # random per-vertex sample of 1: one edge per source
+    df = execute(space, 'GO FROM "p1","p2","p3" OVER like '
+                        'YIELD src(edge) AS s, dst(edge) AS d SAMPLE [1]')
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.s for r in rows} == {"p1", "p2", "p3"}
+
+
 def test_syntax_error_position():
     with pytest.raises(SyntaxError):
         parse('GO FROM OVER like')
