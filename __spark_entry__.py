@@ -521,6 +521,19 @@ def q_ngql_listops(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+def q_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """DELETE surface (DeleteExecutor.cpp → anti-join): remove orders of
+    negative-balance customers, return the surviving per-status counts."""
+    from nebula_spark.operators.mutate import delete_rows
+    t = load_tables(spark, sf, ("orders", "customer"))
+    bad = t["customer"].filter(F.col("c_acctbal") < 0) \
+        .select(F.col("c_custkey").alias("o_custkey"))
+    remaining = delete_rows(t["orders"], bad, ["o_custkey"])
+    return (aggregate(remaining, ["o_orderstatus"],
+                      agg_call("count", F.lit(1)).alias("n"))
+            .orderBy("o_orderstatus"))
+
+
 def q_cross_join(spark: SparkSession, sf: str) -> DataFrame:
     """CartesianProduct / CrossJoin (CartesianProductExecutor.cpp:1-71):
     region × nation grid with a computed column."""
@@ -792,6 +805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_funcs": q_agg_funcs,
     "ngql_optional_match": q_ngql_optional_match,
     "ngql_listops": q_ngql_listops,
+    "delete": q_delete,
     "upsert": q_upsert,
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
@@ -1064,6 +1078,13 @@ ORACLES: dict[str, str] = {
         SELECT key FROM pts
         WHERE lng BETWEEN -50 AND 50 AND lat BETWEEN -30 AND 30
         ORDER BY key
+    """,
+    "delete": """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey NOT IN (
+          SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "ngql_listops": """
         SELECT o_orderkey AS key,

@@ -651,8 +651,19 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
             raise ValueError(f"unknown clause {type(cl).__name__}")
 
     ec = ExprCompiler(_match_resolver(bound, pbound))
-    items = [(y, ec.col(y.expr).alias(y.alias or f"c{i}"))
-             for i, y in enumerate(st.returns)]
+
+    def ret_col(y: A.YieldItem, i: int):
+        # RETURN v (bare bound alias) → the full vertex value as a struct
+        # (vid + props), the openCypher node return (SURVEY §1.1 Vertex)
+        if y.expr[0] == "name" and y.expr[1] in bound \
+                and y.alias in (None, y.expr[1]):
+            a = y.expr[1]
+            fields = [F.col(c).alias(c.split("__", 1)[1])
+                      for c in cur.columns if c.startswith(f"{a}__")]
+            return F.struct(*fields).alias(y.alias or a)
+        return ec.col(y.expr).alias(y.alias or f"c{i}")
+
+    items = [(y, ret_col(y, i)) for i, y in enumerate(st.returns)]
     has_agg = any(_is_agg(y.expr) for y, _ in items)
     if has_agg:
         keys = [c for y, c in items if not _is_agg(y.expr)]
