@@ -521,6 +521,19 @@ def q_ngql_listops(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+def q_ngql_match_2hop(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-hop MATCH through the front end: customer→order→part with
+    filters on both endpoints and implicit grouping."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        MATCH (c:customer)-[:placed]->(o:order)-[:contains]->(p:part)
+        WHERE c.customer.c_nationkey == 11 AND p.part.p_size > 40
+        RETURN p.part.p_brand AS brand, count(*) AS n
+        ORDER BY brand
+    """)
+
+
 def q_delete(spark: SparkSession, sf: str) -> DataFrame:
     """DELETE surface (DeleteExecutor.cpp → anti-join): remove orders of
     negative-balance customers, return the surviving per-status counts."""
@@ -806,6 +819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngql_optional_match": q_ngql_optional_match,
     "ngql_listops": q_ngql_listops,
     "delete": q_delete,
+    "ngql_match_2hop": q_ngql_match_2hop,
     "upsert": q_upsert,
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
@@ -1078,6 +1092,15 @@ ORACLES: dict[str, str] = {
         SELECT key FROM pts
         WHERE lng BETWEEN -50 AND 50 AND lat BETWEEN -30 AND 30
         ORDER BY key
+    """,
+    "ngql_match_2hop": """
+        SELECT p_brand AS brand, COUNT(*) AS n
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE c_nationkey = 11 AND p_size > 40
+        GROUP BY p_brand ORDER BY brand
     """,
     "delete": """
         SELECT o_orderstatus, COUNT(*) AS n

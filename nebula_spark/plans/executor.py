@@ -174,6 +174,13 @@ class ExprCompiler:
                 return self.resolve("path_fn", name, args[0][1])
             except ValueError:
                 pass                      # not a path → fall through
+        if name in ("id", "type", "rank", "startnode", "endnode",
+                    "properties", "props", "src", "dst") and len(args) == 1 \
+                and isinstance(args[0], tuple) and args[0][0] == "name":
+            try:
+                return self.resolve("graph_fn", name, args[0][1])
+            except ValueError:
+                pass                      # not a MATCH binding → fall through
         if name in _AGG_FNS:
             if args and args[0] == ("star",):
                 return agg_call("count", F.lit(1))
@@ -420,6 +427,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
     n0 = path.nodes[0]
     a0 = n0.alias or fresh("n")
     aliases = {a0}
+    edge_aliases: set[str] = set()
     if n0.tag is None and seed is not None:
         cur = seed                      # pre-bound vids from the outer frame
     else:
@@ -474,6 +482,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         for k, v in mn.props.items():
             cur = cur.filter(F.col(f"{na}__{k}") == v)
         aliases.add(na)
+        edge_aliases.add(ea)
         prev_alias = na
 
     paths_bound: set[str] = set()
@@ -484,7 +493,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             f"{pa}__path",
             F.concat(*path_parts) if path_parts else F.array())
         paths_bound.add(pa)
-    return cur, aliases, paths_bound
+    return cur, aliases, edge_aliases, paths_bound
 
 
 def _split_conjuncts(e: tuple) -> list[tuple]:
@@ -505,7 +514,7 @@ def _apply_pattern_pred(space: GraphSpace, cur: DataFrame, path: A.MatchPath,
     seed = None
     if n0.tag is None and n0.alias in bound:
         seed = cur.select(F.col(f"{n0.alias}__vid")).distinct()
-    pat, aliases, _ = _build_pattern(space, path, counter, seed=seed)
+    pat, aliases, _ea, _pp = _build_pattern(space, path, counter, seed=seed)
     shared = sorted(bound & aliases)
     if not shared:
         raise ValueError("pattern predicate must share an alias with MATCH")
@@ -534,15 +543,35 @@ def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
         for p in plain[1:]:
             pred = ("and", pred, p)
         cur = cur.filter(
-            ExprCompiler(_match_resolver(bound, pbound)).col(pred))
+            ExprCompiler(_match_resolver(bound, pbound, cur.columns))
+            .col(pred))
     return cur
 
 
-def _match_resolver(bound: set[str], paths: set[str] = frozenset()):
+def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
+                    columns: list[str] | None = None):
     """Expression resolver over the clause-chain frame: bound node aliases
     → their __vid column; path aliases → nodes()/relationships()/length();
-    everything else → plain column (WITH/UNWIND bindings)."""
+    graph value fns (id/type/rank/startNode/endNode/properties) → the
+    convention columns; everything else → plain column."""
     def resolve(kind, *args):
+        if kind == "graph_fn":           # fn(alias) on a node/edge binding
+            fn, alias = args
+            if alias not in bound:
+                raise ValueError(f"{alias!r} is not a bound alias")
+            col = {"id": "__vid", "rank": "__rank", "type": "___etype",
+                   "startnode": "__src", "endnode": "__dst",
+                   "src": "__src", "dst": "__dst"}.get(fn)
+            if col is not None:
+                return F.col(f"{alias}{col}")
+            if fn in ("properties", "props") and columns is not None:
+                skip = {f"{alias}__vid", f"{alias}__src", f"{alias}__dst",
+                        f"{alias}__rank", f"{alias}___etype"}
+                pc = [c for c in columns
+                      if c.startswith(f"{alias}__") and c not in skip]
+                return F.struct(*[F.col(c).alias(c.split("__", 1)[1])
+                                  for c in pc])
+            raise ValueError(f"unknown graph fn {fn}")
         if kind == "path_fn":            # nodes(p) / relationships(p) / …
             fn, alias = args
             if alias not in paths:
@@ -602,12 +631,13 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     counter = [0]
     cur: DataFrame | None = None
     bound: set[str] = set()
+    ebound: set[str] = set()
     pbound: set[str] = set()
 
     for cl in st.clauses:
         if isinstance(cl, A.MatchClause):
             for path in cl.paths:
-                pat, aliases, ppaths = _build_pattern(space, path, counter)
+                pat, aliases, eals, ppaths = _build_pattern(space, path, counter)
                 if cl.where is not None and cl.optional:
                     # WHERE of an OPTIONAL MATCH filters the pattern side
                     # BEFORE the left join (openCypher semantics)
@@ -631,26 +661,31 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                         cur = cur.crossJoin(pat) if not cl.optional \
                             else cur.join(pat, F.lit(True), "left")
                 bound |= aliases
+                ebound |= eals
                 pbound |= ppaths
             if cl.where is not None and not cl.optional:
-                cur = _apply_where(space, cur, cl.where, bound, counter,
-                                   pbound)
+                cur = _apply_where(space, cur, cl.where, bound | ebound,
+                                   counter, pbound)
         elif isinstance(cl, A.WithClause):
-            ec = ExprCompiler(_match_resolver(bound, pbound))
-            cur, carried = _project_items(cur, cl.items, ec, bound | pbound)
-            bound, pbound = carried & bound, carried & pbound
+            ec = ExprCompiler(
+                _match_resolver(bound | ebound, pbound, cur.columns))
+            cur, carried = _project_items(cur, cl.items, ec,
+                                          bound | ebound | pbound)
+            bound, ebound, pbound = (carried & bound, carried & ebound,
+                                     carried & pbound)
             if cl.distinct:
                 cur = cur.distinct()
             if cl.where is not None:
                 cur = cur.filter(
-                    ExprCompiler(_match_resolver(bound, pbound))
+                    ExprCompiler(_match_resolver(bound | ebound, pbound,
+                                                 cur.columns))
                     .col(cl.where))
         elif isinstance(cl, A.UnwindStmt):
             cur = _exec_unwind(cl, cur, space.spark)
         else:
             raise ValueError(f"unknown clause {type(cl).__name__}")
 
-    ec = ExprCompiler(_match_resolver(bound, pbound))
+    ec = ExprCompiler(_match_resolver(bound | ebound, pbound, cur.columns))
 
     def ret_col(y: A.YieldItem, i: int):
         # RETURN v (bare bound alias) → the full vertex value as a struct

@@ -310,6 +310,26 @@ def test_go_step_sample(space):
     assert {r.s for r in rows} == {"p1", "p2", "p3"}
 
 
+def test_graph_value_functions(space):
+    df = execute(space,
+                 'MATCH (v:player {name: "Tim"})-[e:serve]->(t:team) '
+                 'RETURN id(v) AS vid, type(e) AS et, rank(e) AS rk, '
+                 'startNode(e) AS sn, endNode(e) AS en '
+                 'ORDER BY rk')
+    rows = [(r.vid, r.et, r.rk, r.sn, r.en) for r in df.collect()]
+    assert rows == [("p1", "serve", 0, "p1", "t1"),
+                    ("p1", "serve", 1, "p1", "t1")]
+
+
+def test_properties_and_vertex_struct(space):
+    df = execute(space,
+                 'MATCH (v:player {name: "Tim"}) '
+                 'RETURN v, properties(v) AS p')
+    r = df.collect()[0]
+    assert r.v.vid == "p1" and r.v.name == "Tim" and r.v.age == 42
+    assert r.p.name == "Tim" and r.p.age == 42
+
+
 def test_syntax_error_position():
     with pytest.raises(SyntaxError):
         parse('GO FROM OVER like')
