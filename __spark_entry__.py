@@ -534,6 +534,39 @@ def q_ngql_match_2hop(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+def q_short_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """LDBC IS1-style short read through the front end: profile + location
+    chain customer→nation→region (tests/tck/ldbc ShortReads parity)."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        MATCH (c:customer)-[:located_in]->(n:nation)-[:member_of]->(r:region)
+        WHERE c.customer.c_acctbal > 9900.0
+        RETURN c.customer.vid AS key, c.customer.c_name AS name,
+               n.nation.n_name AS nation, r.region.r_name AS region
+        ORDER BY key
+    """)
+
+
+def q_short_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """LDBC IS2-style short read: each flagged customer's 3 most recent
+    orders (per-vertex top-k window over the hop join)."""
+    from pyspark.sql.window import Window
+    sp = tpch_space(spark, sf)
+    placed = sp.edge("placed")
+    flagged = sp.tag("customer").filter(F.col("c_acctbal") < -900) \
+        .select(F.col("vid").alias("src"))
+    hop = placed.join(F.broadcast(flagged), "src")
+    w = Window.partitionBy("src").orderBy(F.desc("o_orderdate"),
+                                          F.desc("dst"))
+    return (hop.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select(F.col("src").alias("c_key"), F.col("dst").alias("o_key"),
+                    F.col("o_orderdate").cast("string").alias("odate"),
+                    F.col("rn"))
+            .orderBy("c_key", "rn"))
+
+
 def q_delete(spark: SparkSession, sf: str) -> DataFrame:
     """DELETE surface (DeleteExecutor.cpp → anti-join): remove orders of
     negative-balance customers, return the surviving per-status counts."""
@@ -820,6 +853,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngql_listops": q_ngql_listops,
     "delete": q_delete,
     "ngql_match_2hop": q_ngql_match_2hop,
+    "short_profile": q_short_profile,
+    "short_orders": q_short_orders,
     "upsert": q_upsert,
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
@@ -1092,6 +1127,28 @@ ORACLES: dict[str, str] = {
         SELECT key FROM pts
         WHERE lng BETWEEN -50 AND 50 AND lat BETWEEN -30 AND 30
         ORDER BY key
+    """,
+    "short_profile": """
+        SELECT c_custkey AS key, c_name AS name, n_name AS nation,
+               r_name AS region
+        FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE c_acctbal > 9900.0
+        ORDER BY key
+    """,
+    "short_orders": """
+        WITH ranked AS (
+          SELECT o_custkey AS c_key, o_orderkey AS o_key,
+                 CAST(o_orderdate AS VARCHAR) AS odate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders
+          WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal < -900)
+        )
+        SELECT c_key, o_key, odate, rn FROM ranked WHERE rn <= 3
+        ORDER BY c_key, rn
     """,
     "ngql_match_2hop": """
         SELECT p_brand AS brand, COUNT(*) AS n

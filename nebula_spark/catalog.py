@@ -176,20 +176,33 @@ class GraphSpace:
 # operator is exercisable against the DuckDB oracle.
 # ---------------------------------------------------------------------------
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = ("region", "nation", "customer",
                                           "supplier", "part", "orders",
                                           "lineitem", "events", "documents",
                                           "embeddings")) -> dict[str, DataFrame]:
+    """Memoized per (session, dir, table): parquet footer/schema reads are
+    driver latency; the DataFrame handle itself is immutable metadata."""
     out = {}
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # TIMESTAMP(NANOS) read via nanosAsLong; ns div 1000 must be
-            # integer division — ns-since-epoch exceeds double precision
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        key = (id(spark), sf_dir, n)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # TIMESTAMP(NANOS) read via nanosAsLong; ns div 1000 must be
+                # integer division — ns-since-epoch exceeds double precision
+                df = df.withColumn("ts",
+                                   F.timestamp_micros(F.expr("ts div 1000")))
+            _TABLE_CACHE[key] = df
         out[n] = df
     return out
+
+
+_SPACE_CACHE: dict[tuple[int, str], "GraphSpace"] = {}
 
 
 def tpch_space(spark: SparkSession, sf_dir: str) -> GraphSpace:
@@ -198,7 +211,15 @@ def tpch_space(spark: SparkSession, sf_dir: str) -> GraphSpace:
     v_customer/v_supplier/v_part/v_nation/v_region as tags;
     e_placed (customer→order), e_contains (order→part, rank=l_linenumber),
     e_located_in (customer|supplier→nation), e_member_of (nation→region).
+
+    Memoized per (session, dir): the overlay is pure metadata (lazy
+    DataFrames), and re-reading seven parquet footers per query is driver
+    latency the reference's cached MetaClient doesn't pay either.
     """
+    key = (id(spark), sf_dir)
+    hit = _SPACE_CACHE.get(key)
+    if hit is not None:
+        return hit
     t = load_tables(spark, sf_dir, ("region", "nation", "customer",
                                     "supplier", "part", "orders", "lineitem"))
     sp = GraphSpace(spark, f"tpch:{sf_dir}")
@@ -234,4 +255,5 @@ def tpch_space(spark: SparkSession, sf_dir: str) -> GraphSpace:
         F.col("n_nationkey").cast("long").alias(SRC),
         F.col("n_regionkey").cast("long").alias(DST),
         F.lit(0).cast("long").alias(RANK)))
+    _SPACE_CACHE[key] = sp
     return sp
