@@ -656,6 +656,9 @@ _NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 _TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
 _MD5_64_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
+# byte i (1-based) of the md5 digest, from a hex column `m`
+_MD5_BYTE = "(('0x' || substr(m, {i}*2-1, 2))::INT)"
+
 
 def _shingle_sql(k: int = 3) -> str:
     return ("list_distinct(list_transform("
@@ -684,6 +687,38 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return (docs.select(language_id(F.col("text")).alias("lang_pred"))
             .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
             .orderBy("lang_pred"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode plumbing (training-data pipeline): document text
+    bytes treated as an opaque binary column, pushed through the
+    mapInPandas fake decoder (deterministic md5-derived dims + feature).
+    The oracle replicates the md5-byte arithmetic in pure SQL, so the
+    whole Arrow-batch path — schema, batching, salted partitioning — is
+    value-checked, not just row-counted. feat0_byte recovers the first
+    feature byte from the float32 feature (x255, round) so the compare is
+    exact despite the float32 column type."""
+    from nebula_spark.pipeline.multimodal import image_features
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    blobs = (docs.filter(F.col("doc_id") < 300)
+             .select("doc_id", F.encode("text", "utf-8").alias("content")))
+    feats = image_features(blobs, fake=True, batch_partitions=8)
+    return (feats.select(
+        "doc_id", "width", "height", "channels", "format",
+        F.round(F.element_at("feat", 1) * 255).cast("int").alias("feat0_byte"))
+        .orderBy("doc_id"))
+
+
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling shape (1→N flatMap under mapInPandas): fake
+    decoder derives a deterministic frame count from the content md5;
+    oracle re-derives it and unnests a range."""
+    from nebula_spark.pipeline.multimodal import frame_sample
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    blobs = (docs.filter(F.col("doc_id") < 100)
+             .select("doc_id", F.encode("text", "utf-8").alias("content")))
+    return (frame_sample(blobs, every_n=10, fake=True)
+            .orderBy("doc_id", "frame_idx"))
 
 
 def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -859,6 +894,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
+    "multimodal_meta": q_multimodal_meta,
+    "frame_sample": q_frame_sample,
     "exact_dedup": q_exact_dedup,
     "minhash": q_minhash,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1262,6 +1299,25 @@ ORACLES: dict[str, str] = {
                {_MD5_64_SQL.format(x=_NORM_SQL)} AS fp64
         FROM documents
     """,
+    "lang_id": None,  # filled below (generated from the stopword inventory)
+    "multimodal_meta": f"""
+        WITH h AS (SELECT doc_id, md5(text) AS m
+                   FROM documents WHERE doc_id < 300)
+        SELECT doc_id, 64 + {_MD5_BYTE.format(i=1)} AS width,
+               64 + {_MD5_BYTE.format(i=2)} AS height,
+               3 AS channels, 'fake/rgb' AS format,
+               {_MD5_BYTE.format(i=1)} AS feat0_byte
+        FROM h ORDER BY doc_id
+    """,
+    "frame_sample": f"""
+        WITH h AS (SELECT doc_id, md5(text) AS m
+                   FROM documents WHERE doc_id < 100),
+        b AS (SELECT doc_id, 1 + {_MD5_BYTE.format(i=1)} % 100 AS nf FROM h)
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(nf AS INT) AS n_frames
+        FROM (SELECT doc_id, unnest(range(0, nf, 10)) AS frame_idx, nf FROM b)
+        ORDER BY doc_id, frame_idx
+    """,
     "exact_dedup": f"""
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
         FROM documents GROUP BY md5({_NORM_SQL})
@@ -1309,6 +1365,30 @@ def _lsh_pairs_oracle() -> str:
 
 
 ORACLES["minhash_lsh_pairs"] = _lsh_pairs_oracle()
+
+
+def _lang_id_oracle() -> str:
+    """Replicates pipeline.text.language_id verbatim: stopword-vote with
+    dict-order tie-break (en > de > fr > es), 'und' when no hits."""
+    from nebula_spark.pipeline.text import _LANG_STOPWORDS
+    hits = ", ".join(
+        "len(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'), "
+        f"t -> list_contains({words!r}, t))) AS {lang}"
+        for lang, words in _LANG_STOPWORDS.items())
+    langs = list(_LANG_STOPWORDS)  # vote priority = dict order
+    case = " ".join(
+        f"WHEN {langs[i]} >= GREATEST({', '.join(langs[i + 1:])}) "
+        f"THEN '{langs[i]}'" for i in range(len(langs) - 1))
+    return f"""
+        WITH s AS (SELECT {hits} FROM documents)
+        SELECT lang_pred, COUNT(*) AS n FROM (
+          SELECT CASE WHEN GREATEST({', '.join(langs)}) < 1 THEN 'und'
+                 {case} ELSE '{langs[-1]}' END AS lang_pred FROM s)
+        GROUP BY lang_pred ORDER BY lang_pred
+    """
+
+
+ORACLES["lang_id"] = _lang_id_oracle()
 
 
 def entry(spark: SparkSession) -> DataFrame:
