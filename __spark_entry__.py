@@ -689,6 +689,40 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang_pred"))
 
 
+def q_shortest_path_fn(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH shortestPath() through the Cypher front end (kShortestPath,
+    SingleShortestPath.cpp:214-265): one minimal-hop row per reachable
+    (start, end) pair over located_in|member_of. Vids are shared across
+    tags (multi-tag vertices), so the oracle expands each vid's out-edges
+    from every tag carrying them (customer located_in + nation member_of)
+    at each hop and takes MIN(hops) per pair — exactly the single-shortest
+    semantics."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        MATCH p = shortestPath(
+            (s:supplier)-[:located_in|member_of*1..2]->(x))
+        RETURN s.supplier.vid AS s_key, id(x) AS end_vid,
+               length(p) AS hops
+        ORDER BY s_key, end_vid
+    """)
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based session windows per user (streaming/ingest.sessionize —
+    Spark native session_window, identical code path on a stream). Oracle
+    is the classic gaps-and-islands rewrite: a session breaks when the gap
+    to the previous event is >= the timeout (session windows are half-open
+    [start, last+gap))."""
+    from nebula_spark.streaming.ingest import sessionize
+    ev = load_tables(spark, sf, ("events",))["events"]
+    sess = sessionize(ev, gap="6 hours")
+    return (sess.select("user_id",
+                        F.col("s.start").alias("session_start"),
+                        "n_events", F.col("last_ts").alias("last_ts"))
+            .orderBy("user_id", "session_start"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal decode plumbing (training-data pipeline): document text
     bytes treated as an opaque binary column, pushed through the
@@ -894,6 +928,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
+    "shortest_path_fn": q_shortest_path_fn,
+    "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "exact_dedup": q_exact_dedup,
@@ -1300,6 +1336,38 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "lang_id": None,  # filled below (generated from the stopword inventory)
+    "shortest_path_fn": """
+        WITH starts(v) AS (SELECT s_suppkey FROM supplier),
+        out1 AS (
+          SELECT v, c_nationkey AS w FROM starts JOIN customer ON c_custkey = v
+          UNION SELECT v, n_regionkey FROM starts JOIN nation ON n_nationkey = v
+        ),
+        out2 AS (
+          SELECT o.v, c_nationkey AS w FROM out1 o JOIN customer ON c_custkey = o.w
+          UNION SELECT o.v, n_regionkey FROM out1 o JOIN nation ON n_nationkey = o.w
+        ),
+        paths AS (SELECT v, w, 1 AS hops FROM out1
+                  UNION ALL SELECT v, w, 2 FROM out2)
+        SELECT v AS s_key, w AS end_vid, MIN(hops) AS hops
+        FROM paths GROUP BY v, w ORDER BY s_key, end_vid
+    """,
+    "sessionize": """
+        WITH d AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 6 HOUR
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+          FROM events),
+        g AS (SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d)
+        SELECT user_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events, MAX(ts) AS last_ts
+        FROM g GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
     "multimodal_meta": f"""
         WITH h AS (SELECT doc_id, md5(text) AS m
                    FROM documents WHERE doc_id < 300)

@@ -438,6 +438,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
     # per-hop path fragments for `p = (…)` bindings: each entry is an
     # array<struct(s,d,r)> column expression over the final frame
     path_parts: list = []
+    hop_counts: list[Column] = []
 
     prev_alias = a0
     for me, mn in zip(path.edges, path.nodes[1:]):
@@ -460,6 +461,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 F.col(f"{ea}__src").alias("s"),
                 F.col(f"{ea}__dst").alias("d"),
                 F.col(f"{ea}__rank").alias("r"))))
+            hop_counts.append(F.lit(1))
         else:
             tr = traverse(edges.select(SRC, DST, RANK), cur.select(
                 F.col(f"{prev_alias}__vid").alias(VID)).distinct(),
@@ -474,6 +476,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 F.col(f"{ea}__path"),
                 lambda x: F.struct(x["s"].alias("s"), x["d"].alias("d"),
                                    x["r"].alias("r"))))
+            hop_counts.append(F.col(f"{ea}__hops"))
         if mn.tag:
             tt = _bind_tag(space, na, mn.tag)
             cur = cur.join(tt, cur[end_col] == tt[f"{na}__vid"], "inner")
@@ -484,6 +487,30 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         aliases.add(na)
         edge_aliases.add(ea)
         prev_alias = na
+
+    # shortestPath()/allShortestPaths(): keep only min-total-hop rows per
+    # (start, end) pair — the kShortestPath semantics. The per-pair min is
+    # one window shuffle keyed on the endpoints; at scale a BFS with
+    # level-pruning (bfs_shortest_paths) wins when max_hops is large, but
+    # pattern filters/props can reference intermediate hops here, so the
+    # enumerate-then-prune form is the general one.
+    if path.shortest and path.edges:
+        from pyspark.sql.window import Window
+        total = hop_counts[0]
+        for h in hop_counts[1:]:
+            total = total + h
+        w = Window.partitionBy(f"{a0}__vid", f"{prev_alias}__vid")
+        cur = (cur.withColumn("_hops_total", total)
+               .withColumn("_min_hops", F.min("_hops_total").over(w))
+               .filter(F.col("_hops_total") == F.col("_min_hops")))
+        if path.shortest == "single":
+            # deterministic representative per pair: lexicographically
+            # smallest serialized edge list
+            cur = (cur.withColumn("_ord",
+                                  F.concat(*path_parts).cast("string"))
+                   .withColumn("_rn", F.row_number().over(w.orderBy("_ord")))
+                   .filter(F.col("_rn") == 1).drop("_ord", "_rn"))
+        cur = cur.drop("_hops_total", "_min_hops")
 
     paths_bound: set[str] = set()
     if path.path_alias:

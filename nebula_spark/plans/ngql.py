@@ -203,6 +203,7 @@ class MatchPath:
     nodes: list[MatchNode]
     edges: list[MatchEdge]
     path_alias: str | None = None
+    shortest: str | None = None  # None | "single" | "all" (shortestPath fns)
 
 
 @dataclass
@@ -637,8 +638,23 @@ class Parser:
         if self.peek().kind == "NAME" and self.peek(1).kind == "ASSIGN":
             alias = self.eat("NAME").text
             self.eat("ASSIGN")
-        p = self.match_path()
+        # shortestPath((a)-[*..n]-(b)) / allShortestPaths(...) — the MATCH
+        # kShortestPath plan node (SingleShortestPath.cpp:214-265)
+        shortest = None
+        if (self.peek().kind == "NAME"
+                and self.peek().text.lower() in ("shortestpath",
+                                                 "allshortestpaths")
+                and self.peek(1).kind == "LP"):
+            shortest = ("single" if self.peek().text.lower() == "shortestpath"
+                        else "all")
+            self.eat("NAME")
+            self.eat("LP")
+            p = self.match_path()
+            self.eat("RP")
+        else:
+            p = self.match_path()
         p.path_alias = alias
+        p.shortest = shortest
         return p
 
     def match_clause(self, optional: bool) -> MatchClause:

@@ -333,3 +333,27 @@ def test_properties_and_vertex_struct(space):
 def test_syntax_error_position():
     with pytest.raises(SyntaxError):
         parse('GO FROM OVER like')
+
+
+def test_shortest_path_fn(space):
+    # shortestPath prunes non-minimal rows per (start,end) pair: p1->p3 is
+    # reachable in 1 and 3 hops; only the 1-hop row survives. One row per
+    # pair (deterministic representative).
+    df = execute(space,
+                 'MATCH p = shortestPath('
+                 '(v:player {name: "Tim"})-[:like*1..3]->(m:player)) '
+                 'RETURN m.player.vid AS d, length(p) AS n')
+    got = {(r.d, r.n) for r in df.collect()}
+    assert got == {("p2", 1), ("p3", 1), ("p1", 2), ("p5", 2), ("p4", 2)}
+    assert len(df.collect()) == 5  # exactly one path per endpoint pair
+
+
+def test_all_shortest_paths_fn(space):
+    # allShortestPaths keeps every tied-minimal path; add WHERE to pin ends
+    df = execute(space,
+                 'MATCH p = allShortestPaths('
+                 '(v:player)-[:like*1..3]->(m:player {name: "Kobe"})) '
+                 'WHERE v.player.name == "Tim" '
+                 'RETURN nodes(p) AS vids')
+    got = {tuple(r.vids) for r in df.collect()}
+    assert got == {("p1", "p3", "p5")}
