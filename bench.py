@@ -17,8 +17,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    # relational + traversal headline set (stable since r1 for comparability)
     "scan_project", "agg_group", "join_agg", "topn", "left_join",
     "rollup_apply", "window_topk", "go_1step", "go_2step", "bfs_distances",
+    # training-data pipeline + streaming-shape + front-end ops
+    "sessionize", "minhash_lsh_pairs", "ann_topk", "doc_stats",
+    "multimodal_meta", "shortest_path_fn",
 ]
 
 

@@ -43,6 +43,22 @@ def normalize_text(c: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Give a compute-heavy row-wise stage input parallelism.
+
+    Scan task count follows file bytes (`maxPartitionBytes`), which is the
+    wrong currency for expression-heavy stages: a 5k-document parquet file
+    is one scan task, and the shingle/md5 projection serializes on one
+    core. Repartition up to the session default parallelism when the scan
+    yields fewer partitions; on a real many-file corpus this is a no-op
+    (and the round-robin shuffle of raw text is trivially cheap relative
+    to the signature compute it unblocks)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 key_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized-text hash; keeps the minimum key per group.
@@ -51,7 +67,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     is a min-aggregate, not a window sort — one pass, map-side combinable.
     """
     h = _md5_64(normalize_text(F.col(text_col)))
-    return (df.withColumn("_h", h)
+    return (spread(df).withColumn("_h", h)
             .groupBy("_h")
             .agg(F.min(key_col).alias(key_col),
                  F.count(F.lit(1)).alias("dup_count"))
@@ -90,8 +106,8 @@ def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
     aggregate. This is the exact version of what MinHash approximates;
     at 100 TB you run MinHash first and this only to confirm candidates.
     """
-    sh = (df.select(F.col(key_col).alias("id"),
-                    shingles(F.col(text_col), k).alias("sh"))
+    sh = (spread(df).select(F.col(key_col).alias("id"),
+                            shingles(F.col(text_col), k).alias("sh"))
           .withColumn("n", F.size("sh"))
           .select("id", "n", F.explode("sh").alias("s")))
     a = sh.alias("a")
@@ -116,15 +132,19 @@ def minhash_signatures(df: DataFrame, key_col: str = "doc_id",
     Entirely JVM-side: shingle → md5 base hash (mod P) → per-permutation
     affine transform → array_min. One projection, zero shuffles.
     """
-    base = F.transform(shingles(F.col(text_col), k),
-                       lambda s: _md5_64(s) % MINHASH_P)
-
     def affine(a: int, b: int):
         return lambda x: (a * x + b) % MINHASH_P
 
-    sig = F.array(*[F.array_min(F.transform(base, affine(a, b)))
+    # materialize the md5 base array once per row (named column, not a
+    # repeated subexpression under each array_min), then take the per-
+    # permutation minima over it
+    sig = F.array(*[F.array_min(F.transform(F.col("_mh_base"), affine(a, b)))
                     for a, b in _perm_params(num_hashes)])
-    return df.select(F.col(key_col).alias("id"), sig.alias("sig"))
+    return (spread(df)
+            .withColumn("_mh_base",
+                        F.transform(shingles(F.col(text_col), k),
+                                    lambda s: _md5_64(s) % MINHASH_P))
+            .select(F.col(key_col).alias("id"), sig.alias("sig")))
 
 
 def minhash_lsh_pairs(df: DataFrame, key_col: str = "doc_id",
@@ -172,6 +192,7 @@ def simhash64(df: DataFrame, key_col: str = "doc_id",
     (aggregate over the token array), no UDF. 64 aggregate expressions is
     heavy codegen but still one projection pass, no shuffle.
     """
+    df = spread(df)
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     h = F.transform(toks, _md5_64)
 
