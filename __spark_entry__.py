@@ -689,6 +689,18 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang_pred"))
 
 
+def q_ngql_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """nGQL variable assignment (Assign, AssignExecutor.cpp:1-32):
+    `$var = <stmt>;` then traversal seeded FROM $var.col."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        $t = GO FROM 1, 2, 3 OVER located_in YIELD dst(edge) AS n;
+        GO FROM $t.n OVER member_of YIELD DISTINCT dst(edge) AS r
+        | ORDER BY $-.r
+    """)
+
+
 def q_shortest_path_fn(spark: SparkSession, sf: str) -> DataFrame:
     """MATCH shortestPath() through the Cypher front end (kShortestPath,
     SingleShortestPath.cpp:214-265): one minimal-hop row per reachable
@@ -928,6 +940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
+    "ngql_assign": q_ngql_assign,
     "shortest_path_fn": q_shortest_path_fn,
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
@@ -1336,6 +1349,11 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "lang_id": None,  # filled below (generated from the stopword inventory)
+    "ngql_assign": """
+        SELECT DISTINCT n_regionkey AS r
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        WHERE c_custkey IN (1, 2, 3) ORDER BY r
+    """,
     "shortest_path_fn": """
         WITH starts(v) AS (SELECT s_suppkey FROM supplier),
         out1 AS (

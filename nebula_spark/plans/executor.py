@@ -200,14 +200,21 @@ class ExprCompiler:
 # --------------------------------------------------------------------------
 
 def _vid_frame(space: GraphSpace, vids, piped: DataFrame | None,
-               src_col: str | None) -> DataFrame:
+               src_col: str | None,
+               env: dict[str, DataFrame] | None = None) -> DataFrame:
     if vids == "$-":
         if piped is None:
             raise ValueError("$- with no piped input")
         col = src_col or piped.columns[0]
         return piped.select(F.col(col).alias(VID)).distinct()
     if isinstance(vids, str) and vids.startswith("$"):
-        raise ValueError("named variables not supported in this subset")
+        # named query variable bound by `$var = <stmt>;`
+        # (AssignExecutor.cpp:1-32 / ExecutionContext variable table)
+        bound = (env or {}).get(vids)
+        if bound is None:
+            raise ValueError(f"undefined query variable {vids}")
+        col = src_col or bound.columns[0]
+        return bound.select(F.col(col).alias(VID)).distinct()
     return space.spark.createDataFrame([(v,) for v in vids], [VID])
 
 
@@ -223,9 +230,9 @@ def _edge_union(space: GraphSpace, names: list[str]) -> DataFrame:
     return out
 
 
-def _exec_go(space: GraphSpace, st: A.GoStmt,
-             piped: DataFrame | None) -> DataFrame:
-    start = _vid_frame(space, st.sources, piped, st.src_col)
+def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
+             env: dict[str, DataFrame] | None = None) -> DataFrame:
+    start = _vid_frame(space, st.sources, piped, st.src_col, env)
     edges = _edge_union(space, st.edges)
     hop = go(edges, start, st.min_steps, st.max_steps, st.direction,
              step_limits=st.limits, step_samples=st.sample)
@@ -774,25 +781,27 @@ def _exec_unwind(st: A.UnwindStmt, piped: DataFrame | None,
     return piped.withColumn(st.alias, col)
 
 
-def _execute_node(space: GraphSpace, node) -> DataFrame:
+def _execute_node(space: GraphSpace, node,
+                  env: dict[str, DataFrame] | None = None) -> DataFrame:
     if isinstance(node, A.SetOp):
         from nebula_spark.operators.setops import (intersect, minus,
                                                    union_all, union_distinct)
-        left = _execute_node(space, node.left)
-        right = _execute_node(space, node.right)
+        left = _execute_node(space, node.left, env)
+        right = _execute_node(space, node.right, env)
         if node.op == "union":
             return (union_distinct if node.dedup else union_all)(left, right)
         if node.op == "intersect":
             return intersect(left, right)
         return minus(left, right)
-    return _execute_pipeline(space, node)
+    return _execute_pipeline(space, node, env)
 
 
-def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline) -> DataFrame:
+def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
+                      env: dict[str, DataFrame] | None = None) -> DataFrame:
     df: DataFrame | None = None
     for st in pipeline.stages:
         if isinstance(st, A.GoStmt):
-            df = _exec_go(space, st, df)
+            df = _exec_go(space, st, df, env)
         elif isinstance(st, A.FetchVerticesStmt):
             df = _exec_fetch_vertices(space, st, df)
         elif isinstance(st, A.LookupStmt):
@@ -829,6 +838,17 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline) -> DataFrame:
 
 
 def execute(space: GraphSpace, query: str) -> DataFrame:
-    """Parse + run a (possibly piped, possibly set-op compound) nGQL/MATCH
-    query against a space."""
-    return _execute_node(space, A.parse(query))
+    """Parse + run a (possibly piped, possibly set-op compound, possibly
+    multi-statement) nGQL/MATCH query against a space."""
+    node = A.parse(query)
+    if isinstance(node, A.Script):
+        # sequential statements sharing a variable table (the
+        # ExecutionContext analog); the script's value is the last result
+        env: dict[str, DataFrame] = {}
+        df: DataFrame | None = None
+        for var, stmt in node.statements:
+            df = _execute_node(space, stmt, env)
+            if var is not None:
+                env[var] = df
+        return df
+    return _execute_node(space, node)

@@ -256,6 +256,15 @@ class SetOp:
     right: Pipeline
 
 
+@dataclass
+class Script:
+    """Semicolon-separated statement sequence with ``$var =`` bindings
+    (AssignExecutor.cpp:1-32 — bind a statement's result into a query
+    variable; later statements read it via ``FROM $var.col``). The
+    script's value is the last statement's result."""
+    statements: list             # [(var_name_with_$ | None, Pipeline|SetOp)]
+
+
 # --------------------------------------------------------------------------
 # parser
 # --------------------------------------------------------------------------
@@ -305,7 +314,25 @@ class Parser:
         raise SyntaxError(f"expected identifier, got {t.text!r} @{t.pos}")
 
     # -- entry
-    def parse(self) -> "Pipeline | SetOp":
+    def parse(self) -> "Pipeline | SetOp | Script":
+        stmts = []
+        while self.peek().kind != "EOF":
+            var = None
+            if (self.peek().kind == "VAR_REF"
+                    and self.peek(1).kind == "ASSIGN"):
+                var = self.eat("VAR_REF").text
+                self.eat("ASSIGN")
+            stmts.append((var, self._set_op_chain()))
+            if self.peek().kind == "SEMI":
+                self.eat("SEMI")
+            else:
+                break
+        self.eat("EOF")
+        if len(stmts) == 1 and stmts[0][0] is None:
+            return stmts[0][1]
+        return Script(stmts)
+
+    def _set_op_chain(self) -> "Pipeline | SetOp":
         node: Pipeline | SetOp = self.pipeline_group()
         # set ops are left-associative, equal precedence (parser.yy
         # set_sentence); plain UNION implies dedup, UNION ALL keeps rows
@@ -318,9 +345,6 @@ class Parser:
                 else:
                     self.try_kw("distinct")
             node = SetOp(op, dedup, node, self.pipeline_group())
-        if self.peek().kind == "SEMI":
-            self.eat("SEMI")
-        self.eat("EOF")
         return node
 
     def pipeline_group(self) -> Pipeline:

@@ -357,3 +357,19 @@ def test_all_shortest_paths_fn(space):
                  'RETURN nodes(p) AS vids')
     got = {tuple(r.vids) for r in df.collect()}
     assert got == {("p1", "p3", "p5")}
+
+
+def test_assign_variable(space):
+    # $var = <stmt>; later FROM $var.col (AssignExecutor semantics)
+    df = execute(space,
+                 '$a = GO FROM "p1" OVER like YIELD dst(edge) AS d; '
+                 'GO FROM $a.d OVER like YIELD DISTINCT dst(edge) AS d2')
+    assert {r.d2 for r in df.collect()} == {"p1", "p4", "p3", "p5"}
+
+
+def test_assign_default_column(space):
+    # bare $a uses the variable's first column
+    df = execute(space,
+                 '$a = GO FROM "p1" OVER like YIELD dst(edge) AS d; '
+                 'GO FROM $a OVER like YIELD DISTINCT dst(edge) AS d2')
+    assert {r.d2 for r in df.collect()} == {"p1", "p4", "p3", "p5"}
