@@ -97,6 +97,9 @@ FUNCTIONS: dict[str, object] = {
     "tail": _tail, "keys": F.map_keys, "coalesce": F.coalesce,
     "erase": F.array_remove, "setadd": lambda s, v: F.array_union(s, F.array(v)),
     "toset": F.array_distinct,
+    # FunctionManager cos_similarity (container family) — shared with the
+    # ANN pipeline implementation
+    "cos_similarity": None,  # bound below (avoids circular import at top)
     # casts
     "toboolean": lambda c: c.cast("boolean"),
     "tofloat": lambda c: c.cast("double"),
@@ -113,6 +116,10 @@ from nebula_spark.functions.temporal import TEMPORAL_FUNCTIONS as _TMP  # noqa: 
 FUNCTIONS.update(_GEO)
 FUNCTIONS.update(_TMP)
 FUNCTIONS.update(_FT)
+
+from nebula_spark.functions.graphfns import cos_similarity as _cos  # noqa: E402
+
+FUNCTIONS["cos_similarity"] = _cos
 
 
 def call(name: str, *args: Column) -> Column:
