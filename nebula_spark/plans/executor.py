@@ -750,6 +750,8 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                  else ec.col(e))
             order_cols.append(c if asc else c.desc())
         out = out.orderBy(*order_cols)
+    if st.skip:
+        out = out.offset(st.skip)
     if st.limit is not None:
         out = out.limit(st.limit)
     return out

@@ -55,6 +55,7 @@ _KEYWORDS = {
     "go", "from", "over", "where", "yield", "steps", "step", "to", "upto",
     "reversely", "bidirect", "fetch", "prop", "on", "lookup", "find",
     "shortest", "all", "noloop", "path", "get", "subgraph", "with", "in",
+    "skip",
     "out", "both", "order", "by", "limit", "offset", "group", "asc", "desc",
     "match", "return", "and", "or", "not", "xor", "distinct", "as", "true",
     "false", "null", "is", "starts", "ends", "contains", "union", "minus",
@@ -232,6 +233,7 @@ class MatchStmt:
     order_by: list[tuple] | None
     limit: int | None
     distinct: bool = False
+    skip: int | None = None       # openCypher SKIP (offset)
 
 
 @dataclass
@@ -732,10 +734,13 @@ class Parser:
                     self.eat("COMMA")
                     continue
                 break
+        skip = None
+        if self.try_kw("skip"):
+            skip = int(self.eat("INT").text)
         limit = None
         if self.try_kw("limit"):
             limit = int(self.eat("INT").text)
-        return MatchStmt(clauses, rets, order_by, limit, distinct)
+        return MatchStmt(clauses, rets, order_by, limit, distinct, skip)
 
     def match_node(self) -> MatchNode:
         self.eat("LP")

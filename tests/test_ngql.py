@@ -373,3 +373,10 @@ def test_assign_default_column(space):
                  '$a = GO FROM "p1" OVER like YIELD dst(edge) AS d; '
                  'GO FROM $a OVER like YIELD DISTINCT dst(edge) AS d2')
     assert {r.d2 for r in df.collect()} == {"p1", "p4", "p3", "p5"}
+
+
+def test_return_skip_limit(space):
+    df = execute(space,
+                 'MATCH (v:player) RETURN v.player.vid AS vid '
+                 'ORDER BY vid SKIP 1 LIMIT 2')
+    assert [r.vid for r in df.collect()] == ["p2", "p3"]
