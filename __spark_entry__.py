@@ -689,6 +689,18 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang_pred"))
 
 
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Pregel-style iterative PageRank (operators/algo.py) over the
+    customer→nation→region graph, 3 synchronous supersteps. Oracle is the
+    same recurrence unrolled as three CTE levels."""
+    from nebula_spark.operators.algo import pagerank
+    sp = tpch_space(spark, sf)
+    edges = sp.edge("located_in").unionByName(sp.edge("member_of"))
+    pr = pagerank(edges, iterations=3)
+    return (pr.select("vid", F.round("rank", 6).alias("rank"))
+            .orderBy("vid"))
+
+
 def q_ngql_assign(spark: SparkSession, sf: str) -> DataFrame:
     """nGQL variable assignment (Assign, AssignExecutor.cpp:1-32):
     `$var = <stmt>;` then traversal seeded FROM $var.col."""
@@ -940,6 +952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
+    "pagerank": q_pagerank,
     "ngql_assign": q_ngql_assign,
     "shortest_path_fn": q_shortest_path_fn,
     "sessionize": q_sessionize,
@@ -954,6 +967,36 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "near_dup_cosine": q_near_dup_cosine,
 }
+
+
+
+def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
+    """The pagerank() recurrence unrolled: r0 = 1.0, each level one
+    contribution-join + group + (1-d) + d*sum, dangling nodes keep (1-d)."""
+    levels = []
+    for k in range(1, iters + 1):
+        levels.append(f"""r{k} AS (
+          SELECT n.vid, {1 - d} + {d} * COALESCE(s.s, 0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS vid, SUM(r.rank / dg.outdeg) AS s
+            FROM e JOIN r{k - 1} r ON r.vid = e.src
+                   JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst) s ON s.vid = n.vid)""")
+    return f"""
+        WITH e AS (
+          SELECT c_custkey AS src, CAST(c_nationkey AS BIGINT) AS dst
+          FROM customer
+          UNION
+          SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+          FROM nation
+        ),
+        nodes AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT vid, 1.0 AS rank FROM nodes),
+        {', '.join(levels)}
+        SELECT vid, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY vid
+    """
+
 
 ORACLES: dict[str, str] = {
     "scan_project": """
@@ -1349,6 +1392,7 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "lang_id": None,  # filled below (generated from the stopword inventory)
+    "pagerank": _pagerank_oracle(),
     "ngql_assign": """
         SELECT DISTINCT n_regionkey AS r
         FROM customer JOIN nation ON n_nationkey = c_nationkey

@@ -127,3 +127,17 @@ def test_k_hop_subgraph(nba):
     # step1 edges from p1 + closing edges among visited
     got = {(r.src, r.dst, r._dir) for r in edges.collect()}
     assert ("p1", "p2", 1) in got and ("p1", "p3", 1) in got
+
+
+def test_pagerank_chain(spark):
+    # a->b->c, 1 iteration: b gets 0.15+0.85*1, c same (r0=1 everywhere),
+    # a is dangling-source → base 0.15
+    from nebula_spark.operators.algo import pagerank
+    e = spark.createDataFrame([("a", "b", 0), ("b", "c", 0)],
+                              "src string, dst string, rank long")
+    r = {x.vid: round(x.rank, 6) for x in pagerank(e, iterations=1).collect()}
+    assert r == {"a": 0.15, "b": 1.0, "c": 1.0}
+    r2 = {x.vid: round(x.rank, 6)
+          for x in pagerank(e, iterations=2).collect()}
+    # iter2: b <- a's 0.15 → 0.15+0.85*0.15; c <- b's 1.0 → 1.0
+    assert r2 == {"a": 0.15, "b": 0.2775, "c": 1.0}
