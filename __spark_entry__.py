@@ -689,6 +689,25 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang_pred"))
 
 
+def q_ngql_dml(spark: SparkSession, sf: str) -> DataFrame:
+    """Front-end DML (InsertExecutor/UpdateExecutor/DeleteExecutor):
+    DELETE + UPSERT + UPDATE sentences against a fresh space overlay, then
+    an aggregate over the mutated table. Oracle applies the same script
+    relationally."""
+    from nebula_spark.catalog import GraphSpace
+    from nebula_spark.plans import execute
+    t = load_tables(spark, sf, ("customer",))["customer"]
+    sp = GraphSpace(spark, "dml")
+    sp.create_tag("customer", df=t.select(
+        F.col("c_custkey").alias("vid"), "c_name", "c_acctbal"))
+    execute(sp, "DELETE VERTEX 1, 2, 3")
+    execute(sp, "UPSERT VERTEX ON customer 9999999 SET c_acctbal = 42.0")
+    execute(sp, "UPDATE VERTEX ON customer 4 SET c_acctbal = c_acctbal + 100.0")
+    return sp.tag("customer").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum("c_acctbal").alias("total"))
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Pregel-style iterative PageRank (operators/algo.py) over the
     customer→nation→region graph, 3 synchronous supersteps. Oracle is the
@@ -952,6 +971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
+    "ngql_dml": q_ngql_dml,
     "pagerank": q_pagerank,
     "ngql_assign": q_ngql_assign,
     "shortest_path_fn": q_shortest_path_fn,
@@ -1392,6 +1412,15 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "lang_id": None,  # filled below (generated from the stopword inventory)
+    "ngql_dml": """
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (
+          SELECT CASE WHEN c_custkey = 4 THEN c_acctbal + 100.0
+                 ELSE c_acctbal END AS bal
+          FROM customer WHERE c_custkey NOT IN (1, 2, 3)
+          UNION ALL SELECT 42.0)
+    """,
     "pagerank": _pagerank_oracle(),
     "ngql_assign": """
         SELECT DISTINCT n_regionkey AS r

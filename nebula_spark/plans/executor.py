@@ -783,6 +783,90 @@ def _exec_unwind(st: A.UnwindStmt, piped: DataFrame | None,
     return piped.withColumn(st.alias, col)
 
 
+def _cast_like(df: DataFrame, table: DataFrame) -> DataFrame:
+    """Align a literal-built frame to the table's column types."""
+    dt = dict(table.dtypes)
+    return df.select(*[F.col(c).cast(dt[c]) if c in dt else F.col(c)
+                       for c in df.columns])
+
+
+def _rebind(space: GraphSpace, name: str, is_edge: bool,
+            new_df: DataFrame) -> None:
+    """Swap a tag/edge table for its mutated version, keeping TTL config
+    (the Delta-MERGE commit analog for the in-memory catalog; durable
+    spaces write through sources/sink.py instead)."""
+    defs = space.edges if is_edge else space.tags
+    d = defs[name]
+    maker = space.create_edge if is_edge else space.create_tag
+    maker(name, df=new_df, ttl_col=d.ttl_col, ttl_duration=d.ttl_duration)
+
+
+def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
+    from nebula_spark.operators.mutate import insert_rows
+    table = space.edge(st.name) if st.is_edge else space.tag(st.name)
+    if st.is_edge:
+        data = [(r[0], r[1], r[2], *r[3]) for r in st.rows]
+        cols = [SRC, DST, RANK, *st.props]
+        key = [SRC, DST, RANK]
+    else:
+        data = [(r[0], *r[1]) for r in st.rows]
+        cols = [VID, *st.props]
+        key = [VID]
+    rows = space.spark.createDataFrame(data, cols)
+    dt = dict(table.dtypes)
+    for c in table.columns:
+        if c not in rows.columns:
+            rows = rows.withColumn(c, F.lit(None).cast(dt[c]))
+    new = insert_rows(table, _cast_like(rows, table), key, st.if_not_exists)
+    _rebind(space, st.name, st.is_edge, new)
+    return space.spark.range(0)
+
+
+def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
+    from nebula_spark.operators.mutate import update_rows
+    table = space.edge(st.name) if st.is_edge else space.tag(st.name)
+    key = [SRC, DST, RANK] if st.is_edge else [VID]
+    keys_df = _cast_like(
+        space.spark.createDataFrame([st.key], key), table)
+    # SET expressions evaluate against the stored row (UpdateExecutor
+    # read-modify-write); UPSERT sees NULL props for a missing key
+    base = keys_df.join(table, key, "left")
+    ec = ExprCompiler(lambda kind, *a: F.col(a[-1] if kind != "name" else a[0]))
+    dt = dict(table.dtypes)
+    updates = base.select(
+        *key, *[ec.col(e).cast(dt[prop]).alias(prop) for prop, e in st.sets])
+    new = update_rows(table, updates, key, st.insertable)
+    _rebind(space, st.name, st.is_edge, new)
+    return space.spark.range(0)
+
+
+def _exec_delete(space: GraphSpace, st: A.DeleteStmt) -> DataFrame:
+    from nebula_spark.operators.mutate import delete_rows
+    if st.kind == "edge":
+        table = space.edge(st.name)
+        keys_df = _cast_like(
+            space.spark.createDataFrame(st.keys, [SRC, DST, RANK]), table)
+        _rebind(space, st.name, True,
+                delete_rows(table, keys_df, [SRC, DST, RANK]))
+        return space.spark.range(0)
+    vids = space.spark.createDataFrame([(v,) for v in st.keys], [VID])
+    for tname in list(space.tags):
+        t = space.tag(tname)
+        _rebind(space, tname, False,
+                delete_rows(t, _cast_like(vids, t), [VID]))
+    if st.with_edge:
+        for ename in list(space.edges):
+            e = space.edge(ename)
+            vk = _cast_like(vids.withColumnRenamed(VID, SRC), e)
+            e2 = e.join(vk.select(SRC).distinct(), [SRC], "left_anti")
+            vk2 = vids.withColumnRenamed(VID, DST)
+            dtypes = dict(e.dtypes)
+            e2 = e2.join(vk2.select(F.col(DST).cast(dtypes[DST]).alias(DST))
+                         .distinct(), [DST], "left_anti")
+            _rebind(space, ename, True, e2.select(*e.columns))
+    return space.spark.range(0)
+
+
 def _execute_node(space: GraphSpace, node,
                   env: dict[str, DataFrame] | None = None) -> DataFrame:
     if isinstance(node, A.SetOp):
@@ -834,6 +918,12 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
             df = _exec_match(space, st)
         elif isinstance(st, A.UnwindStmt):
             df = _exec_unwind(st, df, space.spark)
+        elif isinstance(st, A.InsertStmt):
+            df = _exec_insert(space, st)
+        elif isinstance(st, A.UpdateStmt):
+            df = _exec_update(space, st)
+        elif isinstance(st, A.DeleteStmt):
+            df = _exec_delete(space, st)
         else:
             raise ValueError(f"unsupported statement {type(st).__name__}")
     return df

@@ -46,6 +46,7 @@ _TOKEN_SPEC = [
     ("LP", r"\("), ("RP", r"\)"), ("LB", r"\["), ("RB", r"\]"),
     ("LC", r"\{"), ("RC", r"\}"),
     ("COMMA", r","), ("COLON", r":"), ("SEMI", r";"), ("DOT", r"\."),
+    ("AT", r"@"),
     ("PIPE", r"\|"),
     ("NAME", r"[A-Za-z_][A-Za-z0-9_]*"),
 ]
@@ -60,7 +61,8 @@ _KEYWORDS = {
     "match", "return", "and", "or", "not", "xor", "distinct", "as", "true",
     "false", "null", "is", "starts", "ends", "contains", "union", "minus",
     "intersect", "of", "case", "when", "then", "else", "end", "sample",
-    "unwind", "optional",
+    "unwind", "optional", "insert", "update", "upsert", "delete", "values",
+    "set",
 }
 
 
@@ -259,6 +261,39 @@ class SetOp:
 
 
 @dataclass
+class InsertStmt:
+    """INSERT VERTEX/EDGE [IF NOT EXISTS] name(props) VALUES …
+    (``src/parser/MutateSentences.h``; plain INSERT overwrites the key,
+    AddVerticesProcessor semantics)."""
+    is_edge: bool
+    name: str
+    props: list[str]
+    rows: list                   # vertex: (vid, vals); edge: (src,dst,rank,vals)
+    if_not_exists: bool = False
+
+
+@dataclass
+class UpdateStmt:
+    """UPDATE/UPSERT VERTEX|EDGE ON name <key> SET prop = expr, …
+    (UpdateExecutor; ``insertable`` = UPSERT, MutateSentences.h:385-411)."""
+    is_edge: bool
+    name: str
+    key: tuple                   # (vid,) or (src, dst, rank)
+    sets: list                   # [(prop, expr-tuple)]
+    insertable: bool = False
+
+
+@dataclass
+class DeleteStmt:
+    """DELETE VERTEX vids [WITH EDGE] / DELETE EDGE name keys
+    (DeleteExecutor.cpp)."""
+    kind: str                    # vertex|edge
+    name: str | None             # edge type for DELETE EDGE
+    keys: list                   # vids or (src, dst, rank)
+    with_edge: bool = False
+
+
+@dataclass
 class Script:
     """Semicolon-separated statement sequence with ``$var =`` bindings
     (AssignExecutor.cpp:1-32 — bind a statement's result into a query
@@ -379,8 +414,119 @@ class Parser:
             return self.match_sentence()
         if self.at_kw("unwind"):
             return self.unwind_sentence()
+        if self.at_kw("insert"):
+            return self.insert_sentence()
+        if self.at_kw("update", "upsert"):
+            return self.update_sentence()
+        if self.at_kw("delete"):
+            return self.delete_sentence()
         t = self.peek()
         raise SyntaxError(f"unknown sentence start {t.text!r} @{t.pos}")
+
+    # -- DML (MutateSentences.h; InsertExecutor/UpdateExecutor/DeleteExecutor)
+    def _entity_kw(self) -> str:
+        t = self.eat("NAME")
+        w = t.text.lower()
+        if w not in ("vertex", "edge"):
+            raise SyntaxError(f"expected VERTEX or EDGE, got {t.text!r}")
+        return w
+
+    def _edge_key(self) -> tuple:
+        src = self.literal()
+        self.eat("ARROW_R")
+        dst = self.literal()
+        rank = 0
+        if self.peek().kind == "AT":
+            self.eat("AT")
+            rank = int(self.eat("INT").text)
+        return (src, dst, rank)
+
+    def insert_sentence(self) -> InsertStmt:
+        self.eat_kw("insert")
+        is_edge = self._entity_kw() == "edge"
+        ine = False
+        if self.peek().kind == "NAME" and self.peek().text.lower() == "if":
+            self.eat("NAME")
+            self.eat_kw("not")
+            t = self.eat("NAME")
+            if t.text.lower() != "exists":
+                raise SyntaxError(f"expected EXISTS, got {t.text!r}")
+            ine = True
+        name = self.name()
+        props = []
+        self.eat("LP")
+        while self.peek().kind != "RP":
+            props.append(self.name())
+            if self.peek().kind == "COMMA":
+                self.eat("COMMA")
+        self.eat("RP")
+        self.eat_kw("values")
+        rows = []
+        while True:
+            if is_edge:
+                src, dst, rank = self._edge_key()
+                self.eat("COLON")
+                vals = self._value_tuple()
+                rows.append((src, dst, rank, vals))
+            else:
+                vid = self.literal()
+                self.eat("COLON")
+                rows.append((vid, self._value_tuple()))
+            if self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                continue
+            break
+        return InsertStmt(is_edge, name, props, rows, ine)
+
+    def _value_tuple(self) -> list:
+        self.eat("LP")
+        vals = []
+        while self.peek().kind != "RP":
+            vals.append(self.literal())
+            if self.peek().kind == "COMMA":
+                self.eat("COMMA")
+        self.eat("RP")
+        return vals
+
+    def update_sentence(self) -> UpdateStmt:
+        insertable = self.eat_kw("update", "upsert").text == "upsert"
+        is_edge = self._entity_kw() == "edge"
+        self.eat_kw("on")
+        name = self.name()
+        key = self._edge_key() if is_edge else (self.literal(),)
+        self.eat_kw("set")
+        sets = []
+        while True:
+            prop = self.name()
+            self.eat("ASSIGN")
+            sets.append((prop, self.expr()))
+            if self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                continue
+            break
+        return UpdateStmt(is_edge, name, key, sets, insertable)
+
+    def delete_sentence(self) -> DeleteStmt:
+        self.eat_kw("delete")
+        kind = self._entity_kw()
+        if kind == "edge":
+            name = self.name()
+            keys = [self._edge_key()]
+            while self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                keys.append(self._edge_key())
+            return DeleteStmt("edge", name, keys)
+        keys = [self.literal()]
+        while self.peek().kind == "COMMA":
+            self.eat("COMMA")
+            keys.append(self.literal())
+        with_edge = False
+        if self.try_kw("with"):
+            t = self.eat("NAME")
+            if t.text.lower() != "edge":
+                raise SyntaxError(f"expected EDGE after WITH, got {t.text!r}")
+            with_edge = True
+        return DeleteStmt("vertex", None, keys, with_edge)
 
     # -- UNWIND (UnwindValidator.cpp: non-list → 1 row, empty list dropped)
     def unwind_sentence(self) -> UnwindStmt:

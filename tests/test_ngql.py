@@ -380,3 +380,47 @@ def test_return_skip_limit(space):
                  'MATCH (v:player) RETURN v.player.vid AS vid '
                  'ORDER BY vid SKIP 1 LIMIT 2')
     assert [r.vid for r in df.collect()] == ["p2", "p3"]
+
+
+def test_dml_vertex_lifecycle(spark, nba):
+    sp = GraphSpace(spark, "dml")
+    sp.create_tag("player", df=nba["player"])
+    sp.create_edge("like", df=nba["like"])
+
+    execute(sp, 'INSERT VERTEX player(name, age) VALUES "p9":("Zed", 21)')
+    got = {r.vid: (r.name, r.age) for r in sp.tag("player").collect()}
+    assert got["p9"] == ("Zed", 21)
+
+    execute(sp, 'UPDATE VERTEX ON player "p9" SET age = age + 1')
+    assert sp.tag("player").filter("vid = 'p9'").collect()[0].age == 22
+
+    execute(sp, 'UPSERT VERTEX ON player "p10" SET age = 1')
+    assert sp.tag("player").filter("vid = 'p10'").collect()[0].age == 1
+
+    # plain INSERT overwrites (AddVerticesProcessor upsert semantics);
+    # IF NOT EXISTS keeps the stored row
+    execute(sp, 'INSERT VERTEX IF NOT EXISTS player(name, age) '
+                'VALUES "p9":("Other", 99)')
+    assert sp.tag("player").filter("vid = 'p9'").collect()[0].age == 22
+    execute(sp, 'INSERT VERTEX player(name, age) VALUES "p9":("Other", 99)')
+    assert sp.tag("player").filter("vid = 'p9'").collect()[0].age == 99
+
+    execute(sp, 'INSERT EDGE like(likeness) VALUES "p1"->"p9"@0:(50)')
+    assert sp.edge("like").filter("dst = 'p9'").count() == 1
+
+    execute(sp, 'DELETE VERTEX "p9" WITH EDGE')
+    assert sp.tag("player").filter("vid = 'p9'").count() == 0
+    assert sp.edge("like").filter("dst = 'p9'").count() == 0
+
+    execute(sp, 'DELETE EDGE like "p1"->"p2"@0')
+    assert sp.edge("like").filter("src = 'p1' AND dst = 'p2'").count() == 0
+
+
+def test_dml_edge_update(spark, nba):
+    sp = GraphSpace(spark, "dml2")
+    sp.create_edge("serve", df=nba["serve"])
+    # parallel edges discriminated by rank (Edge.h ranking)
+    execute(sp, 'UPDATE EDGE ON serve "p1"->"t1"@1 SET end_year = 2019')
+    rows = {r.rank: r.end_year
+            for r in sp.edge("serve").filter("src = 'p1'").collect()}
+    assert rows == {0: 2016, 1: 2019}
