@@ -845,7 +845,9 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: approximation is ours)."""
+    """LSH-bucketed approximate top-k. The md5-derived hyperplanes are
+    deterministic, so the oracle replicates the exact bucketing + the
+    bucket-local ranking (see _ann_lsh_oracle)."""
     from nebula_spark.pipeline import lsh_bucketed_topk
     embs = load_tables(spark, sf, ("embeddings",))["embeddings"]
     q = embs.filter(F.col("vec_id") <= 4).select(
@@ -1548,6 +1550,44 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES["lang_id"] = _lang_id_oracle()
+
+
+def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64,
+                    salt: str = "ivf") -> str:
+    """Replicates pipeline.similarity.hyperplane_bucket: the ±1 plane
+    components are md5-derived constants, so they are precomputed here and
+    embedded as literals — the oracle checks the *bucketing* and the
+    bucket-local top-k, not just row counts."""
+    import hashlib
+
+    def sgn(p: int, i: int) -> float:
+        h = int(hashlib.md5(f"{salt}:{p}:{i}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(cv, ["
+        + ", ".join(str(sgn(p, i)) for i in range(dim))
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for p in range(n_planes))
+    return f"""
+        WITH c AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+        cb AS (SELECT cid, cv, {bits} AS bkt FROM c),
+        q AS (SELECT cid AS qid, cv AS qv, bkt FROM cb WHERE cid <= 4),
+        scored AS (
+          SELECT q.qid, cb.cid,
+                 ROUND(list_cosine_similarity(cb.cv, q.qv), 6) AS cosine
+          FROM cb JOIN q USING (bkt))
+        SELECT qid, cid, cosine, rank FROM (
+          SELECT qid, cid, cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, cid) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 10
+    """
+
+
+ORACLES["ann_lsh"] = _ann_lsh_oracle()
 
 
 def entry(spark: SparkSession) -> DataFrame:
