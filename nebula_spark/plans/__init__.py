@@ -11,4 +11,4 @@ plan DAG; SURVEY.md §4 explains why the memo optimizer is deleted).
 """
 
 from nebula_spark.plans.ngql import parse  # noqa: F401
-from nebula_spark.plans.executor import execute  # noqa: F401
+from nebula_spark.plans.executor import execute, explain  # noqa: F401

@@ -929,9 +929,34 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
     return df
 
 
+import re as _re
+
+_EXPLAIN_RE = _re.compile(r"\s*(explain|profile)\b", _re.IGNORECASE)
+
+
+def explain(space: GraphSpace, query: str, formatted: bool = True) -> str:
+    """EXPLAIN: compile the query and return the Catalyst plan text —
+    the analog of the reference's EXPLAIN sentence (SequentialValidator /
+    QueryInstance 'format' output), except the plan shown is the real
+    physical plan Spark will run (pushdowns, join strategies, codegen)."""
+    m = _EXPLAIN_RE.match(query)
+    df = execute(space, query[m.end():] if m else query)
+    qe = df._jdf.queryExecution()
+    return qe.explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted" if formatted else "extended"))
+
+
 def execute(space: GraphSpace, query: str) -> DataFrame:
     """Parse + run a (possibly piped, possibly set-op compound, possibly
-    multi-statement) nGQL/MATCH query against a space."""
+    multi-statement) nGQL/MATCH query against a space.
+
+    An ``EXPLAIN``/``PROFILE`` prefix returns a one-row DataFrame with the
+    physical plan text instead of executing the statement."""
+    m = _EXPLAIN_RE.match(query)
+    if m:
+        plan = explain(space, query[m.end():])
+        return space.spark.createDataFrame([(plan,)], ["plan"])
     node = A.parse(query)
     if isinstance(node, A.Script):
         # sequential statements sharing a variable table (the

@@ -424,3 +424,15 @@ def test_dml_edge_update(spark, nba):
     rows = {r.rank: r.end_year
             for r in sp.edge("serve").filter("src = 'p1'").collect()}
     assert rows == {0: 2016, 1: 2019}
+
+
+def test_explain_surface(space):
+    # EXPLAIN returns the Catalyst physical plan, not results
+    df = execute(space, 'EXPLAIN GO FROM "p1" OVER like YIELD dst(edge) AS d')
+    rows = df.collect()
+    assert len(rows) == 1 and "Physical Plan" in rows[0].plan
+
+    from nebula_spark.plans.executor import explain
+    txt = explain(space, 'MATCH (v:player) WHERE v.player.age > 40 '
+                         'RETURN v.player.name AS name')
+    assert "PushedFilters" in txt or "Filter" in txt
