@@ -716,7 +716,12 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     sp = tpch_space(spark, sf)
     edges = sp.edge("located_in").unionByName(sp.edge("member_of"))
     pr = pagerank(edges, iterations=3)
-    return (pr.select("vid", F.round("rank", 6).alias("rank"))
+    # integer micro-rank: floor(x*1e6 + 0.5) is the same IEEE op sequence
+    # in both engines, unlike ROUND (Spark rounds the shortest decimal
+    # repr half-up; DuckDB rounds the true binary value — they disagree
+    # exactly on representation-boundary values)
+    return (pr.select("vid", F.floor(F.col("rank") * 1000000.0 + 0.5)
+                      .cast("long").alias("rank_e6"))
             .orderBy("vid"))
 
 
@@ -994,13 +999,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
     """The pagerank() recurrence unrolled: r0 = 1.0, each level one
-    contribution-join + group + (1-d) + d*sum, dangling nodes keep (1-d)."""
+    contribution-join + group + (1-d) + d*sum, dangling nodes keep (1-d).
+
+    Arithmetic mirrors the operator bit-for-bit: rank stays DOUBLE (DuckDB
+    would otherwise run the whole recurrence in DECIMAL — its numeric
+    literals are decimal), while the per-node contribution SUM is cast to
+    DECIMAL(30,15) so it is exact and order-independent in both engines."""
     levels = []
     for k in range(1, iters + 1):
         levels.append(f"""r{k} AS (
-          SELECT n.vid, {1 - d} + {d} * COALESCE(s.s, 0) AS rank
+          SELECT n.vid, CAST({1 - d!r} AS DOUBLE) + CAST({d!r} AS DOUBLE)
+                 * COALESCE(CAST(s.s AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
           FROM nodes n LEFT JOIN (
-            SELECT e.dst AS vid, SUM(r.rank / dg.outdeg) AS s
+            SELECT e.dst AS vid,
+                   SUM(CAST(r.rank / dg.outdeg AS DECIMAL(30,15))) AS s
             FROM e JOIN r{k - 1} r ON r.vid = e.src
                    JOIN deg dg ON dg.src = e.src
             GROUP BY e.dst) s ON s.vid = n.vid)""")
@@ -1014,9 +1026,10 @@ def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
         ),
         nodes AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
         deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-        r0 AS (SELECT vid, 1.0 AS rank FROM nodes),
+        r0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
         {', '.join(levels)}
-        SELECT vid, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY vid
+        SELECT vid, CAST(FLOOR(rank * 1000000.0 + 0.5) AS BIGINT) AS rank_e6
+        FROM r{iters} ORDER BY vid
     """
 
 

@@ -40,16 +40,21 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     ranks = nodes.withColumn("rank", F.lit(1.0))
     try:
         for _ in range(iterations):
+            # contribution sum is decimal-stabilized (the repo's float
+            # discipline): double sums are shuffle-order-dependent, and a
+            # rank landing on a rounding boundary flips the comparison
             contrib = (e.join(ranks, e[SRC] == ranks["vid"])
                        .join(deg, SRC)
                        .select(F.col(DST).alias("vid"),
-                               (F.col("rank") / F.col("outdeg")).alias("c")))
+                               (F.col("rank") / F.col("outdeg"))
+                               .cast("decimal(30,15)").alias("c")))
             sums = contrib.groupBy("vid").agg(F.sum("c").alias("s"))
             ranks = (nodes.join(sums, "vid", "left")
                      .select("vid",
                              (F.lit(1.0 - damping)
-                              + F.lit(damping) * F.coalesce(F.col("s"),
-                                                            F.lit(0.0)))
+                              + F.lit(damping)
+                              * F.coalesce(F.col("s").cast("double"),
+                                           F.lit(0.0)))
                              .alias("rank")))
             # eager: materializes the superstep now (against the cached
             # edge/degree frames) and severs lineage — the returned frame
