@@ -22,7 +22,7 @@ BENCH_QUERIES = [
     "rollup_apply", "window_topk", "go_1step", "go_2step", "bfs_distances",
     # training-data pipeline + streaming-shape + front-end ops
     "sessionize", "minhash_lsh_pairs", "ann_topk", "doc_stats",
-    "multimodal_meta", "shortest_path_fn",
+    "multimodal_meta", "shortest_path_fn", "pagerank",
 ]
 
 
