@@ -78,3 +78,54 @@ def test_setops_model(spark, left, right):
     exp_m = sorted((t for t in lrows if t not in rset), key=key)
     assert got_i == exp_i
     assert got_m == exp_m
+
+
+TEXT = st.text(alphabet="ab cd", min_size=0, max_size=40)
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=6))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_minhash_invariants(spark, texts):
+    """MinHash invariants: signatures are deterministic, identical
+    normalized texts get identical signatures, and signature length is
+    always num_hashes (empty shingle sets included)."""
+    from nebula_spark.pipeline.dedup import minhash_signatures, normalize_text
+    import pyspark.sql.functions as F
+    rows = [(i, t) for i, t in enumerate(texts)] + \
+           [(len(texts) + i, t) for i, t in enumerate(texts)]  # duplicates
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.id: tuple(r.sig or ())
+            for r in minhash_signatures(df, num_hashes=4).collect()}
+    norm = {r.doc_id: r.n for r in
+            df.select("doc_id", normalize_text(F.col("text")).alias("n"))
+            .collect()}
+    by_norm: dict = {}
+    for i, t in rows:
+        by_norm.setdefault(norm[i], set()).add(sigs[i])
+    for n, sset in by_norm.items():
+        assert len(sset) == 1, f"same normalized text, differing sigs: {n!r}"
+    for s in sigs.values():
+        assert s == () or len(s) == 4
+
+
+@given(vecs=st.lists(
+    st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+             min_size=4, max_size=4), min_size=2, max_size=5))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_hyperplane_bucket_deterministic(spark, vecs):
+    """LSH bucket ids: pure function of the vector — duplicated vectors
+    land in the same bucket, bucket id is always n_planes bits."""
+    from nebula_spark.pipeline.similarity import hyperplane_bucket
+    import pyspark.sql.functions as F
+    rows = [(i, v) for i, v in enumerate(vecs + vecs)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    got = {r.id: r.b for r in df.select(
+        "id", hyperplane_bucket(F.col("v"), 5).alias("b")).collect()}
+    n = len(vecs)
+    for i in range(n):
+        assert got[i] == got[i + n]
+        assert len(got[i]) == 5 and set(got[i]) <= {"0", "1"}
