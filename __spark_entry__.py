@@ -689,6 +689,16 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang_pred"))
 
 
+def q_cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-parity aggregation (SURVEY §2.5 'NOT present' row): CUBE
+    grouping sets — free from Catalyst, absent in the reference."""
+    t = load_tables(spark, sf, ("lineitem",))
+    return (t["lineitem"].cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("l_quantity").alias("sum_qty"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
 def q_ngql_dml(spark: SparkSession, sf: str) -> DataFrame:
     """Front-end DML (InsertExecutor/UpdateExecutor/DeleteExecutor):
     DELETE + UPSERT + UPDATE sentences against a fresh space overlay, then
@@ -978,6 +988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
+    "cube_agg": q_cube_agg,
     "ngql_dml": q_ngql_dml,
     "pagerank": q_pagerank,
     "ngql_assign": q_ngql_assign,
@@ -1427,6 +1438,13 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "lang_id": None,  # filled below (generated from the stopword inventory)
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
     "ngql_dml": """
         SELECT COUNT(*) AS n,
                CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
