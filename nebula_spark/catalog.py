@@ -186,6 +186,11 @@ def load_tables(spark: SparkSession, sf_dir: str,
                                           "embeddings")) -> dict[str, DataFrame]:
     """Memoized per (session, dir, table): parquet footer/schema reads are
     driver latency; the DataFrame handle itself is immutable metadata."""
+    # The driver's events.parquet carries TIMESTAMP(NANOS), which Spark
+    # refuses by default (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable,
+    # so set it on the *caller's* session — sessions built outside
+    # nebula_spark.session.get_spark (e.g. an external harness) must work too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for n in names:
         key = (id(spark), sf_dir, n)

@@ -43,23 +43,45 @@ _DISTINCT_FNS = {
 }
 
 
+# DISTINCT is a no-op for these (idempotent over duplicate values)
+_DISTINCT_NOOP = {"max", "min", "bit_and", "bit_or", "collect_set"}
+
+
 def agg_call(name: str, col: Column | str, distinct: bool = False) -> Column:
     """Build one aggregate item the way AggregateExpression does.
 
-    DISTINCT for functions without a native distinct builder goes through
-    SQL-expression form so Catalyst plans the distinct-aggregate rewrite
-    (expand + two-phase agg) itself.
+    DISTINCT variants never round-trip a Column through its printed form
+    (which may not re-parse for computed expressions): count/sum use the
+    native distinct builders, idempotent functions drop the DISTINCT, and
+    the rest (avg/collect/bit_xor/std) are built from count_distinct /
+    sum_distinct / collect_set + JVM-side array folds.
     """
     name = name.lower()
-    if distinct:
-        if name in _DISTINCT_FNS:
-            return _DISTINCT_FNS[name](col)
-        cname = col if isinstance(col, str) else col._jc.toString()  # noqa: SLF001
-        sql_name = {"collect": "collect_list", "std": "stddev_pop"}.get(name, name)
-        return F.expr(f"{sql_name}(DISTINCT {cname})")
     if name not in _AGG_FNS:
         raise ValueError(f"unknown aggregate function: {name}")
-    return _AGG_FNS[name](col)
+    c = F.col(col) if isinstance(col, str) else col
+    if not distinct:
+        return _AGG_FNS[name](c)
+    if name in _DISTINCT_FNS:
+        return _DISTINCT_FNS[name](c)
+    if name in _DISTINCT_NOOP:
+        return _AGG_FNS[name](c)
+    if name == "avg":
+        return F.sum_distinct(c) / F.count_distinct(c)
+    if name == "collect":
+        return F.collect_set(c)
+    if name == "bit_xor":
+        # duplicates cancel under xor, so fold the distinct set
+        return F.aggregate(F.collect_set(c.cast("long")),
+                           F.lit(0).cast("long"),
+                           lambda a, x: a.bitwiseXOR(x))
+    # std over the distinct value set; sorted array => deterministic
+    # float accumulation order across runs
+    cs = F.sort_array(F.collect_set(c.cast("double")))
+    n = F.size(cs).cast("double")
+    s = F.aggregate(cs, F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(cs, F.lit(0.0), lambda a, x: a + x * x)
+    return F.when(n > 0, F.sqrt(s2 / n - (s / n) * (s / n)))
 
 
 def aggregate(df: DataFrame, group_keys: Sequence[Column | str],

@@ -35,7 +35,11 @@ def k_hop_subgraph(edges: DataFrame, seeds: DataFrame, steps: int = 1,
     already-visited vertices (SubgraphExecutor.cpp: the last round keeps
     edges whose dst was seen before).
     """
-    e_all = oriented(edges, direction)
+    # An input that already carries ``_dir`` is pre-oriented (e.g. the nGQL
+    # executor orients per IN/OUT/BOTH edge list); re-orienting would
+    # overwrite direction identity and let dropDuplicates merge a real
+    # out-edge a->b with the reversed image of an in-edge b->a.
+    e_all = edges if "_dir" in edges.columns else oriented(edges, direction)
     if edge_filter is not None:
         e_all = e_all.filter(edge_filter)
 

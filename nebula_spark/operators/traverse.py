@@ -95,7 +95,7 @@ def get_neighbors(vids: DataFrame, edges: DataFrame, direction: str = "out",
 def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
        max_steps: int = 1, direction: str = "out",
        edge_filter: Column | None = None,
-       early_stop: bool = True,
+       early_stop: bool | None = None,
        step_limits: list[int] | None = None,
        step_samples: list[int] | None = None,
        sample_seed: int = 42) -> DataFrame:
@@ -109,7 +109,11 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
     Adds a ``step`` column. Scale notes: the frontier is deduped every hop
     (dst-only GetDstBySrc shape) and persisted; ``early_stop`` spends one
     count() per hop to terminate on an empty frontier — at 100 TB that count
-    is trivially cheaper than a wasted hop join.
+    is trivially cheaper than a wasted hop join *when hops remain to skip*.
+    For fixed short ranges (max_steps <= 2) there is nothing to skip, so the
+    default (``early_stop=None``) disables the counts: step 1 broadcasts the
+    (caller-bounded) seed frontier, later hops leave join strategy to AQE,
+    whose runtime stats broadcast a small frontier anyway.
 
     ``edges`` may be a list with one edge table per step (GO ... OVER a
     schedule of edge types): hop *k* then joins only its own table instead
@@ -120,16 +124,19 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
     per_step = isinstance(edges, (list, tuple))
     if per_step and len(edges) != max_steps:
         raise ValueError(f"per-step edges needs {max_steps} tables")
+    if early_stop is None:
+        early_stop = max_steps > 2
     frontier = start.select(VID).distinct().persist()
     results: DataFrame | None = None
     try:
         for step in range(1, max_steps + 1):
-            small = True
             if early_stop:
                 n = frontier.count()
                 if n == 0:
                     break
                 small = n <= BROADCAST_FRONTIER_ROWS
+            else:
+                small = step == 1
             step_edges = edges[step - 1] if per_step else edges
             # per-step truncate pushdown (truncate_clause,
             # PushStepLimitDownGetNeighborsRule /

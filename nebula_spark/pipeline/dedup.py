@@ -52,11 +52,18 @@ def spread(df: DataFrame) -> DataFrame:
     core. Repartition up to the session default parallelism when the scan
     yields fewer partitions; on a real many-file corpus this is a no-op
     (and the round-robin shuffle of raw text is trivially cheap relative
-    to the signature compute it unblocks)."""
+    to the signature compute it unblocks).
+
+    Partition-count heuristic uses input file count, never `.rdd` (which
+    forces plan-to-RDD conversion and disables AQE on the branch): a scan
+    over >= target files already has the parallelism; anything else —
+    few files, or a non-scan plan (inputFiles() == []) whose parallelism
+    we can't see cheaply — gets repartitioned, which AQE coalesces again
+    if it was already wide."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",

@@ -358,9 +358,9 @@ def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt) -> DataFrame:
     for p in parts[1:]:
         edges = edges.unionByName(p, allowMissingColumns=True)
     seeds = _vid_frame(space, st.sources, None, None)
-    # edges already oriented — pass direction="out" so orientation sticks
-    _, collected = k_hop_subgraph(
-        edges.drop("_dir"), seeds, st.steps, direction="out")
+    # edges already oriented (carry _dir) — k_hop_subgraph detects the _dir
+    # column and skips re-orienting, so IN/OUT identity survives dedup
+    _, collected = k_hop_subgraph(edges, seeds, st.steps)
     return collected
 
 
