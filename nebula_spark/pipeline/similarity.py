@@ -7,10 +7,12 @@ scalar primitive. Here it becomes a distributed ANN surface over
 ``embeddings(vec_id, embedding: array<float>, label)``.
 
 Scale posture: brute force is O(Q×N) but fully JVM-side and
-shuffle-minimal (queries broadcast, one window over N×Q scored rows —
-fine for reranking). The LSH variant buckets with random hyperplanes so
-each query scores only its bucket — the 100 TB path, trading recall
-(multi-probe over Hamming-adjacent buckets recovers most of it).
+shuffle-safe: queries broadcast, and the per-query ranking is two-phase
+(partial top-k per input partition, then a final window over the
+k×partitions survivors) so no task ever holds one query's whole scored
+corpus. The LSH variant buckets with random hyperplanes so each query
+scores only its bucket — the 100 TB path, trading recall (multi-probe
+over Hamming-adjacent buckets recovers most of it).
 """
 
 from __future__ import annotations
@@ -25,6 +27,31 @@ from nebula_spark.pipeline.dedup import _md5_64
 
 def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
+
+
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k without a single-task-per-query stage.
+
+    A plain ``Window.partitionBy(qid)`` puts each query's *entire* scored
+    corpus in one task — an OOM/straggler at large corpus size. Instead:
+
+    1. partial: rank over ``(qid, spark_partition_id())`` — the composite
+       key hash-distributes evenly across tasks regardless of how few
+       queries there are, and keeps at most k rows per (query, input
+       partition);
+    2. final: rank the ≤ k × num_partitions survivors per query — a tiny
+       window.
+
+    Same results as the one-window form (ties broken by cid both times).
+    """
+    part = Window.partitionBy("qid", "_part").orderBy(F.desc("cosine"),
+                                                      F.asc("cid"))
+    final = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (scored.withColumn("_part", F.spark_partition_id())
+            .withColumn("_pr", F.row_number().over(part))
+            .filter(F.col("_pr") <= k).drop("_part", "_pr")
+            .withColumn("rank", F.row_number().over(final))
+            .filter(F.col("rank") <= k))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -43,9 +70,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = c.crossJoin(q).select(
         "qid", "cid", F.round(cos_similarity(F.col("cv"), F.col("qv")), 6)
         .alias("cosine"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _two_phase_topk(scored, k)
 
 
 def hyperplane_bucket(vec: Column, n_planes: int = 8, salt: str = "ivf") -> Column:
@@ -93,6 +118,4 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = c.join(q, "bkt").select(
         "qid", "cid",
         F.round(cos_similarity(F.col("cv"), F.col("qv")), 6).alias("cosine"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _two_phase_topk(scored, k)
