@@ -120,6 +120,21 @@ def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
                      ["c_custkey"]).orderBy("c_custkey")
 
 
+def q_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """PatternApply semi + anti in one slot (the driver caps oracle rows,
+    so the two apply variants share a query, tagged by ``op``): customers
+    with ≥1 high-value order (semi) and customers with no orders (anti)."""
+    t = load_tables(spark, sf, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 200000)
+    s = semi_join(t["customer"].select("c_custkey", "c_mktsegment"),
+                  big.select(F.col("o_custkey").alias("c_custkey")),
+                  ["c_custkey"]).withColumn("op", F.lit("semi"))
+    a = anti_join(t["customer"].select("c_custkey", "c_mktsegment"),
+                  t["orders"].select(F.col("o_custkey").alias("c_custkey")),
+                  ["c_custkey"]).withColumn("op", F.lit("anti"))
+    return s.unionByName(a)
+
+
 def q_dedup(spark: SparkSession, sf: str) -> DataFrame:
     t = load_tables(spark, sf, ("lineitem",))
     return dedup(t["lineitem"].select("l_returnflag", "l_linestatus"))
@@ -939,57 +954,16 @@ _COS_SQL = ("ROUND(list_cosine_similarity("
             "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)")
 
 
+# Exactly 50 entries — the driver's correctness harness runs the first 50
+# dict keys, so every operator family must land inside the cap. r1's 14
+# uncovered queries (the whole LLM-pipeline family + pagerank/shortest-path/
+# sessionize/assign) run first; near-duplicate relational entries were merged
+# (semi_anti) or retired in favor of the sibling that exercises the same
+# operator through a wider path (e.g. go_1to2 ⊃ go_2step, ngql_dml ⊃
+# upsert/delete, short_orders ⊃ window_topk, bfs_targets ⊃ bfs_distances).
+# The retired q_* functions stay importable for bench.py's stable set.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "scan_project": q_scan_project,
-    "agg_group": q_agg_group,
-    "agg_global": q_agg_global,
-    "join_agg": q_join_agg,
-    "topn": q_topn,
-    "left_join": q_left_join,
-    "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
-    "dedup": q_dedup,
-    "unwind": q_unwind,
-    "rollup_apply": q_rollup_apply,
-    "setops": q_setops,
-    "window_topk": q_window_topk,
-    "go_1step": q_go_1step,
-    "go_2step": q_go_2step,
-    "bfs_distances": q_bfs_distances,
-    "fetch_vertices": q_fetch_vertices,
-    "fetch_edges": q_fetch_edges,
-    "lookup": q_lookup,
-    "sample_hash": q_sample_hash,
-    "scalar_funcs": q_scalar_funcs,
-    "json_extract": q_json_extract,
-    "window_funcs": q_window_funcs,
-    "event_windows": q_event_windows,
-    "paths_query": q_paths_query,
-    "subgraph": q_subgraph,
-    "go_1to2": q_go_1to2,
-    "ngql_go_pipe": q_ngql_go_pipe,
-    "ngql_match_agg": q_ngql_match_agg,
-    "ngql_groupby_pipe": q_ngql_groupby_pipe,
-    "ngql_setops": q_ngql_setops,
-    "ngql_unwind": q_ngql_unwind,
-    "geo_dwithin": q_geo_dwithin,
-    "geo_cover": q_geo_cover,
-    "time_funcs": q_time_funcs,
-    "fulltext": q_fulltext,
-    "cross_join": q_cross_join,
-    "agg_funcs": q_agg_funcs,
-    "ngql_optional_match": q_ngql_optional_match,
-    "ngql_listops": q_ngql_listops,
-    "delete": q_delete,
-    "ngql_match_2hop": q_ngql_match_2hop,
-    "short_profile": q_short_profile,
-    "short_orders": q_short_orders,
-    "upsert": q_upsert,
-    "bfs_targets": q_bfs_targets,
-    "doc_stats": q_doc_stats,
-    "lang_id": q_lang_id,
-    "cube_agg": q_cube_agg,
-    "ngql_dml": q_ngql_dml,
+    # -- r1-uncovered: pipeline / algo / streaming / front-end ops ---------
     "pagerank": q_pagerank,
     "ngql_assign": q_ngql_assign,
     "shortest_path_fn": q_shortest_path_fn,
@@ -1004,6 +978,43 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "near_dup_cosine": q_near_dup_cosine,
+    # -- relational / traversal / front-end core ---------------------------
+    "scan_project": q_scan_project,
+    "agg_group": q_agg_group,
+    "agg_global": q_agg_global,
+    "join_agg": q_join_agg,
+    "topn": q_topn,
+    "semi_anti": q_semi_anti,
+    "rollup_apply": q_rollup_apply,
+    "setops": q_setops,
+    "fetch_vertices": q_fetch_vertices,
+    "fetch_edges": q_fetch_edges,
+    "lookup": q_lookup,
+    "sample_hash": q_sample_hash,
+    "scalar_funcs": q_scalar_funcs,
+    "json_extract": q_json_extract,
+    "window_funcs": q_window_funcs,
+    "event_windows": q_event_windows,
+    "paths_query": q_paths_query,
+    "subgraph": q_subgraph,
+    "go_1to2": q_go_1to2,
+    "ngql_go_pipe": q_ngql_go_pipe,
+    "ngql_groupby_pipe": q_ngql_groupby_pipe,
+    "ngql_unwind": q_ngql_unwind,
+    "geo_dwithin": q_geo_dwithin,
+    "geo_cover": q_geo_cover,
+    "time_funcs": q_time_funcs,
+    "fulltext": q_fulltext,
+    "cross_join": q_cross_join,
+    "agg_funcs": q_agg_funcs,
+    "ngql_optional_match": q_ngql_optional_match,
+    "ngql_listops": q_ngql_listops,
+    "ngql_match_2hop": q_ngql_match_2hop,
+    "short_orders": q_short_orders,
+    "bfs_targets": q_bfs_targets,
+    "doc_stats": q_doc_stats,
+    "lang_id": q_lang_id,
+    "ngql_dml": q_ngql_dml,
 }
 
 
@@ -1082,26 +1093,13 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_custkey
         ORDER BY spend DESC, o_custkey ASC LIMIT 10
     """,
-    "left_join": """
-        SELECT c_custkey, COALESCE(n, 0) AS n_orders
-        FROM customer LEFT JOIN
-          (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) o
-        ON c_custkey = o_custkey
-    """,
-    "semi_join": """
-        SELECT c_custkey FROM customer
+    "semi_anti": """
+        SELECT c_custkey, c_mktsegment, 'semi' AS op FROM customer
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_totalprice > 200000)
-        ORDER BY c_custkey
-    """,
-    "anti_join": """
-        SELECT c_custkey, c_mktsegment FROM customer
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, 'anti' AS op FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        ORDER BY c_custkey
-    """,
-    "dedup": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-    "unwind": """
-        SELECT unnest(string_split(p_type, ' ')) AS word FROM part
     """,
     "rollup_apply": """
         SELECT c_custkey,
@@ -1117,42 +1115,6 @@ ORACLES: dict[str, str] = {
         SELECT nk, 'intersect' AS op FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
         UNION ALL
         SELECT nk, 'minus' AS op FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
-    """,
-    "window_topk": """
-        SELECT p_brand, p_partkey, p_retailprice, rn FROM (
-          SELECT p_brand, p_partkey, p_retailprice,
-                 ROW_NUMBER() OVER (PARTITION BY p_brand
-                                    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
-          FROM part) WHERE rn <= 3
-    """,
-    "go_1step": """
-        SELECT o_custkey AS c_key, o_orderkey AS o_key, o_totalprice
-        FROM orders WHERE o_custkey % 10 = 0 AND o_totalprice > 50000
-          AND o_custkey IN (SELECT c_custkey FROM customer)
-    """,
-    "go_2step": """
-        SELECT DISTINCT 'o:' || l_orderkey AS o_key, 'p:' || l_partkey AS p_key,
-               CAST(l_linenumber AS BIGINT) AS rank
-        FROM lineitem WHERE l_orderkey IN (
-          SELECT o_orderkey FROM orders WHERE o_custkey % 10 = 0
-            AND o_custkey IN (SELECT c_custkey FROM customer))
-    """,
-    "bfs_distances": """
-        WITH RECURSIVE edges AS (
-          SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst
-          FROM customer
-          UNION ALL
-          SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
-        ), seeds AS (
-          SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 20
-        ), bfs(root, vid, dist) AS (
-          SELECT vid, vid, 0 FROM seeds
-          UNION
-          SELECT b.root, e.dst, b.dist + 1
-          FROM bfs b JOIN edges e ON b.vid = e.src WHERE b.dist < 3
-        )
-        SELECT root AS src, vid AS dst, CAST(MIN(dist) AS INTEGER) AS dist
-        FROM bfs WHERE dist > 0 GROUP BY root, vid
     """,
     "fetch_vertices": """
         SELECT c_custkey AS vid, c_name AS customer_c_name,
@@ -1255,22 +1217,11 @@ ORACLES: dict[str, str] = {
         FROM orders WHERE o_custkey % 10 = 0 AND o_totalprice > 50000
           AND o_custkey IN (SELECT c_custkey FROM customer)
     """,
-    "ngql_match_agg": """
-        SELECT c_nationkey AS nk, COUNT(*) AS n_orders
-        FROM customer JOIN orders ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-        GROUP BY c_nationkey ORDER BY nk
-    """,
     "ngql_groupby_pipe": """
         SELECT o_custkey AS c_key, COUNT(*) AS n
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
         GROUP BY o_custkey
-    """,
-    "ngql_setops": """
-        SELECT c_custkey AS vid FROM customer WHERE c_nationkey = 3
-        EXCEPT
-        SELECT c_custkey AS vid FROM customer WHERE c_acctbal < 0
     """,
     "ngql_unwind": """
         SELECT r_regionkey AS rk, q FROM region
@@ -1303,15 +1254,6 @@ ORACLES: dict[str, str] = {
         WHERE lng BETWEEN -50 AND 50 AND lat BETWEEN -30 AND 30
         ORDER BY key
     """,
-    "short_profile": """
-        SELECT c_custkey AS key, c_name AS name, n_name AS nation,
-               r_name AS region
-        FROM customer
-        JOIN nation ON n_nationkey = c_nationkey
-        JOIN region ON r_regionkey = n_regionkey
-        WHERE c_acctbal > 9900.0
-        ORDER BY key
-    """,
     "short_orders": """
         WITH ranked AS (
           SELECT o_custkey AS c_key, o_orderkey AS o_key,
@@ -1333,13 +1275,6 @@ ORACLES: dict[str, str] = {
         JOIN part ON p_partkey = l_partkey
         WHERE c_nationkey = 11 AND p_size > 40
         GROUP BY p_brand ORDER BY brand
-    """,
-    "delete": """
-        SELECT o_orderstatus, COUNT(*) AS n
-        FROM orders
-        WHERE o_custkey NOT IN (
-          SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "ngql_listops": """
         SELECT o_orderkey AS key,
@@ -1390,18 +1325,6 @@ ORACLES: dict[str, str] = {
                 WHERE levenshtein(w, 'vektor') <= 1))
         ORDER BY doc_id
     """,
-    "upsert": """
-        WITH u AS (
-          SELECT o_custkey + CASE WHEN o_custkey % 100 = 0 THEN 1000000
-                                  ELSE 0 END AS c_custkey,
-                 MAX(o_totalprice) AS nb
-          FROM orders WHERE o_custkey % 25 = 0 GROUP BY 1)
-        SELECT c.c_custkey, c.c_name, COALESCE(u.nb, c.c_acctbal) AS c_acctbal
-        FROM customer c LEFT JOIN u USING (c_custkey)
-        UNION ALL
-        SELECT u.c_custkey, NULL AS c_name, u.nb AS c_acctbal
-        FROM u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM customer)
-    """,
     "bfs_targets": """
         WITH RECURSIVE edges AS (
           SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst
@@ -1438,13 +1361,6 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "lang_id": None,  # filled below (generated from the stopword inventory)
-    "cube_agg": """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_qty
-        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        ORDER BY l_returnflag, l_linestatus
-    """,
     "ngql_dml": """
         SELECT COUNT(*) AS n,
                CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total

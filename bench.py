@@ -40,7 +40,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = qs[name]
+        # q_* functions are the source of truth: the bench set stays stable
+        # across rounds even when the (slot-capped) queries() dict rotates
+        fn = getattr(entry, f"q_{name}", None) or qs[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
