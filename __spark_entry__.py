@@ -523,8 +523,11 @@ def q_ngql_optional_match(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ngql_listops(spark: SparkSession, sf: str) -> DataFrame:
-    """List expressions (§2.9): comprehension, reduce, subscript — all
-    JVM-side higher-order functions (transform/filter/aggregate)."""
+    """List expressions (§2.9): comprehension, reduce, subscript, and the
+    predicate functions all/any/none/single
+    (ListComprehensionExpression.h / ReduceExpression.h /
+    PredicateExpression.h) — all JVM-side higher-order functions
+    (transform/filter/aggregate/forall/exists)."""
     from nebula_spark.plans import execute
     sp = tpch_space(spark, sf)
     return execute(sp, """
@@ -532,7 +535,11 @@ def q_ngql_listops(spark: SparkSession, sf: str) -> DataFrame:
         | YIELD $-.key AS key,
                 reduce(acc = 0, x IN [1, 2, 3] | acc + x * $-.key) AS s,
                 size([x IN [1, 2, 3, 4] WHERE x % 2 == 0]) AS n_even,
-                [10, 20, 30][1] AS second
+                [10, 20, 30][1] AS second,
+                all(x IN [1, 2, 3] WHERE x < $-.key) AS p_all,
+                any(x IN [1, 2, 3] WHERE x * 200 == $-.key) AS p_any,
+                none(x IN [1, 2, 3] WHERE x > $-.key) AS p_none,
+                single(x IN [1, 2, 3] WHERE x * 200 == $-.key) AS p_single
     """)
 
 
@@ -1280,7 +1287,11 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey AS key,
                CAST(6 * o_orderkey AS BIGINT) AS s,
                2 AS n_even,
-               20 AS second
+               20 AS second,
+               (3 < o_orderkey) AS p_all,
+               (o_orderkey IN (200, 400, 600)) AS p_any,
+               (3 <= o_orderkey) AS p_none,
+               (o_orderkey IN (200, 400, 600)) AS p_single
         FROM orders WHERE o_orderkey % 200 = 0
     """,
     "ngql_optional_match": """

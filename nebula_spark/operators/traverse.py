@@ -62,7 +62,8 @@ def get_neighbors(vids: DataFrame, edges: DataFrame, direction: str = "out",
                   limit_per_vertex: int | None = None,
                   order_per_vertex: list | None = None,
                   dedup_dst: bool = False,
-                  broadcast_frontier: bool | None = None) -> DataFrame:
+                  broadcast_frontier: bool | None = None,
+                  carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """One hop from a vid set: the GetNeighbors RPC as a join.
 
     Returns edge rows oriented origin→neighbor (columns src, dst, rank,
@@ -71,11 +72,13 @@ def get_neighbors(vids: DataFrame, edges: DataFrame, direction: str = "out",
     ``limit_per_vertex`` (+ optional ``order_per_vertex``) reproduces the
     per-vertex truncate/sample clause via a window, not a global limit;
     ``dedup_dst`` reproduces GetDstBySrc's deduped dst-only frontier.
+    ``carry_cols`` are frontier columns (e.g. a traversal-origin tag) kept
+    through the join — the frontier dedups on (vid, *carry_cols).
     """
     e = oriented(edges, direction)
     if edge_filter is not None:
         e = e.filter(edge_filter)
-    f = vids.select(VID).distinct()
+    f = vids.select(VID, *carry_cols).distinct()
     if broadcast_frontier is None:
         broadcast_frontier = True  # seed sets are small; loops override
     if broadcast_frontier:
@@ -84,11 +87,11 @@ def get_neighbors(vids: DataFrame, edges: DataFrame, direction: str = "out",
     if limit_per_vertex is not None:
         from pyspark.sql.window import Window
         order = order_per_vertex or [F.col(DST), F.col(RANK)]
-        w = Window.partitionBy(SRC).orderBy(*order)
+        w = Window.partitionBy(*carry_cols, SRC).orderBy(*order)
         hop = (hop.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") <= limit_per_vertex).drop("_rn"))
     if dedup_dst:
-        hop = hop.select(SRC, DST).distinct()
+        hop = hop.select(SRC, DST, *carry_cols).distinct()
     return hop
 
 
@@ -98,7 +101,8 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
        early_stop: bool | None = None,
        step_limits: list[int] | None = None,
        step_samples: list[int] | None = None,
-       sample_seed: int = 42) -> DataFrame:
+       sample_seed: int = 42,
+       track_origin: bool = False) -> DataFrame:
     """GO M TO N STEPS: multi-hop expansion accumulating per-step edge rows.
 
     Reference plan: Loop{Expand/ExpandAll} + UnionAllVersionVar accumulation
@@ -120,13 +124,25 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
     of a union of all of them — at scale this halves (or better) the
     scanned bytes per hop, the analog of the reference requesting only the
     relevant edge type in each GetNeighbors RPC.
+
+    ``track_origin=True`` reproduces the reference's runtime-input GO
+    semantics (tck go/GO.feature "only id n steps": piped multi-start GO
+    keeps per-start multiplicity): the frontier carries an ``_origin``
+    column and dedups on (origin, vid) instead of vid alone, and results
+    gain ``_origin``. Frontier size grows with overlapping neighborhoods —
+    the same cost the reference pays in its per-input runtime maps.
     """
     per_step = isinstance(edges, (list, tuple))
     if per_step and len(edges) != max_steps:
         raise ValueError(f"per-step edges needs {max_steps} tables")
     if early_stop is None:
         early_stop = max_steps > 2
-    frontier = start.select(VID).distinct().persist()
+    carry = ("_origin",) if track_origin else ()
+    if track_origin:
+        frontier = start.select(F.col(VID).alias("_origin"),
+                                F.col(VID)).distinct().persist()
+    else:
+        frontier = start.select(VID).distinct().persist()
     results: DataFrame | None = None
     try:
         for step in range(1, max_steps + 1):
@@ -151,18 +167,22 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
                 order = [F.rand(sample_seed + step)]
             hop = get_neighbors(frontier, step_edges, direction, edge_filter,
                                 broadcast_frontier=small,
-                                limit_per_vertex=lim, order_per_vertex=order)
+                                limit_per_vertex=lim, order_per_vertex=order,
+                                carry_cols=carry)
             if step >= min_steps:
                 step_df = hop.withColumn("step", F.lit(step))
                 results = step_df if results is None else results.unionByName(
                     step_df, allowMissingColumns=True)
             if step < max_steps:
-                nxt = hop.select(F.col(DST).alias(VID)).distinct().persist()
+                nxt = hop.select(*carry, F.col(DST).alias(VID)) \
+                         .distinct().persist()
                 frontier.unpersist()
                 frontier = nxt
         if results is None:
             e0 = edges[0] if per_step else edges
-            return get_neighbors(start.limit(0), e0, direction).withColumn(
+            empty = frontier.limit(0)
+            return get_neighbors(empty, e0, direction,
+                                 carry_cols=carry).withColumn(
                 "step", F.lit(1))
         return results
     finally:

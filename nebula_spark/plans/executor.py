@@ -234,8 +234,32 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
              env: dict[str, DataFrame] | None = None) -> DataFrame:
     start = _vid_frame(space, st.sources, piped, st.src_col, env)
     edges = _edge_union(space, st.edges)
+    # Runtime-input starts ($-.col / $var.col) traverse per start row —
+    # the frontier dedups on (origin, vid), so overlapping neighborhoods
+    # of different starts keep their multiplicity (GO.feature "only id n
+    # steps") and $-.* stays referencable by joining back on the origin.
+    runtime_input = isinstance(st.sources, str)
     hop = go(edges, start, st.min_steps, st.max_steps, st.direction,
-             step_limits=st.limits, step_samples=st.sample)
+             step_limits=st.limits, step_samples=st.sample,
+             track_origin=runtime_input)
+    input_refs: list = []
+    for y in st.yields:
+        _walk(y.expr, {"input_prop"}, input_refs)
+    if st.where:
+        _walk(st.where, {"input_prop"}, input_refs)
+    if runtime_input and input_refs:
+        src_df = piped if st.sources == "$-" else (env or {})[st.sources]
+        src_col = st.src_col or src_df.columns[0]
+        # one output row per (input row, traversal result) — reference
+        # joins the runtime-input table back by vid the same way
+        dup = [c for c in src_df.columns if c in hop.columns]
+        joined = hop.join(src_df,
+                          hop["_origin"] == src_df[src_col], "inner")
+        for c in dup:  # traversal columns win on collision
+            joined = joined.drop(src_df[c])
+        hop = joined
+    if "_origin" in hop.columns:
+        hop = hop.drop("_origin")
 
     # prop deduction: which $^ / $$ tags does the statement touch?
     refs: list = []

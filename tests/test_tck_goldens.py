@@ -1,0 +1,299 @@
+"""Golden queries ported from the reference TCK corpus onto the real nba
+fixture (FIXTURES.md "Graph fixture: nba").
+
+Each case is one `When executing query / Then the result should be` pair
+transcribed from a feature file under ``tests/tck/features/`` in the
+reference repo; the expected rows are the reference's own goldens, so these
+tests pin MATCH/GO/PATH edge-case semantics (duplicate preservation,
+multi-start dedup, reverse traversal, NOLOOP vertex-uniqueness, null props)
+against the authoritative corpus rather than our own oracle.
+
+Syntax notes: the reference's legacy prop forms (``serve._dst``) are written
+in the modern equivalents our front end implements (``dst(edge)``), which
+the reference also accepts; semantics are identical.
+
+Data: loaded from the reference's nba CSVs (read-only), including the
+null.csv rows whose name strings (null/Null/NULL/__NULL__) the reference
+importer maps to NULL (tests/tck/features/match/Base.feature:33-42 relies
+on exactly that).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_spark.catalog import GraphSpace
+from nebula_spark.plans import execute
+
+NBA_DIR = "/root/reference/tests/data/nba"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(NBA_DIR), reason="reference nba fixture not present")
+
+
+def _read(spark, name: str, cols: list[str]):
+    df = spark.read.option("header", True).csv(f"{NBA_DIR}/{name}.csv")
+    return df.toDF(*cols)
+
+
+@pytest.fixture(scope="session")
+def nba_space(spark):
+    player = _read(spark, "player", ["vid", "name", "age"])
+    null_rows = _read(spark, "null", ["vid", "name", "age"])
+    player = (player.unionByName(null_rows)
+              .select("vid",
+                      F.when(F.lower("name").isin("null", "__null__"),
+                             None).otherwise(F.col("name")).alias("name"),
+                      F.col("age").cast("long").alias("age")))
+    team = _read(spark, "team", ["vid", "name"])
+    bachelor = _read(spark, "bachelor", ["vid", "name", "speciality"])
+    like = (_read(spark, "like", ["src", "dst", "likeness"])
+            .select("src", "dst", F.lit(0).cast("long").alias("rank"),
+                    F.col("likeness").cast("long").alias("likeness")))
+    serve = (_read(spark, "serve",
+                   ["src", "dst", "rank", "start_year", "end_year"])
+             .select("src", "dst", F.col("rank").cast("long").alias("rank"),
+                     F.col("start_year").cast("long").alias("start_year"),
+                     F.col("end_year").cast("long").alias("end_year")))
+    teammate = (_read(spark, "teammate",
+                      ["src", "dst", "start_year", "end_year"])
+                .select("src", "dst", F.lit(0).cast("long").alias("rank"),
+                        F.col("start_year").cast("long").alias("start_year"),
+                        F.col("end_year").cast("long").alias("end_year")))
+    sp = GraphSpace(spark, "nba")
+    sp.create_tag("player", df=player)
+    sp.create_tag("team", df=team)
+    sp.create_tag("bachelor", df=bachelor)
+    sp.create_edge("like", df=like)
+    sp.create_edge("serve", df=serve)
+    sp.create_edge("teammate", df=teammate)
+    return sp
+
+
+def rows(df, *cols):
+    return [tuple(r[c] for c in cols) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# MATCH — tests/tck/features/match/Base.feature
+# ---------------------------------------------------------------------------
+
+def test_match_eq_name(nba_space):
+    """Base.feature:44 — single-prop equality."""
+    df = execute(nba_space, 'MATCH (v:player) WHERE v.player.name == '
+                            '"Yao Ming" RETURN v.player.age AS Age')
+    assert rows(df, "Age") == [(38,)]
+
+
+def test_match_inline_prop(nba_space):
+    """Base.feature:51 — inline prop map {age: 29}."""
+    df = execute(nba_space,
+                 'MATCH (v:player {age: 29}) RETURN v.player.name AS Name')
+    assert sorted(r.Name for r in df.collect()) == [
+        "Dejounte Murray", "James Harden", "Jonathon Simmons",
+        "Klay Thompson"]
+
+
+def test_match_starts_with(nba_space):
+    """Base.feature:60 — STARTS WITH on top of an inline prop filter."""
+    df = execute(nba_space, 'MATCH (v:player {age: 29}) WHERE '
+                            'v.player.name STARTS WITH "J" '
+                            'RETURN v.player.name AS Name')
+    assert sorted(r.Name for r in df.collect()) == [
+        "James Harden", "Jonathon Simmons"]
+
+
+def test_match_age_range(nba_space):
+    """Base.feature:69 — conjunctive range filter, 10 players."""
+    df = execute(nba_space,
+                 'MATCH (v:player) WHERE v.player.age >= 38 AND '
+                 'v.player.age < 45 '
+                 'RETURN v.player.name AS Name, v.player.age AS Age')
+    expect = {("Paul Gasol", 38), ("Kobe Bryant", 40), ("Vince Carter", 42),
+              ("Tim Duncan", 42), ("Yao Ming", 38), ("Dirk Nowitzki", 40),
+              ("Manu Ginobili", 41), ("Ray Allen", 43), ("David West", 38),
+              ("Tracy McGrady", 39)}
+    assert set(rows(df, "Name", "Age")) == expect
+
+
+def test_match_null_names(nba_space):
+    """Base.feature:33 — the null.csv rows carry NULL names."""
+    df = execute(nba_space,
+                 'MATCH (v:player) WHERE v.player.age < 0 '
+                 'RETURN v.player.name AS name, v.player.age AS age')
+    got = rows(df, "name", "age")
+    assert sorted(a for _, a in got) == [-4, -3, -2, -1]
+    assert all(n is None for n, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# GO — tests/tck/features/go/GO.feature
+# ---------------------------------------------------------------------------
+
+def test_go_one_step(nba_space):
+    """GO.feature:12 — one hop out over serve."""
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan" OVER serve YIELD dst(edge) AS d')
+    assert rows(df, "d") == [("Spurs",)]
+
+
+def test_go_duplicate_start_vids_dedup(nba_space):
+    """GO.feature:74 — duplicated FROM vids dedup to one traversal."""
+    df = execute(nba_space, 'GO FROM "Tim Duncan", "Tim Duncan" OVER serve '
+                            'YIELD dst(edge) AS d')
+    assert rows(df, "d") == [("Spurs",)]
+
+
+def test_go_preserves_row_multiplicity(nba_space):
+    """GO.feature:54 — one row per edge, src props duplicated per edge."""
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan" OVER like '
+                 'YIELD $^.player.name AS name, $^.player.age AS age')
+    assert sorted(rows(df, "name", "age")) == [
+        ("Tim Duncan", 42), ("Tim Duncan", 42)]
+
+
+def test_go_src_edge_dst_props(nba_space):
+    """GO.feature:88 — $^ / edge / $$ props in one YIELD."""
+    df = execute(nba_space,
+                 'GO FROM "Boris Diaw" OVER serve '
+                 'YIELD $^.player.name AS n, serve.start_year AS s, '
+                 'serve.end_year AS e, $$.team.name AS t')
+    assert set(rows(df, "n", "s", "e", "t")) == {
+        ("Boris Diaw", 2003, 2005, "Hawks"),
+        ("Boris Diaw", 2005, 2008, "Suns"),
+        ("Boris Diaw", 2008, 2012, "Hornets"),
+        ("Boris Diaw", 2012, 2016, "Spurs"),
+        ("Boris Diaw", 2016, 2017, "Jazz")}
+
+
+def test_go_literal_yield_pipe(nba_space):
+    """GO.feature:81 — YIELD literal | GO FROM $-.vid."""
+    df = execute(nba_space, 'YIELD "Tim Duncan" AS vid '
+                            '| GO FROM $-.vid OVER serve YIELD dst(edge) AS d')
+    assert rows(df, "d") == [("Spurs",)]
+
+
+def test_go_two_steps_multiset(nba_space):
+    """GO.feature:949 ("only id n steps") — 2-hop result keeps duplicates."""
+    df = execute(nba_space,
+                 "GO 2 STEPS FROM 'Tony Parker' OVER like "
+                 "YIELD dst(edge) AS d")
+    assert sorted(r.d for r in df.collect()) == sorted([
+        "Tim Duncan", "Tim Duncan", "Tony Parker", "Tony Parker",
+        "Manu Ginobili"])
+
+
+def test_go_two_steps_distinct(nba_space):
+    """GO.feature:289 ("distinct") — YIELD DISTINCT collapses them."""
+    df = execute(nba_space,
+                 'GO 2 STEPS FROM "Tony Parker" OVER like '
+                 'YIELD DISTINCT dst(edge) AS d')
+    assert sorted(r.d for r in df.collect()) == [
+        "Manu Ginobili", "Tim Duncan", "Tony Parker"]
+
+
+def test_go_pipe_two_more_steps(nba_space):
+    """GO.feature:973 — 1-step pipe into 2 more steps, full multiset."""
+    df = execute(nba_space,
+                 "GO 1 STEPS FROM 'Tony Parker' OVER like "
+                 "YIELD dst(edge) AS id "
+                 "| GO 2 STEPS FROM $-.id OVER like YIELD dst(edge) AS d")
+    assert sorted(r.d for r in df.collect()) == sorted([
+        "LaMarcus Aldridge", "LaMarcus Aldridge", "Manu Ginobili",
+        "Manu Ginobili", "Tim Duncan", "Tim Duncan", "Tim Duncan",
+        "Manu Ginobili", "Manu Ginobili", "Tony Parker", "Tony Parker"])
+
+
+def test_go_reverse_two_steps_dst_props(nba_space):
+    """GO.feature:992 — REVERSELY with $$ props of the reached vertex."""
+    df = execute(nba_space,
+                 "GO 2 STEPS FROM 'Kobe Bryant' OVER like REVERSELY "
+                 "YIELD $$.player.name AS name")
+    assert sorted(r.name for r in df.collect()) == [
+        "Grant Hill", "Marc Gasol", "Vince Carter", "Yao Ming"]
+
+
+# ---------------------------------------------------------------------------
+# FIND PATH — tests/tck/features/path/{ShortestPath,NoLoop,AllPath}.feature
+# ---------------------------------------------------------------------------
+
+def test_shortest_path_one_hop(nba_space):
+    """ShortestPath.feature:31 — single pair, 1 hop."""
+    df = execute(nba_space, 'FIND SHORTEST PATH FROM "Tim Duncan" TO '
+                            '"Tony Parker" OVER like UPTO 5 STEPS')
+    got = rows(df, "src", "dst", "dist")
+    assert got == [("Tim Duncan", "Tony Parker", 1)]
+
+
+def test_shortest_path_two_hops(nba_space):
+    """ShortestPath.feature:66 — Tim Duncan → LaMarcus Aldridge is 2 hops."""
+    df = execute(nba_space, 'FIND SHORTEST PATH FROM "Tim Duncan" TO '
+                            '"LaMarcus Aldridge" OVER like UPTO 5 STEPS')
+    assert rows(df, "dist") == [(2,)]
+
+
+def test_shortest_path_three_hops(nba_space):
+    """ShortestPath.feature:75 — Tiago Splitter → LaMarcus Aldridge, 3."""
+    df = execute(nba_space, 'FIND SHORTEST PATH FROM "Tiago Splitter" TO '
+                            '"LaMarcus Aldridge" OVER like UPTO 5 STEPS')
+    assert rows(df, "dist") == [(3,)]
+
+
+def test_noloop_path_one_to_m(nba_space):
+    """NoLoop.feature:18 — vertex-unique paths to two targets."""
+    df = execute(nba_space,
+                 'FIND NOLOOP PATH FROM "Tim Duncan" TO "Tony Parker", '
+                 '"Manu Ginobili" OVER like UPTO 3 STEPS')
+    got = {r.path_str for r in df.collect()}
+    assert got == {
+        "Tim Duncan>Tony Parker",
+        "Tim Duncan>Manu Ginobili",
+        "Tim Duncan>Tony Parker|Tony Parker>Manu Ginobili"}
+
+
+def test_all_path_edge_unique_only(nba_space):
+    """AllPath.feature:46 — ALL PATH repeats vertices but never edges."""
+    df = execute(nba_space, 'FIND ALL PATH FROM "Tim Duncan" TO '
+                            '"Tony Parker" OVER like UPTO 3 STEPS')
+    got = {r.path_str for r in df.collect()}
+    assert got == {
+        "Tim Duncan>Tony Parker",
+        "Tim Duncan>Manu Ginobili|Manu Ginobili>Tim Duncan"
+        "|Tim Duncan>Tony Parker",
+        "Tim Duncan>Tony Parker|Tony Parker>LaMarcus Aldridge"
+        "|LaMarcus Aldridge>Tony Parker"}
+
+
+# ---------------------------------------------------------------------------
+# LOOKUP / FETCH — tests/tck/features/lookup, fetch
+# ---------------------------------------------------------------------------
+
+def test_lookup_age_index(nba_space):
+    """LookupTag-style index seek (players aged exactly 40)."""
+    df = execute(nba_space, 'LOOKUP ON player WHERE player.age == 40 '
+                            'YIELD player.name AS name')
+    assert sorted(r.name for r in df.collect()) == [
+        "Dirk Nowitzki", "Kobe Bryant"]
+
+
+def test_fetch_multi_tag_vertex(nba_space):
+    """Base.feature:97 — Tim Duncan is player + bachelor (multi-tag)."""
+    df = execute(nba_space, 'FETCH PROP ON bachelor "Tim Duncan" '
+                            'YIELD bachelor.speciality AS spec')
+    assert rows(df, "spec") == [("psychology",)]
+
+
+# ---------------------------------------------------------------------------
+# GET SUBGRAPH — tests/tck/features/subgraph
+# ---------------------------------------------------------------------------
+
+def test_subgraph_one_step_out(nba_space):
+    """1-step OUT subgraph from Tim Duncan over serve: exactly his edge."""
+    df = execute(nba_space, 'GET SUBGRAPH 1 STEPS FROM "Tim Duncan" '
+                            'OUT serve')
+    got = {(r.src, r.dst) for r in df.collect()}
+    assert got == {("Tim Duncan", "Spurs")}
