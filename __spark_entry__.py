@@ -476,15 +476,53 @@ def q_geo_cover(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("key"))
 
 
+def q_geo_polygon(spark: SparkSession, sf: str) -> DataFrame:
+    """LineString/Polygon WKT + st_intersects across shape kinds
+    (GeoFunction.cpp:106-148): per-supplier synthetic point, a vertical
+    segment through it, and a unit square around it, each intersected with
+    a fixed rectangle. Shapes are axis-aligned so the DuckDB oracle is
+    exact interval algebra while the engine runs the *general*
+    segment/containment geometry; includes the point⊂polygon covers case
+    so this slot supersedes geo_cover's."""
+    from nebula_spark.functions import geo as G
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    x = (F.col("s_suppkey") * 131 % 3600) / 10.0 - 180.0
+    y = (F.col("s_suppkey") * 173 % 1700) / 10.0 - 85.0
+    seg = F.format_string("LINESTRING(%s %s, %s %s)",
+                          x.cast("string"), (y - 3).cast("string"),
+                          x.cast("string"), (y + 3).cast("string"))
+    sq = F.format_string("POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
+                         (x - 1).cast("string"), (y - 1).cast("string"),
+                         (x + 1).cast("string"), (y - 1).cast("string"),
+                         (x + 1).cast("string"), (y + 1).cast("string"),
+                         (x - 1).cast("string"), (y + 1).cast("string"),
+                         (x - 1).cast("string"), (y - 1).cast("string"))
+    rect = F.lit("POLYGON((-50 -30, 50 -30, 50 30, -50 30, -50 -30))")
+    return (s.select(
+        F.col("s_suppkey").alias("key"),
+        G.st_covers_point(rect, G.st_point(x, y)).alias("covered"),
+        G.st_intersects(seg, rect).alias("seg_x"),
+        G.st_intersects(sq, rect).alias("sq_x"))
+        .orderBy("key"))
+
+
 def q_time_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal family (Date.h / FunctionManager temporal): component
-    extraction, datediff, calendar-aware duration arithmetic."""
+    extraction, datediff, calendar-aware month-duration add AND subtract
+    (Duration.h:20 months kept separate from seconds), plus the TIME
+    column convention (struct hour/minute/sec, Date.h:115) with wrapping
+    time+duration arithmetic."""
     from nebula_spark.functions import temporal as T
     o = spark.read.parquet(f"{sf}/orders.parquet") \
         .filter(F.col("o_orderkey") % 50 == 0)
     dur = T.duration(months=3, days=10)
+    key = F.col("o_orderkey")
+    t = T.d_time(F.format_string("%02d:%02d:%02d", (key % 24).cast("int"),
+                                 (key % 60).cast("int"),
+                                 (key % 60).cast("int")))
+    tp = T.time_plus(t, T.duration(hours=2, minutes=1, seconds=10))
     return o.select(
-        F.col("o_orderkey").alias("key"),
+        key.alias("key"),
         T.extract("year", F.col("o_orderdate")).cast("long").alias("y"),
         T.extract("quarter", F.col("o_orderdate")).cast("long").alias("q"),
         T.extract("week", F.col("o_orderdate")).cast("long").alias("wk"),
@@ -492,6 +530,12 @@ def q_time_funcs(spark: SparkSession, sf: str) -> DataFrame:
          .cast("long").alias("age_days"),
         T.datetime_plus(F.col("o_orderdate").cast("timestamp"), dur)
          .cast("date").cast("string").alias("due"),
+        T.datetime_minus(F.col("o_orderdate").cast("timestamp"), dur)
+         .cast("date").cast("string").alias("since"),
+        t["hour"].alias("t_hour"),
+        tp["hour"].alias("tp_hour"),
+        tp["minute"].alias("tp_min"),
+        tp["sec"].cast("long").alias("tp_sec"),
     ).orderBy("key")
 
 
@@ -1009,7 +1053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngql_groupby_pipe": q_ngql_groupby_pipe,
     "ngql_unwind": q_ngql_unwind,
     "geo_dwithin": q_geo_dwithin,
-    "geo_cover": q_geo_cover,
+    "geo_polygon": q_geo_polygon,
     "time_funcs": q_time_funcs,
     "fulltext": q_fulltext,
     "cross_join": q_cross_join,
@@ -1250,16 +1294,20 @@ ORACLES: dict[str, str] = {
         SELECT key, CAST(ROUND(dist) AS BIGINT) AS dist_m
         FROM d WHERE dist <= 3000000.0 ORDER BY key
     """,
-    "geo_cover": """
+    "geo_polygon": """
         WITH pts AS (
           SELECT s_suppkey AS key,
-                 (s_suppkey * 131 % 3600) / 10.0 - 180.0 AS lng,
-                 (s_suppkey * 173 % 1700) / 10.0 - 85.0 AS lat
+                 (s_suppkey * 131 % 3600) / 10.0 - 180.0 AS x,
+                 (s_suppkey * 173 % 1700) / 10.0 - 85.0 AS y
           FROM supplier
         )
-        SELECT key FROM pts
-        WHERE lng BETWEEN -50 AND 50 AND lat BETWEEN -30 AND 30
-        ORDER BY key
+        SELECT key,
+               (x BETWEEN -50 AND 50 AND y BETWEEN -30 AND 30) AS covered,
+               (x BETWEEN -50 AND 50 AND y + 3 >= -30 AND y - 3 <= 30)
+                 AS seg_x,
+               (x + 1 >= -50 AND x - 1 <= 50 AND y + 1 >= -30 AND y - 1 <= 30)
+                 AS sq_x
+        FROM pts ORDER BY key
     """,
     "short_orders": """
         WITH ranked AS (
@@ -1316,6 +1364,10 @@ ORACLES: dict[str, str] = {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "time_funcs": """
+        WITH t AS (
+          SELECT *, (o_orderkey % 24) * 3600 + (o_orderkey % 60) * 60
+                    + (o_orderkey % 60) + 7270 AS tsec
+          FROM orders WHERE o_orderkey % 50 = 0)
         SELECT o_orderkey AS key,
                date_part('year', o_orderdate)::BIGINT AS y,
                date_part('quarter', o_orderdate)::BIGINT AS q,
@@ -1323,8 +1375,14 @@ ORACLES: dict[str, str] = {
                datediff('day', o_orderdate, DATE '1998-12-31')::BIGINT
                  AS age_days,
                CAST(CAST(o_orderdate + INTERVAL 3 MONTH + INTERVAL 10 DAY
-                    AS DATE) AS VARCHAR) AS due
-        FROM orders WHERE o_orderkey % 50 = 0 ORDER BY key
+                    AS DATE) AS VARCHAR) AS due,
+               CAST(CAST(o_orderdate - INTERVAL 3 MONTH - INTERVAL 10 DAY
+                    AS DATE) AS VARCHAR) AS since,
+               CAST(o_orderkey % 24 AS INT) AS t_hour,
+               CAST((tsec % 86400) // 3600 AS INT) AS tp_hour,
+               CAST((tsec % 3600) // 60 AS INT) AS tp_min,
+               CAST(tsec % 60 AS BIGINT) AS tp_sec
+        FROM t ORDER BY key
     """,
     "fulltext": """
         SELECT doc_id, len(regexp_extract_all(text, 'merge'))::BIGINT

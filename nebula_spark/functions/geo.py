@@ -15,10 +15,11 @@ Design (no geo libraries in this container, by constraint):
   distance uses the haversine formula with the S2Earth radius 6 371 010 m
   (``S2Earth::GetDistanceMeters``, GeoFunction.cpp:195), matching the
   reference to double precision.
-- **Point-vs-polygon/polyline** (contains, distance) run as vectorized
-  numpy pandas UDFs (Arrow-batched — the sanctioned Python path).
-  Polygon-polygon intersection is NOT implemented (raises), mirroring how
-  the reference delegates those to S2; stubbing keeps us honest.
+- **Shape predicates** (point-in-polygon covers; st_intersects across
+  point/linestring/polygon pairs) run as Arrow-batched pandas UDFs doing
+  planar boundary-inclusive geometry — the plate-carrée approximation of
+  the reference's S2 spherical predicates. Holes and multi-geometries are
+  unsupported (parse keeps the outer ring only).
 - **Cell ids**: ``cell_id_from_point`` / ``covering_cell_ids`` provide the
   same *contract* as the reference's S2 cells — hierarchical, prefix-
   filterable bucket ids usable as a spatial pre-filter — via Z-order
@@ -130,10 +131,16 @@ def st_dwithin(a: Column, b: Column, meters: Column | float,
 
 
 def st_intersects(a: Column, b: Column) -> Column:
-    """st_intersects for point-point (equality to double precision).
-    Point-polygon goes through ``st_covers_point``; other combinations are
-    unimplemented (the reference delegates them to S2)."""
-    return (st_x(a) == st_x(b)) & (st_y(a) == st_y(b))
+    """st_intersects (GeoFunction.cpp:106-148) for every WKT kind pair:
+    point/linestring/polygon × same, boundary-inclusive (S2 counts shared
+    boundary as intersecting). Point-point stays JVM-side (coordinate
+    equality in codegen); shape combinations run in an Arrow-batched
+    pandas UDF doing planar segment/containment tests — the plate-carrée
+    approximation of the reference's spherical predicates, consistent
+    with the rest of this module."""
+    both_pts = a.rlike(_PT) & b.rlike(_PT)
+    return F.when(both_pts, (st_x(a) == st_x(b)) & (st_y(a) == st_y(b))) \
+            .otherwise(_intersects_shapes(a, b))
 
 
 # --------------------------------------------------------------------------
@@ -179,6 +186,114 @@ def _covers_point_batch(poly: pd.Series, pt: pd.Series) -> pd.Series:
             inside |= on_edge
         out[sel] = inside
     return pd.Series(out)
+
+
+# -- general shape-shape intersection (planar, boundary-inclusive) ---------
+
+_EPS = 1e-12
+
+
+def _parse_geom(wkt: str) -> tuple[str, np.ndarray]:
+    """WKT → (kind, (n,2) vertex array). POLYGON keeps the outer ring
+    (closed); holes unsupported, like the rest of this module."""
+    s = wkt.strip()
+    kind = s.split("(", 1)[0].strip().upper()
+    if kind == "POINT":
+        x, y = s[s.index("(") + 1:s.rindex(")")].split()
+        return "POINT", np.array([[float(x), float(y)]])
+    return kind, _parse_ring(s)
+
+
+def _seg_intersect(a0, a1, b0, b1) -> bool:
+    """Inclusive 2-segment intersection (orientation + collinear overlap)."""
+    def orient(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    def on_seg(p, q, r):
+        return (min(p[0], q[0]) - _EPS <= r[0] <= max(p[0], q[0]) + _EPS
+                and min(p[1], q[1]) - _EPS <= r[1] <= max(p[1], q[1]) + _EPS)
+
+    d1, d2 = orient(b0, b1, a0), orient(b0, b1, a1)
+    d3, d4 = orient(a0, a1, b0), orient(a0, a1, b1)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) \
+            and abs(d1) > _EPS and abs(d2) > _EPS \
+            and abs(d3) > _EPS and abs(d4) > _EPS:
+        return True
+    return (abs(d1) <= _EPS and on_seg(b0, b1, a0)) \
+        or (abs(d2) <= _EPS and on_seg(b0, b1, a1)) \
+        or (abs(d3) <= _EPS and on_seg(a0, a1, b0)) \
+        or (abs(d4) <= _EPS and on_seg(a0, a1, b1))
+
+
+def _point_in_ring(pt, ring: np.ndarray) -> bool:
+    """Inclusive planar point-in-polygon (ray cast + boundary check)."""
+    x, y = pt
+    inside = False
+    for k in range(len(ring) - 1):
+        (x0, y0), (x1, y1) = ring[k], ring[k + 1]
+        if _seg_intersect((x0, y0), (x1, y1), (x, y), (x, y)):
+            return True
+        if (y0 > y) != (y1 > y):
+            xi = (x1 - x0) * (y - y0) / (y1 - y0) + x0
+            if x < xi:
+                inside = not inside
+    return inside
+
+
+def _edges(kind: str, v: np.ndarray):
+    return [(v[k], v[k + 1]) for k in range(len(v) - 1)] \
+        if len(v) > 1 else []
+
+
+def _geoms_intersect(ga: tuple[str, np.ndarray],
+                     gb: tuple[str, np.ndarray]) -> bool:
+    (ka, va), (kb, vb) = ga, gb
+    # normalize: POINT handled as a degenerate vertex list
+    if ka == "POINT" and kb == "POINT":
+        return bool(np.allclose(va[0], vb[0], atol=_EPS))
+    if ka == "POINT":
+        return _geoms_intersect(gb, ga)
+    if kb == "POINT":
+        p = vb[0]
+        if ka == "POLYGON":
+            return _point_in_ring(p, va)
+        return any(_seg_intersect(e0, e1, p, p) for e0, e1 in _edges(ka, va))
+    # segment-segment crossings cover line-line, line-poly, poly-poly edges
+    for e0, e1 in _edges(ka, va):
+        for f0, f1 in _edges(kb, vb):
+            if _seg_intersect(e0, e1, f0, f1):
+                return True
+    # full containment: any vertex of one inside the other polygon
+    if kb == "POLYGON" and _point_in_ring(va[0], vb):
+        return True
+    if ka == "POLYGON" and _point_in_ring(vb[0], va):
+        return True
+    return False
+
+
+def _intersects_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    cache: dict[str, tuple[str, np.ndarray]] = {}
+
+    def geom(w):
+        if w not in cache:
+            cache[w] = _parse_geom(w)
+        return cache[w]
+
+    out = []
+    for wa, wb in zip(a, b):
+        out.append(None if wa is None or wb is None
+                   else _geoms_intersect(geom(wa), geom(wb)))
+    return pd.Series(out, dtype=object)
+
+
+_intersects_udf = None
+
+
+def _intersects_shapes(a: Column, b: Column) -> Column:
+    global _intersects_udf
+    if _intersects_udf is None:
+        _intersects_udf = pandas_udf(_intersects_batch, "boolean")
+    return _intersects_udf(a, b)
 
 
 _covers_udf = None

@@ -70,6 +70,25 @@ def date_diff_days(a: Column, b: Column) -> Column:
     return F.datediff(a, b)
 
 
+def time_plus(t: Column, dur: Column) -> Column:
+    """TIME + duration (Date.h:115 Time arithmetic): only the seconds
+    component applies (TIME has no date part for months to act on); wraps
+    mod 24 h. Returns the same struct(hour, minute, sec) convention."""
+    total = (t["hour"].cast("long") * 3600 + t["minute"].cast("long") * 60
+             + t["sec"] + dur["seconds"]) % 86400
+    return F.struct(
+        F.floor(total / 3600).cast("int").alias("hour"),
+        F.floor(total % 3600 / 60).cast("int").alias("minute"),
+        (total % 60).alias("sec"))
+
+
+def time_minus(t: Column, dur: Column) -> Column:
+    """TIME - duration, wrapping mod 24 h like the reference."""
+    neg = F.struct(dur["months"].alias("months"),
+                   (-dur["seconds"]).alias("seconds"))
+    return time_plus(t, neg)
+
+
 # -- component extraction (kAttribute on DATE/DATETIME, and extract()) -----
 
 COMPONENTS = {

@@ -27,9 +27,30 @@ IMAGE_META_SCHEMA = ("doc_id long, width int, height int, channels int, "
 
 
 def _decode_image_real(data: bytes) -> tuple[int, int, int, str, list[float]]:
-    raise NotImplementedError(
-        "image decode requires Pillow/libvips — not in this container; "
-        "use fake=True for plumbing tests")
+    """Real decode path: used automatically when Pillow is installed on the
+    cluster (import guarded — this container has no image libs, so without
+    Pillow it raises and ``fake=True`` is the way to test the plumbing).
+    Feature = per-channel means + stds + overall min/max of an 8x8
+    thumbnail, normalized to [0,1] — a cheap, deterministic embedding."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+    except ImportError as e:  # pragma: no cover - exercised off-container
+        raise NotImplementedError(
+            "image decode requires Pillow — not in this container; "
+            "use fake=True for plumbing tests") from e
+    img = Image.open(io.BytesIO(data))
+    img.load()
+    mode = img.mode
+    channels = len(img.getbands())
+    thumb = img.convert("RGB").resize((8, 8))
+    import numpy as np
+    px = np.asarray(thumb, dtype="float64") / 255.0
+    feat = (list(px.mean(axis=(0, 1))) + list(px.std(axis=(0, 1)))
+            + [float(px.min()), float(px.max())])
+    return img.width, img.height, channels, f"pil/{mode.lower()}", \
+        [float(x) for x in feat]
 
 
 def _decode_image_fake(data: bytes) -> tuple[int, int, int, str, list[float]]:

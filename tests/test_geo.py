@@ -93,3 +93,38 @@ def test_covering_cells_and_prefilter(spark):
     fast = G.dwithin_prefilter(df, "g", 10.0, 10.0, 500_000.0, level=6)
     assert sorted(r.id for r in fast.collect()) \
         == sorted(r.id for r in exact.collect())
+
+
+def test_intersects_shapes(spark):
+    """General st_intersects across WKT kinds, including non-axis-aligned
+    segments and containment (GeoFunction.cpp:106-148 parity cases)."""
+    tri = "POLYGON((0 0, 10 0, 5 10, 0 0))"
+    cases = [
+        # diagonal segment crossing the triangle
+        ("LINESTRING(-5 5, 15 5)", tri, True),
+        # segment entirely outside
+        ("LINESTRING(-5 -5, -1 -1)", tri, False),
+        # segment entirely inside (no edge crossing — containment case)
+        ("LINESTRING(4 1, 6 1)", tri, True),
+        # touching at a single vertex counts (boundary-inclusive)
+        ("LINESTRING(-5 -5, 0 0)", tri, True),
+        # polygon fully inside polygon
+        ("POLYGON((4 1, 6 1, 5 2, 4 1))", tri, True),
+        # overlapping polygons (edge crossings)
+        ("POLYGON((8 -1, 12 -1, 12 3, 8 3, 8 -1))", tri, True),
+        # disjoint polygons
+        ("POLYGON((20 20, 21 20, 21 21, 20 21, 20 20))", tri, False),
+        # point on polygon edge
+        ("POINT(5 0)", tri, True),
+        ("POINT(50 50)", tri, False),
+        # line-line crossing and parallel-disjoint
+        ("LINESTRING(0 0, 10 10)", "LINESTRING(0 10, 10 0)", True),
+        ("LINESTRING(0 0, 10 0)", "LINESTRING(0 1, 10 1)", False),
+        # collinear overlapping segments
+        ("LINESTRING(0 0, 5 0)", "LINESTRING(3 0, 8 0)", True),
+    ]
+    df = spark.createDataFrame([(a, b) for a, b, _ in cases], ["a", "b"])
+    got = [r.x for r in
+           df.select(G.st_intersects(F.col("a"), F.col("b")).alias("x"))
+           .collect()]
+    assert got == [e for _, _, e in cases]

@@ -139,3 +139,23 @@ def test_multimodal_fake_decode(spark):
     assert len(frames) > 0 and all(r.frame_idx % 7 == 0 for r in frames)
     with pytest.raises(Exception, match="Pillow|NotImplemented"):
         image_features(df, fake=False).collect()
+
+
+def test_multimodal_real_decode_with_pillow(spark):
+    """Runs only where Pillow exists (a real cluster): the import-guarded
+    real decoder produces metadata + a 14-dim feature with zero code
+    change vs the fake path."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from nebula_spark.pipeline.multimodal import image_features
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3), (255, 0, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, content binary")
+    r = image_features(df, fake=False).collect()[0]
+    assert (r.width, r.height, r.channels) == (5, 3, 3)
+    assert r.format == "pil/rgb" and len(r.feat) == 14
+    assert abs(r.feat[0] - 1.0) < 1e-6  # red mean
