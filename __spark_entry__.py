@@ -33,6 +33,29 @@ def _dec_sum(col: str):
     return F.sum(F.col(col).cast(DEC)).cast("double")
 
 
+# Namespaced vids for heterogeneous-key graph unions (customer/nation/...
+# keys share one traversal space): tag-offset LONG keys — joins and
+# frontier dedups stay on longs (hash/compare in codegen, no string
+# allocation), unlike the r1 'c:'||vid string keys. 44 bits leaves room
+# for ~17.6e12 vids per tag; the string form exists only in final output
+# columns, where the oracles expect 'c:123'.
+_TAG_CODE = {"c": 1, "n": 2, "o": 3, "p": 4, "r": 5}
+_NK_OFF = 1 << 44
+
+
+def _nk(tag: str, col):
+    return (F.lit(_TAG_CODE[tag] * _NK_OFF) + col.cast("long"))
+
+
+def _nk_str(col):
+    c = col.cast("long")
+    code = F.shiftright(c, 44)
+    tag = (F.when(code == 1, "c").when(code == 2, "n").when(code == 3, "o")
+           .when(code == 4, "p").otherwise("r"))
+    return F.concat(tag, F.lit(":"),
+                    c.bitwiseAND(F.lit(_NK_OFF - 1)).cast("string"))
+
+
 # ---------------------------------------------------------------------------
 # queries — each callable: (spark, sf_dir) -> DataFrame
 # ---------------------------------------------------------------------------
@@ -193,36 +216,43 @@ def q_go_1step(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_go_2step(spark: SparkSession, sf: str) -> DataFrame:
     """GO 2 STEPS: customer→order→part over a namespaced-vid edge union
-    (vids live in one space, so heterogeneous keys get a tag prefix)."""
+    (vids live in one space, so heterogeneous keys get a tag-offset long
+    namespace; string form only in the output projection)."""
     sp = tpch_space(spark, sf)
     start = sp.tag("customer").filter(F.col("vid") % 10 == 0).select(
-        F.concat(F.lit("c:"), F.col("vid")).alias("vid"))
+        _nk("c", F.col("vid")).alias("vid"))
     placed = sp.edge("placed").select(
-        F.concat(F.lit("c:"), F.col("src")).alias("src"),
-        F.concat(F.lit("o:"), F.col("dst")).alias("dst"), "rank")
+        _nk("c", F.col("src")).alias("src"),
+        _nk("o", F.col("dst")).alias("dst"), "rank")
     contains = sp.edge("contains").select(
-        F.concat(F.lit("o:"), F.col("src")).alias("src"),
-        F.concat(F.lit("p:"), F.col("dst")).alias("dst"), "rank")
+        _nk("o", F.col("src")).alias("src"),
+        _nk("p", F.col("dst")).alias("dst"), "rank")
     hop = go([placed, contains], start, 2, 2)
-    return dedup(hop.select(F.col("src").alias("o_key"),
-                            F.col("dst").alias("p_key"), "rank"))
+    return dedup(hop.select(_nk_str(F.col("src")).alias("o_key"),
+                            _nk_str(F.col("dst")).alias("p_key"), "rank"))
+
+
+def _cnr_edges(t):
+    """customer→nation→region edge union on tag-offset long keys."""
+    e1 = t["customer"].select(
+        _nk("c", F.col("c_custkey")).alias("src"),
+        _nk("n", F.col("c_nationkey")).alias("dst"),
+        F.lit(0).cast("long").alias("rank"))
+    e2 = t["nation"].select(
+        _nk("n", F.col("n_nationkey")).alias("src"),
+        _nk("r", F.col("n_regionkey")).alias("dst"),
+        F.lit(0).cast("long").alias("rank"))
+    return e1.unionByName(e2)
 
 
 def q_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
     """FIND SHORTEST PATH (distance form) on the namespaced c→n→r graph."""
     t = load_tables(spark, sf, ("customer", "nation"))
-    e1 = t["customer"].select(
-        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
-        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
-        F.lit(0).cast("long").alias("rank"))
-    e2 = t["nation"].select(
-        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
-        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
-        F.lit(0).cast("long").alias("rank"))
-    edges = e1.unionByName(e2)
     seeds = t["customer"].filter(F.col("c_custkey") <= 20).select(
-        F.concat(F.lit("c:"), F.col("c_custkey")).alias("vid"))
-    return bfs_shortest_paths(edges, seeds, max_hops=3)
+        _nk("c", F.col("c_custkey")).alias("vid"))
+    p = bfs_shortest_paths(_cnr_edges(t), seeds, max_hops=3)
+    return p.select(_nk_str(F.col("src")).alias("src"),
+                    _nk_str(F.col("dst")).alias("dst"), "dist")
 
 
 def q_fetch_vertices(spark: SparkSession, sf: str) -> DataFrame:
@@ -323,26 +353,22 @@ def q_event_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_paths_query(spark: SparkSession, sf: str) -> DataFrame:
-    """FIND ALL PATH with materialized path column (customer→nation→region)."""
+    """FIND ALL PATH with materialized path column (customer→nation→region).
+    Traversal runs on tag-offset long keys; strings appear only in the
+    final projection (including inside the path array transform)."""
     from nebula_spark.operators.paths import all_paths
     t = load_tables(spark, sf, ("customer", "nation", "region"))
-    e1 = t["customer"].select(
-        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
-        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
-        F.lit(0).cast("long").alias("rank"))
-    e2 = t["nation"].select(
-        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
-        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
-        F.lit(0).cast("long").alias("rank"))
     sources = t["customer"].filter(F.col("c_custkey") <= 10).select(
-        F.concat(F.lit("c:"), F.col("c_custkey")).alias("vid"))
-    targets = t["region"].select(F.concat(F.lit("r:"), F.col("r_regionkey"))
-                                 .alias("vid"))
-    p = all_paths(e1.unionByName(e2), sources, targets, max_hops=2)
+        _nk("c", F.col("c_custkey")).alias("vid"))
+    targets = t["region"].select(_nk("r", F.col("r_regionkey")).alias("vid"))
+    p = all_paths(_cnr_edges(t), sources, targets, max_hops=2)
     return p.select(
-        "start_vid", "end_vid", "hops",
+        _nk_str(F.col("start_vid")).alias("start_vid"),
+        _nk_str(F.col("end_vid")).alias("end_vid"), "hops",
         F.array_join(F.transform("path",
-                                 lambda e: F.concat(e["s"], F.lit(">"), e["d"])),
+                                 lambda e: F.concat(_nk_str(e["s"]),
+                                                    F.lit(">"),
+                                                    _nk_str(e["d"]))),
                      "|").alias("path_str"))
 
 
@@ -350,34 +376,28 @@ def q_subgraph(spark: SparkSession, sf: str) -> DataFrame:
     """GET SUBGRAPH 2 STEPS: collected edge set with step tags."""
     from nebula_spark.operators import k_hop_subgraph
     t = load_tables(spark, sf, ("customer", "nation"))
-    e1 = t["customer"].select(
-        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
-        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
-        F.lit(0).cast("long").alias("rank"))
-    e2 = t["nation"].select(
-        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
-        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
-        F.lit(0).cast("long").alias("rank"))
     seeds = t["customer"].filter(F.col("c_custkey") <= 10).select(
-        F.concat(F.lit("c:"), F.col("c_custkey")).alias("vid"))
-    _, edges = k_hop_subgraph(e1.unionByName(e2), seeds, steps=2,
+        _nk("c", F.col("c_custkey")).alias("vid"))
+    _, edges = k_hop_subgraph(_cnr_edges(t), seeds, steps=2,
                               direction="out")
-    return edges.select("src", "dst", "step")
+    return edges.select(_nk_str(F.col("src")).alias("src"),
+                        _nk_str(F.col("dst")).alias("dst"), "step")
 
 
 def q_go_1to2(spark: SparkSession, sf: str) -> DataFrame:
     """GO 1 TO 2 STEPS: per-step result accumulation (UnionAllVersionVar)."""
     sp = tpch_space(spark, sf)
     start = sp.tag("customer").filter(F.col("vid") % 20 == 0).select(
-        F.concat(F.lit("c:"), F.col("vid")).alias("vid"))
+        _nk("c", F.col("vid")).alias("vid"))
     placed = sp.edge("placed").select(
-        F.concat(F.lit("c:"), F.col("src")).alias("src"),
-        F.concat(F.lit("o:"), F.col("dst")).alias("dst"), "rank")
+        _nk("c", F.col("src")).alias("src"),
+        _nk("o", F.col("dst")).alias("dst"), "rank")
     contains = sp.edge("contains").select(
-        F.concat(F.lit("o:"), F.col("src")).alias("src"),
-        F.concat(F.lit("p:"), F.col("dst")).alias("dst"), "rank")
+        _nk("o", F.col("src")).alias("src"),
+        _nk("p", F.col("dst")).alias("dst"), "rank")
     hop = go([placed, contains], start, 1, 2)
-    return hop.select("src", "dst", "rank", "step")
+    return hop.select(_nk_str(F.col("src")).alias("src"),
+                      _nk_str(F.col("dst")).alias("dst"), "rank", "step")
 
 
 def q_ngql_go_pipe(spark: SparkSession, sf: str) -> DataFrame:
@@ -698,19 +718,12 @@ def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
 def q_bfs_targets(spark: SparkSession, sf: str) -> DataFrame:
     """FIND SHORTEST PATH FROM … TO …: BFS restricted to a target set."""
     t = load_tables(spark, sf, ("customer", "nation", "region"))
-    e1 = t["customer"].select(
-        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
-        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
-        F.lit(0).cast("long").alias("rank"))
-    e2 = t["nation"].select(
-        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
-        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
-        F.lit(0).cast("long").alias("rank"))
     seeds = t["customer"].filter(F.col("c_custkey") <= 20).select(
-        F.concat(F.lit("c:"), F.col("c_custkey")).alias("vid"))
-    targets = t["region"].select(F.concat(F.lit("r:"), F.col("r_regionkey"))
-                                 .alias("vid"))
-    return bfs_shortest_paths(e1.unionByName(e2), seeds, targets, max_hops=3)
+        _nk("c", F.col("c_custkey")).alias("vid"))
+    targets = t["region"].select(_nk("r", F.col("r_regionkey")).alias("vid"))
+    p = bfs_shortest_paths(_cnr_edges(t), seeds, targets, max_hops=3)
+    return p.select(_nk_str(F.col("src")).alias("src"),
+                    _nk_str(F.col("dst")).alias("dst"), "dist")
 
 
 # ---------------------------------------------------------------------------
