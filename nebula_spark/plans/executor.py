@@ -233,7 +233,9 @@ def _edge_union(space: GraphSpace, names: list[str]) -> DataFrame:
 def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
              env: dict[str, DataFrame] | None = None) -> DataFrame:
     start = _vid_frame(space, st.sources, piped, st.src_col, env)
-    edges = _edge_union(space, st.edges)
+    # OVER * (edges=None) expands to every edge type in the space, the
+    # reference's AllEdges expansion (GoValidator over_clause)
+    edges = _edge_union(space, st.edges or sorted(space.edges))
     # Runtime-input starts ($-.col / $var.col) traverse per start row —
     # the frontier dedups on (origin, vid), so overlapping neighborhoods
     # of different starts keep their multiplicity (GO.feature "only id n
@@ -283,9 +285,16 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
     def resolve(kind, *args):
         if kind == "edge_prop":
             ename, prop = args
-            if prop in ("_dst", "_src", "_rank"):
-                return F.col({"_dst": DST, "_src": SRC, "_rank": RANK}[prop])
-            return F.col(prop)
+            col = F.col({"_dst": DST, "_src": SRC,
+                         "_rank": RANK}.get(prop, prop))
+            # per-edge-type scoping over a multi-edge union (OVER a,b /
+            # OVER *): serve._dst is NULL on a like-edge row — matching
+            # the reference's EMPTY cells (GO.feature "multi edges over
+            # all") and disambiguating same-named props across types
+            if ename in space.edges and "_etype" in hop.columns \
+                    and len(st.edges or space.edges) > 1:
+                return F.when(F.col("_etype") == ename, col)
+            return col
         if kind == "src_prop":
             return F.col(f"__src_tag_{args[0]}__{args[1]}")
         if kind == "dst_prop":

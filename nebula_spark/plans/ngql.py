@@ -108,7 +108,7 @@ class GoStmt:
     max_steps: int
     sources: list | str          # vid literals or "$-" / ("$var",)
     src_col: str | None          # column when sources is a pipe/var ref
-    edges: list[str]
+    edges: list[str] | None      # None = OVER * (all edge types)
     direction: str               # out|in|both
     where: tuple | None
     yields: list[YieldItem]
@@ -547,10 +547,14 @@ class Parser:
         self.eat_kw("from")
         sources, src_col = self.vid_list()
         self.eat_kw("over")
-        edges = [self.name()]
-        while self.peek().kind == "COMMA":
-            self.eat("COMMA")
-            edges.append(self.name())
+        if self.peek().kind == "STAR":   # OVER * — every edge type
+            self.eat("STAR")
+            edges = None
+        else:
+            edges = [self.name()]
+            while self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                edges.append(self.name())
         direction = "out"
         if self.try_kw("reversely"):
             direction = "in"

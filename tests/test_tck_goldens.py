@@ -297,3 +297,39 @@ def test_subgraph_one_step_out(nba_space):
                             'OUT serve')
     got = {(r.src, r.dst) for r in df.collect()}
     assert got == {("Tim Duncan", "Spurs")}
+
+
+# ---------------------------------------------------------------------------
+# GO OVER * — tests/tck/features/go/GO.feature "multi edges over all"
+# ---------------------------------------------------------------------------
+
+def test_go_over_all_reversely(nba_space):
+    """GO.feature:341 — OVER * REVERSELY; per-edge-type props are NULL on
+    rows from other edge types (the reference's EMPTY cells)."""
+    df = execute(nba_space,
+                 'GO FROM "Russell Westbrook" OVER * REVERSELY '
+                 'YIELD serve._dst AS s, like._dst AS l')
+    got = sorted(rows(df, "s", "l"), key=str)
+    assert got == sorted([(None, "James Harden"), (None, "Dejounte Murray"),
+                          (None, "Paul George")], key=str)
+
+
+def test_go_over_all_out(nba_space):
+    """GO.feature:381 — OVER * forward from Dirk Nowitzki."""
+    df = execute(nba_space, 'GO FROM "Dirk Nowitzki" OVER * '
+                            'YIELD serve._dst AS s, like._dst AS l')
+    got = set(rows(df, "s", "l"))
+    assert got == {("Mavericks", None), (None, "Steve Nash"),
+                   (None, "Jason Kidd"), (None, "Dwyane Wade")}
+
+
+def test_go_over_all_bidirect(nba_space):
+    """GO.feature:351 — BIDIRECT keeps both orientations' rows."""
+    df = execute(nba_space,
+                 'GO FROM "Russell Westbrook" OVER * BIDIRECT '
+                 'YIELD serve._dst AS s, like._dst AS l')
+    got = sorted(rows(df, "s", "l"), key=str)
+    assert got == sorted([
+        (None, "Dejounte Murray"), (None, "James Harden"),
+        (None, "Paul George"), (None, "James Harden"),
+        (None, "Paul George"), ("Thunders", None)], key=str)
