@@ -333,3 +333,57 @@ def test_go_over_all_bidirect(nba_space):
         (None, "Dejounte Murray"), (None, "James Harden"),
         (None, "Paul George"), (None, "James Harden"),
         (None, "Paul George"), ("Thunders", None)], key=str)
+
+
+# ---------------------------------------------------------------------------
+# Expressions — tests/tck/features/expression/{Predicate,Reduce,
+# ListComprehension,Case}.feature (standalone YIELD goldens)
+# ---------------------------------------------------------------------------
+
+def _yield1(nba_space, q):
+    out = execute(nba_space, q).collect()
+    assert len(out) == 1
+    return out[0]
+
+
+def test_predicate_fns_goldens(nba_space):
+    """Predicate.feature:8-37 — all/any/single/none over literals/range."""
+    r = _yield1(nba_space,
+                'YIELD all(n IN range(1, 5) WHERE n > 2) AS a, '
+                'any(n IN [1, 2, 3, 4, 5] WHERE n > 2) AS b, '
+                'single(n IN range(1, 5) WHERE n == 3) AS c, '
+                'none(n IN range(1, 3) WHERE n == 0) AS d')
+    assert (r.a, r.b, r.c, r.d) == (False, True, True, True)
+
+
+def test_reduce_goldens(nba_space):
+    """Reduce.feature:6-21 — reduce with range and computed init."""
+    r = _yield1(nba_space,
+                'YIELD reduce(totalNum = 10, n IN range(1, 3) '
+                '| totalNum + n) AS r1, '
+                'reduce(totalNum = -4 * 5, n IN [1, 2] '
+                '| totalNum + n * 2) AS r2')
+    assert (r.r1, r.r2) == (16, -14)
+
+
+def test_reduce_in_go_filter(nba_space):
+    """Reduce.feature:23-35 — reduce over $$ props inside a GO WHERE."""
+    df = execute(nba_space,
+                 'GO FROM "Tony Parker" OVER like '
+                 'WHERE like.likeness != reduce(totalNum = 5, n IN '
+                 'range(1, 3) | $$.player.age + totalNum + n) '
+                 'YIELD dst(edge) AS id, $$.player.age AS age, '
+                 'like.likeness AS likeness')
+    assert set(rows(df, "id", "age", "likeness")) == {
+        ("Manu Ginobili", 41, 95), ("Tim Duncan", 42, 95),
+        ("LaMarcus Aldridge", 33, 90)}
+
+
+def test_list_comprehension_goldens(nba_space):
+    """ListComprehension.feature:8-35 — filter+map, filter-only, map-only."""
+    r = _yield1(nba_space,
+                'YIELD [n IN range(1, 5) WHERE n > 2 | n + 10] AS a, '
+                '[n IN [1, 2, 3, 4, 5] WHERE n > 2] AS b, '
+                '[n IN range(1, 3) WHERE true | n] AS c')
+    assert (list(r.a), list(r.b), list(r.c)) == (
+        [13, 14, 15], [3, 4, 5], [1, 2, 3])
