@@ -35,7 +35,10 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     e = edges.select(SRC, DST).distinct().persist()
     nodes = (e.select(F.col(SRC).alias("vid"))
              .union(e.select(F.col(DST).alias("vid"))).distinct().persist())
-    deg = e.groupBy(SRC).agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    deg = e.groupBy(SRC).agg(F.count(F.lit(1)).alias("outdeg"))
+    # degree is loop-invariant: join it into the edge table ONCE — each
+    # superstep then does a single rank join instead of rank+degree joins
+    ew = e.join(deg, SRC).select(SRC, DST, "outdeg").persist()
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
     try:
@@ -43,8 +46,7 @@ def pagerank(edges: DataFrame, iterations: int = 3,
             # contribution sum is decimal-stabilized (the repo's float
             # discipline): double sums are shuffle-order-dependent, and a
             # rank landing on a rounding boundary flips the comparison
-            contrib = (e.join(ranks, e[SRC] == ranks["vid"])
-                       .join(deg, SRC)
+            contrib = (ew.join(ranks, ew[SRC] == ranks["vid"])
                        .select(F.col(DST).alias("vid"),
                                (F.col("rank") / F.col("outdeg"))
                                .cast("decimal(30,15)").alias("c")))
@@ -64,4 +66,4 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     finally:
         e.unpersist()
         nodes.unpersist()
-        deg.unpersist()
+        ew.unpersist()

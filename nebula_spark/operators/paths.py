@@ -44,7 +44,9 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
     e = oriented(edges, direction)
     if edge_filter is not None:
         e = e.filter(edge_filter)
-    e = e.select(SRC, DST).distinct()
+    # persisted: every level joins the same deduped edge set — without the
+    # cache each level re-scans and re-dedups the source tables
+    e = e.select(SRC, DST).distinct().persist()
 
     frontier = (sources.select(F.col(VID).alias("root"))
                 .distinct().withColumn(VID, F.col("root")))
@@ -80,6 +82,7 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
     finally:
         frontier.unpersist()
         visited.unpersist()
+        e.unpersist()
 
 
 def all_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
