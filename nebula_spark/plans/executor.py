@@ -175,7 +175,8 @@ class ExprCompiler:
             except ValueError:
                 pass                      # not a path → fall through
         if name in ("id", "type", "rank", "startnode", "endnode",
-                    "properties", "props", "src", "dst") and len(args) == 1 \
+                    "properties", "props", "src", "dst", "labels",
+                    "tags") and len(args) == 1 \
                 and isinstance(args[0], tuple) and args[0][0] == "name":
             try:
                 return self.resolve("graph_fn", name, args[0][1])
@@ -446,11 +447,17 @@ def _exec_group_by(st: A.GroupByStmt, piped: DataFrame) -> DataFrame:
 
 
 def _bind_tag(space: GraphSpace, alias: str, tag: str | None) -> DataFrame:
-    """Tag table with alias-prefixed columns ({alias}__vid, {alias}__prop)."""
+    """Tag table with alias-prefixed columns ({alias}__vid, {alias}__prop).
+
+    ``{alias}___labels`` (triple underscore = internal marker) records the
+    pattern's declared tag for labels()/tags(); multi-tag vertices report
+    only the tag they were matched through — the declared-tag subset of the
+    reference's full label list (Vertex.h:62-70)."""
     if tag is None:
         raise ValueError("MATCH pattern start node needs a :tag")
     t = space.tag(tag)
     return t.select(F.col(VID).alias(f"{alias}__vid"),
+                    F.array(F.lit(tag)).alias(f"{alias}___labels"),
                     *[F.col(c).alias(f"{alias}__{c}")
                       for c in t.columns if c != VID])
 
@@ -631,11 +638,15 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                    "src": "__src", "dst": "__dst"}.get(fn)
             if col is not None:
                 return F.col(f"{alias}{col}")
+            if fn in ("labels", "tags") and columns is not None \
+                    and f"{alias}___labels" in columns:
+                return F.col(f"{alias}___labels")
             if fn in ("properties", "props") and columns is not None:
                 skip = {f"{alias}__vid", f"{alias}__src", f"{alias}__dst",
-                        f"{alias}__rank", f"{alias}___etype"}
+                        f"{alias}__rank"}
                 pc = [c for c in columns
-                      if c.startswith(f"{alias}__") and c not in skip]
+                      if c.startswith(f"{alias}__") and c not in skip
+                      and not c.startswith(f"{alias}___")]
                 return F.struct(*[F.col(c).alias(c.split("__", 1)[1])
                                   for c in pc])
             raise ValueError(f"unknown graph fn {fn}")
@@ -761,7 +772,8 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 and y.alias in (None, y.expr[1]):
             a = y.expr[1]
             fields = [F.col(c).alias(c.split("__", 1)[1])
-                      for c in cur.columns if c.startswith(f"{a}__")]
+                      for c in cur.columns if c.startswith(f"{a}__")
+                      and not c.startswith(f"{a}___")]
             return F.struct(*fields).alias(y.alias or a)
         return ec.col(y.expr).alias(y.alias or f"c{i}")
 

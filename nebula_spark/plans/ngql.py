@@ -413,7 +413,13 @@ class Parser:
         if self.at_kw("match"):
             return self.match_sentence()
         if self.at_kw("unwind"):
-            return self.unwind_sentence()
+            # two forms share the keyword: a pipe stage (`… | UNWIND l AS
+            # x`) stands alone; Cypher's clause form continues with
+            # MATCH/WITH/UNWIND/RETURN (UNWIND [1,2,3] AS x RETURN x)
+            st = self.unwind_sentence()
+            if self.at_kw("match", "optional", "with", "unwind", "return"):
+                return self.match_sentence(initial=[st])
+            return st
         if self.at_kw("insert"):
             return self.insert_sentence()
         if self.at_kw("update", "upsert"):
@@ -849,8 +855,8 @@ class Parser:
         where = self.expr() if self.try_kw("where") else None
         return WithClause(items, where, distinct)
 
-    def match_sentence(self) -> MatchStmt:
-        clauses: list = []
+    def match_sentence(self, initial: list | None = None) -> MatchStmt:
+        clauses: list = list(initial or [])
         while True:
             if self.at_kw("match"):
                 clauses.append(self.match_clause(False))

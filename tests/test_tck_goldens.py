@@ -387,3 +387,49 @@ def test_list_comprehension_goldens(nba_space):
                 '[n IN range(1, 3) WHERE true | n] AS c')
     assert (list(r.a), list(r.b), list(r.c)) == (
         [13, 14, 15], [3, 4, 5], [1, 2, 3])
+
+
+# ---------------------------------------------------------------------------
+# Cypher clause chains — match/MultiLineMultiQueryParts.feature,
+# match/MatchGroupBy.feature, expression/Predicate.feature (UNWIND clause)
+# ---------------------------------------------------------------------------
+
+def test_multi_query_parts_with_unwind(nba_space):
+    """MultiLineMultiQueryParts.feature:324-331 — two MATCH parts joined
+    through WITH, cross-product semantics, then an UNWIND clause:
+    2 players aged 42 x 2 aged 40 x 3 list elements = 12."""
+    df = execute(nba_space, """
+        MATCH (a:player {age: 42}) WITH a
+        MATCH (b:player {age: 40}) WHERE b.player.age < a.player.age
+        UNWIND [1, 2, 3] AS l
+        RETURN count(*) AS count""")
+    assert rows(df, "count") == [(12,)]
+
+
+def test_unwind_clause_return(nba_space):
+    """Cypher-form UNWIND as a standalone clause chain."""
+    df = execute(nba_space, 'UNWIND [1, 2, 3] AS x RETURN x * 2 AS y '
+                            'ORDER BY y')
+    assert rows(df, "y") == [(2,), (4,), (6,)]
+
+
+def test_match_group_by_skip_limit(nba_space):
+    """MatchGroupBy.feature:9-33 — per-vertex implicit grouping with
+    count/sum/max, avg(DISTINCT), labels(), ORDER BY + SKIP + LIMIT."""
+    df = execute(nba_space, """
+        MATCH (n:player)
+        RETURN id(n) AS id, count(n) AS count,
+               sum(floor(n.player.age)) AS sum, max(n.player.age) AS max,
+               avg(distinct n.player.age) AS age, labels(n) AS lb
+        ORDER BY id SKIP 10 LIMIT 8""")
+    got = [(r["id"], r["count"], r["sum"], r["max"], r["age"], list(r["lb"]))
+           for r in df.collect()]
+    assert got == [
+        ("David West", 1, 38, 38, 38.0, ["player"]),
+        ("DeAndre Jordan", 1, 30, 30, 30.0, ["player"]),
+        ("Dejounte Murray", 1, 29, 29, 29.0, ["player"]),
+        ("Dirk Nowitzki", 1, 40, 40, 40.0, ["player"]),
+        ("Dwight Howard", 1, 33, 33, 33.0, ["player"]),
+        ("Dwyane Wade", 1, 37, 37, 37.0, ["player"]),
+        ("Giannis Antetokounmpo", 1, 24, 24, 24.0, ["player"]),
+        ("Grant Hill", 1, 46, 46, 46.0, ["player"])]
