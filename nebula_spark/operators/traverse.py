@@ -193,7 +193,19 @@ def _edge_id(prefix: str = "") -> Column:
     return F.struct(F.col(f"{prefix}{SRC}").alias("s"),
                     F.col(f"{prefix}{DST}").alias("d"),
                     F.col(f"{prefix}{RANK}").alias("r"),
-                    F.col(f"{prefix}_dir").alias("t"))
+                    F.col(f"{prefix}_dir").alias("t"),
+                    F.col(f"{prefix}_etype").alias("et"))
+
+
+def _edge_id_reversed(prefix: str = "") -> Column:
+    """The same underlying edge seen from the other orientation: reference
+    edge equality is direction-normalized ((a,b,e,r) == (b,a,-e,r),
+    Edge.cpp:128-136 keyEqual), so uniqueness checks both images."""
+    return F.struct(F.col(f"{prefix}{DST}").alias("s"),
+                    F.col(f"{prefix}{SRC}").alias("d"),
+                    F.col(f"{prefix}{RANK}").alias("r"),
+                    (-F.col(f"{prefix}_dir")).alias("t"),
+                    F.col(f"{prefix}_etype").alias("et"))
 
 
 def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
@@ -210,17 +222,21 @@ def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
     ``NOT exists(path, e -> e == new_edge)`` — JVM-side higher-order
     function, no UDF.
     """
-    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                                   StructField, StructType)
 
     e = oriented(edges, direction)
     if edge_filter is not None:
         e = e.filter(edge_filter)
-    e = e.select(SRC, DST, RANK, "_dir")
+    if "_etype" not in e.columns:        # single-type edge tables
+        e = e.withColumn("_etype", F.lit(""))
+    e = e.select(SRC, DST, RANK, "_dir", "_etype")
     path_type = ArrayType(StructType([
         StructField("s", e.schema[SRC].dataType),
         StructField("d", e.schema[DST].dataType),
         StructField("r", e.schema[RANK].dataType),
         StructField("t", IntegerType()),
+        StructField("et", StringType()),
     ]))
 
     def zero_paths() -> DataFrame:
@@ -235,8 +251,11 @@ def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
         new_edge = _edge_id()
         # edge-uniqueness via array_contains(path, struct(...)) — a lambda
         # with outer column refs (F.exists) miscompiles on reused Datasets
-        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime)
-        uniq = ~F.array_contains(F.col("path"), new_edge)
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime). Checked in both
+        # orientations: BOTH-direction expansion must not walk back over
+        # the edge it arrived by (direction-normalized edge equality).
+        uniq = ~F.array_contains(F.col("path"), new_edge) \
+            & ~F.array_contains(F.col("path"), _edge_id_reversed())
         # alias-qualified join: the edge table participates in every
         # iteration, and df[col] cross-references break Spark's self-join
         # disambiguation once the same base Dataset appears twice in lineage

@@ -48,7 +48,9 @@ def _is_agg(e: tuple) -> bool:
 def _walk(e, kinds: set[str], out: list) -> None:
     if not isinstance(e, tuple):
         return
-    if e[0] in kinds:
+    if isinstance(e[0], tuple):     # pair tuples, e.g. CASE (cond, val) arms
+        _walk(e[0], kinds, out)
+    elif e[0] in kinds:
         out.append(e)
     for x in e[1:]:
         if isinstance(x, tuple):
@@ -72,6 +74,10 @@ class ExprCompiler:
             return F.lit(e[1])
         if op == "list":
             return F.array(*[self.col(x) for x in e[1:]])
+        if op == "map":                  # {k: v, …} → struct (typed fields)
+            return F.struct(*[self.col(v).alias(k) for k, v in e[1]])
+        if op == "attr":                 # x.field on a map/struct value
+            return self.col(e[1])[e[2]]
         if op in ("name", "edge_prop", "alias_tag_prop", "src_prop",
                   "dst_prop", "input_prop", "var_prop"):
             return self.resolve(*e)
@@ -106,22 +112,36 @@ class ExprCompiler:
         if op == "contains_str":
             return self.col(e[1]).contains(self.col(e[2]))
         if op == "case":
+            # condition cast to boolean: `WHEN null THEN …` must resolve
+            # (NullType isn't boolean to Spark) and behave as not-matched
             whens, default = e[1], e[2]
-            c = F.when(self.col(whens[0][0]), self.col(whens[0][1]))
+            c = F.when(self.col(whens[0][0]).cast("boolean"),
+                       self.col(whens[0][1]))
             for cond, val in whens[1:]:
-                c = c.when(self.col(cond), self.col(val))
+                c = c.when(self.col(cond).cast("boolean"), self.col(val))
             return c.otherwise(self.col(default)) if default else c
         if op in ("call", "call_distinct"):
             return self.call(e[1], list(e[2:]), distinct=op == "call_distinct")
         if op == "subscript":            # SubscriptExpression: 0-based lists
-            return F.element_at(self.col(e[1]),
-                                (self.col(e[2]) + 1).cast("int"))
-        if op == "slice":                # l[a..b] — end-exclusive
+            # reference semantics (SubscriptExpression.cpp:26-36):
+            # list[-1] == list[size-1]; out of range ([size..] / [..-size-1])
+            # → NULL. F.get is 0-based and NULL-safe out of bounds.
             base = self.col(e[1])
-            lo = self.col(e[2]) if e[2] is not None else F.lit(0)
-            hi = self.col(e[3]) if e[3] is not None else F.size(base)
-            return F.slice(base, (lo + 1).cast("int"),
-                           F.greatest(hi - lo, F.lit(0)).cast("int"))
+            idx = self.col(e[2]).cast("int")
+            return F.get(base, F.when(idx < 0, idx + F.size(base))
+                         .otherwise(idx))
+        if op == "slice":                # l[a..b] — end-exclusive
+            # reference semantics (SubscriptExpression.cpp:127-186):
+            # negative bounds count from the end; out-of-bound bounds
+            # truncate; lo >= hi → empty list
+            base = self.col(e[1])
+            sz = F.size(base)
+            lo = (self.col(e[2]) if e[2] is not None else F.lit(0)) \
+                .cast("int")
+            hi = (self.col(e[3]) if e[3] is not None else sz).cast("int")
+            lo = F.greatest(F.when(lo < 0, lo + sz).otherwise(lo), F.lit(0))
+            hi = F.least(F.when(hi < 0, hi + sz).otherwise(hi), sz)
+            return F.slice(base, lo + 1, F.greatest(hi - lo, F.lit(0)))
         if op == "comprehension":        # [x IN l WHERE p | out]
             _, var, lst, where, out = e
             c = self.col(lst)
@@ -399,7 +419,20 @@ def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt) -> DataFrame:
 
 
 def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
-                spark) -> DataFrame:
+                spark, env: dict[str, DataFrame] | None = None) -> DataFrame:
+    # $var.prop refs (VariablePropertyExpression): the statement iterates
+    # the named result table(s) — each var's frame joins the input
+    # row-source, columns namespaced var__prop
+    used: list = []
+    for y in st.yields:
+        _walk(y.expr, {"var_prop"}, used)
+    if st.where is not None:
+        _walk(st.where, {"var_prop"}, used)
+    var_names = sorted({v for _, v, _ in used})
+    if var_names and not env:
+        raise ValueError(f"unresolvable var_prop: ${var_names[0]}")
+    env = {k.lstrip("$"): v for k, v in env.items()} if env else env
+
     def resolve(kind, *args):
         if kind == "input_prop":
             return F.col(args[0])
@@ -407,10 +440,21 @@ def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
             return F.col(args[0])
         if kind == "edge_prop":
             return F.col(args[1])
+        if kind == "var_prop" and env is not None and args[0] in env:
+            return F.col(f"_v_{args[0]}__{args[1]}")
         raise ValueError(f"unresolvable {kind}")
 
     ec = ExprCompiler(resolve)
     base = piped if piped is not None else spark.range(1)
+    for v in var_names:
+        if v not in env:
+            raise ValueError(f"undefined variable ${v}")
+        vf = env[v].select(
+            *[F.col(c).alias(f"_v_{v}__{c}") for c in env[v].columns])
+        base = base.crossJoin(vf) if base is not None else vf
+    if var_names and piped is None:
+        # the var table is the row source — drop the synthetic range(1) row
+        base = base.drop("id")
     if st.where is not None:
         base = base.filter(ec.col(st.where))
     aggish = any(_is_agg(y.expr) for y in st.yields)
@@ -452,14 +496,52 @@ def _bind_tag(space: GraphSpace, alias: str, tag: str | None) -> DataFrame:
     ``{alias}___labels`` (triple underscore = internal marker) records the
     pattern's declared tag for labels()/tags(); multi-tag vertices report
     only the tag they were matched through — the declared-tag subset of the
-    reference's full label list (Vertex.h:62-70)."""
+    reference's full label list (Vertex.h:62-70).
+
+    A tagless node (``MATCH (n)`` — ScanVertices, MatchById seeks) binds
+    the union of every tag's vid with the full label list; props resolve
+    lazily via ``_ensure_tag_props``. The union+agg is one shuffle over
+    vertex ids; WHERE id(n) filters push into each branch's scan."""
     if tag is None:
-        raise ValueError("MATCH pattern start node needs a :tag")
+        u = None
+        for tname in space.tags:
+            part = space.tag(tname).select(
+                F.col(VID).alias(f"{alias}__vid"), F.lit(tname).alias("_t"))
+            u = part if u is None else u.unionByName(part)
+        if u is None:
+            raise ValueError("space has no tags")
+        return (u.groupBy(f"{alias}__vid")
+                .agg(F.array_sort(F.collect_set("_t"))
+                     .alias(f"{alias}___labels")))
     t = space.tag(tag)
     return t.select(F.col(VID).alias(f"{alias}__vid"),
                     F.array(F.lit(tag)).alias(f"{alias}___labels"),
                     *[F.col(c).alias(f"{alias}__{c}")
                       for c in t.columns if c != VID])
+
+
+def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
+                      tagmap: dict[str, str | None]) -> DataFrame:
+    """Lazy AppendVertices: for every ``alias.tag.prop`` in *exprs* whose
+    alias is bound to a different (or no) tag, left-join that tag's table
+    once, adding ``{alias}___t_{tag}__{prop}`` columns — NULL where the
+    vertex lacks the tag (the reference's UNKNOWN_PROP→NULL behavior).
+    One broadcast-friendly left join per (alias, tag) pair, not per prop."""
+    refs: list = []
+    for e in exprs:
+        if e is not None:
+            _walk(e, {"alias_tag_prop"}, refs)
+    for a, t in sorted({(r[1], r[2]) for r in refs}):
+        if a not in tagmap or tagmap.get(a) == t or t not in space.tags:
+            continue
+        if f"{a}___t_{t}__vid" in cur.columns or f"{a}__vid" not in cur.columns:
+            continue
+        td = space.tag(t)
+        sel = td.select(*[F.col(c).alias(f"{a}___t_{t}__{c}")
+                          for c in td.columns])
+        cur = cur.join(
+            sel, cur[f"{a}__vid"] == sel[f"{a}___t_{t}__vid"], "left")
+    return cur
 
 
 def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
@@ -475,6 +557,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
     a0 = n0.alias or fresh("n")
     aliases = {a0}
     edge_aliases: set[str] = set()
+    tags: dict[str, str | None] = {a0: n0.tag}
     if n0.tag is None and seed is not None:
         cur = seed                      # pre-bound vids from the outer frame
     else:
@@ -486,6 +569,30 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
     # array<struct(s,d,r)> column expression over the final frame
     path_parts: list = []
     hop_counts: list[Column] = []
+    # canonical edge ids per segment for openCypher relationship
+    # uniqueness ACROSS hops of one pattern (reference hasSameEdgeInPath,
+    # direction-normalized per Edge.cpp:128-136): struct (s,d,r,et) with
+    # s/d in the edge's stored orientation regardless of traversal
+    canon_single: list[Column] = []
+    canon_paths: list[Column] = []
+
+    def _canon_hop(ea: str) -> Column:
+        fwd = F.col(f"{ea}___dir") == 1
+        return F.struct(
+            F.when(fwd, F.col(f"{ea}__src")).otherwise(F.col(f"{ea}__dst"))
+            .alias("s"),
+            F.when(fwd, F.col(f"{ea}__dst")).otherwise(F.col(f"{ea}__src"))
+            .alias("d"),
+            F.col(f"{ea}__rank").alias("r"),
+            F.col(f"{ea}___etype").alias("et"))
+
+    def _canon_path(ea: str) -> Column:
+        return F.transform(
+            F.col(f"{ea}__path"),
+            lambda x: F.struct(
+                F.when(x["t"] == 1, x["s"]).otherwise(x["d"]).alias("s"),
+                F.when(x["t"] == 1, x["d"]).otherwise(x["s"]).alias("d"),
+                x["r"].alias("r"), x["et"].alias("et")))
 
     prev_alias = a0
     for me, mn in zip(path.edges, path.nodes[1:]):
@@ -509,8 +616,9 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 F.col(f"{ea}__dst").alias("d"),
                 F.col(f"{ea}__rank").alias("r"))))
             hop_counts.append(F.lit(1))
+            canon_single.append(_canon_hop(ea))
         else:
-            tr = traverse(edges.select(SRC, DST, RANK), cur.select(
+            tr = traverse(edges.select(SRC, DST, RANK, "_etype"), cur.select(
                 F.col(f"{prev_alias}__vid").alias(VID)).distinct(),
                 me.min_hops, me.max_hops, me.direction)
             tr = tr.select(F.col("start_vid").alias(f"{prev_alias}__vid"),
@@ -524,6 +632,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 lambda x: F.struct(x["s"].alias("s"), x["d"].alias("d"),
                                    x["r"].alias("r"))))
             hop_counts.append(F.col(f"{ea}__hops"))
+            canon_paths.append(_canon_path(ea))
         if mn.tag:
             tt = _bind_tag(space, na, mn.tag)
             cur = cur.join(tt, cur[end_col] == tt[f"{na}__vid"], "inner")
@@ -533,7 +642,24 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             cur = cur.filter(F.col(f"{na}__{k}") == v)
         aliases.add(na)
         edge_aliases.add(ea)
+        tags[na] = mn.tag
         prev_alias = na
+
+    # relationship uniqueness across the pattern's segments: no underlying
+    # edge may appear in two hops of one match (openCypher isomorphism;
+    # TraverseExecutor hasSameEdgeInPath covers only within one var-len
+    # segment). All-column expressions over the joined frame — Catalyst
+    # fuses them into the join's post-filter, no extra shuffle.
+    for i in range(len(canon_single)):
+        for j in range(i + 1, len(canon_single)):
+            cur = cur.filter(~(canon_single[i] == canon_single[j]))
+    for s in canon_single:
+        for p in canon_paths:
+            cur = cur.filter(~F.array_contains(p, s))
+    for i in range(len(canon_paths)):
+        for j in range(i + 1, len(canon_paths)):
+            cur = cur.filter(~F.arrays_overlap(canon_paths[i],
+                                               canon_paths[j]))
 
     # shortestPath()/allShortestPaths(): keep only min-total-hop rows per
     # (start, end) pair — the kShortestPath semantics. The per-pair min is
@@ -567,7 +693,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             f"{pa}__path",
             F.concat(*path_parts) if path_parts else F.array())
         paths_bound.add(pa)
-    return cur, aliases, edge_aliases, paths_bound
+    return cur, aliases, edge_aliases, paths_bound, tags
 
 
 def _split_conjuncts(e: tuple) -> list[tuple]:
@@ -588,7 +714,8 @@ def _apply_pattern_pred(space: GraphSpace, cur: DataFrame, path: A.MatchPath,
     seed = None
     if n0.tag is None and n0.alias in bound:
         seed = cur.select(F.col(f"{n0.alias}__vid")).distinct()
-    pat, aliases, _ea, _pp = _build_pattern(space, path, counter, seed=seed)
+    pat, aliases, _ea, _pp, _tm = _build_pattern(space, path, counter,
+                                                 seed=seed)
     shared = sorted(bound & aliases)
     if not shared:
         raise ValueError("pattern predicate must share an alias with MATCH")
@@ -599,7 +726,8 @@ def _apply_pattern_pred(space: GraphSpace, cur: DataFrame, path: A.MatchPath,
 
 def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
                  bound: set[str], counter: list[int],
-                 pbound: set[str] = frozenset()) -> DataFrame:
+                 pbound: set[str] = frozenset(),
+                 tagmap: dict[str, str | None] | None = None) -> DataFrame:
     """Apply a WHERE tree: top-level AND conjuncts that are pattern
     predicates become PatternApply joins; the rest filters."""
     plain: list[tuple] = []
@@ -617,13 +745,14 @@ def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
         for p in plain[1:]:
             pred = ("and", pred, p)
         cur = cur.filter(
-            ExprCompiler(_match_resolver(bound, pbound, cur.columns))
+            ExprCompiler(_match_resolver(bound, pbound, cur.columns, tagmap))
             .col(pred))
     return cur
 
 
 def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
-                    columns: list[str] | None = None):
+                    columns: list[str] | None = None,
+                    tagmap: dict[str, str | None] | None = None):
     """Expression resolver over the clause-chain frame: bound node aliases
     → their __vid column; path aliases → nodes()/relationships()/length();
     graph value fns (id/type/rank/startNode/endNode/properties) → the
@@ -664,9 +793,24 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                                 F.transform(p, lambda x: x["d"]))
             raise ValueError(f"unknown path function {fn}")
         if kind == "alias_tag_prop":     # v.tag.prop
-            alias, _tag, prop = args
+            alias, tag, prop = args
+            if tagmap is not None and alias in tagmap \
+                    and tagmap.get(alias) != tag:
+                # alias bound to another (or no) tag — the lazily-joined
+                # column from _ensure_tag_props
+                lazy = f"{alias}___t_{tag}__{prop}"
+                if columns is None or lazy in columns:
+                    return F.col(lazy)
+            if columns is not None and f"{alias}__{prop}" not in columns \
+                    and alias in columns:
+                # not a graph binding — field chain on a map/struct value
+                # (x.b.d on a WITH-bound map)
+                return F.col(alias)[tag][prop]
             return F.col(f"{alias}__{prop}")
         if kind == "edge_prop":          # e.prop (or alias.prop)
+            if columns is not None and f"{args[0]}__{args[1]}" not in columns \
+                    and args[0] in columns:
+                return F.col(args[0])[args[1]]
             return F.col(f"{args[0]}__{args[1]}")
         if kind in ("name", "input_prop"):
             return F.col(f"{args[0]}__vid") if args[0] in bound \
@@ -684,6 +828,11 @@ def _project_items(cur: DataFrame, items: list[A.YieldItem],
     has_agg = any(_is_agg(y.expr) for y in items)
     keys, aggs = [], []
     for i, y in enumerate(items):
+        if y.expr == ("star",):          # WITH * — every column through
+            keys.extend(F.col(c) for c in cur.columns)
+            out_bound |= {c.split("__", 1)[0] for c in cur.columns
+                          if "__" in c} & bound
+            continue
         bare = (y.expr[0] == "name" and y.expr[1] in bound
                 and y.alias in (None, y.expr[1]))
         if bare:                 # carry the full binding
@@ -711,16 +860,20 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     bound: set[str] = set()
     ebound: set[str] = set()
     pbound: set[str] = set()
+    tagmap: dict[str, str | None] = {}
 
     for cl in st.clauses:
         if isinstance(cl, A.MatchClause):
             for path in cl.paths:
-                pat, aliases, eals, ppaths = _build_pattern(space, path, counter)
+                pat, aliases, eals, ppaths, ptags = _build_pattern(
+                    space, path, counter)
                 if cl.where is not None and cl.optional:
                     # WHERE of an OPTIONAL MATCH filters the pattern side
                     # BEFORE the left join (openCypher semantics)
+                    pat = _ensure_tag_props(space, pat, [cl.where], ptags)
                     pat = pat.filter(
-                        ExprCompiler(_match_resolver(aliases, ppaths))
+                        ExprCompiler(_match_resolver(
+                            aliases, ppaths, pat.columns, ptags))
                         .col(cl.where))
                 if cur is None:
                     cur = pat
@@ -741,29 +894,57 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 bound |= aliases
                 ebound |= eals
                 pbound |= ppaths
+                tagmap.update(ptags)
             if cl.where is not None and not cl.optional:
+                cur = _ensure_tag_props(space, cur, [cl.where], tagmap)
                 cur = _apply_where(space, cur, cl.where, bound | ebound,
-                                   counter, pbound)
+                                   counter, pbound, tagmap)
         elif isinstance(cl, A.WithClause):
+            if cur is None:              # query opens with WITH — unit row
+                cur = space.spark.range(1).select()
+            cur = _ensure_tag_props(
+                space, cur, [y.expr for y in cl.items] + [cl.where], tagmap)
             ec = ExprCompiler(
-                _match_resolver(bound | ebound, pbound, cur.columns))
+                _match_resolver(bound | ebound, pbound, cur.columns, tagmap))
             cur, carried = _project_items(cur, cl.items, ec,
                                           bound | ebound | pbound)
             bound, ebound, pbound = (carried & bound, carried & ebound,
                                      carried & pbound)
+            tagmap = {a: t for a, t in tagmap.items() if a in carried}
             if cl.distinct:
                 cur = cur.distinct()
             if cl.where is not None:
                 cur = cur.filter(
                     ExprCompiler(_match_resolver(bound | ebound, pbound,
-                                                 cur.columns))
+                                                 cur.columns, tagmap))
                     .col(cl.where))
         elif isinstance(cl, A.UnwindStmt):
             cur = _exec_unwind(cl, cur, space.spark)
         else:
             raise ValueError(f"unknown clause {type(cl).__name__}")
 
-    ec = ExprCompiler(_match_resolver(bound | ebound, pbound, cur.columns))
+    cur = _ensure_tag_props(
+        space, cur, [y.expr for y in st.returns]
+        + [e for e, _ in (st.order_by or [])], tagmap)
+    ec = ExprCompiler(_match_resolver(bound | ebound, pbound, cur.columns,
+                                      tagmap))
+
+    # RETURN * — expand to every vertex binding (struct form) + every
+    # plain projected column, in frame order
+    returns: list[A.YieldItem] = []
+    for y in st.returns:
+        if y.expr != ("star",):
+            returns.append(y)
+            continue
+        seen: set[str] = set()
+        for c in cur.columns:
+            if "__" in c:
+                a = c.split("__", 1)[0]
+                if a in bound and a not in seen:
+                    seen.add(a)
+                    returns.append(A.YieldItem(("name", a), a))
+            else:
+                returns.append(A.YieldItem(("name", c), c))
 
     def ret_col(y: A.YieldItem, i: int):
         # RETURN v (bare bound alias) → the full vertex value as a struct
@@ -777,7 +958,7 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
             return F.struct(*fields).alias(y.alias or a)
         return ec.col(y.expr).alias(y.alias or f"c{i}")
 
-    items = [(y, ret_col(y, i)) for i, y in enumerate(st.returns)]
+    items = [(y, ret_col(y, i)) for i, y in enumerate(returns)]
     has_agg = any(_is_agg(y.expr) for y, _ in items)
     if has_agg:
         keys = [c for y, c in items if not _is_agg(y.expr)]
@@ -942,7 +1123,7 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
         elif isinstance(st, A.SubgraphStmt):
             df = _exec_subgraph(space, st)
         elif isinstance(st, A.YieldStmt):
-            df = _exec_yield(st, df, space.spark)
+            df = _exec_yield(st, df, space.spark, env)
         elif isinstance(st, A.GroupByStmt):
             df = _exec_group_by(st, df)
         elif isinstance(st, A.OrderByStmt):

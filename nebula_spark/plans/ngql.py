@@ -46,7 +46,7 @@ _TOKEN_SPEC = [
     ("LP", r"\("), ("RP", r"\)"), ("LB", r"\["), ("RB", r"\]"),
     ("LC", r"\{"), ("RC", r"\}"),
     ("COMMA", r","), ("COLON", r":"), ("SEMI", r";"), ("DOT", r"\."),
-    ("AT", r"@"),
+    ("AT", r"@"), ("QM", r"\?"),
     ("PIPE", r"\|"),
     ("NAME", r"[A-Za-z_][A-Za-z0-9_]*"),
 ]
@@ -412,6 +412,10 @@ class Parser:
             return self.limit_sentence()
         if self.at_kw("match"):
             return self.match_sentence()
+        if self.at_kw("with"):
+            # Cypher queries may open with WITH (With.feature "with
+            # return"): the clause chain starts from a unit row
+            return self.match_sentence()
         if self.at_kw("unwind"):
             # two forms share the keyword: a pipe stage (`… | UNWIND l AS
             # x`) stands alone; Cypher's clause form continues with
@@ -635,6 +639,9 @@ class Parser:
         return items
 
     def yield_item(self) -> YieldItem:
+        if self.peek().kind == "STAR":   # WITH * / RETURN * passthrough
+            self.eat("STAR")
+            return YieldItem(("star",), None)
         e = self.expr()
         alias = None
         if self.try_kw("as"):
@@ -963,7 +970,17 @@ class Parser:
 
     # -- expressions (Pratt)
     def expr(self) -> tuple:
-        return self.expr_or()
+        """Ternary ``cond ? a : b`` (ConditionalExpression,
+        parser.yy expression_conditional) is the lowest-precedence form;
+        it lowers to a one-armed CASE."""
+        cond = self.expr_or()
+        if self.peek().kind == "QM":
+            self.eat("QM")
+            a = self.expr()
+            self.eat("COLON")
+            b = self.expr()
+            return ("case", [(cond, a)], b)
+        return cond
 
     def expr_or(self):
         left = self.expr_and()
@@ -1041,9 +1058,15 @@ class Parser:
         return self.expr_postfix()
 
     def expr_postfix(self):
-        """Subscript / slice (SubscriptExpression): l[i], l[a..b]."""
+        """Subscript / slice (SubscriptExpression): l[i], l[a..b]; attribute
+        chains beyond the atom-level 1-2 dots (AttributeExpression):
+        x.b.d.e on map/struct values."""
         e = self.expr_atom()
-        while self.peek().kind == "LB":
+        while self.peek().kind in ("LB", "DOT"):
+            if self.peek().kind == "DOT":
+                self.eat("DOT")
+                e = ("attr", e, self.eat("NAME").text)
+                continue
             self.eat("LB")
             lo = None if self.peek().kind == "DOTDOT" else self.expr()
             if self.peek().kind == "DOTDOT":
@@ -1084,6 +1107,17 @@ class Parser:
                     self.eat("COMMA")
             self.eat("RB")
             return ("list", *items)
+        if t.kind == "LC":       # map literal {k: v, …} (Map value kind)
+            self.eat("LC")
+            pairs = []
+            while self.peek().kind != "RC":
+                k = self.eat("NAME").text
+                self.eat("COLON")
+                pairs.append((k, self.expr()))
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+            self.eat("RC")
+            return ("map", tuple(pairs))
         if t.kind in ("STRING", "INT", "FLOAT"):
             return ("lit", self.literal())
         if t.kind == "KW" and t.text in ("true", "false"):
@@ -1180,11 +1214,17 @@ class Parser:
         raise SyntaxError(f"unexpected token {t.text!r} @{t.pos}")
 
     def case_expr(self):
+        """Searched (``CASE WHEN cond``) and generic (``CASE subj WHEN
+        val`` — CaseExpression with a condition, parser.yy case_expression)
+        forms; the generic form lowers each arm to ``subj == val``."""
         self.eat_kw("case")
+        subject = None if self.at_kw("when") else self.expr()
         whens = []
         while self.at_kw("when"):
             self.eat_kw("when")
             cond = self.expr()
+            if subject is not None:
+                cond = ("==", subject, cond)
             self.eat_kw("then")
             whens.append((cond, self.expr()))
         default = None

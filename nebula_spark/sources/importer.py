@@ -54,7 +54,10 @@ def read_vertex_csv(spark: SparkSession, path: str, tag: SchemaDef,
     cols = [F.col(f"_c{vid_index}").alias(VID)]
     cols += [_cast(f"_c{i}", f.dataType).alias(f.name)
              for i, f in zip(idxs, props)]
-    return raw.select(*cols).filter(F.col(VID).isNotNull())
+    # storage parity: the reference's KV layer upserts by vertex key, so a
+    # vid appears once per tag no matter how many times the CSV repeats it
+    return (raw.select(*cols).filter(F.col(VID).isNotNull())
+            .dropDuplicates([VID]))
 
 
 def read_edge_csv(spark: SparkSession, path: str, edge: SchemaDef,
@@ -77,8 +80,11 @@ def read_edge_csv(spark: SparkSession, path: str, edge: SchemaDef,
                 else F.lit(0).cast("long").alias(RANK))
     cols += [_cast(f"_c{i}", f.dataType).alias(f.name)
              for i, f in zip(idxs, props)]
-    return raw.select(*cols).filter(F.col(SRC).isNotNull()
-                                    & F.col(DST).isNotNull())
+    # storage parity: edge key (src, dst, rank) is unique in the
+    # reference's KV layer — repeated CSV rows upsert, not multiply
+    return (raw.select(*cols).filter(F.col(SRC).isNotNull()
+                                     & F.col(DST).isNotNull())
+            .dropDuplicates([SRC, DST, RANK]))
 
 
 def load_space_from_config(spark: SparkSession, config_path: str,

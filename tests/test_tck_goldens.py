@@ -67,9 +67,12 @@ def nba_space(spark):
     sp.create_tag("player", df=player)
     sp.create_tag("team", df=team)
     sp.create_tag("bachelor", df=bachelor)
-    sp.create_edge("like", df=like)
-    sp.create_edge("serve", df=serve)
-    sp.create_edge("teammate", df=teammate)
+    # storage parity: edge key (src,dst,rank) is unique in the reference's
+    # KV layer — like.csv repeats one row, which upserts there
+    sp.create_edge("like", df=like.dropDuplicates(["src", "dst", "rank"]))
+    sp.create_edge("serve", df=serve.dropDuplicates(["src", "dst", "rank"]))
+    sp.create_edge("teammate",
+                   df=teammate.dropDuplicates(["src", "dst", "rank"]))
     return sp
 
 
@@ -411,6 +414,162 @@ def test_unwind_clause_return(nba_space):
     df = execute(nba_space, 'UNWIND [1, 2, 3] AS x RETURN x * 2 AS y '
                             'ORDER BY y')
     assert rows(df, "y") == [(2,), (4,), (6,)]
+
+
+def test_zero_step_exact(nba_space):
+    """ZeroStep.feature:9-27 — ``[*0]`` binds the start vertex itself."""
+    df = execute(nba_space,
+                 'MATCH (v:player {name: "Tim Duncan"})-[*0]-() '
+                 'RETURN id(v) AS id')
+    assert rows(df, "id") == [("Tim Duncan",)]
+
+
+def test_zero_step_range(nba_space):
+    """ZeroStep.feature:50-60 — ``serve*0..1`` yields the zero-hop self
+    row plus the one-hop neighbor."""
+    df = execute(nba_space,
+                 'MATCH (:player{name:"Tim Duncan"})-[e:serve*0..1]-(v) '
+                 'RETURN id(v) AS id')
+    assert sorted(r.id for r in df.collect()) == ["Spurs", "Tim Duncan"]
+
+
+# ---------------------------------------------------------------------------
+# WITH — tests/tck/features/match/With.feature
+# ---------------------------------------------------------------------------
+
+def test_with_return_literals(nba_space):
+    """With.feature:6-31 — leading WITH, rebinding, carry-through."""
+    df = execute(nba_space, 'WITH [1, 2, 3] AS a, "hello" AS b RETURN a, b')
+    r = df.collect()[0]
+    assert (list(r.a), r.b) == ([1, 2, 3], "hello")
+    df = execute(nba_space,
+                 'WITH [1, 2, 3] AS a WITH a AS a, "hello" AS b RETURN a, b')
+    r = df.collect()[0]
+    assert (list(r.a), r.b) == ([1, 2, 3], "hello")
+
+
+def test_with_star(nba_space):
+    """With.feature:32-46 — WITH * passthrough and RETURN *, expr."""
+    df = execute(nba_space, 'WITH 1 AS a, 2 AS b WITH * RETURN *, a + b AS c')
+    assert rows(df, "a", "b", "c") == [(1, 2, 3)]
+    df = execute(nba_space, 'WITH *, "tom" AS a RETURN *')
+    assert rows(df, "a") == [("tom",)]
+
+
+def test_with_map_access(nba_space):
+    """With.feature:69-93 — nested map field chains."""
+    df = execute(nba_space,
+                 'WITH {a:1, b:{c:3, d:{e:5}}} AS x RETURN x.b.d.e AS v')
+    assert rows(df, "v") == [(5,)]
+
+
+def test_with_agg_over_untagged(nba_space):
+    """With.feature "match with return" — v2 is bound with no tag; the
+    prop ref v2.player.age lazily appends the player tag (NULL where the
+    neighbor is a team)."""
+    df = execute(nba_space,
+                 'MATCH (v:player{name:"Tim Duncan"})-[]-(v2) '
+                 'WITH avg(v2.player.age) AS average_age RETURN average_age')
+    assert rows(df, "average_age") == [(35.888888888888886,)]
+
+
+def test_with_2hop_count_names(nba_space):
+    """With.feature — two untyped hops, count of non-null names."""
+    df = execute(nba_space,
+                 'MATCH (v:player{name:"Tim Duncan"})-[]-(v2)-[]-(v3) '
+                 'WITH v3.player.name AS names RETURN count(names) AS c')
+    assert rows(df, "c") == [(141,)]
+
+
+# ---------------------------------------------------------------------------
+# MATCH by id — tests/tck/features/match/MatchById.feature
+# ---------------------------------------------------------------------------
+
+def test_match_by_id(nba_space):
+    """MatchById.feature:9 — tagless node, id() equality seek."""
+    df = execute(nba_space, 'MATCH (n) WHERE id(n) == "James Harden" '
+                            'RETURN n.player.name AS name')
+    assert rows(df, "name") == [("James Harden",)]
+
+
+def test_match_by_id_in(nba_space):
+    """MatchById.feature:19 — id() IN list seek."""
+    df = execute(nba_space,
+                 'MATCH (n) WHERE id(n) IN ["James Harden", "Tony Parker"] '
+                 'RETURN n.player.name AS name ORDER BY name')
+    assert rows(df, "name") == [("James Harden",), ("Tony Parker",)]
+
+
+def test_match_by_id_cross_tag_null(nba_space):
+    """A team vertex has no player tag — player props resolve NULL
+    (UNKNOWN_PROP semantics, Base.feature EMPTY cells)."""
+    df = execute(nba_space, 'MATCH (n) WHERE id(n) == "Spurs" '
+                            'RETURN n.player.name AS p, n.team.name AS t')
+    assert rows(df, "p", "t") == [(None, "Spurs")]
+
+
+def test_match_tagless_labels(nba_space):
+    """Tagless bind reports the vertex's full label set (Vertex.h:62-70)."""
+    df = execute(nba_space, 'MATCH (n) WHERE id(n) == "Tim Duncan" '
+                            'RETURN labels(n) AS lb')
+    assert [sorted(r.lb) for r in df.collect()] == [["bachelor", "player"]]
+
+
+def test_match_cross_tag_prop(nba_space):
+    """Base.feature:97 — a player-bound alias can reach its bachelor tag
+    props (multi-tag vertex)."""
+    df = execute(nba_space, 'MATCH (v:player{name:"Tim Duncan"}) '
+                            'RETURN v.bachelor.speciality AS s')
+    assert rows(df, "s") == [("psychology",)]
+
+
+# ---------------------------------------------------------------------------
+# Expressions — Case.feature, ListRangeSubscript.feature
+# ---------------------------------------------------------------------------
+
+def test_case_goldens(nba_space):
+    """Case.feature:9-45 — generic + searched CASE, null condition."""
+    r = _yield1(nba_space,
+                'YIELD CASE 2 + 3 WHEN 4 THEN 0 WHEN 5 THEN 1 ELSE 2 END '
+                'AS a, CASE true WHEN false THEN 0 END AS b, '
+                'CASE WHEN 4 > 5 THEN 0 WHEN 3+4==7 THEN 1 ELSE 2 END AS c, '
+                'CASE WHEN null THEN 0 ELSE 1 END AS d')
+    assert (r.a, r.b, r.c, r.d) == (1, None, 1, 1)
+
+
+def test_ternary_goldens(nba_space):
+    """Case.feature:47-58 — conditional expression ``? :``."""
+    r = _yield1(nba_space, 'YIELD 3 > 5 ? 0 : 1 AS a, '
+                           'true ? "yes" : "no" AS b')
+    assert (r.a, r.b) == (1, "yes")
+
+
+def test_case_in_go(nba_space):
+    """Case.feature:60-73 — generic CASE over edge props in GO YIELD."""
+    df = execute(nba_space,
+                 'GO FROM "Jonathon Simmons" OVER serve '
+                 'YIELD $$.team.name AS name, '
+                 'CASE serve.end_year > 2017 WHEN true THEN "ok" '
+                 'ELSE "no" END AS b')
+    assert set(rows(df, "name", "b")) == {
+        ("Spurs", "no"), ("Magic", "ok"), ("76ers", "ok")}
+
+
+def test_list_slice_var(nba_space):
+    """ListRangeSubscript.feature:6-28 — slice bounds from a $var."""
+    df = execute(nba_space, '$var = YIELD 1 AS f, 3 AS t; '
+                            'YIELD [1, 2, 3][$var.f..$var.t] AS r;')
+    assert [list(r.r) for r in df.collect()] == [[2, 3]]
+    df = execute(nba_space, '$var = YIELD 3 AS f, 1 AS t; '
+                            'YIELD [1, 2, 3][$var.f..$var.t] AS r;')
+    assert [list(r.r) for r in df.collect()] == [[]]
+
+
+def test_subscript_negative_oob(nba_space):
+    """SubscriptExpression.cpp:26-36 — negative wraps, out-of-range NULL."""
+    r = _yield1(nba_space, 'YIELD [1, 2, 3][0] AS a, [1, 2, 3][-1] AS b, '
+                           '[1, 2, 3][3] AS c, [1, 2, 3][-4] AS d')
+    assert (r.a, r.b, r.c, r.d) == (1, 3, None, None)
 
 
 def test_match_group_by_skip_limit(nba_space):
