@@ -660,6 +660,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         for j in range(i + 1, len(canon_paths)):
             cur = cur.filter(~F.arrays_overlap(canon_paths[i],
                                                canon_paths[j]))
+    canon_out = (canon_single, canon_paths)
 
     # shortestPath()/allShortestPaths(): keep only min-total-hop rows per
     # (start, end) pair — the kShortestPath semantics. The per-pair min is
@@ -693,7 +694,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             f"{pa}__path",
             F.concat(*path_parts) if path_parts else F.array())
         paths_bound.add(pa)
-    return cur, aliases, edge_aliases, paths_bound, tags
+    return cur, aliases, edge_aliases, paths_bound, tags, canon_out
 
 
 def _split_conjuncts(e: tuple) -> list[tuple]:
@@ -714,8 +715,8 @@ def _apply_pattern_pred(space: GraphSpace, cur: DataFrame, path: A.MatchPath,
     seed = None
     if n0.tag is None and n0.alias in bound:
         seed = cur.select(F.col(f"{n0.alias}__vid")).distinct()
-    pat, aliases, _ea, _pp, _tm = _build_pattern(space, path, counter,
-                                                 seed=seed)
+    pat, aliases, _ea, _pp, _tm, _cn = _build_pattern(space, path, counter,
+                                                      seed=seed)
     shared = sorted(bound & aliases)
     if not shared:
         raise ValueError("pattern predicate must share an alias with MATCH")
@@ -864,8 +865,12 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
 
     for cl in st.clauses:
         if isinstance(cl, A.MatchClause):
+            # relationship uniqueness is per path pattern, NOT across
+            # comma patterns of one clause: the reference's
+            # MultiQueryParts.feature:9-28 golden includes m-n and n-l
+            # matched over the SAME edge in different comma patterns
             for path in cl.paths:
-                pat, aliases, eals, ppaths, ptags = _build_pattern(
+                pat, aliases, eals, ppaths, ptags, _pc = _build_pattern(
                     space, path, counter)
                 if cl.where is not None and cl.optional:
                     # WHERE of an OPTIONAL MATCH filters the pattern side
@@ -974,7 +979,10 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
         for e, asc in st.order_by:
             c = (F.col(e[1]) if e[0] == "name" and e[1] in ret_aliases
                  else ec.col(e))
-            order_cols.append(c if asc else c.desc())
+            # reference Value ordering: NULLVALUE is the largest type tag
+            # (Value.h:64-83) — NULL last ascending, first descending
+            order_cols.append(c.asc_nulls_last() if asc
+                              else c.desc_nulls_first())
         out = out.orderBy(*order_cols)
     if st.skip:
         out = out.offset(st.skip)
@@ -1134,7 +1142,9 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
                     return F.col(args[1])
                 raise ValueError(f"unresolvable {kind}")
             ec = ExprCompiler(resolve)
-            cols = [ec.col(e) if asc else ec.col(e).desc()
+            # NULL ordering per reference Value comparison (Value.h:64-83)
+            cols = [ec.col(e).asc_nulls_last() if asc
+                    else ec.col(e).desc_nulls_first()
                     for e, asc in st.items]
             df = df.orderBy(*cols)
         elif isinstance(st, A.LimitStmt):

@@ -572,6 +572,48 @@ def test_subscript_negative_oob(nba_space):
     assert (r.a, r.b, r.c, r.d) == (1, 3, None, None)
 
 
+def test_multi_path_patterns(nba_space):
+    """MultiQueryParts.feature:9-28 — comma patterns in ONE MATCH clause
+    share relationship uniqueness; id() seek on an untagged start; CASE
+    over lazily-bound tag props."""
+    df = execute(nba_space, '''
+        MATCH (m)-[]-(n), (n)-[]-(l) WHERE id(m)=="Tim Duncan"
+        RETURN m.player.name AS n1, n.player.name AS n2,
+        CASE WHEN l.team.name is not null THEN l.team.name
+        WHEN l.player.name is not null THEN l.player.name
+        ELSE "null" END AS n3 ORDER BY n1, n2, n3 LIMIT 10''')
+    assert rows(df, "n1", "n2", "n3") == [
+        ("Tim Duncan", "Aron Baynes", "Celtics"),
+        ("Tim Duncan", "Aron Baynes", "Pistons"),
+        ("Tim Duncan", "Aron Baynes", "Spurs"),
+        ("Tim Duncan", "Aron Baynes", "Tim Duncan"),
+        ("Tim Duncan", "Boris Diaw", "Hawks"),
+        ("Tim Duncan", "Boris Diaw", "Hornets"),
+        ("Tim Duncan", "Boris Diaw", "Jazz"),
+        ("Tim Duncan", "Boris Diaw", "Spurs"),
+        ("Tim Duncan", "Boris Diaw", "Suns"),
+        ("Tim Duncan", "Boris Diaw", "Tim Duncan")]
+
+
+def test_multi_path_patterns_mid_seek(nba_space):
+    """MultiQueryParts.feature:29-45 — seek on the middle alias."""
+    df = execute(nba_space, '''
+        MATCH (m)-[]-(n), (n)-[]-(l) WHERE id(n)=="Tim Duncan"
+        RETURN m.player.name AS n1, n.player.name AS n2,
+               l.player.name AS n3 ORDER BY n1, n2, n3 LIMIT 10''')
+    assert rows(df, "n1", "n2", "n3") == [
+        ("Aron Baynes", "Tim Duncan", "Aron Baynes"),
+        ("Aron Baynes", "Tim Duncan", "Boris Diaw"),
+        ("Aron Baynes", "Tim Duncan", "Danny Green"),
+        ("Aron Baynes", "Tim Duncan", "Danny Green"),
+        ("Aron Baynes", "Tim Duncan", "Dejounte Murray"),
+        ("Aron Baynes", "Tim Duncan", "LaMarcus Aldridge"),
+        ("Aron Baynes", "Tim Duncan", "LaMarcus Aldridge"),
+        ("Aron Baynes", "Tim Duncan", "Manu Ginobili"),
+        ("Aron Baynes", "Tim Duncan", "Manu Ginobili"),
+        ("Aron Baynes", "Tim Duncan", "Manu Ginobili")]
+
+
 def test_match_group_by_skip_limit(nba_space):
     """MatchGroupBy.feature:9-33 — per-vertex implicit grouping with
     count/sum/max, avg(DISTINCT), labels(), ORDER BY + SKIP + LIMIT."""
