@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 # name → (fn, distinct-capable fn) mirroring AggFunctionManager registrations
 _AGG_FNS = {
     "count": F.count,
-    "sum": F.sum,
+    # reference SUM folds from 0 and skips NULLs, so an all-NULL (or empty)
+    # input yields 0, not NULL (Agg.feature "sum(null) == 0")
+    "sum": lambda c: F.coalesce(F.sum(c), F.lit(0)),
     "avg": F.avg,
     "max": F.max,
     "min": F.min,
@@ -39,7 +41,7 @@ _AGG_FNS = {
 
 _DISTINCT_FNS = {
     "count": F.count_distinct,
-    "sum": F.sum_distinct,
+    "sum": lambda c: F.coalesce(F.sum_distinct(c), F.lit(0)),
 }
 
 

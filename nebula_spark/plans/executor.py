@@ -76,10 +76,18 @@ class ExprCompiler:
             return F.array(*[self.col(x) for x in e[1:]])
         if op == "map":                  # {k: v, …} → struct (typed fields)
             return F.struct(*[self.col(v).alias(k) for k, v in e[1]])
+        if op == "cast":                 # (INT)x — TypeCastingExpression
+            spark_t = {"int": "bigint", "int8": "tinyint",
+                       "int16": "smallint", "int32": "int",
+                       "int64": "bigint", "float": "double",
+                       "double": "double", "string": "string",
+                       "bool": "boolean"}[e[1]]
+            return self.col(e[2]).cast(spark_t)
         if op == "attr":                 # x.field on a map/struct value
             return self.col(e[1])[e[2]]
         if op in ("name", "edge_prop", "alias_tag_prop", "src_prop",
-                  "dst_prop", "input_prop", "var_prop"):
+                  "dst_prop", "input_prop", "var_prop", "src_vert",
+                  "dst_vert"):
             return self.resolve(*e)
         if op in ("and", "or"):
             a, b = self.col(e[1]), self.col(e[2])
@@ -207,7 +215,8 @@ class ExprCompiler:
                 return agg_call("count", F.lit(1))
             return agg_call(name, self.col(args[0]), distinct=distinct)
         if name in _GRAPH_FNS:
-            if args and isinstance(args[0], tuple) and args[0][0] == "name":
+            if args and isinstance(args[0], tuple) \
+                    and args[0][0] in ("name", "src_vert", "dst_vert"):
                 try:
                     return _GRAPH_FNS[name](self.resolve(*args[0]))
                 except Exception:  # noqa: BLE001 — id(edge)/src(edge) forms
@@ -320,6 +329,10 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
             return F.col(f"__src_tag_{args[0]}__{args[1]}")
         if kind == "dst_prop":
             return F.col(f"__dst_tag_{args[0]}__{args[1]}")
+        if kind == "src_vert":       # bare $^ — its id (id($^))
+            return F.col(SRC)
+        if kind == "dst_vert":       # bare $$ — its id (id($$))
+            return F.col(DST)
         if kind == "name":
             n = args[0]
             if n == "edge":
@@ -600,6 +613,8 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         ea = me.alias or fresh("e")
         enames = me.types or list(space.edges)
         edges = _edge_union(space, enames)
+        for k, v in me.props.items():    # inline {k: v} per-step edge filter
+            edges = edges.filter(F.col(k) == v)
         if me.min_hops == 1 and me.max_hops == 1:
             from nebula_spark.operators.traverse import oriented
             e = oriented(edges, me.direction)

@@ -33,6 +33,8 @@ _TOKEN_SPEC = [
     ("SRC_REF", r"\$\^\.[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*"),
     ("DST_REF", r"\$\$\.[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*"),
     ("VAR_REF", r"\$[A-Za-z_][A-Za-z0-9_]*"),
+    ("DST_VERT", r"\$\$"),       # bare $$ (dst vertex), e.g. id($$)
+    ("SRC_VERT", r"\$\^"),       # bare $^ (src vertex)
     ("PIPE_INPUT", r"\$-"),
     ("ARROW_R", r"->"),
     ("ARROW_L", r"<-"),
@@ -197,6 +199,7 @@ class MatchEdge:
     direction: str               # out|in|both
     min_hops: int = 1
     max_hops: int = 1
+    props: dict = field(default_factory=dict)   # inline {k: v} edge filter
 
 
 @dataclass
@@ -934,6 +937,7 @@ class Parser:
         else:
             self.eat("MINUS")
         alias, types, mn, mx = None, [], 1, 1
+        props: dict = {}
         if self.peek().kind == "LB":
             self.eat("LB")
             if self.peek().kind == "NAME":
@@ -957,6 +961,15 @@ class Parser:
                     mx = int(self.eat("INT").text)
                 else:
                     mn, mx = 1, 5
+            if self.peek().kind == "LC":   # inline edge props {k: v, …}
+                self.eat("LC")
+                while self.peek().kind != "RC":
+                    k = self.eat("NAME").text
+                    self.eat("COLON")
+                    props[k] = self.literal()
+                    if self.peek().kind == "COMMA":
+                        self.eat("COMMA")
+                self.eat("RC")
             self.eat("RB")
         if direction == "out":
             if self.peek().kind == "ARROW_R":
@@ -966,7 +979,7 @@ class Parser:
                 direction = "both"
         else:
             self.eat("MINUS")
-        return MatchEdge(alias, types, direction, mn, mx)
+        return MatchEdge(alias, types, direction, mn, mx, props)
 
     # -- expressions (Pratt)
     def expr(self) -> tuple:
@@ -1078,9 +1091,24 @@ class Parser:
             self.eat("RB")
         return e
 
+    _CAST_TYPES = {"int", "int8", "int16", "int32", "int64", "float",
+                   "double", "string", "bool"}
+    _ATOM_START = {"NAME", "INT", "FLOAT", "STRING", "LP", "LB", "LC",
+                   "MINUS", "VAR_REF", "PIPE_REF", "SRC_REF", "DST_REF",
+                   "DST_VERT", "SRC_VERT", "KW"}
+
     def expr_atom(self):
         t = self.peek()
         if t.kind == "LP":
+            # C-style cast (TypeCastingExpression): (INT)expr
+            if (self.peek(1).kind == "NAME"
+                    and self.peek(1).text.lower() in self._CAST_TYPES
+                    and self.peek(2).kind == "RP"
+                    and self.peek(3).kind in self._ATOM_START):
+                self.eat("LP")
+                typ = self.eat("NAME").text.lower()
+                self.eat("RP")
+                return ("cast", typ, self.expr_unary())
             self.eat("LP")
             e = self.expr()
             self.eat("RP")
@@ -1139,6 +1167,12 @@ class Parser:
             self.i += 1
             _, tag, prop = t.text.split(".")
             return ("dst_prop", tag, prop)
+        if t.kind == "DST_VERT":
+            self.i += 1
+            return ("dst_vert",)
+        if t.kind == "SRC_VERT":
+            self.i += 1
+            return ("src_vert",)
         if t.kind == "VAR_REF":
             self.i += 1
             self.eat("DOT")

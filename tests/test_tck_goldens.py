@@ -572,6 +572,51 @@ def test_subscript_negative_oob(nba_space):
     assert (r.a, r.b, r.c, r.d) == (1, 3, None, None)
 
 
+def test_varlen_edge_props(nba_space):
+    """VariableLengthPattern.feature:9-48 — inline edge-prop filters apply
+    to every step of a var-len expansion."""
+    df = execute(nba_space,
+                 'MATCH (:player{name:"Tim Duncan"})'
+                 '-[e:like*2..3{likeness: 90}]-(v) RETURN id(v) AS id')
+    assert rows(df, "id") == [("Tiago Splitter",)]
+    df = execute(nba_space,
+                 'MATCH (:player{name:"Tim Duncan"})'
+                 '-[e:serve*2..3{start_year: 2000}]-(v) RETURN id(v) AS id')
+    assert df.count() == 0
+
+
+def test_single_hop_edge_props(nba_space):
+    """Base.feature — inline edge props on a single hop."""
+    df = execute(nba_space,
+                 'MATCH (:player{name:"Tim Duncan"})<-[e:like{likeness: 90}]'
+                 '-(v) RETURN id(v) AS id')
+    assert rows(df, "id") == [("Manu Ginobili",)]
+
+
+def test_agg_null_semantics(nba_space):
+    """Agg.feature:31-45 — count(null)=0, sum(null)=0, others NULL."""
+    r = _yield1(nba_space,
+                'YIELD count(null) AS v1, avg(null) AS v2, sum(null) AS v3, '
+                'min(null) AS v5, bit_and(null) AS v9')
+    assert (r.v1, r.v2, r.v3, r.v5, r.v9) == (0, None, 0, None, None)
+
+
+def test_go_range_bidirect_count(nba_space):
+    """Agg.feature:66-72 — GO 1 to 3 BIDIRECT, distinct dst count; bare
+    $$ ref inside id()."""
+    df = execute(nba_space,
+                 'GO 1 to 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT '
+                 'YIELD DISTINCT id($$) AS dst | YIELD COUNT(*) AS c')
+    assert rows(df, "c") == [(41,)]
+
+
+def test_type_cast_goldens(nba_space):
+    """Agg.feature:22-29 + TypeCastingExpression — (INT)/(STRING) casts."""
+    r = _yield1(nba_space, 'YIELD COUNT(*)+1 AS a, (INT)abs(count(2)) AS b, '
+                           '(STRING)123 AS s, (INT)"42" AS i')
+    assert (r.a, r.b, r.s, r.i) == (2, 1, "123", 42)
+
+
 def test_multi_path_patterns(nba_space):
     """MultiQueryParts.feature:9-28 — comma patterns in ONE MATCH clause
     share relationship uniqueness; id() seek on an untagged start; CASE
