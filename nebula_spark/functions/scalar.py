@@ -86,7 +86,10 @@ FUNCTIONS: dict[str, object] = {
     "lpad": F.lpad, "rpad": F.rpad, "substr": F.substring,
     "substring": F.substring, "reverse": F.reverse,
     "replace": F.regexp_replace, "split": F.split, "concat": F.concat,
-    "concat_ws": F.concat_ws, "strcasecmp": _strcasecmp, "hash": _hash,
+    # concat_ws takes a Column separator here (PySpark's helper wants a
+    # Python string) — call the SQL function directly
+    "concat_ws": lambda *cs: F.call_function("concat_ws", *cs),
+    "strcasecmp": _strcasecmp, "hash": _hash,
     "md5": F.md5, "json_extract": _json_extract,
     # temporal
     "now": F.current_timestamp, "timestamp": F.to_timestamp,

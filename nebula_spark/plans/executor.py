@@ -37,6 +37,25 @@ _GRAPH_FNS = {
 }
 
 
+_STRING_FNS = {"lower", "tolower", "upper", "toupper", "trim", "ltrim",
+               "rtrim", "left", "right", "lpad", "rpad", "substr",
+               "substring", "replace", "reverse", "concat", "concat_ws",
+               "tostring"}
+
+
+def _is_stringish(e) -> bool:
+    """Static type sniff: does this expression produce a string?"""
+    if not isinstance(e, tuple):
+        return False
+    if e[0] == "lit":
+        return isinstance(e[1], str)
+    if e[0] in ("call", "call_distinct"):
+        return e[1] in _STRING_FNS
+    if e[0] == "+":
+        return _is_stringish(e[1]) or _is_stringish(e[2])
+    return False
+
+
 def _is_agg(e: tuple) -> bool:
     if not isinstance(e, tuple):
         return False
@@ -222,6 +241,14 @@ class ExprCompiler:
                 except Exception:  # noqa: BLE001 — id(edge)/src(edge) forms
                     return _GRAPH_FNS[name]()
             return _GRAPH_FNS[name]()
+        if name == "exists" and len(args) == 1:
+            # exists(v.tag.prop) — property existence (the pattern form was
+            # already consumed by the parser's backtrack)
+            return self.col(args[0]).isNotNull()
+        if name == "size" and len(args) == 1 and _is_stringish(args[0]):
+            # reference size() also measures strings (FunctionManager
+            # "size": STRING branch); Spark's size() is array/map-only
+            return F.length(self.col(args[0]))
         if name in FUNCTIONS:
             return FUNCTIONS[name](*[self.col(a) for a in args])
         raise ValueError(f"unknown function {name}")
@@ -817,11 +844,19 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                 lazy = f"{alias}___t_{tag}__{prop}"
                 if columns is None or lazy in columns:
                     return F.col(lazy)
-            if columns is not None and f"{alias}__{prop}" not in columns \
-                    and alias in columns:
-                # not a graph binding — field chain on a map/struct value
-                # (x.b.d on a WITH-bound map)
-                return F.col(alias)[tag][prop]
+                if f"{alias}___t_{tag}__vid" in columns:
+                    # tag joined but prop not in its schema → NULL
+                    # (UNKNOWN_PROP semantics)
+                    return F.lit(None)
+            if columns is not None and f"{alias}__{prop}" not in columns:
+                if alias in columns:
+                    # not a graph binding — field chain on a map/struct
+                    # value (x.b.d on a WITH-bound map)
+                    return F.col(alias)[tag][prop]
+                if tagmap is not None and alias in tagmap \
+                        and f"{alias}__vid" in columns:
+                    # bound alias, prop absent from its tag schema → NULL
+                    return F.lit(None)
             return F.col(f"{alias}__{prop}")
         if kind == "edge_prop":          # e.prop (or alias.prop)
             if columns is not None and f"{args[0]}__{args[1]}" not in columns \

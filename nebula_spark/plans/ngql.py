@@ -1047,7 +1047,24 @@ class Parser:
         if self.at_kw("contains"):
             self.eat_kw("contains")
             return ("contains_str", left, self.expr_add())
+        if self.at_kw("not") and self.peek(1).kind == "KW" \
+                and self.peek(1).text in ("starts", "ends", "contains"):
+            self.eat_kw("not")   # NOT STARTS WITH / NOT ENDS WITH / …
+            return ("not", self.expr_cmp_rhs(left))
         return left
+
+    def expr_cmp_rhs(self, left):
+        """Re-enter the string-predicate tail after a NOT."""
+        if self.at_kw("starts"):
+            self.eat_kw("starts")
+            self.eat_kw("with")
+            return ("starts_with", left, self.expr_add())
+        if self.at_kw("ends"):
+            self.eat_kw("ends")
+            self.eat_kw("with")
+            return ("ends_with", left, self.expr_add())
+        self.eat_kw("contains")
+        return ("contains_str", left, self.expr_add())
 
     def expr_add(self):
         left = self.expr_mul()
