@@ -916,6 +916,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(docs, k=3, num_hashes=8, bands=4)
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster assignment: LSH candidate pairs → connected
+    components, cluster id = min member (the doc a dedup pass keeps)."""
+    from nebula_spark.pipeline import connected_components, minhash_lsh_pairs
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    pairs = minhash_lsh_pairs(docs, k=3, num_hashes=8, bands=4)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (cc.select(F.col("node").alias("doc_id"), "cluster_id")
+            .orderBy("doc_id"))
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from nebula_spark.pipeline import simhash64
     docs = load_tables(spark, sf, ("documents",))["documents"]
@@ -1033,7 +1044,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shortest_path_fn": q_shortest_path_fn,
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
-    "frame_sample": q_frame_sample,
+    # frame_sample retired from the 50-cap (multimodal plumbing stays
+    # covered by multimodal_meta's oracle row + tests/test_pipeline.py) to
+    # make room for the dedup-cluster assignment stage
+    "dedup_clusters": q_dedup_clusters,
     "exact_dedup": q_exact_dedup,
     "minhash": q_minhash,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1499,15 +1513,7 @@ ORACLES: dict[str, str] = {
                {_MD5_BYTE.format(i=1)} AS feat0_byte
         FROM h ORDER BY doc_id
     """,
-    "frame_sample": f"""
-        WITH h AS (SELECT doc_id, md5(text) AS m
-                   FROM documents WHERE doc_id < 100),
-        b AS (SELECT doc_id, 1 + {_MD5_BYTE.format(i=1)} % 100 AS nf FROM h)
-        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-               CAST(nf AS INT) AS n_frames
-        FROM (SELECT doc_id, unnest(range(0, nf, 10)) AS frame_idx, nf FROM b)
-        ORDER BY doc_id, frame_idx
-    """,
+    "dedup_clusters": None,  # filled below (needs the LSH pair CTE)
     "exact_dedup": f"""
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
         FROM documents GROUP BY md5({_NORM_SQL})
@@ -1555,6 +1561,26 @@ def _lsh_pairs_oracle() -> str:
 
 
 ORACLES["minhash_lsh_pairs"] = _lsh_pairs_oracle()
+
+
+def _dedup_clusters_oracle() -> str:
+    """Connected components over the LSH pair list: recursive transitive
+    closure (fine at oracle scale), cluster id = min reachable node."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION SELECT a, a FROM edges
+            UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, MIN(b) AS cluster_id
+        FROM reach GROUP BY a ORDER BY doc_id
+    """
+
+
+ORACLES["dedup_clusters"] = _dedup_clusters_oracle()
 
 
 def _lang_id_oracle() -> str:

@@ -260,3 +260,46 @@ def embedding_cosine_dups(emb: DataFrame, key_col: str = "vec_id",
                      F.round(cos_similarity(F.col("a.v"), F.col("b.v")), 6)
                      .alias("cosine")))
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a candidate
+    pair list, label = min member id (the canonical representative a dedup
+    pipeline keeps).
+
+    Level-synchronous min-label propagation: each superstep sends every
+    node's current label to its neighbors and takes the min — one shuffle
+    keyed on node id per superstep, map-side combinable. Near-dup
+    components are tiny and shallow, so convergence is a handful of
+    supersteps; the convergence probe is ``limit(1).count()`` (early-exit,
+    not a full count), and labels are eagerly localCheckpoint-ed per step
+    to cut lineage. For adversarially long chain graphs switch to the
+    alternating large-star/small-star contraction (O(log n) supersteps) —
+    same frame contract.
+
+    Returns ``(node, cluster_id)``, one row per distinct node in *pairs*.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct().persist())
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        msgs = (sym.join(labels, sym["a"] == labels["node"], "inner")
+                .select(F.col("b").alias("node"), F.col("label")))
+        new = (labels.unionByName(msgs)
+               .groupBy("node").agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        improved = (new.join(labels.withColumnRenamed("label", "_old"),
+                             "node")
+                    .filter(F.col("label") < F.col("_old"))
+                    .limit(1).count())
+        labels = new
+        if improved == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -159,3 +159,24 @@ def test_multimodal_real_decode_with_pillow(spark):
     assert (r.width, r.height, r.channels) == (5, 3, 3)
     assert r.format == "pil/rgb" and len(r.feat) == 14
     assert abs(r.feat[0] - 1.0) < 1e-6  # red mean
+
+
+def test_connected_components_clusters(spark):
+    from nebula_spark.pipeline import connected_components
+    # two components: {1,2,3,4} via a chain (merges across iterations)
+    # and {10,11}; 20-20 self-pair keeps a singleton
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (10, 11), (20, 20)], ["id_a", "id_b"])
+    got = {(r.node, r.cluster_id)
+           for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (20, 20)}
+
+
+def test_connected_components_min_label_deterministic(spark):
+    from nebula_spark.pipeline import connected_components
+    # star centered on the max id — min label must still win everywhere
+    pairs = spark.createDataFrame(
+        [(99, 1), (99, 2), (99, 3)], ["id_a", "id_b"])
+    got = {r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1}

@@ -659,6 +659,36 @@ def test_multi_path_patterns_mid_seek(nba_space):
         ("Aron Baynes", "Tim Duncan", "Manu Ginobili")]
 
 
+def test_seek_by_edge_tagless(nba_space):
+    """SeekByEdge.feature:10-17 — both pattern ends tagless, seek from the
+    edge table; props lazily bound."""
+    df = execute(nba_space, 'MATCH (p)-[:serve]->(t) '
+                            'RETURN p.player.name AS pn, t.team.name AS tn')
+    got = rows(df, "pn", "tn")
+    assert len(got) == 152
+    assert ("Boris Diaw", "Jazz") in got and ("Kobe Bryant", "Lakers") in got
+
+
+def test_go_orderby_pipe(nba_space):
+    """Orderby.feature — GO | ORDER BY $-.col, NULL ordering last-asc."""
+    df = execute(nba_space,
+                 'GO FROM "Boris Diaw" OVER serve '
+                 'YIELD $^.player.name as name, serve.start_year as start, '
+                 '$$.team.name as team | ORDER BY $-.team')
+    assert [r.team for r in df.collect()] == [
+        "Hawks", "Hornets", "Jazz", "Spurs", "Suns"]
+
+
+def test_go_groupby_pipe_count(nba_space):
+    """GroupbyLimit.feature — GO | GROUP BY $-.name YIELD count."""
+    df = execute(nba_space,
+                 'GO FROM "Aron Baynes", "Tim Duncan" OVER serve '
+                 'YIELD $$.team.name AS name '
+                 '| GROUP BY $-.name YIELD $-.name AS n, COUNT(*) AS c')
+    got = dict(rows(df, "n", "c"))
+    assert got["Spurs"] == 2 and got["Celtics"] == 1 and got["Pistons"] == 1
+
+
 def test_match_group_by_skip_limit(nba_space):
     """MatchGroupBy.feature:9-33 — per-vertex implicit grouping with
     count/sum/max, avg(DISTINCT), labels(), ORDER BY + SKIP + LIMIT."""
