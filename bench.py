@@ -23,6 +23,8 @@ BENCH_QUERIES = [
     # training-data pipeline + streaming-shape + front-end ops
     "sessionize", "minhash_lsh_pairs", "ann_topk", "doc_stats",
     "multimodal_meta", "shortest_path_fn", "pagerank",
+    # r2 additions
+    "dedup_clusters",
 ]
 
 

@@ -93,6 +93,8 @@ class ExprCompiler:
             return F.lit(e[1])
         if op == "list":
             return F.array(*[self.col(x) for x in e[1:]])
+        if op == "set":                  # {a, b, …} — deduped list
+            return F.array_distinct(F.array(*[self.col(x) for x in e[1:]]))
         if op == "map":                  # {k: v, …} → struct (typed fields)
             return F.struct(*[self.col(v).alias(k) for k, v in e[1]])
         if op == "cast":                 # (INT)x — TypeCastingExpression
@@ -127,9 +129,16 @@ class ExprCompiler:
             return self.col(e[1]).rlike(e[2][1] if e[2][0] == "lit"
                                         else self.col(e[2]))
         if op == "in":
-            return self.col(e[1]).isin(
-                *[x[1] for x in e[2][1:]]) if e[2][0] == "list" \
-                else F.array_contains(self.col(e[2]), self.col(e[1]))
+            if e[2][0] == "list" and all(
+                    isinstance(x, tuple) and x[0] == "lit"
+                    and x[1] is not None for x in e[2][1:]):
+                vals = [x[1] for x in e[2][1:]]
+                if len({type(v) for v in vals}) == 1:
+                    return self.col(e[1]).isin(*vals)
+            # mixed-type / NULL-bearing / computed lists — membership over
+            # the array value (heterogeneous elements coerce to a common
+            # Spark type, matching the reference's dynamic IN)
+            return F.array_contains(self.col(e[2]), self.col(e[1]))
         if op == "is_null":
             return self.col(e[1]).isNull()
         if op == "starts_with":
@@ -978,6 +987,8 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
         else:
             raise ValueError(f"unknown clause {type(cl).__name__}")
 
+    if cur is None:                      # standalone RETURN — unit row
+        cur = space.spark.range(1).select()
     cur = _ensure_tag_props(
         space, cur, [y.expr for y in st.returns]
         + [e for e, _ in (st.order_by or [])], tagmap)

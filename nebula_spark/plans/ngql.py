@@ -419,6 +419,9 @@ class Parser:
             # Cypher queries may open with WITH (With.feature "with
             # return"): the clause chain starts from a unit row
             return self.match_sentence()
+        if self.at_kw("return"):
+            # standalone RETURN (Null.feature etc.) — unit-row evaluation
+            return self.match_sentence()
         if self.at_kw("unwind"):
             # two forms share the keyword: a pipe stage (`… | UNWIND l AS
             # x`) stands alone; Cypher's clause form continues with
@@ -1152,17 +1155,25 @@ class Parser:
                     self.eat("COMMA")
             self.eat("RB")
             return ("list", *items)
-        if t.kind == "LC":       # map literal {k: v, …} (Map value kind)
+        if t.kind == "LC":       # {k: v, …} map or {a, b, …} set literal
             self.eat("LC")
-            pairs = []
+            if self.peek().kind == "NAME" and self.peek(1).kind == "COLON":
+                pairs = []
+                while self.peek().kind != "RC":
+                    k = self.eat("NAME").text
+                    self.eat("COLON")
+                    pairs.append((k, self.expr()))
+                    if self.peek().kind == "COMMA":
+                        self.eat("COMMA")
+                self.eat("RC")
+                return ("map", tuple(pairs))
+            items = []               # Set value kind — dedup list
             while self.peek().kind != "RC":
-                k = self.eat("NAME").text
-                self.eat("COLON")
-                pairs.append((k, self.expr()))
+                items.append(self.expr())
                 if self.peek().kind == "COMMA":
                     self.eat("COMMA")
             self.eat("RC")
-            return ("map", tuple(pairs))
+            return ("set", *items)
         if t.kind in ("STRING", "INT", "FLOAT"):
             return ("lit", self.literal())
         if t.kind == "KW" and t.text in ("true", "false"):

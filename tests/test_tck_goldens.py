@@ -689,6 +689,26 @@ def test_go_groupby_pipe_count(nba_space):
     assert got["Spurs"] == 2 and got["Celtics"] == 1 and got["Pistons"] == 1
 
 
+def test_standalone_return_null(nba_space):
+    """Null.feature:8-15 — standalone RETURN; NULL comparison semantics."""
+    r = _yield1(nba_space, 'RETURN NULL IS NULL AS v1, NULL == NULL AS v2, '
+                           'NULL != NULL AS v3, abs(NULL) AS v4')
+    assert (r.v1, r.v2, r.v3, r.v4) == (True, None, None, None)
+
+
+def test_in_list_range_set(nba_space):
+    """In.feature:8-62 — IN over literal lists, range(), comprehensions,
+    and set literals (deduped)."""
+    r = _yield1(nba_space,
+                "YIELD 1 IN [1, 2, 3] AS a, 0 IN [1, 2, 3] AS b, "
+                "'hello' IN ['hello', 'world', NULL] AS c, "
+                "2 IN range(1, 3) AS d, "
+                "2 IN [n IN range(1, 5) WHERE n > 3 | n - 2] AS e, "
+                "0 IN {1, 2, 3, 1, 2} AS f")
+    assert (r.a, r.b, r.c, r.d, r.e, r.f) == (
+        True, False, True, True, True, False)
+
+
 def test_match_group_by_skip_limit(nba_space):
     """MatchGroupBy.feature:9-33 — per-vertex implicit grouping with
     count/sum/max, avg(DISTINCT), labels(), ORDER BY + SKIP + LIMIT."""
