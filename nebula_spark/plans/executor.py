@@ -1162,6 +1162,32 @@ def _exec_delete(space: GraphSpace, st: A.DeleteStmt) -> DataFrame:
     return space.spark.range(0)
 
 
+def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
+    """SHOW TAGS/EDGES/STATS, DESCRIBE TAG/EDGE — result shapes follow the
+    reference executors (ShowTagsExecutor: one ``Name`` column;
+    DescTagExecutor: Field/Type/Null; ShowStatsExecutor: Type/Name/Count)."""
+    spark = space.spark
+    if st.kind == "tags":
+        return spark.createDataFrame([(n,) for n in space.show_tags()],
+                                     "Name string")
+    if st.kind == "edges":
+        return spark.createDataFrame([(n,) for n in space.show_edges()],
+                                     "Name string")
+    if st.kind == "stats":
+        return (space.show_stats()
+                .select(F.col("kind").alias("Type"),
+                        F.col("name").alias("Name"),
+                        F.col("count").alias("Count")))
+    # describe
+    reg = space.tags if st.entity == "tag" else space.edges
+    if st.name not in reg:
+        raise KeyError(f"no {st.entity} named {st.name!r}")
+    rows = space.describe(st.name)
+    return spark.createDataFrame(
+        [(f, t, "YES" if n else "NO") for f, t, n in rows],
+        "Field string, Type string, Null string")
+
+
 def _execute_node(space: GraphSpace, node,
                   env: dict[str, DataFrame] | None = None) -> DataFrame:
     if isinstance(node, A.SetOp):
@@ -1221,6 +1247,8 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
             df = _exec_update(space, st)
         elif isinstance(st, A.DeleteStmt):
             df = _exec_delete(space, st)
+        elif isinstance(st, A.AdminStmt):
+            df = _exec_admin(space, st)
         else:
             raise ValueError(f"unsupported statement {type(st).__name__}")
     return df

@@ -203,6 +203,17 @@ class MatchEdge:
 
 
 @dataclass
+class AdminStmt:
+    """SHOW TAGS/EDGES/STATS, DESCRIBE TAG/EDGE <name> — the query-surface
+    subset of the reference's admin sentences (Sentence.h kShowTags/
+    kShowEdges/kDescribeTag/kDescribeEdge/kShowStats); cluster/session
+    admin is obsolete under Spark (SURVEY §7)."""
+    kind: str                    # tags|edges|stats|describe
+    name: str | None = None
+    entity: str | None = None    # for describe: "tag" | "edge"
+
+
+@dataclass
 class MatchPath:
     """One comma-separated pattern: n0 -e0- n1 -e1- n2 …; ``path_alias``
     set for ``p = (…)…`` bindings (Path value, SURVEY §1.1)."""
@@ -437,7 +448,22 @@ class Parser:
         if self.at_kw("delete"):
             return self.delete_sentence()
         t = self.peek()
+        # DESC doubles as the ORDER BY keyword, so it lexes as KW
+        if t.text.lower() in ("show", "describe", "desc"):
+            return self.admin_sentence()
         raise SyntaxError(f"unknown sentence start {t.text!r} @{t.pos}")
+
+    def admin_sentence(self) -> AdminStmt:
+        w = self.eat().text.lower()            # show | describe | desc (KW)
+        if w == "show":
+            what = self.eat("NAME").text.lower()
+            if what in ("tags", "edges", "stats"):
+                return AdminStmt(what)
+            raise SyntaxError(f"cannot SHOW {what!r}")
+        t = self.eat().text.lower()            # describe/desc TAG|EDGE name
+        if t not in ("tag", "edge"):
+            raise SyntaxError(f"expected TAG or EDGE after {w.upper()}")
+        return AdminStmt("describe", self.name(), t)
 
     # -- DML (MutateSentences.h; InsertExecutor/UpdateExecutor/DeleteExecutor)
     def _entity_kw(self) -> str:

@@ -436,3 +436,30 @@ def test_explain_surface(space):
     txt = explain(space, 'MATCH (v:player) WHERE v.player.age > 40 '
                          'RETURN v.player.name AS name')
     assert "PushedFilters" in txt or "Filter" in txt
+
+
+def test_show_tags_edges(space):
+    df = execute(space, "SHOW TAGS")
+    assert df.columns == ["Name"]
+    assert {r.Name for r in df.collect()} == {"player", "team"}
+    df = execute(space, "SHOW EDGES")
+    assert {r.Name for r in df.collect()} == {"like", "serve"}
+
+
+def test_describe_tag_edge(space):
+    df = execute(space, "DESCRIBE TAG player")
+    assert df.columns == ["Field", "Type", "Null"]
+    fields = {r.Field for r in df.collect()}
+    assert {"vid", "name", "age"} <= fields
+    df = execute(space, "DESC EDGE like")
+    assert {"src", "dst", "rank", "likeness"} <= {r.Field for r in df.collect()}
+    with pytest.raises(KeyError):
+        execute(space, "DESCRIBE TAG like")   # like is an edge, not a tag
+
+
+def test_show_stats(space):
+    df = execute(space, "SHOW STATS")
+    assert df.columns == ["Type", "Name", "Count"]
+    rows = {(r.Type, r.Name): r.Count for r in df.collect()}
+    assert rows[("tag", "player")] > 0
+    assert rows[("space", "edges")] == rows[("edge", "like")] + rows[("edge", "serve")]
