@@ -754,52 +754,165 @@ def _split_conjuncts(e: tuple) -> list[tuple]:
     return [e]
 
 
+def _edge_canon(ea: str) -> Column:
+    """Canonical identity struct of a single-hop edge binding — stored
+    orientation regardless of traversal direction (Edge.cpp:128-136
+    keyEqual), so the same underlying edge compares equal across frames."""
+    fwd = F.col(f"{ea}___dir") == 1
+    return F.struct(
+        F.when(fwd, F.col(f"{ea}__src")).otherwise(F.col(f"{ea}__dst"))
+        .alias("s"),
+        F.when(fwd, F.col(f"{ea}__dst")).otherwise(F.col(f"{ea}__src"))
+        .alias("d"),
+        F.col(f"{ea}__rank").alias("r"),
+        F.col(f"{ea}___etype").alias("et"))
+
+
 def _apply_pattern_pred(space: GraphSpace, cur: DataFrame, path: A.MatchPath,
                         bound: set[str], counter: list[int],
                         anti: bool) -> DataFrame:
-    """WHERE exists((v)-[:e]->(m)) / WHERE NOT exists(…) → left-semi /
-    left-anti join on the shared alias vids (PatternApplyExecutor.cpp:15-154,
-    anti flag :36). When the predicate's start node is a bound un-tagged
-    alias, the pattern is seeded from the current frame's distinct vids —
-    the frontier-seeded expansion, not a full re-scan."""
+    """WHERE (v)-[:e]->(m) / exists((v)-[:e]->(m)) / NOT … → left-semi /
+    left-anti join on the shared alias bindings (PatternApplyExecutor.cpp:
+    15-154, anti flag :36; bare form tck match/PathExpr.feature "In Where").
+    When the predicate's start node is a bound un-tagged alias, the pattern
+    is seeded from the current frame's distinct vids — the frontier-seeded
+    expansion, not a full re-scan. Shared *edge* aliases constrain on the
+    edge's canonical identity, so ``WHERE (x)-[e]->(y)`` requires e itself
+    to connect x and y, not just any edge."""
+    for n in path.nodes:             # MatchValidator::validatePathInWhere
+        if n.alias and n.alias not in bound:
+            raise ValueError("PatternExpression are not allowed to "
+                             f"introduce new variables: `{n.alias}'")
+    for ed in path.edges:
+        if ed.alias and ed.alias not in bound:
+            raise ValueError("PatternExpression are not allowed to "
+                             f"introduce new variables: `{ed.alias}'")
     n0 = path.nodes[0]
     seed = None
     if n0.tag is None and n0.alias in bound:
         seed = cur.select(F.col(f"{n0.alias}__vid")).distinct()
-    pat, aliases, _ea, _pp, _tm, _cn = _build_pattern(space, path, counter,
-                                                      seed=seed)
+    pat, aliases, eals, _pp, _tm, _cn = _build_pattern(space, path, counter,
+                                                       seed=seed)
     shared = sorted(bound & aliases)
-    if not shared:
+    shared_e = sorted(bound & eals)
+    if not shared and not shared_e:
         raise ValueError("pattern predicate must share an alias with MATCH")
     keys = [f"{a}__vid" for a in shared]
+    tmp: list[str] = []
+    for ea in shared_e:
+        for frame, nm in ((cur, "cur"), (pat, "pat")):
+            if f"{ea}__src" not in frame.columns:
+                raise ValueError(
+                    f"`{ea}' is referenced with type Edge but bound as a "
+                    "different type (var-len edge lists cannot re-bind)")
+        k = f"_pp_canon_{ea}"
+        cur = cur.withColumn(k, _edge_canon(ea))
+        pat = pat.withColumn(k, _edge_canon(ea))
+        keys.append(k)
+        tmp.append(k)
     rhs = pat.select(*keys).distinct()
-    return cur.join(rhs, on=keys, how="left_anti" if anti else "left_semi")
+    out = cur.join(rhs, on=keys, how="left_anti" if anti else "left_semi")
+    return out.drop(*tmp) if tmp else out
 
 
 def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
                  bound: set[str], counter: list[int],
                  pbound: set[str] = frozenset(),
-                 tagmap: dict[str, str | None] | None = None) -> DataFrame:
+                 tagmap: dict[str, str | None] | None = None,
+                 ebound: set[str] = frozenset()) -> DataFrame:
     """Apply a WHERE tree: top-level AND conjuncts that are pattern
-    predicates become PatternApply joins; the rest filters."""
+    predicates become PatternApply joins; pattern expressions nested in
+    plain predicates (size((v)-->()) > 1) become RollUpApply columns;
+    the rest filters."""
+    allb = bound | ebound
     plain: list[tuple] = []
     for c in _split_conjuncts(where):
-        if isinstance(c, tuple) and c[0] == "pattern_pred":
-            cur = _apply_pattern_pred(space, cur, c[1], bound, counter, False)
+        if isinstance(c, tuple) and c[0] in ("pattern_pred", "pattern_path"):
+            cur = _apply_pattern_pred(space, cur, c[1], allb, counter, False)
         elif (isinstance(c, tuple) and c[0] == "not"
-              and isinstance(c[1], tuple) and c[1][0] == "pattern_pred"):
-            cur = _apply_pattern_pred(space, cur, c[1][1], bound, counter,
+              and isinstance(c[1], tuple)
+              and c[1][0] in ("pattern_pred", "pattern_path")):
+            cur = _apply_pattern_pred(space, cur, c[1][1], allb, counter,
                                       True)
         else:
             plain.append(c)
     if plain:
+        cur, plain = _rewrite_pattern_values(space, cur, plain, bound,
+                                             ebound, counter)
         pred = plain[0]
         for p in plain[1:]:
             pred = ("and", pred, p)
         cur = cur.filter(
-            ExprCompiler(_match_resolver(bound, pbound, cur.columns, tagmap))
+            ExprCompiler(_match_resolver(allb, pbound, cur.columns, tagmap))
             .col(pred))
     return cur
+
+
+def _rewrite_pattern_values(space: GraphSpace, cur: DataFrame,
+                            exprs: list[tuple], bound: set[str],
+                            ebound: set[str], counter: list[int]
+                            ) -> tuple[DataFrame, list[tuple]]:
+    """Pattern expressions used as *values* — ``RETURN (v)-->()``,
+    ``size((v)-[:like]->())`` — become RollUpApply: group the matched
+    paths per shared binding, left-join onto the frame, coalesce to []
+    (RollUpApplyExecutor.cpp; tck match/PathExpr.feature "In Return"/
+    "In With"). Each path value is the engine's path convention: an
+    array of (s, d, r) hop structs. New variables may not be introduced
+    (MatchValidator::validatePathInWhere)."""
+    def repl(path: A.MatchPath):
+        nonlocal cur
+        for n in path.nodes:
+            if n.alias and n.alias not in bound:
+                raise ValueError(
+                    "PatternExpression are not allowed to introduce new "
+                    f"variables: `{n.alias}'")
+        for ed in path.edges:
+            if ed.alias and ed.alias not in ebound:
+                raise ValueError(
+                    "PatternExpression are not allowed to introduce new "
+                    f"variables: `{ed.alias}'")
+        counter[0] += 1
+        pa = f"_ppv{counter[0]}"
+        import dataclasses
+        p2 = dataclasses.replace(path, path_alias=pa)
+        n0 = path.nodes[0]
+        seed = None
+        if n0.tag is None and n0.alias in bound:
+            seed = cur.select(F.col(f"{n0.alias}__vid")).distinct()
+        pat, aliases, eals, _pp, _tm, _cn = _build_pattern(
+            space, p2, counter, seed=seed)
+        shared = sorted(bound & aliases)
+        shared_e = sorted(ebound & eals)
+        if not shared and not shared_e:
+            raise ValueError("pattern expression must share an alias "
+                             "with the enclosing MATCH")
+        keys = [f"{a}__vid" for a in shared]
+        tmp: list[str] = []
+        for ea in shared_e:
+            k = f"_pp_canon_{ea}"
+            cur = cur.withColumn(k, _edge_canon(ea))
+            pat = pat.withColumn(k, _edge_canon(ea))
+            keys.append(k)
+            tmp.append(k)
+        counter[0] += 1
+        val = f"_ppval{counter[0]}"
+        grouped = pat.groupBy(*keys).agg(
+            F.collect_list(F.col(f"{pa}__path")).alias(val))
+        cur = (cur.join(grouped, on=keys, how="left")
+               .withColumn(val, F.coalesce(F.col(val), F.array())))
+        if tmp:
+            cur = cur.drop(*tmp)
+        return ("name", val)
+
+    def walk(e):
+        if not isinstance(e, tuple):
+            return e
+        if e and e[0] == "pattern_path":
+            return repl(e[1])
+        return tuple(walk(x) for x in e)
+
+    out = [walk(e) if e is not None else None for e in exprs]
+    return cur, out                # after walk() — repl() rebinds cur
 
 
 def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
@@ -961,16 +1074,21 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 tagmap.update(ptags)
             if cl.where is not None and not cl.optional:
                 cur = _ensure_tag_props(space, cur, [cl.where], tagmap)
-                cur = _apply_where(space, cur, cl.where, bound | ebound,
-                                   counter, pbound, tagmap)
+                cur = _apply_where(space, cur, cl.where, bound,
+                                   counter, pbound, tagmap, ebound)
         elif isinstance(cl, A.WithClause):
             if cur is None:              # query opens with WITH — unit row
                 cur = space.spark.range(1).select()
+            cur, wexprs = _rewrite_pattern_values(
+                space, cur, [y.expr for y in cl.items], bound, ebound,
+                counter)
+            witems = [A.YieldItem(e, y.alias)
+                      for e, y in zip(wexprs, cl.items)]
             cur = _ensure_tag_props(
-                space, cur, [y.expr for y in cl.items] + [cl.where], tagmap)
+                space, cur, [y.expr for y in witems] + [cl.where], tagmap)
             ec = ExprCompiler(
                 _match_resolver(bound | ebound, pbound, cur.columns, tagmap))
-            cur, carried = _project_items(cur, cl.items, ec,
+            cur, carried = _project_items(cur, witems, ec,
                                           bound | ebound | pbound)
             bound, ebound, pbound = (carried & bound, carried & ebound,
                                      carried & pbound)
@@ -983,14 +1101,23 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                                                  cur.columns, tagmap))
                     .col(cl.where))
         elif isinstance(cl, A.UnwindStmt):
-            cur = _exec_unwind(cl, cur, space.spark)
+            uex = cl.expr
+            if cur is not None:      # UNWIND (v)-[:e]->() AS p — RollUp
+                cur, (uex,) = _rewrite_pattern_values(
+                    space, cur, [cl.expr], bound, ebound, counter)
+            cur = _exec_unwind(
+                cl if uex is cl.expr else A.UnwindStmt(uex, cl.alias),
+                cur, space.spark)
         else:
             raise ValueError(f"unknown clause {type(cl).__name__}")
 
     if cur is None:                      # standalone RETURN — unit row
         cur = space.spark.range(1).select()
+    cur, rexprs = _rewrite_pattern_values(
+        space, cur, [y.expr for y in st.returns], bound, ebound, counter)
+    rets_in = [A.YieldItem(e, y.alias) for e, y in zip(rexprs, st.returns)]
     cur = _ensure_tag_props(
-        space, cur, [y.expr for y in st.returns]
+        space, cur, [y.expr for y in rets_in]
         + [e for e, _ in (st.order_by or [])], tagmap)
     ec = ExprCompiler(_match_resolver(bound | ebound, pbound, cur.columns,
                                       tagmap))
@@ -998,7 +1125,7 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     # RETURN * — expand to every vertex binding (struct form) + every
     # plain projected column, in frame order
     returns: list[A.YieldItem] = []
-    for y in st.returns:
+    for y in rets_in:
         if y.expr != ("star",):
             returns.append(y)
             continue

@@ -1155,6 +1155,18 @@ class Parser:
                 typ = self.eat("NAME").text.lower()
                 self.eat("RP")
                 return ("cast", typ, self.expr_unary())
+            # MatchPathPattern as an expression (kMatchPathPattern,
+            # tck match/PathExpr.feature): (v)-[:like]->() — only when the
+            # parenthesized form continues into an edge; a lone (v) or any
+            # parse failure backtracks to a plain parenthesized expression
+            save = self.i
+            try:
+                path = self.match_path()
+                if path.edges:
+                    return ("pattern_path", path)
+            except SyntaxError:
+                pass
+            self.i = save
             self.eat("LP")
             e = self.expr()
             self.eat("RP")

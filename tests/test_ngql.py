@@ -225,16 +225,24 @@ def test_match_unwind_clause(space):
 
 def test_pattern_predicate_exists(space):
     df = execute(space,
-                 'MATCH (v:player) WHERE exists((v)-[:serve]->(t:team)) '
+                 'MATCH (v:player) WHERE exists((v)-[:serve]->(:team)) '
                  'RETURN v.player.name AS name')
     assert {r.name for r in df.collect()} == {"Tim", "Tony", "Kobe"}
 
 
 def test_pattern_predicate_not_exists(space):
     df = execute(space,
-                 'MATCH (v:player) WHERE NOT exists((v)-[:serve]->(t:team)) '
+                 'MATCH (v:player) WHERE NOT exists((v)-[:serve]->(:team)) '
                  'AND v.player.age > 0 RETURN v.player.name AS name')
     assert {r.name for r in df.collect()} == {"Manu"}
+
+
+def test_pattern_predicate_new_var_rejected(space):
+    # the reference rejects new variables in WHERE pattern expressions
+    # (MatchValidator.cpp:1272 checkMatchPathExpr), exists() included
+    with pytest.raises(ValueError):
+        execute(space, 'MATCH (v:player) WHERE '
+                       'exists((v)-[:serve]->(t:team)) RETURN v')
 
 
 def test_named_path_fixed(space):

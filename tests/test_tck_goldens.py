@@ -729,3 +729,104 @@ def test_match_group_by_skip_limit(nba_space):
         ("Dwyane Wade", 1, 37, 37, 37.0, ["player"]),
         ("Giannis Antetokounmpo", 1, 24, 24, 24.0, ["player"]),
         ("Grant Hill", 1, 46, 46, 46.0, ["player"])]
+
+
+# ---------------------------------------------------------------------------
+# Pattern expressions — tests/tck/features/match/PathExpr.feature
+# ---------------------------------------------------------------------------
+
+def test_pathexpr_bare_where(nba_space):
+    """PathExpr.feature:93 — bare pattern predicate in WHERE."""
+    df = execute(nba_space, 'MATCH (v:player) WHERE (v)-[:like]->() '
+                            'RETURN v.player.name AS name')
+    expect = {
+        "Amar'e Stoudemire", "Russell Westbrook", "James Harden",
+        "Tracy McGrady", "Chris Paul", "Boris Diaw", "LeBron James",
+        "Klay Thompson", "Kristaps Porzingis", "Marco Belinelli",
+        "Luka Doncic", "Tony Parker", "Danny Green", "Rudy Gay",
+        "LaMarcus Aldridge", "Tim Duncan", "Ray Allen", "Tiago Splitter",
+        "Paul Gasol", "Aron Baynes", "Vince Carter", "Marc Gasol",
+        "Ben Simmons", "Rajon Rondo", "Manu Ginobili", "Kyrie Irving",
+        "Carmelo Anthony", "Dwyane Wade", "Joel Embiid", "Damian Lillard",
+        "Yao Ming", "Dejounte Murray", "Blake Griffin", "Steve Nash",
+        "Jason Kidd", "Dirk Nowitzki", "Paul George", "Grant Hill",
+        "Shaquille O'Neal"}
+    assert set(r.name for r in df.collect()) == expect
+
+
+def test_pathexpr_two_patterns_and(nba_space):
+    """PathExpr.feature:138 — conjunction of two bare patterns."""
+    df = execute(nba_space,
+                 'MATCH (v:player) WHERE (v)-[:like]->() AND '
+                 '(v)-[:serve]->(:team{name: "Spurs"}) '
+                 'RETURN v.player.name AS name')
+    expect = {"Tracy McGrady", "Boris Diaw", "Marco Belinelli",
+              "Tony Parker", "Danny Green", "Rudy Gay", "LaMarcus Aldridge",
+              "Tim Duncan", "Tiago Splitter", "Paul Gasol", "Aron Baynes",
+              "Manu Ginobili", "Dejounte Murray"}
+    assert set(r.name for r in df.collect()) == expect
+
+
+def test_pathexpr_dup_preserving(nba_space):
+    """PathExpr.feature:157 — predicate filters, main-match duplicates
+    survive (Tim Duncan likes two players → two rows)."""
+    df = execute(nba_space,
+                 "MATCH (v:player{name: 'Tim Duncan'})-[:like]->() "
+                 "WHERE (v)-->() RETURN v.player.name AS name")
+    assert [r.name for r in df.collect()] == ["Tim Duncan", "Tim Duncan"]
+
+
+def test_pathexpr_not_pattern(nba_space):
+    """PathExpr.feature:164 — NOT (v2)<-[:like]-() anti-semantics."""
+    df = execute(nba_space,
+                 'MATCH (v:player{name:"Tim Duncan"})<-[:like]-(v2) '
+                 'WHERE NOT (v2)<-[:like]-() RETURN v2.player.name AS n')
+    assert sorted(r.n for r in df.collect()) == [
+        "Aron Baynes", "Boris Diaw", "Dejounte Murray", "Tiago Splitter"]
+
+
+def test_pathexpr_not_with_bound_endpoint(nba_space):
+    """PathExpr.feature:175 — NOT (v)-[]->(t:player) over bound t."""
+    df = execute(nba_space,
+                 'MATCH p = (v:player{name:"Tim Duncan"})-[e]->(t) '
+                 'WHERE NOT (v)-[]->(t:player) RETURN t.team.name AS tn')
+    assert rows(df, "tn") == [("Spurs",)]
+
+
+def test_pathexpr_bound_edge_and_size(nba_space):
+    """PathExpr.feature:326/334 — bound-edge re-reference constrains on the
+    edge identity; size((v)-->()) counts Tim Duncan's 7 out-edges."""
+    df = execute(nba_space,
+                 'MATCH (v:player{name:"Tim Duncan"})-[e]->(t) '
+                 'WHERE (v)-[e]->(t:team) '
+                 'RETURN v.player.name AS name, size((v)-->()) AS n')
+    assert rows(df, "name", "n") == [("Tim Duncan", 7)]
+
+
+def test_pathexpr_in_unwind(nba_space):
+    """PathExpr.feature:181 — UNWIND of a pattern value: one row per
+    matched path; players with no teammate edges drop out."""
+    df = execute(nba_space,
+                 'MATCH (v:player) UNWIND (v)-[:teammate]->() AS p '
+                 'RETURN v.player.name AS name, p')
+    got = df.collect()
+    n_edges = nba_space.edge("teammate").count()
+    assert len(got) == n_edges
+    # each unwound value is one 1-hop path: [(s, d, r)]
+    assert all(len(r.p) == 1 and r.p[0].s is not None for r in got)
+
+
+def test_pathexpr_in_with(nba_space):
+    """PathExpr.feature "In With" — pattern value projected through WITH."""
+    df = execute(nba_space,
+                 'MATCH (v:player{name:"Tim Duncan"}) '
+                 'WITH (v)-[:teammate]->() AS p RETURN size(p) AS n')
+    assert rows(df, "n") == [(4,)]
+
+
+def test_pathexpr_new_var_error(nba_space):
+    """PathExpr.feature:26-46 — introducing a new variable is an error."""
+    with pytest.raises(ValueError):
+        execute(nba_space, 'MATCH (v:player) WHERE (t)-[]-(v) RETURN v')
+    with pytest.raises(ValueError):
+        execute(nba_space, 'MATCH (v:player) RETURN (t)-[]-(v)')
