@@ -1062,7 +1062,14 @@ class Parser:
         if self.at_kw("is"):
             self.eat_kw("is")
             neg = self.try_kw("not")
-            self.eat_kw("null")
+            # IS [NOT] EMPTY (kIsEmpty): the reference's EMPTY marker
+            # (absent prop / non-matching edge type in OVER *) folds to
+            # NULL in this engine, so both forms test null
+            if self.peek().kind == "NAME" \
+                    and self.peek().text.lower() == "empty":
+                self.i += 1
+            else:
+                self.eat_kw("null")
             node = ("is_null", left)
             return ("not", node) if neg else node
         if self.at_kw("starts"):

@@ -830,3 +830,21 @@ def test_pathexpr_new_var_error(nba_space):
         execute(nba_space, 'MATCH (v:player) WHERE (t)-[]-(v) RETURN v')
     with pytest.raises(ValueError):
         execute(nba_space, 'MATCH (v:player) RETURN (t)-[]-(v)')
+
+
+def test_go_is_not_empty(nba_space):
+    """GO.feature:404-412 — $$.player.name IS NOT EMPTY keeps only edges
+    whose dst carries the player tag (team dsts have EMPTY→NULL name)."""
+    df = execute(nba_space,
+                 'GO FROM "Paul Gasol" OVER * '
+                 'WHERE $$.player.name IS NOT EMPTY YIELD like.dst AS d')
+    assert sorted(r.d for r in df.collect()) == ["Kobe Bryant", "Marc Gasol"]
+
+
+def test_go_is_empty(nba_space):
+    """GO.feature:413-425 — IS EMPTY selects the team-dst rows; like.dst
+    itself is EMPTY→NULL there (serve edges in the OVER * union)."""
+    df = execute(nba_space,
+                 'GO FROM "Paul Gasol" OVER * '
+                 'WHERE $$.player.name IS EMPTY YIELD like.dst AS d')
+    assert [r.d for r in df.collect()] == [None] * 5
