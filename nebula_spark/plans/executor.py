@@ -1101,13 +1101,26 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                                                  cur.columns, tagmap))
                     .col(cl.where))
         elif isinstance(cl, A.UnwindStmt):
-            uex = cl.expr
-            if cur is not None:      # UNWIND (v)-[:e]->() AS p — RollUp
+            if cur is None:
+                cur = _exec_unwind(cl, cur, space.spark)
+            else:
+                # clause-chain UNWIND sees the full frame: tag props,
+                # path fns, pattern expressions (Unwind.feature:120,163)
                 cur, (uex,) = _rewrite_pattern_values(
                     space, cur, [cl.expr], bound, ebound, counter)
-            cur = _exec_unwind(
-                cl if uex is cl.expr else A.UnwindStmt(uex, cl.alias),
-                cur, space.spark)
+                cur = _ensure_tag_props(space, cur, [uex], tagmap)
+                col = ExprCompiler(_match_resolver(
+                    bound | ebound, pbound, cur.columns, tagmap)).col(uex)
+                probe = cur.withColumn("_uw_probe", col)
+                if cl.alias in probe.columns:
+                    probe = probe.drop(cl.alias)
+                if dict(probe.dtypes)["_uw_probe"].startswith("array"):
+                    # NULL / empty lists drop the row (UnwindExecutor.cpp)
+                    cur = probe.select(
+                        "*", F.explode("_uw_probe").alias(cl.alias))
+                else:                # non-list value → one passthrough row
+                    cur = probe.withColumn(cl.alias, F.col("_uw_probe"))
+                cur = cur.drop("_uw_probe")
         else:
             raise ValueError(f"unknown clause {type(cl).__name__}")
 
@@ -1140,6 +1153,14 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 returns.append(A.YieldItem(("name", c), c))
 
     def ret_col(y: A.YieldItem, i: int):
+        # RETURN p (bare path alias) → the path value as a struct of the
+        # engine's convention (start vid + hop list; SURVEY §1.1 Path)
+        if y.expr[0] == "name" and y.expr[1] in pbound \
+                and f"{y.expr[1]}__path" in cur.columns:
+            a = y.expr[1]
+            return F.struct(
+                F.col(f"{a}__start").alias("start"),
+                F.col(f"{a}__path").alias("hops")).alias(y.alias or a)
         # RETURN v (bare bound alias) → the full vertex value as a struct
         # (vid + props), the openCypher node return (SURVEY §1.1 Vertex)
         if y.expr[0] == "name" and y.expr[1] in bound \

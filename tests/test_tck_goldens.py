@@ -848,3 +848,102 @@ def test_go_is_empty(nba_space):
                  'GO FROM "Paul Gasol" OVER * '
                  'WHERE $$.player.name IS EMPTY YIELD like.dst AS d')
     assert [r.d for r in df.collect()] == [None] * 5
+
+
+# ---------------------------------------------------------------------------
+# LOOKUP — tests/tck/features/lookup/WithYield.feature
+# ---------------------------------------------------------------------------
+
+def test_lookup_tag_yield(nba_space):
+    """WithYield.feature:10 — tag index seek + prop yield."""
+    df = execute(nba_space, 'LOOKUP ON player WHERE player.age == 40 '
+                            'YIELD player.name AS name')
+    assert sorted(r.name for r in df.collect()) == [
+        "Dirk Nowitzki", "Kobe Bryant"]
+
+
+def test_lookup_tag_in_list(nba_space):
+    """WithYield.feature:44 — IN-list predicate over a tag prop."""
+    df = execute(nba_space,
+                 'LOOKUP ON team WHERE team.name in '
+                 '["76ers", "Lakers", "Spurs"] YIELD team.name AS name')
+    assert sorted(r.name for r in df.collect()) == [
+        "76ers", "Lakers", "Spurs"]
+
+
+def test_lookup_edge_yield(nba_space):
+    """WithYield.feature:55 — edge index seek, two conjuncts."""
+    df = execute(nba_space,
+                 'LOOKUP ON serve WHERE serve.start_year == 2008 and '
+                 'serve.end_year == 2019 YIELD serve.start_year AS startYear')
+    assert rows(df, "startYear") == [(2008,), (2008,)]
+
+
+def test_lookup_edge_pipe_count(nba_space):
+    """WithYield.feature:86-103 — arithmetic in WHERE, piped count."""
+    df = execute(nba_space,
+                 'LOOKUP ON like WHERE like.likeness < 50 + 1 '
+                 'YIELD like.likeness AS l | YIELD count(*) AS nums')
+    assert rows(df, "nums") == [(6,)]
+
+
+def test_lookup_constant_columns(nba_space):
+    """WithYield.feature:105 — literal and computed constant columns."""
+    df = execute(nba_space,
+                 'LOOKUP ON serve WHERE serve.start_year == 2008 and '
+                 'serve.end_year == 2019 '
+                 'YIELD serve.start_year AS startYear, 1 AS a, 10+1 AS b')
+    assert rows(df, "startYear", "a", "b") == [(2008, 1, 11), (2008, 1, 11)]
+
+
+# ---------------------------------------------------------------------------
+# UNWIND — tests/tck/features/match/Unwind.feature
+# ---------------------------------------------------------------------------
+
+def test_unwind_literal_list(nba_space):
+    """Unwind.feature:6 — basic explode."""
+    df = execute(nba_space, 'UNWIND [1, 2, 3] AS a RETURN a')
+    assert sorted(r.a for r in df.collect()) == [1, 2, 3]
+
+
+def test_unwind_null_element_preserved(nba_space):
+    """Unwind.feature:17 — NULL list elements become NULL rows."""
+    df = execute(nba_space, 'UNWIND [1, NULL, 3] AS a RETURN a')
+    got = [r.a for r in df.collect()]
+    assert len(got) == 3 and None in got and {1, 3} <= set(
+        x for x in got if x is not None)
+
+
+def test_unwind_double_cross(nba_space):
+    """Unwind.feature:50 — chained UNWINDs cross-product."""
+    df = execute(nba_space,
+                 'UNWIND [1, 2, 3] AS a UNWIND [4, 5] AS b RETURN b, a')
+    assert sorted(rows(df, "b", "a")) == [
+        (4, 1), (4, 2), (4, 3), (5, 1), (5, 2), (5, 3)]
+
+
+def test_unwind_minmax_strings(nba_space):
+    """Unwind.feature:102 — min/max aggregate over unwound strings."""
+    df = execute(nba_space,
+                 'UNWIND ["a", "abc", "ab"] AS x '
+                 'RETURN min(x) AS mn, max(x) AS mx')
+    assert rows(df, "mn", "mx") == [("a", "abc")]
+
+
+def test_unwind_scalar_passthrough(nba_space):
+    """Unwind.feature:163 — UNWIND of a non-list keeps one row."""
+    df = execute(nba_space,
+                 'MATCH (v:player) WHERE v.player.name in ["Tim Duncan"] '
+                 'UNWIND v.player.age AS age RETURN age')
+    assert rows(df, "age") == [(42,)]
+
+
+def test_unwind_nodes_distinct_filter(nba_space):
+    """Unwind.feature:120 "unwind match with" — var-len like*..2 paths
+    whose node list is duplicate-free: 4 paths survive."""
+    df = execute(nba_space,
+                 'MATCH p = (x:player{name: "Tim Duncan"})-[:like*..2]->(y) '
+                 'UNWIND nodes(p) as n '
+                 'WITH p, size(collect(distinct n)) AS testLength '
+                 'WHERE testLength == length(p) + 1 RETURN p')
+    assert df.count() == 4
