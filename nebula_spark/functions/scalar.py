@@ -87,8 +87,11 @@ FUNCTIONS: dict[str, object] = {
     "substring": F.substring, "reverse": F.reverse,
     "replace": F.regexp_replace, "split": F.split, "concat": F.concat,
     # concat_ws takes a Column separator here (PySpark's helper wants a
-    # Python string) — call the SQL function directly
-    "concat_ws": lambda *cs: F.call_function("concat_ws", *cs),
+    # Python string) — call the SQL function directly; bare Python
+    # strings are literal separators, not column names
+    "concat_ws": lambda *cs: F.call_function(
+        "concat_ws", *[c if isinstance(c, Column) else F.lit(c)
+                       for c in cs]),
     "strcasecmp": _strcasecmp, "hash": _hash,
     "md5": F.md5, "json_extract": _json_extract,
     # temporal

@@ -647,6 +647,14 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
     for me, mn in zip(path.edges, path.nodes[1:]):
         na = mn.alias or fresh("n")
         ea = me.alias or fresh("e")
+        # an edge alias may bind only once; node aliases may repeat (a
+        # same-vertex constraint) but never collide with an edge alias
+        # (reference SemanticError, RedefinedNode.feature "Redefined
+        # edge alias"; MatchValidator alias table)
+        if ea in edge_aliases or ea in aliases:
+            raise ValueError(f"`{ea}': Redefined alias")
+        if na in edge_aliases:
+            raise ValueError(f"`{na}': Redefined alias")
         enames = me.types or list(space.edges)
         edges = _edge_union(space, enames)
         for k, v in me.props.items():    # inline {k: v} per-step edge filter
@@ -684,16 +692,30 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                                    x["r"].alias("r"))))
             hop_counts.append(F.col(f"{ea}__hops"))
             canon_paths.append(_canon_path(ea))
-        if mn.tag:
-            tt = _bind_tag(space, na, mn.tag)
-            cur = cur.join(tt, cur[end_col] == tt[f"{na}__vid"], "inner")
+        if na in aliases:
+            # re-used node alias within one pattern — a same-vertex
+            # constraint on the existing binding, NOT a re-bind
+            # (RedefinedNode.feature; openCypher node identity). A tag on
+            # the re-use narrows via a semi-join, leaving columns intact.
+            cur = cur.filter(F.col(end_col) == F.col(f"{na}__vid"))
+            if mn.tag:
+                tt = space.tag(mn.tag).select(F.col(VID).alias("_rd_vid"))
+                cur = cur.join(tt, cur[end_col] == tt["_rd_vid"],
+                               "left_semi")
+            for k, v in mn.props.items():
+                cur = cur.filter(F.col(f"{na}__{k}") == v)
         else:
-            cur = cur.withColumn(f"{na}__vid", F.col(end_col))
-        for k, v in mn.props.items():
-            cur = cur.filter(F.col(f"{na}__{k}") == v)
-        aliases.add(na)
+            if mn.tag:
+                tt = _bind_tag(space, na, mn.tag)
+                cur = cur.join(tt, cur[end_col] == tt[f"{na}__vid"],
+                               "inner")
+            else:
+                cur = cur.withColumn(f"{na}__vid", F.col(end_col))
+            for k, v in mn.props.items():
+                cur = cur.filter(F.col(f"{na}__{k}") == v)
+            aliases.add(na)
+            tags[na] = mn.tag
         edge_aliases.add(ea)
-        tags[na] = mn.tag
         prev_alias = na
 
     # relationship uniqueness across the pattern's segments: no underlying

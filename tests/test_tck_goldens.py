@@ -947,3 +947,50 @@ def test_unwind_nodes_distinct_filter(nba_space):
                  'WITH p, size(collect(distinct n)) AS testLength '
                  'WHERE testLength == length(p) + 1 RETURN p')
     assert df.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Redefined node alias — tests/tck/features/match/RedefinedNode.feature
+# ---------------------------------------------------------------------------
+
+def test_redefined_node_self_like(nba_space):
+    """RedefinedNode.feature:13 — (v)-[:like]->(v): no self-likes → empty."""
+    df = execute(nba_space,
+                 'MATCH (v:player)-[:like]->(v) RETURN v.player.name AS name')
+    assert df.count() == 0
+
+
+def test_redefined_node_shared_team(nba_space):
+    """RedefinedNode.feature:19 — (v)-[:serve]->(t)<-[:serve]-(v): players
+    with two serve stints at one team, one row per ordered edge pair."""
+    df = execute(nba_space,
+                 'MATCH (v)-[:serve]->(t)<-[:serve]-(v) '
+                 'RETURN t.team.name AS t, v.player.name AS n')
+    expect = sorted(
+        [("Mavericks", "Jason Kidd")] * 2 + [("Spurs", "Marco Belinelli")] * 2
+        + [("Heat", "Dwyane Wade")] * 2 + [("Suns", "Steve Nash")] * 2
+        + [("Hornets", "Marco Belinelli")] * 2
+        + [("Cavaliers", "LeBron James")] * 2)
+    assert sorted(rows(df, "t", "n")) == expect
+
+
+def test_redefined_node_varlen_zero(nba_space):
+    """RedefinedNode.feature:88 — (v:player)-[:like*0..2]->(v): zero-step
+    trivially matches every player; 2-step adds mutual-like cycles (94 rows,
+    counted from the feature's own golden table)."""
+    from collections import Counter
+    df = execute(nba_space,
+                 'MATCH (v:player)-[:like*0..2]->(v) '
+                 'RETURN v.player.name AS name')
+    got = Counter(r.name for r in df.collect())
+    assert sum(got.values()) == 94
+    assert got[None] == 4
+    assert got["Jason Kidd"] == 4 and got["Steve Nash"] == 4
+    assert got["Tim Duncan"] == 3 and got["Tony Parker"] == 3
+
+
+def test_redefined_edge_alias_raises(nba_space):
+    """RedefinedNode.feature:170 — reusing an edge alias is a SemanticError."""
+    with pytest.raises(ValueError, match="Redefined alias"):
+        execute(nba_space, 'MATCH (v:player{name:"abc"})-[e:like]->(v1)'
+                           '-[e:like]->(v2) RETURN *')
