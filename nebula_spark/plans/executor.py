@@ -392,14 +392,54 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
 
 def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
                          piped: DataFrame | None) -> DataFrame:
+    """FETCH PROP ON tag[, tag…] | * <vids> (GetVerticesExecutor.cpp:1-72,
+    GetPropProcessor.cpp): one left join per listed tag; a vid survives if
+    at least one listed tag has it, other tags' props read NULL (EMPTY
+    cells, FetchVertices.strVid.feature "multiple tags"); duplicate input
+    vids keep their multiplicity (unlike GO's deduped FROM)."""
+    tag_names = list(space.tags) if st.tags == ["*"] else st.tags
     vids = _vid_frame(space, st.vids, piped, st.src_col)
-    t = space.tag(st.tag)
-    out = vids.join(t, VID, "inner")
+    out = vids
+    tag_props: dict[str, list[str]] = {}
+    for tg in tag_names:
+        t = space.tag(tg)
+        tag_props[tg] = [c for c in t.columns if c != VID]
+        renamed = t.select(F.col(VID).alias(f"__fv_{tg}"),
+                           *[F.col(p).alias(f"{tg}__{p}")
+                             for p in tag_props[tg]])
+        out = out.join(renamed, out[VID] == renamed[f"__fv_{tg}"], "left")
+    pred = F.col(f"__fv_{tag_names[0]}").isNotNull()
+    for tg in tag_names[1:]:
+        pred = pred | F.col(f"__fv_{tg}").isNotNull()
+    out = out.filter(pred)
+
+    def vertex_col() -> Column:
+        # single tag: same flat struct shape as MATCH's bound vertex;
+        # multi tag: vid + one nullable struct per tag
+        if len(tag_names) == 1:
+            tg = tag_names[0]
+            return F.struct(F.col(VID).alias(VID),
+                            *[F.col(f"{tg}__{p}").alias(p)
+                              for p in tag_props[tg]])
+        return F.struct(F.col(VID).alias(VID), *[
+            F.when(F.col(f"__fv_{tg}").isNotNull(),
+                   F.struct(*[F.col(f"{tg}__{p}").alias(p)
+                              for p in tag_props[tg]])).alias(tg)
+            for tg in tag_names])
 
     def resolve(kind, *args):
         if kind == "edge_prop":      # parsed shape of tag.prop
-            return F.col(args[1])
-        if kind in ("name",):
+            tg, prop = args
+            if tg in tag_props:
+                return F.col(f"{tg}__{prop}")
+            return F.col(prop)
+        if kind == "graph_fn" and args[1] == "vertex":
+            if args[0] == "id":
+                return F.col(VID)
+            raise ValueError(f"unresolvable {kind}")
+        if kind == "name":
+            if args[0] == "vertex":  # YIELD vertex [AS alias]
+                return vertex_col()
             return F.col(args[0])
         raise ValueError(f"unresolvable {kind}")
 
@@ -407,9 +447,58 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
     if st.yields:
         cols = [ec.col(y.expr).alias(y.alias or f"c{i}")
                 for i, y in enumerate(st.yields)]
-        # id(vertex) form: alias "vertex" resolves to vid
-        return out.select(*cols)
-    return out
+        out = out.select(*cols)
+    else:
+        out = out.drop(*[f"__fv_{tg}" for tg in tag_names])
+    return out.distinct() if st.distinct else out
+
+
+def _exec_fetch_edges(space: GraphSpace, st: A.FetchEdgesStmt,
+                      piped: DataFrame | None = None,
+                      env: dict[str, DataFrame] | None = None) -> DataFrame:
+    """FETCH PROP ON <edge> src[@rank]->dst, … (GetEdgesExecutor.cpp:1-112):
+    inner join on the composite key (src, rank, dst); absent keys drop;
+    duplicate keys keep their multiplicity. Keys may come from a pipe or
+    query variable ($-.src->$-.dst) — rank defaults to 0 either way."""
+    e = space.edge(st.edge)
+    if st.var is not None:
+        source = piped if st.var == "$-" else (env or {}).get(st.var)
+        if source is None:
+            raise ValueError(f"FETCH: no bound input for {st.var}")
+        kdf = source.select(F.col(st.key_src_col).alias(SRC),
+                            F.lit(0).cast("long").alias(RANK),
+                            F.col(st.key_dst_col).alias(DST))
+    else:
+        kdf = space.spark.createDataFrame(
+            [(s, int(r), d) for s, r, d in st.keys], [SRC, RANK, DST])
+    out = kdf.join(e, [SRC, DST, RANK], "inner")
+    eprops = [c for c in e.columns if c not in (SRC, DST, RANK)]
+
+    def resolve(kind, *args):
+        if kind == "edge_prop":
+            return F.col({"_dst": DST, "_src": SRC,
+                          "_rank": RANK}.get(args[1], args[1]))
+        if kind == "graph_fn" and args[1] == "edge":
+            m = {"src": SRC, "dst": DST, "rank": RANK}
+            if args[0] in m:
+                return F.col(m[args[0]])
+            if args[0] == "type":
+                return F.lit(st.edge)
+            raise ValueError(f"unresolvable {kind}")
+        if kind == "name":
+            if args[0] == "edge":    # YIELD edge [AS alias]
+                return F.struct(F.col(SRC).alias(SRC),
+                                F.col(DST).alias(DST),
+                                F.col(RANK).alias(RANK),
+                                *[F.col(p).alias(p) for p in eprops])
+            return F.col(args[0])
+        raise ValueError(f"unresolvable {kind} {args}")
+
+    ec = ExprCompiler(resolve)
+    if st.yields:
+        out = out.select(*[ec.col(y.expr).alias(y.alias or f"c{i}")
+                           for i, y in enumerate(st.yields)])
+    return out.distinct() if st.distinct else out
 
 
 def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
@@ -1381,6 +1470,8 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
             df = _exec_go(space, st, df, env)
         elif isinstance(st, A.FetchVerticesStmt):
             df = _exec_fetch_vertices(space, st, df)
+        elif isinstance(st, A.FetchEdgesStmt):
+            df = _exec_fetch_edges(space, st, df, env)
         elif isinstance(st, A.LookupStmt):
             df = _exec_lookup(space, st)
         elif isinstance(st, A.FindPathStmt):

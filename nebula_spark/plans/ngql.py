@@ -121,17 +121,22 @@ class GoStmt:
 
 @dataclass
 class FetchVerticesStmt:
-    tag: str
+    tags: list[str]              # tag names, or ["*"] for every tag
     vids: list | str
     src_col: str | None
     yields: list[YieldItem]
+    distinct: bool = False
 
 
 @dataclass
 class FetchEdgesStmt:
     edge: str
-    keys: list[tuple]            # (src, rank, dst)
+    keys: list[tuple]            # (src, rank, dst) literals …
     yields: list[YieldItem]
+    distinct: bool = False
+    var: str | None = None       # … or "$-"/"$var" keyed rows
+    key_src_col: str | None = None
+    key_dst_col: str | None = None
 
 
 @dataclass
@@ -694,44 +699,86 @@ class Parser:
         self.eat_kw("fetch")
         self.eat_kw("prop")
         self.eat_kw("on")
-        name = self.name()
+        if self.peek().kind == "STAR":   # FETCH PROP ON * — every tag
+            self.eat("STAR")
+            names = ["*"]
+        else:
+            names = [self.name()]
+            while self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                names.append(self.name())
         if self.peek().kind in ("STRING", "INT", "PIPE_INPUT", "PIPE_REF",
                                 "VAR_REF", "FLOAT", "MINUS"):
-            # vertex form unless "src -> dst" follows
+            # vertex form unless "src -> dst" follows (edge fetch is
+            # always a single edge type)
             save = self.i
-            first = None
-            if self.peek().kind not in ("PIPE_INPUT", "PIPE_REF", "VAR_REF"):
-                first = self.literal()
-                if self.peek().kind == "ARROW_R":
+            if len(names) == 1 and names[0] != "*" and \
+                    self.peek().kind not in ("PIPE_INPUT", "PIPE_REF",
+                                             "VAR_REF"):
+                self.literal()
+                if self.peek().kind in ("ARROW_R", "AT"):
                     self.i = save
-                    return self.fetch_edges_tail(name)
+                    return self.fetch_edges_tail(names[0])
                 self.i = save
+            if self.peek().kind in ("PIPE_REF", "VAR_REF") and \
+                    self._ref_is_edge_key():
+                return self.fetch_edges_tail(names[0])
             vids, col = self.vid_list()
-            yields = []
+            yields, distinct = [], False
             if self.try_kw("yield"):
+                distinct = self.try_kw("distinct")
                 yields = self.yield_items()
-            return FetchVerticesStmt(name, vids, col, yields)
+            return FetchVerticesStmt(names, vids, col, yields, distinct)
         raise SyntaxError("FETCH: expected vid list")
 
+    def _ref_is_edge_key(self) -> bool:
+        # $-.src -> … / $var.src -> … means edge-key fetch, not a vid list
+        j = self.i + 1
+        if self.toks[self.i].kind == "VAR_REF":
+            if j + 1 >= len(self.toks) or self.toks[j].kind != "DOT":
+                return False
+            j += 2
+        return j < len(self.toks) and self.toks[j].kind == "ARROW_R"
+
+    def _edge_key_ref(self) -> tuple[str, str]:
+        t = self.peek()
+        if t.kind == "PIPE_REF":
+            return "$-", self.eat("PIPE_REF").text.split(".", 1)[1]
+        var = self.eat("VAR_REF").text
+        self.eat("DOT")
+        return var, self.eat("NAME").text
+
     def fetch_edges_tail(self, edge: str) -> FetchEdgesStmt:
+        if self.peek().kind in ("PIPE_REF", "VAR_REF"):
+            # FETCH PROP ON e $-.src->$-.dst / $var.src->$var.dst
+            var, src_col = self._edge_key_ref()
+            self.eat("ARROW_R")
+            _, dst_col = self._edge_key_ref()
+            yields, distinct = [], False
+            if self.try_kw("yield"):
+                distinct = self.try_kw("distinct")
+                yields = self.yield_items()
+            return FetchEdgesStmt(edge, [], yields, distinct,
+                                  var, src_col, dst_col)
         keys = []
         while True:
             src = self.literal()
-            rank = 0
+            self.eat("ARROW_R")
+            dst = self.literal()
+            rank = 0                     # src->dst@rank; @ defaults to 0
             if self.peek().kind == "AT":
                 self.eat("AT")
                 rank = self.literal()
-            self.eat("ARROW_R")
-            dst = self.literal()
             keys.append((src, rank, dst))
             if self.peek().kind == "COMMA":
                 self.eat("COMMA")
                 continue
             break
-        yields = []
+        yields, distinct = [], False
         if self.try_kw("yield"):
+            distinct = self.try_kw("distinct")
             yields = self.yield_items()
-        return FetchEdgesStmt(edge, keys, yields)
+        return FetchEdgesStmt(edge, keys, yields, distinct)
 
     # -- LOOKUP
     def lookup_sentence(self) -> LookupStmt:

@@ -994,3 +994,137 @@ def test_redefined_edge_alias_raises(nba_space):
     with pytest.raises(ValueError, match="Redefined alias"):
         execute(nba_space, 'MATCH (v:player{name:"abc"})-[e:like]->(v1)'
                            '-[e:like]->(v2) RETURN *')
+
+
+# ---------------------------------------------------------------------------
+# FETCH PROP ON — tests/tck/features/fetch/FetchVertices.strVid.feature,
+# FetchEdges.strVid.feature
+# ---------------------------------------------------------------------------
+
+def test_fetch_vertex_one_tag(nba_space):
+    """FetchVertices.strVid.feature:6 — one tag, one vertex."""
+    df = execute(nba_space, "FETCH PROP ON player 'Boris Diaw' "
+                            "YIELD player.name AS n, player.age AS a")
+    assert rows(df, "n", "a") == [("Boris Diaw", 36)]
+
+
+def test_fetch_vertex_computed_yield(nba_space):
+    """FetchVertices.strVid.feature:22 — expression over fetched props."""
+    df = execute(nba_space, "FETCH PROP ON player 'Boris Diaw' "
+                            "YIELD player.name AS n, player.age > 30 AS o")
+    assert rows(df, "n", "o") == [("Boris Diaw", True)]
+
+
+def test_fetch_vertex_struct(nba_space):
+    """FetchVertices.strVid.feature:30 — YIELD vertex AS node."""
+    df = execute(nba_space,
+                 "FETCH PROP ON bachelor 'Tim Duncan' YIELD vertex as node")
+    [r] = df.collect()
+    assert r.node.vid == "Tim Duncan" and r.node.speciality == "psychology"
+
+
+def test_fetch_vertex_multi_tag_empty_cells(nba_space):
+    """FetchVertices.strVid.feature:84 — multi-tag fetch: props of tags the
+    vertex lacks read NULL (EMPTY), a vid missing every tag would drop."""
+    df = execute(nba_space,
+                 'FETCH PROP ON bachelor, team, player "Tim Duncan", '
+                 '"Boris Diaw" YIELD player.name AS pn, player.age AS pa, '
+                 'team.name AS tn, bachelor.name AS bn, '
+                 'bachelor.speciality AS bs')
+    assert sorted(rows(df, "pn", "pa", "tn", "bn", "bs")) == [
+        ("Boris Diaw", 36, None, None, None),
+        ("Tim Duncan", 42, None, "Tim Duncan", "psychology")]
+
+
+def test_fetch_vertex_duplicate_vids_kept(nba_space):
+    """FetchVertices.strVid.feature:98 — duplicate input vids keep their
+    multiplicity (FETCH does not dedup its key list)."""
+    df = execute(nba_space, 'FETCH PROP ON player, team '
+                            '"Boris Diaw","Boris Diaw" '
+                            'YIELD player.name AS pn, team.name AS tn')
+    assert rows(df, "pn", "tn") == [("Boris Diaw", None)] * 2
+
+
+def test_fetch_vertex_distinct(nba_space):
+    """FetchVertices.strVid.feature:58 — YIELD DISTINCT collapses them."""
+    df = execute(nba_space, "FETCH PROP ON player 'Boris Diaw', 'Boris Diaw'"
+                            " YIELD DISTINCT player.name AS n, "
+                            "player.age AS a")
+    assert rows(df, "n", "a") == [("Boris Diaw", 36)]
+
+
+def test_fetch_vertex_star(nba_space):
+    """FetchVertices.strVid.feature ("ON *") — every tag left-joined."""
+    df = execute(nba_space, 'FETCH PROP ON * "Tim Duncan" '
+                            'YIELD player.name AS pn, player.age AS pa, '
+                            'bachelor.speciality AS bs')
+    assert rows(df, "pn", "pa", "bs") == [("Tim Duncan", 42, "psychology")]
+
+
+def test_fetch_edge_props(nba_space):
+    """FetchEdges.strVid.feature:6 — edge key fetch."""
+    df = execute(nba_space, "FETCH PROP ON serve 'Boris Diaw' -> 'Hawks' "
+                            "YIELD serve.start_year AS s, serve.end_year AS e")
+    assert rows(df, "s", "e") == [(2003, 2005)]
+
+
+def test_fetch_edge_with_rank(nba_space):
+    """FetchEdges.strVid.feature:38 — explicit @0 rank."""
+    df = execute(nba_space, "FETCH PROP ON serve 'Boris Diaw'->'Hawks'@0 "
+                            "YIELD serve.start_year AS s")
+    assert rows(df, "s") == [(2003,)]
+
+
+def test_fetch_edge_missing_key_empty(nba_space):
+    """FetchEdges.strVid.feature:22 — absent key → no row."""
+    df = execute(nba_space,
+                 'FETCH PROP ON serve "Boris Diaw"->"Not Exist" '
+                 'YIELD edge as e')
+    assert df.count() == 0
+
+
+def test_fetch_edge_struct(nba_space):
+    """FetchEdges.strVid.feature:14 — YIELD edge AS e."""
+    df = execute(nba_space,
+                 'FETCH PROP ON serve "Boris Diaw"->"Spurs" YIELD edge as e')
+    [r] = df.collect()
+    assert (r.e.src, r.e.dst, r.e.rank, r.e.start_year, r.e.end_year) == \
+        ("Boris Diaw", "Spurs", 0, 2012, 2016)
+
+
+def test_fetch_edge_multiple_keys(nba_space):
+    """FetchEdges.strVid.feature:63 — several keys in one fetch."""
+    df = execute(nba_space,
+                 "FETCH PROP ON serve 'Boris Diaw'->'Hawks',"
+                 "'Boris Diaw'->'Suns' YIELD serve.start_year AS s")
+    assert sorted(rows(df, "s")) == [(2003,), (2005,)]
+
+
+def test_fetch_edge_from_pipe(nba_space):
+    """FetchEdges.strVid.feature:72 — GO | FETCH PROP ON e $-.src->$-.dst."""
+    df = execute(nba_space,
+                 "GO FROM 'Boris Diaw' OVER serve YIELD src(edge) AS src, "
+                 "dst(edge) AS dst | FETCH PROP ON serve $-.src->$-.dst "
+                 "YIELD serve.start_year AS s, serve.end_year AS e")
+    assert sorted(rows(df, "s", "e")) == [
+        (2003, 2005), (2005, 2008), (2008, 2012), (2012, 2016), (2016, 2017)]
+
+
+def test_fetch_edge_from_var(nba_space):
+    """FetchEdges.strVid.feature:85 — $var.src->$var.dst key source."""
+    df = execute(nba_space,
+                 "$var = GO FROM 'Boris Diaw' OVER serve YIELD "
+                 "src(edge) AS src, dst(edge) AS dst; "
+                 "FETCH PROP ON serve $var.src->$var.dst "
+                 "YIELD serve.start_year AS s, serve.end_year AS e")
+    assert sorted(rows(df, "s", "e")) == [
+        (2003, 2005), (2005, 2008), (2008, 2012), (2012, 2016), (2016, 2017)]
+
+
+def test_fetch_edge_distinct(nba_space):
+    """FetchEdges.strVid.feature:99 — duplicate keys + YIELD DISTINCT."""
+    df = execute(nba_space,
+                 "FETCH PROP ON serve 'Boris Diaw'->'Hawks',"
+                 "'Boris Diaw'->'Hawks' YIELD DISTINCT "
+                 "serve.start_year AS s, serve.end_year AS e")
+    assert rows(df, "s", "e") == [(2003, 2005)]
