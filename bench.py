@@ -5,12 +5,21 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution is measured end-to-end per query with a `noop` sink (full compute,
 no driver-side result transfer) — the number the 2×-of-baseline gate reads.
+
+Noise control (round-3 fix): a single cold pass cannot distinguish
+regression from JVM/codegen warm-up — byte-identical queries recorded 0.62 s
+one round and 2.03 s the next. So: one untimed warm-up pass of the FULL
+query list (compiles every codegen tree, primes parquet footers and shuffle
+paths), then ``$SPARK_GRAFT_BENCH_REPS`` (default 3) timed passes per query,
+reporting the per-query MEDIAN in ``queries`` (what the gate reads) and
+min/median/max detail in ``queries_detail``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,29 +42,45 @@ def main() -> None:
     from nebula_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("nebula_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
-    # warm the JVM + parquet footer cache once, outside timing
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    def run(name: str) -> float:
         # q_* functions are the source of truth: the bench set stays stable
         # across rounds even when the (slot-capped) queries() dict rotates
         fn = getattr(entry, f"q_{name}", None) or qs[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        return time.time() - t0
 
+    # warm the JVM + parquet footer cache once, outside timing
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # untimed warm-up pass of the full list: whole-stage codegen compiles,
+    # broadcast thresholds settle, shuffle dirs exist — after this, repeat
+    # runs of a byte-identical query agree within ~20%
+    for name in BENCH_QUERIES:
+        run(name)
+
+    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    for _ in range(reps):
+        for name in BENCH_QUERIES:
+            samples[name].append(run(name))
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    detail = {n: {"min": round(min(s), 3),
+                  "median": round(statistics.median(s), 3),
+                  "max": round(max(s), 3)} for n, s in samples.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_detail": detail,
+        "reps": reps,
         "sf": sf_dir,
     }))
 

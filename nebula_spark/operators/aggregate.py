@@ -78,11 +78,18 @@ def agg_call(name: str, col: Column | str, distinct: bool = False) -> Column:
                            F.lit(0).cast("long"),
                            lambda a, x: a.bitwiseXOR(x))
     # std over the distinct value set; sorted array => deterministic
-    # float accumulation order across runs
+    # float accumulation order across runs. The raw E[x²]−E[x]² form
+    # cancels catastrophically when mean² ≫ variance (values near 1e9 with
+    # std 1 returned 0.0 in doubles); variance is shift-invariant, so fold
+    # over y = x − min(x) instead — one extra O(1) lookup, no second pass,
+    # and the shifted mean is bounded by the value range instead of the
+    # absolute magnitude.
     cs = F.sort_array(F.collect_set(c.cast("double")))
     n = F.size(cs).cast("double")
-    s = F.aggregate(cs, F.lit(0.0), lambda a, x: a + x)
-    s2 = F.aggregate(cs, F.lit(0.0), lambda a, x: a + x * x)
+    shift = F.element_at(cs, 1)           # min of the distinct set
+    s = F.aggregate(cs, F.lit(0.0), lambda a, x: a + (x - shift))
+    s2 = F.aggregate(cs, F.lit(0.0),
+                     lambda a, x: a + (x - shift) * (x - shift))
     return F.when(n > 0, F.sqrt(s2 / n - (s / n) * (s / n)))
 
 

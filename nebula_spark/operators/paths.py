@@ -19,9 +19,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nebula_spark.catalog import DST, SRC, VID
+from nebula_spark.catalog import DST, RANK, SRC, VID
 from nebula_spark.operators.traverse import (
-    BROADCAST_FRONTIER_ROWS, oriented, traverse,
+    BROADCAST_FRONTIER_ROWS, _edge_id, _edge_id_reversed, oriented, traverse,
 )
 
 
@@ -79,6 +79,130 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
             out = out.join(F.broadcast(targets.select(F.col(VID).alias(DST))
                                        .distinct()), DST, "left_semi")
         return out
+    finally:
+        frontier.unpersist()
+        visited.unpersist()
+        e.unpersist()
+
+
+def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
+                  direction: str = "out", mode: str = "all",
+                  min_hops: int = 1,
+                  edge_filter: Column | None = None) -> DataFrame:
+    """Level-pruned BFS returning only MINIMAL-length paths per (start, end)
+    pair — the MATCH ``shortestPath()``/``allShortestPaths()`` plan when the
+    var-len segment carries no intermediate-hop predicates.
+
+    Reference: ``SingleShortestPath.cpp:214-265`` does BFS with
+    level-pruning, never full path enumeration; the enumerate-then-prune
+    fallback in ``plans/executor.py`` remains only for predicate-bearing
+    segments. Why it matters at scale: enumeration is exponential in hop
+    count while the answer is linear — for ``*1..6`` on a 100× graph BFS is
+    the only survivable plan.
+
+    Level-synchronous: a (root, vid) pair enters the result exactly at the
+    level it is first reached (per-root visited set), so every emitted path
+    is minimal and, being minimal, never repeats a vertex — openCypher
+    relationship-uniqueness holds for free, no per-path membership filter.
+
+    ``mode="all"`` keeps every tied-minimal path (allShortestPaths) —
+    correct because every shortest path's length-L prefix is itself a
+    shortest path to its penultimate vertex, so expanding only minimal
+    frontier paths loses nothing. ``mode="single"`` keeps one deterministic
+    representative per pair (greedy per-level lexicographic-min of the
+    serialized edge list — any single shortest path is valid per
+    openCypher; this also bounds the frontier at one path per reached
+    vid, the scale point). ``min_hops`` must be 0 or 1: with a
+    higher lower bound a minimal *qualifying* walk may revisit vertices,
+    which level-pruning cannot represent — callers route those to the
+    enumerate fallback.
+
+    Output schema matches :func:`~nebula_spark.operators.traverse.traverse`:
+    ``(start_vid, end_vid, hops, path)`` with path an array of edge structs
+    ``(s, d, r, t, et)``.
+    """
+    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                                   StructField, StructType)
+    from pyspark.sql.window import Window
+
+    if min_hops > 1:
+        raise ValueError("bfs_min_paths requires min_hops <= 1; route "
+                         "higher lower bounds to the enumerate fallback")
+    e = oriented(edges, direction)
+    if edge_filter is not None:
+        e = e.filter(edge_filter)
+    if "_etype" not in e.columns:
+        e = e.withColumn("_etype", F.lit(""))
+    e = e.select(SRC, DST, RANK, "_dir", "_etype").persist()
+    path_type = ArrayType(StructType([
+        StructField("s", e.schema[SRC].dataType),
+        StructField("d", e.schema[DST].dataType),
+        StructField("r", e.schema[RANK].dataType),
+        StructField("t", IntegerType()),
+        StructField("et", StringType()),
+    ]))
+    new_edge = F.struct(F.col(SRC).alias("s"), F.col(DST).alias("d"),
+                        F.col(RANK).alias("r"), F.col("_dir").alias("t"),
+                        F.col("_etype").alias("et"))
+
+    roots = sources.select(F.col(VID).alias("root")).distinct()
+    frontier = (roots.withColumn("end_vid", F.col("root"))
+                .withColumn("path", F.array().cast(path_type)).persist())
+    # per-root visited set: a vid joins it at its first-reached level, so
+    # later levels cannot re-emit the pair — the minimality invariant.
+    # With min_hops >= 1 the root itself is NOT pre-visited: the pair
+    # (s, s) is then reported at its shortest ≥1-hop cycle length, matching
+    # the enumerate semantics (traverse emits cycle paths; the per-pair min
+    # keeps the shortest). Minimal walks revisit no vertex *except* the
+    # root as a cycle endpoint, so this is the only visited-set exception.
+    visited = roots.withColumn("end_vid", F.col("root"))
+    if min_hops >= 1:
+        visited = visited.limit(0)
+    visited = visited.persist()
+    results: DataFrame | None = None
+    if min_hops == 0:
+        results = frontier.select(F.col("root").alias("start_vid"),
+                                  "end_vid", F.lit(0).alias("hops"), "path")
+    try:
+        for level in range(1, max_hops + 1):
+            n = frontier.count()
+            if n == 0:
+                break
+            f = (F.broadcast(frontier)
+                 if n <= BROADCAST_FRONTIER_ROWS // 8 else frontier)
+            # direction-normalized edge uniqueness (Edge.cpp:128-136): only
+            # relevant for the closed-walk-to-root exception above — a
+            # BOTH-direction walk may not return over its arrival edge
+            uniq = ~F.array_contains(F.col("path"), _edge_id()) \
+                & ~F.array_contains(F.col("path"), _edge_id_reversed())
+            nxt = (f.alias("__f")
+                   .join(e.alias("__e"),
+                         F.col("__f.end_vid") == F.col(f"__e.{SRC}"), "inner")
+                   .filter(uniq)
+                   .select("root", F.col(DST).alias("end_vid"),
+                           F.concat("path", F.array(new_edge)).alias("path"))
+                   .join(visited, ["root", "end_vid"], "left_anti"))
+            if mode == "single":
+                w = (Window.partitionBy("root", "end_vid")
+                     .orderBy(F.col("path").cast("string")))
+                nxt = (nxt.withColumn("_rn", F.row_number().over(w))
+                       .filter(F.col("_rn") == 1).drop("_rn"))
+            nxt = nxt.localCheckpoint(eager=True)
+            step = nxt.select(F.col("root").alias("start_vid"), "end_vid",
+                              F.lit(level).alias("hops"), "path")
+            if level >= min_hops:
+                results = step if results is None else results.unionByName(step)
+            old_visited = visited
+            visited = visited.unionByName(
+                nxt.select("root", "end_vid").distinct()).persist()
+            old_visited.unpersist()
+            frontier.unpersist()
+            frontier = nxt          # eagerly checkpointed — no re-persist
+        if results is None:
+            results = (frontier.limit(0)
+                       .select(F.col("root").alias("start_vid"), "end_vid",
+                               F.lit(0).alias("hops"), "path"))
+        return results
     finally:
         frontier.unpersist()
         visited.unpersist()

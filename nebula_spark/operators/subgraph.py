@@ -56,14 +56,19 @@ def k_hop_subgraph(edges: DataFrame, seeds: DataFrame, steps: int = 1,
                    .withColumn("step", F.lit(step))
                    .localCheckpoint(eager=True))
             collected = hop if collected is None else collected.unionByName(hop)
+            # eager localCheckpoint, not persist(): nxt feeds both the
+            # visited union and the next frontier, but a per-iteration
+            # persist() was never unpersisted (one leaked cache entry per
+            # hop); checkpoint blocks are reclaimed by the ContextCleaner
             nxt = (hop.select(F.col(DST).alias(VID)).distinct()
                    .join(visited.select(VID), VID, "left_anti")
-                   .withColumn("step", F.lit(step)).persist())
+                   .withColumn("step", F.lit(step))
+                   .localCheckpoint(eager=True))
             old = visited
             visited = visited.unionByName(nxt).persist()
             old.unpersist()
             frontier.unpersist()
-            frontier = nxt.select(VID).persist()
+            frontier = nxt.select(VID)
         # closing pass: edges among final-hop vertices back into the subgraph
         # (reference's last round keeps only edges whose dst was seen before)
         n = frontier.count()

@@ -167,7 +167,13 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str = "doc_id",
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, key_col, text_col, k, num_hashes).persist()
+    # eager localCheckpoint, not persist(): the banded self-join below reads
+    # the signatures twice, but a persist() here could never be unpersisted
+    # (the returned frame is lazy) — checkpoint blocks are freed by the
+    # ContextCleaner once the result goes out of scope, so a long-lived
+    # driver loop doesn't accumulate cache entries
+    sigs = minhash_signatures(df, key_col, text_col, k,
+                              num_hashes).localCheckpoint(eager=True)
     banded = sigs.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -275,9 +281,10 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     components are tiny and shallow, so convergence is a handful of
     supersteps; the convergence probe is ``limit(1).count()`` (early-exit,
     not a full count), and labels are eagerly localCheckpoint-ed per step
-    to cut lineage. For adversarially long chain graphs switch to the
-    alternating large-star/small-star contraction (O(log n) supersteps) —
-    same frame contract.
+    to cut lineage. For adversarially long chain graphs use
+    :func:`connected_components_star` (alternating large-star/small-star
+    contraction, O(log² n) supersteps) — same frame contract, identical
+    labels.
 
     Returns ``(node, cluster_id)``, one row per distinct node in *pairs*.
     """
@@ -303,3 +310,68 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
             break
     sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(pairs: DataFrame, src: str = "id_a",
+                              dst: str = "id_b",
+                              max_iter: int = 20) -> DataFrame:
+    """Connected components by alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the scale path for graphs whose diameter defeats min-label
+    propagation: a 1M-node chain needs 1M label supersteps but only
+    O(log² n) ≈ a couple dozen contraction rounds.
+
+    One round = two keyed shuffles (a groupBy-min per star phase), both
+    map-side combinable; the edge frame is eagerly localCheckpoint-ed per
+    round so lineage stays flat. Same contract and labels as
+    :func:`connected_components`: returns ``(node, cluster_id)`` with
+    cluster_id = min member id (the contraction's fixpoint is a star
+    centered on each component's minimum).
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    # canonical orientation big→small; self-loops carry no connectivity
+    edges = (e.filter(F.col("u") != F.col("v"))
+             .select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+             .distinct().localCheckpoint(eager=True))
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        # large-star(u): link every strictly-larger neighbor to the min of
+        # the closed neighborhood — moves whole subtrees below small ids
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"),
+                                             F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        ls = (sym.join(mins, "u")
+              .filter(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .filter(F.col("u") != F.col("v")).distinct())
+        # small-star(u): link u and all its smaller neighbors to their min
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (ls.join(m2, "u")
+              .select(F.col("v").alias("a"), F.col("m").alias("b"))
+              .unionByName(m2.select(F.col("u").alias("a"),
+                                     F.col("m").alias("b")))
+              .filter(F.col("a") != F.col("b"))
+              .select(F.greatest("a", "b").alias("u"),
+                      F.least("a", "b").alias("v"))
+              .distinct().localCheckpoint(eager=True))
+        n_new = ss.count()
+        # fixpoint: identical edge set (both sides distinct, so one-sided
+        # exceptAll-empty + equal counts ⇒ equality)
+        if n_new == n_edges and \
+                ss.exceptAll(edges).limit(1).count() == 0:
+            edges = ss
+            break
+        edges, n_edges = ss, n_new
+    # at the fixpoint each node carries exactly one (node → min) edge; the
+    # groupBy-min guards the max_iter-exhausted case (still one row/node)
+    star = edges.groupBy(F.col("u").alias("node")) \
+                .agg(F.min("v").alias("label"))
+    return (nodes.join(star, "node", "left")
+            .select("node", F.coalesce("label", "node").alias("cluster_id")))

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from nebula_spark.catalog import DST, RANK, SRC, VID, GraphSpace
 from nebula_spark.functions.scalar import FUNCTIONS
 from nebula_spark.operators import go, k_hop_subgraph, traverse
-from nebula_spark.operators.paths import all_paths, bfs_shortest_paths
+from nebula_spark.operators.paths import (all_paths, bfs_min_paths,
+                                          bfs_shortest_paths)
 from nebula_spark.plans import ngql as A
 
 _AGG_FNS = {"count", "sum", "avg", "max", "min", "std", "collect",
@@ -713,6 +714,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
     # s/d in the edge's stored orientation regardless of traversal
     canon_single: list[Column] = []
     canon_paths: list[Column] = []
+    shortest_done = False  # set when a var-len segment BFS-routed shortest
 
     def _canon_hop(ea: str) -> Column:
         fwd = F.col(f"{ea}___dir") == 1
@@ -766,9 +768,28 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             hop_counts.append(F.lit(1))
             canon_single.append(_canon_hop(ea))
         else:
-            tr = traverse(edges.select(SRC, DST, RANK, "_etype"), cur.select(
-                F.col(f"{prev_alias}__vid").alias(VID)).distinct(),
-                me.min_hops, me.max_hops, me.direction)
+            seeds = cur.select(
+                F.col(f"{prev_alias}__vid").alias(VID)).distinct()
+            # shortestPath()/allShortestPaths() over a predicate-free
+            # var-len segment routes to level-pruned BFS
+            # (SingleShortestPath.cpp:214-265 does BFS, never
+            # enumeration): only minimal paths are materialized, so the
+            # cost is linear in reachable pairs instead of exponential in
+            # hop count. The enumerate-then-prune fallback below remains
+            # for min_hops>1 / multi-segment patterns, where
+            # intermediate-hop constraints break the BFS invariant.
+            route_bfs = (path.shortest is not None
+                         and len(path.edges) == 1 and me.min_hops <= 1)
+            if route_bfs:
+                tr = bfs_min_paths(
+                    edges.select(SRC, DST, RANK, "_etype"), seeds,
+                    max_hops=me.max_hops, direction=me.direction,
+                    mode=("single" if path.shortest == "single" else "all"),
+                    min_hops=me.min_hops)
+                shortest_done = True
+            else:
+                tr = traverse(edges.select(SRC, DST, RANK, "_etype"),
+                              seeds, me.min_hops, me.max_hops, me.direction)
             tr = tr.select(F.col("start_vid").alias(f"{prev_alias}__vid"),
                            F.col("end_vid").alias(f"{ea}__dst"),
                            F.col("hops").alias(f"{ea}__hops"),
@@ -824,13 +845,12 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                                                canon_paths[j]))
     canon_out = (canon_single, canon_paths)
 
-    # shortestPath()/allShortestPaths(): keep only min-total-hop rows per
-    # (start, end) pair — the kShortestPath semantics. The per-pair min is
-    # one window shuffle keyed on the endpoints; at scale a BFS with
-    # level-pruning (bfs_shortest_paths) wins when max_hops is large, but
-    # pattern filters/props can reference intermediate hops here, so the
-    # enumerate-then-prune form is the general one.
-    if path.shortest and path.edges:
+    # shortestPath()/allShortestPaths() fallback pruning: keep only
+    # min-total-hop rows per (start, end) pair. Reached only when the BFS
+    # routing above declined (min_hops>1 or multi-segment patterns, where
+    # constraints can reference intermediate hops); the common
+    # single-segment case never materializes non-minimal paths at all.
+    if path.shortest and path.edges and not shortest_done:
         from pyspark.sql.window import Window
         total = hop_counts[0]
         for h in hop_counts[1:]:

@@ -51,3 +51,23 @@ def test_fulltext_predicates(spark):
     scores = {r.id: r.s for r in
               df.select("id", FT.ft_score(c, "hash").alias("s")).collect()}
     assert scores == {1: 1, 2: 0, 3: 3}
+
+
+def test_distinct_std_no_cancellation(spark):
+    """STD(DISTINCT …) must survive mean² ≫ variance: the one-pass
+    E[x²]−E[x]² form returned 0.0 for values near 1e9 with std 1
+    (catastrophic cancellation in doubles); the shift-by-min form is exact
+    here. Population std of {1e9−1, 1e9, 1e9+1} = sqrt(2/3)."""
+    import math
+
+    from nebula_spark.operators.aggregate import agg_call, aggregate
+
+    df = spark.createDataFrame(
+        [(1e9 - 1,), (1e9,), (1e9,), (1e9 + 1,)], "x double")
+    got = aggregate(df, [], agg_call("std", "x", distinct=True)
+                    .alias("sd")).collect()[0].sd
+    assert abs(got - math.sqrt(2.0 / 3.0)) < 1e-9
+    # non-distinct path (stddev_pop) sanity on the same data
+    got2 = aggregate(df, [], agg_call("std", "x").alias("sd")) \
+        .collect()[0].sd
+    assert abs(got2 - math.sqrt(0.5)) < 1e-6
