@@ -518,9 +518,14 @@ def q_geo_polygon(spark: SparkSession, sf: str) -> DataFrame:
                          (x - 1).cast("string"), (y + 1).cast("string"),
                          (x - 1).cast("string"), (y - 1).cast("string"))
     rect = F.lit("POLYGON((-50 -30, 50 -30, 50 30, -50 30, -50 -30))")
+    # same rectangle with an interior loop (hole, GeoUtils.h:43): even-odd
+    # coverage — a point in the hole is NOT covered, hole rim IS
+    holed = F.lit("POLYGON((-50 -30, 50 -30, 50 30, -50 30, -50 -30), "
+                  "(-10 -10, 10 -10, 10 10, -10 10, -10 -10))")
     return (s.select(
         F.col("s_suppkey").alias("key"),
         G.st_covers_point(rect, G.st_point(x, y)).alias("covered"),
+        G.st_covers_point(holed, G.st_point(x, y)).alias("covered_holed"),
         G.st_intersects(seg, rect).alias("seg_x"),
         G.st_intersects(sq, rect).alias("sq_x"))
         .orderBy("key"))
@@ -1330,6 +1335,9 @@ ORACLES: dict[str, str] = {
         )
         SELECT key,
                (x BETWEEN -50 AND 50 AND y BETWEEN -30 AND 30) AS covered,
+               (x BETWEEN -50 AND 50 AND y BETWEEN -30 AND 30
+                AND NOT (x > -10 AND x < 10 AND y > -10 AND y < 10))
+                 AS covered_holed,
                (x BETWEEN -50 AND 50 AND y + 3 >= -30 AND y - 3 <= 30)
                  AS seg_x,
                (x + 1 >= -50 AND x - 1 <= 50 AND y + 1 >= -30 AND y - 1 <= 30)

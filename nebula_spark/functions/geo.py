@@ -149,42 +149,55 @@ def st_intersects(a: Column, b: Column) -> Column:
 
 def _parse_ring(wkt: str) -> np.ndarray:
     """Outer ring of POLYGON / vertex list of LINESTRING → (n,2) array."""
+    return _parse_rings(wkt)[0]
+
+
+def _parse_rings(wkt: str) -> list[np.ndarray]:
+    """All rings of a POLYGON (outer first, then holes; reference supports
+    interior loops via S2, GeoUtils.h:43) / the single vertex list of a
+    LINESTRING → list of (n,2) arrays."""
+    import re
     body = wkt.strip()
     i, j = body.index("("), body.rindex(")")
     inner = body[i:j + 1].strip("() \t")
-    # only the outer ring (split on '),(' for holes — holes unsupported)
-    inner = inner.split("),(")[0]
-    pts = [p.split() for p in inner.split(",")]
-    return np.array([[float(x), float(y)] for x, y, *_ in pts])
+    rings = []
+    for ring in re.split(r"\)\s*,\s*\(", inner):
+        pts = [p.split() for p in ring.strip("() \t").split(",")]
+        rings.append(np.array([[float(x), float(y)] for x, y, *_ in pts]))
+    return rings
 
 
 def _covers_point_batch(poly: pd.Series, pt: pd.Series) -> pd.Series:
-    """POLYGON covers POINT by planar ray casting on lng/lat (st_covers for
-    the point⊂polygon case; boundary counts as covered). Vectorized per
-    Arrow batch; distinct polygons parsed once."""
+    """POLYGON covers POINT by planar even-odd ray casting over ALL rings
+    (outer + holes, GeoUtils.h:43; a point inside a hole flips back to
+    uncovered). Boundary — of the shell or of a hole — counts as covered,
+    matching S2's closed-polygon st_covers. Vectorized per Arrow batch;
+    distinct polygons parsed once."""
     out = np.zeros(len(poly), dtype=bool)
-    cache: dict[str, np.ndarray] = {}
+    cache: dict[str, list[np.ndarray]] = {}
     px = pt.str.extract(r"\(\s*(-?[0-9.eE+]+)\s")[0].astype(float).to_numpy()
     py = pt.str.extract(r"\s(-?[0-9.eE+]+)\s*\)")[0].astype(float).to_numpy()
     for key in poly.dropna().unique():
-        ring = cache.setdefault(key, _parse_ring(key))
+        rings = cache.setdefault(key, _parse_rings(key))
         sel = (poly == key).to_numpy()
         x, y = px[sel], py[sel]
-        x0, y0 = ring[:-1, 0], ring[:-1, 1]
-        x1, y1 = ring[1:, 0], ring[1:, 1]
         inside = np.zeros(sel.sum(), dtype=bool)
-        for k in range(len(x0)):
-            crosses = ((y0[k] > y) != (y1[k] > y))
-            xi = (x1[k] - x0[k]) * (y - y0[k]) / (y1[k] - y0[k] + 1e-300) + x0[k]
-            inside ^= crosses & (x < xi)
-            on_edge = np.isclose((y1[k] - y0[k]) * (x - x0[k]),
-                                 (x1[k] - x0[k]) * (y - y0[k])) \
-                & (np.minimum(x0[k], x1[k]) - 1e-12 <= x) \
-                & (x <= np.maximum(x0[k], x1[k]) + 1e-12) \
-                & (np.minimum(y0[k], y1[k]) - 1e-12 <= y) \
-                & (y <= np.maximum(y0[k], y1[k]) + 1e-12)
-            inside |= on_edge
-        out[sel] = inside
+        on_boundary = np.zeros(sel.sum(), dtype=bool)
+        for ring in rings:
+            x0, y0 = ring[:-1, 0], ring[:-1, 1]
+            x1, y1 = ring[1:, 0], ring[1:, 1]
+            for k in range(len(x0)):
+                crosses = ((y0[k] > y) != (y1[k] > y))
+                xi = (x1[k] - x0[k]) * (y - y0[k]) / (y1[k] - y0[k] + 1e-300) + x0[k]
+                inside ^= crosses & (x < xi)
+                on_edge = np.isclose((y1[k] - y0[k]) * (x - x0[k]),
+                                     (x1[k] - x0[k]) * (y - y0[k])) \
+                    & (np.minimum(x0[k], x1[k]) - 1e-12 <= x) \
+                    & (x <= np.maximum(x0[k], x1[k]) + 1e-12) \
+                    & (np.minimum(y0[k], y1[k]) - 1e-12 <= y) \
+                    & (y <= np.maximum(y0[k], y1[k]) + 1e-12)
+                on_boundary |= on_edge
+        out[sel] = inside | on_boundary
     return pd.Series(out)
 
 
@@ -193,15 +206,16 @@ def _covers_point_batch(poly: pd.Series, pt: pd.Series) -> pd.Series:
 _EPS = 1e-12
 
 
-def _parse_geom(wkt: str) -> tuple[str, np.ndarray]:
-    """WKT → (kind, (n,2) vertex array). POLYGON keeps the outer ring
-    (closed); holes unsupported, like the rest of this module."""
+def _parse_geom(wkt: str) -> tuple[str, list[np.ndarray]]:
+    """WKT → (kind, list of (n,2) vertex arrays). POLYGON carries all its
+    rings (outer first, holes after, GeoUtils.h:43); POINT/LINESTRING a
+    single array."""
     s = wkt.strip()
     kind = s.split("(", 1)[0].strip().upper()
     if kind == "POINT":
         x, y = s[s.index("(") + 1:s.rindex(")")].split()
-        return "POINT", np.array([[float(x), float(y)]])
-    return kind, _parse_ring(s)
+        return "POINT", [np.array([[float(x), float(y)]])]
+    return kind, _parse_rings(s)
 
 
 def _seg_intersect(a0, a1, b0, b1) -> bool:
@@ -225,48 +239,53 @@ def _seg_intersect(a0, a1, b0, b1) -> bool:
         or (abs(d4) <= _EPS and on_seg(a0, a1, b1))
 
 
-def _point_in_ring(pt, ring: np.ndarray) -> bool:
-    """Inclusive planar point-in-polygon (ray cast + boundary check)."""
+def _point_in_poly(pt, rings: list[np.ndarray]) -> bool:
+    """Inclusive planar point-in-polygon: even-odd parity across ALL rings
+    (outer + holes), boundary of any ring counts as inside."""
     x, y = pt
     inside = False
-    for k in range(len(ring) - 1):
-        (x0, y0), (x1, y1) = ring[k], ring[k + 1]
-        if _seg_intersect((x0, y0), (x1, y1), (x, y), (x, y)):
-            return True
-        if (y0 > y) != (y1 > y):
-            xi = (x1 - x0) * (y - y0) / (y1 - y0) + x0
-            if x < xi:
-                inside = not inside
+    for ring in rings:
+        for k in range(len(ring) - 1):
+            (x0, y0), (x1, y1) = ring[k], ring[k + 1]
+            if _seg_intersect((x0, y0), (x1, y1), (x, y), (x, y)):
+                return True
+            if (y0 > y) != (y1 > y):
+                xi = (x1 - x0) * (y - y0) / (y1 - y0) + x0
+                if x < xi:
+                    inside = not inside
     return inside
 
 
-def _edges(kind: str, v: np.ndarray):
-    return [(v[k], v[k + 1]) for k in range(len(v) - 1)] \
-        if len(v) > 1 else []
+def _edges(kind: str, rings: list[np.ndarray]):
+    return [(r[k], r[k + 1]) for r in rings for k in range(len(r) - 1)
+            if len(r) > 1]
 
 
-def _geoms_intersect(ga: tuple[str, np.ndarray],
-                     gb: tuple[str, np.ndarray]) -> bool:
+def _geoms_intersect(ga: tuple[str, list[np.ndarray]],
+                     gb: tuple[str, list[np.ndarray]]) -> bool:
     (ka, va), (kb, vb) = ga, gb
     # normalize: POINT handled as a degenerate vertex list
     if ka == "POINT" and kb == "POINT":
-        return bool(np.allclose(va[0], vb[0], atol=_EPS))
+        return bool(np.allclose(va[0][0], vb[0][0], atol=_EPS))
     if ka == "POINT":
         return _geoms_intersect(gb, ga)
     if kb == "POINT":
-        p = vb[0]
+        p = vb[0][0]
         if ka == "POLYGON":
-            return _point_in_ring(p, va)
+            return _point_in_poly(p, va)
         return any(_seg_intersect(e0, e1, p, p) for e0, e1 in _edges(ka, va))
-    # segment-segment crossings cover line-line, line-poly, poly-poly edges
+    # segment-segment crossings cover line-line, line-poly, poly-poly
+    # edges; hole boundaries participate, so a shape crossing into a hole
+    # still intersects at the rim
     for e0, e1 in _edges(ka, va):
         for f0, f1 in _edges(kb, vb):
             if _seg_intersect(e0, e1, f0, f1):
                 return True
-    # full containment: any vertex of one inside the other polygon
-    if kb == "POLYGON" and _point_in_ring(va[0], vb):
+    # full containment with no edge crossing: a vertex of one inside the
+    # other polygon (even-odd — a shape wholly inside a hole is NOT inside)
+    if kb == "POLYGON" and _point_in_poly(va[0][0], vb):
         return True
-    if ka == "POLYGON" and _point_in_ring(vb[0], va):
+    if ka == "POLYGON" and _point_in_poly(vb[0][0], va):
         return True
     return False
 

@@ -171,9 +171,17 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str = "doc_id",
     # the signatures twice, but a persist() here could never be unpersisted
     # (the returned frame is lazy) — checkpoint blocks are freed by the
     # ContextCleaner once the result goes out of scope, so a long-lived
-    # driver loop doesn't accumulate cache entries
-    sigs = minhash_signatures(df, key_col, text_col, k,
-                              num_hashes).localCheckpoint(eager=True)
+    # driver loop doesn't accumulate cache entries. Whole-stage codegen off
+    # for this one job: the 16-hash md5 tree compiles into one huge
+    # generated method (~10 s of fresh-JVM compile at 16 hashes); the
+    # per-expression interpreted path computes the same md5s at nearly the
+    # same throughput because hashing, not virtual-call overhead, is the
+    # bottleneck.
+    from nebula_spark.session import scoped_conf
+    sigs = minhash_signatures(df, key_col, text_col, k, num_hashes)
+    with scoped_conf(df.sparkSession,
+                     **{"spark.sql.codegen.wholeStage": "false"}):
+        sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -288,6 +296,8 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
     Returns ``(node, cluster_id)``, one row per distinct node in *pairs*.
     """
+    from nebula_spark.session import scoped_conf
+
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (e.unionByName(e.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
@@ -295,19 +305,28 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iter):
-        msgs = (sym.join(labels, sym["a"] == labels["node"], "inner")
-                .select(F.col("b").alias("node"), F.col("label")))
-        new = (labels.unionByName(msgs)
-               .groupBy("node").agg(F.min("label").alias("label"))
-               .localCheckpoint(eager=True))
-        improved = (new.join(labels.withColumnRenamed("label", "_old"),
-                             "node")
-                    .filter(F.col("label") < F.col("_old"))
-                    .limit(1).count())
-        labels = new
-        if improved == 0:
-            break
+    # whole-stage codegen off for the supersteps: every iteration builds a
+    # *new* plan (fresh checkpoint lineage), so generated code recompiles
+    # per superstep — compile latency dominates the fusion win, and when
+    # the candidate pairs come from an md5-heavy LSH plan (the
+    # dedup_clusters pipeline) the first superstep would compile the whole
+    # 64-expression hash tree into one huge method. Measured at sf0.1:
+    # fresh-session 32.7 s → ~15-20 s, warm 8.4 s → ~5 s.
+    with scoped_conf(sym.sparkSession,
+                     **{"spark.sql.codegen.wholeStage": "false"}):
+        for _ in range(max_iter):
+            msgs = (sym.join(labels, sym["a"] == labels["node"], "inner")
+                    .select(F.col("b").alias("node"), F.col("label")))
+            new = (labels.unionByName(msgs)
+                   .groupBy("node").agg(F.min("label").alias("label"))
+                   .localCheckpoint(eager=True))
+            improved = (new.join(labels.withColumnRenamed("label", "_old"),
+                                 "node")
+                        .filter(F.col("label") < F.col("_old"))
+                        .limit(1).count())
+            labels = new
+            if improved == 0:
+                break
     sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 

@@ -1035,11 +1035,19 @@ def _rewrite_pattern_values(space: GraphSpace, cur: DataFrame,
             cur = cur.drop(*tmp)
         return ("name", val)
 
-    def walk(e):
+    def walk(e, boolctx: bool = False):
         if not isinstance(e, tuple):
             return e
         if e and e[0] == "pattern_path":
-            return repl(e[1])
+            v = repl(e[1])
+            # a pattern expression in boolean position is an existence
+            # test (openCypher; reference IC7 `not((liker)-[:KNOWS]-…)`);
+            # as a plain value it stays the matched-path list
+            if boolctx:
+                return (">", ("call", "size", v), ("lit", 0))
+            return v
+        if e[0] in ("not", "and", "or", "xor"):
+            return tuple([e[0]] + [walk(x, True) for x in e[1:]])
         return tuple(walk(x) for x in e)
 
     out = [walk(e) if e is not None else None for e in exprs]
@@ -1117,8 +1125,16 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                 return F.col(args[0])[args[1]]
             return F.col(f"{args[0]}__{args[1]}")
         if kind in ("name", "input_prop"):
-            return F.col(f"{args[0]}__vid") if args[0] in bound \
-                else F.col(args[0])
+            if args[0] in bound:
+                return F.col(f"{args[0]}__vid")
+            # bare path alias as a value (`p IS NULL` after OPTIONAL
+            # MATCH p = …, LDBC IC10 shape): the hop-list column, NULL
+            # when the optional pattern did not match
+            if args[0] in paths and columns is not None \
+                    and args[0] not in columns \
+                    and f"{args[0]}__path" in columns:
+                return F.col(f"{args[0]}__path")
+            return F.col(args[0])
         raise ValueError(f"unresolvable {kind} {args}")
     return resolve
 

@@ -20,6 +20,11 @@ from pyspark.sql import SparkSession
 # pickling row-at-a-time; non-negotiable for the pipeline operators.
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
+    # reference null-normalization semantics (SURVEY §1.1): engine errors
+    # (div-by-zero, bad casts, overflow) fold to NULL like the reference's
+    # typed-null Values, instead of raising as Spark 4's ANSI default does.
+    # The strict_nulls() context flips this back on per-block.
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -36,6 +41,69 @@ _DEFAULTS = {
     # parquet reader rejects; read as long and convert (catalog.load_tables)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, **confs: str):
+    """Temporarily set runtime SQL confs around a block of *actions*.
+
+    Spark reads SQL confs when a query compiles to a physical plan (action
+    time), so this only affects jobs actually executed inside the block —
+    lazily-returned frames materialized by the caller see the restored
+    values. Used to disable whole-stage codegen around md5-heavy iterative
+    operators: their per-superstep plans recompile generated code every
+    iteration, where compile latency (~hundreds of ms per 64-expression
+    hash tree) dwarfs the fusion win.
+    """
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+@contextmanager
+def strict_nulls(spark: SparkSession):
+    """Opt-in strict mode for the reference's typed-null error kinds
+    (``src/common/datatypes/Value.h:37-46``).
+
+    The reference distinguishes 8 null kinds; Spark has one ``null``. Our
+    default mode normalizes every error kind to plain NULL (documented
+    deviation, SURVEY §1.1). Under ``strict_nulls`` the error kinds that
+    the reference *raises or surfaces* become Spark ANSI runtime errors —
+    materialize results inside the context for it to apply:
+
+    ========================  =====================================
+    reference null kind       strict mode (Spark ANSI) behavior
+    ========================  =====================================
+    DIV_BY_ZERO (1/0, 2%0)    raises DIVIDE_BY_ZERO / REMAINDER…
+    ERR_OVERFLOW (MAX*-2)     raises ARITHMETIC_OVERFLOW
+    BAD_DATA ((INT)"abc")     raises CAST_INVALID_INPUT
+    BAD_TYPE                  raises NUMERIC_VALUE_OUT_OF_RANGE /
+                              cast errors where Spark types catch it
+    OUT_OF_RANGE              raises (ANSI array index / sequence)
+    __NULL__, UNKNOWN_PROP    stay NULL in both modes (reference
+                              also folds these to printable NULL)
+    NaN                       stays NaN (IEEE, both engines)
+    ========================  =====================================
+
+    The reference raises its errors at validation/plan time for constant
+    expressions (``yield.feature:505`` "Divide by 0"); Spark folds
+    constants in the optimizer, so the same queries raise at first action
+    instead — same observable outcome for a caller that materializes.
+    """
+    with scoped_conf(spark, **{"spark.sql.ansi.enabled": "true"}):
+        yield
 
 
 def get_spark(app_name: str = "nebula_spark", **overrides: str) -> SparkSession:

@@ -128,3 +128,39 @@ def test_intersects_shapes(spark):
            df.select(G.st_intersects(F.col("a"), F.col("b")).alias("x"))
            .collect()]
     assert got == [e for _, _, e in cases]
+
+
+def test_polygon_holes_point_coverage(spark):
+    """Interior loops (GeoUtils.h:43): even-odd over all rings — a point
+    inside the hole is NOT covered, on the hole rim IS covered (S2 closed
+    polygon), outside-hole interior stays covered."""
+    from nebula_spark.functions.geo import st_covers_point
+    holed = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    pts = [("in_shell", "POINT(2 2)", True),
+           ("in_hole", "POINT(5 5)", False),
+           ("hole_rim", "POINT(4 5)", True),
+           ("shell_rim", "POINT(0 5)", True),
+           ("outside", "POINT(11 5)", False)]
+    df = spark.createDataFrame([(n, holed, p) for n, p, _ in pts],
+                               "name string, poly string, pt string")
+    got = {r.name: r.c for r in df.select(
+        "name", st_covers_point(F.col("poly"), F.col("pt")).alias("c")
+    ).collect()}
+    assert got == {n: e for n, _, e in pts}
+
+
+def test_polygon_holes_intersects(spark):
+    """st_intersects with holes: a segment wholly inside the hole does not
+    intersect; one crossing the hole rim does; a polygon wholly inside the
+    hole does not (even-odd containment)."""
+    from nebula_spark.functions.geo import st_intersects
+    holed = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    cases = [("line_in_hole", "LINESTRING(4 4, 6 6)", False),
+             ("line_cross_rim", "LINESTRING(5 5, 12 5)", True),
+             ("poly_in_hole", "POLYGON((4 4, 6 4, 6 6, 4 6, 4 4))", False),
+             ("poly_overlap", "POLYGON((8 8, 12 8, 12 12, 8 12, 8 8))", True)]
+    df = spark.createDataFrame([(n, holed, g) for n, g, _ in cases],
+                               "name string, a string, b string")
+    got = {r.name: r.c for r in df.select(
+        "name", st_intersects(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got == {n: e for n, _, e in cases}

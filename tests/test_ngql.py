@@ -471,3 +471,46 @@ def test_show_stats(space):
     rows = {(r.Type, r.Name): r.Count for r in df.collect()}
     assert rows[("tag", "player")] > 0
     assert rows[("space", "edges")] == rows[("edge", "like")] + rows[("edge", "serve")]
+
+
+def test_typed_null_strict_mode(space):
+    """Reference typed-null kinds (Value.h:37-46): default mode normalizes
+    to plain NULL (SURVEY §1.1 documented deviation); strict_nulls maps the
+    raising kinds onto Spark ANSI errors. Reference raises these at
+    validation time for constants (yield.feature:505 'Divide by 0',
+    ':502 overflow'); with Catalyst the same queries raise at first action
+    inside the context."""
+    import pytest
+
+    from nebula_spark.session import strict_nulls
+
+    spark = space.spark
+
+    # DIV_BY_ZERO: yield.feature:505 — default folds to NULL
+    assert execute(space, "YIELD 1/0 AS x").collect()[0].x is None
+    assert execute(space, "YIELD 2%0 AS x").collect()[0].x is None
+    with strict_nulls(spark):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO|Division"):
+            execute(space, "YIELD 1/0 AS x").collect()
+        with pytest.raises(Exception, match="REMAINDER_BY_ZERO|DIVIDE"):
+            execute(space, "YIELD 2%0 AS x").collect()
+
+    # ERR_OVERFLOW: yield.feature:502 — default wraps (int64 two's
+    # complement, same cells Spark computes), strict raises
+    assert execute(space,
+                   "YIELD 9223372036854775807*-2 AS x").collect()[0].x == 2
+    with strict_nulls(spark):
+        with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+            execute(space, "YIELD 9223372036854775807*-2 AS x").collect()
+
+    # BAD_DATA: unparseable cast — default NULL, strict raises
+    assert execute(space, 'YIELD (INT)"abc" AS x').collect()[0].x is None
+    with strict_nulls(spark):
+        with pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+            execute(space, 'YIELD (INT)"abc" AS x').collect()
+
+    # __NULL__ propagation stays NULL in BOTH modes (null + 1 is null,
+    # not an error — reference Value arithmetic on kNullValue)
+    assert execute(space, "YIELD null + 1 AS x").collect()[0].x is None
+    with strict_nulls(spark):
+        assert execute(space, "YIELD null + 1 AS x").collect()[0].x is None

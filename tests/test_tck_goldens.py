@@ -1128,3 +1128,289 @@ def test_fetch_edge_distinct(nba_space):
                  "'Boris Diaw'->'Hawks' YIELD DISTINCT "
                  "serve.start_year AS s, serve.end_year AS e")
     assert rows(df, "s", "e") == [(2003, 2005)]
+
+
+# ---------------------------------------------------------------------------
+# LDBC workload shapes (tests/tck/ldbc/interactive_workload/ComplexReads
+# .feature, business_intelligence_workload/Read.feature) ported onto the nba
+# fixture: the multi-hop + aggregate + order shapes real users write. The
+# reference's own feature files run against an unloaded ldbc space (empty
+# expected tables), so the *expected rows here are independently computed*
+# (pandas BFS/joins over the CSVs, no engine code) and embedded as literals.
+# ---------------------------------------------------------------------------
+
+
+def test_ldbc_ic1_friends_within_3_hops(nba_space):
+    """IC1 shape (ComplexReads.feature:9): var-len BOTH expansion + WITH
+    aggregation + chained MATCH + collect + ORDER/LIMIT."""
+    df = execute(nba_space, '''
+        MATCH p = (person:player)-[:like*1..3]-(friend:player)
+        WHERE id(person) == "Tim Duncan" AND id(friend) != "Tim Duncan"
+        WITH friend, min(length(p)) AS distance
+        MATCH (friend)-[s:serve]->(team:team)
+        RETURN friend.player.name AS friendName, distance,
+               collect(team.team.name) AS teams
+        ORDER BY distance ASC, friendName ASC
+        LIMIT 20
+    ''')
+    got = [(r.friendName, r.distance, sorted(r.teams)) for r in df.collect()]
+    assert got == [
+        ('Aron Baynes', 1, ['Celtics', 'Pistons', 'Spurs']),
+        ('Boris Diaw', 1, ['Hawks', 'Hornets', 'Jazz', 'Spurs', 'Suns']),
+        ('Danny Green', 1, ['Cavaliers', 'Raptors', 'Spurs']),
+        ('Dejounte Murray', 1, ['Spurs']),
+        ('LaMarcus Aldridge', 1, ['Spurs', 'Trail Blazers']),
+        ('Manu Ginobili', 1, ['Spurs']),
+        ('Marco Belinelli', 1, ['76ers', 'Bulls', 'Hawks', 'Hornets',
+                                'Hornets', 'Kings', 'Raptors', 'Spurs',
+                                'Spurs', 'Warriors']),
+        ("Shaquille O'Neal", 1, ['Cavaliers', 'Celtics', 'Heat', 'Lakers',
+                                 'Magic', 'Suns']),
+        ('Tiago Splitter', 1, ['76ers', 'Hawks', 'Spurs']),
+        ('Tony Parker', 1, ['Hornets', 'Spurs']),
+        ('Chris Paul', 2, ['Clippers', 'Hornets', 'Rockets']),
+        ('Damian Lillard', 2, ['Trail Blazers']),
+        ('JaVale McGee', 2, ['Lakers', 'Mavericks', 'Nuggets', 'Warriors',
+                             'Wizards']),
+        ('James Harden', 2, ['Rockets', 'Thunders']),
+        ('Kevin Durant', 2, ['Thunders', 'Warriors']),
+        ('Kyle Anderson', 2, ['Grizzlies', 'Spurs']),
+        ('LeBron James', 2, ['Cavaliers', 'Cavaliers', 'Heat', 'Lakers']),
+        ('Rudy Gay', 2, ['Grizzlies', 'Kings', 'Raptors', 'Spurs']),
+        ('Russell Westbrook', 2, ['Thunders']),
+        ('Yao Ming', 2, ['Rockets']),
+    ]
+
+
+def test_ldbc_ic2_recent_friend_activity(nba_space):
+    """IC2 shape (ComplexReads.feature:62): 1-hop friends (per edge
+    binding) + edge-prop filter + multi-key ORDER BY DESC/ASC + LIMIT.
+    Both like orientations Tim↔Tony exist, so Tony's serve rows appear
+    twice — LDBC row-per-binding multiplicity."""
+    df = execute(nba_space, '''
+        MATCH (n:player)-[:like]-(friend:player)-[s:serve]->(team:team)
+        WHERE id(n) == "Tim Duncan" AND s.start_year >= 2010
+        RETURN friend.player.name AS personName, team.team.name AS teamName,
+               s.start_year AS startYear
+        ORDER BY startYear DESC, personName ASC, teamName ASC
+        LIMIT 20
+    ''')
+    assert rows(df, "personName", "teamName", "startYear") == [
+        ('Danny Green', 'Raptors', 2018), ('Marco Belinelli', '76ers', 2018),
+        ('Marco Belinelli', 'Spurs', 2018), ('Tony Parker', 'Hornets', 2018),
+        ('Tony Parker', 'Hornets', 2018), ('Aron Baynes', 'Celtics', 2017),
+        ('Marco Belinelli', 'Hawks', 2017), ('Tiago Splitter', '76ers', 2017),
+        ('Boris Diaw', 'Jazz', 2016), ('Dejounte Murray', 'Spurs', 2016),
+        ('Marco Belinelli', 'Hornets', 2016), ('Aron Baynes', 'Pistons', 2015),
+        ('LaMarcus Aldridge', 'Spurs', 2015), ('Marco Belinelli', 'Kings', 2015),
+        ('Tiago Splitter', 'Hawks', 2015), ('Aron Baynes', 'Spurs', 2013),
+        ('Marco Belinelli', 'Spurs', 2013), ('Boris Diaw', 'Spurs', 2012),
+        ('Marco Belinelli', 'Bulls', 2012), ('Danny Green', 'Spurs', 2010),
+    ]
+
+
+def test_ldbc_ic3_friends_not_in_place(nba_space):
+    """IC3/IC11 shape (ComplexReads.feature:84): var-len + negated pattern
+    predicate + WITH DISTINCT + count(DISTINCT node)."""
+    df = execute(nba_space, '''
+        MATCH (person:player)-[:like*1..2]-(friend:player)
+        WHERE id(person) == "Tim Duncan" AND id(friend) != "Tim Duncan"
+          AND NOT (friend)-[:serve]->(:team {name: "Spurs"})
+        WITH DISTINCT friend
+        MATCH (friend)-[s:serve]->(t:team)
+        RETURN friend.player.name AS personName, count(DISTINCT t) AS teamCount
+        ORDER BY teamCount DESC, personName ASC
+        LIMIT 20
+    ''')
+    assert rows(df, "personName", "teamCount") == [
+        ("Shaquille O'Neal", 6), ('JaVale McGee', 5), ('Chris Paul', 3),
+        ('LeBron James', 3), ('James Harden', 2), ('Kevin Durant', 2),
+        ('Damian Lillard', 1), ('Russell Westbrook', 1), ('Yao Ming', 1),
+    ]
+
+
+def test_ldbc_ic5_new_groups(nba_space):
+    """IC5 shape (ComplexReads.feature:142): var-len 1..2 + WITH DISTINCT +
+    OPTIONAL MATCH + per-friend count including zero rows."""
+    df = execute(nba_space, '''
+        MATCH (person:player)-[:like*1..2]-(friend:player)
+        WHERE id(person) == "Manu Ginobili" AND id(friend) != "Manu Ginobili"
+        WITH DISTINCT friend
+        OPTIONAL MATCH (friend)<-[l:like]-(fan:player)
+        WITH friend, count(fan) AS fanCount
+        RETURN friend.player.name AS personName, fanCount
+        ORDER BY fanCount DESC, personName ASC
+        LIMIT 20
+    ''')
+    assert rows(df, "personName", "fanCount") == [
+        ('Tim Duncan', 10), ('LeBron James', 6), ('Tony Parker', 5),
+        ('Chris Paul', 4), ('James Harden', 3), ('LaMarcus Aldridge', 3),
+        ('Russell Westbrook', 3), ('Danny Green', 2), ('Marco Belinelli', 2),
+        ('Kevin Durant', 1), ('Kyle Anderson', 1), ("Shaquille O'Neal", 1),
+        ('Aron Baynes', 0), ('Boris Diaw', 0), ('Dejounte Murray', 0),
+        ('Tiago Splitter', 0),
+    ]
+
+
+def test_ldbc_ic6_cooccurrence(nba_space):
+    """IC6 shape (ComplexReads.feature:162): comma pattern + anchor entity
+    + second MATCH over the shared alias + WITH DISTINCT + group count."""
+    df = execute(nba_space, '''
+        MATCH (person:player)-[:like*1..2]-(friend:player),
+              (friend)-[:serve]->(known:team {name: "Spurs"})
+        WHERE id(person) == "Tony Parker" AND id(friend) != "Tony Parker"
+        MATCH (friend)-[:serve]->(common:team)
+        WHERE id(common) != id(known)
+        WITH DISTINCT common, friend
+        RETURN common.team.name AS teamName, count(*) AS servedCount
+        ORDER BY servedCount DESC, teamName ASC
+        LIMIT 10
+    ''')
+    assert rows(df, "teamName", "servedCount") == [
+        ('Hawks', 3), ('Raptors', 3), ('76ers', 2), ('Grizzlies', 2),
+        ('Hornets', 2), ('Kings', 2), ('Bulls', 1), ('Cavaliers', 1),
+        ('Celtics', 1), ('Jazz', 1),
+    ]
+
+
+def test_ldbc_ic7_recent_likers_isnew(nba_space):
+    """IC7 shape (ComplexReads.feature:184): negated pattern expression in
+    RETURN (`not((liker)-[:KNOWS]-(person)) AS isNew`) — boolean context
+    existence test, RollUpApply under the hood."""
+    df = execute(nba_space, '''
+        MATCH (person:player)<-[l:like]-(liker:player)
+        WHERE id(person) == "Tim Duncan"
+        RETURN liker.player.name AS likerName, l.likeness AS likeness,
+               NOT (liker)-[:serve]->(:team {name: "Spurs"}) AS isNew
+        ORDER BY likeness DESC, likerName ASC
+        LIMIT 20
+    ''')
+    assert rows(df, "likerName", "likeness", "isNew") == [
+        ('Dejounte Murray', 99, False), ('Tony Parker', 95, False),
+        ('Manu Ginobili', 90, False), ('Aron Baynes', 80, False),
+        ('Boris Diaw', 80, False), ("Shaquille O'Neal", 80, True),
+        ('Tiago Splitter', 80, False), ('LaMarcus Aldridge', 75, False),
+        ('Danny Green', 70, False), ('Marco Belinelli', 55, False),
+    ]
+
+
+def test_ldbc_ic10_friend_recommendation(nba_space):
+    """IC10 shape (ComplexReads.feature:255): OPTIONAL MATCH p = (…) over
+    two bound aliases + WHERE p IS NULL (anti-join via optional path)."""
+    df = execute(nba_space, '''
+        MATCH (person:player)-[:like*2..2]-(friend:player)
+        WHERE id(person) == "Tim Duncan" AND id(friend) != "Tim Duncan"
+        WITH DISTINCT friend, person
+        OPTIONAL MATCH p = (friend)-[:like]-(person)
+        WITH friend, p
+        WHERE p IS NULL
+        RETURN DISTINCT friend.player.name AS personName
+        ORDER BY personName
+    ''')
+    assert rows(df, "personName") == [
+        ('Chris Paul',), ('Damian Lillard',), ('JaVale McGee',),
+        ('James Harden',), ('Kevin Durant',), ('Kyle Anderson',),
+        ('LeBron James',), ('Rudy Gay',), ('Russell Westbrook',),
+        ('Yao Ming',),
+    ]
+
+
+def test_ldbc_bi1_posting_summary(nba_space):
+    """BI1 shape (Read.feature:9): global-count WITH chain + re-MATCH with
+    carried scalar + CASE bucketing + implicit grouping + percentage."""
+    df = execute(nba_space, '''
+        MATCH (message:player)
+        WITH count(message) AS totalInt
+        WITH toFloat(totalInt) AS total
+        MATCH (message:player)
+        WHERE message.player.age > 0
+        WITH total,
+             CASE WHEN message.player.age < 25 THEN 0
+                  WHEN message.player.age < 30 THEN 1
+                  WHEN message.player.age < 38 THEN 2
+                  ELSE 3 END AS ageCategory,
+             count(message) AS personCount,
+             floor(avg(message.player.age)) AS averageAge,
+             sum(message.player.age) AS sumAge
+        RETURN ageCategory, personCount, averageAge, sumAge,
+               personCount / total AS percentageOfPersons
+        ORDER BY ageCategory ASC
+    ''')
+    got = [(r.ageCategory, r.personCount, r.averageAge, r.sumAge,
+            round(r.percentageOfPersons, 9)) for r in df.collect()]
+    assert got == [
+        (0, 4, 22, 89, round(4 / 56, 9)),
+        (1, 11, 27, 303, round(11 / 56, 9)),
+        (2, 22, 32, 722, round(22 / 56, 9)),
+        (3, 14, 41, 584, round(14 / 56, 9)),
+    ]
+
+
+def test_ldbc_bi2_grouped_serves(nba_space):
+    """BI2 shape (Read.feature:52): two-key grouping with a CASE-derived
+    key + count + max + multi-key order + LIMIT."""
+    df = execute(nba_space, '''
+        MATCH (p:player)-[s:serve]->(t:team)
+        WHERE s.start_year >= 2005
+        RETURN t.team.name AS teamName,
+               CASE WHEN p.player.age < 30 THEN "young" ELSE "vet" END
+                 AS ageGroup,
+               count(*) AS serveCount, max(s.start_year) AS latestStart
+        ORDER BY serveCount DESC, teamName ASC, ageGroup ASC
+        LIMIT 10
+    ''')
+    assert rows(df, "teamName", "ageGroup", "serveCount", "latestStart") == [
+        ('Spurs', 'vet', 11, 2018), ('Hornets', 'vet', 6, 2018),
+        ('Lakers', 'vet', 6, 2018), ('Mavericks', 'vet', 5, 2018),
+        ('Warriors', 'vet', 5, 2016), ('Bulls', 'vet', 4, 2016),
+        ('Cavaliers', 'vet', 4, 2017), ('Celtics', 'vet', 4, 2017),
+        ('Clippers', 'vet', 4, 2012), ('Hawks', 'vet', 4, 2018),
+    ]
+
+
+def test_ldbc_bi5_top_posters(nba_space):
+    """BI5 shape (Read.feature:142): anchored entity + WITH DISTINCT +
+    OPTIONAL MATCH fan-in count + order/limit."""
+    df = execute(nba_space, '''
+        MATCH (t:team {name: "Spurs"})<-[:serve]-(p:player)
+        WITH DISTINCT p
+        OPTIONAL MATCH (p)<-[:like]-(fan:player)
+        WITH p, count(fan) AS fanCount
+        RETURN p.player.name AS personName, fanCount
+        ORDER BY fanCount DESC, personName ASC
+        LIMIT 10
+    ''')
+    assert rows(df, "personName", "fanCount") == [
+        ('Tim Duncan', 10), ('Tony Parker', 5), ('Manu Ginobili', 4),
+        ('LaMarcus Aldridge', 3), ('Tracy McGrady', 3), ('Danny Green', 2),
+        ('Marco Belinelli', 2), ('Kyle Anderson', 1), ('Paul Gasol', 1),
+        ('Rudy Gay', 1),
+    ]
+
+
+def test_ldbc_bi17_friend_triangles(nba_space):
+    """BI17 shape (Read.feature:495): three comma patterns sharing aliases
+    — triangle count with id-ordering dedup. 52 = triangles weighted by
+    per-pair edge-binding multiplicity (both orientations may exist)."""
+    df = execute(nba_space, '''
+        MATCH (a:player)-[:like]-(b:player), (b)-[:like]-(c:player),
+              (c)-[:like]-(a)
+        WHERE id(a) < id(b) AND id(b) < id(c)
+        RETURN count(*) AS triangles
+    ''')
+    assert rows(df, "triangles") == [(52,)]
+
+
+def test_ldbc_bi18_message_histogram(nba_space):
+    """BI18 shape (Read.feature:512): OPTIONAL MATCH degree + histogram of
+    a grouped count (count of counts)."""
+    df = execute(nba_space, '''
+        MATCH (p:player)
+        OPTIONAL MATCH (p)-[l:like]->(o:player)
+        WITH p, count(o) AS likeCount
+        RETURN likeCount, count(p) AS personCount
+        ORDER BY personCount DESC, likeCount DESC
+    ''')
+    assert rows(df, "likeCount", "personCount") == [
+        (1, 18), (0, 17), (3, 10), (2, 9), (11, 1), (4, 1),
+    ]
