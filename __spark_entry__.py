@@ -850,6 +850,51 @@ def q_shortest_path_fn(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+def q_step_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-hop truncate clause (parser.yy truncate_clause :1424-1430;
+    PushStepLimitDownGetNeighborsRule.cpp): GO 2 STEPS with LIMIT [2, 3]
+    keeps the 2 smallest-(neighbor, rank) edges per vertex at hop 1 and 3
+    at hop 2 — a per-vertex window inside each hop join, where the
+    reference pushes the truncate into the GetNeighbors RPC; NOT a global
+    limit. Vids are shared across tags, so hop-2 frontier customers with
+    keys <= 24 re-expand as nations (same multi-tag convention as
+    shortest_path_fn's oracle)."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, """
+        GO 2 STEPS FROM 0, 1, 2 OVER located_in REVERSELY
+        YIELD src(edge) AS via, dst(edge) AS person LIMIT [2, 3]
+        | ORDER BY $-.via, $-.person
+    """)
+
+
+def q_show_admin(spark: SparkSession, sf: str) -> DataFrame:
+    """Admin/meta surface (ShowTagsExecutor/DescTagExecutor shapes,
+    executor.py _exec_admin): SHOW TAGS + SHOW EDGES + DESCRIBE TAG/EDGE
+    union-shaped into one (kind, name, dtype, nullable) frame so the
+    catalog's names AND schema dtypes are value-checked by the oracle."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+
+    def shaped(stmt: str, kind: str) -> DataFrame:
+        df = execute(sp, stmt)
+        if "Name" in df.columns:         # SHOW TAGS / SHOW EDGES
+            return df.select(F.lit(kind).alias("kind"),
+                             F.col("Name").alias("name"),
+                             F.lit("").alias("dtype"),
+                             F.lit("").alias("nullable"))
+        return df.select(F.lit(kind).alias("kind"),      # DESCRIBE
+                         F.col("Field").alias("name"),
+                         F.col("Type").alias("dtype"),
+                         F.col("Null").alias("nullable"))
+
+    return (shaped("SHOW TAGS", "tag")
+            .unionByName(shaped("SHOW EDGES", "edge"))
+            .unionByName(shaped("DESCRIBE TAG nation", "desc_nation"))
+            .unionByName(shaped("DESCRIBE EDGE contains", "desc_contains"))
+            .orderBy("kind", "name"))
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based session windows per user (streaming/ingest.sessionize —
     Spark native session_window, identical code path on a stream). Oracle
@@ -1064,9 +1109,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- relational / traversal / front-end core ---------------------------
     "scan_project": q_scan_project,
     "agg_group": q_agg_group,
-    "agg_global": q_agg_global,
+    # agg_global and topn rotated out of the 50-slot cap in r3 (overlap:
+    # agg_global ⊂ agg_funcs, topn ⊂ short_orders' ranking family; both
+    # q_* functions remain for bench.py's stable headline set) to make
+    # room for the last uncovered §2 families: per-hop step LIMIT
+    # (truncate clause) and SHOW/DESCRIBE admin
+    "step_limit": q_step_limit,
+    "show_admin": q_show_admin,
     "join_agg": q_join_agg,
-    "topn": q_topn,
     "semi_anti": q_semi_anti,
     "rollup_apply": q_rollup_apply,
     "setops": q_setops,
@@ -1156,11 +1206,39 @@ ORACLES: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
-    "agg_global": """
-        SELECT COUNT(*) AS n_orders,
-               COUNT(DISTINCT o_custkey) AS n_custs,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM orders
+    "step_limit": """
+        WITH l1 AS (
+          SELECT c_nationkey AS nat, c_custkey AS person,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_custkey) AS rn
+          FROM customer WHERE c_nationkey IN (0, 1, 2)),
+        f AS (SELECT DISTINCT person FROM l1 WHERE rn <= 2),
+        l2 AS (
+          SELECT c.c_nationkey AS via, c.c_custkey AS person,
+                 ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                                    ORDER BY c.c_custkey) AS rn
+          FROM customer c JOIN f ON f.person = c.c_nationkey)
+        SELECT via, person FROM l2 WHERE rn <= 3 ORDER BY via, person
+    """,
+    "show_admin": """
+        SELECT * FROM (VALUES
+          ('tag', 'customer', '', ''), ('tag', 'nation', '', ''),
+          ('tag', 'order', '', ''), ('tag', 'part', '', ''),
+          ('tag', 'region', '', ''), ('tag', 'supplier', '', ''),
+          ('edge', 'contains', '', ''), ('edge', 'located_in', '', ''),
+          ('edge', 'member_of', '', ''), ('edge', 'placed', '', ''),
+          ('desc_nation', 'vid', 'bigint', 'YES'),
+          ('desc_nation', 'n_name', 'string', 'YES'),
+          ('desc_nation', 'n_regionkey', 'int', 'YES'),
+          ('desc_contains', 'src', 'bigint', 'YES'),
+          ('desc_contains', 'dst', 'bigint', 'YES'),
+          ('desc_contains', 'rank', 'bigint', 'YES'),
+          ('desc_contains', 'l_quantity', 'double', 'YES'),
+          ('desc_contains', 'l_extendedprice', 'double', 'YES'),
+          ('desc_contains', 'l_discount', 'double', 'YES'),
+          ('desc_contains', 'l_shipdate', 'timestamp_ntz', 'YES')
+        ) AS t(kind, name, dtype, nullable)
+        ORDER BY kind, name
     """,
     "join_agg": """
         SELECT n_name,
@@ -1169,12 +1247,6 @@ ORACLES: dict[str, str] = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name
-    """,
-    "topn": """
-        SELECT o_custkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
-        FROM orders GROUP BY o_custkey
-        ORDER BY spend DESC, o_custkey ASC LIMIT 10
     """,
     "semi_anti": """
         SELECT c_custkey, c_mktsegment, 'semi' AS op FROM customer
