@@ -570,10 +570,14 @@ def q_fulltext(spark: SparkSession, sf: str) -> DataFrame:
     cluster of the reference collapses into column predicates."""
     from nebula_spark.functions import fulltext as FT
     d = spark.read.parquet(f"{sf}/documents.parquet")
-    return (d.filter(FT.ft_wildcard(F.col("text"), "*merge*batch*"))
+    # BM25 stats over the WHOLE corpus (like ES scoring against the full
+    # index), filters applied after
+    scored = FT.ft_bm25(d, "merge")
+    return (scored.filter(FT.ft_wildcard(F.col("text"), "*merge*batch*"))
             .filter(FT.ft_fuzzy(F.col("text"), "vektor", 1))
             .select(F.col("doc_id"),
-                    FT.ft_score(F.col("text"), "merge").cast("long").alias("score"))
+                    FT.ft_score(F.col("text"), "merge").cast("long").alias("score"),
+                    F.round("bm25", 6).alias("bm25"))
             .orderBy("doc_id"))
 
 
@@ -1491,13 +1495,25 @@ ORACLES: dict[str, str] = {
                CAST(tsec % 60 AS BIGINT) AS tp_sec
         FROM t ORDER BY key
     """,
-    "fulltext": """
+    "fulltext": r"""
+        WITH tf AS (
+          SELECT doc_id, text,
+                 len(regexp_extract_all(text, '\bmerge\b')) AS tf,
+                 len(string_split_regex(text, '\s+')) AS dl
+          FROM documents),
+        stats AS (
+          SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+                 SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+          FROM tf)
         SELECT doc_id, len(regexp_extract_all(text, 'merge'))::BIGINT
-                 AS score
-        FROM documents
+                 AS score,
+               ROUND(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                     * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                     6) AS bm25
+        FROM tf CROSS JOIN stats
         WHERE regexp_matches(text, '^.*merge.*batch.*$')
           AND (contains(text, 'vektor') OR EXISTS (
-                SELECT 1 FROM unnest(string_split_regex(text, '\\s+')) t(w)
+                SELECT 1 FROM unnest(string_split_regex(text, '\s+')) t(w)
                 WHERE levenshtein(w, 'vektor') <= 1))
         ORDER BY doc_id
     """,

@@ -64,10 +64,44 @@ def ft_score(col: Column, term: str) -> Column:
     return F.regexp_count(col, F.lit(re.escape(term)))
 
 
+def ft_bm25(df, term: str, text_col: str = "text", k1: float = 1.2,
+            b: float = 0.75, out_col: str = "bm25"):
+    """BM25 relevance column — the ES ``_score`` shape the reference's
+    fulltext plugin returns (ESAdapter.h; Lucene's practical scoring is
+    BM25 since ES 5), without the external service.
+
+    score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with
+    Lucene's non-negative idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Corpus statistics (N, df, avgdl) are one global aggregate joined back
+    by a broadcast cross join — no driver collect, two passes total, and
+    the stats frame is one row so the join is free at any scale. tf counts
+    whole-token occurrences (word-boundary regex), matching ES's analyzed
+    per-term frequency rather than substring hits.
+
+    Returns *df* with ``out_col`` appended (0.0 where the term is absent).
+    """
+    tf = F.regexp_count(F.col(text_col),
+                        F.lit(r"\b" + re.escape(term) + r"\b"))
+    dl = F.size(F.split(F.col(text_col), r"\s+"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_bm25_n"),
+        F.avg(dl).alias("_bm25_avgdl"),
+        F.sum((tf > 0).cast("long")).alias("_bm25_df"))
+    scored = df.crossJoin(F.broadcast(stats))
+    idf = F.log(F.lit(1.0)
+                + (F.col("_bm25_n") - F.col("_bm25_df") + 0.5)
+                / (F.col("_bm25_df") + 0.5))
+    denom = tf + k1 * (1 - b + b * dl / F.col("_bm25_avgdl"))
+    return (scored.withColumn(out_col, idf * tf * (k1 + 1) / denom)
+            .drop("_bm25_n", "_bm25_avgdl", "_bm25_df"))
+
+
 FULLTEXT_FUNCTIONS = {
     "ft_prefix": ft_prefix,
     "ft_wildcard": ft_wildcard,
     "ft_regexp": ft_regexp,
     "ft_fuzzy": ft_fuzzy,
     "ft_score": ft_score,
+    "ft_bm25": ft_bm25,
 }

@@ -71,3 +71,25 @@ def test_distinct_std_no_cancellation(spark):
     got2 = aggregate(df, [], agg_call("std", "x").alias("sd")) \
         .collect()[0].sd
     assert abs(got2 - math.sqrt(0.5)) < 1e-6
+
+
+def test_ft_bm25_hand_computed(spark):
+    """BM25 against a hand-computed value: corpus of 3 docs, term 'cat' in
+    2 of them. idf = ln(1 + (3-2+0.5)/(2+0.5)); dls are 4, 2, 2 so
+    avgdl = 8/3."""
+    import math
+
+    from nebula_spark.functions.fulltext import ft_bm25
+
+    df = spark.createDataFrame(
+        [(1, "cat sat on cat"), (2, "a cat"), (3, "dog runs")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in ft_bm25(df, "cat").collect()}
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    avgdl = 8 / 3.0
+    d1 = idf * 2 * 2.2 / (2 + 1.2 * (1 - 0.75 + 0.75 * 4 / avgdl))
+    d2 = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / avgdl))
+    assert abs(got[1] - d1) < 1e-9
+    assert abs(got[2] - d2) < 1e-9
+    assert got[3] == 0.0
+    assert got[1] > got[2]  # higher tf, same idf -> higher score
