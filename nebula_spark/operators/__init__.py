@@ -21,5 +21,5 @@ from nebula_spark.operators.traverse import (  # noqa: F401
 )
 from nebula_spark.operators.subgraph import k_hop_subgraph  # noqa: F401
 from nebula_spark.operators.paths import (  # noqa: F401
-    bfs_shortest_paths, all_paths,
+    bfs_shortest_paths, bfs_min_paths, all_paths, weighted_shortest_paths,
 )

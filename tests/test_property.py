@@ -129,3 +129,67 @@ def test_hyperplane_bucket_deterministic(spark, vecs):
     for i in range(n):
         assert got[i] == got[i + n]
         assert len(got[i]) == 5 and set(got[i]) <= {"0", "1"}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1, max_size=14, unique=True),
+    direction=st.sampled_from(["out", "both"]),
+    mode=st.sampled_from(["all", "single"]),
+    max_hops=st.integers(1, 3),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bfs_min_paths_equals_enumerate_prune(spark, edges, direction,
+                                              mode, max_hops):
+    """The BFS shortestPath routing must agree with the enumerate-then-
+    prune reference plan on arbitrary small graphs: same (start, end,
+    hops) multiset, and in `all` mode the same path multiset. This pins
+    the routed fast path to the fallback's semantics — root cycles,
+    direction-normalized edge uniqueness, BOTH-direction walks included."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from nebula_spark.operators.paths import bfs_min_paths
+    from nebula_spark.operators.traverse import traverse
+
+    e = spark.createDataFrame(
+        [(f"v{s}", f"v{d}", 0) for s, d in edges],
+        "src string, dst string, rank long")
+    starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
+
+    got = bfs_min_paths(e, starts, max_hops=max_hops, direction=direction,
+                        mode=mode).collect()
+
+    # reference plan: enumerate all edge-unique paths, keep per-pair min
+    enum = traverse(e, starts, min_hops=1, max_hops=max_hops,
+                    direction=direction).collect()
+    best: dict[tuple, int] = {}
+    for r in enum:
+        k = (r.start_vid, r.end_vid)
+        best[k] = min(best.get(k, 99), r.hops)
+    want_pairs = Counter()
+    for r in enum:
+        if r.hops == best[(r.start_vid, r.end_vid)]:
+            want_pairs[(r.start_vid, r.end_vid, r.hops)] += 1
+
+    if mode == "all":
+        got_pairs = Counter((r.start_vid, r.end_vid, r.hops) for r in got)
+        assert got_pairs == want_pairs
+        # full path multiset equality, canonicalized like the engine does
+        want_paths = Counter(
+            (r.start_vid, r.end_vid,
+             tuple((p.s, p.d, p.r, p.t) for p in r.path))
+            for r in enum if r.hops == best[(r.start_vid, r.end_vid)])
+        got_paths = Counter(
+            (r.start_vid, r.end_vid,
+             tuple((p.s, p.d, p.r, p.t) for p in r.path))
+            for r in got)
+        assert got_paths == want_paths
+    else:
+        # single: exactly one representative per pair, at the min length
+        got_set = {(r.start_vid, r.end_vid, r.hops) for r in got}
+        assert got_set == set(want_pairs)
+        assert len(got) == len(got_set)

@@ -141,3 +141,34 @@ def test_pagerank_chain(spark):
           for x in pagerank(e, iterations=2).collect()}
     # iter2: b <- a's 0.15 → 0.15+0.85*0.15; c <- b's 1.0 → 1.0
     assert r2 == {"a": 0.15, "b": 0.2775, "c": 1.0}
+
+
+def test_weighted_shortest_paths(spark):
+    """Bellman-Ford BSP vs hand-computed distances: the cheap long way
+    round (1->2->3 cost 3) must beat the direct edge (cost 10); parallel
+    edges keep the min weight; unreachable nodes absent."""
+    import pytest
+
+    from nebula_spark.operators.paths import weighted_shortest_paths
+
+    e = spark.createDataFrame(
+        [(1, 3, 0, 10.0), (1, 2, 0, 1.0), (2, 3, 0, 2.0), (3, 4, 0, 1.0),
+         (1, 2, 1, 5.0),          # parallel edge, worse weight
+         (5, 6, 0, 1.0)],         # disconnected from 1
+        "src long, dst long, rank long, weight double")
+    src = spark.createDataFrame([(1,)], ["vid"])
+    got = {(r.src, r.dst): r.dist
+           for r in weighted_shortest_paths(e, src).collect()}
+    assert got == {(1, 1): 0.0, (1, 2): 1.0, (1, 3): 3.0, (1, 4): 4.0}
+
+    # targets restriction + BOTH direction
+    t = spark.createDataFrame([(3,)], ["vid"])
+    got2 = {(r.src, r.dst): r.dist
+            for r in weighted_shortest_paths(e, src, targets=t,
+                                             direction="both").collect()}
+    assert got2 == {(1, 3): 3.0}
+
+    with pytest.raises(ValueError, match="non-negative"):
+        neg = spark.createDataFrame([(1, 2, 0, -1.0)],
+                                    "src long, dst long, rank long, weight double")
+        weighted_shortest_paths(neg, src).collect()
