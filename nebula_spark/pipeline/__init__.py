@@ -16,5 +16,5 @@ from nebula_spark.pipeline.dedup import (  # noqa: F401
     simhash64, connected_components, connected_components_star,
 )
 from nebula_spark.pipeline.similarity import (  # noqa: F401
-    brute_force_topk, lsh_bucketed_topk,
+    brute_force_topk, ivf_topk, lsh_bucketed_topk,
 )

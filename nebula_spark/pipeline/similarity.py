@@ -96,6 +96,63 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, salt: str = "ivf") -> Colu
         for p in range(n_planes)])
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
+             corpus_key: str = "vec_id", corpus_vec: str = "embedding",
+             query_key: str = "qid", query_vec: str = "qvec",
+             ) -> DataFrame:
+    """IVF approximate top-k (FAISS IndexIVFFlat shape): k-means|| coarse
+    quantizer, inverted lists keyed by nearest centroid, queries probe
+    their ``nprobe`` nearest cells.
+
+    Compared to :func:`lsh_bucketed_topk`: cells adapt to the data
+    distribution (hyperplane cells are data-oblivious), and nprobe is a
+    smooth recall/cost dial. Training is Spark ML's distributed k-means||
+    (one small model on the driver — C×dim floats, not data); assignment
+    and probing are a broadcast centroid table cross-joined and ranked, so
+    everything that scales with N stays distributed. The candidate join is
+    an equi-join on cent_id: corpus shuffles by cell once, each task
+    scores one cell's slice — the same bucket-local discipline as LSH.
+
+    A query that *is* a corpus vector always reaches its own cell (both
+    sides rank centroids with the same rule), so self-match recall is 1
+    for any nprobe ≥ 1.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(corpus_key).alias("cid"),
+                      _as_double(F.col(corpus_vec)).alias("cv"))
+    train = c.select(array_to_vector("cv").alias("features"))
+    n_cells = min(n_centroids, train.count())
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    spark = corpus.sparkSession
+    cents = F.broadcast(spark.createDataFrame(
+        [(i, [float(x) for x in ctr])
+         for i, ctr in enumerate(model.clusterCenters())],
+        "cent_id int, centroid array<double>"))
+
+    def nearest(df: DataFrame, vec: str, n: int, who: str) -> DataFrame:
+        w = Window.partitionBy(who).orderBy(
+            F.desc("_cc"), F.asc("cent_id"))
+        return (df.crossJoin(cents)
+                .withColumn("_cc", F.round(
+                    cos_similarity(F.col(vec), F.col("centroid")), 9))
+                .withColumn("_cr", F.row_number().over(w))
+                .filter(F.col("_cr") <= n)
+                .drop("_cc", "_cr", "centroid"))
+
+    lists = nearest(c, "cv", 1, "cid")            # inverted lists
+    q = queries.select(F.col(query_key).alias("qid"),
+                       _as_double(F.col(query_vec)).alias("qv"))
+    probes = F.broadcast(nearest(q, "qv", nprobe, "qid"))
+    scored = (lists.join(probes, "cent_id")
+              .select("qid", "cid",
+                      F.round(cos_similarity(F.col("cv"), F.col("qv")), 6)
+                      .alias("cosine")))
+    return _two_phase_topk(scored, k)
+
+
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       n_planes: int = 8,
                       corpus_key: str = "vec_id", corpus_vec: str = "embedding",

@@ -246,3 +246,25 @@ def test_star_contraction_matches_min_label(spark):
     b = {(r.node, r.cluster_id)
          for r in connected_components_star(pairs).collect()}
     assert a == b
+
+
+def test_ivf_topk_self_match_and_recall(embs):
+    """IVF coarse quantizer: a query that is a corpus vector reaches its
+    own cell for any nprobe >= 1 (both sides rank centroids identically),
+    so rank-1 is always the self match; with nprobe covering half the
+    cells, top-1 recall vs brute force should be exact here and top-k
+    results must be a subset of the cells' contents (cosines never exceed
+    the brute-force kth... checked via subset of brute top-20)."""
+    from nebula_spark.pipeline import brute_force_topk, ivf_topk
+
+    q = embs.limit(3).select(F.col("vec_id").alias("qid"),
+                             F.col("embedding").alias("qvec"))
+    got = ivf_topk(embs, q, k=5, n_centroids=8, nprobe=4).collect()
+    assert len(got) == 15
+    firsts = {r.qid: (r.cid, r.cosine) for r in got if r.rank == 1}
+    for qid, (cid, cos) in firsts.items():
+        assert cid == qid and cos >= 0.999999
+    # every IVF hit appears in the brute-force top-20 for that query
+    brute = brute_force_topk(embs, q, k=20).collect()
+    allowed = {(r.qid, r.cid) for r in brute}
+    assert all((r.qid, r.cid) in allowed for r in got)
