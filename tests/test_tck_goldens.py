@@ -1414,3 +1414,71 @@ def test_ldbc_bi18_message_histogram(nba_space):
     assert rows(df, "likeCount", "personCount") == [
         (1, 18), (0, 17), (3, 10), (2, 9), (11, 1), (4, 1),
     ]
+
+
+def test_ldbc_bi9_related_counts(nba_space):
+    """BI9 shape (Read.feature:238): WITH-count + WHERE on the aggregate
+    (HAVING) + two chained re-MATCHes on the carried alias, each with its
+    own distinct count, + abs-diff ranking. Teams lacking either fan set
+    drop out (inner MATCH)."""
+    df = execute(nba_space, '''
+        MATCH (t:team)<-[:serve]-(p:player)
+        WITH t, count(p) AS members
+        WHERE members >= 4
+        MATCH (t)<-[:serve]-(p1:player)-[:like]->(:player {name: "Tim Duncan"})
+        WITH t, count(DISTINCT p1) AS fans1
+        MATCH (t)<-[:serve]-(p2:player)-[:like]->(:player {name: "LeBron James"})
+        WITH t, fans1, count(DISTINCT p2) AS fans2
+        RETURN t.team.name AS teamName, fans1, fans2,
+               abs(fans2 - fans1) AS diff
+        ORDER BY diff DESC, teamName ASC
+        LIMIT 100
+    ''')
+    assert rows(df, "teamName", "fans1", "fans2", "diff") == [
+        ('Spurs', 9, 2, 7), ('Hornets', 3, 1, 2), ('Cavaliers', 2, 3, 1),
+        ('Celtics', 2, 1, 1), ('Raptors', 2, 1, 1), ('Bulls', 1, 1, 0),
+        ('Heat', 1, 1, 0),
+    ]
+
+
+def test_ldbc_bi3_windowed_optional_counts(nba_space):
+    """BI3 shape (Read.feature:90): two OPTIONAL MATCH windows with
+    filtered counts + abs-diff. The reference raises 'Where clause in
+    optional match is not supported' for this exact shape — we support the
+    openCypher semantics (the WHERE filters the pattern side before the
+    left join), so the LDBC query works as written."""
+    df = execute(nba_space, '''
+        MATCH (t:team)
+        OPTIONAL MATCH (p1:player)-[s1:serve]->(t) WHERE s1.start_year < 2000
+        WITH t, count(p1) AS early
+        OPTIONAL MATCH (p2:player)-[s2:serve]->(t) WHERE s2.start_year >= 2000
+        WITH t, early, count(p2) AS late
+        RETURN t.team.name AS teamName, early, late, abs(early - late) AS diff
+        ORDER BY diff DESC, teamName ASC
+        LIMIT 10
+    ''')
+    assert rows(df, "teamName", "early", "late", "diff") == [
+        ('Spurs', 2, 16, 14), ('Hornets', 0, 7, 7), ('Cavaliers', 0, 6, 6),
+        ('Heat', 0, 6, 6), ('Rockets', 0, 6, 6), ('Thunders', 0, 6, 6),
+        ('Warriors', 0, 6, 6), ('76ers', 0, 5, 5), ('Celtics', 0, 5, 5),
+        ('Grizzlies', 0, 5, 5),
+    ]
+
+
+def test_ldbc_bi14_thread_circle(nba_space):
+    """BI14 shape (Read.feature:415, @skip'd in the reference pending
+    [:REPLY_OF*0..]): zero-lower-bound var-len inside a longer chain +
+    count(DISTINCT endpoint) per group — the *0.. the reference TODO'd."""
+    df = execute(nba_space, '''
+        MATCH (p:player {name: "Tim Duncan"})<-[:like]-(fan:player)
+              <-[:like*0..2]-(ff:player)
+        RETURN fan.player.name AS fanName, count(DISTINCT ff) AS circleSize
+        ORDER BY circleSize DESC, fanName ASC
+    ''')
+    assert rows(df, "fanName", "circleSize") == [
+        ('Tony Parker', 13), ('Manu Ginobili', 11),
+        ('LaMarcus Aldridge', 9), ('Danny Green', 3),
+        ('Marco Belinelli', 3), ("Shaquille O'Neal", 2),
+        ('Aron Baynes', 1), ('Boris Diaw', 1), ('Dejounte Murray', 1),
+        ('Tiago Splitter', 1),
+    ]
