@@ -62,6 +62,8 @@ def _is_agg(e: tuple) -> bool:
         return False
     if e[0] in ("call", "call_distinct") and e[1] in _AGG_FNS:
         return True
+    if e[0] == "raw_agg":        # pre-built aggregate Column (ordered collect)
+        return True
     return any(_is_agg(x) for x in e[1:] if isinstance(x, tuple))
 
 
@@ -92,6 +94,8 @@ class ExprCompiler:
         op = e[0]
         if op == "lit":
             return F.lit(e[1])
+        if op == "raw_agg":              # pre-built Column (ordered collect)
+            return e[1]
         if op == "list":
             return F.array(*[self.col(x) for x in e[1:]])
         if op == "set":                  # {a, b, …} — deduped list
@@ -1139,6 +1143,39 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
     return resolve
 
 
+def _ordered_collect_rewrite(e: tuple, ec: ExprCompiler,
+                             keys: list[tuple[str, bool]]) -> tuple:
+    """Replace ``collect(x)`` with an order-preserving collect driven by
+    the hidden ``_ob*`` sort-key columns stashed by the preceding
+    ``WITH … ORDER BY``.
+
+    openCypher implementations let an aggregation observe the incoming
+    order (LDBC IC7's ``head(collect(...))`` after an ordered WITH); a
+    distributed groupBy destroys it, so instead: collect structs of
+    (sort keys…, value) and ``array_sort`` them with a per-key asc/desc
+    comparator — the sort happens per group after the shuffle, giving the
+    single-node semantics at any parallelism."""
+    if not isinstance(e, tuple):
+        return e
+    if e[0] == "call" and str(e[1]).lower() == "collect" and len(e) == 3:
+        val = ec.col(e[2])
+        st = F.struct(*[F.col(k).alias(k) for k, _ in keys],
+                      val.alias("_v"))
+
+        def cmp(left, right):
+            res = F.lit(0)
+            for k, asc in reversed(keys):
+                lt, gt = (-1, 1) if asc else (1, -1)
+                res = (F.when(left[k] < right[k], lt)
+                       .when(left[k] > right[k], gt).otherwise(res))
+            return res.cast("int")
+
+        arr = F.array_sort(F.collect_list(st), cmp)
+        return ("raw_agg", F.transform(arr, lambda x: x["_v"]))
+    return tuple(_ordered_collect_rewrite(x, ec, keys)
+                 if isinstance(x, tuple) else x for x in e)
+
+
 def _project_items(cur: DataFrame, items: list[A.YieldItem],
                    ec: ExprCompiler, bound: set[str]) -> tuple[DataFrame, set[str]]:
     """WITH/RETURN projection with openCypher implicit grouping. A bare
@@ -1149,7 +1186,8 @@ def _project_items(cur: DataFrame, items: list[A.YieldItem],
     keys, aggs = [], []
     for i, y in enumerate(items):
         if y.expr == ("star",):          # WITH * — every column through
-            keys.extend(F.col(c) for c in cur.columns)
+            keys.extend(F.col(c) for c in cur.columns
+                        if not c.startswith("_ob"))
             out_bound |= {c.split("__", 1)[0] for c in cur.columns
                           if "__" in c} & bound
             continue
@@ -1181,6 +1219,9 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     ebound: set[str] = set()
     pbound: set[str] = set()
     tagmap: dict[str, str | None] = {}
+    # sort keys stashed by the last WITH … ORDER BY (hidden _ob columns),
+    # consumed by the next aggregate projection's ordered collect()
+    pending_order: list[tuple[str, bool]] | None = None
 
     for cl in st.clauses:
         if isinstance(cl, A.MatchClause):
@@ -1235,13 +1276,43 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 space, cur, [y.expr for y in witems] + [cl.where], tagmap)
             ec = ExprCompiler(
                 _match_resolver(bound | ebound, pbound, cur.columns, tagmap))
+            # an aggregate projection right after WITH … ORDER BY observes
+            # the order: rewrite collect() to its order-preserving form
+            if pending_order and any(_is_agg(y.expr) for y in witems):
+                witems = [A.YieldItem(
+                    _ordered_collect_rewrite(y.expr, ec, pending_order),
+                    y.alias) for y in witems]
             cur, carried = _project_items(cur, witems, ec,
                                           bound | ebound | pbound)
+            pending_order = None
             bound, ebound, pbound = (carried & bound, carried & ebound,
                                      carried & pbound)
             tagmap = {a: t for a, t in tagmap.items() if a in carried}
             if cl.distinct:
                 cur = cur.distinct()
+            if cl.order_by:
+                # ORDER BY over the projected frame; sort keys also stash
+                # as hidden _ob columns so a following aggregate can keep
+                # the order inside collect()
+                ec2 = ExprCompiler(_match_resolver(
+                    bound | ebound, pbound, cur.columns, tagmap))
+                pend: list[tuple[str, bool]] = []
+                sort_cols = []
+                for i, (e, asc) in enumerate(cl.order_by):
+                    name = f"_ob{i}"
+                    c = (F.col(e[1])
+                         if e[0] == "name" and e[1] in cur.columns
+                         else ec2.col(e))
+                    cur = cur.withColumn(name, c)
+                    pend.append((name, asc))
+                    sort_cols.append(F.col(name).asc_nulls_last() if asc
+                                     else F.col(name).desc_nulls_first())
+                cur = cur.orderBy(*sort_cols)
+                pending_order = pend
+            if cl.skip:
+                cur = cur.offset(cl.skip)
+            if cl.limit is not None:
+                cur = cur.limit(cl.limit)
             if cl.where is not None:
                 cur = cur.filter(
                     ExprCompiler(_match_resolver(bound | ebound, pbound,
@@ -1281,6 +1352,10 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
         + [e for e, _ in (st.order_by or [])], tagmap)
     ec = ExprCompiler(_match_resolver(bound | ebound, pbound, cur.columns,
                                       tagmap))
+    if pending_order and any(_is_agg(y.expr) for y in rets_in):
+        rets_in = [A.YieldItem(
+            _ordered_collect_rewrite(y.expr, ec, pending_order), y.alias)
+            for y in rets_in]
 
     # RETURN * — expand to every vertex binding (struct form) + every
     # plain projected column, in frame order
@@ -1291,6 +1366,8 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
             continue
         seen: set[str] = set()
         for c in cur.columns:
+            if c.startswith("_ob"):      # hidden WITH-ORDER-BY sort keys
+                continue
             if "__" in c:
                 a = c.split("__", 1)[0]
                 if a in bound and a not in seen:

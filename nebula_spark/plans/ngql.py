@@ -238,10 +238,15 @@ class MatchClause:
 @dataclass
 class WithClause:
     """openCypher WITH: project/rebind (+ implicit grouping), optional
-    DISTINCT and post-WHERE (MatchValidator's with-clause contexts)."""
+    DISTINCT, ORDER BY / SKIP / LIMIT subclauses, and post-WHERE
+    (MatchValidator's with-clause contexts; LDBC IC1/IC7 rely on
+    mid-chain WITH … ORDER BY … LIMIT)."""
     items: list[YieldItem]
     where: tuple | None
     distinct: bool = False
+    order_by: list[tuple] | None = None
+    skip: int | None = None
+    limit: int | None = None
 
 
 @dataclass
@@ -934,12 +939,30 @@ class Parser:
         where = self.expr() if self.try_kw("where") else None
         return MatchClause(paths, where, optional)
 
+    def _order_by_items(self) -> list[tuple]:
+        self.eat_kw("by")
+        out = []
+        while True:
+            e = self.expr()
+            asc = not self.try_kw("desc")
+            if asc:
+                self.try_kw("asc")
+            out.append((e, asc))
+            if self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                continue
+            break
+        return out
+
     def with_clause(self) -> WithClause:
         self.eat_kw("with")
         distinct = self.try_kw("distinct")
         items = self.yield_items()
+        order_by = self._order_by_items() if self.try_kw("order") else None
+        skip = int(self.eat("INT").text) if self.try_kw("skip") else None
+        limit = int(self.eat("INT").text) if self.try_kw("limit") else None
         where = self.expr() if self.try_kw("where") else None
-        return WithClause(items, where, distinct)
+        return WithClause(items, where, distinct, order_by, skip, limit)
 
     def match_sentence(self, initial: list | None = None) -> MatchStmt:
         clauses: list = list(initial or [])
@@ -962,20 +985,7 @@ class Parser:
         self.eat_kw("return")
         distinct = self.try_kw("distinct")
         rets = self.yield_items()
-        order_by = None
-        if self.try_kw("order"):
-            self.eat_kw("by")
-            order_by = []
-            while True:
-                e = self.expr()
-                asc = not self.try_kw("desc")
-                if asc:
-                    self.try_kw("asc")
-                order_by.append((e, asc))
-                if self.peek().kind == "COMMA":
-                    self.eat("COMMA")
-                    continue
-                break
+        order_by = self._order_by_items() if self.try_kw("order") else None
         skip = None
         if self.try_kw("skip"):
             skip = int(self.eat("INT").text)

@@ -1482,3 +1482,66 @@ def test_ldbc_bi14_thread_circle(nba_space):
         ('Aron Baynes', 1), ('Boris Diaw', 1), ('Dejounte Murray', 1),
         ('Tiago Splitter', 1),
     ]
+
+
+def test_ldbc_ic7_ordered_collect(nba_space):
+    """IC7's core device (ComplexReads.feature:184): WITH … ORDER BY
+    feeding head(collect(…)) — the aggregate observes the incoming order.
+    Distributed rewrite: collect sorts per group by the stashed keys, so
+    the single-node semantics hold at any parallelism. Marco's 2018 tie
+    ('76ers' vs 'Spurs') breaks by the secondary ASC key."""
+    df = execute(nba_space, '''
+        MATCH (p:player)-[s:serve]->(t:team)
+        WHERE id(p) == "Marco Belinelli"
+        WITH p, t.team.name AS tn, s.start_year AS sy
+        ORDER BY sy DESC, tn ASC
+        WITH p, head(collect(tn)) AS latestTeam, collect(sy) AS years
+        RETURN p.player.name AS name, latestTeam, years
+    ''')
+    assert rows(df, "name", "latestTeam", "years") == [
+        ('Marco Belinelli', '76ers',
+         [2018, 2018, 2017, 2016, 2015, 2013, 2012, 2010, 2009, 2007]),
+    ]
+
+
+def test_ldbc_ic7_full_latest_like(nba_space):
+    """IC7 end-to-end shape: ordered map-collect (head(collect({…}))),
+    attribute access on the collected struct, negated pattern expression,
+    final ORDER/LIMIT."""
+    df = execute(nba_space, '''
+        MATCH (person:player)<-[l:like]-(liker:player)
+        WHERE id(person) == "Tim Duncan"
+        WITH liker, l.likeness AS likeTime, person, liker.player.age AS age
+        ORDER BY likeTime DESC, age ASC
+        WITH liker, head(collect({lk: likeTime, a: age})) AS latestLike,
+             person
+        RETURN liker.player.name AS personId,
+               latestLike.lk AS likeCreationDate,
+               NOT (liker)-[:like]-(person) AS isNew
+        ORDER BY likeCreationDate DESC, personId ASC
+        LIMIT 5
+    ''')
+    assert rows(df, "personId", "likeCreationDate", "isNew") == [
+        ('Dejounte Murray', 99, False), ('Tony Parker', 95, False),
+        ('Manu Ginobili', 90, False), ('Aron Baynes', 80, False),
+        ('Boris Diaw', 80, False),
+    ]
+
+
+def test_ldbc_with_order_by_limit_midchain(nba_space):
+    """IC1's WITH … ORDER BY … LIMIT mid-chain (ComplexReads.feature:17):
+    the limit applies between clauses, narrowing the frame the next MATCH
+    expands. Top-3 teams by serve-row count (incl. parallel-edge stints),
+    then distinct players per surviving team."""
+    df = execute(nba_space, '''
+        MATCH (t:team)<-[s:serve]-(p:player)
+        WITH t, count(p) AS members
+        ORDER BY members DESC, t.team.name ASC
+        LIMIT 3
+        MATCH (t)<-[s2:serve]-(q:player)
+        RETURN t.team.name AS teamName, count(DISTINCT q) AS distinctPlayers
+        ORDER BY teamName
+    ''')
+    assert rows(df, "teamName", "distinctPlayers") == [
+        ('Lakers', 8), ('Mavericks', 9), ('Spurs', 17),
+    ]
