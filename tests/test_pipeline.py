@@ -268,3 +268,33 @@ def test_ivf_topk_self_match_and_recall(embs):
     brute = brute_force_topk(embs, q, k=20).collect()
     allowed = {(r.qid, r.cid) for r in brute}
     assert all((r.qid, r.cid) in allowed for r in got)
+
+
+def test_queries_entries_drain_persistent_storage(spark):
+    """The round-2 verdict's done-criterion for the persist sweep: after a
+    queries() entry completes, no cache entry survives. Runs the
+    persist-heaviest entries (iterative loops, BFS, LSH, subgraph) at
+    sf0.001 and asserts block storage drains once results are released —
+    explicit persists must be paired with unpersist inside the operator,
+    and checkpoint blocks must be ContextCleaner-reclaimable."""
+    import gc
+    import time
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    jsc = spark.sparkContext._jsc.sc()
+    names = ["bfs_targets", "paths_query", "shortest_path_fn", "subgraph",
+             "go_1to2", "pagerank", "minhash_lsh_pairs", "dedup_clusters"]
+    qs = entry.queries()
+    for name in names:
+        qs[name](spark, sf).collect()
+        gc.collect()
+        for _ in range(40):
+            if len(jsc.getRDDStorageInfo()) == 0:
+                break
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.25)
+        leaked = [(i.id(), i.name()) for i in jsc.getRDDStorageInfo()]
+        assert not leaked, f"{name} leaked cached RDDs: {leaked}"
