@@ -117,6 +117,19 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
     which level-pruning cannot represent — callers route those to the
     enumerate fallback.
 
+    ``direction`` must be ``out`` or ``in``. BOTH-direction is refused:
+    the root-cycle rows would be wrong. A shortest closed walk's prefix to
+    its penultimate vertex need not be a shortest path when the closing
+    edge is itself the direct root edge (triangle v0−v1−v2 with all three
+    edges: the 3-cycle's prefix v0→v1→v2 is level-pruned because v2 is
+    reached directly, and the direct path cannot close — it would re-use
+    the same underlying edge reversed). For out/in this cannot happen: a
+    directed shortest path to the penultimate vertex can only contain the
+    closing edge by passing through the root, which would embed a shorter
+    closed walk — induction gives parity with enumerate-then-prune (pinned
+    by the hypothesis test in tests/test_property.py). BOTH-direction
+    shortestPath stays on the enumerate fallback.
+
     Output schema matches :func:`~nebula_spark.operators.traverse.traverse`:
     ``(start_vid, end_vid, hops, path)`` with path an array of edge structs
     ``(s, d, r, t, et)``.
@@ -128,6 +141,10 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
     if min_hops > 1:
         raise ValueError("bfs_min_paths requires min_hops <= 1; route "
                          "higher lower bounds to the enumerate fallback")
+    if direction == "both":
+        raise ValueError("bfs_min_paths is out/in only: BOTH-direction "
+                         "root cycles break the minimal-prefix invariant "
+                         "(see docstring); use the enumerate fallback")
     e = oriented(edges, direction)
     if edge_filter is not None:
         e = e.filter(edge_filter)

@@ -780,10 +780,13 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             # enumeration): only minimal paths are materialized, so the
             # cost is linear in reachable pairs instead of exponential in
             # hop count. The enumerate-then-prune fallback below remains
-            # for min_hops>1 / multi-segment patterns, where
-            # intermediate-hop constraints break the BFS invariant.
+            # for min_hops>1 / multi-segment patterns (intermediate-hop
+            # constraints break the BFS invariant) and for BOTH-direction
+            # segments (root-cycle prefixes break minimality — see
+            # bfs_min_paths docstring).
             route_bfs = (path.shortest is not None
-                         and len(path.edges) == 1 and me.min_hops <= 1)
+                         and len(path.edges) == 1 and me.min_hops <= 1
+                         and me.direction != "both")
             if route_bfs:
                 tr = bfs_min_paths(
                     edges.select(SRC, DST, RANK, "_etype"), seeds,

@@ -514,3 +514,18 @@ def test_typed_null_strict_mode(space):
     assert execute(space, "YIELD null + 1 AS x").collect()[0].x is None
     with strict_nulls(spark):
         assert execute(space, "YIELD null + 1 AS x").collect()[0].x is None
+
+
+def test_shortest_path_fn_both_direction(space):
+    """BOTH-direction shortestPath runs the enumerate-then-prune plan
+    (BFS routing is out/in only — root-cycle prefixes break its
+    invariant). From Tim(p1) over undirected like: p2/p3 at 1 hop,
+    p4/p5 at 2, and p1 itself at 2 via the p1→p2→p1 two-edge cycle
+    (distinct stored edges, so edge-uniqueness allows it)."""
+    df = execute(space,
+                 'MATCH p = shortestPath('
+                 '(v:player {name: "Tim"})-[:like*1..3]-(m:player)) '
+                 'RETURN m.player.vid AS d, length(p) AS n')
+    got = {(r.d, r.n) for r in df.collect()}
+    assert got == {("p2", 1), ("p3", 1), ("p1", 2), ("p5", 2), ("p4", 2)}
+    assert len(df.collect()) == 5

@@ -135,7 +135,7 @@ def test_hyperplane_bucket_deterministic(spark, vecs):
     edges=st.lists(
         st.tuples(st.integers(0, 6), st.integers(0, 6)),
         min_size=1, max_size=14, unique=True),
-    direction=st.sampled_from(["out", "both"]),
+    direction=st.sampled_from(["out", "in"]),
     mode=st.sampled_from(["all", "single"]),
     max_hops=st.integers(1, 3),
 )
@@ -146,8 +146,11 @@ def test_bfs_min_paths_equals_enumerate_prune(spark, edges, direction,
     """The BFS shortestPath routing must agree with the enumerate-then-
     prune reference plan on arbitrary small graphs: same (start, end,
     hops) multiset, and in `all` mode the same path multiset. This pins
-    the routed fast path to the fallback's semantics — root cycles,
-    direction-normalized edge uniqueness, BOTH-direction walks included."""
+    the routed fast path to the fallback's semantics — root cycles and
+    self-loops included. out/in only: BOTH-direction root cycles violate
+    the minimal-prefix invariant (a hypothesis run found the triangle
+    counterexample), so bfs_min_paths refuses "both" and the executor
+    keeps the enumerate fallback there — asserted below."""
     from collections import Counter
 
     from pyspark.sql import functions as F
@@ -193,3 +196,22 @@ def test_bfs_min_paths_equals_enumerate_prune(spark, edges, direction,
         got_set = {(r.start_vid, r.end_vid, r.hops) for r in got}
         assert got_set == set(want_pairs)
         assert len(got) == len(got_set)
+
+
+def test_bfs_min_paths_refuses_both_direction(spark):
+    """The triangle counterexample: in BOTH direction the 3-cycle's
+    minimal prefix v0→v1→v2 is level-pruned (v2 reached directly) and the
+    direct path can't close over the same underlying edge — so (v0, v0, 3)
+    would be silently missing. bfs_min_paths must refuse; the MATCH
+    executor routes BOTH-direction shortestPath to the enumerate plan,
+    which still finds the cycle."""
+    import pytest
+
+    from nebula_spark.operators.paths import bfs_min_paths
+
+    e = spark.createDataFrame(
+        [("v0", "v1", 0), ("v0", "v2", 0), ("v1", "v2", 0)],
+        "src string, dst string, rank long")
+    starts = spark.createDataFrame([("v0",)], ["vid"])
+    with pytest.raises(ValueError, match="out/in only"):
+        bfs_min_paths(e, starts, max_hops=3, direction="both")
