@@ -125,6 +125,8 @@ class ExprCompiler:
             return ~self.col(e[1])
         if op == "neg":
             return -self.col(e[1])
+        if op == "eqns":                 # null-safe equality (CASE arms)
+            return self.col(e[1]).eqNullSafe(self.col(e[2]))
         if op in ("==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%"):
             a, b = self.col(e[1]), self.col(e[2])
             return {"==": a == b, "!=": a != b, "<": a < b, "<=": a <= b,
@@ -1132,16 +1134,27 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                 return F.col(args[0])[args[1]]
             return F.col(f"{args[0]}__{args[1]}")
         if kind in ("name", "input_prop"):
-            if args[0] in bound:
-                return F.col(f"{args[0]}__vid")
+            a = args[0]
+            if a in bound:
+                if columns is None or f"{a}__vid" in columns:
+                    return F.col(f"{a}__vid")
+                if columns is not None and f"{a}__src" in columns:
+                    # bare EDGE alias as a value (`CASE r WHEN null`,
+                    # ShortReads.feature:7): the edge's identity struct,
+                    # NULL — not a struct of nulls — when an OPTIONAL
+                    # MATCH left it unmatched
+                    ident = F.struct(F.col(f"{a}__src").alias("s"),
+                                     F.col(f"{a}__dst").alias("d"),
+                                     F.col(f"{a}__rank").alias("r"))
+                    return F.when(F.col(f"{a}__src").isNotNull(), ident)
             # bare path alias as a value (`p IS NULL` after OPTIONAL
             # MATCH p = …, LDBC IC10 shape): the hop-list column, NULL
             # when the optional pattern did not match
-            if args[0] in paths and columns is not None \
-                    and args[0] not in columns \
-                    and f"{args[0]}__path" in columns:
-                return F.col(f"{args[0]}__path")
-            return F.col(args[0])
+            if a in paths and columns is not None \
+                    and a not in columns \
+                    and f"{a}__path" in columns:
+                return F.col(f"{a}__path")
+            return F.col(a)
         raise ValueError(f"unresolvable {kind} {args}")
     return resolve
 

@@ -1388,7 +1388,12 @@ class Parser:
             self.eat_kw("when")
             cond = self.expr()
             if subject is not None:
-                cond = ("==", subject, cond)
+                # null-SAFE equality: the reference's CaseExpression
+                # matches arms with Value::operator== where two nulls
+                # compare equal (ShortReads.feature:7 `CASE r WHEN null
+                # THEN false` relies on it); plain == would null-propagate
+                # and never match the null arm
+                cond = ("eqns", subject, cond)
             self.eat_kw("then")
             whens.append((cond, self.expr()))
         default = None

@@ -1545,3 +1545,25 @@ def test_ldbc_with_order_by_limit_midchain(nba_space):
     assert rows(df, "teamName", "distinctPlayers") == [
         ('Lakers', 8), ('Mavericks', 9), ('Spurs', 17),
     ]
+
+
+def test_ldbc_sr7_case_null_on_optional_edge(nba_space):
+    """SR7 shape (ShortReads.feature:110): `CASE r WHEN null THEN false
+    ELSE true END` over an OPTIONAL MATCH edge alias — the generic CASE
+    matches arms with null-SAFE equality (reference CaseExpression uses
+    Value::operator== where two nulls compare equal), and a bare edge
+    alias evaluates to NULL when the optional pattern missed."""
+    df = execute(nba_space, '''
+        MATCH (m:player {name: "Tim Duncan"})<-[:like]-(c:player)
+        OPTIONAL MATCH (c)-[r:serve]->(t:team {name: "Spurs"})
+        RETURN DISTINCT c.player.name AS fan,
+               CASE r WHEN null THEN false ELSE true END AS servesSpurs
+        ORDER BY fan
+    ''')
+    assert rows(df, "fan", "servesSpurs") == [
+        ('Aron Baynes', True), ('Boris Diaw', True), ('Danny Green', True),
+        ('Dejounte Murray', True), ('LaMarcus Aldridge', True),
+        ('Manu Ginobili', True), ('Marco Belinelli', True),
+        ("Shaquille O'Neal", False), ('Tiago Splitter', True),
+        ('Tony Parker', True),
+    ]
