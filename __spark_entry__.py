@@ -755,15 +755,18 @@ def _shingle_sql(k: int = 3) -> str:
 
 
 def q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Text analysis: token counts, quality score, fingerprint."""
+    """Text analysis: token counts, quality score, language ID,
+    fingerprint (lang_pred's stopword-vote CASE absorbed the retired
+    lang_id slot in r4 — same generated oracle expression)."""
     from nebula_spark.pipeline.text import (
-        fingerprint, quality_score, token_count)
+        fingerprint, language_id, quality_score, token_count)
     docs = load_tables(spark, sf, ("documents",))["documents"]
     t = F.col("text")
     return docs.select(
         "doc_id", F.length(t).alias("n_chars_calc"),
         token_count(t).alias("n_tokens"),
         quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp64"))
 
 
@@ -1083,6 +1086,80 @@ _COS_SQL = ("ROUND(list_cosine_similarity("
             "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)")
 
 
+def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-word fraction, top-bigram
+    coverage, duplicate-trigram fraction (pipeline/curate.py)."""
+    from nebula_spark.pipeline.curate import repetition_stats
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    return repetition_stats(docs).select(
+        "doc_id", "n_words", "dup_word_frac", "top_bigram_frac",
+        "dup_trigram_frac")
+
+
+def q_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Curation chain: stratified per-(lang,source) sample → deterministic
+    md5 train/val/test assignment → reproducible global shuffle key."""
+    from nebula_spark.pipeline.curate import (
+        global_shuffle, split_assign, stratified_sample)
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    sampled = stratified_sample(docs, ["lang", "source"], 25, seed=7)
+    out = global_shuffle(split_assign(sampled, seed=42), seed=42)
+    return out.select("doc_id", "split", "shuffle_key")
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over documents with deterministically injected synthetic
+    PII (the corpus itself is PII-free word soup, so the query plants one
+    email/url/ip/phone per row — both engines perform the identical
+    injection, the oracle checks the regex semantics on real text)."""
+    from nebula_spark.pipeline.curate import pii_counts, pii_scrub
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    did = F.col("doc_id").cast("string")
+    planted = docs.select("doc_id", F.concat_ws(
+        " ", F.col("text"),
+        F.concat(F.lit("user"), did, F.lit("@example.com")),
+        F.concat(F.lit("http://ex.org/d/"), did),
+        F.concat(F.lit("10.0."), (F.col("doc_id") % 100).cast("string"),
+                 F.lit("."), (F.col("doc_id") % 50).cast("string")),
+        F.concat(F.lit("555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+    ).alias("text"))
+    counts = pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id", *[c.alias(k) for k, c in counts.items()],
+        pii_scrub(F.col("text")).alias("scrubbed"))
+
+
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count + global clustering over the co-order part graph
+    (parts linked when they appear in the same order) — degree-oriented
+    compact-forward counting (operators/algo.py)."""
+    from nebula_spark.operators.algo import triangle_count
+    li = load_tables(spark, sf, ("lineitem",))["lineitem"]
+    pairs = (li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst")))
+    return triangle_count(pairs)
+
+
+def q_k_core(spark: SparkSession, sf: str) -> DataFrame:
+    """3-round k-core peel (k=40) of the co-order part graph: surviving
+    vertices with their in-core degree (operators/algo.py). Fixed round
+    count = deterministic, SQL-unrollable semantics."""
+    from nebula_spark.operators.algo import k_core
+    li = load_tables(spark, sf, ("lineitem",))["lineitem"]
+    pairs = (li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst")))
+    return k_core(pairs, k=40, rounds=3)
+
+
 # Exactly 50 entries — the driver's correctness harness runs the first 50
 # dict keys, so every operator family must land inside the cap. r1's 14
 # uncovered queries (the whole LLM-pipeline family + pagerank/shortest-path/
@@ -1103,7 +1180,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # make room for the dedup-cluster assignment stage
     "dedup_clusters": q_dedup_clusters,
     "exact_dedup": q_exact_dedup,
-    "minhash": q_minhash,
+    # minhash rotated out in r4 (its signature array is the direct input
+    # of minhash_lsh_pairs' green row and stays property-tested) to make
+    # room for the curation family
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1129,8 +1208,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lookup": q_lookup,
     "sample_hash": q_sample_hash,
     "scalar_funcs": q_scalar_funcs,
-    "json_extract": q_json_extract,
-    "window_funcs": q_window_funcs,
+    # json_extract (⊂ scalar family, dedicated pytest) and window_funcs
+    # (window family keeps event_windows' oracle row) rotated out in r4
     "event_windows": q_event_windows,
     "paths_query": q_paths_query,
     "subgraph": q_subgraph,
@@ -1150,8 +1229,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "short_orders": q_short_orders,
     "bfs_targets": q_bfs_targets,
     "doc_stats": q_doc_stats,
-    "lang_id": q_lang_id,
+    # lang_id rotated out in r4: its generated stopword-vote CASE now rides
+    # inside doc_stats' row as lang_pred — same oracle expression, one slot
     "ngql_dml": q_ngql_dml,
+    # -- r4 additions: curation family + graph analytics -------------------
+    "doc_repetition": q_doc_repetition,
+    "train_split": q_train_split,
+    "pii_scrub": q_pii_scrub,
+    "triangle_count": q_triangle_count,
 }
 
 
@@ -1534,24 +1619,7 @@ ORACLES: dict[str, str] = {
         SELECT root AS src, vid AS dst, CAST(MIN(dist) AS INTEGER) AS dist
         FROM bfs WHERE dist > 0 AND vid LIKE 'r:%' GROUP BY root, vid
     """,
-    "doc_stats": f"""
-        SELECT doc_id, LENGTH(text) AS n_chars_calc,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-               ROUND(
-                 0.4 * (CASE WHEN LENGTH(text) BETWEEN 100 AND 20000 THEN 1.0
-                        WHEN LENGTH(text) < 100 THEN LENGTH(text) / 100.0
-                        ELSE 20000.0 / LENGTH(text) END)
-               + 0.3 * (LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                        / GREATEST(LENGTH(text), 1))
-               + 0.15 * (CASE WHEN LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                         / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)
-                         <= 0.3 THEN 1.0 ELSE 0.5 END)
-               + 0.15 * (CASE WHEN LENGTH(text)
-                         / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)
-                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END), 6) AS quality,
-               {_MD5_64_SQL.format(x=_NORM_SQL)} AS fp64
-        FROM documents
-    """,
+    "doc_stats": None,  # filled below (static stats + generated lang vote)
     "lang_id": None,  # filled below (generated from the stopword inventory)
     "ngql_dml": """
         SELECT COUNT(*) AS n,
@@ -1679,9 +1747,10 @@ def _dedup_clusters_oracle() -> str:
 ORACLES["dedup_clusters"] = _dedup_clusters_oracle()
 
 
-def _lang_id_oracle() -> str:
+def _lang_vote_sql() -> tuple[str, str]:
     """Replicates pipeline.text.language_id verbatim: stopword-vote with
-    dict-order tie-break (en > de > fr > es), 'und' when no hits."""
+    dict-order tie-break (en > de > fr > es), 'und' when no hits.
+    Returns (per-language hit column exprs, the CASE over those columns)."""
     from nebula_spark.pipeline.text import _LANG_STOPWORDS
     hits = ", ".join(
         "len(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'), "
@@ -1691,16 +1760,51 @@ def _lang_id_oracle() -> str:
     case = " ".join(
         f"WHEN {langs[i]} >= GREATEST({', '.join(langs[i + 1:])}) "
         f"THEN '{langs[i]}'" for i in range(len(langs) - 1))
+    case = (f"CASE WHEN GREATEST({', '.join(langs)}) < 1 THEN 'und' "
+            f"{case} ELSE '{langs[-1]}' END")
+    return hits, case
+
+
+def _lang_id_oracle() -> str:
+    hits, case = _lang_vote_sql()
     return f"""
         WITH s AS (SELECT {hits} FROM documents)
         SELECT lang_pred, COUNT(*) AS n FROM (
-          SELECT CASE WHEN GREATEST({', '.join(langs)}) < 1 THEN 'und'
-                 {case} ELSE '{langs[-1]}' END AS lang_pred FROM s)
+          SELECT {case} AS lang_pred FROM s)
         GROUP BY lang_pred ORDER BY lang_pred
     """
 
 
 ORACLES["lang_id"] = _lang_id_oracle()
+
+
+def _doc_stats_oracle() -> str:
+    """The static doc_stats SQL plus the generated lang_pred vote column
+    (same expressions as the retired lang_id row)."""
+    hits, case = _lang_vote_sql()
+    return f"""
+        WITH s AS (SELECT doc_id, text, {hits} FROM documents)
+        SELECT doc_id, LENGTH(text) AS n_chars_calc,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               ROUND(
+                 0.4 * (CASE WHEN LENGTH(text) BETWEEN 100 AND 20000 THEN 1.0
+                        WHEN LENGTH(text) < 100 THEN LENGTH(text) / 100.0
+                        ELSE 20000.0 / LENGTH(text) END)
+               + 0.3 * (LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / GREATEST(LENGTH(text), 1))
+               + 0.15 * (CASE WHEN LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+                         <= 0.3 THEN 1.0 ELSE 0.5 END)
+               + 0.15 * (CASE WHEN LENGTH(text)
+                         / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END), 6) AS quality,
+               {case} AS lang_pred,
+               {_MD5_64_SQL.format(x=_NORM_SQL)} AS fp64
+        FROM s
+    """
+
+
+ORACLES["doc_stats"] = _doc_stats_oracle()
 
 
 def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64,
@@ -1739,6 +1843,101 @@ def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64,
 
 
 ORACLES["ann_lsh"] = _ann_lsh_oracle()
+
+# -- r4 curation + graph-analytics oracles ----------------------------------
+
+ORACLES["doc_repetition"] = """
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\\s+') AS W
+               FROM documents),
+    g AS (SELECT doc_id, W, len(W) AS nw,
+                 list_transform(range(1, len(W)),
+                                i -> W[i] || ' ' || W[i + 1]) AS B,
+                 list_transform(range(1, len(W) - 1),
+                                i -> W[i] || ' ' || W[i + 1] || ' '
+                                     || W[i + 2]) AS T
+          FROM w)
+    SELECT doc_id, nw AS n_words,
+           ROUND(1.0 - len(list_distinct(W)) / nw, 6) AS dup_word_frac,
+           CASE WHEN len(B) > 0 THEN
+             ROUND(list_max(list_transform(list_distinct(B),
+                     g2 -> len(list_filter(B, x -> x = g2)))) / len(B), 6)
+           ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN len(T) > 0 THEN
+             ROUND((len(T) - len(list_distinct(T))) / len(T), 6)
+           ELSE 0.0 END AS dup_trigram_frac
+    FROM g
+"""
+
+ORACLES["train_split"] = """
+    WITH s AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents),
+    k AS (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                 1, 8))::BIGINT % 1000 AS b
+          FROM s WHERE rk <= 25)
+    SELECT doc_id,
+           CASE WHEN b < 900 THEN 'train'
+                WHEN b < 950 THEN 'val' ELSE 'test' END AS split,
+           ('0x' || substr(md5('shuf:42:' || CAST(doc_id AS VARCHAR)),
+                           1, 15))::BIGINT AS shuffle_key
+    FROM k
+"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b\\d{3}[-.]\\d{3,4}\\b"
+_PII_IPV4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+_PII_URL = "https?://[^\\s]+"
+
+ORACLES["pii_scrub"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || ' http://ex.org/d/' || CAST(doc_id AS VARCHAR)
+                  || ' 10.0.' || CAST(doc_id % 100 AS VARCHAR) || '.'
+                  || CAST(doc_id % 50 AS VARCHAR)
+                  || ' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             AS text
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+           len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+           len(regexp_extract_all(text, '{_PII_URL}')) AS n_url,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_URL}', '<URL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+    FROM t
+"""
+
+# oriented u<v<w form — total is orientation-invariant, so it matches the
+# operator's degree-oriented count exactly
+ORACLES["triangle_count"] = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT vid, COUNT(*) AS d FROM (
+        SELECT u AS vid FROM pairs
+        UNION ALL SELECT v AS vid FROM pairs) GROUP BY vid),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM pairs e1 JOIN pairs e2 ON e2.u = e1.v
+           JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+           (SELECT COUNT(*) FROM pairs) AS n_edges,
+           (SELECT t FROM tri) AS n_triangles,
+           ROUND(3.0 * (SELECT t FROM tri)
+                 / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+           AS global_clustering
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -67,3 +67,106 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         e.unpersist()
         nodes.unpersist()
         ew.unpersist()
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count + clustering summary over an undirected view
+    of (src, dst) pairs.
+
+    Beyond-reference (the reference has no triangle/clustering operator;
+    its algo executors are paths/subgraph only — ``src/graph/executor/
+    algo/``). Returns ONE row: n_vertices, n_edges (undirected, distinct),
+    n_triangles, global_clustering (3·triangles / open wedges).
+
+    Scale design: the classic compact-forward algorithm. Edges are
+    canonicalized u<v and then ORIENTED from the lower-(degree, id)
+    endpoint to the higher — every triangle is counted exactly once at
+    its minimum vertex, and the wedge join fans out from the LOW-degree
+    side, so a hub of degree d generates O(d·avg_deg) wedge candidates
+    instead of O(d²) (the standard mitigation that makes triangle
+    counting survive power-law graphs at 100 TB). Two shuffles: the
+    wedge self-join and the closing semi-join; both equi-joins AQE can
+    re-plan. The total is orientation-invariant, so the DuckDB oracle
+    can use the simpler u<v<w form and still match exactly.
+    """
+    und = (edges.select(F.least(SRC, DST).alias("u"),
+                        F.greatest(SRC, DST).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct().persist())
+    deg = (und.select(F.col("u").alias("vid"))
+           .unionAll(und.select(F.col("v").alias("vid")))
+           .groupBy("vid").agg(F.count(F.lit(1)).alias("deg")).persist())
+    try:
+        # orient by (deg, vid) total order: low endpoint -> high endpoint
+        du = deg.select(F.col("vid").alias("u"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("vid").alias("v"), F.col("deg").alias("dv"))
+        lower = ((F.col("du") < F.col("dv"))
+                 | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+        o = (und.join(du, "u").join(dv, "v")
+             .select(F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
+                     F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"))
+             .persist())
+        wedges = (o.alias("e1")
+                  .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+                  .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                          F.col("e2.b").alias("z")))
+        # close the wedge: (x,z) must be an oriented edge too
+        closed = wedges.join(
+            o, (F.col("x") == F.col("a")) & (F.col("z") == F.col("b")),
+            "left_semi")
+        tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        summary = (deg.agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long")
+            .alias("n_wedges"))
+            .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+            .crossJoin(tri)
+            .select("n_vertices", "n_edges", "n_triangles",
+                    F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+                    .alias("global_clustering")))
+        return summary.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+        deg.unpersist()
+
+
+def k_core(edges: DataFrame, k: int, rounds: int | None = None) -> DataFrame:
+    """k-core peeling over the undirected view of (src, dst): repeatedly
+    drop vertices with degree < k until fixpoint (or ``rounds`` peels).
+
+    Beyond-reference (no core-decomposition operator exists in the
+    reference). Returns (vid, deg) for the surviving vertices with their
+    degree inside the core.
+
+    Scale design: each peel is one degree aggregation (map-side combined)
+    plus two semi-joins of the edge table against the (shrinking) keep
+    set — broadcastable as soon as the survivor set is small. State is
+    the edge subset only; localCheckpoint per peel keeps lineage flat.
+    Fixed ``rounds`` gives deterministic, SQL-unrollable semantics (the
+    oracle's form); ``rounds=None`` peels to fixpoint with an early-exit
+    count probe, O(peel-depth) supersteps.
+    """
+    und = (edges.select(F.least(SRC, DST).alias("u"),
+                        F.greatest(SRC, DST).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    # symmetric adjacency: one degree count per endpoint role
+    e = (und.unionAll(und.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+         .localCheckpoint(eager=True))
+    i = 0
+    while rounds is None or i < rounds:
+        i += 1
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        e2 = (e.join(keep, "u", "left_semi")
+              .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+              .select("u", "v").localCheckpoint(eager=True))
+        if rounds is None:
+            before, after = e.count(), e2.count()
+            e = e2
+            if after == before or after == 0:
+                break
+        else:
+            e = e2
+    return (e.groupBy(F.col("u").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k))

@@ -1,0 +1,197 @@
+"""Dataset-curation operators for training-data pipelines: repetition
+metrics, deterministic train/val/test splits, stratified sampling,
+reproducible global shuffle, and PII scrubbing.
+
+These extend the reference's surface (which has no corpus-curation ops —
+its pipeline ends at graph queries) toward the north-star "LLM training
+data pipeline" role. Everything here is pure Column expressions — JVM-side,
+whole-stage codegen, zero shuffles except where a shuffle IS the operator
+(global_shuffle) — and every formula is written to be replicable verbatim
+in ANSI/DuckDB SQL so the driver's oracle can check exact values.
+
+Scale notes (100 TB):
+- per-document metrics are embarrassingly parallel: no shuffle, no UDF.
+- split/sample/shuffle keys are md5-derived from the row id, so they are
+  deterministic, reproducible across runs/engines, and independent of
+  partitioning — the properties a training-data snapshot needs.
+- ``global_shuffle`` is a range-repartition on the md5 key: the total
+  order comes from range exchange + local sort, never a single-task
+  global window.
+- ``stratified_sample`` is one window per stratum (shuffle on the strata
+  key); rank keys are md5(id), so re-runs pick identical rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "repetition_stats", "split_assign", "stratified_sample",
+    "shuffle_key", "global_shuffle", "pii_scrub", "pii_counts",
+]
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (portable: DuckDB
+    ``list_transform(range(1, len(W) - n + 2), i -> ...)``)."""
+    take = F.size(words) - (n - 1)
+    return F.transform(
+        F.slice(words, 1, F.greatest(take, F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.element_at(words, i + F.lit(j + 1))
+                      for j in range(1, n)]))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics per document.
+
+    Adds:
+    - ``n_words`` — whitespace token count
+    - ``dup_word_frac`` — 1 − distinct/total words (word-level repetition)
+    - ``top_bigram_frac`` — occurrences of the most frequent bigram over
+      total bigrams (the "top n-gram coverage" rule)
+    - ``dup_trigram_frac`` — fraction of trigram occurrences that are
+      repeats of an earlier trigram
+
+    Documents dominated by repeated fragments (boilerplate, listings,
+    crawler loops) score high and get filtered before dedup/training.
+    The distinct-vs-total counting is O(distinct · n) per row via array
+    higher-order functions — fine for document-sized inputs and identical
+    in DuckDB's list lambdas, which is what makes the oracle exact.
+    """
+    t = F.col(text_col)
+    w = _words(t)
+    nw = F.size(w)
+    bi = _ngrams(w, 2)
+    tri = _ngrams(w, 3)
+    top_bi = F.array_max(F.transform(
+        F.array_distinct(bi),
+        lambda g: F.size(F.filter(bi, lambda x: x == g))))
+    return df.withColumns({
+        "n_words": nw,
+        "dup_word_frac": F.round(
+            1.0 - F.size(F.array_distinct(w)) / nw, 6),
+        "top_bigram_frac": F.when(
+            F.size(bi) > 0, F.round(top_bi / F.size(bi), 6)).otherwise(0.0),
+        "dup_trigram_frac": F.when(
+            F.size(tri) > 0,
+            F.round((F.size(tri) - F.size(F.array_distinct(tri)))
+                    / F.size(tri), 6)).otherwise(0.0),
+    })
+
+
+def _md5_bucket(key: Column, buckets: int) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex chars."""
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+            .cast("long") % buckets)
+
+
+def split_assign(df: DataFrame, id_col: str = "doc_id", seed: int = 42,
+                 weights: Sequence[float] = (0.9, 0.05, 0.05),
+                 names: Sequence[str] = ("train", "val", "test"),
+                 col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    The bucket is md5-derived from ``(id, seed)`` — stable across runs,
+    engines, partitionings, and appends (a new row never moves an old row
+    between splits, unlike fraction-based randomSplit).
+    """
+    if len(weights) != len(names) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must match names and sum to 1")
+    bucket = _md5_bucket(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))),
+        1000)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    arms = []
+    for name, wt in zip(names[:-1], weights[:-1]):
+        acc += wt
+        arms.append((int(round(acc * 1000)), name))
+    for cut, name in reversed(arms):
+        expr = F.when(bucket < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn(col, expr)
+
+
+def stratified_sample(df: DataFrame, strata: Sequence[str],
+                      n_per_stratum: int, id_col: str = "doc_id",
+                      seed: int = 42) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample.
+
+    Rank within each stratum by md5(seed, id) and keep the first n: a
+    reproducible uniform draw per group (md5 keys are unique given unique
+    ids, so the order — and therefore the sample — is total and stable).
+    One shuffle on the strata key; no global ordering anywhere.
+    """
+    rk = F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata).orderBy(rk, F.col(id_col))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n_per_stratum).drop("_rk"))
+
+
+def shuffle_key(id_col: Column, seed: int = 42) -> Column:
+    """64-bit deterministic shuffle key: md5('shuf:seed:id') → BIGINT.
+
+    Sorting by this key is a reproducible global permutation (the
+    property training-data snapshots need: same seed → same order,
+    any engine)."""
+    return (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit("shuf"), F.lit(str(seed)),
+        id_col.cast("string"))), 1, 15), 16, 10).cast("long"))
+
+
+def global_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Reproducible global shuffle for training-data export.
+
+    Range-repartition on the md5 shuffle key + sort within partitions:
+    the written files are totally ordered by the key without a global
+    window (range exchange samples split points; each task sorts its
+    range locally). At 100 TB this is one shuffle — the one the operator
+    is for — with no single-task stage anywhere.
+    """
+    out = df.withColumn("shuffle_key", shuffle_key(F.col(id_col), seed))
+    parts = [num_partitions] if num_partitions else []
+    return (out.repartitionByRange(*parts, "shuffle_key")
+            .sortWithinPartitions("shuffle_key"))
+
+
+# PII patterns restricted to syntax that Java regex and RE2 (DuckDB)
+# interpret identically: no backrefs, no lookaround, ASCII word boundaries
+_PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{3,4}\b", "<PHONE>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "url": (r"https?://[^\s]+", "<URL>"),
+}
+
+# order matters: emails before phones (an email local-part can contain
+# digit runs), urls before ipv4 (a url can embed a host ip)
+_PII_ORDER = ("email", "url", "ipv4", "phone")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (pre-scrub audit columns)."""
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(
+            text, F.lit(pat), F.lit(0)))
+        for kind, (pat, _) in _PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace emails / urls / ipv4s / phone-shaped digit runs with typed
+    placeholder tokens. A regexp_replace chain — one codegen'd pass per
+    pattern, no Python."""
+    out = text
+    for kind in _PII_ORDER:
+        pat, repl = _PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, repl)
+    return out

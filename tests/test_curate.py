@@ -1,0 +1,172 @@
+"""Curation operators (pipeline/curate.py) + graph analytics
+(algo.triangle_count / k_core): unit tests on hand-built frames where the
+expected values are computed independently in Python."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_spark.operators.algo import k_core, triangle_count
+from nebula_spark.pipeline.curate import (
+    global_shuffle, pii_counts, pii_scrub, repetition_stats, shuffle_key,
+    split_assign, stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e f g h"),                     # all distinct
+        (2, "x x x x x x"),                         # one word repeated
+        (3, "to be or not to be"),                  # repeated bigram "to be"
+        (4, "one two three one two three one two"),  # repeated trigram
+        (5, "solo"),                                # single word: no ngrams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_values(docs):
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_word_frac"] == 0.0
+    assert got[2]["dup_word_frac"] == pytest.approx(1 - 1 / 6)
+    # "x x"×5 bigrams, all identical
+    assert got[2]["top_bigram_frac"] == 1.0
+    # "to be" appears twice among 5 bigrams
+    assert got[3]["top_bigram_frac"] == pytest.approx(2 / 5)
+    # trigrams of doc4: 6 total, "one two three"×2 ,"two three one"×2,
+    # "three one two"×2 → 3 distinct → dup frac 0.5
+    assert got[4]["dup_trigram_frac"] == pytest.approx(0.5)
+    # single-word doc: no bigrams/trigrams → 0.0, not null
+    assert got[5]["top_bigram_frac"] == 0.0
+    assert got[5]["dup_trigram_frac"] == 0.0
+
+
+def _py_bucket(key: str, buckets: int = 1000) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % buckets
+
+
+def test_split_assign_matches_md5_and_is_stable(spark):
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["split"]
+           for r in split_assign(df, "doc_id", seed=42).collect()}
+    for i in (0, 7, 123, 499):
+        b = _py_bucket(f"{i}:42")
+        want = "train" if b < 900 else ("val" if b < 950 else "test")
+        assert got[i] == want
+    # appending rows never moves existing ones
+    df2 = spark.range(1000).withColumnRenamed("id", "doc_id")
+    got2 = {r["doc_id"]: r["split"]
+            for r in split_assign(df2, "doc_id", seed=42).collect()}
+    assert all(got2[k] == v for k, v in got.items())
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        split_assign(df, weights=(0.5, 0.2), names=("a", "b", "c"))
+
+
+def test_stratified_sample_exact_n_and_deterministic(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    s1 = stratified_sample(df, ["grp"], 10, seed=7)
+    s2 = stratified_sample(df, ["grp"], 10, seed=7)
+    counts = {r["grp"]: r["n"] for r in
+              s1.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 10, "g1": 10, "g2": 10}
+    assert sorted(r["doc_id"] for r in s1.collect()) == \
+        sorted(r["doc_id"] for r in s2.collect())
+    # a different seed draws a different sample
+    s3 = stratified_sample(df, ["grp"], 10, seed=8)
+    assert sorted(r["doc_id"] for r in s3.collect()) != \
+        sorted(r["doc_id"] for r in s1.collect())
+
+
+def test_global_shuffle_is_total_deterministic_permutation(spark):
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = global_shuffle(df, "doc_id", seed=3, num_partitions=4)
+    rows = out.collect()  # collect preserves partition order: 0,1,2,3
+    keys = [r["shuffle_key"] for r in rows]
+    assert sorted(r["doc_id"] for r in rows) == list(range(200))
+    # range-partitioned + sorted within → globally sorted by key
+    assert keys == sorted(keys)
+    want = int(hashlib.md5(b"shuf:3:17").hexdigest()[:15], 16)
+    got17 = {r["doc_id"]: r["shuffle_key"] for r in rows}[17]
+    assert got17 == want
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org now"),
+         (2, "call 555-1234 or visit https://ex.org/a?b=1 ok"),
+         (3, "host 10.0.3.42 up"),
+         (4, "clean text no pii at all")],
+        "doc_id long, text string")
+    out = df.select(
+        "doc_id", pii_scrub(F.col("text")).alias("s"),
+        *[c.alias(k) for k, c in pii_counts(F.col("text")).items()])
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["s"] == "mail <EMAIL> now"
+    assert got[1]["n_email"] == 1
+    assert got[2]["s"] == "call <PHONE> or visit <URL> ok"
+    assert got[2]["n_phone"] == 1 and got[2]["n_url"] == 1
+    assert got[3]["s"] == "host <IP> up"
+    assert got[3]["n_ipv4"] == 1
+    assert got[4]["s"] == "clean text no pii at all"
+    assert all(got[4][k] == 0 for k in
+               ("n_email", "n_phone", "n_ipv4", "n_url"))
+
+
+# -- graph analytics --------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "src long, dst long")
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1..4} (4 triangles) + pendant 5 + disconnected edge 6-7
+    pairs = list(itertools.combinations([1, 2, 3, 4], 2)) + \
+        [(4, 5), (6, 7)]
+    got = triangle_count(_edges(spark, pairs)).collect()[0]
+    assert got["n_vertices"] == 7
+    assert got["n_edges"] == 8
+    assert got["n_triangles"] == 4
+    # wedges: deg 3,3,3,4,1,1,1 → 3+3+3+6 = 15 → C = 12/15
+    assert got["global_clustering"] == pytest.approx(0.8)
+
+
+def test_triangle_count_direction_and_dup_insensitive(spark):
+    # same triangle given twice, reversed, with a self-loop
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 3)]
+    got = triangle_count(_edges(spark, pairs)).collect()[0]
+    assert got["n_triangles"] == 1 and got["n_edges"] == 3
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    # K4 core + a chain hanging off it: chain peels away, K4 survives k=3
+    pairs = list(itertools.combinations([1, 2, 3, 4], 2)) + \
+        [(4, 5), (5, 6), (6, 7)]
+    got = k_core(_edges(spark, pairs), k=3).collect()
+    assert sorted(r["vid"] for r in got) == [1, 2, 3, 4]
+    assert all(r["deg"] == 3 for r in got)
+
+
+def test_k_core_fixed_rounds_partial_peel(spark):
+    # chain 1-2-3-4-5 with k=2: endpoints peel one per round from each end
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    r1 = k_core(_edges(spark, pairs), k=2, rounds=1).collect()
+    # after one peel (drop 1,5) the final deg>=k filter drops 2,4 too
+    assert sorted(r["vid"] for r in r1) == [3]
+    r_fix = k_core(_edges(spark, pairs), k=2).collect()
+    assert r_fix == []
+
+
+def test_shuffle_key_column_usable_standalone(spark):
+    df = spark.range(5).select(
+        shuffle_key(F.col("id"), seed=1).alias("k"))
+    assert df.distinct().count() == 5
