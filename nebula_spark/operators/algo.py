@@ -95,6 +95,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     deg = (und.select(F.col("u").alias("vid"))
            .unionAll(und.select(F.col("v").alias("vid")))
            .groupBy("vid").agg(F.count(F.lit(1)).alias("deg")).persist())
+    o = None
     try:
         # orient by (deg, vid) total order: low endpoint -> high endpoint
         du = deg.select(F.col("vid").alias("u"), F.col("deg").alias("du"))
@@ -127,6 +128,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     finally:
         und.unpersist()
         deg.unpersist()
+        if o is not None:
+            o.unpersist()
 
 
 def k_core(edges: DataFrame, k: int, rounds: int | None = None) -> DataFrame:

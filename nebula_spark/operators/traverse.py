@@ -36,13 +36,20 @@ from nebula_spark.catalog import DST, RANK, SRC, VID
 BROADCAST_FRONTIER_ROWS = 2_000_000
 
 
-def oriented(edges: DataFrame, direction: str = "out") -> DataFrame:
+def oriented(edges: DataFrame, direction: str = "out",
+             self_loop_once: bool = False) -> DataFrame:
     """Orient an edge table so ``src`` is always the traversal origin.
 
     Reference encodes reverse traversal as negative edge types
     (``src/common/datatypes/Edge.h:16-23``); we swap columns instead and tag
     the original direction in ``_dir`` (1=out, -1=in) so BOTH-direction
     results keep edge identity.
+
+    ``self_loop_once``: in BOTH mode a self-loop's out and in orientations
+    normalize to the same edge identity (``Edge.cpp keyEqual``), and MATCH
+    expansion yields it once (SelfReflectiveEdges.feature) — drop the
+    reversed copy. GO BIDIRECT keeps both rows (per-direction adjacency
+    entries), so it stays opt-in.
     """
     props = [c for c in edges.columns if c not in (SRC, DST, RANK)]
     out = edges.select(SRC, DST, RANK, *props, F.lit(1).alias("_dir"))
@@ -53,6 +60,8 @@ def oriented(edges: DataFrame, direction: str = "out") -> DataFrame:
     if direction == "in":
         return rev
     if direction == "both":
+        if self_loop_once:
+            rev = rev.filter(F.col(SRC) != F.col(DST))
         return out.unionByName(rev)
     raise ValueError(f"direction must be out|in|both, got {direction!r}")
 
@@ -210,7 +219,8 @@ def _edge_id_reversed(prefix: str = "") -> Column:
 
 def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
              max_hops: int = 1, direction: str = "out",
-             edge_filter: Column | None = None) -> DataFrame:
+             edge_filter: Column | None = None,
+             self_loop_once: bool = False) -> DataFrame:
     """MATCH variable-length expansion with per-path edge uniqueness.
 
     Reference: TraverseExecutor.cpp:25-676 — expand ``[m..n]`` hops building
@@ -225,7 +235,7 @@ def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
     from pyspark.sql.types import (ArrayType, IntegerType, StringType,
                                    StructField, StructType)
 
-    e = oriented(edges, direction)
+    e = oriented(edges, direction, self_loop_once=self_loop_once)
     if edge_filter is not None:
         e = e.filter(edge_filter)
     if "_etype" not in e.columns:        # single-type edge tables

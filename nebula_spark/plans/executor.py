@@ -319,9 +319,17 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
              track_origin=runtime_input)
     input_refs: list = []
     for y in st.yields:
-        _walk(y.expr, {"input_prop"}, input_refs)
+        _walk(y.expr, {"input_prop", "var_prop"}, input_refs)
     if st.where:
-        _walk(st.where, {"input_prop"}, input_refs)
+        _walk(st.where, {"input_prop", "var_prop"}, input_refs)
+    # $var.prop in WHERE/YIELD is legal only for the FROM variable
+    # (PipeAndVariable.feature "A variable must be referred in FROM
+    # before used in WHERE or YIELD")
+    for kind, *a in input_refs:
+        if kind == "var_prop" and st.sources != f"${a[0]}":
+            raise ValueError(
+                "A variable must be referred in FROM before used in "
+                "WHERE or YIELD")
     if runtime_input and input_refs:
         src_df = piped if st.sources == "$-" else (env or {})[st.sources]
         src_col = st.src_col or src_df.columns[0]
@@ -383,6 +391,8 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
             return F.col(n)
         if kind == "input_prop":
             return F.col(args[0])
+        if kind == "var_prop":       # $var.prop — the joined FROM-var row
+            return F.col(args[1])
         raise ValueError(f"unresolvable {kind} {args}")
 
     ec = ExprCompiler(resolve)
@@ -398,14 +408,16 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
 
 
 def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
-                         piped: DataFrame | None) -> DataFrame:
+                         piped: DataFrame | None,
+                         env: dict[str, DataFrame] | None = None
+                         ) -> DataFrame:
     """FETCH PROP ON tag[, tag…] | * <vids> (GetVerticesExecutor.cpp:1-72,
     GetPropProcessor.cpp): one left join per listed tag; a vid survives if
     at least one listed tag has it, other tags' props read NULL (EMPTY
     cells, FetchVertices.strVid.feature "multiple tags"); duplicate input
     vids keep their multiplicity (unlike GO's deduped FROM)."""
     tag_names = list(space.tags) if st.tags == ["*"] else st.tags
-    vids = _vid_frame(space, st.vids, piped, st.src_col)
+    vids = _vid_frame(space, st.vids, piped, st.src_col, env)
     out = vids
     tag_props: dict[str, list[str]] = {}
     for tg in tag_names:
@@ -443,6 +455,14 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
         if kind == "graph_fn" and args[1] == "vertex":
             if args[0] == "id":
                 return F.col(VID)
+            if args[0] in ("properties", "props"):
+                # properties(Vertex) — the prop map without the vid
+                # (PipeAndVariable.feature "FETCH PROP … YIELD
+                # properties(Vertex)"); multi-tag: props of every listed
+                # tag flattened in tag order
+                return F.struct(*[
+                    F.col(f"{tg}__{p}").alias(p)
+                    for tg in tag_names for p in tag_props[tg]])
             raise ValueError(f"unresolvable {kind}")
         if kind == "name":
             if args[0] == "vertex":  # YIELD vertex [AS alias]
@@ -758,7 +778,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             edges = edges.filter(F.col(k) == v)
         if me.min_hops == 1 and me.max_hops == 1:
             from nebula_spark.operators.traverse import oriented
-            e = oriented(edges, me.direction)
+            e = oriented(edges, me.direction, self_loop_once=True)
             eprops = [c for c in e.columns if c not in (SRC, DST, RANK)]
             e = e.select(F.col(SRC).alias(f"{ea}__src"),
                          F.col(DST).alias(f"{ea}__dst"),
@@ -798,7 +818,8 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 shortest_done = True
             else:
                 tr = traverse(edges.select(SRC, DST, RANK, "_etype"),
-                              seeds, me.min_hops, me.max_hops, me.direction)
+                              seeds, me.min_hops, me.max_hops, me.direction,
+                              self_loop_once=True)
             tr = tr.select(F.col("start_vid").alias(f"{prev_alias}__vid"),
                            F.col("end_vid").alias(f"{ea}__dst"),
                            F.col("hops").alias(f"{ea}__hops"),
@@ -1147,11 +1168,12 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                                      F.col(f"{a}__dst").alias("d"),
                                      F.col(f"{a}__rank").alias("r"))
                     return F.when(F.col(f"{a}__src").isNotNull(), ident)
-            # bare path alias as a value (`p IS NULL` after OPTIONAL
-            # MATCH p = …, LDBC IC10 shape): the hop-list column, NULL
-            # when the optional pattern did not match
-            if a in paths and columns is not None \
-                    and a not in columns \
+            # bare path alias (`p IS NULL` after OPTIONAL MATCH p = …,
+            # LDBC IC10 shape) OR bare var-len edge alias (`RETURN e` for
+            # `[e:like*0..1]`, ZeroStep.feature): both evaluate to the
+            # hop-list column — a LIST of edges (empty at zero steps, the
+            # reference's `[]` rows), NULL when an optional pattern missed
+            if columns is not None and a not in columns \
                     and f"{a}__path" in columns:
                 return F.col(f"{a}__path")
             return F.col(a)
@@ -1598,7 +1620,7 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
         if isinstance(st, A.GoStmt):
             df = _exec_go(space, st, df, env)
         elif isinstance(st, A.FetchVerticesStmt):
-            df = _exec_fetch_vertices(space, st, df)
+            df = _exec_fetch_vertices(space, st, df, env)
         elif isinstance(st, A.FetchEdgesStmt):
             df = _exec_fetch_edges(space, st, df, env)
         elif isinstance(st, A.LookupStmt):

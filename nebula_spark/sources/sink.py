@@ -44,3 +44,34 @@ def write_edges(df: DataFrame, path: str, num_partitions: int | None = None,
         else df.repartition(key)
     out.sortWithinPartitions(key, RANK, DST if not by_dst else SRC) \
        .write.mode(mode).parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, id_col: str | None = None,
+                seed: int = 42, num_partitions: int | None = None,
+                mode: str = "overwrite") -> None:
+    """Training-data export: JSON-lines files, optionally globally
+    shuffled by the reproducible md5 key (pipeline.curate.global_shuffle).
+
+    Spark's json writer emits one JSON object per line per part-file —
+    the jsonl corpus format LLM data loaders consume. With ``id_col`` the
+    rows are laid out in deterministic-shuffle order: ranged by the md5
+    key across files, sorted within each file, no global single-task
+    stage anywhere.
+    """
+    out = df
+    if id_col is not None:
+        from nebula_spark.pipeline.curate import global_shuffle
+        out = global_shuffle(df, id_col, seed=seed,
+                             num_partitions=num_partitions)
+    elif num_partitions:
+        out = df.repartition(num_partitions)
+    out.write.mode(mode).json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """Read a jsonl corpus; pass an explicit schema at scale (schema
+    inference scans the data twice)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

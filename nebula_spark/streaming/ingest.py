@@ -97,3 +97,56 @@ def running_user_state(events: DataFrame, ts_col: str = "ts"):
     return (events.groupBy("user_id")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def sliding_event_counts(events: DataFrame, window: str = "1 hour",
+                         slide: str = "15 minutes",
+                         watermark: str | None = "1 hour",
+                         ts_col: str = "ts") -> DataFrame:
+    """Sliding-window count+sum per event_type: each event lands in
+    window/slide overlapping windows.
+
+    Same batch/stream unification as the tumbling variant — on a stream
+    the watermark bounds state to (window/slide) live windows per key;
+    in batch it's a plain groupBy over the exploded window set.
+    """
+    if events.isStreaming and watermark:
+        events = events.withWatermark(ts_col, watermark)
+    return (events
+            .groupBy(F.window(F.col(ts_col), window, slide).alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "event_type",
+                    "n", "sum_value"))
+
+
+def stream_dedup(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
+                 watermark: str = "1 hour",
+                 ts_col: str = "ts") -> DataFrame:
+    """Exact dedup on a stream: keep the first arrival per key.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state for a key is
+    evicted once the watermark passes it, so memory is bounded by keys
+    per watermark horizon (the property that makes exactly-once ingest of
+    an at-least-once source feasible at 100 TB/day). Batch: the same call
+    degenerates to ``dropDuplicates`` over the keys.
+    """
+    cols = list(keys)
+    if events.isStreaming:
+        return (events.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(cols))
+    return events.dropDuplicates(cols)
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  on: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: per micro-batch, join the stream
+    against a (small) batch dimension table.
+
+    The dimension side is broadcast — no stream-side shuffle, no state:
+    each micro-batch is a map-side hash join, the standard pattern for
+    attaching user/document metadata to an event stream at scale.
+    """
+    return events.join(F.broadcast(dim), on, how)

@@ -137,3 +137,93 @@ def test_stateful_stream(spark, tmp_path):
         q.stop()
     got = {r.user_id: (r.n_events, r.total_value) for r in rows}
     assert got[7] == (2, 4.0) and got[8] == (1, 1.0)
+
+
+def test_sliding_windows_batch(spark):
+    """Sliding windows: a 10:20 event lands in windows starting 09:30,
+    10:00 (1h window, 30m slide)."""
+    from nebula_spark.streaming.ingest import sliding_event_counts
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:20:00", "click", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = sliding_event_counts(df, "1 hour", "30 minutes").collect()
+    starts = sorted(str(r.window_start) for r in rows)
+    assert starts == ["2024-01-01 09:30:00", "2024-01-01 10:00:00"]
+    assert all(r.n == 1 for r in rows)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup: duplicate event_ids inside the watermark
+    horizon are dropped; batch mode degenerates to dropDuplicates."""
+    from nebula_spark.streaming.ingest import stream_dedup
+    src_dir = str(tmp_path / "dedup_in")
+    os.makedirs(src_dir)
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "click", 1.0),
+         (1, "2024-01-01 10:00:30", "click", 1.0),   # dup id
+         (2, "2024-01-01 10:01:00", "view", 2.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch.write.parquet(src_dir + "/b0")
+    # batch path
+    assert stream_dedup(batch).count() == 2
+    # stream path
+    stream = (spark.readStream.schema("event_id long, ts timestamp, "
+                                      "event_type string, value double")
+              .parquet(src_dir + "/*"))
+    q = (stream_dedup(stream).writeStream.format("memory")
+         .queryName("dedup_test").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id FROM dedup_test").collect()
+    finally:
+        q.stop()
+    assert sorted(r.event_id for r in got) == [1, 2]
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    """Stream-static broadcast join: events enriched with a dimension."""
+    from nebula_spark.streaming.ingest import enrich_stream
+    src_dir = str(tmp_path / "enrich_in")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [(1, 7, 1.0), (2, 8, 2.0)],
+        "event_id long, user_id long, value double",
+    ).write.parquet(src_dir + "/b0")
+    dim = spark.createDataFrame([(7, "gold"), (8, "trial")],
+                                "user_id long, tier string")
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, value double")
+              .parquet(src_dir + "/*"))
+    q = (enrich_stream(stream, dim, "user_id").writeStream.format("memory")
+         .queryName("enrich_test").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id, tier FROM enrich_test").collect()
+    finally:
+        q.stop()
+    assert {(r.event_id, r.tier) for r in got} == {(1, "gold"), (2, "trial")}
+
+
+def test_write_read_jsonl_shuffled(spark, tmp_path):
+    """JSONL export in reproducible-shuffle order; files are ranged by
+    the md5 shuffle key and re-read losslessly."""
+    from nebula_spark.sources.sink import read_jsonl, write_jsonl
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"))
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out, id_col="doc_id", seed=9, num_partitions=4)
+    back = read_jsonl(spark, out, "doc_id long, shuffle_key long, text string")
+    assert back.count() == 100
+    assert sorted(r.doc_id for r in back.collect()) == list(range(100))
+    # same seed → byte-identical layout on rewrite
+    out2 = str(tmp_path / "corpus2")
+    write_jsonl(df, out2, id_col="doc_id", seed=9, num_partitions=4)
+    a = [r.asDict() for r in read_jsonl(
+        spark, out, "doc_id long, shuffle_key long, text string").collect()]
+    b = [r.asDict() for r in read_jsonl(
+        spark, out2, "doc_id long, shuffle_key long, text string").collect()]
+    assert sorted(a, key=lambda r: r["doc_id"]) == \
+        sorted(b, key=lambda r: r["doc_id"])

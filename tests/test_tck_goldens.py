@@ -1567,3 +1567,212 @@ def test_ldbc_sr7_case_null_on_optional_edge(nba_space):
         ("Shaquille O'Neal", False), ('Tiago Splitter', True),
         ('Tony Parker', True),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Zero-step variable-length patterns — match/ZeroStep.feature,
+# match/ZeroStep2.feature
+# ---------------------------------------------------------------------------
+
+def test_zero_step_node_only(nba_space):
+    """ZeroStep.feature:9 — `-[*0]-` binds the node itself, any
+    direction arrow, either side of the pattern."""
+    for q in ('MATCH (v:player {name: "Tim Duncan"})-[*0]-() '
+              'RETURN id(v) AS id',
+              'MATCH ()-[*0]->(v:player {name: "Tim Duncan"}) '
+              'RETURN id(v) AS id',
+              'MATCH (v:player {name: "Tim Duncan"})<-[*0]-() '
+              'RETURN id(v) AS id'):
+        assert rows(execute(nba_space, q), "id") == [("Tim Duncan",)]
+
+
+def test_zero_step_edge_list_empty(nba_space):
+    """ZeroStep2.feature:14-37 — `[e:like*0]` / `*0..0` yield exactly one
+    row with an empty edge list; chained zero-steps yield ([], [])."""
+    df = execute(nba_space, "MATCH (v:player{name: 'Tim Duncan'})"
+                            "-[e:like*0]-() RETURN e")
+    got = df.collect()
+    assert len(got) == 1 and got[0]["e"] == []
+    df = execute(nba_space, "MATCH (v:player{name: 'Tim Duncan'})"
+                            "-[e:like*0..0]-()-[e2:like*0..0]-() "
+                            "RETURN e, e2")
+    got = df.collect()
+    assert len(got) == 1 and got[0]["e"] == [] and got[0]["e2"] == []
+
+
+def test_zero_step_serve_0_to_1(nba_space):
+    """ZeroStep.feature:52-60 — `[e:serve*0..1]` from Tim Duncan: the
+    serve edge to Spurs plus the zero-step row on Tim himself."""
+    df = execute(nba_space, 'MATCH (:player{name:"Tim Duncan"})'
+                            '-[e:serve*0..1]-(v) RETURN e, id(v) AS vid')
+    got = sorted(((len(r["e"]), r["vid"]) for r in df.collect()))
+    assert got == [(0, "Tim Duncan"), (1, "Spurs")]
+
+
+def test_zero_step_varlen_prop_filter(nba_space):
+    """ZeroStep.feature:66-82 — `[e:like*0..1{likeness: 90}]` into Tim
+    Duncan: only Manu's like plus the empty row."""
+    df = execute(nba_space, 'MATCH (v:player {name:"Tim Duncan"})'
+                            '<-[e:like*0..1{likeness: 90}]-() RETURN e')
+    got = sorted(df.collect(), key=lambda r: len(r["e"]))
+    assert len(got) == 2
+    assert got[0]["e"] == []
+    assert [(s["s"], s["d"]) for s in got[1]["e"]] == \
+        [("Tim Duncan", "Manu Ginobili")]  # reversed traversal of Manu→Tim
+
+
+def test_zero_step_mixed_fixed_and_variable_hops(nba_space):
+    """ZeroStep2.feature:40-47 — like → serve*0..3 → reverse serve,
+    the reference's own count: 40."""
+    df = execute(nba_space, 'MATCH (:player{name: "Tim Duncan"})-[e1:like]->'
+                            '()-[e2:serve*0..3]->()<-[e3:serve]-(v) '
+                            'RETURN count(v) AS c')
+    assert rows(df, "c") == [(40,)]
+
+
+def test_zero_step_no_match_return_star(nba_space):
+    """ZeroStep2.feature:49-60 — var-len from a non-existent start under
+    RETURN *: zero rows, not an error."""
+    df = execute(nba_space, 'MATCH (v:player{name: "abc"}) '
+                            '-[:serve*1..3]-> () RETURN *')
+    assert df.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Query variables — match/PipeAndVariable.feature
+# ---------------------------------------------------------------------------
+
+def test_var_yield_from_variable(nba_space):
+    """PipeAndVariable.feature:26-33 — YIELD $v1.age reads the bound GO
+    result."""
+    df = execute(nba_space, '$v1 = GO FROM "Tony Parker" OVER like '
+                            'YIELD id($$) AS dst, $^.player.age AS age; '
+                            'YIELD $v1.age AS age')
+    assert rows(df, "age") == [(36,), (36,), (36,)]
+
+
+def test_var_chained_and_union(nba_space):
+    """PipeAndVariable.feature:96-105 — a variable defined from another
+    variable; UNION ALL of two variable reads."""
+    df = execute(nba_space, '$v1 = YIELD "Tony Parker" AS a; '
+                            '$v2 = YIELD $v1.a AS a; '
+                            'YIELD $v1.a AS a UNION ALL YIELD $v2.a AS a')
+    assert rows(df, "a") == [("Tony Parker",), ("Tony Parker",)]
+
+
+def test_var_fetch_prop_from_variable(nba_space):
+    """PipeAndVariable.feature:121-127 — FETCH PROP ON tag $var.col."""
+    df = execute(nba_space, '$v1 = YIELD "Tony Parker" AS a; '
+                            'FETCH PROP ON player $v1.a '
+                            'YIELD player.name AS name')
+    assert rows(df, "name") == [("Tony Parker",)]
+
+
+def test_var_go_from_var_with_where_and_yield(nba_space):
+    """PipeAndVariable.feature:76-88 — $v1.a usable in WHERE and YIELD
+    when $v1 is the FROM variable."""
+    df = execute(nba_space, '$v1 = YIELD "Tony Parker" AS a; '
+                            'GO FROM $v1.a OVER like '
+                            'WHERE id($$) != $v1.a '
+                            'YIELD id($$) AS dst, $v1.a AS dst2')
+    assert sorted(rows(df, "dst", "dst2")) == [
+        ("LaMarcus Aldridge", "Tony Parker"),
+        ("Manu Ginobili", "Tony Parker"),
+        ("Tim Duncan", "Tony Parker")]
+
+
+def test_var_not_in_from_is_error(nba_space):
+    """PipeAndVariable.feature:56-62 — $var in WHERE/YIELD without being
+    the FROM variable raises (reference SemanticError)."""
+    with pytest.raises(ValueError, match="referred in FROM"):
+        execute(nba_space, '$v1 = YIELD "Tony Parker" AS a; '
+                           'GO FROM "Tim Duncan" OVER like '
+                           'YIELD id($$) AS dst, $v1.a AS dst2')
+
+
+def test_fetch_properties_vertex_map(nba_space):
+    """PipeAndVariable.feature:35-42 — properties(Vertex) and its static
+    field access in a FETCH yield."""
+    df = execute(nba_space, 'FETCH PROP ON player "Tony Parker" '
+                            'YIELD properties(vertex).name AS name, '
+                            'properties(vertex).age AS age')
+    assert rows(df, "name", "age") == [("Tony Parker", 36)]
+
+
+# ---------------------------------------------------------------------------
+# NULL semantics — expression/Null.feature
+# ---------------------------------------------------------------------------
+
+def test_null_comparisons(nba_space):
+    """Null.feature:6-14 — IS NULL true; ==/!=/>=/<= propagate NULL."""
+    df = execute(nba_space,
+                 'RETURN NULL IS NULL AS v1, NULL == NULL AS v2, '
+                 'NULL != NULL AS v3, NULL >= NULL AS v4')
+    assert rows(df, "v1", "v2", "v3", "v4") == [(True, None, None, None)]
+
+
+def test_null_math_functions(nba_space):
+    """Null.feature:16-47 — math fns propagate NULL."""
+    df = execute(nba_space,
+                 'RETURN abs(NULL) AS v1, floor(NULL) AS v2, '
+                 'sqrt(NULL) AS v3, log2(NULL) AS v4, sign(NULL) AS v5, '
+                 'exp(NULL) AS v6, sin(NULL) AS v7')
+    assert rows(df, "v1", "v2", "v3", "v4", "v5", "v6", "v7") == [
+        (None,) * 7]
+
+
+def test_null_aggregates(nba_space):
+    """Null.feature:48-62 — collect(NULL)=[], count(NULL)=0, sum(NULL)=0,
+    avg/max/min/bit_and of NULL stay NULL."""
+    df = execute(nba_space,
+                 'YIELD collect(NULL) AS v1, avg(NULL) AS v2, '
+                 'count(NULL) AS v3, max(NULL) AS v4, sum(NULL) AS v5, '
+                 'bit_and(NULL) AS v6')
+    r = df.collect()[0]
+    assert r["v1"] == [] and r["v2"] is None and r["v3"] == 0
+    assert r["v4"] is None and r["v5"] == 0 and r["v6"] is None
+
+
+# ---------------------------------------------------------------------------
+# Self-reflective edges — match/SelfReflectiveEdges.feature
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="session")
+def hades_space(spark):
+    """The feature's own mini-space: one vertex with like+teammate
+    self-loops and a serve edge out."""
+    player = spark.createDataFrame([("Hades", "Hades", 99999)],
+                                   "vid string, name string, age long")
+    team = spark.createDataFrame([("Underworld", "Underworld")],
+                                 "vid string, name string")
+    like = spark.createDataFrame([("Hades", "Hades", 0, 3000)],
+                                 "src string, dst string, rank long, "
+                                 "likeness long")
+    teammate = spark.createDataFrame(
+        [("Hades", "Hades", 0, 3000, 3000)],
+        "src string, dst string, rank long, start_year long, end_year long")
+    serve = spark.createDataFrame(
+        [("Hades", "Underworld", 0, 0, 99999)],
+        "src string, dst string, rank long, start_year long, end_year long")
+    sp = GraphSpace(spark, "hades")
+    sp.create_tag("player", df=player)
+    sp.create_tag("team", df=team)
+    sp.create_edge("like", df=like)
+    sp.create_edge("teammate", df=teammate)
+    sp.create_edge("serve", df=serve)
+    return sp
+
+
+def test_self_reflective_no_duplicate_pairs(hades_space):
+    """SelfReflectiveEdges.feature:30-45 — a 2-hop cycle over one
+    self-loop vertex yields exactly the two cross-type orderings; the
+    BOTH-direction second hop must not double-count the self-loop."""
+    for q in ('MATCH x = (n0)-[e1]->(n1)-[e2]-(n0) '
+              'WHERE id(n0) == "Hades" and id(n1) == "Hades" '
+              'RETURN type(e1) AS t1, type(e2) AS t2',
+              'MATCH x = (n0)-[e1]->(n1)<-[e2]-(n0) '
+              'WHERE id(n0) == "Hades" and id(n1) == "Hades" '
+              'RETURN type(e1) AS t1, type(e2) AS t2'):
+        df = execute(hades_space, q)
+        assert sorted(rows(df, "t1", "t2")) == [
+            ("like", "teammate"), ("teammate", "like")]
