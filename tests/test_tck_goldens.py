@@ -1776,3 +1776,65 @@ def test_self_reflective_no_duplicate_pairs(hades_space):
         df = execute(hades_space, q)
         assert sorted(rows(df, "t1", "t2")) == [
             ("like", "teammate"), ("teammate", "like")]
+
+
+# ---------------------------------------------------------------------------
+# Multi-type variable-length — match/VariableLengthPattern.feature
+# ---------------------------------------------------------------------------
+
+def test_varlen_multi_type_both_direction_count(nba_space):
+    """VariableLengthPattern.feature:193-200 — `[e:serve|like*2..3]` BOTH
+    direction from Tim Duncan: the reference's own count, 927."""
+    df = execute(nba_space, 'MATCH (:player{name:"Tim Duncan"})'
+                            '-[e:serve|like*2..3]-(v) RETURN count(e) AS c')
+    assert rows(df, "c") == [(927,)]
+
+
+def test_varlen_multi_type_prop_filter_directions(nba_space):
+    """VariableLengthPattern.feature:159-190 — `{likeness: 90}` on a
+    serve|like union: serve rows (no likeness prop) never match; only the
+    reversed-chain Tiago→Manu→Tim survives, and only in BOTH/<- forms."""
+    both = execute(nba_space,
+                   'MATCH (:player{name: "Tim Duncan"})'
+                   '-[e:serve|like*2..3{likeness: 90}]-(v) '
+                   'RETURN id(v) AS vid')
+    assert rows(both, "vid") == [("Tiago Splitter",)]
+    rev = execute(nba_space,
+                  'MATCH (:player{name:"Tim Duncan"})'
+                  '<-[e:serve|like*2..3{likeness: 90}]-(v) '
+                  'RETURN id(v) AS vid')
+    assert rows(rev, "vid") == [("Tiago Splitter",)]
+    fwd = execute(nba_space,
+                  'MATCH (:player{name:"Tim Duncan"})'
+                  '-[e:serve|like*2..3{likeness: 90}]->(v) '
+                  'RETURN id(v) AS vid')
+    assert fwd.count() == 0
+    absent = execute(nba_space,
+                     'MATCH (:player{name:"Tim Duncan"})'
+                     '-[e:serve|like*2..3{start_year: 2000}]-(v) '
+                     'RETURN id(v) AS vid')
+    assert absent.count() == 0
+
+
+def test_seek_by_edge_full_scan(nba_space):
+    """SeekByEdge.feature:10-15 — tagless MATCH seeded from the edge
+    table: every serve edge, one row each (152 incl. parallel stints)."""
+    df = execute(nba_space,
+                 'MATCH (player)-[:serve]->(team) RETURN count(*) AS c')
+    assert rows(df, "c") == [(152,)]
+
+
+def test_match_by_variable_id_list(nba_space):
+    """MatchByVariable.feature:9-40 — WITH-bound id list consumed by a
+    MATCH WHERE id(v) IN list; reference counts 20 and 4."""
+    df = execute(nba_space,
+                 "WITH ['Tim Duncan', 'Yao Ming'] AS id_list "
+                 "MATCH (v1:player)-[e]-(v2:player) "
+                 "WHERE id(v1) IN id_list RETURN count(*) AS n")
+    assert rows(df, "n") == [(20,)]
+    df = execute(nba_space,
+                 "WITH ['Tim Duncan', 'Yao Ming'] AS id_list "
+                 "MATCH (v1:player)-[e]-(v2:player) "
+                 "WHERE id(v1) IN id_list AND id(v2) IN ['Tony Parker'] "
+                 "RETURN count(*) AS n")
+    assert rows(df, "n") == [(4,)]
