@@ -173,3 +173,49 @@ def k_core(edges: DataFrame, k: int, rounds: int | None = None) -> DataFrame:
     return (e.groupBy(F.col("u").alias("vid"))
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k))
+
+
+def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Synchronous label propagation over the undirected view of
+    (src, dst): each superstep every vertex adopts its neighbors' most
+    frequent label, ties broken by the smallest label — deterministic,
+    unlike the usual randomized LPA, so results are reproducible and
+    testable. Returns (vid, label) after ``iterations`` supersteps.
+
+    Beyond-reference (no community-detection operator exists there; the
+    separate nebula-algorithm project is out of scope per SURVEY §7).
+
+    Scale design: label state is (vid, label) — linear in |V|. One
+    superstep = join labels onto the symmetric edge list (shuffle keyed
+    on vid, same key each round, so AQE reuses the exchange layout) +
+    count per (vid, neighbor-label) + one min_by-style reduction. The
+    reduction uses max_by over a (count, -label) ordering struct — a
+    single map-side-combinable aggregate, no window. localCheckpoint per
+    superstep keeps lineage flat.
+    """
+    und = (edges.select(F.least(SRC, DST).alias("u"),
+                        F.greatest(SRC, DST).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    sym = (und.unionAll(und.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+           .persist())
+    labels = (sym.select(F.col("u").alias("vid")).distinct()
+              .withColumn("label", F.col("vid")))
+    try:
+        for _ in range(iterations):
+            nbr = (sym.join(labels, sym["v"] == labels["vid"])
+                   .select(F.col("u").alias("vid"), "label"))
+            counts = (nbr.groupBy("vid", "label")
+                      .agg(F.count(F.lit(1)).alias("n")))
+            # most frequent label, smallest on ties — two map-side
+            # combinable aggregates (max count per vid, then min label
+            # among the rows at that count); works for any orderable
+            # label type, no window
+            w = counts.groupBy("vid").agg(F.max("n").alias("n_max"))
+            labels = (counts.join(w, "vid")
+                      .filter(F.col("n") == F.col("n_max"))
+                      .groupBy("vid").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        return labels
+    finally:
+        sym.unpersist()

@@ -170,3 +170,28 @@ def test_shuffle_key_column_usable_standalone(spark):
     df = spark.range(5).select(
         shuffle_key(F.col("id"), seed=1).alias("k"))
     assert df.distinct().count() == 5
+
+
+def test_label_propagation_two_communities(spark):
+    # two K4 cliques bridged by one edge: labels converge to each
+    # clique's smallest vid
+    c1 = list(itertools.combinations([1, 2, 3, 4], 2))
+    c2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    from nebula_spark.operators.algo import label_propagation
+    got = {r["vid"]: r["label"]
+           for r in label_propagation(
+               _edges(spark, c1 + c2 + [(4, 10)]), iterations=5).collect()}
+    assert all(got[v] == 1 for v in (1, 2, 3, 4))
+    assert all(got[v] == 10 for v in (10, 11, 12, 13))
+
+
+def test_label_propagation_deterministic(spark):
+    import random
+    pairs = [(random.Random(7).randint(0, 30), i % 31) for i in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    from nebula_spark.operators.algo import label_propagation
+    a = sorted(map(tuple, label_propagation(
+        _edges(spark, pairs), iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(
+        _edges(spark, pairs), iterations=3).collect()))
+    assert a == b
