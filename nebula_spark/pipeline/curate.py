@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "repetition_stats", "split_assign", "stratified_sample",
     "shuffle_key", "global_shuffle", "pii_scrub", "pii_counts",
+    "contamination", "chunk_documents", "temperature_sample",
 ]
 
 
@@ -161,6 +162,113 @@ def global_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42,
     parts = [num_partitions] if num_partitions else []
     return (out.repartitionByRange(*parts, "shuffle_key")
             .sortWithinPartitions("shuffle_key"))
+
+
+def contamination(docs: DataFrame, bench: DataFrame, n: int = 5,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-contamination detection: flag training documents that
+    share word n-grams with an evaluation/benchmark corpus (the standard
+    decontamination step before LLM training — GPT-3 used 13-grams,
+    most open pipelines 8- to 13-grams; ``n`` is a knob).
+
+    Per probe document: ``n_ngrams`` (distinct n-grams), ``n_contaminated``
+    (how many also occur anywhere in ``bench``), ``contamination_frac``.
+
+    Scale (100 TB corpus, MB-GB benchmark): the benchmark n-gram set is
+    tiny relative to the corpus, so it is deduped and **broadcast** — the
+    corpus side streams map-side through explode → broadcast-semi-probe →
+    re-group by doc id. The only shuffle is the per-doc regroup, keyed on
+    the unique doc id (no skew by construction). Never an all-pairs or
+    corpus-side-build join.
+    """
+    grams = F.array_distinct(_ngrams(_words(F.col(text_col)), n))
+    probe = docs.select(
+        F.col(id_col), F.size(grams).alias("n_ngrams"),
+        F.explode_outer(grams).alias("gram"))
+    bench_grams = (bench
+                   .select(F.explode(grams).alias("gram"))
+                   .distinct()
+                   .withColumn("hit", F.lit(1)))
+    return (probe
+            .join(F.broadcast(bench_grams), "gram", "left")
+            .groupBy(id_col)
+            .agg(F.max("n_ngrams").alias("n_ngrams"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                  .alias("n_contaminated"))
+            .withColumn("contamination_frac",
+                        F.round(F.col("n_contaminated")
+                                / F.greatest(F.col("n_ngrams"), F.lit(1)),
+                                6)))
+
+
+def chunk_documents(df: DataFrame, chunk_size: int = 64, overlap: int = 16,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-size overlapping token windows — the
+    shaping step that turns a curated corpus into training examples.
+
+    Chunks start at word offsets 1, 1+step, 1+2·step … (step =
+    chunk_size − overlap) and take ``chunk_size`` words each; a trailing
+    start that would contribute no words beyond the previous chunk's
+    overlap is dropped (rule: keep iff ``start == 1`` or
+    ``n_words ≥ start + overlap``). Requires ``overlap ≤ step`` so only
+    the final start can ever be dropped and ``chunk_id`` stays contiguous.
+
+    Scale: pure per-row compute — split, sequence, posexplode, slice —
+    zero shuffles, embarrassingly parallel, whole-stage codegen. Output
+    rows ≈ input_words / step regardless of document skew.
+    """
+    step = chunk_size - overlap
+    if step < overlap:
+        raise ValueError("need overlap <= chunk_size/2 for contiguous ids")
+    w = _words(F.col(text_col))
+    ex = df.select(
+        F.col(id_col), w.alias("_w"),
+        F.posexplode(F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)),
+                                F.lit(step))).alias("chunk_id", "start"))
+    keep = (F.col("start") == 1) | (F.size("_w") >=
+                                    F.col("start") + overlap)
+    win = F.slice(F.col("_w"), F.col("start"), chunk_size)
+    return (ex.filter(keep)
+            .select(id_col, "chunk_id", "start",
+                    F.size(win).alias("n_tokens"),
+                    F.concat_ws(" ", win).alias("chunk_text")))
+
+
+def temperature_sample(df: DataFrame, group_col: str = "lang",
+                       target_frac: float = 0.5, temperature: float = 2.0,
+                       id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Temperature-flattened resampling across groups (languages, domains):
+    keep-probability per group ∝ n_g^(1/T) / n_g, so T=1 is uniform
+    sampling and T→∞ equalizes group sizes — the multinomial-smoothing
+    trick from multilingual-LM data mixing, made deterministic.
+
+    Expected kept fraction over the whole corpus is ``target_frac``
+    (groups whose rate clips at 1.0 keep every row). Acceptance is an
+    integer compare of a 32-bit md5 hash of (seed, id) against
+    ``floor(rate · 2³²)`` — reproducible across runs, engines, and
+    partitionings, never a float-boundary coin flip.
+
+    Scale: one groupBy over the (few) groups, a single-row totals frame
+    broadcast back, then a map-side filter. No per-row shuffle at all.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    tot = counts.agg(
+        F.sum("n_g").alias("n_total"),
+        F.sum(F.pow(F.col("n_g"), 1.0 / temperature)).alias("z"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(F.lit(1.0), F.round(
+            F.lit(target_frac) * F.col("n_total")
+            * F.pow(F.col("n_g"), 1.0 / temperature)
+            / (F.col("z") * F.col("n_g")), 9)).alias("rate"))
+    h32 = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit("temp"), F.lit(str(seed)),
+        F.col(id_col).cast("string"))), 1, 8), 16, 10).cast("long")
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(h32 < F.floor(F.col("rate") * F.lit(4294967296.0))
+                    .cast("long")))
 
 
 # PII patterns restricted to syntax that Java regex and RE2 (DuckDB)

@@ -195,3 +195,81 @@ def test_label_propagation_deterministic(spark):
     b = sorted(map(tuple, label_propagation(
         _edges(spark, pairs), iterations=3).collect()))
     assert a == b
+
+
+def test_contamination_counts(spark):
+    probe = spark.createDataFrame([
+        (1, "a b c d e f"),   # 5-grams: "a b c d e", "b c d e f"
+        (2, "z z z z z"),     # one distinct 5-gram, not in bench
+        (3, "x y"),           # too short: zero 5-grams
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "q q a b c d e f r")], "doc_id long, text string")
+    from nebula_spark.pipeline.curate import contamination
+    got = {r["doc_id"]: r for r in contamination(probe, bench, n=5).collect()}
+    assert got[1]["n_ngrams"] == 2
+    assert got[1]["n_contaminated"] == 2
+    assert got[1]["contamination_frac"] == 1.0
+    assert got[2]["n_contaminated"] == 0
+    # short docs still produce a row (explode_outer), frac 0 not null
+    assert got[3]["n_ngrams"] == 0
+    assert got[3]["contamination_frac"] == 0.0
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from nebula_spark.pipeline.curate import chunk_documents
+    ten = " ".join(str(i) for i in range(10))
+    nine = " ".join(str(i) for i in range(9))
+    df = spark.createDataFrame(
+        [(1, ten), (2, nine)], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_size=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # starts 1,3,5,7 kept; 9 dropped (contributes no new words)
+    assert [r["start"] for r in d1] == [1, 3, 5, 7]
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2, 3]
+    assert d1[1]["chunk_text"] == "2 3 4 5"
+    assert all(r["n_tokens"] == 4 for r in d1)
+    d2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    # 9 words: last kept start is 7, a short tail chunk "6 7 8"
+    assert [r["start"] for r in d2] == [1, 3, 5, 7]
+    assert d2[-1]["chunk_text"] == "6 7 8"
+    assert d2[-1]["n_tokens"] == 3
+
+
+def test_chunk_documents_rejects_big_overlap(spark):
+    from nebula_spark.pipeline.curate import chunk_documents
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=3)
+
+
+def test_temperature_sample_rates_and_membership(spark):
+    import math
+    from nebula_spark.pipeline.curate import temperature_sample
+    rows = [(i, "a" if i < 90 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", target_frac=0.5,
+                             temperature=2.0, seed=7)
+    z = math.sqrt(90) + math.sqrt(10)
+
+    def rate(n_g):
+        return min(1.0, round(0.5 * 100 * math.sqrt(n_g) / (z * n_g), 9))
+
+    got_rates = {r["lang"]: r["rate"]
+                 for r in out.select("lang", "rate").distinct().collect()}
+    assert got_rates["a"] == pytest.approx(rate(90), abs=0)
+    assert got_rates["b"] == pytest.approx(rate(10), abs=0)
+    # minority group is up-weighted relative to its share
+    assert got_rates["b"] > got_rates["a"]
+    kept = {r["doc_id"] for r in out.collect()}
+    for i in (0, 5, 42, 89, 90, 95, 99):
+        n_g = 90 if i < 90 else 10
+        h = int(hashlib.md5(f"temp:7:{i}".encode()).hexdigest()[:8], 16)
+        assert (i in kept) == (h < math.floor(rate(n_g) * 2 ** 32))
+    # same seed → identical sample
+    again = {r["doc_id"] for r in temperature_sample(
+        df, "lang", target_frac=0.5, temperature=2.0, seed=7).collect()}
+    assert kept == again
