@@ -44,6 +44,7 @@ class TagDef:
     df: DataFrame | None = None
     ttl_col: str | None = None
     ttl_duration: int = 0  # seconds
+    decl: list | None = None   # declared (reference) types, for SHOW CREATE
 
 
 @dataclass
@@ -59,6 +60,7 @@ class EdgeDef:
     df: DataFrame | None = None
     ttl_col: str | None = None
     ttl_duration: int = 0
+    decl: list | None = None   # declared (reference) types, for SHOW CREATE
 
 
 @dataclass
@@ -73,15 +75,16 @@ class GraphSpace:
     # -- DDL ---------------------------------------------------------------
     def create_tag(self, name: str, *, path: str | None = None,
                    df: DataFrame | None = None, ttl_col: str | None = None,
-                   ttl_duration: int = 0) -> TagDef:
-        tag = TagDef(name, path, df, ttl_col, ttl_duration)
+                   ttl_duration: int = 0, decl: list | None = None) -> TagDef:
+        tag = TagDef(name, path, df, ttl_col, ttl_duration, decl)
         self.tags[name] = tag
         return tag
 
     def create_edge(self, name: str, *, path: str | None = None,
                     df: DataFrame | None = None, ttl_col: str | None = None,
-                    ttl_duration: int = 0) -> EdgeDef:
-        edge = EdgeDef(name, path, df, ttl_col, ttl_duration)
+                    ttl_duration: int = 0,
+                    decl: list | None = None) -> EdgeDef:
+        edge = EdgeDef(name, path, df, ttl_col, ttl_duration, decl)
         self.edges[name] = edge
         return edge
 

@@ -36,6 +36,47 @@ def _json_extract(c: Column) -> Column:
     return F.from_json(c, "map<string,string>")
 
 
+ROUND_MODES = ("up", "down", "ceiling", "floor",
+               "half_up", "half_down", "half_even")
+
+
+def round_mode(v: Column, n: Column, mode: str = "half_up") -> Column:
+    """``round(x, decimal[, mode])`` with the reference's seven modes
+    (FunctionManager.cpp:593-668). The reference computes in scaled
+    doubles (``val * 10^decimal``) and so do we — including its
+    ``modf``-fraction comparisons for the half_* modes — so literal
+    cases round identically (e.g. ``-1.35 * 10`` snaps to exactly
+    ``-13.5`` in IEEE754, making half_up(-1.35, 1) = -1.4 in both).
+    Unknown mode → BAD_TYPE, normalized to NULL."""
+    f = F.pow(F.lit(10.0), n)
+    vf = v.cast("double") * f
+    absf = F.abs(vf)
+    frac = absf - F.floor(absf)       # |modf fraction| of vf
+    m = mode.lower()
+    if m == "up":                     # away from zero
+        out = F.signum(vf) * F.ceil(absf)
+    elif m == "down":                 # toward zero (truncate)
+        out = F.signum(vf) * F.floor(absf)
+    elif m == "ceiling":
+        out = F.ceil(vf)
+    elif m == "floor":
+        out = F.floor(vf)
+    elif m == "half_up":              # std::round — half away from zero
+        out = F.signum(vf) * F.floor(absf + F.lit(0.5))
+    elif m == "half_down":
+        ceil_cond = (((frac <= 0.5) & (v < 0)) | ((frac > 0.5) & (v > 0)))
+        out = F.when(ceil_cond, F.ceil(vf)).otherwise(F.floor(vf))
+    elif m == "half_even":
+        # the reference's exact predicate, fmod and all
+        ceil_cond = (((frac == 0.5) & ((vf - 0.5) % 2.0 == 1.0))
+                     | ((frac > 0.5) & (v > 0))
+                     | ((frac < 0.5) & (v < 0)))
+        out = F.when(ceil_cond, F.ceil(vf)).otherwise(F.floor(vf))
+    else:
+        return F.lit(None).cast("double")
+    return out.cast("double") / f
+
+
 def _left(c: Column, n: Column) -> Column:
     return F.substring(c, 1, n)
 

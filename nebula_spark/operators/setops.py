@@ -1,9 +1,10 @@
 """Set operators (SURVEY.md §2.7).
 
 Reference requires identical column lists on both inputs
-(``src/graph/executor/query/SetExecutor.cpp:1-75``) — enforced here too;
-``unionByName`` additionally makes column *order* irrelevant, which the
-row-positional reference cannot do.
+(``src/graph/executor/query/SetExecutor.cpp:1-75``; messages per
+tests/tck/features/set/Set.feature "Basic") — enforced here with the same
+two-stage check: arity first, then exact (ordered) names, because the
+reference is row-positional and rejects ``a,b UNION b,a``.
 
 Semantics detail: IntersectExecutor.cpp:12-50 / MinusExecutor.cpp:14-47 build
 a hash set of RHS rows and keep/drop LHS rows by membership — LHS duplicates
@@ -20,9 +21,12 @@ from pyspark.sql import DataFrame
 
 
 def _check_cols(a: DataFrame, b: DataFrame) -> None:
-    if set(a.columns) != set(b.columns):
-        raise ValueError(
-            f"set op requires identical columns: {a.columns} vs {b.columns}")
+    if len(a.columns) != len(b.columns):
+        raise ValueError("number of columns to UNION/INTERSECT/MINUS "
+                         f"must be same: {a.columns} vs {b.columns}")
+    if a.columns != b.columns:
+        raise ValueError("different column names to UNION/INTERSECT/MINUS "
+                         f"are not supported: {a.columns} vs {b.columns}")
 
 
 def union_all(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -57,6 +57,23 @@ def _is_stringish(e) -> bool:
     return False
 
 
+def _is_floatish(e) -> bool:
+    """Static type sniff: does this expression produce a double? Literal
+    floats, float casts, and arithmetic over them; conservative (false)
+    for anything data-dependent, where the DIV_BY_ZERO-null path rules."""
+    if not isinstance(e, tuple):
+        return False
+    if e[0] == "lit":
+        return isinstance(e[1], float)
+    if e[0] == "cast":
+        return e[1] in ("float", "double")
+    if e[0] == "neg":
+        return _is_floatish(e[1])
+    if e[0] in ("+", "-", "*", "/"):
+        return _is_floatish(e[1]) or _is_floatish(e[2])
+    return False
+
+
 def _is_agg(e: tuple) -> bool:
     if not isinstance(e, tuple):
         return False
@@ -129,12 +146,36 @@ class ExprCompiler:
             return self.col(e[1]).eqNullSafe(self.col(e[2]))
         if op in ("==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%"):
             a, b = self.col(e[1]), self.col(e[2])
+            if op == "+" and (_is_stringish(e[1]) or _is_stringish(e[2])):
+                # reference `+` concatenates when either side is a string
+                # (ArithmeticExpression STRING branch; StringFlaotAddition
+                # .feature) — doubles render as shortest round-trip form,
+                # which CAST AS STRING (Double.toString) matches
+                return F.concat(a.cast("string"), b.cast("string"))
+            if op == "/" and (_is_floatish(e[1]) or _is_floatish(e[2])):
+                # float division is IEEE754 (NaNInfinityFloat.feature:
+                # 1/0.0 = inf, 0/0.0 = nan) while integer /0 stays the
+                # DIV_BY_ZERO null — Spark nulls both, so the float path
+                # rebuilds the IEEE values explicitly
+                ad, bd = a.cast("double"), b.cast("double")
+                return (F.when(ad.isNull() | bd.isNull(),
+                               F.lit(None).cast("double"))
+                        .when(bd != 0, ad / bd)
+                        .when(ad > 0, F.lit(float("inf")))
+                        .when(ad < 0, F.lit(float("-inf")))
+                        .otherwise(F.lit(float("nan"))))
             return {"==": a == b, "!=": a != b, "<": a < b, "<=": a <= b,
                     ">": a > b, ">=": a >= b, "+": a + b, "-": a - b,
                     "*": a * b, "/": a / b, "%": a % b}[op]
         if op == "=~":
-            return self.col(e[1]).rlike(e[2][1] if e[2][0] == "lit"
-                                        else self.col(e[2]))
+            # reference `=~` is std::regex_match — FULL match
+            # (RelationalExpression.cpp:46), not Java rlike's substring
+            # search; anchor the pattern in a non-capturing group
+            if e[2][0] == "lit":
+                return self.col(e[1]).rlike(f"^(?:{e[2][1]})$")
+            return F.regexp_like(
+                self.col(e[1]),
+                F.concat(F.lit("^(?:"), self.col(e[2]), F.lit(")$")))
         if op == "in":
             if e[2][0] == "list" and all(
                     isinstance(x, tuple) and x[0] == "lit"
@@ -179,12 +220,17 @@ class ExprCompiler:
             # truncate; lo >= hi → empty list
             base = self.col(e[1])
             sz = F.size(base)
-            lo = (self.col(e[2]) if e[2] is not None else F.lit(0)) \
+            lo0 = (self.col(e[2]) if e[2] is not None else F.lit(0)) \
                 .cast("int")
-            hi = (self.col(e[3]) if e[3] is not None else sz).cast("int")
-            lo = F.greatest(F.when(lo < 0, lo + sz).otherwise(lo), F.lit(0))
-            hi = F.least(F.when(hi < 0, hi + sz).otherwise(hi), sz)
-            return F.slice(base, lo + 1, F.greatest(hi - lo, F.lit(0)))
+            hi0 = (self.col(e[3]) if e[3] is not None else sz).cast("int")
+            lo = F.greatest(F.when(lo0 < 0, lo0 + sz).otherwise(lo0),
+                            F.lit(0))
+            hi = F.least(F.when(hi0 < 0, hi0 + sz).otherwise(hi0), sz)
+            # NULL bound → NULL list (ListSlicingWithNull.feature), not a
+            # defaulted bound: greatest/least would silently swallow it
+            return F.when(lo0.isNotNull() & hi0.isNotNull(),
+                          F.slice(base, lo + 1,
+                                  F.greatest(hi - lo, F.lit(0))))
         if op == "comprehension":        # [x IN l WHERE p | out]
             _, var, lst, where, out = e
             c = self.col(lst)
@@ -265,6 +311,24 @@ class ExprCompiler:
             # reference size() also measures strings (FunctionManager
             # "size": STRING branch); Spark's size() is array/map-only
             return F.length(self.col(args[0]))
+        if name == "round" and len(args) >= 2:
+            # reference FunctionManager.cpp:593-668: decimal must be INT,
+            # value numeric, mode a string; literal violations are
+            # planning-time errors (round.feature "test bad_type")
+            from nebula_spark.functions.scalar import round_mode
+            for bad, kinds in ((args[0], (str, bool)),
+                               (args[1], (float, str, bool))):
+                if bad[0] == "lit" and isinstance(bad[1], kinds):
+                    raise ValueError(
+                        f"`round' is not a valid expression : "
+                        f"Parameter's type error")
+            mode = "half_up"
+            if len(args) == 3:
+                if args[2][0] != "lit" or not isinstance(args[2][1], str):
+                    raise ValueError("`round' is not a valid expression : "
+                                     "Parameter's type error")
+                mode = args[2][1]
+            return round_mode(self.col(args[0]), self.col(args[1]), mode)
         if name in FUNCTIONS:
             return FUNCTIONS[name](*[self.col(a) for a in args])
         raise ValueError(f"unknown function {name}")
@@ -1577,6 +1641,8 @@ def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
     reference executors (ShowTagsExecutor: one ``Name`` column;
     DescTagExecutor: Field/Type/Null; ShowStatsExecutor: Type/Name/Count)."""
     spark = space.spark
+    if st.kind == "show_create":
+        return _exec_show_create(space, st)
     if st.kind == "tags":
         return spark.createDataFrame([(n,) for n in space.show_tags()],
                                      "Name string")
@@ -1661,9 +1727,77 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
             df = _exec_delete(space, st)
         elif isinstance(st, A.AdminStmt):
             df = _exec_admin(space, st)
+        elif isinstance(st, A.DdlStmt):
+            df = _exec_ddl(space, st)
         else:
             raise ValueError(f"unsupported statement {type(st).__name__}")
     return df
+
+
+def _exec_ddl(space: GraphSpace, st) -> DataFrame:
+    """CREATE TAG/EDGE [INDEX]: register an empty typed table (plus TTL
+    metadata and the declared type names for SHOW CREATE). Index DDL is
+    accepted and dropped — Parquet stats + Catalyst pushdown subsume
+    secondary indexes (SURVEY §2.1 IndexScan)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from nebula_spark.sources.ddl import parse_ddl
+    schemas, _indexes = parse_ddl(st.text)
+    for sd in schemas:
+        key_cols = [StructField("vid", StringType(), False)] \
+            if sd.kind == "tag" else [
+                StructField("src", StringType(), False),
+                StructField("dst", StringType(), False),
+                StructField("rank", __import__(
+                    "pyspark.sql.types", fromlist=["LongType"]
+                ).LongType(), False)]
+        schema = StructType(key_cols + list(sd.schema.fields))
+        empty = space.spark.createDataFrame([], schema)
+        create = space.create_tag if sd.kind == "tag" else space.create_edge
+        create(sd.name, df=empty, ttl_col=sd.ttl_col,
+               ttl_duration=sd.ttl_duration, decl=sd.decl)
+    return space.spark.range(0)
+
+
+# Spark type → reference type name, for fixture-loaded (DataFrame-defined)
+# tables whose DDL we never saw
+_REF_TYPE = {"bigint": "int64", "int": "int32", "smallint": "int16",
+             "tinyint": "int8", "double": "double", "float": "float",
+             "boolean": "bool", "string": "string", "date": "date",
+             "timestamp_ntz": "datetime", "timestamp": "timestamp"}
+
+
+def _exec_show_create(space: GraphSpace, st) -> DataFrame:
+    """SHOW CREATE TAG/EDGE — the reference's exact rendering
+    (TTL.feature Schematest): backquoted names, one prop per line,
+    NULL/NOT NULL, then ``ttl_duration = N, ttl_col = "c"``."""
+    reg = space.tags if st.entity == "tag" else space.edges
+    if st.name not in reg:
+        raise KeyError(f"no {st.entity} named {st.name!r}")
+    d = reg[st.name]
+    skip = {"vid"} if st.entity == "tag" else {"src", "dst", "rank"}
+    if d.decl:
+        cols = d.decl
+        nullable = {f.name: f.nullable
+                    for f in (d.df.schema.fields if d.df is not None else [])}
+    else:
+        fields = [f for f in space._load(d).schema.fields
+                  if f.name not in skip]
+        cols = [(f.name, _REF_TYPE.get(f.dataType.simpleString(),
+                                       f.dataType.simpleString()))
+                for f in fields]
+        nullable = {f.name: f.nullable for f in fields}
+    lines = ",\n".join(
+        f" `{c}` {t} {'NULL' if nullable.get(c, True) else 'NOT NULL'}"
+        for c, t in cols)
+    ttl_col = f'"{d.ttl_col}"' if d.ttl_col else '""'
+    body = (f"CREATE {st.entity.upper()} `{st.name}` (\n{lines}\n) "
+            f"ttl_duration = {d.ttl_duration}, ttl_col = {ttl_col}")
+    from pyspark.sql.types import StringType, StructField, StructType
+    head = st.entity.capitalize()
+    schema = StructType([StructField(head, StringType()),
+                         StructField(f"Create {head}", StringType())])
+    return space.spark.createDataFrame([(st.name, body)], schema)
 
 
 import re as _re

@@ -75,6 +75,44 @@ class Tok:
     pos: int
 
 
+_STR_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
+
+
+def _unescape_string(s: str) -> str:
+    """C-style escapes per the reference lexer (scanner.lex:472-530):
+    ``\\NNN`` octal, ``\\uHHHH``/``\\xHHHH`` code points,
+    ``\\n \\t \\r \\b \\f``, and the fallback ``\\<any>`` → ``<any>``
+    (so ``"\\\\w"`` in query text is backslash + w — regex patterns are
+    written with doubled backslashes, exactly as in the TCK)."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\" or i + 1 >= n:
+            out.append(c)
+            i += 1
+            continue
+        nxt = s[i + 1]
+        if nxt in _STR_ESCAPES:
+            out.append(_STR_ESCAPES[nxt])
+            i += 2
+        elif nxt in "uUxX" and i + 6 <= n \
+                and all(ch in "0123456789abcdefABCDEF"
+                        for ch in s[i + 2:i + 6]):
+            out.append(chr(int(s[i + 2:i + 6], 16)))
+            i += 6
+        elif nxt in "01234567":
+            j = i + 1
+            while j < n and j < i + 4 and s[j] in "01234567":
+                j += 1
+            val = int(s[i + 1:j], 8)
+            out.append(chr(val) if val <= 0xFF else s[i:j])
+            i = j
+        else:
+            out.append(nxt)
+            i += 2
+    return "".join(out)
+
+
 def tokenize(s: str) -> list[Tok]:
     out, i = [], 0
     while i < len(s):
@@ -213,9 +251,17 @@ class AdminStmt:
     subset of the reference's admin sentences (Sentence.h kShowTags/
     kShowEdges/kDescribeTag/kDescribeEdge/kShowStats); cluster/session
     admin is obsolete under Spark (SURVEY §7)."""
-    kind: str                    # tags|edges|stats|describe
+    kind: str                    # tags|edges|stats|describe|show_create
     name: str | None = None
     entity: str | None = None    # for describe: "tag" | "edge"
+
+
+@dataclass
+class DdlStmt:
+    """CREATE TAG/EDGE [INDEX] — raw statement text, compiled by
+    sources/ddl.parse_ddl (parser.yy create_tag_sentence /
+    create_edge_sentence)."""
+    text: str
 
 
 @dataclass
@@ -461,11 +507,29 @@ class Parser:
         # DESC doubles as the ORDER BY keyword, so it lexes as KW
         if t.text.lower() in ("show", "describe", "desc"):
             return self.admin_sentence()
+        if t.text.lower() == "create":
+            return self.ddl_sentence()
         raise SyntaxError(f"unknown sentence start {t.text!r} @{t.pos}")
+
+    def ddl_sentence(self) -> DdlStmt:
+        """CREATE … — re-serialize the statement's tokens for the DDL
+        grammar (sources/ddl.py); STRING tokens keep their quotes so
+        ttl_col = "x" survives the round trip."""
+        parts = []
+        while self.peek().kind not in ("SEMI", "EOF"):
+            parts.append(self.eat().text)
+        return DdlStmt(" ".join(parts))
 
     def admin_sentence(self) -> AdminStmt:
         w = self.eat().text.lower()            # show | describe | desc (KW)
         if w == "show":
+            if self.peek().text.lower() == "create":
+                self.eat()
+                ent = self.eat().text.lower()
+                if ent not in ("tag", "edge"):
+                    raise SyntaxError("expected TAG or EDGE after "
+                                      "SHOW CREATE")
+                return AdminStmt("show_create", self.name(), ent)
             what = self.eat("NAME").text.lower()
             if what in ("tags", "edges", "stats"):
                 return AdminStmt(what)
@@ -661,7 +725,7 @@ class Parser:
         t = self.peek()
         if t.kind == "STRING":
             self.i += 1
-            return t.text[1:-1]
+            return _unescape_string(t.text[1:-1])
         if t.kind == "INT":
             self.i += 1
             return int(t.text)

@@ -37,8 +37,11 @@ _TYPE_MAP: dict[str, DataType] = {
 
 _CREATE = re.compile(
     r"create\s+(tag|edge)\s+(?:if\s+not\s+exists\s+)?(\w+)\s*\(([^)]*)\)"
-    r"(?:\s+ttl_duration\s*=\s*(\d+)\s*,\s*ttl_col\s*=\s*\"?(\w*)\"?)?",
+    r"\s*(.*?)\s*$",
     re.IGNORECASE | re.DOTALL)
+_TTL_OPT = re.compile(
+    r"(ttl_duration)\s*=\s*(\d+)|(ttl_col)\s*=\s*\"?([\w]*)\"?",
+    re.IGNORECASE)
 _INDEX = re.compile(
     r"create\s+(tag|edge)\s+index\s+(?:if\s+not\s+exists\s+)?(\w+)\s+on\s+"
     r"(\w+)\s*\(([^)]*)\)", re.IGNORECASE)
@@ -55,6 +58,10 @@ class SchemaDef:
     defaults: dict = field(default_factory=dict)
     ttl_col: str | None = None
     ttl_duration: int = 0
+    # declared (reference) type name per column — preserved because the
+    # Spark StructType collapses int8/16/32 and timestamp, but
+    # SHOW CREATE TAG must echo the original (TTL.feature Schematest)
+    decl: list = field(default_factory=list)   # [(col, ref_type_name)]
 
 
 @dataclass
@@ -65,22 +72,26 @@ class IndexDef:
     cols: list[str]
 
 
-def _parse_cols(body: str) -> tuple[StructType, dict]:
-    fields, defaults = [], {}
+def _parse_cols(body: str) -> tuple[StructType, dict, list]:
+    fields, defaults, decl = [], {}, []
     for part in filter(None, (p.strip() for p in body.split(","))):
         m = _COL.match(part)
         if not m:
             raise ValueError(f"bad column def: {part!r}")
         name, typ, notnull, default = m.groups()
-        if typ.lower() == "fixed_string":
-            typ = "string"
+        ref_type = typ.lower()
+        if ref_type == "fixed_string":
+            typ, ref_type = "string", "string"
+        if ref_type == "int":
+            ref_type = "int64"
         dt = _TYPE_MAP.get(typ.lower())
         if dt is None:
             raise ValueError(f"unknown type {typ!r} in {part!r}")
         fields.append(StructField(name, dt, nullable=notnull is None))
+        decl.append((name, ref_type))
         if default is not None:
             defaults[name] = default.strip("\"'")
-    return StructType(fields), defaults
+    return StructType(fields), defaults, decl
 
 
 def parse_ddl(ddl: str) -> tuple[list[SchemaDef], list[IndexDef]]:
@@ -96,10 +107,36 @@ def parse_ddl(ddl: str) -> tuple[list[SchemaDef], list[IndexDef]]:
             continue
         cm = _CREATE.match(stmt)
         if cm:
-            kind, name, body, ttl_dur, ttl_col = cm.groups()
-            schema, defaults = _parse_cols(body)
+            kind, name, body, tail = cm.groups()
+            schema, defaults, decl = _parse_cols(body)
+            ttl_dur, ttl_col = 0, None
+            consumed = 0
+            for om in _TTL_OPT.finditer(tail):
+                consumed += len(om.group(0))
+                if om.group(1):
+                    ttl_dur = int(om.group(2))
+                else:
+                    ttl_col = om.group(4) or None
+            if len(re.sub(r"[\s,]", "", tail)) != \
+                    len(re.sub(r"[\s,]", "", "".join(
+                        om.group(0) for om in _TTL_OPT.finditer(tail)))):
+                raise ValueError(f"bad CREATE options: {tail!r}")
+            # reference TTL validation (TTL.feature Schematest):
+            # a duration needs a column, and the column must be a
+            # timestamp/int64 type
+            if ttl_dur > 0 and not ttl_col:
+                raise ValueError(
+                    "ttl_duration requires ttl_col (Ttl schema error)")
+            if ttl_col:
+                typ = dict(decl).get(ttl_col)
+                if typ is None:
+                    raise ValueError(f"unknown ttl_col {ttl_col!r}")
+                if typ not in ("int64", "timestamp"):
+                    raise ValueError(
+                        f"ttl_col {ttl_col!r} must be int64/timestamp, "
+                        f"got {typ} (Ttl schema error)")
             schemas.append(SchemaDef(kind.lower(), name, schema, defaults,
-                                     ttl_col or None, int(ttl_dur or 0)))
+                                     ttl_col, ttl_dur, decl))
             continue
         raise ValueError(f"unrecognized DDL statement: {stmt[:60]!r}")
     return schemas, indexes

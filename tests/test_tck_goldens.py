@@ -1838,3 +1838,310 @@ def test_match_by_variable_id_list(nba_space):
                  "WHERE id(v1) IN id_list AND id(v2) IN ['Tony Parker'] "
                  "RETURN count(*) AS n")
     assert rows(df, "n") == [(4,)]
+
+
+# ---------------------------------------------------------------------------
+# round() modes — tests/tck/features/function/round.feature
+# ---------------------------------------------------------------------------
+
+def test_round_modes_goldens(nba_space):
+    """round.feature — all four literals across the seven modes, the
+    reference's scaled-double algorithm (FunctionManager.cpp:593-668)."""
+    cases = {
+        "up":        [("1.249", 1.3), ("-1.251", -1.3),
+                      ("1.25", 1.3), ("-1.35", -1.4)],
+        "down":      [("1.249", 1.2), ("-1.251", -1.2),
+                      ("1.25", 1.2), ("-1.35", -1.3)],
+        "ceiling":   [("1.249", 1.3), ("-1.251", -1.2),
+                      ("1.25", 1.3), ("-1.35", -1.3)],
+        "floor":     [("1.249", 1.2), ("-1.251", -1.3),
+                      ("1.25", 1.2), ("-1.35", -1.4)],
+        "half_up":   [("1.249", 1.2), ("-1.251", -1.3),
+                      ("1.25", 1.3), ("-1.35", -1.4)],
+        "half_down": [("1.249", 1.2), ("-1.251", -1.3),
+                      ("1.25", 1.2), ("-1.35", -1.3)],
+        "half_even": [("1.249", 1.2), ("-1.251", -1.3),
+                      ("1.25", 1.2), ("-1.35", -1.4)],
+    }
+    for mode, pairs in cases.items():
+        exprs = ", ".join(f'round({lit}, 1, "{mode}") AS r{i}'
+                          for i, (lit, _) in enumerate(pairs))
+        r = _yield1(nba_space, f"YIELD {exprs}")
+        got = [r[f"r{i}"] for i in range(len(pairs))]
+        want = [w for _, w in pairs]
+        assert got == pytest.approx(want, abs=1e-12), mode
+
+
+def test_round_two_arg_is_half_up(nba_space):
+    """round.feature half_up default + FunctionManager 2-arg path."""
+    r = _yield1(nba_space, "YIELD round(1.25, 1) AS a, "
+                           "round(-1.35, 1) AS b, round(12.22, 0) AS c")
+    assert (r.a, r.b, r.c) == (pytest.approx(1.3), pytest.approx(-1.4),
+                               pytest.approx(12.0))
+
+
+def test_round_bad_type_raises(nba_space):
+    """round.feature "test bad_type" — literal misuse is a planning-time
+    error, as in the reference's SemanticError."""
+    for q in ('YIELD round(3.125, 3.2) AS r',
+              'YIELD round(3.125, 3.2, 42) AS r',
+              'YIELD round("3.124", 3) AS r'):
+        with pytest.raises(ValueError, match="type error"):
+            execute(nba_space, q)
+
+
+def test_round_unknown_mode_is_null(nba_space):
+    """FunctionManager.cpp:656 — unknown mode → BAD_TYPE → NULL."""
+    r = _yield1(nba_space, 'YIELD round(1.25, 1, "sideways") AS r')
+    assert r.r is None
+
+
+# ---------------------------------------------------------------------------
+# coalesce — tests/tck/features/function/coalesce.feature
+# ---------------------------------------------------------------------------
+
+def test_coalesce_goldens(nba_space):
+    r = _yield1(nba_space,
+                'YIELD coalesce(null, 1) AS a, coalesce(1, 2, 3) AS b, '
+                'coalesce(null, [1, 2, 3]) AS c, '
+                'coalesce(null, 1.234) AS d')
+    assert (r.a, r.b, list(r.c), r.d) == (1, 1, [1, 2, 3], 1.234)
+
+
+# ---------------------------------------------------------------------------
+# NaN / Infinity — tests/tck/features/bugfix/NaNInfinityFloat.feature
+# ---------------------------------------------------------------------------
+
+def test_nan_infinity_goldens(nba_space):
+    """NaNInfinityFloat.feature — float division by zero follows IEEE754
+    (nan/inf), unlike integer division (DIV_BY_ZERO null)."""
+    import math as m
+    r = _yield1(nba_space, 'YIELD 0 / 0.0 AS a, 1 / 0.0 AS b, '
+                           '-1 / 0.0 AS c, sqrt(-1.0) AS d')
+    assert m.isnan(r.a) and m.isnan(r.d)
+    assert r.b == m.inf and r.c == -m.inf
+
+
+# ---------------------------------------------------------------------------
+# float + string addition — tests/tck/features/bugfix/StringFlaotAddition
+# ---------------------------------------------------------------------------
+
+def test_string_float_addition_goldens(nba_space):
+    """StringFlaotAddition.feature — `+` on float and string concatenates
+    using the shortest round-trip float form (Double.toString matches the
+    reference's folly::to<string>)."""
+    r = _yield1(nba_space,
+                'YIELD 30.142857142857142 + "Yao Ming" AS a, '
+                '"Yao Ming" + 30.142857142857142 AS b, '
+                '30.14 + "Yao Ming" AS c, "Yao Ming" + -30.14 AS d')
+    assert r.a == "30.142857142857142Yao Ming"
+    assert r.b == "Yao Ming30.142857142857142"
+    assert r.c == "30.14Yao Ming"
+    assert r.d == "Yao Ming-30.14"
+
+
+# ---------------------------------------------------------------------------
+# length() over strings and paths — bugfix/NullInputOfLength.feature
+# ---------------------------------------------------------------------------
+
+def test_length_string_and_path(nba_space):
+    """NullInputOfLength.feature — length() measures both the prop string
+    and the matched path in one RETURN."""
+    df = execute(nba_space,
+                 'MATCH p = (v)-[:like]->() WHERE id(v) == "Tim Duncan" '
+                 'RETURN length(v.player.name) AS l, length(p) AS lp')
+    assert rows(df, "l", "lp") == [(10, 1), (10, 1)]
+
+
+# ---------------------------------------------------------------------------
+# list slicing with null bound — bugfix/ListSlicingWithNull.feature
+# ---------------------------------------------------------------------------
+
+def test_list_slice_null_bound(nba_space):
+    r = _yield1(nba_space, 'YIELD [1, 2, 3][null..1] AS a')
+    assert r.a is None
+
+
+# ---------------------------------------------------------------------------
+# Set ops between Cypher statements — tests/tck/features/set/Set.feature
+# ---------------------------------------------------------------------------
+
+def test_set_union_all_unwind(nba_space):
+    """Set.feature — UNWIND ... RETURN UNION ALL keeps the multiset."""
+    df = execute(nba_space, 'UNWIND [1, 2] AS a RETURN a '
+                            'UNION ALL UNWIND [2] AS a RETURN a')
+    assert sorted(r.a for r in df.collect()) == [1, 2, 2]
+
+
+def test_set_union_distinct_unwind(nba_space):
+    """Set.feature — bare UNION dedups."""
+    df = execute(nba_space, 'UNWIND [1, 2] AS a RETURN a '
+                            'UNION UNWIND [2] AS a RETURN a')
+    assert sorted(r.a for r in df.collect()) == [1, 2]
+
+
+def test_set_intersect_with(nba_space):
+    """Set.feature — INTERSECT against a WITH-built single row."""
+    df = execute(nba_space, 'UNWIND [1, 2] AS a RETURN a '
+                            'INTERSECT WITH 2 AS a RETURN a')
+    assert [r.a for r in df.collect()] == [2]
+
+
+def test_set_column_count_mismatch_raises(nba_space):
+    """Set.feature — differing column counts are a SemanticError."""
+    with pytest.raises(ValueError,
+                       match="number of columns|different column"):
+        execute(nba_space, 'YIELD 1 AS a, 2 AS b UNION YIELD 3 AS a')
+
+
+def test_set_column_name_mismatch_raises(nba_space):
+    """Set.feature — same arity, different names is a SemanticError."""
+    with pytest.raises(ValueError, match="different column names"):
+        execute(nba_space,
+                'YIELD 1 AS a, 2 AS b UNION YIELD 3 AS b, 4 AS a')
+
+
+# ---------------------------------------------------------------------------
+# Regex full-match — tests/tck/features/expression/Regex.feature
+# ---------------------------------------------------------------------------
+
+def test_regex_full_match_goldens(nba_space):
+    """Regex.feature "yield regex" — `=~` is std::regex_match (FULL
+    match, RelationalExpression.cpp:46): partial hits are false."""
+    r = _yield1(nba_space,
+                r'YIELD "Tony Parker" =~ "T\\w+\\s\\w+" AS a, '
+                r'"010-12345" =~ "\\d{3}\\-\\d{3,8}" AS b, '
+                r'"test_space_128" =~ "[a-zA-Z_][0-9a-zA-Z_]{0,19}" AS c, '
+                r'"2019" =~ "\\d+" AS d, '
+                r'"a good person" =~ "a\\s\\w+" AS e, '
+                r'"Trail Blazers" =~ "\\w+" AS f')
+    assert (r.a, r.b, r.c, r.d) == (True, True, True, True)
+    assert (r.e, r.f) == (False, False)
+
+
+def test_regex_in_match_where(nba_space):
+    """Regex.feature "regex in where" shape — full-match filter on a
+    prop."""
+    df = execute(nba_space,
+                 r'MATCH (v:player) WHERE v.player.name =~ "T\\w+\\s\\w+" '
+                 r'RETURN v.player.name AS name')
+    assert sorted(r.name for r in df.collect()) == [
+        "Tiago Splitter", "Tim Duncan", "Tony Parker", "Tracy McGrady"]
+
+
+# ---------------------------------------------------------------------------
+# XOR — tests/tck/features/expression/LogicalExpression.feature
+# ---------------------------------------------------------------------------
+
+def test_logical_xor_goldens(nba_space):
+    """LogicalExpression.feature "xor" — de-Morgan over xor/and/or."""
+    df = execute(nba_space,
+                 'MATCH (v0:player)-[e:serve]->(v1) WHERE NOT '
+                 '((e.start_year == 1997 XOR e.end_year != 2016) OR '
+                 '(e.start_year > 1000 AND e.end_year < 3000)) '
+                 'RETURN count(*) AS c')
+    assert rows(df, "c") == [(0,)]
+    df = execute(nba_space,
+                 'MATCH (v0:player)-[e:serve]->(v1) WHERE NOT '
+                 '((e.start_year == 1997 XOR e.end_year != 2016) AND '
+                 '(e.start_year > 1000 AND e.end_year < 3000)) '
+                 'RETURN count(*) AS c')
+    assert rows(df, "c") == [(12,)]
+    r = _yield1(nba_space,
+                'WITH 1 AS a RETURN NOT((NOT true) XOR true) AS b')
+    assert r.b is False
+
+
+# ---------------------------------------------------------------------------
+# IS [NOT] NULL — tests/tck/features/expression/UnaryExpr.feature
+# ---------------------------------------------------------------------------
+
+def test_unary_is_null_list(nba_space):
+    """UnaryExpr.feature — IS NULL / IS NOT NULL across value types."""
+    r = _yield1(nba_space,
+                'YIELD [1 IS NULL, 1.2 IS NULL, true IS NULL, '
+                '[1, 2] IS NULL, null IS NULL] AS isNull, '
+                '[1 IS NOT NULL, null IS NOT NULL] AS isNotNull')
+    assert list(r.isNull) == [False, False, False, False, True]
+    assert list(r.isNotNull) == [True, False]
+
+
+def test_unary_is_null_match_filter(nba_space):
+    """UnaryExpr.feature "in match clause" — the four negative-age null
+    players."""
+    df = execute(nba_space,
+                 'MATCH (v:player) WHERE v.player.name IS NULL AND '
+                 'v.player.age < 0 RETURN id(v) AS vid')
+    assert sorted(r.vid for r in df.collect()) == [
+        "Null1", "Null2", "Null3", "Null4"]
+
+
+# ---------------------------------------------------------------------------
+# CREATE TAG / SHOW CREATE TAG / TTL — tests/tck/features/ttl/TTL.feature
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def ttl_space(spark):
+    from nebula_spark.catalog import GraphSpace
+    return GraphSpace(spark, "ttl_test")
+
+
+def test_create_and_show_create_tag(ttl_space):
+    """TTL.feature Schematest — CREATE then SHOW CREATE echoes the schema
+    with the reference's rendering, ttl clause included."""
+    execute(ttl_space,
+            'CREATE TAG person(name string, email string, age int, '
+            'gender string, row_timestamp timestamp)')
+    r = execute(ttl_space, 'SHOW CREATE TAG person').collect()[0]
+    assert r["Tag"] == "person"
+    assert r["Create Tag"] == (
+        'CREATE TAG `person` (\n `name` string NULL,\n `email` string '
+        'NULL,\n `age` int64 NULL,\n `gender` string NULL,\n '
+        '`row_timestamp` timestamp NULL\n) ttl_duration = 0, ttl_col = ""')
+
+
+def test_create_tag_with_ttl_roundtrip(ttl_space):
+    """TTL.feature — ttl_duration = 100, ttl_col = "row_timestamp"."""
+    execute(ttl_space,
+            'CREATE TAG man(name string, row_timestamp timestamp) '
+            'ttl_duration = 100, ttl_col = "row_timestamp"')
+    r = execute(ttl_space, 'SHOW CREATE TAG man').collect()[0]
+    assert 'ttl_duration = 100, ttl_col = "row_timestamp"' in r["Create Tag"]
+
+
+def test_create_tag_ttl_validation(ttl_space):
+    """TTL.feature — duration without column, and a non-timestamp
+    column, are both schema errors."""
+    with pytest.raises(ValueError, match="Ttl schema error"):
+        execute(ttl_space,
+                'CREATE TAG woman(name string, row_timestamp timestamp) '
+                'ttl_duration = 100')
+    with pytest.raises(ValueError, match="Ttl schema error"):
+        execute(ttl_space,
+                'CREATE TAG woman(name string, row_timestamp timestamp) '
+                'ttl_col = "name"')
+    # ttl_col alone (duration 0) is legal
+    execute(ttl_space,
+            'CREATE TAG only_ttl_col(name string, row_timestamp timestamp) '
+            'ttl_col = "row_timestamp"')
+    r = execute(ttl_space, 'SHOW CREATE TAG only_ttl_col').collect()[0]
+    assert 'ttl_duration = 0, ttl_col = "row_timestamp"' in r["Create Tag"]
+
+
+def test_create_ddl_script_then_insert_fetch(ttl_space):
+    """DDL + DML in one script: CREATE, INSERT, FETCH (the TCK's usual
+    Given-having-executed flow)."""
+    execute(ttl_space, 'CREATE TAG test(a int64)')
+    execute(ttl_space, 'INSERT VERTEX test(a) VALUES "101":(7)')
+    df = execute(ttl_space, 'FETCH PROP ON test "101" YIELD test.a AS a')
+    assert rows(df, "a") == [(7,)]
+
+
+def test_show_create_edge_from_fixture(nba_space):
+    """SHOW CREATE EDGE on a fixture-loaded (DataFrame-defined) edge —
+    types derived from the Spark schema via the reverse map."""
+    r = execute(nba_space, 'SHOW CREATE EDGE serve').collect()[0]
+    assert r["Edge"] == "serve"
+    body = r["Create Edge"]
+    assert "`start_year` int64" in body and "`end_year` int64" in body
+    assert body.startswith("CREATE EDGE `serve` (")
