@@ -138,7 +138,11 @@ FUNCTIONS: dict[str, object] = {
     # temporal
     "now": F.current_timestamp, "timestamp": F.to_timestamp,
     "date": F.to_date, "datetime": F.to_timestamp,
-    "extract": lambda field, src: F.extract(field, src),
+    # reference extract() is regex-match-all (FunctionManager.cpp
+    # "extract": std::regex iteration over the haystack;
+    # FunctionCall.feature "extract") — temporal field extraction is
+    # attribute access (.year), NOT this function
+    "extract": lambda s, pat: F.regexp_extract_all(s, pat, F.lit(0)),
     # containers
     "size": F.size, "range": _range, "head": _head, "last": _last,
     "tail": _tail, "keys": F.map_keys, "coalesce": F.coalesce,

@@ -32,6 +32,7 @@ __all__ = [
     "repetition_stats", "split_assign", "stratified_sample",
     "shuffle_key", "global_shuffle", "pii_scrub", "pii_counts",
     "contamination", "chunk_documents", "temperature_sample",
+    "quality_filter",
 ]
 
 
@@ -269,6 +270,47 @@ def temperature_sample(df: DataFrame, group_col: str = "lang",
     return (df.join(F.broadcast(rates), group_col)
             .filter(h32 < F.floor(F.col("rate") * F.lit(4294967296.0))
                     .cast("long")))
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   max_dup_word_frac: float = 0.30,
+                   max_top_bigram_frac: float = 0.18,
+                   max_dup_trigram_frac: float = 0.30,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0) -> DataFrame:
+    """Gopher-rule composite filter: every rule evaluated per document,
+    failed rule names collected into a ``drop_reasons`` array, ``keep``
+    boolean alongside (so the caller can audit *why* rows were dropped —
+    the operational requirement real curation pipelines have, and the
+    reason this returns flags instead of silently filtering).
+
+    Thresholds default to the Gopher paper's published cuts where one
+    exists, else conventional values; all are keyword-overridable.
+
+    Scale: builds on :func:`repetition_stats` — still pure per-row Column
+    expressions, zero shuffles; ``df.filter("keep")`` afterwards keeps the
+    whole pipeline map-side.
+    """
+    scored = repetition_stats(df, text_col)
+    t = F.col(text_col)
+    mean_wlen = (F.length(t) / F.greatest(F.col("n_words"), F.lit(1)))
+    rules = {
+        "too_short": F.col("n_words") < min_words,
+        "too_long": F.col("n_words") > max_words,
+        "dup_words": F.col("dup_word_frac") > max_dup_word_frac,
+        "top_bigram": F.col("top_bigram_frac") > max_top_bigram_frac,
+        "dup_trigrams": F.col("dup_trigram_frac") > max_dup_trigram_frac,
+        "word_len": (mean_wlen < min_mean_word_len)
+                    | (mean_wlen > max_mean_word_len),
+    }
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                  for name, cond in rules.items()]),
+        lambda x: x.isNotNull())
+    return (scored
+            .withColumn("drop_reasons", reasons)
+            .withColumn("keep", F.size("drop_reasons") == 0))
 
 
 # PII patterns restricted to syntax that Java regex and RE2 (DuckDB)

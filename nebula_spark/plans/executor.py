@@ -57,6 +57,14 @@ def _is_stringish(e) -> bool:
     return False
 
 
+# temporal attribute → Spark date_part field (Attribute.feature; reference
+# TimeUtils attribute table). Lower-cased lookup = case-insensitive access.
+_TEMPORAL_ATTRS = {
+    "year": "YEAR", "month": "MONTH", "day": "DAY", "hour": "HOUR",
+    "minute": "MINUTE", "second": "SECOND", "microsec": "MICROSECOND",
+}
+
+
 def _is_floatish(e) -> bool:
     """Static type sniff: does this expression produce a double? Literal
     floats, float casts, and arithmetic over them; conservative (false)
@@ -127,6 +135,30 @@ class ExprCompiler:
                        "bool": "boolean"}[e[1]]
             return self.col(e[2]).cast(spark_t)
         if op == "attr":                 # x.field on a map/struct value
+            # temporal attribute access (Attribute.feature): date/time/
+            # datetime values expose case-INSENSITIVE field names; an
+            # unknown field is UNKNOWN_PROP → NULL
+            if isinstance(e[1], tuple) and e[1][0] in (
+                    "call", "call_distinct") and e[1][1] in (
+                    "date", "datetime"):
+                fld = _TEMPORAL_ATTRS.get(e[2].lower())
+                if fld is None:
+                    return F.lit(None)
+                return F.date_part(F.lit(fld), self.col(e[1])).cast("bigint")
+            if isinstance(e[1], tuple) and e[1][0] in (
+                    "call", "call_distinct") and e[1][1] == "time":
+                # TIME is struct(hour, minute, sec) — SURVEY §1.1
+                fld = {"hour": "hour", "minute": "minute",
+                       "second": "sec"}.get(e[2].lower())
+                if fld is None:
+                    return F.lit(None)
+                return self.col(e[1])[fld].cast("bigint")
+            # map-literal keys are case-SENSITIVE in the reference
+            # ({k1: 1}.K1 → NULL) while Spark struct access follows
+            # spark.sql.caseSensitive=false — enforce statically
+            if isinstance(e[1], tuple) and e[1][0] == "map":
+                if e[2] not in [k for k, _ in e[1][1]]:
+                    return F.lit(None)
             return self.col(e[1])[e[2]]
         if op in ("name", "edge_prop", "alias_tag_prop", "src_prop",
                   "dst_prop", "input_prop", "var_prop", "src_vert",
@@ -311,6 +343,12 @@ class ExprCompiler:
             # reference size() also measures strings (FunctionManager
             # "size": STRING branch); Spark's size() is array/map-only
             return F.length(self.col(args[0]))
+        if name == "concat_ws" and args:
+            # reference concat_ws: a NULL or non-string separator yields
+            # NULL (FunctionCall.feature "concat_ws"); NULL items skipped
+            sep = args[0]
+            if sep[0] == "lit" and not isinstance(sep[1], str):
+                return F.lit(None).cast("string")
         if name == "round" and len(args) >= 2:
             # reference FunctionManager.cpp:593-668: decimal must be INT,
             # value numeric, mode a string; literal violations are
@@ -1214,9 +1252,15 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                     return F.lit(None)
             return F.col(f"{alias}__{prop}")
         if kind == "edge_prop":          # e.prop (or alias.prop)
-            if columns is not None and f"{args[0]}__{args[1]}" not in columns \
-                    and args[0] in columns:
-                return F.col(args[0])[args[1]]
+            if columns is not None and f"{args[0]}__{args[1]}" not in columns:
+                if args[0] in columns:
+                    return F.col(args[0])[args[1]]
+                if f"{args[0]}__src" in columns:
+                    # bound edge alias, prop not in the edge schema —
+                    # case-sensitive miss (Attribute.feature e.Likeness)
+                    # → UNKNOWN_PROP NULL; F.col would resolve it
+                    # case-insensitively and return the wrong column
+                    return F.lit(None)
             return F.col(f"{args[0]}__{args[1]}")
         if kind in ("name", "input_prop"):
             a = args[0]

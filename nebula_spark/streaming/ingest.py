@@ -150,3 +150,41 @@ def enrich_stream(events: DataFrame, dim: DataFrame,
     attaching user/document metadata to an event stream at scale.
     """
     return events.join(F.broadcast(dim), on, how)
+
+
+def interval_join(left: DataFrame, right: DataFrame, key: str,
+                  left_ts: str, right_ts: str,
+                  within: str = "5 minutes",
+                  watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream event-time interval join: pair each left event with
+    right events of the same key whose timestamp falls in
+    ``[left_ts, left_ts + within]`` (the click-attribution /
+    request-response correlation shape).
+
+    Streaming semantics: BOTH sides carry a watermark and the join
+    condition bounds event time in both directions, so Spark can size the
+    join state and evict rows once the watermark passes — state is
+    bounded by (events per key · watermark horizon), never unbounded.
+    Without the time bound a stream-stream inner join must keep every row
+    forever; the interval IS the scalability contract. Works identically
+    on batch frames (the condition is ordinary SQL).
+
+    Output columns are prefixed ``l_``/``r_`` (minus the shared key) so
+    the two sides never collide.
+    """
+    l = left.select(F.col(key).alias("l_" + key),
+                    *[F.col(c).alias("l_" + c)
+                      for c in left.columns if c != key])
+    r = right.select(F.col(key).alias("r_" + key),
+                     *[F.col(c).alias("r_" + c)
+                       for c in right.columns if c != key])
+    if left.isStreaming:
+        l = l.withWatermark("l_" + left_ts, watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_" + right_ts, watermark)
+    lt, rt = F.col("l_" + left_ts), F.col("r_" + right_ts)
+    cond = ((F.col("l_" + key) == F.col("r_" + key))
+            & (rt >= lt) & (rt <= lt + F.expr(f"INTERVAL {within}")))
+    return (l.join(r, cond, "inner")
+            .drop("r_" + key)
+            .withColumnRenamed("l_" + key, key))

@@ -273,3 +273,21 @@ def test_temperature_sample_rates_and_membership(spark):
     again = {r["doc_id"] for r in temperature_sample(
         df, "lang", target_frac=0.5, temperature=2.0, seed=7).collect()}
     assert kept == again
+
+
+def test_quality_filter_reasons(spark):
+    from nebula_spark.pipeline.curate import quality_filter
+    long_good = " ".join(f"word{i}" for i in range(60))
+    repeated = " ".join(["spam ham"] * 40)
+    df = spark.createDataFrame([
+        (1, long_good),           # passes everything
+        (2, "tiny doc"),          # too_short
+        (3, repeated),            # repetition rules fire
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_filter(df, min_words=50).collect()}
+    assert got[1]["keep"] is True and list(got[1]["drop_reasons"]) == []
+    assert got[2]["keep"] is False
+    assert "too_short" in got[2]["drop_reasons"]
+    assert got[3]["keep"] is False
+    assert {"dup_words", "top_bigram", "dup_trigrams"} <= set(
+        got[3]["drop_reasons"])

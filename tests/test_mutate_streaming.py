@@ -227,3 +227,54 @@ def test_write_read_jsonl_shuffled(spark, tmp_path):
         spark, out2, "doc_id long, shuffle_key long, text string").collect()]
     assert sorted(a, key=lambda r: r["doc_id"]) == \
         sorted(b, key=lambda r: r["doc_id"])
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """Stream-stream interval join: clicks attach to impressions of the
+    same user within 5 minutes; late/out-of-range clicks drop."""
+    import json
+
+    from nebula_spark.streaming.ingest import interval_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    (imp_dir / "a.json").write_text("\n".join(json.dumps(r) for r in [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00", "ad": "A"},
+        {"user_id": 2, "ts": "2024-01-01 10:00:00", "ad": "B"},
+    ]))
+    (clk_dir / "a.json").write_text("\n".join(json.dumps(r) for r in [
+        {"user_id": 1, "ts": "2024-01-01 10:03:00"},   # within 5 min -> match
+        {"user_id": 2, "ts": "2024-01-01 10:09:00"},   # too late -> no match
+        {"user_id": 1, "ts": "2024-01-01 09:59:00"},   # before -> no match
+    ]))
+    imps = (spark.readStream
+            .schema("user_id long, ts timestamp, ad string")
+            .json(str(imp_dir)).withColumnRenamed("ts", "its"))
+    clks = (spark.readStream
+            .schema("user_id long, ts timestamp")
+            .json(str(clk_dir)).withColumnRenamed("ts", "cts"))
+    joined = interval_join(imps, clks, "user_id", "its", "cts",
+                           within="5 minutes")
+    q = (joined.writeStream.format("memory").queryName("ij_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        rows = spark.table("ij_test").collect()
+    finally:
+        q.stop()
+    assert [(r["user_id"], r["l_ad"]) for r in rows] == [(1, "A")]
+
+
+def test_interval_join_batch_same_semantics(spark):
+    from nebula_spark.streaming.ingest import interval_join
+    imps = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "A"), (2, "2024-01-01 10:00:00", "B")],
+        "user_id long, its string, ad string").withColumn(
+            "its", F.to_timestamp("its"))
+    clks = spark.createDataFrame(
+        [(1, "2024-01-01 10:03:00"), (2, "2024-01-01 10:09:00")],
+        "user_id long, cts string").withColumn(
+            "cts", F.to_timestamp("cts"))
+    out = interval_join(imps, clks, "user_id", "its", "cts").collect()
+    assert [(r["user_id"], r["l_ad"]) for r in out] == [(1, "A")]

@@ -2145,3 +2145,115 @@ def test_show_create_edge_from_fixture(nba_space):
     body = r["Create Edge"]
     assert "`start_year` int64" in body and "`end_year` int64" in body
     assert body.startswith("CREATE EDGE `serve` (")
+
+
+# ---------------------------------------------------------------------------
+# Function calls — tests/tck/features/expression/FunctionCall.feature
+# ---------------------------------------------------------------------------
+
+def test_sign_goldens(nba_space):
+    r = _yield1(nba_space,
+                'YIELD sign(38) AS a, sign(-2) AS b, sign(0.421) AS c, '
+                'sign(-1.0) AS d, sign(0) AS e, sign(abs(-3)) AS f')
+    assert (r.a, r.b, r.c, r.d, r.e, r.f) == (1, -1, 1, -1, 0, 1)
+
+
+def test_concat_mixed_types_goldens(nba_space):
+    """FunctionCall.feature "concat" — ints coerce to their string form;
+    a NULL argument nulls the whole concat."""
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan" OVER like YIELD '
+                 'concat(src(edge), $^.player.age, $$.player.name, '
+                 'like.likeness) AS A')
+    assert sorted(r.A for r in df.collect()) == [
+        "Tim Duncan42Manu Ginobili95", "Tim Duncan42Tony Parker95"]
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan" OVER like YIELD '
+                 'concat(src(edge), $^.player.age, null, '
+                 'like.likeness) AS A')
+    assert [r.A for r in df.collect()] == [None, None]
+
+
+def test_concat_ws_goldens(nba_space):
+    """FunctionCall.feature "concat_ws" — NULL items are skipped; a NULL
+    or non-string separator nulls the result."""
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan" OVER like YIELD '
+                 'concat_ws("-", src(edge), $^.player.age, '
+                 '$$.player.name, like.likeness) AS A')
+    assert sorted(r.A for r in df.collect()) == [
+        "Tim Duncan-42-Manu Ginobili-95", "Tim Duncan-42-Tony Parker-95"]
+    r = _yield1(nba_space,
+                'YIELD concat_ws("@", "a", NULL, "b") AS x, '
+                'concat_ws(1, "a", "b") AS y, '
+                'concat_ws(NULL, "a", "b") AS z')
+    assert (r.x, r.y, r.z) == ("a@b", None, None)
+
+
+def test_extract_regex_goldens(nba_space):
+    """FunctionCall.feature "extract" — all regex matches as a list."""
+    df = execute(nba_space,
+                 'MATCH (a:player) WHERE a.player.age > 45 AND '
+                 'a.player.name CONTAINS "Neal" '
+                 r'RETURN extract(a.player.name, "\\w+") AS result, '
+                 'extract(a.player.name, "hello") AS empty')
+    rws = df.collect()
+    assert len(rws) == 1
+    assert list(rws[0].result) == ["Shaquille", "O", "Neal"]
+    assert list(rws[0].empty) == []
+
+
+def test_round_negative_decimal_goldens(nba_space):
+    """FunctionCall.feature "round"/"round int" — negative decimal
+    places round to powers of ten; ints come back as doubles."""
+    r = _yield1(nba_space,
+                'YIELD round(3.1415926, 2) AS a, round(3.1415926, 3) AS b, '
+                'round(3.14159265359, 0) AS c, '
+                'round(35543.14159265359, -3) AS d, '
+                'round(35543.14159265359, -5) AS e, '
+                'round(12345, 2) AS f, round(12345, -2) AS g')
+    assert (r.a, r.b, r.c) == (3.14, 3.142, 3.0)
+    assert (r.d, r.e) == (36000.0, 0.0)
+    assert (r.f, r.g) == (12345.0, 12300.0)
+
+
+# ---------------------------------------------------------------------------
+# Attribute access — tests/tck/features/expression/Attribute.feature
+# ---------------------------------------------------------------------------
+
+def test_temporal_attributes(nba_space):
+    """Attribute.feature — temporal attrs are case-insensitive; unknown
+    attrs are UNKNOWN_PROP → NULL."""
+    r = _yield1(nba_space,
+                'YIELD date("2021-07-19").month AS a, '
+                'date("2021-07-19").MoNth AS b, '
+                'time("02:59:40").minute AS c, '
+                'time("02:59:40").MinUte AS d, '
+                'datetime("2021-07-19T02:59:40").minute AS e, '
+                'datetime("2021-07-19T02:59:40").mInutE AS f, '
+                'date("2021-07-19").not_exists_attr AS g, '
+                'time("02:59:40").not_exists_attr AS h, '
+                'datetime("2021-07-19T02:59:40").not_exists_attr AS i')
+    assert (r.a, r.b) == (7, 7)
+    assert (r.c, r.d, r.e, r.f) == (59, 59, 59, 59)
+    assert (r.g, r.h, r.i) == (None, None, None)
+
+
+def test_map_attribute_case_sensitive(nba_space):
+    """Attribute.feature — map keys are case-SENSITIVE: K1 is not k1."""
+    r = _yield1(nba_space,
+                'YIELD {k1: 1, k2: true}.k1 AS a, '
+                '{k1: 1, k2: true}.K1 AS b')
+    assert (r.a, r.b) == (1, None)
+
+
+def test_prop_attribute_case_sensitive(nba_space):
+    """Attribute.feature — tag/edge prop names are case-sensitive;
+    a wrong-case prop is UNKNOWN_PROP → NULL."""
+    df = execute(nba_space, 'MATCH (v) WHERE id(v) == "Tim Duncan" '
+                            'RETURN v.player.name AS a, v.player.Name AS b')
+    assert rows(df, "a", "b") == [("Tim Duncan", None)]
+    df = execute(nba_space, 'MATCH (v)-[e:like]->() '
+                            'WHERE id(v) == "Tim Duncan" '
+                            'RETURN e.likeness AS a, e.Likeness AS b')
+    assert rows(df, "a", "b") == [(95, None), (95, None)]
