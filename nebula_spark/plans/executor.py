@@ -1625,6 +1625,14 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
         data = [(r[0], *r[1]) for r in st.rows]
         cols = [VID, *st.props]
         key = [VID]
+    # within-statement duplicate keys: VALUES apply in order against the
+    # unique KV key, so IF NOT EXISTS keeps the FIRST occurrence and plain
+    # INSERT keeps the LAST (InsertIfNotExists.feature "Conan" rows)
+    nkey = len(key)
+    seen: dict = {}
+    for row in (data if st.if_not_exists else reversed(data)):
+        seen.setdefault(tuple(row[:nkey]), row)
+    data = [seen[k] for k in ({tuple(r[:nkey]): None for r in data})]
     rows = space.spark.createDataFrame(data, cols)
     dt = dict(table.dtypes)
     for c in table.columns:
@@ -1646,10 +1654,24 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
     base = keys_df.join(table, key, "left")
     ec = ExprCompiler(lambda kind, *a: F.col(a[-1] if kind != "name" else a[0]))
     dt = dict(table.dtypes)
-    updates = base.select(
-        *key, *[ec.col(e).cast(dt[prop]).alias(prop) for prop, e in st.sets])
+    # WHEN guard (UpdateExecutor condition_): a failing row keeps its old
+    # values but still flows through (and still YIELDs, per Update.feature)
+    guard = ec.col(st.when).cast("boolean") if st.when is not None else None
+
+    def setval(prop, e):
+        v = ec.col(e).cast(dt[prop])
+        if guard is not None:
+            v = F.when(guard, v).otherwise(F.col(prop))
+        return v.alias(prop)
+
+    updates = base.select(*key, *[setval(p, e) for p, e in st.sets])
     new = update_rows(table, updates, key, st.insertable)
     _rebind(space, st.name, st.is_edge, new)
+    if st.yields:
+        post = keys_df.join(space.edge(st.name) if st.is_edge
+                            else space.tag(st.name), key, "left")
+        return post.select(*[ec.col(it.expr).alias(it.alias or f"c{i}")
+                             for i, it in enumerate(st.yields)])
     return space.spark.range(0)
 
 

@@ -351,6 +351,8 @@ class UpdateStmt:
     key: tuple                   # (vid,) or (src, dst, rank)
     sets: list                   # [(prop, expr-tuple)]
     insertable: bool = False
+    when: tuple | None = None    # WHEN <cond> guard (UpdateSentence.h)
+    yields: list | None = None   # YIELD items over the post-update row
 
 
 @dataclass
@@ -607,20 +609,34 @@ class Parser:
     def update_sentence(self) -> UpdateStmt:
         insertable = self.eat_kw("update", "upsert").text == "upsert"
         is_edge = self._entity_kw() == "edge"
-        self.eat_kw("on")
-        name = self.name()
+        # 2.0 syntax names the schema (`UPDATE VERTEX ON tag "vid"`); the
+        # 1.0 syntax omits it (`UPDATE VERTEX "vid" SET tag.prop = …`)
+        # and the tag comes from the SET targets (Update.feature
+        # "update and upsert test with 1.0 syntax")
+        name = None
+        if self.at_kw("on"):
+            self.eat_kw("on")
+            name = self.name()
         key = self._edge_key() if is_edge else (self.literal(),)
         self.eat_kw("set")
         sets = []
         while True:
             prop = self.name()
+            if self.peek().kind == "DOT":      # tag.prop form
+                self.eat("DOT")
+                name = name or prop
+                prop = self.name()
             self.eat("ASSIGN")
             sets.append((prop, self.expr()))
             if self.peek().kind == "COMMA":
                 self.eat("COMMA")
                 continue
             break
-        return UpdateStmt(is_edge, name, key, sets, insertable)
+        if name is None:
+            raise SyntaxError("UPDATE needs ON <schema> or tag.prop SETs")
+        when = self.expr() if self.try_kw("when") else None
+        yields = self.yield_items() if self.try_kw("yield") else None
+        return UpdateStmt(is_edge, name, key, sets, insertable, when, yields)
 
     def delete_sentence(self) -> DeleteStmt:
         self.eat_kw("delete")

@@ -2257,3 +2257,69 @@ def test_prop_attribute_case_sensitive(nba_space):
                             'WHERE id(v) == "Tim Duncan" '
                             'RETURN e.likeness AS a, e.Likeness AS b')
     assert rows(df, "a", "b") == [(95, None), (95, None)]
+
+
+# ---------------------------------------------------------------------------
+# DML flows — insert/InsertIfNotExists.feature, update/Update.feature
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def dml_space(spark):
+    from nebula_spark.catalog import GraphSpace
+    sp = GraphSpace(spark, "dml_test")
+    execute(sp, 'CREATE TAG person(name string, age int)')
+    execute(sp, 'CREATE EDGE like(likeness int)')
+    return sp
+
+
+def test_insert_if_not_exists_flow(dml_space):
+    """InsertIfNotExists.feature — within-statement duplicate keys keep
+    the FIRST row under IF NOT EXISTS; existing keys are never replaced;
+    plain INSERT overwrites."""
+    execute(dml_space, 'INSERT VERTEX IF NOT EXISTS person(name, age) '
+                       'VALUES "Conan":("Conan", 10), "Yao":("Yao", 11), '
+                       '"Conan":("Conan", 11)')
+    df = execute(dml_space,
+                 'FETCH PROP ON person "Conan" YIELD person.age AS age')
+    assert rows(df, "age") == [(10,)]
+    execute(dml_space, 'INSERT VERTEX IF NOT EXISTS person(name, age) '
+                       'VALUES "Conan":("Conan", 20)')
+    df = execute(dml_space,
+                 'FETCH PROP ON person "Conan" YIELD person.age AS age')
+    assert rows(df, "age") == [(10,)]
+    execute(dml_space,
+            'INSERT VERTEX person(name, age) VALUES "Conan":("Conan", 40)')
+    df = execute(dml_space,
+                 'FETCH PROP ON person "Conan" YIELD person.age AS age')
+    assert rows(df, "age") == [(40,)]
+
+
+def test_insert_plain_last_wins_within_statement(dml_space):
+    """AddVerticesProcessor upserts in order: the statement's LAST value
+    for a key is the one stored."""
+    execute(dml_space, 'INSERT VERTEX person(name, age) VALUES '
+                       '"X":("X", 1), "X":("X", 2)')
+    df = execute(dml_space,
+                 'FETCH PROP ON person "X" YIELD person.age AS age')
+    assert rows(df, "age") == [(2,)]
+
+
+def test_update_v1_syntax_when_yield(dml_space):
+    """Update.feature "1.0 syntax" — UPDATE VERTEX "vid" SET tag.prop,
+    WHEN guards, YIELD returns the post-update row either way."""
+    execute(dml_space,
+            'INSERT VERTEX person(name, age) VALUES "101":("Math", 5)')
+    execute(dml_space, 'UPDATE VERTEX "101" SET person.age = '
+                       '$^.person.age + 1')
+    df = execute(dml_space, 'UPDATE VERTEX "101" SET person.age = '
+                            '$^.person.age + 1 '
+                            'WHEN $^.person.name == "English" '
+                            'YIELD $^.person.name AS Name, '
+                            '$^.person.age AS Age')
+    assert rows(df, "Name", "Age") == [("Math", 6)]     # guard failed
+    df = execute(dml_space, 'UPDATE VERTEX "101" SET person.age = '
+                            '$^.person.age + 1 '
+                            'WHEN $^.person.name == "Math" '
+                            'YIELD $^.person.name AS Name, '
+                            '$^.person.age AS Age')
+    assert rows(df, "Name", "Age") == [("Math", 7)]
