@@ -32,7 +32,7 @@ __all__ = [
     "repetition_stats", "split_assign", "stratified_sample",
     "shuffle_key", "global_shuffle", "pii_scrub", "pii_counts",
     "contamination", "chunk_documents", "temperature_sample",
-    "quality_filter",
+    "quality_filter", "pack_sequences",
 ]
 
 
@@ -311,6 +311,45 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     return (scored
             .withColumn("drop_reasons", reasons)
             .withColumn("keep", F.size("drop_reasons") == 0))
+
+
+def pack_sequences(chunks: DataFrame, seq_len: int = 2048,
+                   buckets: int = 1024, id_col: str = "doc_id",
+                   ord_col: str = "chunk_id",
+                   tokens_col: str = "n_tokens",
+                   seed: int = 42) -> DataFrame:
+    """Pack chunk rows into fixed-token training sequences — the step
+    between :func:`chunk_documents` and the trainer's data loader.
+
+    Adds ``pack_bucket``, ``seq_id`` (globally unique), ``seq_pos``
+    (token offset of this chunk inside its sequence). Chunks are laid out
+    by cumulative token offset; a chunk whose span crosses a ``seq_len``
+    boundary stays in the sequence it starts in (offset packing — the
+    trainer pads/splits at the boundary, which is the convention
+    GPT-style pipelines use for document packing).
+
+    Scale: true greedy packing is sequential, so the corpus is first
+    hashed into ``buckets`` md5 buckets and packed independently within
+    each — one shuffle on the bucket key, each bucket a window cumsum.
+    Fill efficiency is unaffected (offsets are dense within a bucket);
+    only sequence *numbering* differs from a single-stream pack. All keys
+    are md5-derived → byte-identical output across runs/partitionings.
+    """
+    b = _md5_bucket(F.concat_ws(
+        ":", F.lit("pack"), F.lit(str(seed)),
+        F.col(id_col).cast("string")), buckets)
+    rk = F.md5(F.concat_ws(":", F.lit(str(seed)),
+                           F.col(id_col).cast("string")))
+    out = chunks.withColumn("pack_bucket", b)
+    w = (Window.partitionBy("pack_bucket")
+         .orderBy(rk, F.col(id_col), F.col(ord_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
+    seq_in_bucket = F.floor(start / seq_len)
+    return (out
+            .withColumn("seq_id", F.col("pack_bucket")
+                        * F.lit(1_000_000_000) + seq_in_bucket)
+            .withColumn("seq_pos", (start % seq_len).cast("long")))
 
 
 # PII patterns restricted to syntax that Java regex and RE2 (DuckDB)

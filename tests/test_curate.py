@@ -291,3 +291,44 @@ def test_quality_filter_reasons(spark):
     assert got[3]["keep"] is False
     assert {"dup_words", "top_bigram", "dup_trigrams"} <= set(
         got[3]["drop_reasons"])
+
+
+def test_pack_sequences_offsets(spark):
+    import hashlib as hl
+
+    from nebula_spark.pipeline.curate import pack_sequences
+    # one bucket => a single greedy stream, hand-checkable
+    rows_in = [(i, 0, 60) for i in range(5)]     # 5 chunks x 60 tokens
+    df = spark.createDataFrame(
+        rows_in, "doc_id long, chunk_id int, n_tokens int")
+    out = pack_sequences(df, seq_len=128, buckets=1, seed=9).collect()
+    # stream order is md5('9:doc_id')-ranked; replicate it
+    order = sorted(range(5), key=lambda i: hl.md5(f"9:{i}".encode())
+                   .hexdigest())
+    got = {r["doc_id"]: r for r in out}
+    cum = 0
+    for i in order:
+        assert got[i]["seq_id"] == cum // 128
+        assert got[i]["seq_pos"] == cum % 128
+        cum += 60
+    # determinism across runs
+    again = pack_sequences(df, seq_len=128, buckets=1, seed=9).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_bucketed_unique_ids(spark):
+    from nebula_spark.pipeline.curate import pack_sequences
+    df = spark.range(200).selectExpr("id as doc_id", "0 as chunk_id",
+                                     "50 as n_tokens")
+    out = pack_sequences(df, seq_len=100, buckets=8).select(
+        "pack_bucket", "seq_id", "seq_pos")
+    rows_out = out.collect()
+    # seq ids never collide across buckets; positions stay inside seq_len
+    by_seq = {}
+    for r in rows_out:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+        assert 0 <= r["seq_pos"] < 100
+        assert r["seq_id"] // 1_000_000_000 == r["pack_bucket"]
+    # each full sequence holds exactly two 50-token chunks
+    sizes = sorted(len(v) for v in by_seq.values())
+    assert set(sizes) <= {1, 2}

@@ -2323,3 +2323,38 @@ def test_update_v1_syntax_when_yield(dml_space):
                             'YIELD $^.person.name AS Name, '
                             '$^.person.age AS Age')
     assert rows(df, "Name", "Age") == [("Math", 7)]
+
+
+def test_delete_vertex_with_and_without_edge(dml_space):
+    """DeleteVertexWithoutEdge.feature — WITH EDGE cascades to incident
+    edges; the bare form keeps them (dangling, like the reference)."""
+    execute(dml_space, 'INSERT VERTEX person(name, age) VALUES '
+                       '"1":("a", 1), "2":("b", 2), "3":("c", 3)')
+    execute(dml_space, 'INSERT EDGE like(likeness) VALUES '
+                       '"1"->"2":(5), "1"->"3":(6)')
+    execute(dml_space, 'DELETE VERTEX "1" WITH EDGE')
+    assert execute(dml_space, 'FETCH PROP ON person "1" '
+                              'YIELD person.age AS a').count() == 0
+    assert execute(dml_space, 'FETCH PROP ON like "1"->"2" '
+                              'YIELD like.likeness AS l').count() == 0
+    # re-insert the vertex: edges stay gone (they were deleted, not hidden)
+    execute(dml_space, 'INSERT VERTEX person(name, age) VALUES "1":("a", 1)')
+    df = execute(dml_space, 'GO FROM "1" OVER like YIELD dst(edge) AS d')
+    assert df.count() == 0
+    # bare DELETE VERTEX keeps edges dangling
+    execute(dml_space, 'INSERT EDGE like(likeness) VALUES "2"->"3":(7)')
+    execute(dml_space, 'DELETE VERTEX "2"')
+    df = execute(dml_space, 'FETCH PROP ON like "2"->"3" '
+                            'YIELD like.likeness AS l')
+    assert rows(df, "l") == [(7,)]
+
+
+def test_update_edge_v1_syntax(dml_space):
+    """Update.feature — 1.0 edge syntax: UPDATE EDGE "a"->"b" SET
+    etype.prop, schema inferred from the SET target."""
+    execute(dml_space, 'INSERT VERTEX person(name, age) VALUES '
+                       '"A":("A", 1), "B":("B", 2)')
+    execute(dml_space, 'INSERT EDGE like(likeness) VALUES "A"->"B":(10)')
+    df = execute(dml_space, 'UPDATE EDGE "A"->"B" SET like.likeness = '
+                            'like.likeness + 5 YIELD like.likeness AS l')
+    assert rows(df, "l") == [(15,)]
