@@ -1611,7 +1611,8 @@ def _rebind(space: GraphSpace, name: str, is_edge: bool,
     defs = space.edges if is_edge else space.tags
     d = defs[name]
     maker = space.create_edge if is_edge else space.create_tag
-    maker(name, df=new_df, ttl_col=d.ttl_col, ttl_duration=d.ttl_duration)
+    maker(name, df=new_df, ttl_col=d.ttl_col, ttl_duration=d.ttl_duration,
+          decl=d.decl)
 
 
 def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
@@ -1795,9 +1796,71 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
             df = _exec_admin(space, st)
         elif isinstance(st, A.DdlStmt):
             df = _exec_ddl(space, st)
+        elif isinstance(st, A.AlterStmt):
+            df = _exec_alter(space, st)
+        elif isinstance(st, A.DropStmt):
+            df = _exec_drop(space, st)
+        elif isinstance(st, A.ClearStmt):
+            df = _exec_clear(space)
         else:
             raise ValueError(f"unsupported statement {type(st).__name__}")
     return df
+
+
+def _exec_alter(space: GraphSpace, st) -> DataFrame:
+    """ALTER TAG/EDGE ADD/CHANGE/DROP (AlterTagExecutor; Schema.feature:
+    dropping an absent prop is an error; ADD appends NULL-filled columns;
+    CHANGE re-types in place)."""
+    from nebula_spark.sources.ddl import _TYPE_MAP
+    reg = space.tags if st.entity == "tag" else space.edges
+    if st.name not in reg:
+        raise KeyError(f"no {st.entity} named {st.name!r}")
+    d = reg[st.name]
+    df = space._load(d)
+    decl = list(d.decl or [])
+    for col, typ in st.adds:
+        dt = _TYPE_MAP.get(typ)
+        if dt is None:
+            raise ValueError(f"unknown type {typ!r}")
+        if col in df.columns:
+            raise ValueError(f"Existed prop {col!r}!")
+        df = df.withColumn(col, F.lit(None).cast(dt))
+        decl.append((col, "int64" if typ == "int" else typ))
+    for col, typ in st.changes:
+        dt = _TYPE_MAP.get(typ)
+        if dt is None:
+            raise ValueError(f"unknown type {typ!r}")
+        if col not in df.columns:
+            raise ValueError(f"{st.entity.capitalize()} prop not existed!")
+        df = df.withColumn(col, F.col(col).cast(dt))
+        decl = [(c, "int64" if typ == "int" else typ) if c == col
+                else (c, t) for c, t in decl]
+    for col in st.drops:
+        if col not in df.columns:
+            raise ValueError(f"{st.entity.capitalize()} prop not existed!")
+        df = df.drop(col)
+        decl = [(c, t) for c, t in decl if c != col]
+    maker = space.create_edge if st.entity == "edge" else space.create_tag
+    maker(st.name, df=df, ttl_col=d.ttl_col, ttl_duration=d.ttl_duration,
+          decl=decl or None)
+    return space.spark.range(0)
+
+
+def _exec_drop(space: GraphSpace, st) -> DataFrame:
+    reg = space.tags if st.entity == "tag" else space.edges
+    if st.name not in reg and not st.if_exists:
+        raise KeyError(f"no {st.entity} named {st.name!r}")
+    (space.drop_tag if st.entity == "tag" else space.drop_edge)(st.name)
+    return space.spark.range(0)
+
+
+def _exec_clear(space: GraphSpace) -> DataFrame:
+    """CLEAR SPACE (ClearSpace.feature): drop every row, keep schemas."""
+    for name in list(space.tags):
+        _rebind(space, name, False, space.tag(name).limit(0))
+    for name in list(space.edges):
+        _rebind(space, name, True, space.edge(name).limit(0))
+    return space.spark.range(0)
 
 
 def _exec_ddl(space: GraphSpace, st) -> DataFrame:

@@ -265,6 +265,32 @@ class DdlStmt:
 
 
 @dataclass
+class AlterStmt:
+    """ALTER TAG/EDGE name ADD (…) / CHANGE (…) / DROP (…)
+    (parser.yy alter_tag_sentence; Schema.feature)."""
+    entity: str                  # tag | edge
+    name: str
+    adds: list                   # [(col, ref_type)]
+    changes: list                # [(col, ref_type)]
+    drops: list                  # [col]
+
+
+@dataclass
+class DropStmt:
+    """DROP TAG/EDGE [IF EXISTS] name (Schema.feature)."""
+    entity: str
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class ClearStmt:
+    """CLEAR SPACE — wipe all rows, keep schemas
+    (mutate/ClearSpace.feature)."""
+    name: str | None = None
+
+
+@dataclass
 class MatchPath:
     """One comma-separated pattern: n0 -e0- n1 -e1- n2 …; ``path_alias``
     set for ``p = (…)…`` bindings (Path value, SURVEY §1.1)."""
@@ -511,7 +537,67 @@ class Parser:
             return self.admin_sentence()
         if t.text.lower() == "create":
             return self.ddl_sentence()
+        if t.text.lower() == "alter":
+            return self.alter_sentence()
+        if t.text.lower() == "drop":
+            return self.drop_sentence()
+        if t.text.lower() == "clear":
+            return self.clear_sentence()
         raise SyntaxError(f"unknown sentence start {t.text!r} @{t.pos}")
+
+    def _tag_or_edge(self) -> str:
+        w = self.name().lower()
+        if w not in ("tag", "edge"):
+            raise SyntaxError(f"expected TAG or EDGE, got {w!r}")
+        return w
+
+    def alter_sentence(self) -> AlterStmt:
+        self.eat()                                   # ALTER
+        entity = self._tag_or_edge()
+        name = self.name()
+        adds, changes, drops = [], [], []
+        while True:
+            op = self.name().lower()
+            if op not in ("add", "change", "drop"):
+                raise SyntaxError(f"bad ALTER clause {op!r}")
+            self.eat("LP")
+            while self.peek().kind != "RP":
+                col = self.name()
+                if op == "drop":
+                    drops.append(col)
+                else:
+                    typ = self.name().lower()
+                    if self.peek().kind == "LP":     # fixed_string(N)
+                        self.eat("LP"), self.eat(), self.eat("RP")
+                    (adds if op == "add" else changes).append((col, typ))
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+            self.eat("RP")
+            if self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                continue
+            break
+        return AlterStmt(entity, name, adds, changes, drops)
+
+    def drop_sentence(self) -> DropStmt:
+        self.eat()                                   # DROP
+        entity = self._tag_or_edge()
+        if_exists = False
+        if self.peek().text.lower() == "if":
+            self.eat()
+            self.eat(text="exists")
+            if_exists = True
+        return DropStmt(entity, self.name(), if_exists)
+
+    def clear_sentence(self) -> ClearStmt:
+        self.eat()                                   # CLEAR
+        self.eat(text="space")
+        if self.peek().text.lower() == "if":
+            self.eat(), self.eat(text="exists")
+        name = None
+        if self.peek().kind in ("NAME", "KW"):
+            name = self.name()
+        return ClearStmt(name)
 
     def ddl_sentence(self) -> DdlStmt:
         """CREATE … — re-serialize the statement's tokens for the DDL

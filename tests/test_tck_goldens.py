@@ -2358,3 +2358,58 @@ def test_update_edge_v1_syntax(dml_space):
     df = execute(dml_space, 'UPDATE EDGE "A"->"B" SET like.likeness = '
                             'like.likeness + 5 YIELD like.likeness AS l')
     assert rows(df, "l") == [(15,)]
+
+
+# ---------------------------------------------------------------------------
+# ALTER / DROP / CLEAR SPACE — schema/Schema.feature, mutate/ClearSpace
+# ---------------------------------------------------------------------------
+
+def test_alter_tag_add_change_drop(ttl_space):
+    """Schema.feature:127 — one ALTER with all three clause kinds; the
+    altered schema shows in SHOW CREATE; dropping an absent prop errors."""
+    execute(ttl_space,
+            'CREATE TAG person2(name string, age int, gender string)')
+    execute(ttl_space, 'ALTER TAG person2 ADD (col1 int, col2 string), '
+                       'CHANGE (age int), DROP (gender)')
+    body = execute(ttl_space,
+                   'SHOW CREATE TAG person2').collect()[0]["Create Tag"]
+    assert "`col1` int64" in body and "`col2` string" in body
+    assert "gender" not in body
+    with pytest.raises(ValueError, match="prop not existed"):
+        execute(ttl_space, 'ALTER TAG person2 DROP (gender)')
+
+
+def test_alter_preserves_rows(ttl_space):
+    execute(ttl_space, 'CREATE TAG t2(a int)')
+    execute(ttl_space, 'INSERT VERTEX t2(a) VALUES "x":(1)')
+    execute(ttl_space, 'ALTER TAG t2 ADD (b string)')
+    df = execute(ttl_space,
+                 'FETCH PROP ON t2 "x" YIELD t2.a AS a, t2.b AS b')
+    assert rows(df, "a", "b") == [(1, None)]
+
+
+def test_drop_tag_and_if_exists(ttl_space):
+    """Schema.feature:188-207 — DROP errors on a missing tag unless
+    IF EXISTS."""
+    execute(ttl_space, 'CREATE TAG gone(a int)')
+    execute(ttl_space, 'DROP TAG gone')
+    with pytest.raises(KeyError):
+        execute(ttl_space, 'DROP TAG gone')
+    execute(ttl_space, 'DROP TAG IF EXISTS gone')     # no error
+
+
+def test_clear_space_keeps_schema(ttl_space):
+    """ClearSpace.feature — rows gone, schema intact, inserts work
+    again."""
+    execute(ttl_space, 'CREATE TAG ct(a int)')
+    execute(ttl_space, 'CREATE EDGE ce(w int)')
+    execute(ttl_space, 'INSERT VERTEX ct(a) VALUES "1":(1), "2":(2)')
+    execute(ttl_space, 'INSERT EDGE ce(w) VALUES "1"->"2":(9)')
+    execute(ttl_space, 'CLEAR SPACE')
+    assert execute(ttl_space, 'FETCH PROP ON ct "1" '
+                              'YIELD ct.a AS a').count() == 0
+    assert 'ct' in execute(ttl_space,
+                           'SHOW TAGS').toPandas()["Name"].tolist()
+    execute(ttl_space, 'INSERT VERTEX ct(a) VALUES "1":(5)')
+    df = execute(ttl_space, 'FETCH PROP ON ct "1" YIELD ct.a AS a')
+    assert rows(df, "a") == [(5,)]
