@@ -184,6 +184,19 @@ class ExprCompiler:
                 # .feature) — doubles render as shortest round-trip form,
                 # which CAST AS STRING (Double.toString) matches
                 return F.concat(a.cast("string"), b.cast("string"))
+            if op in ("==", "!=", "<", "<=", ">", ">=") \
+                    and (_is_floatish(e[1]) or _is_floatish(e[2])):
+                # FLOAT comparisons are epsilon-tolerant in the reference
+                # (Value.h:492 kEpsilon = 1e-8; Value.cpp:1801-1909):
+                # equal when |a-b| < ε, ordered only when also outside ε.
+                # Applied when a side is statically float (literal/cast/
+                # arithmetic); float-column-vs-float-column comparisons
+                # fall through to exact compare — documented deviation.
+                ad, bd = a.cast("double"), b.cast("double")
+                eq = F.abs(ad - bd) < F.lit(1e-8)
+                return {"==": eq, "!=": ~eq,
+                        "<": ~eq & (ad < bd), "<=": eq | (ad < bd),
+                        ">": ~eq & (ad > bd), ">=": eq | (ad > bd)}[op]
             if op == "/" and (_is_floatish(e[1]) or _is_floatish(e[2])):
                 # float division is IEEE754 (NaNInfinityFloat.feature:
                 # 1/0.0 = inf, 0/0.0 = nan) while integer /0 stays the

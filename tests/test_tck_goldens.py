@@ -2413,3 +2413,68 @@ def test_clear_space_keeps_schema(ttl_space):
     execute(ttl_space, 'INSERT VERTEX ct(a) VALUES "1":(5)')
     df = execute(ttl_space, 'FETCH PROP ON ct "1" YIELD ct.a AS a')
     assert rows(df, "a") == [(5,)]
+
+
+# ---------------------------------------------------------------------------
+# ENDS WITH / NOT ENDS WITH / NOT IN — expression/{EndsWith,NotIn}.feature
+# ---------------------------------------------------------------------------
+
+def test_ends_with_goldens(nba_space):
+    r = _yield1(nba_space,
+                "YIELD 'apple' ENDS WITH 'le' AS a, "
+                "'apple' ENDS WITH 'app' AS b, "
+                "'apple' ENDS WITH 'E' AS c, "
+                "'apple' NOT ENDS WITH 'le' AS d, "
+                "'apple' STARTS WITH 'app' AS e, "
+                "'apple' NOT STARTS WITH 'app' AS f")
+    assert (r.a, r.b, r.c) == (True, False, False)
+    assert (r.d, r.e, r.f) == (False, True, False)
+
+
+def test_not_in_goldens(nba_space):
+    r = _yield1(nba_space,
+                "YIELD 1 NOT IN [1, 2, 3] AS a, 0 NOT IN [1, 2, 3] AS b, "
+                "1 NOT IN {1, 2, 3} AS c, 0 NOT IN {1, 2} AS d, "
+                "2 IN {1, 2} AS e")
+    assert (r.a, r.b) == (False, True)
+    assert (r.c, r.d, r.e) == (False, True, True)
+
+
+# ---------------------------------------------------------------------------
+# Relational comparisons — expression/RelationalExpr.feature (the
+# homogeneous-type scenarios; cross-type Value comparisons — str<int,
+# scalar<list — are the documented dynamic-Value deviation, SURVEY §1.1)
+# ---------------------------------------------------------------------------
+
+def test_relational_int_float_str(nba_space):
+    r = _yield1(nba_space,
+                'YIELD [1<2, 1<=1, 3>2, 2>=2, 2==2, 3!=2, 4<>3] AS i, '
+                '[1.2<2.4, 1.3<=1.300000001, 3.1>2.9, 2.3>=2.11, '
+                '2.0==2.000000009, 3.3!=2.1, 4.2<>3.001] AS f, '
+                '["1"<\'2\', "abc"<="Azz", "true">\'x\', "null">="NULL", '
+                '"abcd"<="abcde", "aaa"!="aaa"] AS s')
+    assert list(r.i) == [True] * 7
+    assert list(r.f) == [True] * 7
+    assert list(r.s) == [True, False, False, True, True, False]
+
+
+def test_relational_in_go_where(nba_space):
+    """RelationalExpr.feature "in GO clause" — int columns compare
+    against float literals with numeric promotion."""
+    df = execute(nba_space,
+                 'GO FROM "Tony Parker" OVER like '
+                 'WHERE $$.player.age >= 33.000000000010 '
+                 'OR like.likeness != 90.0000000000001 '
+                 'YIELD dst(edge) AS id, like.likeness AS likeness, '
+                 '$$.player.age AS age')
+    assert sorted(rows(df, "id", "likeness", "age")) == [
+        ("LaMarcus Aldridge", 90, 33), ("Manu Ginobili", 95, 41),
+        ("Tim Duncan", 95, 42)]
+    # epsilon equality: likeness 90 == 90.0000000000001 within 1e-8,
+    # and age 33 >= 33.00000000001 because |Δ| < ε counts as equal
+    df = execute(nba_space,
+                 'GO FROM "Tony Parker" OVER like '
+                 'WHERE $$.player.age >= 33.000000000010 '
+                 'AND like.likeness == 90.0000000000001 '
+                 'YIELD dst(edge) AS id')
+    assert [r.id for r in df.collect()] == ["LaMarcus Aldridge"]
