@@ -2478,3 +2478,43 @@ def test_relational_in_go_where(nba_space):
                  'AND like.likeness == 90.0000000000001 '
                  'YIELD dst(edge) AS id')
     assert [r.id for r in df.collect()] == ["LaMarcus Aldridge"]
+
+
+# ---------------------------------------------------------------------------
+# Aggregates over var-len MATCH — aggregate/Agg.feature "Basic Aggregate"
+# ---------------------------------------------------------------------------
+
+def test_agg_one_group_key_over_like(nba_space):
+    """Agg.feature one-group-key block: per-vertex aggregate bundle."""
+    df = execute(nba_space,
+                 'MATCH (v:player)-[e:like]->(v2) WHERE id(v) IN '
+                 '["Tony Parker", "Tim Duncan", "LaMarcus Aldridge"] '
+                 'RETURN id(v) AS vid, COUNT(*) AS c, '
+                 'COUNT(DISTINCT v2) AS dv2, MIN(v2.player.age) AS mn, '
+                 'MAX(e.likeness) AS mx, SUM(e.likeness) AS s')
+    got = {r.vid: (r.c, r.dv2, r.mn, r.mx, r.s) for r in df.collect()}
+    assert got == {
+        "LaMarcus Aldridge": (2, 2, 36, 75, 150),
+        "Tim Duncan": (2, 2, 36, 95, 190),
+        "Tony Parker": (3, 3, 33, 95, 280),
+    }
+
+
+def test_agg_multi_group_key_varlen(nba_space):
+    """Agg.feature multi-group-keys block: var-len 1..3 expansion feeding
+    a two-key aggregate — the path-multiplicity counts are the
+    reference's own golden values."""
+    df = execute(nba_space,
+                 'MATCH (v:player)-[e:like*1..3]->(v2)-[e2:like]->(v3) '
+                 'WHERE id(v) IN ["Tony Parker", "Tim Duncan", '
+                 '"LaMarcus Aldridge"] '
+                 'RETURN id(v) AS a, id(v2) AS b, COUNT(*) AS c, '
+                 'COUNT(DISTINCT id(v3)) AS d, MIN(v3.player.age) AS mn, '
+                 'MAX(e2.likeness) AS mx, SUM(e2.likeness) AS s')
+    got = {(r.a, r.b): (r.c, r.d, r.mn, r.mx, r.s) for r in df.collect()}
+    assert got[("LaMarcus Aldridge", "Manu Ginobili")] == (4, 1, 42, 90, 360)
+    assert got[("LaMarcus Aldridge", "Tim Duncan")] == (10, 2, 36, 95, 950)
+    assert got[("Tim Duncan", "Tony Parker")] == (8, 3, 33, 95, 750)
+    assert got[("Tony Parker", "Tim Duncan")] == (9, 2, 36, 95, 855)
+    assert got[("Tony Parker", "Manu Ginobili")] == (5, 1, 42, 90, 450)
+    assert len(got) == 12
