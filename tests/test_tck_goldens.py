@@ -2518,3 +2518,46 @@ def test_agg_multi_group_key_varlen(nba_space):
     assert got[("Tony Parker", "Tim Duncan")] == (9, 2, 36, 95, 855)
     assert got[("Tony Parker", "Manu Ginobili")] == (5, 1, 42, 90, 450)
     assert len(got) == 12
+
+
+# ---------------------------------------------------------------------------
+# Pipe edge cases — bugfix/{MatchUsedInPipe,TestYieldConstantAfterPipe}
+# ---------------------------------------------------------------------------
+
+def test_match_untyped_undirected_expansion(nba_space):
+    """MatchUsedInPipe.feature — (n)-[]-(m) over ALL edge types in BOTH
+    directions: 19 rows with per-edge multiplicity, Spurs included."""
+    df = execute(nba_space,
+                 'MATCH (n:player{name:"Tim Duncan"})-[]-(m) '
+                 'RETURN id(m) AS m')
+    got = sorted(r.m for r in df.collect())
+    assert len(got) == 19
+    assert got.count("Tony Parker") == 4      # like x2, teammate x2
+    assert got.count("Manu Ginobili") == 4
+    assert "Spurs" in got                     # serve edge
+
+
+def test_match_group_after_with(nba_space):
+    """MatchUsedInPipe.feature "Group after match" — WITH-aliased keys,
+    implicit grouping in RETURN."""
+    df = execute(nba_space,
+                 'MATCH (n:player{name:"Tim Duncan"})-[]-(m) '
+                 'WITH n AS a, m AS b '
+                 'RETURN id(b) AS b, count(*) AS c')
+    got = {r.b: r.c for r in df.collect()}
+    assert got["Tony Parker"] == 4
+    assert got["Danny Green"] == 2
+    assert got["Spurs"] == 1
+
+
+def test_yield_constant_after_pipe(nba_space):
+    """TestYieldConstantAfterPipe.feature — a constant YIELD keeps the
+    piped row count (one output row per input row)."""
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan" OVER * YIELD dst(edge) AS d '
+                 '| YIELD 1 AS a')
+    assert [r.a for r in df.collect()] == [1] * 7
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan" OVER * YIELD dst(edge) AS d '
+                 '| YIELD 1 AS a WHERE true')
+    assert [r.a for r in df.collect()] == [1] * 7
