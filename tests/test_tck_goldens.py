@@ -2561,3 +2561,44 @@ def test_yield_constant_after_pipe(nba_space):
                  'GO FROM "Tim Duncan" OVER * YIELD dst(edge) AS d '
                  '| YIELD 1 AS a WHERE true')
     assert [r.a for r in df.collect()] == [1] * 7
+
+
+def test_subgraph_before_pipe_limit(nba_space):
+    """SubgraphBeforePipe.feature — a pipe after GET SUBGRAPH applies to
+    the per-step result rows (LIMIT 1 keeps the first step)."""
+    full = execute(nba_space, 'GET SUBGRAPH 1 STEPS FROM "Tim Duncan"')
+    piped = execute(nba_space,
+                    'GET SUBGRAPH 1 STEPS FROM "Tim Duncan" | LIMIT 1')
+    assert piped.count() == 1
+    assert piped.count() <= full.count()
+
+
+def test_two_match_clauses_varlen_join(nba_space):
+    """InnerVar.feature — two var-len MATCH clauses joined on the shared
+    alias; result multiplicity is the product of path counts."""
+    df = execute(nba_space,
+                 'MATCH (v)-[:like*1..2]->(v2) WHERE id(v) == "Tim Duncan" '
+                 'MATCH (v)-[:serve*1..2]->(t) '
+                 'RETURN v.player.name AS a, v2.player.name AS b, '
+                 't.team.name AS c')
+    got = sorted(rows(df, "a", "b", "c"))
+    assert got == sorted([
+        ("Tim Duncan", "Tony Parker", "Spurs"),
+        ("Tim Duncan", "Manu Ginobili", "Spurs"),
+        ("Tim Duncan", "LaMarcus Aldridge", "Spurs"),
+        ("Tim Duncan", "Tim Duncan", "Spurs"),
+        ("Tim Duncan", "Tim Duncan", "Spurs"),
+        ("Tim Duncan", "Manu Ginobili", "Spurs"),
+    ])
+
+
+def test_go_dst_filter_pushdown_semantics(nba_space):
+    """PredicationPushDownInGo.feature — dst-membership filters inside
+    chained GOs (the reference pushes them into ExpandAll; here Catalyst
+    pushes to the edge scan — same rows either way)."""
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan" OVER like '
+                 'WHERE dst(edge) NOT IN ["xxx"] YIELD dst(edge) AS dst '
+                 '| GO FROM $-.dst OVER like REVERSELY '
+                 'WHERE dst(edge) IN ["Tim Duncan"] YIELD dst(edge) AS dst')
+    assert [r.dst for r in df.collect()] == ["Tim Duncan", "Tim Duncan"]
