@@ -644,12 +644,23 @@ def _exec_fetch_edges(space: GraphSpace, st: A.FetchEdgesStmt,
 
 
 def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
-    t = space.tag(st.name) if st.name in space.tags else space.edge(st.name)
+    is_tag = st.name in space.tags
+    t = space.tag(st.name) if is_tag else space.edge(st.name)
 
     def resolve(kind, *args):
         if kind == "edge_prop":
             return F.col(args[1])
+        if kind == "graph_fn":
+            # id(vertex) / src(edge) / dst(edge) / rank(edge) in LOOKUP
+            # YIELD (WithYield.feature, LookupIn.feature)
+            fn = {"id": VID, "src": SRC, "dst": DST, "rank": RANK}.get(
+                args[0])
+            if fn is not None:
+                return F.col(fn)
+            raise ValueError(f"unresolvable {kind} {args}")
         if kind == "name":
+            if args[0] == "vertex" and is_tag:
+                return F.col(VID)
             return F.col(args[0])
         raise ValueError(f"unresolvable {kind}")
 

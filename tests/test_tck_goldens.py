@@ -2602,3 +2602,14 @@ def test_go_dst_filter_pushdown_semantics(nba_space):
                  '| GO FROM $-.dst OVER like REVERSELY '
                  'WHERE dst(edge) IN ["Tim Duncan"] YIELD dst(edge) AS dst')
     assert [r.dst for r in df.collect()] == ["Tim Duncan", "Tim Duncan"]
+
+
+def test_lookup_in_with_range_conjunct(nba_space):
+    """LookupIn.feature — IN-list + range conjunct on an un-indexed prop
+    (index or not, same rows; our scans always take the Catalyst path)."""
+    df = execute(nba_space,
+                 'LOOKUP ON player WHERE player.age IN [40, 20] AND '
+                 'player.name > "" YIELD id(vertex) AS id, '
+                 'player.age AS age')
+    assert sorted(rows(df, "id", "age")) == [
+        ("Dirk Nowitzki", 40), ("Kobe Bryant", 40), ("Luka Doncic", 20)]
