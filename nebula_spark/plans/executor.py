@@ -784,10 +784,11 @@ def _exec_group_by(st: A.GroupByStmt, piped: DataFrame) -> DataFrame:
 def _bind_tag(space: GraphSpace, alias: str, tag: str | None) -> DataFrame:
     """Tag table with alias-prefixed columns ({alias}__vid, {alias}__prop).
 
-    ``{alias}___labels`` (triple underscore = internal marker) records the
-    pattern's declared tag for labels()/tags(); multi-tag vertices report
-    only the tag they were matched through — the declared-tag subset of the
-    reference's full label list (Vertex.h:62-70).
+    ``{alias}___labels`` (triple underscore = internal marker) seeds the
+    pattern's declared tag for labels()/tags(); when an expression
+    actually calls labels()/tags() on the alias, ``_ensure_tag_props``
+    lazily upgrades the column to the vertex's FULL tag list
+    (Vertex.h:62-70), so the cheap declared-tag seed never leaks out.
 
     A tagless node (``MATCH (n)`` — ScanVertices, MatchById seeks) binds
     the union of every tag's vid with the full label list; props resolve
@@ -832,6 +833,35 @@ def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
                           for c in td.columns])
         cur = cur.join(
             sel, cur[f"{a}__vid"] == sel[f"{a}___t_{t}__vid"], "left")
+    # labels()/tags() must report EVERY tag on the vertex (Vertex.h:62-70;
+    # MatchNodeLabelFilter.feature: a :bachelor-bound Tim Duncan is
+    # ["bachelor","player"]). Tag binding stores only the declared tag;
+    # upgrade lazily — one membership union + left join per alias, and
+    # only when an expression actually calls labels()/tags() on it.
+    lrefs: list = []
+    for e in exprs:
+        if e is not None:
+            _walk(e, {"call", "call_distinct"}, lrefs)
+    lbl_aliases = {r[2][1] for r in lrefs
+                   if len(r) >= 3 and r[1] in ("labels", "tags")
+                   and isinstance(r[2], tuple) and r[2][0] == "name"}
+    for a in sorted(lbl_aliases):
+        col = f"{a}___labels"
+        if tagmap.get(a) is None or col not in cur.columns \
+                or f"{a}__vid" not in cur.columns:
+            continue                    # tagless bind already carries all
+        u = None
+        for tname in space.tags:
+            part = space.tag(tname).select(
+                F.col(VID).alias(f"{a}___lv"), F.lit(tname).alias("_t"))
+            u = part if u is None else u.unionByName(part)
+        full = (u.groupBy(f"{a}___lv")
+                .agg(F.array_sort(F.collect_set("_t"))
+                     .alias(f"{a}___flbl")))
+        cur = (cur.drop(col)
+               .join(full, cur[f"{a}__vid"] == full[f"{a}___lv"], "left")
+               .withColumnRenamed(f"{a}___flbl", col)
+               .drop(f"{a}___lv"))
     return cur
 
 

@@ -2613,3 +2613,31 @@ def test_lookup_in_with_range_conjunct(nba_space):
                  'player.age AS age')
     assert sorted(rows(df, "id", "age")) == [
         ("Dirk Nowitzki", 40), ("Kobe Bryant", 40), ("Luka Doncic", 20)]
+
+
+def test_match_node_label_filter(nba_space):
+    """MatchNodeLabelFilter.feature — a :bachelor-labeled middle alias
+    (multi-tag Tim Duncan) with reverse edge + var-len tail; the
+    reference's own golden counts (27 / 34 / 184)."""
+    df = execute(nba_space,
+                 'MATCH (v0)<-[e0:like]-(v1:bachelor)-[e1*2]->() '
+                 'WHERE id(v0) IN ["Tony Parker", "Spurs", "Yao Ming"] '
+                 'RETURN type(e0) AS t, labels(v1) AS l')
+    got = df.collect()
+    assert len(got) == 27
+    assert all(r.t == "like" and sorted(r.l) == ["bachelor", "player"]
+               for r in got)
+    df = execute(nba_space,
+                 'MATCH (v0)<-[e0:like]-(v1:bachelor)-[e1*0..2]->() '
+                 'WHERE id(v0) IN ["Tony Parker", "Spurs", "Yao Ming"] '
+                 'RETURN labels(v1) AS l, count(*) AS c')
+    rws = df.collect()
+    assert len(rws) == 1
+    assert sorted(rws[0].l) == ["bachelor", "player"] and rws[0].c == 34
+    df = execute(nba_space,
+                 'MATCH (v:bachelor)<-[e*2..2]-()<-[e1]-() '
+                 'WHERE id(v) IN ["Tony Parker", "Spurs", "Tim Duncan"] '
+                 'RETURN labels(v) AS l, count(*) AS c')
+    rws = df.collect()
+    assert len(rws) == 1
+    assert sorted(rws[0].l) == ["bachelor", "player"] and rws[0].c == 184
