@@ -1381,6 +1381,36 @@ def _project_items(cur: DataFrame, items: list[A.YieldItem],
     """WITH/RETURN projection with openCypher implicit grouping. A bare
     alias item carries the whole binding ({alias}__*) through; aggregates
     trigger grouping by every non-aggregate item."""
+    return _project_impl(cur, items, ec, bound)
+
+
+def _compile_mixed_agg(e: tuple, ec: ExprCompiler) -> Column:
+    """Compile a projection item that MIXES aggregate calls with plain
+    sub-expressions (AggPatternExpression.feature:
+    ``size((v)--(:team)) + count(name) * 2``). Aggregate sub-calls stay
+    aggregates; every non-aggregate subtree wraps in ``first()`` — under
+    implicit grouping it is constant within its group, so first() is the
+    reference's per-group evaluation."""
+    if e[0] == "raw_agg" or (e[0] in ("call", "call_distinct")
+                             and e[1] in _AGG_FNS):
+        return ec.col(e)
+    if not _is_agg(e):
+        return F.first(ec.col(e))
+    if e[0] in ("+", "-", "*", "/", "%"):
+        a = _compile_mixed_agg(e[1], ec)
+        b = _compile_mixed_agg(e[2], ec)
+        return {"+": a + b, "-": a - b, "*": a * b,
+                "/": a / b, "%": a % b}[e[0]]
+    if e[0] == "neg":
+        return -_compile_mixed_agg(e[1], ec)
+    if e[0] in ("and", "or"):
+        a = _compile_mixed_agg(e[1], ec)
+        b = _compile_mixed_agg(e[2], ec)
+        return a & b if e[0] == "and" else a | b
+    return ec.col(e)                 # other mixed shapes: plain compile
+
+
+def _project_impl(cur, items, ec, bound):
     out_bound: set[str] = set()
     has_agg = any(_is_agg(y.expr) for y in items)
     keys, aggs = [], []
@@ -1400,11 +1430,11 @@ def _project_items(cur: DataFrame, items: list[A.YieldItem],
             out_bound.add(alias)
             keys.extend(cols)
         else:
-            c = ec.col(y.expr).alias(y.alias or f"c{i}")
             if has_agg and _is_agg(y.expr):
-                aggs.append(c)
+                aggs.append(_compile_mixed_agg(y.expr, ec)
+                            .alias(y.alias or f"c{i}"))
             else:
-                keys.append(c)
+                keys.append(ec.col(y.expr).alias(y.alias or f"c{i}"))
     if has_agg:
         out = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
     else:
@@ -1444,13 +1474,29 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                     cur = pat
                 else:
                     shared = [a for a in sorted(bound & aliases)]
+                    shared_edges = [a for a in sorted(ebound & eals)]
                     how = "left" if cl.optional else "inner"
-                    if shared:
-                        keys = [f"{a}__vid" for a in shared]
+                    # a shared EDGE alias joins the clauses on edge
+                    # identity (MatchJoinOnEdge.feature): single edges on
+                    # (src, dst, rank), var-len on the whole hop list;
+                    # mixing the two arities is the reference's
+                    # SemanticError
+                    keys = [f"{a}__vid" for a in shared]
+                    for a in shared_edges:
+                        cur_list = f"{a}__path" in cur.columns
+                        pat_list = f"{a}__path" in pat.columns
+                        if cur_list != pat_list:
+                            raise ValueError(
+                                f"`{a}' binding to different type: "
+                                "Edge vs EdgeList")
+                        keys += [f"{a}__path"] if pat_list else [
+                            f"{a}__src", f"{a}__dst", f"{a}__rank"]
+                    if keys:
                         # pattern side re-binds shared aliases: drop its
                         # duplicate prop columns, keep only new ones + keys
                         dup = [c for c in pat.columns
-                               if any(c.startswith(f"{a}__") for a in shared)
+                               if any(c.startswith(f"{a}__")
+                                      for a in shared + shared_edges)
                                and c not in keys]
                         cur = cur.join(pat.drop(*dup), on=keys, how=how)
                     else:
@@ -1596,14 +1642,15 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
             return F.struct(*fields).alias(y.alias or a)
         return ec.col(y.expr).alias(y.alias or f"c{i}")
 
-    items = [(y, ret_col(y, i)) for i, y in enumerate(returns)]
-    has_agg = any(_is_agg(y.expr) for y, _ in items)
+    items = [(i, y, ret_col(y, i)) for i, y in enumerate(returns)]
+    has_agg = any(_is_agg(y.expr) for _, y, _ in items)
     if has_agg:
-        keys = [c for y, c in items if not _is_agg(y.expr)]
-        aggs = [c for y, c in items if _is_agg(y.expr)]
+        keys = [c for _, y, c in items if not _is_agg(y.expr)]
+        aggs = [_compile_mixed_agg(y.expr, ec).alias(y.alias or f"c{i}")
+                for i, y, _ in items if _is_agg(y.expr)]
         out = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
     else:
-        out = cur.select(*[c for _, c in items])
+        out = cur.select(*[c for _, _, c in items])
     if st.distinct:
         out = out.distinct()
     if st.order_by:

@@ -2641,3 +2641,55 @@ def test_match_node_label_filter(nba_space):
     rws = df.collect()
     assert len(rws) == 1
     assert sorted(rws[0].l) == ["bachelor", "player"] and rws[0].c == 184
+
+
+# ---------------------------------------------------------------------------
+# Shared edge alias across MATCH clauses — bugfix/MatchJoinOnEdge.feature
+# ---------------------------------------------------------------------------
+
+def test_match_join_on_edge_alias(nba_space):
+    """MatchJoinOnEdge.feature — clauses sharing an edge alias join on
+    edge identity; src-conflicting constraints yield empty; arity
+    mismatch (Edge vs EdgeList) is a SemanticError."""
+    df = execute(nba_space,
+                 'MATCH (v:player)-[e:like]->() '
+                 'WHERE v.player.name == "Tim Duncan" '
+                 'MATCH ()-[e:like]->(u:player) '
+                 'WHERE u.player.name == "Tony Parker" '
+                 'RETURN id(v) AS v, id(u) AS u')
+    assert rows(df, "v", "u") == [("Tim Duncan", "Tony Parker")]
+    df = execute(nba_space,
+                 'MATCH (v:player)-[e:like]->() '
+                 'WHERE v.player.name == "Tim Duncan" '
+                 'MATCH (u:player)-[e:like]->() '
+                 'WHERE u.player.name == "Tony Parker" RETURN id(v) AS v')
+    assert df.count() == 0
+    with pytest.raises(ValueError, match="Edge vs EdgeList"):
+        execute(nba_space,
+                'MATCH (v:player)-[e:like*1..2]->(u) '
+                'WHERE v.player.name == "Tim Duncan" '
+                'MATCH (vv:player)-[e:like]->() '
+                'WHERE vv.player.name == "Tony Parker" RETURN v, u')
+
+
+def test_dup_alias_nonadjacent(nba_space):
+    """DupAliasInMatch.feature — an alias repeated across several hops
+    constrains all positions to one vertex; nba has no such cycles."""
+    for q in ('MATCH (n0)-[]->(n1)-[]->(n1) WHERE id(n0) == "Tim Duncan" '
+              'RETURN id(n1) AS n',
+              'MATCH (n1)<-[]-(n1)<-[]-(n0) WHERE id(n0) == "Tim Duncan" '
+              'RETURN id(n1) AS n',
+              'MATCH (n0)-[]->(n1)-[]->(n1)-[]->(n1) '
+              'WHERE id(n0) == "Tim Duncan" RETURN id(n1) AS n'):
+        assert execute(nba_space, q).count() == 0
+
+
+def test_agg_with_pattern_expression(nba_space):
+    """AggPatternExpression.feature — a RETURN item mixing a pattern-
+    expression size() with an aggregate; non-agg parts evaluate
+    per-group."""
+    df = execute(nba_space,
+                 'MATCH (v:player) WHERE id(v) == "Tim Duncan" '
+                 'RETURN v.player.name AS name, '
+                 'size((v)--(:team)) + count(v.player.name) * 2 AS count')
+    assert rows(df, "name", "count") == [("Tim Duncan", 3)]
