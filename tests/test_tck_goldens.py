@@ -2693,3 +2693,11 @@ def test_agg_with_pattern_expression(nba_space):
                  'RETURN v.player.name AS name, '
                  'size((v)--(:team)) + count(v.player.name) * 2 AS count')
     assert rows(df, "name", "count") == [("Tim Duncan", 3)]
+
+
+def test_deep_expression_chain(nba_space):
+    """Depth.feature — a 128-term addition chain parses and folds
+    (the reference's depth *limit* of 512 is an engine guard we don't
+    need: Catalyst folds constants, the parser loop is iterative)."""
+    q = "YIELD " + " + ".join(["1"] * 128) + " AS result"
+    assert _yield1(nba_space, q).result == 128
