@@ -1234,6 +1234,15 @@ def _rewrite_pattern_values(space: GraphSpace, cur: DataFrame,
             return v
         if e[0] in ("not", "and", "or", "xor"):
             return tuple([e[0]] + [walk(x, True) for x in e[1:]])
+        if e[0] == "comprehension":
+            # the WHERE of [x IN l WHERE pred | out] is boolean position
+            # (BoolCheckingInExpr.feature: a bare pattern there is an
+            # existence test)
+            return ("comprehension", e[1], walk(e[2]),
+                    walk(e[3], True) if e[3] is not None else None,
+                    walk(e[4]) if e[4] is not None else None)
+        if e[0] == "pred_fn":
+            return ("pred_fn", e[1], e[2], walk(e[3]), walk(e[4], True))
         return tuple(walk(x) for x in e)
 
     out = [walk(e) if e is not None else None for e in exprs]

@@ -2701,3 +2701,23 @@ def test_deep_expression_chain(nba_space):
     need: Catalyst folds constants, the parser loop is iterative)."""
     q = "YIELD " + " + ".join(["1"] * 128) + " AS result"
     assert _yield1(nba_space, q).result == 128
+
+
+def test_with_var_in_later_match_where(nba_space):
+    """FindStartError.feature — a WITH-bound scalar referenced in the
+    next MATCH's WHERE; both disjuncts false → empty."""
+    df = execute(nba_space,
+                 'WITH 1 AS a MATCH (v:player) '
+                 'WHERE a == 3 OR (a + 1) == 4 RETURN v.player.name AS n')
+    assert df.count() == 0
+
+
+def test_pattern_in_comprehension_predicate(nba_space):
+    """BoolCheckingInExpr.feature — a bare pattern inside a list-
+    comprehension WHERE is an implicit existence test."""
+    df = execute(nba_space,
+                 'MATCH (v:player) WHERE id(v) == "Tim Duncan" '
+                 'RETURN [i IN [id(v)] WHERE (v)-[:like]->()] AS ret')
+    rws = df.collect()
+    assert len(rws) == 1
+    assert list(rws[0].ret) == ["Tim Duncan"]
