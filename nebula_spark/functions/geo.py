@@ -18,8 +18,10 @@ Design (no geo libraries in this container, by constraint):
 - **Shape predicates** (point-in-polygon covers; st_intersects across
   point/linestring/polygon pairs) run as Arrow-batched pandas UDFs doing
   planar boundary-inclusive geometry — the plate-carrée approximation of
-  the reference's S2 spherical predicates. Holes and multi-geometries are
-  unsupported (parse keeps the outer ring only).
+  the reference's S2 spherical predicates. Polygon holes are supported:
+  ``_parse_rings`` keeps every ring and containment is decided even-odd
+  across all of them (a point inside a hole is outside the polygon).
+  Multi-geometries (MULTIPOLYGON/…) remain unsupported.
 - **Cell ids**: ``cell_id_from_point`` / ``covering_cell_ids`` provide the
   same *contract* as the reference's S2 cells — hierarchical, prefix-
   filterable bucket ids usable as a spatial pre-filter — via Z-order
