@@ -88,7 +88,8 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
 def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
                   direction: str = "out", mode: str = "all",
                   min_hops: int = 1,
-                  edge_filter: Column | None = None) -> DataFrame:
+                  edge_filter: Column | None = None,
+                  self_loop_once: bool = False) -> DataFrame:
     """Level-pruned BFS returning only MINIMAL-length paths per (start, end)
     pair — the MATCH ``shortestPath()``/``allShortestPaths()`` plan when the
     var-len segment carries no intermediate-hop predicates.
@@ -117,18 +118,26 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
     which level-pruning cannot represent — callers route those to the
     enumerate fallback.
 
-    ``direction`` must be ``out`` or ``in``. BOTH-direction is refused:
-    the root-cycle rows would be wrong. A shortest closed walk's prefix to
-    its penultimate vertex need not be a shortest path when the closing
-    edge is itself the direct root edge (triangle v0−v1−v2 with all three
-    edges: the 3-cycle's prefix v0→v1→v2 is level-pruned because v2 is
-    reached directly, and the direct path cannot close — it would re-use
-    the same underlying edge reversed). For out/in this cannot happen: a
-    directed shortest path to the penultimate vertex can only contain the
-    closing edge by passing through the root, which would embed a shorter
-    closed walk — induction gives parity with enumerate-then-prune (pinned
-    by the hypothesis test in tests/test_property.py). BOTH-direction
-    shortestPath stays on the enumerate fallback.
+    Direction semantics differ for the *root-cycle* pairs ``(s, s)`` only:
+
+    - ``out``/``in``: the root is NOT pre-visited when ``min_hops >= 1``,
+      so ``(s, s)`` is reported at its shortest ≥1-hop closed-walk length.
+      This is sound because a directed shortest path to the penultimate
+      vertex can only contain the closing edge by passing through the
+      root, which would embed a shorter closed walk — induction gives
+      parity with enumerate-then-prune (pinned by the hypothesis test in
+      tests/test_property.py).
+    - ``both``: the minimal-prefix invariant BREAKS for root cycles
+      (triangle v0−v1−v2 with all three edges: the 3-cycle's prefix
+      v0→v1→v2 is level-pruned because v2 is reached directly, and the
+      direct path cannot close — it would re-use the same underlying edge
+      reversed). So in BOTH mode the root IS pre-visited — the main BFS
+      then only ever emits ``s ≠ t`` pairs, for which undirected BFS is
+      textbook-correct — and the ``(s, s)`` rows are computed by
+      :func:`shortest_cycles` (meet-in-the-middle over minimal half-paths,
+      proof in its docstring) and unioned in. This removes the last
+      exponential plan: BOTH-direction ``shortestPath((a)-[*..n]-(b))`` no
+      longer needs the enumerate fallback.
 
     Output schema matches :func:`~nebula_spark.operators.traverse.traverse`:
     ``(start_vid, end_vid, hops, path)`` with path an array of edge structs
@@ -141,11 +150,7 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
     if min_hops > 1:
         raise ValueError("bfs_min_paths requires min_hops <= 1; route "
                          "higher lower bounds to the enumerate fallback")
-    if direction == "both":
-        raise ValueError("bfs_min_paths is out/in only: BOTH-direction "
-                         "root cycles break the minimal-prefix invariant "
-                         "(see docstring); use the enumerate fallback")
-    e = oriented(edges, direction)
+    e = oriented(edges, direction, self_loop_once=self_loop_once)
     if edge_filter is not None:
         e = e.filter(edge_filter)
     if "_etype" not in e.columns:
@@ -167,13 +172,16 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
                 .withColumn("path", F.array().cast(path_type)).persist())
     # per-root visited set: a vid joins it at its first-reached level, so
     # later levels cannot re-emit the pair — the minimality invariant.
-    # With min_hops >= 1 the root itself is NOT pre-visited: the pair
-    # (s, s) is then reported at its shortest ≥1-hop cycle length, matching
-    # the enumerate semantics (traverse emits cycle paths; the per-pair min
-    # keeps the shortest). Minimal walks revisit no vertex *except* the
-    # root as a cycle endpoint, so this is the only visited-set exception.
+    # out/in with min_hops >= 1: the root itself is NOT pre-visited — the
+    # pair (s, s) is then reported at its shortest ≥1-hop cycle length,
+    # matching the enumerate semantics (traverse emits cycle paths; the
+    # per-pair min keeps the shortest). Minimal walks revisit no vertex
+    # *except* the root as a cycle endpoint, so this is the only
+    # visited-set exception. BOTH direction: the root IS pre-visited (the
+    # exception is unsound there — see docstring) and (s, s) rows come
+    # from shortest_cycles below.
     visited = roots.withColumn("end_vid", F.col("root"))
-    if min_hops >= 1:
+    if min_hops >= 1 and direction != "both":
         visited = visited.limit(0)
     visited = visited.persist()
     results: DataFrame | None = None
@@ -215,6 +223,14 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
             old_visited.unpersist()
             frontier.unpersist()
             frontier = nxt          # eagerly checkpointed — no re-persist
+        if direction == "both" and min_hops >= 1 and max_hops >= 1:
+            # root-cycle pairs (s, s): excluded from the main BFS by the
+            # pre-visited root, recovered exactly by the meet-in-the-middle
+            # cycle search (same output schema, already min-pruned per root)
+            cyc = shortest_cycles(edges, sources, max_hops, direction="both",
+                                  mode=mode, edge_filter=edge_filter,
+                                  self_loop_once=self_loop_once)
+            results = cyc if results is None else results.unionByName(cyc)
         if results is None:
             results = (frontier.limit(0)
                        .select(F.col("root").alias("start_vid"), "end_vid",
@@ -224,6 +240,482 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
         frontier.unpersist()
         visited.unpersist()
         e.unpersist()
+
+
+_DIR_FLIP = {"out": "in", "in": "out", "both": "both"}
+
+
+def _path_struct_type(e: DataFrame):
+    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                                   StructField, StructType)
+    return ArrayType(StructType([
+        StructField("s", e.schema[SRC].dataType),
+        StructField("d", e.schema[DST].dataType),
+        StructField("r", e.schema[RANK].dataType),
+        StructField("t", IntegerType()),
+        StructField("et", StringType()),
+    ]))
+
+
+def _new_edge_struct() -> Column:
+    return F.struct(F.col(SRC).alias("s"), F.col(DST).alias("d"),
+                    F.col(RANK).alias("r"), F.col("_dir").alias("t"),
+                    F.col("_etype").alias("et"))
+
+
+def _flip_path(col: Column) -> Column:
+    """A root→m half-path re-expressed as the m→root leg of a full path:
+    reverse the edge order and swap each edge's traversal orientation
+    ((s,d,t) → (d,s,-t)), so the flipped structs are exactly what
+    :func:`traverse` would have recorded walking the other way."""
+    return F.reverse(F.transform(col, lambda x: F.struct(
+        x["d"].alias("s"), x["s"].alias("d"), x["r"].alias("r"),
+        (-x["t"]).alias("t"), x["et"].alias("et"))))
+
+
+def _edges_unique(col: Column) -> Column:
+    """openCypher relationship-uniqueness over a whole path column:
+    no underlying edge twice, where identity is direction-normalized
+    ((a,b,e,r) == (b,a,-e,r), Edge.cpp:128-136 keyEqual)."""
+    canon = F.transform(col, lambda x: F.struct(
+        F.when(x["t"] == 1, x["s"]).otherwise(x["d"]).alias("a"),
+        F.when(x["t"] == 1, x["d"]).otherwise(x["s"]).alias("b"),
+        x["r"].alias("r"), x["et"].alias("et")))
+    return F.size(F.array_distinct(canon)) == F.size(col)
+
+
+def _prep_oriented(edges: DataFrame, direction: str,
+                   edge_filter: Column | None,
+                   self_loop_once: bool) -> DataFrame:
+    e = oriented(edges, direction, self_loop_once=self_loop_once)
+    if edge_filter is not None:
+        e = e.filter(edge_filter)
+    if "_etype" not in e.columns:
+        e = e.withColumn("_etype", F.lit(""))
+    return e.select(SRC, DST, RANK, "_dir", "_etype")
+
+
+def shortest_cycles(edges: DataFrame, roots: DataFrame, max_hops: int,
+                    direction: str = "both", mode: str = "all",
+                    edge_filter: Column | None = None,
+                    self_loop_once: bool = False) -> DataFrame:
+    """All minimal-length edge-unique closed walks through each root —
+    the root-cycle pairs ``(s, s)`` of MATCH ``shortestPath`` /
+    ``allShortestPaths``, computed by meeting in the middle instead of
+    enumerating (reference conjunct design:
+    ``src/graph/executor/algo/SingleShortestPath.cpp:214-265``).
+
+    Output schema matches :func:`bfs_min_paths`: ``(start_vid, end_vid,
+    hops, path)`` with ``end_vid == start_vid``.
+
+    Why this is exact (the proof the enumerate fallback no longer pays
+    exponentially for):
+
+    1. *A minimal closed edge-unique walk through s is a simple cycle.*
+       Any internal vertex repeat can be excised — the excision keeps s,
+       keeps a subset of the edges (so stays edge-unique), and is strictly
+       shorter.
+    2. *Every vertex v on a minimal cycle C through s satisfies
+       d(s, v) = cycle-distance.* If some v were closer, pairing a shortest
+       s⇝v path with either cycle side gives a closed edge-unique walk
+       through s shorter than \\|C\\|; at least one of the two pairings keeps
+       two distinct s-incident edges (C's own s-edges differ), so its
+       repeat-excision terminates in a *simple* cycle through s shorter
+       than C — contradiction.
+    3. Hence C of even length 2k decomposes at its far vertex m into two
+       **minimal** half-paths of length k (a vertex meet), and C of odd
+       length 2k+1 decomposes at its middle edge into two minimal
+       half-paths of length k joined by that edge (an edge meet). The
+       forward half follows ``direction``; the return half is a minimal
+       path in the **reversed** direction (same search when BOTH).
+    4. Conversely every vertex/edge meet of two minimal half-paths is a
+       closed edge-unique walk through s once the cross-half uniqueness
+       filter passes, and at the per-root minimum length it is
+       automatically simple (else by 1–2 a strictly shorter candidate
+       would exist — contradiction with it being the minimum). So
+       {survivors of min-prune} == {minimal cycles}, with multiplicity:
+       each cycle orientation decomposes uniquely at its far vertex /
+       middle edge.
+
+    Scale: the halves are level-pruned BFS to depth ``max_hops // 2`` —
+    frontier b^(L/2) instead of the enumerate fallback's b^L paths.
+    Halves always retain *all* minimal paths (an even meet needs two
+    distinct paths to the far vertex); ``mode`` only affects the final
+    per-root representative pick.
+    """
+    from pyspark.sql.window import Window
+
+    half_depth = max_hops // 2
+    half_f = bfs_min_paths(edges, roots, max_hops=half_depth,
+                           direction=direction, mode="all", min_hops=0,
+                           edge_filter=edge_filter,
+                           self_loop_once=self_loop_once)
+    half_f = half_f.localCheckpoint(eager=True)   # reused by 2-3 joins
+    if direction == "both":
+        half_b = half_f
+    else:
+        half_b = bfs_min_paths(edges, roots, max_hops=half_depth,
+                               direction=_DIR_FLIP[direction], mode="all",
+                               min_hops=0, edge_filter=edge_filter,
+                               self_loop_once=self_loop_once
+                               ).localCheckpoint(eager=True)
+
+    # vertex meets: two distinct minimal half-paths of equal length k >= 1
+    # to the same far vertex -> cycle of length 2k
+    a = (half_f.filter(F.col("hops") >= 1)
+         .select("start_vid", F.col("end_vid").alias("_m"),
+                 F.col("hops").alias("_k"), F.col("path").alias("_lp")))
+    b = (half_b.filter(F.col("hops") >= 1)
+         .select("start_vid", F.col("end_vid").alias("_m"),
+                 F.col("hops").alias("_k"), F.col("path").alias("_rp")))
+    even = (a.join(b, ["start_vid", "_m", "_k"])
+            .filter(F.col("_lp") != F.col("_rp"))
+            .select("start_vid", (F.col("_k") * 2).alias("hops"),
+                    F.concat("_lp", _flip_path(F.col("_rp"))).alias("path")))
+
+    # edge meets: minimal half-paths of equal length k to the middle
+    # edge's two endpoints -> cycle of length 2k+1 (k=0 row is the
+    # self-loop case: both halves are the root itself)
+    e_mid = _prep_oriented(edges, direction, edge_filter, self_loop_once)
+    ao = (half_f.filter(F.col("hops") * 2 + 1 <= max_hops)
+          .select("start_vid", F.col("end_vid").alias("_x"),
+                  F.col("hops").alias("_k"), F.col("path").alias("_lp")))
+    bo = (half_b.select(F.col("start_vid").alias("_rroot"),
+                        F.col("end_vid").alias("_y"),
+                        F.col("hops").alias("_rk"),
+                        F.col("path").alias("_rp")))
+    odd = (ao.join(e_mid, ao["_x"] == e_mid[SRC])
+           .join(bo, (F.col("start_vid") == F.col("_rroot"))
+                 & (F.col("_k") == F.col("_rk"))
+                 & (F.col(DST) == F.col("_y")))
+           .select("start_vid", (F.col("_k") * 2 + 1).alias("hops"),
+                   F.concat("_lp", F.array(_new_edge_struct()),
+                            _flip_path(F.col("_rp"))).alias("path")))
+
+    cand = (even.unionByName(odd)
+            .filter(_edges_unique(F.col("path"))))
+    w = Window.partitionBy("start_vid")
+    cand = (cand.withColumn("_min", F.min("hops").over(w))
+            .filter(F.col("hops") == F.col("_min")).drop("_min"))
+    if mode == "single":
+        ws = Window.partitionBy("start_vid").orderBy(
+            F.col("path").cast("string"))
+        cand = (cand.withColumn("_rn", F.row_number().over(ws))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+    return cand.select("start_vid", F.col("start_vid").alias("end_vid"),
+                       "hops", "path")
+
+
+def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
+                    max_hops: int, direction: str = "out",
+                    mode: str = "all", min_hops: int = 1,
+                    edge_filter: Column | None = None,
+                    self_loop_once: bool = False) -> DataFrame:
+    """Meet-in-the-middle minimal paths for (source, target) pairs — the
+    MATCH ``shortestPath()`` plan when the end of the pattern is bound or
+    tag-constrained, and the engine analog of the reference's conjunct
+    executors (``SingleShortestPath.cpp:214-265`` odd/even meeting,
+    ``MultiShortestPathExecutor.cpp``, ``BatchShortestPath.cpp``).
+
+    Two level-pruned BFS frontiers expand alternately — forward from the
+    sources along ``direction``, backward from the targets along the
+    reversed direction — and after each half-step the two *frontiers*
+    (first-reach rows only) are joined on the meeting vertex. Round r
+    checks totals 2r−1 (left depth r × right depth r−1) and 2r (left r ×
+    right r). Why frontier×frontier meets suffice and are final:
+
+    - A pair at true distance L first meets at round ⌈L/2⌉ (any meet at an
+      earlier round would witness a shorter walk), and at that round the
+      canonical split — prefix of length ⌈L/2⌉, suffix ⌊L/2⌋, both
+      necessarily minimal half-paths and therefore both present in their
+      frontiers — produces *every* minimal path of that pair exactly once
+      (the split point of each path is unique).
+    - Later rounds can only produce strictly longer combos for that pair;
+      the final per-pair min-prune discards them.
+    - At minimal total, every combo of minimal halves is automatically a
+      simple path (a vertex repeat would allow a shortcut, contradicting
+      L being the walk distance), so relationship-uniqueness holds by
+      construction; the explicit cross-half filter is belt-and-braces.
+
+    Scale: frontier size grows with b^(L/2) instead of b^L — the reason
+    the reference searches from both ends — and the search stops as soon
+    as every (source, target) pair has resolved, probed per round against
+    \\|S\\|·\\|T\\|. Root-cycle pairs (s in both sets) are excluded from the
+    vertex meets (the half-paths from one side alone can't see a cycle's
+    non-minimal prefix) and routed to :func:`shortest_cycles`;
+    ``min_hops=0`` adds their zero-length rows instead.
+
+    Output schema matches :func:`bfs_min_paths`:
+    ``(start_vid, end_vid, hops, path)``.
+    """
+    from pyspark.sql.window import Window
+
+    if min_hops > 1:
+        raise ValueError("bidir_min_paths requires min_hops <= 1; route "
+                         "higher lower bounds to the enumerate fallback")
+    fwd = _prep_oriented(edges, direction, edge_filter,
+                         self_loop_once).persist()
+    bwd = fwd if direction == "both" else _prep_oriented(
+        edges, _DIR_FLIP[direction], edge_filter, self_loop_once).persist()
+    path_type = _path_struct_type(fwd)
+
+    src_roots = (sources.select(F.col(VID).alias("root")).distinct()
+                 .localCheckpoint(eager=True))
+    tgt_roots = (targets.select(F.col(VID).alias("root")).distinct()
+                 .localCheckpoint(eager=True))
+    diag = src_roots.join(tgt_roots, "root", "left_semi")
+    n_src, n_tgt = src_roots.count(), tgt_roots.count()
+    n_diag = diag.count()
+    total_pairs = n_src * n_tgt - n_diag
+
+    def start_state(roots):
+        front = (roots.withColumn("end_vid", F.col("root"))
+                 .withColumn("path", F.array().cast(path_type))
+                 .localCheckpoint(eager=True))
+        visited = roots.withColumn("end_vid", F.col("root")).persist()
+        return front, visited
+
+    lfront, lvisited = start_state(src_roots)
+    rfront, rvisited = start_state(tgt_roots)
+
+    def advance(front, visited, e, n_front):
+        f = (F.broadcast(front)
+             if n_front <= BROADCAST_FRONTIER_ROWS // 8 else front)
+        uniq = ~F.array_contains(F.col("path"), _edge_id()) \
+            & ~F.array_contains(F.col("path"), _edge_id_reversed())
+        nxt = (f.alias("__f")
+               .join(e.alias("__e"),
+                     F.col("__f.end_vid") == F.col(f"__e.{SRC}"), "inner")
+               .filter(uniq)
+               .select("root", F.col(DST).alias("end_vid"),
+                       F.concat("path",
+                                F.array(_new_edge_struct())).alias("path"))
+               .join(visited, ["root", "end_vid"], "left_anti"))
+        if mode == "single":
+            w = (Window.partitionBy("root", "end_vid")
+                 .orderBy(F.col("path").cast("string")))
+            nxt = (nxt.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+        return nxt.localCheckpoint(eager=True)
+
+    def meet(lf, rf, total):
+        l = lf.select(F.col("root").alias("start_vid"),
+                      F.col("end_vid").alias("_m"),
+                      F.col("path").alias("_lp"))
+        r = rf.select(F.col("root").alias("_eroot"),
+                      F.col("end_vid").alias("_m"),
+                      _flip_path(F.col("path")).alias("_rp"))
+        return (l.join(r, "_m")
+                .filter(F.col("start_vid") != F.col("_eroot"))
+                .select("start_vid", F.col("_eroot").alias("end_vid"),
+                        F.lit(total).alias("hops"),
+                        F.concat("_lp", "_rp").alias("path"))
+                .localCheckpoint(eager=True))
+
+    combos: list[DataFrame] = []
+    resolved: DataFrame | None = None
+    n_resolved = 0
+    n_l, n_r = n_src, n_tgt
+    rounds = (max_hops + 1) // 2
+    try:
+        for r in range(1, rounds + 1):
+            new_l = advance(lfront, lvisited, fwd, n_l)
+            n_l = new_l.count()
+            lfront = new_l
+            if n_l == 0:
+                break
+            old = lvisited
+            lvisited = lvisited.unionByName(
+                new_l.select("root", "end_vid").distinct()).persist()
+            old.unpersist()
+            round_meets = [meet(new_l, rfront, 2 * r - 1)]
+            if 2 * r <= max_hops:
+                new_r = advance(rfront, rvisited, bwd, n_r)
+                n_r = new_r.count()
+                if n_r:
+                    old = rvisited
+                    rvisited = rvisited.unionByName(
+                        new_r.select("root", "end_vid").distinct()).persist()
+                    old.unpersist()
+                    round_meets.append(meet(new_l, new_r, 2 * r))
+                rfront = new_r
+            combos.extend(round_meets)
+            if (2 * r <= max_hops and n_r == 0):
+                break
+            # all-pairs-resolved probe: a pair's minimal combos all appear
+            # in the round it first meets, so once every pair has met
+            # there is nothing left to find
+            newp = round_meets[0].select("start_vid", "end_vid")
+            for m in round_meets[1:]:
+                newp = newp.unionByName(m.select("start_vid", "end_vid"))
+            newp = newp.distinct()
+            if resolved is not None:
+                newp = newp.join(resolved, ["start_vid", "end_vid"],
+                                 "left_anti")
+            newp = newp.localCheckpoint(eager=True)
+            n_resolved += newp.count()
+            resolved = newp if resolved is None else \
+                resolved.unionByName(newp).localCheckpoint(eager=True)
+            if n_resolved >= total_pairs:
+                break
+
+        out: DataFrame | None = None
+        for c in combos:
+            out = c if out is None else out.unionByName(c)
+        if out is not None:
+            out = out.filter(_edges_unique(F.col("path")))
+            w = Window.partitionBy("start_vid", "end_vid")
+            out = (out.withColumn("_min", F.min("hops").over(w))
+                   .filter(F.col("hops") == F.col("_min")).drop("_min"))
+            if mode == "single":
+                ws = (Window.partitionBy("start_vid", "end_vid")
+                      .orderBy(F.col("path").cast("string")))
+                out = (out.withColumn("_rn", F.row_number().over(ws))
+                       .filter(F.col("_rn") == 1).drop("_rn"))
+        extras: list[DataFrame] = []
+        if n_diag:
+            if min_hops == 0:
+                extras.append(diag.select(
+                    F.col("root").alias("start_vid"),
+                    F.col("root").alias("end_vid"),
+                    F.lit(0).alias("hops"),
+                    F.array().cast(path_type).alias("path")))
+            elif max_hops >= 1:
+                extras.append(shortest_cycles(
+                    edges, diag.select(F.col("root").alias(VID)), max_hops,
+                    direction=direction, mode=mode, edge_filter=edge_filter,
+                    self_loop_once=self_loop_once))
+        for x in extras:
+            out = x if out is None else out.unionByName(x)
+        if out is None:
+            out = (src_roots.limit(0)
+                   .select(F.col("root").alias("start_vid"),
+                           F.col("root").alias("end_vid"),
+                           F.lit(0).alias("hops"),
+                           F.array().cast(path_type).alias("path")))
+        return out
+    finally:
+        lvisited.unpersist()
+        rvisited.unpersist()
+        fwd.unpersist()
+        if direction != "both":
+            bwd.unpersist()
+
+
+def bidir_distances(edges: DataFrame, sources: DataFrame, targets: DataFrame,
+                    max_hops: int, direction: str = "out",
+                    edge_filter: Column | None = None) -> DataFrame:
+    """FIND SHORTEST PATH distance form, meeting in the middle:
+    ``(src, dst, dist)`` with dist = min hop count in [1, max_hops], for
+    src in ``sources``, dst in ``targets``, src ≠ dst — the semantics of
+    :func:`bfs_shortest_paths` with a target set, at half the search
+    depth (frontier b^(L/2) instead of b^L; the reference's
+    ``MultiShortestPathExecutor.cpp`` / ``BatchShortestPath.cpp`` shape).
+
+    Correctness follows the same round argument as
+    :func:`bidir_min_paths`: round r joins the two first-reach frontiers
+    at totals 2r−1 and 2r; a pair at distance L first meets at round
+    ⌈L/2⌉ via its canonical split, so min-over-observed-totals per pair is
+    the true distance. The search stops when every pair has resolved or a
+    frontier empties (an empty side proves no unseen pair remains — a
+    deeper pair's canonical meet would have to be first-reached at the
+    depth that just came back empty).
+    """
+    fwd_all = _prep_oriented(edges, direction, edge_filter, False)
+    fwd = fwd_all.select(SRC, DST).distinct().persist()
+    bwd = fwd if direction == "both" else _prep_oriented(
+        edges, _DIR_FLIP[direction], edge_filter, False
+        ).select(SRC, DST).distinct().persist()
+
+    src_roots = (sources.select(F.col(VID).alias("root")).distinct()
+                 .localCheckpoint(eager=True))
+    tgt_roots = (targets.select(F.col(VID).alias("root")).distinct()
+                 .localCheckpoint(eager=True))
+    n_src, n_tgt = src_roots.count(), tgt_roots.count()
+    n_diag = src_roots.join(tgt_roots, "root", "left_semi").count()
+    total_pairs = n_src * n_tgt - n_diag
+
+    def start_state(roots):
+        front = (roots.withColumn(VID, F.col("root"))
+                 .localCheckpoint(eager=True))
+        visited = roots.withColumn(VID, F.col("root")).persist()
+        return front, visited
+
+    lfront, lvisited = start_state(src_roots)
+    rfront, rvisited = start_state(tgt_roots)
+
+    def advance(front, visited, e, n_front):
+        f = F.broadcast(front) if n_front <= BROADCAST_FRONTIER_ROWS \
+            else front
+        nxt = (f.join(e, f[VID] == e[SRC], "inner")
+               .select("root", F.col(DST).alias(VID)).distinct()
+               .join(visited, ["root", VID], "left_anti"))
+        return nxt.localCheckpoint(eager=True)
+
+    def meet(lf, rf, total):
+        l = lf.select(F.col("root").alias(SRC), F.col(VID).alias("_m"))
+        r = rf.select(F.col("root").alias(DST), F.col(VID).alias("_m"))
+        return (l.join(r, "_m")
+                .filter(F.col(SRC) != F.col(DST))
+                .select(SRC, DST, F.lit(total).alias("dist"))
+                .distinct()
+                .localCheckpoint(eager=True))
+
+    meets: list[DataFrame] = []
+    resolved: DataFrame | None = None
+    n_resolved = 0
+    n_l, n_r = n_src, n_tgt
+    rounds = (max_hops + 1) // 2
+    try:
+        for r in range(1, rounds + 1):
+            new_l = advance(lfront, lvisited, fwd, n_l)
+            n_l = new_l.count()
+            lfront = new_l
+            if n_l == 0:
+                break
+            old = lvisited
+            lvisited = lvisited.unionByName(new_l).persist()
+            old.unpersist()
+            round_meets = [meet(new_l, rfront, 2 * r - 1)]
+            if 2 * r <= max_hops:
+                new_r = advance(rfront, rvisited, bwd, n_r)
+                n_r = new_r.count()
+                if n_r:
+                    old = rvisited
+                    rvisited = rvisited.unionByName(new_r).persist()
+                    old.unpersist()
+                    round_meets.append(meet(new_l, new_r, 2 * r))
+                rfront = new_r
+            meets.extend(round_meets)
+            if 2 * r <= max_hops and n_r == 0:
+                break
+            newp = round_meets[0].select(SRC, DST)
+            for m in round_meets[1:]:
+                newp = newp.unionByName(m.select(SRC, DST))
+            newp = newp.distinct()
+            if resolved is not None:
+                newp = newp.join(resolved, [SRC, DST], "left_anti")
+            newp = newp.localCheckpoint(eager=True)
+            n_resolved += newp.count()
+            resolved = newp if resolved is None else \
+                resolved.unionByName(newp).localCheckpoint(eager=True)
+            if n_resolved >= total_pairs:
+                break
+        out: DataFrame | None = None
+        for m in meets:
+            out = m if out is None else out.unionByName(m)
+        if out is None:
+            return (src_roots.limit(0)
+                    .select(F.col("root").alias(SRC),
+                            F.col("root").alias(DST),
+                            F.lit(0).alias("dist")))
+        return out.groupBy(SRC, DST).agg(F.min("dist").alias("dist"))
+    finally:
+        lvisited.unpersist()
+        rvisited.unpersist()
+        fwd.unpersist()
+        if direction != "both":
+            bwd.unpersist()
 
 
 def weighted_shortest_paths(edges: DataFrame, sources: DataFrame,

@@ -26,7 +26,7 @@ from nebula_spark.catalog import DST, RANK, SRC, VID, GraphSpace
 from nebula_spark.functions.scalar import FUNCTIONS
 from nebula_spark.operators import go, k_hop_subgraph, traverse
 from nebula_spark.operators.paths import (all_paths, bfs_min_paths,
-                                          bfs_shortest_paths)
+                                          bidir_distances, bidir_min_paths)
 from nebula_spark.plans import ngql as A
 
 _AGG_FNS = {"count", "sum", "avg", "max", "min", "std", "collect",
@@ -678,7 +678,10 @@ def _exec_find_path(space: GraphSpace, st: A.FindPathStmt) -> DataFrame:
     src = _vid_frame(space, st.sources, None, None)
     dst = _vid_frame(space, st.targets, None, None)
     if st.kind == "shortest":
-        return bfs_shortest_paths(edges, src, dst, st.max_steps, st.direction)
+        # bidirectional meet-in-the-middle: FIND SHORTEST PATH always has
+        # explicit FROM/TO sets, so both frontiers are seedable and the
+        # search depth halves (MultiShortestPathExecutor.cpp conjunct shape)
+        return bidir_distances(edges, src, dst, st.max_steps, st.direction)
     p = all_paths(edges, src, dst, st.max_steps, st.direction,
                   noloop=st.kind == "noloop")
     return p.select(
@@ -957,20 +960,43 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             # (SingleShortestPath.cpp:214-265 does BFS, never
             # enumeration): only minimal paths are materialized, so the
             # cost is linear in reachable pairs instead of exponential in
-            # hop count. The enumerate-then-prune fallback below remains
-            # for min_hops>1 / multi-segment patterns (intermediate-hop
-            # constraints break the BFS invariant) and for BOTH-direction
-            # segments (root-cycle prefixes break minimality — see
-            # bfs_min_paths docstring).
+            # hop count. BOTH-direction segments route here too — the
+            # root-cycle pairs that used to break the minimality
+            # invariant are handled by shortest_cycles inside
+            # bfs_min_paths/bidir_min_paths. The enumerate-then-prune
+            # fallback below remains only for min_hops>1 / multi-segment
+            # patterns (intermediate-hop constraints break the BFS
+            # invariant).
             route_bfs = (path.shortest is not None
-                         and len(path.edges) == 1 and me.min_hops <= 1
-                         and me.direction != "both")
+                         and len(path.edges) == 1 and me.min_hops <= 1)
             if route_bfs:
-                tr = bfs_min_paths(
-                    edges.select(SRC, DST, RANK, "_etype"), seeds,
-                    max_hops=me.max_hops, direction=me.direction,
-                    mode=("single" if path.shortest == "single" else "all"),
-                    min_hops=me.min_hops)
+                sp_mode = "single" if path.shortest == "single" else "all"
+                # bidirectional meet-in-the-middle when the pattern's end
+                # is bound or tag-constrained (a target frontier exists)
+                # and the range is deep enough for depth-halving to pay
+                # for the second frontier
+                sp_targets = None
+                if na in aliases:
+                    sp_targets = cur.select(
+                        F.col(f"{na}__vid").alias(VID)).distinct()
+                elif mn.tag:
+                    tt = space.tag(mn.tag)
+                    for k, v in mn.props.items():
+                        if k in tt.columns:
+                            tt = tt.filter(F.col(k) == v)
+                    sp_targets = tt.select(VID)
+                if sp_targets is not None and me.max_hops >= 3:
+                    tr = bidir_min_paths(
+                        edges.select(SRC, DST, RANK, "_etype"), seeds,
+                        sp_targets, max_hops=me.max_hops,
+                        direction=me.direction, mode=sp_mode,
+                        min_hops=me.min_hops, self_loop_once=True)
+                else:
+                    tr = bfs_min_paths(
+                        edges.select(SRC, DST, RANK, "_etype"), seeds,
+                        max_hops=me.max_hops, direction=me.direction,
+                        mode=sp_mode, min_hops=me.min_hops,
+                        self_loop_once=True)
                 shortest_done = True
             else:
                 tr = traverse(edges.select(SRC, DST, RANK, "_etype"),

@@ -135,7 +135,7 @@ def test_hyperplane_bucket_deterministic(spark, vecs):
     edges=st.lists(
         st.tuples(st.integers(0, 6), st.integers(0, 6)),
         min_size=1, max_size=14, unique=True),
-    direction=st.sampled_from(["out", "in"]),
+    direction=st.sampled_from(["out", "in", "both"]),
     mode=st.sampled_from(["all", "single"]),
     max_hops=st.integers(1, 3),
 )
@@ -147,10 +147,11 @@ def test_bfs_min_paths_equals_enumerate_prune(spark, edges, direction,
     prune reference plan on arbitrary small graphs: same (start, end,
     hops) multiset, and in `all` mode the same path multiset. This pins
     the routed fast path to the fallback's semantics — root cycles and
-    self-loops included. out/in only: BOTH-direction root cycles violate
-    the minimal-prefix invariant (a hypothesis run found the triangle
-    counterexample), so bfs_min_paths refuses "both" and the executor
-    keeps the enumerate fallback there — asserted below."""
+    self-loops included, in ALL directions: BOTH-direction root cycles
+    violate the minimal-prefix invariant (a hypothesis run found the
+    triangle counterexample), so in BOTH mode bfs_min_paths pre-visits
+    the root and recovers the (s, s) rows via the meet-in-the-middle
+    shortest_cycles search instead."""
     from collections import Counter
 
     from pyspark.sql import functions as F
@@ -198,20 +199,117 @@ def test_bfs_min_paths_equals_enumerate_prune(spark, edges, direction,
         assert len(got) == len(got_set)
 
 
-def test_bfs_min_paths_refuses_both_direction(spark):
-    """The triangle counterexample: in BOTH direction the 3-cycle's
-    minimal prefix v0→v1→v2 is level-pruned (v2 reached directly) and the
-    direct path can't close over the same underlying edge — so (v0, v0, 3)
-    would be silently missing. bfs_min_paths must refuse; the MATCH
-    executor routes BOTH-direction shortestPath to the enumerate plan,
-    which still finds the cycle."""
-    import pytest
-
+def test_bfs_min_paths_both_finds_triangle_cycle(spark):
+    """The triangle counterexample that used to force the enumerate
+    fallback: in BOTH direction the 3-cycle's minimal prefix v0→v1→v2 is
+    level-pruned (v2 reached directly) and the direct path can't close
+    over the same underlying edge — a naive level-pruned BFS silently
+    loses (v0, v0, 3). bfs_min_paths must now find both orientations of
+    the cycle via shortest_cycles."""
     from nebula_spark.operators.paths import bfs_min_paths
 
     e = spark.createDataFrame(
         [("v0", "v1", 0), ("v0", "v2", 0), ("v1", "v2", 0)],
         "src string, dst string, rank long")
     starts = spark.createDataFrame([("v0",)], ["vid"])
-    with pytest.raises(ValueError, match="out/in only"):
-        bfs_min_paths(e, starts, max_hops=3, direction="both")
+    got = bfs_min_paths(e, starts, max_hops=3, direction="both").collect()
+    cycles = sorted(
+        tuple((p.s, p.d) for p in r.path)
+        for r in got if r.end_vid == "v0")
+    assert [r.hops for r in got if r.end_vid == "v0"] == [3, 3]
+    assert cycles == [
+        (("v0", "v1"), ("v1", "v2"), ("v2", "v0")),
+        (("v0", "v2"), ("v2", "v1"), ("v1", "v0")),
+    ]
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1, max_size=14, unique=True),
+    direction=st.sampled_from(["out", "in", "both"]),
+    mode=st.sampled_from(["all", "single"]),
+    max_hops=st.integers(1, 4),
+    n_targets=st.integers(1, 3),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bidir_min_paths_equals_enumerate_prune(spark, edges, direction,
+                                               mode, max_hops, n_targets):
+    """Meet-in-the-middle (source, target) minimal paths must agree with
+    enumerate-then-prune restricted to the target set — including
+    root-cycle pairs when a vertex is in both sets, odd and even path
+    lengths, and all directions."""
+    from collections import Counter
+
+    from nebula_spark.operators.paths import bidir_min_paths
+    from nebula_spark.operators.traverse import traverse
+
+    e = spark.createDataFrame(
+        [(f"v{s}", f"v{d}", 0) for s, d in edges],
+        "src string, dst string, rank long")
+    starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
+    tvids = [f"v{i}" for i in range(n_targets)]   # overlaps sources: diag
+    targets = spark.createDataFrame([(t,) for t in tvids], ["vid"])
+
+    got = bidir_min_paths(e, starts, targets, max_hops=max_hops,
+                          direction=direction, mode=mode).collect()
+
+    enum = [r for r in traverse(e, starts, min_hops=1, max_hops=max_hops,
+                                direction=direction).collect()
+            if r.end_vid in set(tvids)]
+    best: dict[tuple, int] = {}
+    for r in enum:
+        k = (r.start_vid, r.end_vid)
+        best[k] = min(best.get(k, 99), r.hops)
+    want_pairs = Counter()
+    for r in enum:
+        if r.hops == best[(r.start_vid, r.end_vid)]:
+            want_pairs[(r.start_vid, r.end_vid, r.hops)] += 1
+
+    if mode == "all":
+        got_pairs = Counter((r.start_vid, r.end_vid, r.hops) for r in got)
+        assert got_pairs == want_pairs
+        want_paths = Counter(
+            (r.start_vid, r.end_vid,
+             tuple((p.s, p.d, p.r, p.t) for p in r.path))
+            for r in enum if r.hops == best[(r.start_vid, r.end_vid)])
+        got_paths = Counter(
+            (r.start_vid, r.end_vid,
+             tuple((p.s, p.d, p.r, p.t) for p in r.path))
+            for r in got)
+        assert got_paths == want_paths
+    else:
+        got_set = {(r.start_vid, r.end_vid, r.hops) for r in got}
+        assert got_set == set(want_pairs)
+        assert len(got) == len(got_set)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1, max_size=14, unique=True),
+    direction=st.sampled_from(["out", "in", "both"]),
+    max_hops=st.integers(1, 4),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bidir_distances_equals_single_direction_bfs(spark, edges,
+                                                     direction, max_hops):
+    """FIND SHORTEST PATH's bidirectional distance search must agree with
+    the single-direction BFS it replaced, pair for pair."""
+    from nebula_spark.operators.paths import (bfs_shortest_paths,
+                                              bidir_distances)
+
+    e = spark.createDataFrame(
+        [(f"v{s}", f"v{d}", 0) for s, d in edges],
+        "src string, dst string, rank long")
+    starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
+    targets = spark.createDataFrame([("v0",), ("v2",), ("v3",)], ["vid"])
+    got = sorted((r.src, r.dst, r.dist) for r in
+                 bidir_distances(e, starts, targets, max_hops,
+                                 direction).collect())
+    want = sorted((r.src, r.dst, r.dist) for r in
+                  bfs_shortest_paths(e, starts, targets, max_hops,
+                                     direction).collect())
+    assert got == want
