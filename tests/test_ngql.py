@@ -517,11 +517,12 @@ def test_typed_null_strict_mode(space):
 
 
 def test_shortest_path_fn_both_direction(space):
-    """BOTH-direction shortestPath runs the enumerate-then-prune plan
-    (BFS routing is out/in only — root-cycle prefixes break its
-    invariant). From Tim(p1) over undirected like: p2/p3 at 1 hop,
-    p4/p5 at 2, and p1 itself at 2 via the p1→p2→p1 two-edge cycle
-    (distinct stored edges, so edge-uniqueness allows it)."""
+    """BOTH-direction shortestPath routes to level-pruned BFS with the
+    root pre-visited; the root-cycle rows (whose prefixes break the BFS
+    minimality invariant) come from the meet-in-the-middle
+    shortest_cycles search. From Tim(p1) over undirected like: p2/p3 at
+    1 hop, p4/p5 at 2, and p1 itself at 2 via the p1→p2→p1 two-edge
+    cycle (distinct stored edges, so edge-uniqueness allows it)."""
     df = execute(space,
                  'MATCH p = shortestPath('
                  '(v:player {name: "Tim"})-[:like*1..3]-(m:player)) '

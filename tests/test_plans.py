@@ -1,0 +1,126 @@
+"""Plan-shape regression tests — the reference asserts golden *execution
+plans*, not just results (``tests/common/plan_differ.py``; plan assertions
+throughout ``tests/tck/features/optimizer/``). These tests convert the
+repo's plan quality — BFS-vs-enumerate routing, broadcast hop joins,
+parquet filter pushdown, codegen scoping — from a bench-timing signal into
+a correctness signal: a routing or pushdown regression fails fast here even
+when every value-level test still passes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_spark.catalog import GraphSpace
+from nebula_spark.plans.executor import execute
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    """The physical plan as text — what ``df.explain(mode)`` prints."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def space(spark, nba):
+    sp = GraphSpace(spark, "nba_plans")
+    sp.create_tag("player", df=nba["player"])
+    sp.create_tag("team", df=nba["team"])
+    sp.create_edge("like", df=nba["like"])
+    sp.create_edge("serve", df=nba["serve"])
+    return sp
+
+
+def test_shortest_path_routes_bfs_not_enumeration(space):
+    """A BFS-eligible shortestPath (single predicate-free var-len segment,
+    min_hops <= 1 — any direction, BOTH included) must NOT plan as
+    enumerate-then-prune. The enumeration fallback always window-prunes on
+    a synthesized ``_hops_total`` column (plans/executor.py), so its
+    presence in the physical plan is the regression marker."""
+    for pattern in ("-[:like*1..3]->", "-[:like*1..3]-"):
+        df = execute(space,
+                     'MATCH p = shortestPath('
+                     f'(v:player {{name: "Tim"}}){pattern}(m:player)) '
+                     'RETURN m.player.vid AS d, length(p) AS n')
+        plan = plan_of(df)
+        assert "_hops_total" not in plan, f"enumeration leaked: {pattern}"
+
+
+def test_shortest_path_min_hops_gt1_keeps_enumerate_fallback(space):
+    """min_hops > 1 breaks the BFS minimality invariant (a minimal
+    *qualifying* walk may revisit vertices), so the executor must keep the
+    enumerate-then-prune plan there — pinned by the same marker."""
+    df = execute(space,
+                 'MATCH p = shortestPath('
+                 '(v:player {name: "Tim"})-[:like*2..3]->(m:player)) '
+                 'RETURN m.player.vid AS d, length(p) AS n')
+    assert "_hops_total" in plan_of(df)
+
+
+def test_go_2step_hops_broadcast(spark):
+    """Both hops of the 2-step GO must plan as BroadcastHashJoin with the
+    edge scan streaming (SCALE.md traversal section): a shuffle join on a
+    seed-sized frontier would move the whole edge table at 100 TB."""
+    import __spark_entry__ as entry
+
+    df = entry.q_go_2step(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere in a frontier-hop plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lookup_filter_reaches_parquet_scan(spark):
+    """LOOKUP predicates must push into the parquet scan (the reference's
+    IndexScan analog): both conjuncts appear as PushedFilters, and the
+    scan reads only the projected columns (column pruning)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["lookup"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "GreaterThanOrEqual(p_size,40)" in plan
+    assert "StringStartsWith(p_type,STANDARD)" in plan
+    # ReadSchema lists exactly the projected columns — a scan that reads
+    # p_retailprice or p_comment for this 4-column projection is wrong
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "p_retailprice" not in read_schema[0]
+    assert "p_comment" not in read_schema[0]
+
+
+def test_scoped_conf_disables_wholestage_codegen(spark):
+    """Superstep loops scope whole-stage codegen off (SCALE.md: per-
+    iteration recompilation dominated runtime). The executed plan inside
+    the scope must carry no codegen stages (``*(N)`` markers); the same
+    query outside the scope must codegen. Asserted on the post-action
+    executedPlan because AQE materializes codegen per query stage — the
+    static explain shows none either way."""
+    from nebula_spark.session import scoped_conf
+
+    def executed_plan():
+        df = (spark.range(1000)
+              .groupBy((F.col("id") % 7).alias("k"))
+              .agg(F.sum("id").alias("s")))
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    with scoped_conf(spark, **{"spark.sql.codegen.wholeStage": "false"}):
+        assert "*(" not in executed_plan()
+    assert "*(" in executed_plan()
+
+
+def test_bfs_shortest_path_statement_is_bidirectional(space):
+    """FIND SHORTEST PATH plans through the meet-in-the-middle distance
+    search: the final plan aggregates per-pair minima over checkpointed
+    frontier meets (min(dist) HashAggregate over ExistingRDD scans), and —
+    because every per-round meet is already materialized — contains no
+    joins against the edge tables at action time."""
+    df = execute(space, 'FIND SHORTEST PATH FROM "p1" TO "p5" OVER like')
+    plan = plan_of(df)
+    assert "min(dist" in plan      # exprId-suffixed: min(dist#NNN)
+    assert "ExistingRDD" in plan
