@@ -725,12 +725,16 @@ def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_bfs_targets(spark: SparkSession, sf: str) -> DataFrame:
-    """FIND SHORTEST PATH FROM … TO …: BFS restricted to a target set."""
+    """FIND SHORTEST PATH FROM … TO …: bidirectional meet-in-the-middle
+    restricted to the target set (r4: bidir_distances replaced the
+    single-direction bfs_shortest_paths — same semantics, pinned by
+    tests/test_property.py, at half the search depth)."""
+    from nebula_spark.operators.paths import bidir_distances
     t = load_tables(spark, sf, ("customer", "nation", "region"))
     seeds = t["customer"].filter(F.col("c_custkey") <= 20).select(
         _nk("c", F.col("c_custkey")).alias("vid"))
     targets = t["region"].select(_nk("r", F.col("r_regionkey")).alias("vid"))
-    p = bfs_shortest_paths(_cnr_edges(t), seeds, targets, max_hops=3)
+    p = bidir_distances(_cnr_edges(t), seeds, targets, max_hops=3)
     return p.select(_nk_str(F.col("src")).alias("src"),
                     _nk_str(F.col("dst")).alias("dst"), "dist")
 
@@ -1192,6 +1196,114 @@ def q_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", "rate")
 
 
+def q_both_shortest(spark: SparkSession, sf: str) -> DataFrame:
+    """BOTH-direction shortestPath pair query: meet-in-the-middle over the
+    undirected c→n→r graph (bidir_min_paths — the SingleShortestPath.cpp
+    conjunct design). Customers are sources; customers + nations are
+    targets, so odd totals (1, 3 hops: own/neighbor nation) and even
+    totals (2, 4 hops: same-nation / same-region customers) both arise,
+    and source∩target overlap exercises the root-cycle search (empty
+    here: a customer has one nation, so no edge-unique cycle exists)."""
+    from nebula_spark.operators.paths import bidir_min_paths
+    t = load_tables(spark, sf, ("customer", "nation"))
+    custs = t["customer"].filter(F.col("c_custkey") <= 10).select(
+        _nk("c", F.col("c_custkey")).alias("vid"))
+    nations = t["nation"].select(
+        _nk("n", F.col("n_nationkey")).alias("vid"))
+    p = bidir_min_paths(_cnr_edges(t), custs,
+                        custs.unionByName(nations), max_hops=4,
+                        direction="both", mode="single")
+    return (p.select(_nk_str(F.col("start_vid")).alias("src_key"),
+                     _nk_str(F.col("end_vid")).alias("dst_key"), "hops")
+            .orderBy("src_key", "dst_key"))
+
+
+def q_weighted_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted shortest paths (Bellman-Ford BSP; the reference parses a
+    WEIGHT clause but never implemented it — TraverseSentences.h:419-426):
+    customer→order edges weighted by o_totalprice, order→part by
+    l_quantity; min total weight per (customer, part) pair. Two layers →
+    the oracle is the closed-form min over (order, line) combinations,
+    with identical double arithmetic on both engines."""
+    from nebula_spark.operators.paths import weighted_shortest_paths
+    t = load_tables(spark, sf, ("orders", "lineitem"))
+    placed = t["orders"].select(
+        _nk("c", F.col("o_custkey")).alias("src"),
+        _nk("o", F.col("o_orderkey")).alias("dst"),
+        F.lit(0).cast("long").alias("rank"),
+        F.col("o_totalprice").cast("double").alias("weight"))
+    contains = t["lineitem"].select(
+        _nk("o", F.col("l_orderkey")).alias("src"),
+        _nk("p", F.col("l_partkey")).alias("dst"),
+        F.col("l_linenumber").cast("long").alias("rank"),
+        F.col("l_quantity").cast("double").alias("weight"))
+    seeds = t["orders"].filter(F.col("o_custkey") <= 5).select(
+        _nk("c", F.col("o_custkey")).alias("vid")).distinct()
+    parts = t["lineitem"].select(
+        _nk("p", F.col("l_partkey")).alias("vid")).distinct()
+    w = weighted_shortest_paths(placed.unionByName(contains), seeds,
+                                weight_col="weight", targets=parts)
+    return (w.select(_nk_str(F.col("src")).alias("src_key"),
+                     _nk_str(F.col("dst")).alias("dst_key"),
+                     F.round("dist", 6).alias("dist"))
+            .orderBy("src_key", "dst_key"))
+
+
+def q_k_core(spark: SparkSession, sf: str) -> DataFrame:
+    """4-core of the order–part bipartite graph, fixed 6 peels — the
+    deterministic SQL-unrollable form (operators/algo.py k_core): each
+    peel drops vertices with degree < 4, the oracle unrolls the same 6
+    rounds."""
+    from nebula_spark.operators.algo import k_core
+    t = load_tables(spark, sf, ("lineitem",))
+    e = t["lineitem"].select(
+        _nk("o", F.col("l_orderkey")).alias("src"),
+        _nk("p", F.col("l_partkey")).alias("dst"))
+    core = k_core(e, k=4, rounds=6)
+    return (core.select(_nk_str(F.col("vid")).alias("vid_key"), "deg")
+            .orderBy("vid_key"))
+
+
+def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic label propagation (3 synchronous supersteps, ties →
+    smallest label) over the namespaced c→n→r graph; the oracle unrolls
+    the identical most-frequent/min-label recurrence."""
+    from nebula_spark.operators.algo import label_propagation
+    t = load_tables(spark, sf, ("customer", "nation"))
+    lp = label_propagation(_cnr_edges(t), iterations=3)
+    return lp.select("vid", "label").orderBy("vid")
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (pipeline/curate.py): documents as single chunks
+    laid out into 512-token sequences within 8 md5 buckets — bucket id,
+    sequence id and token offset are all md5/window-derived, so the
+    oracle reproduces them exactly."""
+    from nebula_spark.pipeline.curate import pack_sequences
+    from nebula_spark.pipeline.text import token_count
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    chunks = docs.select(
+        "doc_id", F.lit(0).alias("chunk_id"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"))
+    out = pack_sequences(chunks, seq_len=512, buckets=8, seed=42)
+    return (out.select("doc_id", "n_tokens", "pack_bucket", "seq_id",
+                       "seq_pos")
+            .orderBy("doc_id"))
+
+
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-10 (rows-only driver check: the k-means|| coarse
+    quantizer isn't SQL-expressible — centroids come from Spark ML's
+    distributed Lloyd iterations. Self-match recall and agreement with
+    brute force are pinned in tests/test_pipeline.py instead)."""
+    from nebula_spark.pipeline.similarity import ivf_topk
+    embs = load_tables(spark, sf, ("embeddings",))["embeddings"]
+    q = embs.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return (ivf_topk(embs, q, k=10, n_centroids=16, nprobe=4)
+            .orderBy("qid", F.desc("cosine"), "cid"))
+
+
 # Exactly 50 entries — the driver's correctness harness runs the first 50
 # dict keys, so every operator family must land inside the cap. r1's 14
 # uncovered queries (the whole LLM-pipeline family + pagerank/shortest-path/
@@ -1216,7 +1328,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # of minhash_lsh_pairs' green row and stays property-tested) to make
     # room for the curation family
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash": q_simhash,
+    # simhash rotated out in r4 (its 64-agg-expr single pass stays
+    # pytest-covered in tests/test_pipeline.py; the dedup family keeps
+    # three green rows: exact_dedup, minhash_lsh_pairs, dedup_clusters)
+    # to make room for the r3-added graph algorithms
     # ngram_jaccard rotated out in r5: contamination drives the identical
     # shingle inverted-index join (explode distinct n-grams → equi-join →
     # per-doc regroup) against a benchmark table — the pairwise-jaccard
@@ -1227,7 +1342,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # near_dup_cosine rotated out in r5: its hyperplane-bucketed cosine
     # join is the same machinery ann_lsh's green row exercises
     # (similarity.hyperplane_bucket shared); stays in tests/test_pipeline.py
-    "doc_chunks": q_doc_chunks,
+    "ivf_topk": q_ivf_topk,
+    # doc_chunks rotated out in r4 (chunk windows stay pytest-covered;
+    # pack_sequences' new row consumes the same token-count machinery) to
+    # make room for the packing stage itself
+    "pack_sequences": q_pack_sequences,
     # -- relational / traversal / front-end core ---------------------------
     "scan_project": q_scan_project,
     "agg_group": q_agg_group,
@@ -1243,13 +1362,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_apply": q_rollup_apply,
     "setops": q_setops,
     "fetch_vertices": q_fetch_vertices,
-    "fetch_edges": q_fetch_edges,
+    # fetch_edges rotated out in r4 per the r3 verdict (⊂ fetch_vertices
+    # family: same FETCH PROP key-join machinery, composite (src,dst,rank)
+    # key covered by tests/test_ngql.py) for the weighted-path slot
     "lookup": q_lookup,
     # sample_hash rotated out in r5: md5-bucket sampling is the shared
     # primitive that train_split's green row (stratified_sample +
     # split_assign + shuffle_key) and step_limit's per-hop SAMPLE already
     # check; the bare 5%-filter form keeps its pytest coverage
-    "temperature_sample": q_temperature_sample,
+    # temperature_sample rotated out in r4 (per-group md5-rank keep-rates
+    # stay pytest-covered; the md5-rank primitive keeps train_split's
+    # green row) to make room for label propagation
+    "weighted_paths": q_weighted_paths,
     "scalar_funcs": q_scalar_funcs,
     # json_extract (⊂ scalar family, dedicated pytest) and window_funcs
     # (window family keeps event_windows' oracle row) rotated out in r4
@@ -1260,11 +1384,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngql_go_pipe": q_ngql_go_pipe,
     "ngql_groupby_pipe": q_ngql_groupby_pipe,
     "ngql_unwind": q_ngql_unwind,
-    "geo_dwithin": q_geo_dwithin,
+    # geo_dwithin rotated out in r4 (§2.9 geo keeps geo_polygon's green
+    # row; the haversine/cell-prefilter path stays in tests/test_geo.py)
+    # to make room for k-core
     "geo_polygon": q_geo_polygon,
     "time_funcs": q_time_funcs,
     "fulltext": q_fulltext,
-    "cross_join": q_cross_join,
+    # cross_join rotated out in r4 per the r3 verdict (CartesianProduct ⊂
+    # the semi_anti/rollup_apply join family; stays in tests/test_operators)
+    "k_core": q_k_core,
+    "label_prop": q_label_prop,
+    "both_shortest": q_both_shortest,
     "agg_funcs": q_agg_funcs,
     "ngql_optional_match": q_ngql_optional_match,
     "ngql_listops": q_ngql_listops,
@@ -1910,6 +2040,121 @@ ORACLES["doc_repetition"] = """
              ROUND((len(T) - len(list_distinct(T))) / len(T), 6)
            ELSE 0.0 END AS dup_trigram_frac
     FROM g
+"""
+
+ORACLES["both_shortest"] = """
+    WITH cc AS (SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS n
+                FROM customer WHERE c_custkey <= 10),
+         nn AS (SELECT CAST(n_nationkey AS BIGINT) AS n,
+                       CAST(n_regionkey AS BIGINT) AS r FROM nation)
+    SELECT * FROM (
+      -- customer↔customer: 2 via the shared nation, else 4 via the region
+      SELECT 'c:' || CAST(a.k AS VARCHAR) AS src_key,
+             'c:' || CAST(b.k AS VARCHAR) AS dst_key,
+             CASE WHEN a.n = b.n THEN 2 ELSE 4 END AS hops
+      FROM cc a JOIN cc b ON a.k <> b.k
+      JOIN nn na ON na.n = a.n JOIN nn nb ON nb.n = b.n
+      WHERE a.n = b.n OR na.r = nb.r
+      UNION ALL
+      -- customer↔nation: 1 to its own nation, 3 to a same-region nation
+      SELECT 'c:' || CAST(a.k AS VARCHAR),
+             'n:' || CAST(m.n AS VARCHAR),
+             CASE WHEN m.n = a.n THEN 1 ELSE 3 END
+      FROM cc a JOIN nn na ON na.n = a.n
+      JOIN nn m ON m.n = a.n OR m.r = na.r
+    ) t ORDER BY src_key, dst_key
+"""
+
+ORACLES["weighted_paths"] = """
+    SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src_key,
+           'p:' || CAST(l_partkey AS VARCHAR) AS dst_key,
+           ROUND(MIN(CAST(o_totalprice AS DOUBLE)
+                     + CAST(l_quantity AS DOUBLE)), 6) AS dist
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_custkey <= 5
+    GROUP BY 1, 2 ORDER BY src_key, dst_key
+"""
+
+
+def _k_core_oracle(k: int = 4, rounds: int = 6) -> str:
+    """k_core with fixed ``rounds`` unrolled: each round keeps vertices
+    whose symmetric degree is >= k, then both-endpoint-filters the edge
+    set — exactly the operator's peel (operators/algo.py k_core)."""
+    rs = []
+    for i in range(1, rounds + 1):
+        rs.append(f"""k{i} AS (
+          SELECT u FROM s{i - 1} GROUP BY u HAVING COUNT(*) >= {k}),
+        s{i} AS (
+          SELECT s.u, s.v FROM s{i - 1} s
+          JOIN k{i} a ON a.u = s.u JOIN k{i} b ON b.u = s.v)""")
+    return f"""
+        WITH e0 AS (
+          SELECT DISTINCT 'o:' || CAST(l_orderkey AS VARCHAR) AS u,
+                          'p:' || CAST(l_partkey AS VARCHAR) AS v
+          FROM lineitem),
+        s0 AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        {",".join(rs)}
+        SELECT u AS vid_key, COUNT(*) AS deg FROM s{rounds}
+        GROUP BY u HAVING COUNT(*) >= {k} ORDER BY vid_key
+    """
+
+
+ORACLES["k_core"] = _k_core_oracle()
+
+
+def _label_prop_oracle(iters: int = 3) -> str:
+    """Deterministic LPA unrolled: per superstep each vertex takes its
+    neighbors' most frequent label, min label on ties — the identical
+    recurrence to operators/algo.py label_propagation, on the namespaced
+    long vids (string keys would change MIN's ordering)."""
+    off = 1 << 44
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""l{i} AS (
+          SELECT vid, MIN(label) AS label FROM (
+            SELECT c.vid, c.label, c.n,
+                   MAX(c.n) OVER (PARTITION BY c.vid) AS nmax
+            FROM (SELECT s.u AS vid, l.label, COUNT(*) AS n
+                  FROM sym s JOIN l{i - 1} l ON l.vid = s.v
+                  GROUP BY s.u, l.label) c) t
+          WHERE n = nmax GROUP BY vid)""")
+    return f"""
+        WITH und AS (
+          SELECT DISTINCT {1 * off} + c_custkey AS u,
+                 {2 * off} + CAST(c_nationkey AS BIGINT) AS v FROM customer
+          UNION
+          SELECT {2 * off} + CAST(n_nationkey AS BIGINT),
+                 {5 * off} + CAST(n_regionkey AS BIGINT) FROM nation),
+        sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v
+                FROM und),
+        l0 AS (SELECT DISTINCT u AS vid, u AS label FROM sym),
+        {",".join(rounds)}
+        SELECT vid, label FROM l{iters} ORDER BY vid
+    """
+
+
+ORACLES["label_prop"] = _label_prop_oracle()
+
+ORACLES["pack_sequences"] = """
+    WITH c AS (
+      SELECT doc_id, 0 AS chunk_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             ('0x' || substr(md5('pack:42:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 8 AS pack_bucket,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_tokens, pack_bucket,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY pack_bucket ORDER BY rk, doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS strt
+      FROM c)
+    SELECT doc_id, n_tokens, pack_bucket,
+           pack_bucket * 1000000000 + strt // 512 AS seq_id,
+           strt % 512 AS seq_pos
+    FROM s ORDER BY doc_id
 """
 
 ORACLES["train_split"] = """

@@ -114,6 +114,25 @@ def test_scoped_conf_disables_wholestage_codegen(spark):
     assert "*(" in executed_plan()
 
 
+def test_global_shuffle_plans_range_exchange_no_global_sort(spark):
+    """global_shuffle must plan as a range-partitioning exchange plus a
+    partition-local sort — never a global Sort (single ordering task at
+    100 TB). Its key values are oracle-covered through train_split's
+    shuffle_key column; this pins the plan shape."""
+    from nebula_spark.pipeline.curate import global_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "doc_id long, text string")
+    plan = plan_of(global_shuffle(docs))
+    assert "rangepartitioning(shuffle_key" in plan
+    # the only Sort is the within-partition one (global=false ⇒ formatted
+    # explain prints "Sort" with no preceding global Exchange requirement)
+    sort_lines = [ln for ln in plan.splitlines()
+                  if ln.strip().startswith("Arguments:")
+                  and "shuffle_key" in ln and "ASC" in ln]
+    assert any("false" in ln for ln in sort_lines), plan
+
+
 def test_bfs_shortest_path_statement_is_bidirectional(space):
     """FIND SHORTEST PATH plans through the meet-in-the-middle distance
     search: the final plan aggregates per-pair minima over checkpointed
