@@ -182,6 +182,68 @@ class GraphSpace:
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+@dataclass
+class SpaceCatalog:
+    """The meta-service's space registry + the session's current space —
+    what makes reference scripts (every TCK file opens with ``USE nba;``)
+    run verbatim through ``execute()``.
+
+    Reference: spaces live in the meta service (``SpaceDesc``,
+    ``src/interface/meta.thrift:108``); ``USE`` binds one to the session
+    (``parser.yy:2431`` use_sentence); statements validated without one
+    fail "Space was not chosen." (``src/graph/validator/
+    Validator.cpp:355``) — the same error this raises.
+    """
+
+    spark: SparkSession
+    spaces: dict[str, GraphSpace] = field(default_factory=dict)
+    current_name: str | None = None
+
+    @classmethod
+    def wrap(cls, space: GraphSpace) -> "SpaceCatalog":
+        """An ephemeral catalog around one space, pre-chosen — keeps the
+        single-space ``execute(space, …)`` call form working, including
+        scripts that open with ``USE <that space's name>``."""
+        return cls(space.spark, {space.name: space}, space.name)
+
+    def create_space(self, name: str, *, options: dict | None = None,
+                     if_not_exists: bool = False) -> GraphSpace:
+        """CREATE SPACE (``parser.yy:3633``): vid_type/partition_num/
+        replica_factor become metadata — partitioning is how the backing
+        parquet is bucketed, replication is the storage layer's job."""
+        if name in self.spaces:
+            if if_not_exists:
+                return self.spaces[name]
+            raise ValueError(f"Existed space {name!r}!")
+        sp = GraphSpace(self.spark, name)
+        sp.options = dict(options or {})
+        self.spaces[name] = sp
+        return sp
+
+    def drop_space(self, name: str, if_exists: bool = False) -> None:
+        if name not in self.spaces:
+            if if_exists:
+                return
+            raise KeyError(f"no space named {name!r}")
+        del self.spaces[name]
+        if self.current_name == name:
+            self.current_name = None
+
+    def use(self, name: str) -> GraphSpace:
+        if name not in self.spaces:
+            raise KeyError(f"SpaceNotFound: {name!r}")
+        self.current_name = name
+        return self.spaces[name]
+
+    def current(self) -> GraphSpace:
+        if self.current_name is None:
+            raise ValueError("Space was not chosen.")
+        return self.spaces[self.current_name]
+
+    def show_spaces(self) -> list[str]:
+        return sorted(self.spaces)
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = ("region", "nation", "customer",
                                           "supplier", "part", "orders",

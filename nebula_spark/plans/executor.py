@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nebula_spark.catalog import DST, RANK, SRC, VID, GraphSpace
+from nebula_spark.catalog import (DST, RANK, SRC, VID, GraphSpace,
+                                  SpaceCatalog)
 from nebula_spark.functions.scalar import FUNCTIONS
 from nebula_spark.operators import go, k_hop_subgraph, traverse
 from nebula_spark.operators.paths import (all_paths, bfs_min_paths,
@@ -2083,16 +2084,50 @@ def explain(space: GraphSpace, query: str, formatted: bool = True) -> str:
             "formatted" if formatted else "extended"))
 
 
-def execute(space: GraphSpace, query: str) -> DataFrame:
+def _space_level(cat: SpaceCatalog, node) -> DataFrame | None:
+    """Space-level sentences resolve against the catalog, not a space:
+    USE (parser.yy:2431), CREATE/DROP SPACE (parser.yy:3633;
+    meta.thrift:108 SpaceDesc), SHOW SPACES. Returns None for everything
+    else so the caller dispatches it against the *current* space."""
+    if not isinstance(node, A.Pipeline) or len(node.stages) != 1:
+        return None
+    st = node.stages[0]
+    if isinstance(st, A.UseStmt):
+        cat.use(st.name)
+        return cat.spark.range(0)
+    if isinstance(st, A.CreateSpaceStmt):
+        cat.create_space(st.name, options=st.options,
+                         if_not_exists=st.if_not_exists)
+        return cat.spark.range(0)
+    if isinstance(st, A.DropSpaceStmt):
+        cat.drop_space(st.name, st.if_exists)
+        return cat.spark.range(0)
+    if isinstance(st, A.AdminStmt) and st.kind == "spaces":
+        return cat.spark.createDataFrame(
+            [(n,) for n in cat.show_spaces()], "Name string")
+    return None
+
+
+def execute(space: GraphSpace | SpaceCatalog, query: str) -> DataFrame:
     """Parse + run a (possibly piped, possibly set-op compound, possibly
-    multi-statement) nGQL/MATCH query against a space.
+    multi-statement) nGQL/MATCH query against a space or a space catalog.
+
+    Passing a :class:`SpaceCatalog` enables the reference's session
+    surface — ``CREATE SPACE``/``USE``/``DROP SPACE`` between statements,
+    with per-statement resolution against the current space (a statement
+    with no space chosen fails "Space was not chosen.",
+    Validator.cpp:355). Passing a bare :class:`GraphSpace` keeps the
+    single-space form: it is wrapped pre-chosen, so scripts opening with
+    ``USE <its name>`` run verbatim.
 
     An ``EXPLAIN``/``PROFILE`` prefix returns a one-row DataFrame with the
     physical plan text instead of executing the statement."""
+    cat = space if isinstance(space, SpaceCatalog) else \
+        SpaceCatalog.wrap(space)
     m = _EXPLAIN_RE.match(query)
     if m:
-        plan = explain(space, query[m.end():])
-        return space.spark.createDataFrame([(plan,)], ["plan"])
+        plan = explain(cat.current(), query[m.end():])
+        return cat.spark.createDataFrame([(plan,)], ["plan"])
     node = A.parse(query)
     if isinstance(node, A.Script):
         # sequential statements sharing a variable table (the
@@ -2100,8 +2135,11 @@ def execute(space: GraphSpace, query: str) -> DataFrame:
         env: dict[str, DataFrame] = {}
         df: DataFrame | None = None
         for var, stmt in node.statements:
-            df = _execute_node(space, stmt, env)
+            df = _space_level(cat, stmt)
+            if df is None:
+                df = _execute_node(cat.current(), stmt, env)
             if var is not None:
                 env[var] = df
         return df
-    return _execute_node(space, node)
+    df = _space_level(cat, node)
+    return df if df is not None else _execute_node(cat.current(), node)

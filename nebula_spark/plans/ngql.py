@@ -291,6 +291,31 @@ class ClearStmt:
 
 
 @dataclass
+class UseStmt:
+    """USE <space> — bind the session's current space
+    (parser.yy:2431 use_sentence)."""
+    name: str
+
+
+@dataclass
+class CreateSpaceStmt:
+    """CREATE SPACE [IF NOT EXISTS] name [(opt=val, …)]
+    (parser.yy:3633 create_space_sentence; SpaceDesc meta.thrift:108).
+    Options (vid_type/partition_num/replica_factor/…) are kept as
+    metadata strings."""
+    name: str
+    options: dict
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropSpaceStmt:
+    """DROP SPACE [IF EXISTS] name (parser.yy drop_space_sentence)."""
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
 class MatchPath:
     """One comma-separated pattern: n0 -e0- n1 -e1- n2 …; ``path_alias``
     set for ``p = (…)…`` bindings (Path value, SURVEY §1.1)."""
@@ -535,6 +560,12 @@ class Parser:
         # DESC doubles as the ORDER BY keyword, so it lexes as KW
         if t.text.lower() in ("show", "describe", "desc"):
             return self.admin_sentence()
+        if t.text.lower() == "use":
+            self.eat()
+            return UseStmt(self.name())
+        if (t.text.lower() == "create"
+                and self.peek(1).text.lower() == "space"):
+            return self.create_space_sentence()
         if t.text.lower() == "create":
             return self.ddl_sentence()
         if t.text.lower() == "alter":
@@ -579,15 +610,51 @@ class Parser:
             break
         return AlterStmt(entity, name, adds, changes, drops)
 
-    def drop_sentence(self) -> DropStmt:
+    def drop_sentence(self) -> "DropStmt | DropSpaceStmt":
         self.eat()                                   # DROP
-        entity = self._tag_or_edge()
+        is_space = False
+        if self.peek().text.lower() == "space":
+            self.eat()
+            is_space = True
+        else:
+            entity = self._tag_or_edge()
         if_exists = False
         if self.peek().text.lower() == "if":
             self.eat()
             self.eat(text="exists")
             if_exists = True
+        if is_space:
+            return DropSpaceStmt(self.name(), if_exists)
         return DropStmt(entity, self.name(), if_exists)
+
+    def create_space_sentence(self) -> CreateSpaceStmt:
+        """CREATE SPACE [IF NOT EXISTS] name [(opt = val, …)]
+        (parser.yy:3633): option values re-serialize to strings —
+        vid_type=FIXED_STRING(30) round-trips as 'FIXED_STRING(30)'."""
+        self.eat()                                   # CREATE
+        self.eat()                                   # SPACE
+        if_not_exists = False
+        if self.peek().text.lower() == "if":
+            self.eat(), self.eat(text="not"), self.eat(text="exists")
+            if_not_exists = True
+        name = self.name()
+        options: dict = {}
+        if self.peek().kind == "LP":
+            self.eat("LP")
+            while self.peek().kind != "RP":
+                key = self.name().lower()
+                self.eat("ASSIGN")
+                parts, depth = [], 0
+                while not (depth == 0
+                           and self.peek().kind in ("COMMA", "RP")):
+                    t = self.eat()
+                    depth += {"LP": 1, "RP": -1}.get(t.kind, 0)
+                    parts.append(t.text)
+                options[key] = "".join(parts)
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+            self.eat("RP")
+        return CreateSpaceStmt(name, options, if_not_exists)
 
     def clear_sentence(self) -> ClearStmt:
         self.eat()                                   # CLEAR
@@ -619,7 +686,7 @@ class Parser:
                                       "SHOW CREATE")
                 return AdminStmt("show_create", self.name(), ent)
             what = self.eat("NAME").text.lower()
-            if what in ("tags", "edges", "stats"):
+            if what in ("tags", "edges", "stats", "spaces"):
                 return AdminStmt(what)
             raise SyntaxError(f"cannot SHOW {what!r}")
         t = self.eat().text.lower()            # describe/desc TAG|EDGE name

@@ -530,3 +530,80 @@ def test_shortest_path_fn_both_direction(space):
     got = {(r.d, r.n) for r in df.collect()}
     assert got == {("p2", 1), ("p3", 1), ("p1", 2), ("p5", 2), ("p4", 2)}
     assert len(df.collect()) == 5
+
+
+# -- USE / CREATE SPACE / DROP SPACE (parser.yy:2431 use_sentence,
+# :3633 create_space_sentence; Validator.cpp:355 "Space was not chosen.")
+
+
+def test_use_space_prefix_goldens_unchanged(space):
+    """Reference TCK scripts open every file with `USE nba;` — the same
+    leading USE over the wrapped single-space form must leave existing
+    goldens byte-identical."""
+    cases = [
+        ('GO FROM "p1" OVER like WHERE like.likeness >= 90 '
+         'YIELD dst(edge) AS d, like.likeness AS w',
+         {("p2", 95), ("p3", 90)}),
+        ('GO FROM "p1" OVER like REVERSELY YIELD dst(edge) AS d, '
+         '1 AS w', {("p2", 1)}),
+        ('LOOKUP ON player WHERE player.age > 40 '
+         'YIELD player.name AS name, player.age AS age',
+         {("Tim", 42), ("Manu", 41)}),
+        ('FETCH PROP ON player "p1", "p2" YIELD player.name AS name, '
+         '1 AS one', {("Tim", 1), ("Tony", 1)}),
+        ('GO 2 STEPS FROM "p1" OVER like YIELD dst(edge) AS d '
+         '| GROUP BY $-.d YIELD $-.d AS d, count(*) AS n',
+         {("p1", 1), ("p4", 1), ("p3", 1), ("p5", 1)}),
+        ('MATCH (v:player {name: "Tim"})-[:like]->(m:player) '
+         'RETURN m.player.vid AS d, 0 AS z', {("p2", 0), ("p3", 0)}),
+    ]
+    for q, want in cases:
+        got = {tuple(r) for r in execute(space, "USE nba; " + q).collect()}
+        assert got == want, q
+
+
+def test_use_unknown_space_and_no_space_chosen(spark):
+    from nebula_spark.catalog import SpaceCatalog
+
+    cat = SpaceCatalog(spark)
+    with pytest.raises(KeyError, match="SpaceNotFound"):
+        execute(cat, "USE nowhere")
+    with pytest.raises(ValueError, match="Space was not chosen"):
+        execute(cat, "YIELD 1 AS x")
+
+
+def test_multi_space_script(spark):
+    """A catalog-level script: two spaces created, populated and queried
+    with USE switches; same-named tags stay isolated per space; DROP
+    SPACE removes one and leaves the other intact."""
+    from nebula_spark.catalog import SpaceCatalog
+
+    cat = SpaceCatalog(spark)
+    df = execute(cat, """
+        CREATE SPACE s1(partition_num=10, vid_type=FIXED_STRING(20));
+        CREATE SPACE IF NOT EXISTS s2;
+        USE s1;
+        CREATE TAG player(name string, age int);
+        INSERT VERTEX player(name, age) VALUES "a": ("Ann", 30);
+        USE s2;
+        CREATE TAG player(name string, age int);
+        INSERT VERTEX player(name, age) VALUES "b": ("Bob", 40),
+                                               "c": ("Cy", 50);
+        USE s1;
+        LOOKUP ON player YIELD player.name AS name, player.age AS age
+    """)
+    assert {tuple(r) for r in df.collect()} == {("Ann", 30)}
+    df2 = execute(cat, "USE s2; LOOKUP ON player "
+                       "YIELD player.name AS name | ORDER BY $-.name")
+    assert [r.name for r in df2.collect()] == ["Bob", "Cy"]
+    assert cat.spaces["s1"].options["partition_num"] == "10"
+    assert cat.spaces["s1"].options["vid_type"] == "FIXED_STRING(20)"
+    shows = execute(cat, "SHOW SPACES")
+    assert [r.Name for r in shows.collect()] == ["s1", "s2"]
+    execute(cat, "DROP SPACE s1")
+    assert cat.show_spaces() == ["s2"]
+    with pytest.raises(KeyError):
+        execute(cat, "USE s1; YIELD 1 AS x")
+    # s2 survives untouched
+    assert execute(cat, "USE s2; LOOKUP ON player "
+                        "YIELD player.name AS n").count() == 2
