@@ -109,10 +109,26 @@ def _walk(e, kinds: set[str], out: list) -> None:
 
 
 class ExprCompiler:
-    """Expression tuples → Columns, with statement-specific ref resolution."""
+    """Expression tuples → Columns, with statement-specific ref resolution.
 
-    def __init__(self, resolve):
+    ``df``, when provided by a caller that has the input frame, enables
+    schema-directed operator dispatch (currently: ``+`` over lists is
+    concatenation, ArithmeticExpression LIST branch) — the probe runs
+    analysis only, no job. Without a frame the static sniffs rule."""
+
+    def __init__(self, resolve, df: DataFrame | None = None):
         self.resolve = resolve  # fn(kind, *args) -> Column
+        self.df = df
+
+    def _dtype(self, c: Column):
+        """Resolved Spark type of an expression over ``df`` (None when no
+        frame is attached or the column doesn't analyze against it)."""
+        if self.df is None:
+            return None
+        try:
+            return self.df.select(c.alias("_t")).schema[0].dataType
+        except Exception:
+            return None
 
     def col(self, e) -> Column:
         if not isinstance(e, tuple):
@@ -185,6 +201,15 @@ class ExprCompiler:
                 # .feature) — doubles render as shortest round-trip form,
                 # which CAST AS STRING (Double.toString) matches
                 return F.concat(a.cast("string"), b.cast("string"))
+            if op == "+":
+                # reference `+` over lists is concatenation
+                # (ArithmeticExpression LIST branch; LDBC BI10's
+                # `interestedPersons + collect(person)`): dispatched off
+                # the resolved schema when a frame is attached
+                from pyspark.sql.types import ArrayType
+                if isinstance(self._dtype(a), ArrayType) \
+                        or isinstance(self._dtype(b), ArrayType):
+                    return F.concat(a, b)
             if op in ("==", "!=", "<", "<=", ">", ">=") \
                     and (_is_floatish(e[1]) or _is_floatish(e[2])):
                 # FLOAT comparisons are epsilon-tolerant in the reference
@@ -1435,6 +1460,14 @@ def _compile_mixed_agg(e: tuple, ec: ExprCompiler) -> Column:
     if e[0] in ("+", "-", "*", "/", "%"):
         a = _compile_mixed_agg(e[1], ec)
         b = _compile_mixed_agg(e[2], ec)
+        if e[0] == "+":
+            # list concatenation under implicit grouping (BI10's
+            # `interestedPersons + collect(person)`) — same schema-directed
+            # dispatch as ExprCompiler's scalar `+`
+            from pyspark.sql.types import ArrayType
+            if isinstance(ec._dtype(a), ArrayType) \
+                    or isinstance(ec._dtype(b), ArrayType):
+                return F.concat(a, b)
         return {"+": a + b, "-": a - b, "*": a * b,
                 "/": a / b, "%": a % b}[e[0]]
     if e[0] == "neg":
@@ -1557,7 +1590,8 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
             cur = _ensure_tag_props(
                 space, cur, [y.expr for y in witems] + [cl.where], tagmap)
             ec = ExprCompiler(
-                _match_resolver(bound | ebound, pbound, cur.columns, tagmap))
+                _match_resolver(bound | ebound, pbound, cur.columns, tagmap),
+                df=cur)
             # an aggregate projection right after WITH … ORDER BY observes
             # the order: rewrite collect() to its order-preserving form
             if pending_order and any(_is_agg(y.expr) for y in witems):
@@ -1633,7 +1667,7 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
         space, cur, [y.expr for y in rets_in]
         + [e for e, _ in (st.order_by or [])], tagmap)
     ec = ExprCompiler(_match_resolver(bound | ebound, pbound, cur.columns,
-                                      tagmap))
+                                      tagmap), df=cur)
     if pending_order and any(_is_agg(y.expr) for y in rets_in):
         rets_in = [A.YieldItem(
             _ordered_collect_rewrite(y.expr, ec, pending_order), y.alias)

@@ -2721,3 +2721,131 @@ def test_pattern_in_comprehension_predicate(nba_space):
     rws = df.collect()
     assert len(rws) == 1
     assert list(rws[0].ret) == ["Tim Duncan"]
+
+
+# ---------------------------------------------------------------------------
+# LDBC BI tranche 2 (r4): BI4/6/7/10/12 shapes from
+# tests/tck/ldbc/business_intelligence_workload/Read.feature, ported onto
+# the nba fixture with independently recomputed expected rows (plain
+# DataFrame joins, no front end).
+
+
+def test_ldbc_bi4_popular_topics(nba_space):
+    """BI4 shape (Read.feature:120): anchored 4-edge chain through two
+    entity types + count(DISTINCT mid-chain node) + two-key order/limit."""
+    df = execute(nba_space, '''
+        MATCH (country:team {name: "Spurs"})<-[:serve]-(person:player)
+              <-[:like]-(fan:player)-[:serve]->(forum:team)
+        RETURN forum.team.name AS forumName, person.player.name AS personName,
+               count(DISTINCT fan) AS fanCount
+        ORDER BY fanCount DESC, forumName ASC, personName ASC
+        LIMIT 8
+    ''')
+    assert rows(df, "forumName", "personName", "fanCount") == [
+        ('Spurs', 'Tim Duncan', 9), ('Spurs', 'Tony Parker', 5),
+        ('Spurs', 'Manu Ginobili', 4), ('Hawks', 'Tim Duncan', 3),
+        ('Hornets', 'Tim Duncan', 3), ('76ers', 'Tim Duncan', 2),
+        ('Cavaliers', 'Tim Duncan', 2), ('Celtics', 'Tim Duncan', 2),
+    ]
+
+
+def test_ldbc_bi6_most_active_posters(nba_space):
+    """BI6 shape (Read.feature:174): anchored MATCH + two OPTIONAL MATCH
+    fan-ins + three count(DISTINCT …) over different bindings (one an edge
+    alias) + weighted score arithmetic."""
+    df = execute(nba_space, '''
+        MATCH (t:team {name: "Spurs"})<-[:serve]-(person:player)
+        OPTIONAL MATCH (fan:player)-[lk:like]->(person)
+        OPTIONAL MATCH (person)-[:like]->(idol:player)
+        WITH person, count(DISTINCT lk) AS likeCount,
+             count(DISTINCT idol) AS idolCount,
+             count(DISTINCT person) AS selfCount
+        RETURN person.player.name AS personName, idolCount, likeCount,
+               1*selfCount + 2*idolCount + 10*likeCount AS score
+        ORDER BY score DESC, personName ASC
+        LIMIT 6
+    ''')
+    assert rows(df, "personName", "idolCount", "likeCount", "score") == [
+        ('Tim Duncan', 2, 10, 105), ('Tony Parker', 3, 5, 57),
+        ('Manu Ginobili', 1, 4, 43), ('Tracy McGrady', 3, 3, 37),
+        ('LaMarcus Aldridge', 2, 3, 35), ('Danny Green', 3, 2, 27),
+    ]
+
+
+def test_ldbc_bi7_authoritative_users(nba_space):
+    """BI7 shape (Read.feature:196): consecutive MATCH clauses sharing
+    aliases (each a join against the accumulated frame) + OPTIONAL MATCH
+    + count(DISTINCT edge-alias) second-degree authority score."""
+    df = execute(nba_space, '''
+        MATCH (t:team) WHERE id(t) == "Spurs"
+        MATCH (t)<-[:serve]-(p1:player)
+        MATCH (p1)<-[:like]-(p2:player)
+        OPTIONAL MATCH (p2)<-[lk:like]-(p3:player)
+        RETURN p1.player.name AS personName,
+               count(DISTINCT lk) AS authorityScore
+        ORDER BY authorityScore DESC, personName ASC
+        LIMIT 6
+    ''')
+    assert rows(df, "personName", "authorityScore") == [
+        ('Tim Duncan', 17), ('Manu Ginobili', 15), ('Tony Parker', 15),
+        ('LaMarcus Aldridge', 6), ('Rudy Gay', 3), ('Danny Green', 2),
+    ]
+
+
+def test_ldbc_bi10_central_person(nba_space):
+    """BI10 shape (Read.feature:267): collect + list-concat `+` (the
+    ArithmeticExpression LIST branch) + UNWIND + WITH DISTINCT re-entry
+    MATCH + OPTIONAL MATCH path bindings turned into conditional counts
+    via CASE WHEN p IS NOT NULL (the reference's poor-man's disjunct
+    union device). Marco Belinelli's two Spurs stints make two p1 paths,
+    so his score doubles — row-per-path semantics preserved through the
+    chain."""
+    df = execute(nba_space, '''
+        MATCH (t:team {name: "Spurs"})
+        OPTIONAL MATCH (t)<-[:serve]-(s:player)
+        WITH t, collect(DISTINCT s.player.vid) AS interested
+        OPTIONAL MATCH (t)<-[:serve]-(m:player) WHERE m.player.age > 35
+        WITH t, interested + collect(DISTINCT m.player.vid) AS persons
+        UNWIND persons AS pid
+        WITH DISTINCT t, pid
+        MATCH (person:player) WHERE id(person) == pid
+        OPTIONAL MATCH p1 = (t)<-[:serve]-(person)
+        OPTIONAL MATCH p2 = (person)-[:like]->(:player {name: "Tim Duncan"})
+        WITH person,
+             CASE WHEN p1 IS NOT NULL THEN true ELSE NULL END AS hasP1,
+             CASE WHEN p2 IS NOT NULL THEN true ELSE NULL END AS hasP2
+        WITH person, 100 * count(hasP1) + count(hasP2) AS score
+        RETURN person.player.name AS personName, score
+        ORDER BY score DESC, personName ASC
+        LIMIT 8
+    ''')
+    assert rows(df, "personName", "score") == [
+        ('Marco Belinelli', 202), ('Aron Baynes', 101), ('Boris Diaw', 101),
+        ('Danny Green', 101), ('Dejounte Murray', 101),
+        ('LaMarcus Aldridge', 101), ('Manu Ginobili', 101),
+        ('Tiago Splitter', 101),
+    ]
+
+
+def test_ldbc_bi12_trending_posts(nba_space):
+    """BI12 shape (Read.feature:359): comma patterns + WITH-aggregate +
+    WHERE over the aggregate (the HAVING chain) + multi-column order.
+    likeCount multiplies by serve-stint multiplicity (row per edge
+    binding): LeBron×Cavaliers = 6 likers × 2 stints."""
+    df = execute(nba_space, '''
+        MATCH (person:player)-[:serve]->(team:team),
+              (person)<-[lk:like]-(:player)
+        WHERE person.player.age > 30
+        WITH person, team, count(lk) AS likeCount
+        WHERE likeCount > 5
+        RETURN person.player.name AS personName, team.team.name AS teamName,
+               likeCount
+        ORDER BY likeCount DESC, personName ASC, teamName ASC
+        LIMIT 10
+    ''')
+    assert rows(df, "personName", "teamName", "likeCount") == [
+        ('LeBron James', 'Cavaliers', 12), ('Tim Duncan', 'Spurs', 10),
+        ('Dwyane Wade', 'Heat', 6), ('Jason Kidd', 'Mavericks', 6),
+        ('LeBron James', 'Heat', 6), ('LeBron James', 'Lakers', 6),
+        ('Steve Nash', 'Suns', 6),
+    ]
