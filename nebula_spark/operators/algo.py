@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nebula_spark.catalog import DST, SRC
+from nebula_spark.operators.traverse import checkpoint_count
 
 
 def pagerank(edges: DataFrame, iterations: int = 3,
@@ -151,23 +152,26 @@ def k_core(edges: DataFrame, k: int, rounds: int | None = None) -> DataFrame:
     und = (edges.select(F.least(SRC, DST).alias("u"),
                         F.greatest(SRC, DST).alias("v"))
            .filter(F.col("u") != F.col("v")).distinct())
-    # symmetric adjacency: one degree count per endpoint role
-    e = (und.unionAll(und.select(F.col("v").alias("u"),
-                                 F.col("u").alias("v")))
-         .localCheckpoint(eager=True))
+    # symmetric adjacency: one degree count per endpoint role; the edge
+    # count rides each checkpoint job (checkpoint_count), so the fixpoint
+    # probe adds no dedicated stage per peel
+    e, n_e = checkpoint_count(
+        und.unionAll(und.select(F.col("v").alias("u"),
+                                F.col("u").alias("v"))))
     i = 0
     while rounds is None or i < rounds:
         i += 1
         deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("u")
-        e2 = (e.join(keep, "u", "left_semi")
-              .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-              .select("u", "v").localCheckpoint(eager=True))
+        e2, n2 = checkpoint_count(
+            e.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v"))
         if rounds is None:
-            before, after = e.count(), e2.count()
             e = e2
-            if after == before or after == 0:
+            if n2 == n_e or n2 == 0:
                 break
+            n_e = n2
         else:
             e = e2
     return (e.groupBy(F.col("u").alias("vid"))

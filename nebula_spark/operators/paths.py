@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from nebula_spark.catalog import DST, RANK, SRC, VID
 from nebula_spark.operators.traverse import (
-    BROADCAST_FRONTIER_ROWS, _edge_id, _edge_id_reversed, oriented, traverse,
+    BROADCAST_FRONTIER_ROWS, _edge_id, _edge_id_reversed, checkpoint_count,
+    oriented, traverse,
 )
 
 
@@ -38,8 +39,9 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
 
     Scale: visited/frontier are (root, vid) pairs — worst case |V|² for
     all-pairs, so callers pick source sets, exactly like the reference's
-    FROM/TO clauses. The frontier broadcasts while small; the per-level
-    count() doubles as the empty-frontier terminator.
+    FROM/TO clauses. The frontier broadcasts while small; its size comes
+    free off the checkpoint job (:func:`checkpoint_count`), so termination
+    and the broadcast probe add no per-level stage.
     """
     e = oriented(edges, direction)
     if edge_filter is not None:
@@ -53,9 +55,9 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
     visited = frontier.withColumn("dist", F.lit(0)).persist()
     results: DataFrame | None = None
     frontier = frontier.persist()
+    n = frontier.count()        # seed size; later levels ride the checkpoint
     try:
         for level in range(1, max_hops + 1):
-            n = frontier.count()
             if n == 0:
                 break
             f = F.broadcast(frontier) if n <= BROADCAST_FRONTIER_ROWS else frontier
@@ -63,14 +65,14 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
                    .select("root", F.col(DST).alias(VID)).distinct()
                    .join(visited.select("root", VID), ["root", VID], "left_anti")
                    .withColumn("dist", F.lit(level)))
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt, n = checkpoint_count(nxt)
             step = nxt.select("root", VID, "dist")
             results = step if results is None else results.unionByName(step)
             old_visited = visited
             visited = visited.unionByName(step).persist()
             old_visited.unpersist()
             frontier.unpersist()
-            frontier = nxt.select("root", VID).persist()
+            frontier = nxt.select("root", VID)   # checkpointed parent
         if results is None:
             results = visited.limit(0)
         out = results.select(F.col("root").alias(SRC), F.col(VID).alias(DST),
@@ -188,9 +190,9 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
     if min_hops == 0:
         results = frontier.select(F.col("root").alias("start_vid"),
                                   "end_vid", F.lit(0).alias("hops"), "path")
+    n = frontier.count()        # seed size; later levels ride the checkpoint
     try:
         for level in range(1, max_hops + 1):
-            n = frontier.count()
             if n == 0:
                 break
             f = (F.broadcast(frontier)
@@ -212,7 +214,7 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
                      .orderBy(F.col("path").cast("string")))
                 nxt = (nxt.withColumn("_rn", F.row_number().over(w))
                        .filter(F.col("_rn") == 1).drop("_rn"))
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt, n = checkpoint_count(nxt)
             step = nxt.select(F.col("root").alias("start_vid"), "end_vid",
                               F.lit(level).alias("hops"), "path")
             if level >= min_hops:
@@ -459,12 +461,11 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
         edges, _DIR_FLIP[direction], edge_filter, self_loop_once).persist()
     path_type = _path_struct_type(fwd)
 
-    src_roots = (sources.select(F.col(VID).alias("root")).distinct()
-                 .localCheckpoint(eager=True))
-    tgt_roots = (targets.select(F.col(VID).alias("root")).distinct()
-                 .localCheckpoint(eager=True))
+    src_roots, n_src = checkpoint_count(
+        sources.select(F.col(VID).alias("root")).distinct())
+    tgt_roots, n_tgt = checkpoint_count(
+        targets.select(F.col(VID).alias("root")).distinct())
     diag = src_roots.join(tgt_roots, "root", "left_semi")
-    n_src, n_tgt = src_roots.count(), tgt_roots.count()
     n_diag = diag.count()
     total_pairs = n_src * n_tgt - n_diag
 
@@ -496,7 +497,7 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
                  .orderBy(F.col("path").cast("string")))
             nxt = (nxt.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn"))
-        return nxt.localCheckpoint(eager=True)
+        return checkpoint_count(nxt)
 
     def meet(lf, rf, total):
         l = lf.select(F.col("root").alias("start_vid"),
@@ -519,8 +520,7 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
     rounds = (max_hops + 1) // 2
     try:
         for r in range(1, rounds + 1):
-            new_l = advance(lfront, lvisited, fwd, n_l)
-            n_l = new_l.count()
+            new_l, n_l = advance(lfront, lvisited, fwd, n_l)
             lfront = new_l
             if n_l == 0:
                 break
@@ -530,8 +530,7 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
             old.unpersist()
             round_meets = [meet(new_l, rfront, 2 * r - 1)]
             if 2 * r <= max_hops:
-                new_r = advance(rfront, rvisited, bwd, n_r)
-                n_r = new_r.count()
+                new_r, n_r = advance(rfront, rvisited, bwd, n_r)
                 if n_r:
                     old = rvisited
                     rvisited = rvisited.unionByName(
@@ -552,8 +551,8 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
             if resolved is not None:
                 newp = newp.join(resolved, ["start_vid", "end_vid"],
                                  "left_anti")
-            newp = newp.localCheckpoint(eager=True)
-            n_resolved += newp.count()
+            newp, n_new = checkpoint_count(newp)
+            n_resolved += n_new
             resolved = newp if resolved is None else \
                 resolved.unionByName(newp).localCheckpoint(eager=True)
             if n_resolved >= total_pairs:
@@ -627,11 +626,10 @@ def bidir_distances(edges: DataFrame, sources: DataFrame, targets: DataFrame,
         edges, _DIR_FLIP[direction], edge_filter, False
         ).select(SRC, DST).distinct().persist()
 
-    src_roots = (sources.select(F.col(VID).alias("root")).distinct()
-                 .localCheckpoint(eager=True))
-    tgt_roots = (targets.select(F.col(VID).alias("root")).distinct()
-                 .localCheckpoint(eager=True))
-    n_src, n_tgt = src_roots.count(), tgt_roots.count()
+    src_roots, n_src = checkpoint_count(
+        sources.select(F.col(VID).alias("root")).distinct())
+    tgt_roots, n_tgt = checkpoint_count(
+        targets.select(F.col(VID).alias("root")).distinct())
     n_diag = src_roots.join(tgt_roots, "root", "left_semi").count()
     total_pairs = n_src * n_tgt - n_diag
 
@@ -650,7 +648,7 @@ def bidir_distances(edges: DataFrame, sources: DataFrame, targets: DataFrame,
         nxt = (f.join(e, f[VID] == e[SRC], "inner")
                .select("root", F.col(DST).alias(VID)).distinct()
                .join(visited, ["root", VID], "left_anti"))
-        return nxt.localCheckpoint(eager=True)
+        return checkpoint_count(nxt)
 
     def meet(lf, rf, total):
         l = lf.select(F.col("root").alias(SRC), F.col(VID).alias("_m"))
@@ -668,8 +666,7 @@ def bidir_distances(edges: DataFrame, sources: DataFrame, targets: DataFrame,
     rounds = (max_hops + 1) // 2
     try:
         for r in range(1, rounds + 1):
-            new_l = advance(lfront, lvisited, fwd, n_l)
-            n_l = new_l.count()
+            new_l, n_l = advance(lfront, lvisited, fwd, n_l)
             lfront = new_l
             if n_l == 0:
                 break
@@ -678,8 +675,7 @@ def bidir_distances(edges: DataFrame, sources: DataFrame, targets: DataFrame,
             old.unpersist()
             round_meets = [meet(new_l, rfront, 2 * r - 1)]
             if 2 * r <= max_hops:
-                new_r = advance(rfront, rvisited, bwd, n_r)
-                n_r = new_r.count()
+                new_r, n_r = advance(rfront, rvisited, bwd, n_r)
                 if n_r:
                     old = rvisited
                     rvisited = rvisited.unionByName(new_r).persist()
@@ -695,8 +691,8 @@ def bidir_distances(edges: DataFrame, sources: DataFrame, targets: DataFrame,
             newp = newp.distinct()
             if resolved is not None:
                 newp = newp.join(resolved, [SRC, DST], "left_anti")
-            newp = newp.localCheckpoint(eager=True)
-            n_resolved += newp.count()
+            newp, n_new = checkpoint_count(newp)
+            n_resolved += n_new
             resolved = newp if resolved is None else \
                 resolved.unionByName(newp).localCheckpoint(eager=True)
             if n_resolved >= total_pairs:
@@ -737,7 +733,9 @@ def weighted_shortest_paths(edges: DataFrame, sources: DataFrame,
     last round (the frontier) — one join frontier⋈edges plus one
     min-aggregate keyed on (root, vid), both map-side combinable; eager
     localCheckpoint keeps lineage flat. Terminates when no tentative
-    distance improves (probe = ``limit(1).count()``), worst-case after
+    distance improves (the improved-set size rides the frontier's own
+    checkpoint job via :func:`checkpoint_count` — no dedicated probe),
+    worst-case after
     |V|−1 supersteps on non-negative weights. Negative weights are
     rejected: with them Bellman-Ford needs exactly |V|−1 rounds plus a
     negative-cycle check, which a caller doing that analysis should run
@@ -753,14 +751,13 @@ def weighted_shortest_paths(edges: DataFrame, sources: DataFrame,
     e = (e.groupBy(SRC, DST)                 # parallel edges: keep min
          .agg(F.min(weight_col).alias("_w")).persist())
 
-    tentative = (sources.select(F.col(VID).alias("root")).distinct()
-                 .withColumn(VID, F.col("root"))
-                 .withColumn("dist", F.lit(0.0))
-                 .localCheckpoint(eager=True))
+    tentative, n = checkpoint_count(
+        sources.select(F.col(VID).alias("root")).distinct()
+        .withColumn(VID, F.col("root"))
+        .withColumn("dist", F.lit(0.0)))
     frontier = tentative
     try:
         for _ in range(max_iter):
-            n = frontier.count()
             if n == 0:
                 break
             f = F.broadcast(frontier) if n <= BROADCAST_FRONTIER_ROWS \
@@ -771,13 +768,12 @@ def weighted_shortest_paths(edges: DataFrame, sources: DataFrame,
             new = (tentative.unionByName(cand)
                    .groupBy("root", VID).agg(F.min("dist").alias("dist"))
                    .localCheckpoint(eager=True))
-            frontier = (new.join(
-                tentative.withColumnRenamed("dist", "_old"),
-                ["root", VID], "left")
+            frontier, n = checkpoint_count(
+                new.join(tentative.withColumnRenamed("dist", "_old"),
+                         ["root", VID], "left")
                 .filter(F.col("_old").isNull()
                         | (F.col("dist") < F.col("_old")))
-                .select("root", VID, "dist")
-                .localCheckpoint(eager=True))
+                .select("root", VID, "dist"))
             tentative = new
         out = tentative.select(F.col("root").alias(SRC),
                                F.col(VID).alias(DST), "dist")

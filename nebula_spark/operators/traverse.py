@@ -27,13 +27,41 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from nebula_spark.catalog import DST, RANK, SRC, VID
 
 # Frontiers at or below this row count are broadcast to the hop join.
 BROADCAST_FRONTIER_ROWS = 2_000_000
+
+
+def checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Eager localCheckpoint + row count in ONE job.
+
+    Superstep loops need the new frontier's size twice per level — as the
+    empty-frontier terminator and as the broadcast-vs-shuffle probe — and
+    they already pay a materialization job for the lineage-severing eager
+    ``localCheckpoint``. An :class:`~pyspark.sql.Observation` rides that
+    same job (``CollectMetrics`` accumulates while the checkpoint's
+    partitions compute), so the count that used to be a dedicated stage
+    per superstep is now free metadata off the job we were already
+    running. At 100 TB this removes one full pass over the frontier per
+    BFS level / Pregel superstep.
+    """
+    out, m = checkpoint_observe(df, n=F.count(F.lit(1)))
+    return out, int(m["n"])
+
+
+def checkpoint_observe(df: DataFrame,
+                       **metrics: Column) -> tuple[DataFrame, dict]:
+    """Eager localCheckpoint with arbitrary observed aggregates riding the
+    materialization job (see :func:`checkpoint_count`). Returns the
+    checkpointed frame and a dict of metric values."""
+    obs = Observation()
+    out = (df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
+           .localCheckpoint(eager=True))
+    return out, obs.get
 
 
 def oriented(edges: DataFrame, direction: str = "out",
@@ -72,7 +100,8 @@ def get_neighbors(vids: DataFrame, edges: DataFrame, direction: str = "out",
                   order_per_vertex: list | None = None,
                   dedup_dst: bool = False,
                   broadcast_frontier: bool | None = None,
-                  carry_cols: tuple[str, ...] = ()) -> DataFrame:
+                  carry_cols: tuple[str, ...] = (),
+                  dedup_frontier: bool = True) -> DataFrame:
     """One hop from a vid set: the GetNeighbors RPC as a join.
 
     Returns edge rows oriented origin→neighbor (columns src, dst, rank,
@@ -83,11 +112,21 @@ def get_neighbors(vids: DataFrame, edges: DataFrame, direction: str = "out",
     ``dedup_dst`` reproduces GetDstBySrc's deduped dst-only frontier.
     ``carry_cols`` are frontier columns (e.g. a traversal-origin tag) kept
     through the join — the frontier dedups on (vid, *carry_cols).
+
+    ``dedup_frontier=False`` is for loop callers whose frontier is already
+    distinct (go/BFS dedup every hop): skipping the redundant ``distinct``
+    is not just one less aggregate — an Aggregate between the frontier's
+    exchange and the hop join breaks AQE's skew-join pattern
+    (``SortMergeJoin ← Sort ← ShuffleQueryStage``), silently disabling
+    supernode skew-splitting for every non-broadcast hop. Verified by
+    ``tests/test_plans.py::test_skewed_hop_join_gets_aqe_skew_split``.
     """
     e = oriented(edges, direction)
     if edge_filter is not None:
         e = e.filter(edge_filter)
-    f = vids.select(VID, *carry_cols).distinct()
+    f = vids.select(VID, *carry_cols)
+    if dedup_frontier:
+        f = f.distinct()
     if broadcast_frontier is None:
         broadcast_frontier = True  # seed sets are small; loops override
     if broadcast_frontier:
@@ -120,9 +159,10 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
     and unions the yield rows for steps in [min_steps, max_steps].
 
     Adds a ``step`` column. Scale notes: the frontier is deduped every hop
-    (dst-only GetDstBySrc shape) and persisted; ``early_stop`` spends one
-    count() per hop to terminate on an empty frontier — at 100 TB that count
-    is trivially cheaper than a wasted hop join *when hops remain to skip*.
+    (dst-only GetDstBySrc shape); with ``early_stop`` each new frontier is
+    materialized by :func:`checkpoint_count`, whose Observation yields the
+    size off the checkpoint job itself — the empty-frontier terminator and
+    broadcast probe cost zero extra jobs per hop.
     For fixed short ranges (max_steps <= 2) there is nothing to skip, so the
     default (``early_stop=None``) disables the counts: step 1 broadcasts the
     (caller-bounded) seed frontier, later hops leave join strategy to AQE,
@@ -153,10 +193,12 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
     else:
         frontier = start.select(VID).distinct().persist()
     results: DataFrame | None = None
+    # seed-set size: the only dedicated count job — later frontiers get
+    # their size free off their checkpoint job (checkpoint_count)
+    n = frontier.count() if early_stop else None
     try:
         for step in range(1, max_steps + 1):
             if early_stop:
-                n = frontier.count()
                 if n == 0:
                     break
                 small = n <= BROADCAST_FRONTIER_ROWS
@@ -177,14 +219,20 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
             hop = get_neighbors(frontier, step_edges, direction, edge_filter,
                                 broadcast_frontier=small,
                                 limit_per_vertex=lim, order_per_vertex=order,
-                                carry_cols=carry)
+                                carry_cols=carry,
+                                dedup_frontier=False)  # frontier is distinct
             if step >= min_steps:
                 step_df = hop.withColumn("step", F.lit(step))
                 results = step_df if results is None else results.unionByName(
                     step_df, allowMissingColumns=True)
             if step < max_steps:
-                nxt = hop.select(*carry, F.col(DST).alias(VID)) \
-                         .distinct().persist()
+                nxt = hop.select(*carry, F.col(DST).alias(VID)).distinct()
+                if early_stop:
+                    # materialize + count in one job; also severs lineage,
+                    # which persist() alone does not
+                    nxt, n = checkpoint_count(nxt)
+                else:
+                    nxt = nxt.persist()
                 frontier.unpersist()
                 frontier = nxt
         if results is None:

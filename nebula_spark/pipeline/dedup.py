@@ -17,6 +17,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nebula_spark.operators.traverse import (checkpoint_count,
+                                             checkpoint_observe)
+
 # MinHash universal-hash parameters: h_i(x) = (a_i * x + b_i) mod P.
 # P < 2^31 keeps a_i * x + b_i within int64 after x is reduced mod P.
 MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
@@ -287,9 +290,9 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     node's current label to its neighbors and takes the min — one shuffle
     keyed on node id per superstep, map-side combinable. Near-dup
     components are tiny and shallow, so convergence is a handful of
-    supersteps; the convergence probe is ``limit(1).count()`` (early-exit,
-    not a full count), and labels are eagerly localCheckpoint-ed per step
-    to cut lineage. For adversarially long chain graphs use
+    supersteps; the convergence probe is an improved-row Observation
+    riding each superstep's checkpoint job (no dedicated probe stage),
+    and labels are eagerly localCheckpoint-ed per step to cut lineage. For adversarially long chain graphs use
     :func:`connected_components_star` (alternating large-star/small-star
     contraction, O(log² n) supersteps) — same frame contract, identical
     labels.
@@ -317,15 +320,17 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         for _ in range(max_iter):
             msgs = (sym.join(labels, sym["a"] == labels["node"], "inner")
                     .select(F.col("b").alias("node"), F.col("label")))
-            new = (labels.unionByName(msgs)
-                   .groupBy("node").agg(F.min("label").alias("label"))
-                   .localCheckpoint(eager=True))
-            improved = (new.join(labels.withColumnRenamed("label", "_old"),
-                                 "node")
-                        .filter(F.col("label") < F.col("_old"))
-                        .limit(1).count())
-            labels = new
-            if improved == 0:
+            # convergence probe rides the checkpoint job: carry the old
+            # label through the superstep and observe how many rows
+            # improved — one job per superstep instead of two
+            new, m = checkpoint_observe(
+                labels.unionByName(msgs)
+                .groupBy("node").agg(F.min("label").alias("label"))
+                .join(labels.withColumnRenamed("label", "_old"), "node"),
+                improved=F.sum(
+                    (F.col("label") < F.col("_old")).cast("long")))
+            labels = new.drop("_old")
+            if not m["improved"]:
                 break
     sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
@@ -352,11 +357,11 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
              .unionByName(e.select(F.col("v").alias("node")))
              .distinct().localCheckpoint(eager=True))
     # canonical orientation big→small; self-loops carry no connectivity
-    edges = (e.filter(F.col("u") != F.col("v"))
-             .select(F.greatest("u", "v").alias("u"),
-                     F.least("u", "v").alias("v"))
-             .distinct().localCheckpoint(eager=True))
-    n_edges = edges.count()
+    edges, n_edges = checkpoint_count(
+        e.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"),
+                F.least("u", "v").alias("v"))
+        .distinct())
     for _ in range(max_iter):
         if n_edges == 0:
             break
@@ -372,15 +377,15 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
               .filter(F.col("u") != F.col("v")).distinct())
         # small-star(u): link u and all its smaller neighbors to their min
         m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
-        ss = (ls.join(m2, "u")
-              .select(F.col("v").alias("a"), F.col("m").alias("b"))
-              .unionByName(m2.select(F.col("u").alias("a"),
-                                     F.col("m").alias("b")))
-              .filter(F.col("a") != F.col("b"))
-              .select(F.greatest("a", "b").alias("u"),
-                      F.least("a", "b").alias("v"))
-              .distinct().localCheckpoint(eager=True))
-        n_new = ss.count()
+        ss, n_new = checkpoint_count(
+            ls.join(m2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(m2.select(F.col("u").alias("a"),
+                                   F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"),
+                    F.least("a", "b").alias("v"))
+            .distinct())
         # fixpoint: identical edge set (both sides distinct, so one-sided
         # exceptAll-empty + equal counts ⇒ equality)
         if n_new == n_edges and \

@@ -133,6 +133,80 @@ def test_global_shuffle_plans_range_exchange_no_global_sort(spark):
     assert any("false" in ln for ln in sort_lines), plan
 
 
+def _skew_confs():
+    """Skew thresholds scaled down to test-sized data; the ratios (hub
+    partition ≫ factor × median) are what production AQE sees at 100 TB
+    with the default 256m threshold."""
+    return {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+    }
+
+
+@pytest.fixture(scope="module")
+def hub_graph(spark):
+    """One 40k-out-degree supernode over a 10k-edge background graph —
+    the adversarial degree distribution SCALE.md's traversal section
+    claims AQE handles."""
+    hub = spark.range(40_000).select(
+        F.lit("h").alias("src"),
+        F.concat(F.lit("d"), F.col("id")).alias("dst"),
+        F.lit(0).alias("rank"))
+    bg = spark.range(10_000).select(
+        F.concat(F.lit("s"), (F.col("id") % 5_000)).alias("src"),
+        F.concat(F.lit("t"), F.col("id")).alias("dst"),
+        F.lit(0).alias("rank"))
+    edges = hub.unionByName(bg).localCheckpoint(eager=True)
+    frontier = (edges.select(F.col("src").alias("vid")).distinct()
+                .localCheckpoint(eager=True))
+    return edges, frontier
+
+
+def test_skewed_hop_join_gets_aqe_skew_split(spark, hub_graph):
+    """A non-broadcast hop over a supernode must come out of AQE with the
+    skewed partition split (SortMergeJoin(skew=true) + AQEShuffleRead
+    "skewed") — the runtime protection SCALE.md relies on instead of
+    salting. Requires dedup_frontier=False: loop frontiers are already
+    distinct, and the redundant Aggregate would break the
+    SMJ←Sort←ShuffleQueryStage pattern OptimizeSkewedJoin matches."""
+    from nebula_spark.operators.traverse import get_neighbors
+    from nebula_spark.session import scoped_conf
+
+    edges, frontier = hub_graph
+    with scoped_conf(spark, **_skew_confs()):
+        hop = get_neighbors(frontier, edges, broadcast_frontier=False,
+                            dedup_frontier=False).select(
+            F.lit(1).alias("one"))
+        # every src is in the frontier → the hop returns all 50k edges
+        assert len(hop.collect()) == 50_000
+        plan = hop._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan
+    assert "skewed" in plan  # AQEShuffleRead … skewed
+
+
+def test_redundant_frontier_dedup_blocks_skew_split(spark, hub_graph):
+    """Documents WHY get_neighbors grew dedup_frontier: with the default
+    re-distinct, the frontier-side Aggregate sits between the exchange
+    and the join and today's OptimizeSkewedJoin pattern no longer
+    matches, so the hub partition is NOT split. If a future Spark learns
+    to split through aggregates this test can be dropped along with the
+    parameter's plan-shape rationale (the saved aggregate still stands)."""
+    from nebula_spark.operators.traverse import get_neighbors
+    from nebula_spark.session import scoped_conf
+
+    edges, frontier = hub_graph
+    with scoped_conf(spark, **_skew_confs()):
+        hop = get_neighbors(frontier, edges,
+                            broadcast_frontier=False).select(
+            F.lit(1).alias("one"))
+        hop.collect()
+        plan = hop._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" not in plan
+
+
 def test_bfs_shortest_path_statement_is_bidirectional(space):
     """FIND SHORTEST PATH plans through the meet-in-the-middle distance
     search: the final plan aggregates per-pair minima over checkpointed
