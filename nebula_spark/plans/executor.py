@@ -373,6 +373,14 @@ class ExprCompiler:
                     return _GRAPH_FNS[name](self.resolve(*args[0]))
                 except Exception:  # noqa: BLE001 — id(edge)/src(edge) forms
                     return _GRAPH_FNS[name]()
+            if args:
+                # computed argument — id(nodes(p)[0]), id(collect(...)[i]):
+                # the value IS the vid (nodes() yields vid elements), so
+                # id() is identity over the compiled expression
+                try:
+                    return _GRAPH_FNS[name](self.col(args[0]))
+                except TypeError:
+                    pass                  # zero-arg forms (src()/dst())
             return _GRAPH_FNS[name]()
         if name == "exists" and len(args) == 1:
             # exists(v.tag.prop) — property existence (the pattern form was
@@ -903,6 +911,21 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         counter[0] += 1
         return f"_{prefix}{counter[0]}"
 
+    if path.shortest is not None:
+        # reference MatchValidator::validateShortestPath (pinned by
+        # AllShortestPaths.feature / SingleShorestPath.feature "shortest
+        # path invalid step" + "same start and end node"): exactly one
+        # var-len segment, lower bound 0/1, distinct endpoint aliases
+        if len(path.edges) != 1:
+            raise ValueError("`shortestPath(...)' only support pattern "
+                             "like (start)-[edge*..hop]-(end)")
+        if path.edges[0].min_hops > 1:
+            raise ValueError("The minimal number of steps for "
+                             "shortestPath() must be either 0 or 1")
+        if (path.nodes[0].alias is not None
+                and path.nodes[0].alias == path.nodes[1].alias):
+            raise ValueError("The shortest path algorithm does not work "
+                             "when the start and end nodes are the same")
     n0 = path.nodes[0]
     a0 = n0.alias or fresh("n")
     aliases = {a0}
@@ -1011,17 +1034,25 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                         if k in tt.columns:
                             tt = tt.filter(F.col(k) == v)
                     sp_targets = tt.select(VID)
+                # the reference never emits zero-length shortest paths:
+                # `[e*0]` and same-vid pairs under `*0..n` return nothing
+                # (AllShortestPaths.feature "zero step" + "same start and
+                # end node" — Yao Ming *0..3 is empty while Tony Parker
+                # *1..3 still yields its 2-cycles), so the lower bound is
+                # clamped to 1 — with max_hops=0 the BFS then returns
+                # no rows at all
+                sp_min = max(1, me.min_hops)
                 if sp_targets is not None and me.max_hops >= 3:
                     tr = bidir_min_paths(
                         edges.select(SRC, DST, RANK, "_etype"), seeds,
                         sp_targets, max_hops=me.max_hops,
                         direction=me.direction, mode=sp_mode,
-                        min_hops=me.min_hops, self_loop_once=True)
+                        min_hops=sp_min, self_loop_once=True)
                 else:
                     tr = bfs_min_paths(
                         edges.select(SRC, DST, RANK, "_etype"), seeds,
                         max_hops=me.max_hops, direction=me.direction,
-                        mode=sp_mode, min_hops=me.min_hops,
+                        mode=sp_mode, min_hops=sp_min,
                         self_loop_once=True)
                 shortest_done = True
             else:
@@ -1438,10 +1469,15 @@ def _ordered_collect_rewrite(e: tuple, ec: ExprCompiler,
 
 
 def _project_items(cur: DataFrame, items: list[A.YieldItem],
-                   ec: ExprCompiler, bound: set[str]) -> tuple[DataFrame, set[str]]:
+                   ec: ExprCompiler, bound: set[str],
+                   ) -> tuple[DataFrame, set[str], dict[str, str]]:
     """WITH/RETURN projection with openCypher implicit grouping. A bare
-    alias item carries the whole binding ({alias}__*) through; aggregates
-    trigger grouping by every non-aggregate item."""
+    alias item carries the whole binding ({alias}__*) through; ``x AS y``
+    over a binding carries it under the NEW name (the reference's
+    Argument mechanism — AllShortestPaths.feature "argument issue" swaps
+    a/b through WITH and the next MATCH must see them as bound starts);
+    aggregates trigger grouping by every non-aggregate item. Returns
+    (frame, carried binding names, {new: old} renames)."""
     return _project_impl(cur, items, ec, bound)
 
 
@@ -1481,6 +1517,7 @@ def _compile_mixed_agg(e: tuple, ec: ExprCompiler) -> Column:
 
 def _project_impl(cur, items, ec, bound):
     out_bound: set[str] = set()
+    renames: dict[str, str] = {}
     has_agg = any(_is_agg(y.expr) for y in items)
     keys, aggs = [], []
     for i, y in enumerate(items):
@@ -1490,13 +1527,17 @@ def _project_impl(cur, items, ec, bound):
             out_bound |= {c.split("__", 1)[0] for c in cur.columns
                           if "__" in c} & bound
             continue
-        bare = (y.expr[0] == "name" and y.expr[1] in bound
-                and y.alias in (None, y.expr[1]))
-        if bare:                 # carry the full binding
-            alias = y.expr[1]
-            cols = [F.col(c) for c in cur.columns
-                    if c.startswith(f"{alias}__")]
-            out_bound.add(alias)
+        if y.expr[0] == "name" and y.expr[1] in bound:
+            # carry the full binding ({alias}__*) — under the item's
+            # alias when renamed (`WITH a AS b`: b stays a BOUND node the
+            # next MATCH can argument-join on, not a demoted struct)
+            old = y.expr[1]
+            new = y.alias or old
+            cols = [F.col(c).alias(new + c[len(old):])
+                    for c in cur.columns if c.startswith(f"{old}__")]
+            out_bound.add(new)
+            if new != old:
+                renames[new] = old
             keys.extend(cols)
         else:
             if has_agg and _is_agg(y.expr):
@@ -1508,7 +1549,7 @@ def _project_impl(cur, items, ec, bound):
         out = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
     else:
         out = cur.select(*keys)
-    return out, out_bound
+    return out, out_bound, renames
 
 
 def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
@@ -1598,12 +1639,20 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 witems = [A.YieldItem(
                     _ordered_collect_rewrite(y.expr, ec, pending_order),
                     y.alias) for y in witems]
-            cur, carried = _project_items(cur, witems, ec,
-                                          bound | ebound | pbound)
+            cur, carried, renames = _project_items(cur, witems, ec,
+                                                   bound | ebound | pbound)
             pending_order = None
-            bound, ebound, pbound = (carried & bound, carried & ebound,
-                                     carried & pbound)
-            tagmap = {a: t for a, t in tagmap.items() if a in carried}
+            old_tagmap = tagmap
+            bound, ebound, pbound = (
+                (carried & bound)
+                | {n for n, o in renames.items() if o in bound},
+                (carried & ebound)
+                | {n for n, o in renames.items() if o in ebound},
+                (carried & pbound)
+                | {n for n, o in renames.items() if o in pbound})
+            tagmap = {a: t for a, t in old_tagmap.items() if a in carried}
+            tagmap.update({n: old_tagmap[o] for n, o in renames.items()
+                           if o in old_tagmap})
             if cl.distinct:
                 cur = cur.distinct()
             if cl.order_by:

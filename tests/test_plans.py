@@ -51,15 +51,31 @@ def test_shortest_path_routes_bfs_not_enumeration(space):
         assert "_hops_total" not in plan, f"enumeration leaked: {pattern}"
 
 
-def test_shortest_path_min_hops_gt1_keeps_enumerate_fallback(space):
+def test_shortest_path_min_hops_gt1_raises(space):
     """min_hops > 1 breaks the BFS minimality invariant (a minimal
-    *qualifying* walk may revisit vertices), so the executor must keep the
-    enumerate-then-prune plan there — pinned by the same marker."""
+    *qualifying* walk may revisit vertices). The reference refuses the
+    query outright (SemanticError, AllShortestPaths.feature "shortest
+    path invalid step") — matching that removes the last exponential
+    shortest-path plan instead of keeping an enumerate fallback for it."""
+    with pytest.raises(ValueError, match="must be either 0 or 1"):
+        execute(space,
+                'MATCH p = shortestPath('
+                '(v:player {name: "Tim"})-[:like*2..3]->(m:player)) '
+                'RETURN m.player.vid AS d, length(p) AS n')
+
+
+def test_shortest_path_single_hop_prunes_by_window(space):
+    """A fixed single-hop shortestPath `[e]` cannot BFS-route (it goes
+    through the one-hop join branch); minimality there is the window
+    min-prune — pin that it stays (column pruning drops `_hops_total`
+    from the physical plan, but the `_min_hops` window aggregate
+    survives)."""
     df = execute(space,
-                 'MATCH p = shortestPath('
-                 '(v:player {name: "Tim"})-[:like*2..3]->(m:player)) '
+                 'MATCH p = allShortestPaths('
+                 '(v:player {name: "Tim"})-[:like]-(m:player)) '
                  'RETURN m.player.vid AS d, length(p) AS n')
-    assert "_hops_total" in plan_of(df)
+    plan = plan_of(df)
+    assert "_min_hops" in plan and "Window" in plan
 
 
 def test_go_2step_hops_broadcast(spark):

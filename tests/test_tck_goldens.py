@@ -2849,3 +2849,411 @@ def test_ldbc_bi12_trending_posts(nba_space):
         ('LeBron James', 'Heat', 6), ('LeBron James', 'Lakers', 6),
         ('Steve Nash', 'Suns', 6),
     ]
+
+
+# ---------------------------------------------------------------------------
+# MATCH shortestPath / allShortestPaths — tests/tck/features/match/
+# AllShortestPaths.feature + SingleShorestPath.feature (the bidirectional
+# meet-in-the-middle + shortest_cycles machinery against the reference's
+# own expectations)
+# ---------------------------------------------------------------------------
+
+def test_asp_invalid_step_raises(nba_space):
+    """AllShortestPaths.feature:9 "shortest path invalid step" — lower
+    bound must be 0/1 and the pattern must be a single var-len segment."""
+    for q in (
+        'WITH ["Tim Duncan","Tony Parker"] as list1 '
+        'MATCH allShortestPaths((v1:player)-[e*2]-(v2:player)) '
+        'WHERE id(v1) in list1 AND id(v2) in list1 RETURN e',
+        'WITH ["Tim Duncan","Tony Parker"] as list1 '
+        'MATCH allShortestPaths((v1:player)-[e*2..4]-(v2:player)) '
+        'WHERE id(v1) in list1 AND id(v2) in list1 RETURN e',
+    ):
+        with pytest.raises(ValueError, match="must be either 0 or 1"):
+            execute(nba_space, q)
+    with pytest.raises(ValueError, match="only support pattern"):
+        execute(nba_space,
+                'MATCH allShortestPaths((v1:player)-[e]->(b)-[e2:like]-'
+                '(v2:player)) RETURN e')
+
+
+def test_asp_zero_step_empty(nba_space):
+    """AllShortestPaths.feature:43 "zero step shortest path" — `[e*0]`
+    yields nothing, even for the same-vid pairs the id list admits (the
+    reference never emits zero-length shortest paths)."""
+    df = execute(nba_space,
+                 'WITH ["Tim Duncan","Tony Parker"] as list1 '
+                 'MATCH allShortestPaths((v1:player)-[e*0]-(v2:player)) '
+                 'WHERE id(v1) in list1 AND id(v2) in list1 RETURN e')
+    assert df.count() == 0
+    df = execute(nba_space,
+                 'MATCH allShortestPaths((v1:player{name:"Tim Duncan"})'
+                 '-[e*0]-(v2:player{name:"Tony Parker"})) RETURN e')
+    assert df.count() == 0
+
+
+def test_asp_one_step(nba_space):
+    """AllShortestPaths.feature:61 "one step shortest path" — Tim/Tony are
+    directly linked by like+teammate in both directions: 8 rows for the
+    unordered id-list form (each of 4 edges seen from both (v1,v2)
+    orderings), 4 for the prop-bound form, under `[e]`, `[e*1]` and
+    `[e*1..1]` alike."""
+    df = execute(nba_space,
+                 'WITH ["Tim Duncan","Tony Parker"] as list1 '
+                 'MATCH allShortestPaths((v1:player)-[e]-(v2:player)) '
+                 'WHERE id(v1) in list1 AND id(v2) in list1 RETURN e')
+    got = sorted((r.e.s, r.e.d) for r in df.collect())
+    assert got == [("Tim Duncan", "Tony Parker")] * 4 + \
+                  [("Tony Parker", "Tim Duncan")] * 4
+    for seg in ("[e]", "[e*1]", "[e*1..1]"):
+        df = execute(nba_space,
+                     'MATCH allShortestPaths((v1:player{name:"Tim Duncan"})'
+                     f'-{seg}-(v2:player{{name:"Tony Parker"}})) RETURN e')
+        assert df.count() == 4
+
+
+def test_asp_tim_tony_all(nba_space):
+    """AllShortestPaths.feature:113 allShortestPaths1 — Tim–Tony `*..5`
+    undirected over all edge types: the four direct links, nothing
+    longer."""
+    df = execute(nba_space,
+                 'MATCH p = allShortestPaths((a:player{name:"Tim Duncan"})'
+                 '-[e*..5]-(b:player{name:"Tony Parker"})) '
+                 'RETURN length(p) AS n')
+    assert [r.n for r in df.collect()] == [1, 1, 1, 1]
+
+
+def test_asp_multi_target_undirected(nba_space):
+    """AllShortestPaths.feature:252 allShortestPaths2 (1st query) — Tim to
+    {Spurs, Tony Parker, Yao Ming} undirected: serve 1-hop, 4 direct Tony
+    links, and Yao via Shaquille O'Neal at 2 hops."""
+    df = execute(nba_space,
+                 'MATCH p = allShortestPaths((a)-[e*..5]-(b)) '
+                 'WHERE id(a) == "Tim Duncan" and '
+                 'id(b) in ["Spurs", "Tony Parker", "Yao Ming"] '
+                 'RETURN id(b) AS t, length(p) AS n')
+    got = sorted(rows(df, "t", "n"))
+    assert got == [("Spurs", 1), ("Tony Parker", 1), ("Tony Parker", 1),
+                   ("Tony Parker", 1), ("Tony Parker", 1), ("Yao Ming", 2)]
+
+
+def test_asp_multi_target_directed(nba_space):
+    """AllShortestPaths.feature:268 allShortestPaths2 (2nd query) — the
+    directed form drops the reverse-only links and Yao entirely."""
+    df = execute(nba_space,
+                 'MATCH p = allShortestPaths((a)-[e*..5]->(b)) '
+                 'WHERE id(a) == "Tim Duncan" and '
+                 'id(b) IN ["Spurs", "Tony Parker", "Yao Ming"] '
+                 'RETURN id(b) AS t, length(p) AS n')
+    assert sorted(rows(df, "t", "n")) == [
+        ("Spurs", 1), ("Tony Parker", 1), ("Tony Parker", 1)]
+
+
+def test_asp_multi_pair_directed(nba_space):
+    """AllShortestPaths.feature:279 allShortestPaths2 (3rd query) — the
+    full source×target grid, per-pair minima at different depths (the
+    meet-in-the-middle round/resolve bookkeeping): Tony→Lakers is 4 hops
+    with two tied paths, Yao→Manu 3 hops with two."""
+    df = execute(nba_space,
+                 'MATCH p = allShortestPaths((a)-[e*..5]->(b)) '
+                 'WHERE id(b) IN ["Manu Ginobili", "Spurs", "Lakers"] '
+                 'and id(a) in ["Tony Parker", "Yao Ming"] '
+                 'RETURN id(a) AS s, id(b) AS t, length(p) AS n')
+    got = sorted(rows(df, "s", "t", "n"))
+    assert got == [
+        ("Tony Parker", "Lakers", 4), ("Tony Parker", "Lakers", 4),
+        ("Tony Parker", "Manu Ginobili", 1),
+        ("Tony Parker", "Manu Ginobili", 1),
+        ("Tony Parker", "Spurs", 1),
+        ("Yao Ming", "Lakers", 2),
+        ("Yao Ming", "Manu Ginobili", 3), ("Yao Ming", "Manu Ginobili", 3),
+        ("Yao Ming", "Spurs", 2),
+    ]
+
+
+def test_asp_like_only_and_unknown_ids(nba_space):
+    """AllShortestPaths.feature:293 allShortestPaths2 (4th/5th queries) —
+    a :like-typed segment can only reach Manu (teams have no like edges);
+    unknown start vids match nothing."""
+    df = execute(nba_space,
+                 'MATCH p = allShortestPaths((a)-[e:like*..4]->(b)) '
+                 'WHERE id(b) IN ["Manu Ginobili", "Spurs", "Lakers"] '
+                 'and id(a) in ["Tony Parker", "Yao Ming"] '
+                 'RETURN id(a) AS s, length(p) AS n')
+    assert sorted(rows(df, "s", "n")) == [
+        ("Tony Parker", 1), ("Yao Ming", 3)]
+    df = execute(nba_space,
+                 'MATCH p = allShortestPaths((a)-[e:like*..4]->(b)) '
+                 'WHERE id(b) IN ["Manu Ginobili", "Spurs", "Lakers"] '
+                 'and id(a) in ["xxx", "zzz"] RETURN p')
+    assert df.count() == 0
+
+
+def test_asp_same_start_end(nba_space):
+    """AllShortestPaths.feature:936 "same start and end node" — the same
+    ALIAS at both ends is a SemanticError; two aliases bound to the same
+    vid run the cycle search: Yao Ming has no like-cycle within 3 hops
+    (nobody likes him back), Tony Parker has the two 2-cycles via
+    LaMarcus and Tim, each in both orientations."""
+    with pytest.raises(ValueError, match="start and end nodes are the same"):
+        execute(nba_space,
+                'MATCH (a:player{name:"Yao Ming"}) '
+                'MATCH p = allShortestPaths((a)-[:like*1..3]-(a)) RETURN p')
+    with pytest.raises(ValueError, match="start and end nodes are the same"):
+        execute(nba_space,
+                'MATCH p = allShortestPaths((a:player{name:"Yao Ming"})'
+                '-[:like*1..3]-(a)) RETURN p')
+    for q in (
+        'MATCH (a:player{name:"Yao Ming"}), (b:player{name:"Yao Ming"}) '
+        'MATCH p = allShortestPaths((a)-[:like*0..3]-(b)) RETURN p',
+        'MATCH p = allShortestPaths((a)-[:like*1..3]-(b)) '
+        'WHERE id(a) == "Yao Ming" AND id(b) == "Yao Ming" RETURN p',
+        'MATCH p = allShortestPaths((a:player{name:"Yao Ming"})'
+        '-[:like*1..3]-(b:player{name:"Yao Ming"})) RETURN p',
+    ):
+        assert execute(nba_space, q).count() == 0
+    df = execute(nba_space,
+                 'MATCH p = allShortestPaths((a)-[e:like*1..3]-(b)) '
+                 'WHERE a.player.name == "Tony Parker" AND '
+                 'b.player.name == "Tony Parker" RETURN length(p) AS n')
+    assert [r.n for r in df.collect()] == [2, 2, 2, 2]
+
+
+def test_ssp_tim_tony_single(nba_space):
+    """SingleShorestPath.feature:61 — shortestPath() keeps exactly ONE of
+    the four tied direct links."""
+    df = execute(nba_space,
+                 'MATCH p = shortestPath((a:player{name:"Tim Duncan"})'
+                 '-[e*..5]-(b:player{name:"Tony Parker"})) '
+                 'RETURN length(p) AS n')
+    assert [r.n for r in df.collect()] == [1]
+
+
+def test_ssp_tiago_typed_vs_untyped(nba_space):
+    """SingleShorestPath.feature:84-97 — restricting to :like lengthens
+    Tiago→LaMarcus from 2 (via teammate) to 3."""
+    df = execute(nba_space,
+                 'MATCH p = shortestPath((a:player{name:"Tiago Splitter"})'
+                 '-[e:like*..5]->(b:player{name:"LaMarcus Aldridge"})) '
+                 'RETURN length(p) AS n')
+    assert [r.n for r in df.collect()] == [3]
+    df = execute(nba_space,
+                 'MATCH p = shortestPath((a:player{name:"Tiago Splitter"})'
+                 '-[e*..5]->(b:player{name:"LaMarcus Aldridge"})) '
+                 'RETURN length(p) AS n')
+    assert [r.n for r in df.collect()] == [2]
+
+
+def test_ssp_where_length_post_filters(nba_space):
+    """SingleShorestPath.feature:98-105 — WHERE length(p) applies AFTER
+    the shortest computation: the 2-hop minimum fails `> 2`, leaving
+    nothing (not the 3-hop alternative)."""
+    df = execute(nba_space,
+                 'MATCH p = shortestPath((a:player{name:"Tiago Splitter"})'
+                 '-[e*..5]->(b:player{name:"LaMarcus Aldridge"})) '
+                 'WHERE length(p) > 2 RETURN p')
+    assert df.count() == 0
+
+
+def test_ssp_nodes_relationships(nba_space):
+    """SingleShorestPath.feature:106-112 — nodes()/relationships() over
+    the shortest path binding; id() over an indexed nodes() element."""
+    df = execute(nba_space,
+                 'MATCH p = shortestPath((a:player{name:"Tiago Splitter"})'
+                 '-[e*..1]->(b:player{name:"Tim Duncan"})) '
+                 'RETURN nodes(p) AS ns, size(relationships(p)) AS nr')
+    assert [(r.ns, r.nr) for r in df.collect()] == [
+        (["Tiago Splitter", "Tim Duncan"], 1)]
+
+
+def test_ssp_multi_source_single_target(nba_space):
+    """SingleShorestPath.feature:113-120 — tag+prop-constrained source set
+    to LeBron: only Blake Griffin (age 30) reaches him, via Chris Paul."""
+    df = execute(nba_space,
+                 'MATCH p = shortestPath((a:player{age:30})-[e*..5]->'
+                 '(b:player{name:"LeBron James"})) '
+                 'RETURN id(nodes(p)[0]) AS s, length(p) AS n')
+    assert rows(df, "s", "n") == [("Blake Griffin", 2)]
+
+
+def test_ssp_source_target_grid(nba_space):
+    """SingleShorestPath.feature:121-134 — age-30 players to every team,
+    one path per reachable pair, WHERE filtering the source binding."""
+    df = execute(nba_space,
+                 'MATCH p = shortestPath((a:player{age:30})-[e*..5]->'
+                 '(b:team)) WHERE id(a) != "Blake Griffin" '
+                 'RETURN id(a) AS s, id(b) AS t, length(p) AS n')
+    assert sorted(rows(df, "s", "t", "n")) == [
+        ("DeAndre Jordan", "Clippers", 1), ("DeAndre Jordan", "Knicks", 1),
+        ("DeAndre Jordan", "Mavericks", 1),
+        ("Kevin Durant", "Thunders", 1), ("Kevin Durant", "Warriors", 1),
+        ("Russell Westbrook", "Pacers", 2),
+        ("Russell Westbrook", "Rockets", 2),
+        ("Russell Westbrook", "Thunders", 1),
+    ]
+    df = execute(nba_space,
+                 'MATCH p = shortestPath((a:player{age:30})-[e*..5]->'
+                 '(b:team)) WHERE length(p) == 1 '
+                 'RETURN id(a) AS s, id(b) AS t')
+    assert sorted(rows(df, "s", "t")) == [
+        ("Blake Griffin", "Clippers"), ("Blake Griffin", "Pistons"),
+        ("DeAndre Jordan", "Clippers"), ("DeAndre Jordan", "Knicks"),
+        ("DeAndre Jordan", "Mavericks"),
+        ("Kevin Durant", "Thunders"), ("Kevin Durant", "Warriors"),
+        ("Russell Westbrook", "Thunders"),
+    ]
+
+
+def test_ssp_yao_serve_undirected(nba_space):
+    """SingleShorestPath.feature:135-166 — Yao over :serve undirected to
+    every team: Rockets at 1, eleven more teams at 3 (out through a
+    Rockets teammate), one path each."""
+    df = execute(nba_space,
+                 'MATCH p = shortestPath((a:player{name:"Yao Ming"})'
+                 '-[e:serve*1..3]-(b:team)) '
+                 'RETURN id(b) AS t, length(p) AS n')
+    got = sorted(rows(df, "t", "n"))
+    assert got == [
+        ("Clippers", 3), ("Hawks", 3), ("Hornets", 3), ("Knicks", 3),
+        ("Lakers", 3), ("Magic", 3), ("Nuggets", 3), ("Raptors", 3),
+        ("Rockets", 1), ("Spurs", 3), ("Thunders", 3), ("Wizards", 3)]
+
+
+def test_asp_argument_swap(nba_space):
+    """AllShortestPaths.feature:874 "argument issue" — `WITH a AS b, b AS a`
+    must carry the node BINDINGS under their swapped names (the
+    reference's Argument plan node), so the following [OPTIONAL] MATCH
+    allShortestPaths runs over the two bound vids, not a fresh scan: the
+    two direct like edges, with a = Tony Parker after the swap."""
+    for kw in ("MATCH", "OPTIONAL MATCH"):
+        df = execute(nba_space,
+                     "MATCH (a:player{name:'Tim Duncan'}), "
+                     "(b:player{name:'Tony Parker'}) "
+                     "WITH a AS b, b AS a "
+                     f"{kw} allShortestPaths((a)-[:like*1..3]-(b)) "
+                     "RETURN id(a) AS a, id(b) AS b")
+        assert rows(df, "a", "b") == [("Tony Parker", "Tim Duncan")] * 2
+
+
+def test_asp_where_prop_bounds(nba_space):
+    """AllShortestPaths.feature:438 allShortestPaths4 (1st/2nd queries) —
+    endpoint constraints arriving via WHERE on tag props instead of
+    inline maps; the age>45 sources reach Spurs only through a shared
+    team at 3 hops (serve is player→team, so odd→even alternation)."""
+    df = execute(nba_space,
+                 "MATCH p = allShortestPaths((a:player)-[e:serve*..3]-"
+                 "(b:team)) WHERE a.player.name == 'Tim Duncan' AND "
+                 "b.team.name == 'Spurs' RETURN length(p) AS n")
+    assert [r.n for r in df.collect()] == [1]
+    df = execute(nba_space,
+                 "MATCH p = allShortestPaths((a:player)-[e:serve*..3]-"
+                 "(b:team)) WHERE a.player.age > 45 AND "
+                 "b.team.name == 'Spurs' "
+                 "RETURN id(nodes(p)[0]) AS s, length(p) AS n")
+    got = sorted(rows(df, "s", "n"))
+    assert got == [("Grant Hill", 3)] * 4 + [("Shaquille O'Neal", 3)] * 6
+
+
+def test_asp_like_age_bounds(nba_space):
+    """AllShortestPaths.feature allShortestPaths4 (3rd query) — both-end
+    age predicates: only Shaquille O'Neal (47) reaches under-30 players
+    over like within 3, Dejounte at 2 and three more through him."""
+    df = execute(nba_space,
+                 "MATCH p = allShortestPaths((a:player)-[e:like*..3]-"
+                 "(b:player)) WHERE a.player.age > 45 AND "
+                 "b.player.age < 30 RETURN id(nodes(p)[0]) AS s, "
+                 "id(nodes(p)[-1]) AS t, length(p) AS n")
+    assert sorted(rows(df, "s", "t", "n")) == [
+        ("Shaquille O'Neal", "Damian Lillard", 3),
+        ("Shaquille O'Neal", "Dejounte Murray", 2),
+        ("Shaquille O'Neal", "James Harden", 3),
+        ("Shaquille O'Neal", "Kyle Anderson", 3)]
+
+
+def test_asp_prebound_source_reverse(nba_space):
+    """AllShortestPaths.feature allShortestPaths4 (4th query) — the
+    pattern's source is pre-bound by a previous MATCH (Argument) and the
+    segment is REVERSED (<-[:like*..2]-) from Yao Ming."""
+    df = execute(nba_space,
+                 'MATCH (a:player) MATCH p = allShortestPaths('
+                 '(a)<-[e:like*..2]-(b:player{name:"Yao Ming"})) '
+                 'RETURN id(a) AS s, length(p) AS n')
+    assert sorted(rows(df, "s", "n")) == [
+        ("Grant Hill", 2), ("JaVale McGee", 2), ("Kobe Bryant", 2),
+        ("Rudy Gay", 2), ("Shaquille O'Neal", 1), ("Tim Duncan", 2),
+        ("Tracy McGrady", 1)]
+
+
+def test_asp_directed_cycles_included(nba_space):
+    """AllShortestPaths.feature allShortestPaths4 (5th/6th queries) — the
+    all-players source set includes the target itself, so the DIRECTED
+    cycle pairs ride along: Tony→Tony via LaMarcus and via Tim bring the
+    Tony-target total to 15; the id-list form with Tim/Yao (+3 unknown
+    ids) also lands on 15 with Tim's two cycles."""
+    df = execute(nba_space,
+                 'MATCH (a:player) MATCH p = allShortestPaths('
+                 '(a)-[e:like*..2]->(b:player{name:"Tony Parker"})) '
+                 'RETURN id(nodes(p)[0]) AS s, length(p) AS n')
+    got = rows(df, "s", "n")
+    assert len(got) == 15
+    assert sorted(g for g in got if g[0] == "Tony Parker") == [
+        ("Tony Parker", 2), ("Tony Parker", 2)]
+    df = execute(nba_space,
+                 'MATCH (a:player) MATCH p = allShortestPaths('
+                 '(a)-[e:like*..2]->(b)) '
+                 "WHERE id(b) IN ['xxx', 'zzz', 'yyy', 'Tim Duncan', "
+                 "'Yao Ming'] RETURN id(nodes(p)[0]) AS s, "
+                 "id(nodes(p)[-1]) AS t, length(p) AS n")
+    got = rows(df, "s", "t", "n")
+    assert len(got) == 15
+    assert sorted(g for g in got if g[0] == "Tim Duncan") == [
+        ("Tim Duncan", "Tim Duncan", 2), ("Tim Duncan", "Tim Duncan", 2)]
+
+
+def test_asp_deep_unwind_nodes(nba_space):
+    """AllShortestPaths.feature:541 allShortestPaths5 — *..15 undirected
+    over every edge type, piped through WITH nodes(p) / UNWIND /
+    DISTINCT: the union of all minimal Tim→(age 33) paths touches
+    exactly 19 vertices."""
+    df = execute(nba_space,
+                 'MATCH p = allShortestPaths((a:player {name:"Tim Duncan"})'
+                 '-[*..15]-(b:player {age:33})) '
+                 'WITH nodes(p) AS pathNodes '
+                 'UNWIND pathNodes AS node '
+                 'RETURN count(DISTINCT node) AS c')
+    assert rows(df, "c") == [(19,)]
+
+
+def test_ssp_grids_one_per_pair(nba_space):
+    """SingleShorestPath.feature:168 single shortestPaths2 — the same
+    source×target grids as the allShortestPaths variants collapse to
+    exactly ONE path per reachable pair."""
+    df = execute(nba_space,
+                 "MATCH p = shortestPath((a)-[e*..5]-(b)) "
+                 "WHERE id(a) == 'Tim Duncan' and "
+                 "id(b) in ['Spurs', 'Tony Parker', 'Yao Ming'] "
+                 "RETURN id(nodes(p)[-1]) AS t, length(p) AS n")
+    assert sorted(rows(df, "t", "n")) == [
+        ("Spurs", 1), ("Tony Parker", 1), ("Yao Ming", 2)]
+    df = execute(nba_space,
+                 "MATCH p = shortestPath((a)-[e*..5]->(b)) "
+                 "WHERE id(b) IN ['Manu Ginobili', 'Spurs', 'Lakers'] "
+                 "and id(a) in ['Tony Parker', 'Yao Ming'] "
+                 "RETURN id(a) AS s, id(b) AS t, length(p) AS n")
+    assert sorted(rows(df, "s", "t", "n")) == [
+        ("Tony Parker", "Lakers", 4), ("Tony Parker", "Manu Ginobili", 1),
+        ("Tony Parker", "Spurs", 1), ("Yao Ming", "Lakers", 2),
+        ("Yao Ming", "Manu Ginobili", 3), ("Yao Ming", "Spurs", 2)]
+
+
+def test_ssp_comma_pattern_form(nba_space):
+    """SingleShorestPath.feature:223 single shortestPaths3 — the shortest
+    pattern as a COMMA pattern alongside plain node patterns binds the
+    same way as a separate MATCH clause."""
+    for q in (
+        'MATCH (a:player{name:"Tim Duncan"}), (b:team{name:"Spurs"}), '
+        'p = shortestPath((a)-[e:serve*..3]-(b)) RETURN length(p) AS n',
+        'MATCH (a:player{name:"Tim Duncan"}), (b:team{name:"Spurs"}) '
+        'MATCH p = shortestPath((a)-[e:serve*..3]-(b)) RETURN length(p) AS n',
+    ):
+        assert rows(execute(nba_space, q), "n") == [(1,)]
