@@ -874,7 +874,7 @@ def q_step_limit(spark: SparkSession, sf: str) -> DataFrame:
     sp = tpch_space(spark, sf)
     return execute(sp, """
         GO 2 STEPS FROM 0, 1, 2 OVER located_in REVERSELY
-        YIELD src(edge) AS via, dst(edge) AS person LIMIT [2, 3]
+        YIELD located_in._src AS via, located_in._dst AS person LIMIT [2, 3]
         | ORDER BY $-.via, $-.person
     """)
 

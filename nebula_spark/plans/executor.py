@@ -357,9 +357,13 @@ class ExprCompiler:
         if name in ("id", "type", "rank", "startnode", "endnode",
                     "properties", "props", "src", "dst", "labels",
                     "tags") and len(args) == 1 \
-                and isinstance(args[0], tuple) and args[0][0] == "name":
+                and isinstance(args[0], tuple) \
+                and args[0][0] in ("name", "src_vert", "dst_vert"):
+            # `properties($^)` / `type(edge)` pass the marker kind as the
+            # key; named bindings pass the alias
+            key = args[0][1] if args[0][0] == "name" else args[0][0]
             try:
-                return self.resolve("graph_fn", name, args[0][1])
+                return self.resolve("graph_fn", name, key)
             except ValueError:
                 pass                      # not a MATCH binding → fall through
         if name in _AGG_FNS:
@@ -483,13 +487,17 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
         src_df = piped if st.sources == "$-" else (env or {})[st.sources]
         src_col = st.src_col or src_df.columns[0]
         # one output row per (input row, traversal result) — reference
-        # joins the runtime-input table back by vid the same way
-        dup = [c for c in src_df.columns if c in hop.columns]
-        joined = hop.join(src_df,
-                          hop["_origin"] == src_df[src_col], "inner")
-        for c in dup:  # traversal columns win on collision
-            joined = joined.drop(src_df[c])
-        hop = joined
+        # joins the runtime-input table back by vid the same way. Piped
+        # columns colliding with hop internals (a user column named
+        # `src`/`dst` vs the edge columns) are namespaced, not dropped:
+        # $-.src must keep reading the PIPED value
+        # (GoYieldVertexEdge.feature "reference pipe in yield and where")
+        pipe = src_df
+        for c in src_df.columns:
+            if c in hop.columns:
+                pipe = pipe.withColumnRenamed(c, f"__pipe_{c}")
+        join_col = f"__pipe_{src_col}" if src_col in hop.columns else src_col
+        hop = hop.join(pipe, hop["_origin"] == pipe[join_col], "inner")
     if "_origin" in hop.columns:
         hop = hop.drop("_origin")
 
@@ -499,24 +507,82 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
         _walk(y.expr, {"src_prop", "dst_prop"}, refs)
     if st.where:
         _walk(st.where, {"src_prop", "dst_prop"}, refs)
-    for kind, tag, _prop in refs:
+    # vertex-OBJECT forms — bare $^/$$ and properties($^|$$) — need every
+    # tag of that side joined (the reference returns the full multi-tag
+    # vertex, GoYieldVertexEdge.feature "one step"). id($^)/id($$) rides
+    # along even though it only needs the id — object use and id use are
+    # indistinguishable at this altitude and the join is per referenced
+    # side only.
+    vrefs: list = []
+    for y in st.yields:
+        _walk(y.expr, {"src_vert", "dst_vert"}, vrefs)
+    if st.where:
+        _walk(st.where, {"src_vert", "dst_vert"}, vrefs)
+    if vrefs:
+        sides = {("src_prop" if k == "src_vert" else "dst_prop")
+                 for k, *_ in vrefs}
+        refs.extend((sk, tg, None) for sk in sides
+                    for tg in sorted(space.tags))
+    for kind, tag, prop in refs:
         side = SRC if kind == "src_prop" else DST
         marker = f"__{side}_tag_{tag}__"
+        t = space.tag(tag)
+        if prop is not None and prop not in t.columns:
+            # reference SemanticError (GoYieldVertexEdge.feature "no
+            # exist prop")
+            sigil = "$^" if kind == "src_prop" else "$$"
+            raise ValueError(f"`{sigil}.{tag}.{prop}', not found the "
+                             f"property `{prop}'.")
         if any(c.startswith(marker) for c in hop.columns):
             continue
-        t = space.tag(tag)
         props = [c for c in t.columns if c != VID]
+        # the marker vid stays: it is the tag-membership witness for
+        # tags($^)/tags($$)
         renamed = t.select(
             F.col(VID).alias(f"{marker}vid"),
             *[F.col(c).alias(f"{marker}{c}") for c in props])
-        hop = hop.join(renamed, hop[side] == renamed[f"{marker}vid"], "left") \
-                 .drop(f"{marker}vid")
+        hop = hop.join(renamed, hop[side] == renamed[f"{marker}vid"], "left")
+
+    def _side_props(side: str) -> list[Column]:
+        # every tag's props of that side in sorted-tag order, same-named
+        # props coalesced across tags (the reference merges the per-tag
+        # prop maps into one vertex value)
+        by_name: dict[str, list[str]] = {}
+        for tg in sorted(space.tags):
+            for p in space.tag(tg).columns:
+                if p != VID:
+                    by_name.setdefault(p, []).append(
+                        f"__{side}_tag_{tg}__{p}")
+        return [F.coalesce(*[F.col(c) for c in cols]).alias(p)
+                if len(cols) > 1 else F.col(cols[0]).alias(p)
+                for p, cols in by_name.items()]
+
+    def _edge_props_struct() -> Column:
+        # properties(edge): the union of the traversed types' props in
+        # declaration order — exact for a single OVER type; for OVER
+        # multiple types the other types' fields read NULL (Spark structs
+        # are fixed-schema, the documented stand-in for the reference's
+        # per-row map)
+        seen: list[str] = []
+        for n in (st.edges or sorted(space.edges)):
+            for c in space.edge(n).columns:
+                if c not in (SRC, DST, RANK) and c not in seen:
+                    seen.append(c)
+        return F.struct(*[F.col(c) for c in seen])
+
+    def _vert_struct(side: str) -> Column:
+        return F.struct(F.col(side).alias(VID), *_side_props(side))
 
     def resolve(kind, *args):
         if kind == "edge_prop":
             ename, prop = args
-            col = F.col({"_dst": DST, "_src": SRC,
-                         "_rank": RANK}.get(prop, prop))
+            if ename in space.edges and prop not in ("_src", "_dst",
+                                                     "_rank", "_type") \
+                    and prop not in space.edge(ename).columns:
+                raise ValueError(f"`{ename}.{prop}', not found the "
+                                 f"property `{prop}'.")
+            col = F.col({"_dst": DST, "_src": SRC, "_rank": RANK,
+                         "_type": "_etype"}.get(prop, prop))
             # per-edge-type scoping over a multi-edge union (OVER a,b /
             # OVER *): serve._dst is NULL on a like-edge row — matching
             # the reference's EMPTY cells (GO.feature "multi edges over
@@ -529,19 +595,61 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
             return F.col(f"__src_tag_{args[0]}__{args[1]}")
         if kind == "dst_prop":
             return F.col(f"__dst_tag_{args[0]}__{args[1]}")
-        if kind == "src_vert":       # bare $^ — its id (id($^))
-            return F.col(SRC)
-        if kind == "dst_vert":       # bare $$ — its id (id($$))
-            return F.col(DST)
+        if kind == "src_vert":       # bare $^ — the full vertex value
+            return _vert_struct(SRC)
+        if kind == "dst_vert":       # bare $$ — the full vertex value
+            return _vert_struct(DST)
+        if kind == "graph_fn":
+            fn, key = args
+            if key == "edge":
+                if fn == "type":
+                    return F.col("_etype")
+                if fn in ("properties", "props"):
+                    return _edge_props_struct()
+                if fn == "rank":
+                    return F.col(RANK)
+                if fn in ("src", "dst"):
+                    # the edge VALUE keeps its STORED orientation: under
+                    # REVERSELY src(edge) is the stored source, not the
+                    # traversal origin (GoYieldVertexEdge.feature "edge
+                    # type": Dejounte→Russell stays src=Dejounte)
+                    fwd = F.col("_dir") != -1
+                    a, b = (SRC, DST) if fn == "src" else (DST, SRC)
+                    return F.when(fwd, F.col(a)).otherwise(F.col(b))
+            if key in ("src_vert", "dst_vert"):
+                side = SRC if key == "src_vert" else DST
+                if fn == "id":
+                    return F.col(side)
+                if fn in ("properties", "props"):
+                    return F.struct(*_side_props(side))
+                if fn in ("tags", "labels"):
+                    # membership witness = the kept per-tag marker vid
+                    return F.filter(
+                        F.array(*[
+                            F.when(F.col(f"__{side}_tag_{tg}__vid")
+                                   .isNotNull(), F.lit(tg))
+                            for tg in sorted(space.tags)]),
+                        lambda x: x.isNotNull())
+            raise ValueError(f"unresolvable graph_fn {fn} {key}")
         if kind == "name":
             n = args[0]
-            if n == "edge":
-                raise ValueError("bare edge ref")
+            if n == "edge":          # bare edge — the edge value in its
+                # STORED orientation (repo struct convention s, d, r, et)
+                fwd = F.col("_dir") != -1
+                return F.struct(
+                    F.when(fwd, F.col(SRC)).otherwise(F.col(DST)).alias("s"),
+                    F.when(fwd, F.col(DST)).otherwise(F.col(SRC)).alias("d"),
+                    F.col(RANK).alias("r"),
+                    F.col("_etype").alias("et"))
             return F.col(n)
         if kind == "input_prop":
-            return F.col(args[0])
+            c = args[0]
+            return F.col(f"__pipe_{c}") if f"__pipe_{c}" in hop.columns \
+                else F.col(c)
         if kind == "var_prop":       # $var.prop — the joined FROM-var row
-            return F.col(args[1])
+            c = args[1]
+            return F.col(f"__pipe_{c}") if f"__pipe_{c}" in hop.columns \
+                else F.col(c)
         raise ValueError(f"unresolvable {kind} {args}")
 
     ec = ExprCompiler(resolve)

@@ -160,14 +160,17 @@ def test_union_all_and_distinct(space):
 
 def test_intersect_minus(space):
     base = 'GO FROM "p1" OVER like YIELD dst(edge) AS d'
-    other = 'GO FROM "p2" OVER like REVERSELY YIELD src(edge) AS d'
-    # like: p1->{p2,p3}; in-edges of p2: {p1}->p2 ... src yields p2's liker
-    q = f"{base} INTERSECT GO FROM \"p4\" OVER like REVERSELY YIELD dst(edge) AS d"
-    # in-nbrs of p4 = p2 (p2->p4): YIELD dst(edge) reversed gives p2
+    # REVERSELY prop forms keep the adjacency-entry (negative-edge-type)
+    # view: like._dst is the NEIGHBOR, like._src the start vertex
+    # (GO.feature "multi edges over all"); the src(edge)/dst(edge)
+    # FUNCTION forms instead report the stored orientation
+    # (GoYieldVertexEdge.feature "edge type")
+    q = f"{base} INTERSECT GO FROM \"p4\" OVER like REVERSELY YIELD like._dst AS d"
+    # in-nbrs of p4 = p2 (p2->p4): like._dst reversed gives p2
     got = sorted(r.d for r in execute(space, q).collect())
     assert got == ["p2"]
-    # REVERSELY: src(edge) is the reversed-edge source = the start vertex
-    # (negative-edge-type view, Edge.h:16-23), so `other` yields {p2}
+    other = 'GO FROM "p2" OVER like REVERSELY YIELD like._src AS d'
+    # like._src reversed = the start vertex, so `other` yields {p2}
     q2 = f"{base} MINUS {other}"
     assert sorted(r.d for r in execute(space, q2).collect()) == ["p3"]
 
@@ -544,7 +547,7 @@ def test_use_space_prefix_goldens_unchanged(space):
         ('GO FROM "p1" OVER like WHERE like.likeness >= 90 '
          'YIELD dst(edge) AS d, like.likeness AS w',
          {("p2", 95), ("p3", 90)}),
-        ('GO FROM "p1" OVER like REVERSELY YIELD dst(edge) AS d, '
+        ('GO FROM "p1" OVER like REVERSELY YIELD like._dst AS d, '
          '1 AS w', {("p2", 1)}),
         ('LOOKUP ON player WHERE player.age > 40 '
          'YIELD player.name AS name, player.age AS age',

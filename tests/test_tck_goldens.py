@@ -2598,9 +2598,9 @@ def test_go_dst_filter_pushdown_semantics(nba_space):
     pushes to the edge scan — same rows either way)."""
     df = execute(nba_space,
                  'GO FROM "Tim Duncan" OVER like '
-                 'WHERE dst(edge) NOT IN ["xxx"] YIELD dst(edge) AS dst '
+                 'WHERE like._dst NOT IN ["xxx"] YIELD like._dst AS dst '
                  '| GO FROM $-.dst OVER like REVERSELY '
-                 'WHERE dst(edge) IN ["Tim Duncan"] YIELD dst(edge) AS dst')
+                 'WHERE like._dst IN ["Tim Duncan"] YIELD like._dst AS dst')
     assert [r.dst for r in df.collect()] == ["Tim Duncan", "Tim Duncan"]
 
 
@@ -3257,3 +3257,249 @@ def test_ssp_comma_pattern_form(nba_space):
         'MATCH p = shortestPath((a)-[e:serve*..3]-(b)) RETURN length(p) AS n',
     ):
         assert rows(execute(nba_space, q), "n") == [(1,)]
+
+
+# ---------------------------------------------------------------------------
+# GO YIELD vertex/edge OBJECT forms — tests/tck/features/go/
+# GoYieldVertexEdge.feature (bare edge / $^ / $$ values, type(edge),
+# properties(edge|$^|$$); the edge VALUE keeps its stored orientation
+# under REVERSELY while the ._src/._dst prop forms keep the
+# adjacency-entry view — both pinned here)
+# ---------------------------------------------------------------------------
+
+def test_goyve_one_step_edge_value(nba_space):
+    """GoYieldVertexEdge.feature "one step" (1st query) — bare edge,
+    properties(edge), and properties($$)/properties($^) attribute access
+    inside a concat."""
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan" OVER like YIELD edge as e, '
+                 'properties(edge) as props, concat(src(edge), " like ", '
+                 'dst(edge), " @ ", properties($$).name, " # ", '
+                 'properties($^).age) as result')
+    got = sorted((r.e.s, r.e.d, r.e.et, r.props.likeness, r.result)
+                 for r in df.collect())
+    assert got == [
+        ("Tim Duncan", "Manu Ginobili", "like", 95,
+         "Tim Duncan like Manu Ginobili @ Manu Ginobili # 42"),
+        ("Tim Duncan", "Tony Parker", "like", 95,
+         "Tim Duncan like Tony Parker @ Tony Parker # 42")]
+
+
+def test_goyve_one_step_vertex_values(nba_space):
+    """GoYieldVertexEdge.feature "one step" (3rd query) — bare $^ / $$
+    yield the FULL multi-tag vertex (Tim Duncan carries bachelor's
+    speciality merged over his player props)."""
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan" OVER like YIELD '
+                 '$^.player.name as name, $^.player.age as age, '
+                 '$^ as src, $$ as dst, edge as e')
+    got = sorted((r.src.vid, r.src.speciality, r.src.age,
+                  r.dst.vid, r.dst.age, r.e.et) for r in df.collect())
+    assert got == [
+        ("Tim Duncan", "psychology", 42, "Manu Ginobili", 41, "like"),
+        ("Tim Duncan", "psychology", 42, "Tony Parker", 36, "like")]
+
+
+def test_goyve_over_star_type(nba_space):
+    """GoYieldVertexEdge.feature "one step" (5th query) — duplicate FROM
+    vids dedup; OVER * yields one row per edge with its type()."""
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan", "Tim Duncan" OVER * '
+                 'YIELD $$ as dst, type(edge) as type')
+    got = sorted((r.dst.vid, r.type) for r in df.collect())
+    assert got == [
+        ("Danny Green", "teammate"), ("LaMarcus Aldridge", "teammate"),
+        ("Manu Ginobili", "like"), ("Manu Ginobili", "teammate"),
+        ("Spurs", "serve"),
+        ("Tony Parker", "like"), ("Tony Parker", "teammate")]
+
+
+def test_goyve_distinct_pipe_chain(nba_space):
+    """GoYieldVertexEdge.feature "distinct map and set" — a 3-stage GO
+    pipe ending in YIELD DISTINCT over (dst, edge, properties)."""
+    df = execute(nba_space,
+                 'GO FROM "Boris Diaw" OVER like YIELD dst(edge) as id | '
+                 'GO FROM $-.id OVER like YIELD dst(edge) as id | '
+                 'GO FROM $-.id OVER serve YIELD DISTINCT dst(edge) as '
+                 'dst, edge as e, properties(edge) as props')
+    got = sorted((r.dst, r.e.s, r.props.start_year, r.props.end_year)
+                 for r in df.collect())
+    assert got == [
+        ("Hornets", "Tony Parker", 2018, 2019),
+        ("Spurs", "LaMarcus Aldridge", 2015, 2019),
+        ("Spurs", "Manu Ginobili", 2002, 2018),
+        ("Spurs", "Tim Duncan", 1997, 2016),
+        ("Spurs", "Tony Parker", 1999, 2018),
+        ("Trail Blazers", "LaMarcus Aldridge", 2006, 2015)]
+
+
+def test_goyve_collect_vs_collect_set(nba_space):
+    """GoYieldVertexEdge.feature "distinct map and set" (2nd query) —
+    collect keeps the 2-step multiset (Tim Duncan reached twice),
+    collect_set dedups."""
+    df = execute(nba_space,
+                 'GO 2 STEPS FROM "Tim Duncan" OVER like '
+                 'YIELD dst(edge) as id | '
+                 'YIELD DISTINCT collect($-.id) as a, collect_set($-.id) as b')
+    r = df.collect()[0]
+    assert sorted(r.a) == ["LaMarcus Aldridge", "Manu Ginobili",
+                           "Tim Duncan", "Tim Duncan"]
+    assert sorted(r.b) == ["LaMarcus Aldridge", "Manu Ginobili",
+                           "Tim Duncan"]
+
+
+def test_goyve_vertex_noexist_empty(nba_space):
+    """GoYieldVertexEdge.feature "vertex noexist" — object-form yields on
+    a missing start produce zero rows, not errors."""
+    df = execute(nba_space,
+                 'GO FROM "NON EXIST VERTEX ID" OVER serve YIELD '
+                 '$^ as src, $$ as dst, properties(edge) as props')
+    assert df.count() == 0
+
+
+def test_goyve_reversely_stored_orientation(nba_space):
+    """GoYieldVertexEdge.feature "edge type" + "multi edges" (4th query)
+    — under REVERSELY the edge VALUE keeps its stored orientation:
+    src(edge) is the liker, dst(edge) the start vertex, and the bare
+    edge struct agrees."""
+    df = execute(nba_space,
+                 'GO FROM "Russell Westbrook" OVER serve, like REVERSELY '
+                 'YIELD dst(edge) as dst, src(edge) as src, '
+                 'type(edge) as type')
+    assert sorted(rows(df, "dst", "src", "type")) == [
+        ("Russell Westbrook", "Dejounte Murray", "like"),
+        ("Russell Westbrook", "James Harden", "like"),
+        ("Russell Westbrook", "Paul George", "like")]
+    df = execute(nba_space,
+                 'GO FROM "Russell Westbrook" OVER serve, like REVERSELY '
+                 'YIELD edge as e')
+    assert sorted((r.e.s, r.e.d, r.e.et) for r in df.collect()) == [
+        ("Dejounte Murray", "Russell Westbrook", "like"),
+        ("James Harden", "Russell Westbrook", "like"),
+        ("Paul George", "Russell Westbrook", "like")]
+
+
+def test_goyve_multi_edge_props(nba_space):
+    """GoYieldVertexEdge.feature "multi edges" (1st query) —
+    properties(edge) over a two-type union: the other type's fields read
+    NULL (the documented struct stand-in for the reference's per-row
+    map)."""
+    df = execute(nba_space,
+                 'GO FROM "Russell Westbrook" OVER serve, like '
+                 'YIELD properties(edge) as props, type(edge) as type')
+    got = sorted((r.type, r.props.start_year, r.props.likeness)
+                 for r in df.collect())
+    assert got == [("like", None, 90), ("like", None, 90),
+                   ("serve", 2008, None)]
+
+
+def test_goyve_reversely_vertex_and_props(nba_space):
+    """GoYieldVertexEdge.feature "multi edges" (last query) — REVERSELY
+    with $^ / $$ objects, bare edge, and prop forms in one YIELD; the
+    multi-tag dst (Tim Duncan) keeps its bachelor speciality."""
+    df = execute(nba_space,
+                 'GO FROM "Manu Ginobili" OVER like, teammate REVERSELY '
+                 'YIELD $^ as src, edge as e, $$ as dst, '
+                 '$$.player.name AS dname, $^.player.age AS sage')
+    got = sorted((r.src.vid, r.e.s, r.e.et, r.dst.vid, r.dst.speciality,
+                  r.dname, r.sage) for r in df.collect())
+    assert got == [
+        ("Manu Ginobili", "Dejounte Murray", "like", "Dejounte Murray",
+         None, "Dejounte Murray", 41),
+        ("Manu Ginobili", "Tiago Splitter", "like", "Tiago Splitter",
+         None, "Tiago Splitter", 41),
+        ("Manu Ginobili", "Tim Duncan", "like", "Tim Duncan",
+         "psychology", "Tim Duncan", 41),
+        ("Manu Ginobili", "Tim Duncan", "teammate", "Tim Duncan",
+         "psychology", "Tim Duncan", 41),
+        ("Manu Ginobili", "Tony Parker", "like", "Tony Parker",
+         None, "Tony Parker", 41),
+        ("Manu Ginobili", "Tony Parker", "teammate", "Tony Parker",
+         None, "Tony Parker", 41)]
+
+
+def test_goyve_pipe_carries_vertex_value(nba_space):
+    """GoYieldVertexEdge.feature "reference pipe in yield and where"
+    (3rd query) — a $^ vertex VALUE piped through $-.src survives the
+    next GO; id($$) works as the id accessor."""
+    df = execute(nba_space,
+                 'GO FROM "Yao Ming" OVER * YIELD $^ as src, '
+                 'id($$) AS id | '
+                 'GO FROM $-.id OVER * YIELD $-.src, id($$) as id')
+    got = [(r["src"].vid, r.id) for r in df.collect()]
+    assert len(got) == 15
+    assert all(s == "Yao Ming" for s, _ in got)
+    assert sorted(i for _, i in got) == sorted([
+        "JaVale McGee", "Tim Duncan", "Cavaliers", "Celtics", "Heat",
+        "Lakers", "Magic", "Suns", "Grant Hill", "Kobe Bryant",
+        "Rudy Gay", "Magic", "Raptors", "Rockets", "Spurs"])
+
+
+def test_goyve_where_pipe_ref_against_dst_prop(nba_space):
+    """GoYieldVertexEdge.feature "reference pipe in yield and where"
+    (2nd query) — WHERE mixes a piped column with $$ props; YIELD
+    returns the $$ object."""
+    df = execute(nba_space,
+                 "GO FROM 'Tim Duncan', 'Chris Paul' OVER like "
+                 "YIELD $^.player.name AS name, dst(edge) AS id | "
+                 "GO FROM $-.id OVER like "
+                 "WHERE $-.name != $$.player.name "
+                 "YIELD $-.name AS name, $^.player.name AS via, "
+                 "$$ as dst")
+    got = sorted((r.name, r.via, r.dst.vid) for r in df.collect())
+    assert got == [
+        ("Chris Paul", "Carmelo Anthony", "Dwyane Wade"),
+        ("Chris Paul", "Carmelo Anthony", "LeBron James"),
+        ("Chris Paul", "Dwyane Wade", "Carmelo Anthony"),
+        ("Chris Paul", "Dwyane Wade", "LeBron James"),
+        ("Chris Paul", "LeBron James", "Ray Allen"),
+        ("Tim Duncan", "Tony Parker", "LaMarcus Aldridge"),
+        ("Tim Duncan", "Tony Parker", "Manu Ginobili")]
+
+
+def test_goyve_tags_fn(nba_space):
+    """GoYieldVertexEdge.feature "In expression" — tags($$)/tags($^)
+    report the full tag list of each endpoint (multi-tag Tim Duncan)."""
+    df = execute(nba_space,
+                 "GO FROM 'Tony Parker' OVER like "
+                 "WHERE like._dst IN ['Tim Duncan', 'Danny Green'] "
+                 "YIELD $$ as dst, tags($$) AS dt, tags($^) AS st")
+    assert [(r.dst.vid, r.dt, r.st) for r in df.collect()] == [
+        ("Tim Duncan", ["bachelor", "player"], ["player"])]
+
+
+def test_goyve_no_exist_prop_raises(nba_space):
+    """GoYieldVertexEdge.feature "no exist prop" — unknown tag/edge props
+    are planning-time SemanticErrors, not NULL columns."""
+    with pytest.raises(ValueError, match="not found the property"):
+        execute(nba_space, "GO FROM 'Tim Duncan' OVER serve "
+                           "YIELD $^.player.test, $$ as dst, edge as e")
+    with pytest.raises(ValueError, match="not found the property"):
+        execute(nba_space, "GO FROM 'Tim Duncan' OVER serve "
+                           "YIELD serve.test, properties(edge) as props")
+
+
+def test_goyve_var_ref_with_objects(nba_space):
+    """GoYieldVertexEdge.feature "reference variable in yield and where"
+    (3rd query) — $var columns mix with $$ props in WHERE while YIELD
+    returns properties(edge)."""
+    df = execute(nba_space,
+                 "$var = GO FROM 'Tim Duncan', 'Chris Paul' OVER like "
+                 "YIELD $^.player.name AS name, id($$) AS id; "
+                 "GO FROM $var.id OVER like "
+                 "WHERE $var.name != $$.player.name "
+                 "YIELD $var.name AS name, properties(edge) as props")
+    got = sorted((r.name, r.props.likeness) for r in df.collect())
+    assert got == [("Chris Paul", 90)] * 4 + [("Chris Paul", 100)] + \
+                  [("Tim Duncan", 90), ("Tim Duncan", 95)]
+
+
+def test_goyve_dst_prop_filter_with_objects(nba_space):
+    """GoYieldVertexEdge.feature "udf call" — $$ prop membership filter
+    with $^/$$ object yields."""
+    df = execute(nba_space,
+                 "GO FROM 'Boris Diaw' OVER serve "
+                 "WHERE $$.team.name IN ['Hawks', 'Suns'] "
+                 "YIELD $^ as src, $$ as dst")
+    assert sorted((r.src.vid, r.dst.vid) for r in df.collect()) == [
+        ("Boris Diaw", "Hawks"), ("Boris Diaw", "Suns")]
