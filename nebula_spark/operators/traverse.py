@@ -150,7 +150,8 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
        step_limits: list[int] | None = None,
        step_samples: list[int] | None = None,
        sample_seed: int = 42,
-       track_origin: bool = False) -> DataFrame:
+       track_origin: bool = False,
+       origin_col: str | None = None) -> DataFrame:
     """GO M TO N STEPS: multi-hop expansion accumulating per-step edge rows.
 
     Reference plan: Loop{Expand/ExpandAll} + UnionAllVersionVar accumulation
@@ -178,8 +179,12 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
     semantics (tck go/GO.feature "only id n steps": piped multi-start GO
     keeps per-start multiplicity): the frontier carries an ``_origin``
     column and dedups on (origin, vid) instead of vid alone, and results
-    gain ``_origin``. Frontier size grows with overlapping neighborhoods —
-    the same cost the reference pays in its per-input runtime maps.
+    gain ``_origin``. ``origin_col`` names a caller-supplied origin key
+    in *start* (a row id, so duplicate piped vids each keep their own
+    traversal — GoYieldVertexEdge.feature "multi edges over all" pipe);
+    default is the vid itself. Frontier size grows with overlapping
+    neighborhoods — the same cost the reference pays in its per-input
+    runtime maps.
     """
     per_step = isinstance(edges, (list, tuple))
     if per_step and len(edges) != max_steps:
@@ -188,7 +193,8 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
         early_stop = max_steps > 2
     carry = ("_origin",) if track_origin else ()
     if track_origin:
-        frontier = start.select(F.col(VID).alias("_origin"),
+        oc = origin_col or VID
+        frontier = start.select(F.col(oc).alias("_origin"),
                                 F.col(VID)).distinct().persist()
     else:
         frontier = start.select(VID).distinct().persist()

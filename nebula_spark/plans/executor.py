@@ -458,18 +458,32 @@ def _edge_union(space: GraphSpace, names: list[str]) -> DataFrame:
 
 def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
              env: dict[str, DataFrame] | None = None) -> DataFrame:
-    start = _vid_frame(space, st.sources, piped, st.src_col, env)
+    # Runtime-input starts ($-.col / $var.col) traverse per INPUT ROW:
+    # duplicate piped vids keep their multiplicity (unlike literal FROM
+    # lists, which dedup — GO.feature "duplicated vids" vs
+    # GoYieldVertexEdge.feature "multi edges over all" pipe), and $-.*
+    # joins back by ROW identity, not vid. The row key must read the same
+    # in both uses, so the keyed frame is checkpointed — the analog of
+    # the reference's materialized interim DataSet between pipe stages.
+    runtime_input = isinstance(st.sources, str)
+    keyed: DataFrame | None = None
+    if runtime_input:
+        src_df = piped if st.sources == "$-" else (env or {}).get(st.sources)
+        if src_df is None:
+            raise ValueError(f"undefined query variable {st.sources}")
+        src_col = st.src_col or src_df.columns[0]
+        keyed = (src_df.withColumn("__row", F.monotonically_increasing_id())
+                 .localCheckpoint(eager=True))
+        start = keyed.select("__row", F.col(src_col).alias(VID))
+    else:
+        start = _vid_frame(space, st.sources, piped, st.src_col, env)
     # OVER * (edges=None) expands to every edge type in the space, the
     # reference's AllEdges expansion (GoValidator over_clause)
     edges = _edge_union(space, st.edges or sorted(space.edges))
-    # Runtime-input starts ($-.col / $var.col) traverse per start row —
-    # the frontier dedups on (origin, vid), so overlapping neighborhoods
-    # of different starts keep their multiplicity (GO.feature "only id n
-    # steps") and $-.* stays referencable by joining back on the origin.
-    runtime_input = isinstance(st.sources, str)
     hop = go(edges, start, st.min_steps, st.max_steps, st.direction,
              step_limits=st.limits, step_samples=st.sample,
-             track_origin=runtime_input)
+             track_origin=runtime_input,
+             origin_col="__row" if runtime_input else None)
     input_refs: list = []
     for y in st.yields:
         _walk(y.expr, {"input_prop", "var_prop"}, input_refs)
@@ -484,20 +498,17 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
                 "A variable must be referred in FROM before used in "
                 "WHERE or YIELD")
     if runtime_input and input_refs:
-        src_df = piped if st.sources == "$-" else (env or {})[st.sources]
-        src_col = st.src_col or src_df.columns[0]
-        # one output row per (input row, traversal result) — reference
-        # joins the runtime-input table back by vid the same way. Piped
-        # columns colliding with hop internals (a user column named
-        # `src`/`dst` vs the edge columns) are namespaced, not dropped:
-        # $-.src must keep reading the PIPED value
+        # one output row per (input row, traversal result), joined by the
+        # ROW key. Piped columns colliding with hop internals (a user
+        # column named `src`/`dst` vs the edge columns) are namespaced,
+        # not dropped: $-.src must keep reading the PIPED value
         # (GoYieldVertexEdge.feature "reference pipe in yield and where")
-        pipe = src_df
-        for c in src_df.columns:
+        pipe = keyed.withColumnRenamed("__row", "__row_in")
+        for c in pipe.columns:
             if c in hop.columns:
                 pipe = pipe.withColumnRenamed(c, f"__pipe_{c}")
-        join_col = f"__pipe_{src_col}" if src_col in hop.columns else src_col
-        hop = hop.join(pipe, hop["_origin"] == pipe[join_col], "inner")
+        hop = (hop.join(pipe, hop["_origin"] == pipe["__row_in"], "inner")
+               .drop("__row_in"))
     if "_origin" in hop.columns:
         hop = hop.drop("_origin")
 

@@ -3503,3 +3503,42 @@ def test_goyve_dst_prop_filter_with_objects(nba_space):
                  "YIELD $^ as src, $$ as dst")
     assert sorted((r.src.vid, r.dst.vid) for r in df.collect()) == [
         ("Boris Diaw", "Hawks"), ("Boris Diaw", "Suns")]
+
+
+def test_goyve_pipe_keeps_row_multiplicity(nba_space):
+    """GoYieldVertexEdge.feature "multi edges over all" (last query) —
+    duplicate vids arriving through a pipe each keep their own traversal
+    (Manu Ginobili reached twice → his serve row twice), unlike literal
+    FROM lists which dedup."""
+    df = execute(nba_space,
+                 'GO FROM "Boris Diaw" OVER * YIELD like._dst as id | '
+                 'GO FROM $-.id OVER like YIELD like._dst as id | '
+                 'GO FROM $-.id OVER serve YIELD edge as e, '
+                 'properties(edge) as props')
+    got = sorted((r.e.s, r.e.d) for r in df.collect())
+    assert got == [
+        ("LaMarcus Aldridge", "Spurs"),
+        ("LaMarcus Aldridge", "Trail Blazers"),
+        ("Manu Ginobili", "Spurs"), ("Manu Ginobili", "Spurs"),
+        ("Tim Duncan", "Spurs"),
+        ("Tony Parker", "Hornets"), ("Tony Parker", "Spurs")]
+
+
+def test_goyve_pipe_name_rides_rows(nba_space):
+    """GoYieldVertexEdge.feature "reference pipe in yield and where"
+    (1st query) — $-.name joins back per input ROW: the shared Tim
+    Duncan reached from both starts emits once per input row."""
+    df = execute(nba_space,
+                 "GO FROM 'Tim Duncan', 'Chris Paul' OVER like "
+                 "YIELD $^.player.name AS name, dst(edge) AS id | "
+                 "GO FROM $-.id OVER like YIELD $-.name AS name, "
+                 "dst(edge) as dst")
+    got = sorted(rows(df, "name", "dst"))
+    assert got == [
+        ("Chris Paul", "Carmelo Anthony"), ("Chris Paul", "Chris Paul"),
+        ("Chris Paul", "Chris Paul"), ("Chris Paul", "Dwyane Wade"),
+        ("Chris Paul", "LeBron James"), ("Chris Paul", "LeBron James"),
+        ("Chris Paul", "Ray Allen"),
+        ("Tim Duncan", "LaMarcus Aldridge"),
+        ("Tim Duncan", "Manu Ginobili"),
+        ("Tim Duncan", "Tim Duncan"), ("Tim Duncan", "Tim Duncan")]
