@@ -366,6 +366,12 @@ class ExprCompiler:
                 return self.resolve("graph_fn", name, key)
             except ValueError:
                 pass                      # not a MATCH binding → fall through
+        if name in ("bit_or", "bit_and", "bit_xor") and len(args) == 2:
+            # two-arg form is the SCALAR bitwise op (FunctionManager
+            # bit_* binary overloads); one-arg stays the aggregate
+            a, b = self.col(args[0]), self.col(args[1])
+            return {"bit_or": a.bitwiseOR(b), "bit_and": a.bitwiseAND(b),
+                    "bit_xor": a.bitwiseXOR(b)}[name]
         if name in _AGG_FNS:
             if args and args[0] == ("star",):
                 return agg_call("count", F.lit(1))

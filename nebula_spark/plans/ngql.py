@@ -25,7 +25,11 @@ from dataclasses import dataclass, field
 _TOKEN_SPEC = [
     ("WS", r"\s+"),
     ("COMMENT", r"//[^\n]*|#[^\n]*"),
-    ("FLOAT", r"\d+\.\d+"),
+    # float forms per scanner.lex DEC: 1.1, 1., .3, any with [eE] exponent
+    # (1e2, .3e4, 1.e4, 1234E-10); `1.` uses a lookahead so `1..5` still
+    # lexes INT DOTDOT INT
+    ("FLOAT",
+     r"(?:\d+\.\d+|\d+\.(?!\.)|\.\d+)(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+"),
     ("INT", r"\d+"),
     ("STRING", r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\''),
     ("DOTDOT", r"\.\."),
@@ -897,12 +901,22 @@ class Parser:
             return _unescape_string(t.text[1:-1])
         if t.kind == "INT":
             self.i += 1
-            return int(t.text)
+            v = int(t.text)
+            if v > 2**63 - 1:
+                raise SyntaxError(f"Out of range: near `{t.text}'")
+            return v
         if t.kind == "FLOAT":
             self.i += 1
             return float(t.text)
         if t.kind == "MINUS":
             self.i += 1
+            nxt = self.peek()
+            if nxt.kind == "INT":        # fold so INT64_MIN is reachable
+                self.i += 1
+                v = -int(nxt.text)
+                if v < -(2**63):
+                    raise SyntaxError(f"Out of range: near `{nxt.text}'")
+                return v
             return -self.literal()
         raise SyntaxError(f"expected literal, got {t.text!r} @{t.pos}")
 
@@ -1410,6 +1424,14 @@ class Parser:
     def expr_unary(self):
         if self.peek().kind == "MINUS":
             self.eat("MINUS")
+            if self.peek().kind == "INT":
+                # fold the sign into the literal (parser.yy does the
+                # same) so -9223372036854775808 == INT64_MIN parses
+                t = self.eat("INT")
+                v = -int(t.text)
+                if v < -(2**63):
+                    raise SyntaxError(f"Out of range: near `{t.text}'")
+                return ("lit", v)
             return ("neg", self.expr_unary())
         return self.expr_postfix()
 

@@ -3542,3 +3542,86 @@ def test_goyve_pipe_name_rides_rows(nba_space):
         ("Tim Duncan", "LaMarcus Aldridge"),
         ("Tim Duncan", "Manu Ginobili"),
         ("Tim Duncan", "Tim Duncan"), ("Tim Duncan", "Tim Duncan")]
+
+
+# ---------------------------------------------------------------------------
+# YIELD sentence — tests/tck/features/yield/yield.feature
+# ---------------------------------------------------------------------------
+
+def test_yield_float_literal_forms(nba_space):
+    """yield.feature Base — scanner.lex DEC float forms: exponents,
+    leading-dot, trailing-dot (homogeneous list; the reference's
+    heterogeneous Value list is a documented Spark deviation)."""
+    df = execute(nba_space,
+                 'YIELD [1.1, 1e2, 1.1e2, .3e4, 1.e4, 1234E-10] AS v')
+    assert [r.v for r in df.collect()] == [
+        [1.1, 100.0, 110.0, 3000.0, 10000.0, 1.234e-07]]
+
+
+def test_yield_map_literal(nba_space):
+    """yield.feature Base — map literal value."""
+    df = execute(nba_space, 'YIELD {p1: 1, p2: true, p3: "test"} AS r')
+    r = df.collect()[0].r
+    assert (r.p1, r.p2, r.p3) == (1, True, "test")
+
+
+def test_yield_int64_bounds(nba_space):
+    """yield.feature CalculateOverflow — INT64_MIN parses (sign folded
+    into the literal, parser.yy INTEGER), INT64_MAX parses, one past
+    either bound is the reference's out-of-range SyntaxError."""
+    assert rows(execute(nba_space, "YIELD -9223372036854775808 AS v"),
+                "v") == [(-9223372036854775808,)]
+    assert rows(execute(nba_space, "YIELD 9223372036854775807 AS v"),
+                "v") == [(9223372036854775807,)]
+    for q in ("YIELD -9223372036854775809 AS v",
+              "YIELD 9223372036854775808 AS v"):
+        with pytest.raises(SyntaxError, match="Out of range"):
+            execute(nba_space, q)
+
+
+def test_yield_typecase_comprehension(nba_space):
+    """yield.feature "deduce typecase" — (int)() cast inside a list
+    comprehension over a piped split()."""
+    df = execute(nba_space,
+                 "yield split('123,456,789', ',') as l"
+                 "| yield [e in $-.l | (int)(e)] as c")
+    assert [r.c for r in df.collect()] == [[123, 456, 789]]
+    df = execute(nba_space,
+                 "yield [e in ['123', '456', '789'] | (int)(e)] as c")
+    assert [r.c for r in df.collect()] == [[123, 456, 789]]
+
+
+def test_yield_function_name_case(nba_space):
+    """yield.feature "function name case test" — function dispatch is
+    case-insensitive for scalars and aggregates alike; two-arg bit_or is
+    the scalar bitwise form."""
+    df = execute(nba_space, "yield bit_Or(1, 2) AS o, aBs(-3) AS a")
+    assert rows(df, "o", "a") == [(3, 3)]
+    df = execute(nba_space, "yield counT(*) AS c, aVg(3) AS a, "
+                            "bit_Or(1) AS b")
+    assert rows(df, "c", "a", "b") == [(1, 3.0, 1)]
+
+
+def test_yield_pipe_go_chain(nba_space):
+    """yield.feature PipeYieldGo — YIELD as a pipe stage between GOs, in
+    both the $- and $var forms."""
+    for q in (
+        'GO FROM "Tim Duncan" OVER serve YIELD serve._src as id | '
+        'YIELD $-.id as id | '
+        'GO FROM $-.id OVER serve YIELD $$.team.name AS name',
+        '$var=GO FROM "Tim Duncan" OVER serve YIELD serve._src as id;'
+        '$var2 = YIELD $var.id as id ; '
+        'GO FROM $var2.id OVER serve YIELD $$.team.name AS name',
+    ):
+        assert rows(execute(nba_space, q), "name") == [("Spurs",)]
+
+
+def test_yield_duplicate_pipe_column(nba_space):
+    """yield.feature DuplicateColumn — $-.team picks the named pipe
+    column out of a 3-column input."""
+    df = execute(nba_space,
+                 'GO FROM "Boris Diaw" OVER serve '
+                 'YIELD $^.player.name as name, serve.start_year as start, '
+                 '$$.team.name as team | YIELD $-.team AS team')
+    assert sorted(r.team for r in df.collect()) == [
+        "Hawks", "Hornets", "Jazz", "Spurs", "Suns"]

@@ -51,10 +51,14 @@ def nba_space(spark):
 
 
 if __name__ == "__main__":
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.ui.enabled", "false")
-             .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+    # the library session (nulls-normalized, ANSI off) — a bare
+    # SparkSession would probe Spark-default semantics, not the engine's
+    from nebula_spark.session import get_spark
+    spark = get_spark("nba_shell", **{
+        "spark.master": "local[8]",
+        "spark.sql.shuffle.partitions": "8",
+        "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("FATAL")
     sp = nba_space(spark)
     for q in sys.argv[1:]:
