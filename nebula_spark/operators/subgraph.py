@@ -83,8 +83,14 @@ def k_hop_subgraph(edges: DataFrame, seeds: DataFrame, steps: int = 1,
         if collected is None:
             collected = e_all.withColumn("step", F.lit(0)).limit(0)
         # duplicate edges can be collected when direction="both" re-walks a
-        # closing edge; subgraph semantics are set semantics → dedup identity
-        collected = collected.dropDuplicates([SRC, DST, "rank", "_dir"])
+        # closing edge; subgraph semantics are set semantics → dedup
+        # identity INCLUDES the edge type: a teammate edge parallel to a
+        # like edge shares (src, dst, rank) but is a distinct edge
+        # (subgraph.feature "subgraph": both Tim↔Manu teammate rows)
+        keys = [SRC, DST, "rank", "_dir"]
+        if "_etype" in collected.columns:
+            keys.append("_etype")
+        collected = collected.dropDuplicates(keys)
         return visited.select(VID, "step"), collected
     finally:
         frontier.unpersist()

@@ -434,19 +434,31 @@ class ExprCompiler:
 def _vid_frame(space: GraphSpace, vids, piped: DataFrame | None,
                src_col: str | None,
                env: dict[str, DataFrame] | None = None) -> DataFrame:
+    def _checked(df: DataFrame, sigil: str) -> DataFrame:
+        col = src_col or df.columns[0]
+        n = df.columns.count(col)
+        if n == 0:                       # subgraph.feature "invalid input"
+            raise ValueError(f"`{sigil}.{col}', not exist prop `{col}'")
+        if n > 1:
+            raise ValueError(f"Duplicate Column Name : `{col}'")
+        return df.select(F.col(col).alias(VID)).distinct()
+
     if vids == "$-":
         if piped is None:
+            if src_col:                  # reference phrases this as a
+                raise ValueError(        # missing-prop error
+                    f"`$-.{src_col}', not exist prop `{src_col}'")
             raise ValueError("$- with no piped input")
-        col = src_col or piped.columns[0]
-        return piped.select(F.col(col).alias(VID)).distinct()
+        return _checked(piped, "$-")
     if isinstance(vids, str) and vids.startswith("$"):
         # named query variable bound by `$var = <stmt>;`
         # (AssignExecutor.cpp:1-32 / ExecutionContext variable table)
         bound = (env or {}).get(vids)
         if bound is None:
-            raise ValueError(f"undefined query variable {vids}")
-        col = src_col or bound.columns[0]
-        return bound.select(F.col(col).alias(VID)).distinct()
+            raise ValueError(
+                f"`{vids}.{src_col}', not exist variable `{vids[1:]}'"
+                if src_col else f"undefined query variable {vids}")
+        return _checked(bound, vids)
     return space.spark.createDataFrame([(v,) for v in vids], [VID])
 
 
@@ -850,7 +862,9 @@ def _exec_find_path(space: GraphSpace, st: A.FindPathStmt) -> DataFrame:
         .alias("path_str"))
 
 
-def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt) -> DataFrame:
+def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt,
+                   piped: DataFrame | None = None,
+                   env: dict[str, DataFrame] | None = None) -> DataFrame:
     from nebula_spark.operators.traverse import oriented
     parts = []
     if st.out_edges:
@@ -864,11 +878,45 @@ def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt) -> DataFrame:
     edges = parts[0]
     for p in parts[1:]:
         edges = edges.unionByName(p, allowMissingColumns=True)
-    seeds = _vid_frame(space, st.sources, None, None)
+    seeds = _vid_frame(space, st.sources, piped, st.src_col, env)
     # edges already oriented (carry _dir) — k_hop_subgraph detects the _dir
     # column and skips re-orienting, so IN/OUT identity survives dedup
-    _, collected = k_hop_subgraph(edges, seeds, st.steps)
-    return collected
+    verts, collected = k_hop_subgraph(edges, seeds, st.steps)
+    if not st.yields:
+        return collected                 # legacy edge-row shape
+    # YIELD vertices/edges: the reference's per-level rows
+    # (SubgraphExecutor DataCollect kSubgraph) — row k carries the
+    # vertices first reached at depth k and the edges collected by round
+    # k+1 (the closing round's edges land on the last row). An edge's
+    # stored identity appears exactly once, at its earliest round — the
+    # BOTH orientation sweep would otherwise re-collect the reversed copy
+    # a round later.
+    from pyspark.sql.window import Window
+    fwd = F.col("_dir") != -1
+    e2 = collected.select(
+        F.when(fwd, F.col(SRC)).otherwise(F.col(DST)).alias("_cs"),
+        F.when(fwd, F.col(DST)).otherwise(F.col(SRC)).alias("_cd"),
+        F.col(RANK).alias("_cr"), F.col("_etype").alias("_cet"),
+        F.col("step"))
+    w = Window.partitionBy("_cs", "_cd", "_cr", "_cet").orderBy("step")
+    e2 = (e2.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") == 1)
+          .withColumn("_lvl", F.col("step") - 1))
+    erows = e2.groupBy("_lvl").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("_cs").alias("s"), F.col("_cd").alias("d"),
+            F.col("_cr").alias("r"), F.col("_cet").alias("et"))))
+        .alias("_edges"))
+    vrows = verts.groupBy(F.col("step").alias("_lvl")).agg(
+        F.sort_array(F.collect_list(VID)).alias("_nodes"))
+    out = vrows.join(erows, "_lvl", "left")
+    earr_t = erows.schema["_edges"].dataType
+    out = out.withColumn(
+        "_edges", F.coalesce(F.col("_edges"), F.array().cast(earr_t)))
+    cols = [F.col("_nodes" if it.expr[1].lower() == "vertices"
+                  else "_edges").alias(it.alias)
+            for it in st.yields]
+    return out.orderBy("_lvl").select(*cols)
 
 
 def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
@@ -2106,7 +2154,7 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
         elif isinstance(st, A.FindPathStmt):
             df = _exec_find_path(space, st)
         elif isinstance(st, A.SubgraphStmt):
-            df = _exec_subgraph(space, st)
+            df = _exec_subgraph(space, st, df, env)
         elif isinstance(st, A.YieldStmt):
             df = _exec_yield(st, df, space.spark, env)
         elif isinstance(st, A.GroupByStmt):

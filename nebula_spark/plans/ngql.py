@@ -206,6 +206,8 @@ class SubgraphStmt:
     in_edges: list[str] | None
     out_edges: list[str] | None
     both_edges: list[str] | None
+    src_col: str | None = None          # column when sources is $-/$var
+    yields: list[YieldItem] | None = None  # vertices/edges AS alias
 
 
 @dataclass
@@ -1084,7 +1086,7 @@ class Parser:
             steps = int(self.eat("INT").text)
             self.eat_kw("steps", "step")
         self.eat_kw("from")
-        sources, _ = self.vid_list()
+        sources, src_col = self.vid_list()
         in_e = out_e = both_e = None
         while self.at_kw("in", "out", "both"):
             d = self.eat_kw("in", "out", "both").text
@@ -1098,7 +1100,26 @@ class Parser:
                 out_e = es
             else:
                 both_e = es
-        return SubgraphStmt(steps, sources, in_e, out_e, both_e)
+        yields: list[YieldItem] = []
+        if self.try_kw("yield"):
+            # GetSubgraphValidator: only `vertices`/`edges`, alias
+            # mandatory (subgraph.feature "invalid input")
+            while True:
+                t = self.eat("NAME").text
+                if t.lower() not in ("vertices", "edges"):
+                    raise ValueError(
+                        "Get Subgraph only support YIELD vertices OR edges")
+                if not self.try_kw("as"):
+                    raise SyntaxError(
+                        f"please add alias when using `{t}'. near `{t}'")
+                yields.append(YieldItem(("name", t.lower()),
+                                        self.eat("NAME").text))
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+                    continue
+                break
+        return SubgraphStmt(steps, sources, in_e, out_e, both_e,
+                            src_col, yields)
 
     # -- YIELD / GROUP BY / ORDER BY / LIMIT (pipe stages)
     def yield_sentence(self) -> YieldStmt:

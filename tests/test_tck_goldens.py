@@ -3625,3 +3625,124 @@ def test_yield_duplicate_pipe_column(nba_space):
                  '$$.team.name as team | YIELD $-.team AS team')
     assert sorted(r.team for r in df.collect()) == [
         "Hawks", "Hornets", "Jazz", "Spurs", "Suns"]
+
+
+# ---------------------------------------------------------------------------
+# GET SUBGRAPH YIELD — tests/tck/features/subgraph/subgraph.feature
+# (per-level rows: vertices first reached at depth k + edges collected by
+# round k+1, each stored edge once at its earliest round)
+# ---------------------------------------------------------------------------
+
+def _sg_shape(df):
+    return [(len(r[0]), len(r[1])) for r in df.collect()]
+
+
+def test_subgraph_invalid_input(nba_space):
+    """subgraph.feature "invalid input" — YIELD accepts only
+    vertices/edges, aliases are mandatory, pipe/var sources must exist
+    with unique columns."""
+    with pytest.raises(ValueError, match="only support YIELD"):
+        execute(nba_space, 'GET SUBGRAPH WITH PROP FROM "Tim Duncan" '
+                           'YIELD invalidColumn')
+    with pytest.raises(SyntaxError, match="please add alias"):
+        execute(nba_space, 'GET SUBGRAPH WITH PROP FROM "Tim Duncan" '
+                           'YIELD vertices, edgesa')
+    with pytest.raises(SyntaxError, match="please add alias"):
+        execute(nba_space, 'GET SUBGRAPH WITH PROP 0 STEPS FROM '
+                           '"Tim Duncan" YIELD edges')
+    with pytest.raises(ValueError, match="not exist prop"):
+        execute(nba_space, 'GET SUBGRAPH WITH PROP FROM $-.id '
+                           'YIELD vertices as nodes')
+    with pytest.raises(ValueError, match="not exist variable"):
+        execute(nba_space, 'GET SUBGRAPH WITH PROP FROM $a.id '
+                           'YIELD edges as relationships')
+    with pytest.raises(ValueError, match="Duplicate Column Name"):
+        execute(nba_space,
+                'GO FROM "Tim Duncan" OVER like YIELD like._dst AS id, '
+                'like._src AS id | GET SUBGRAPH WITH PROP FROM $-.id '
+                'YIELD vertices as nodes')
+
+
+def test_subgraph_zero_step(nba_space):
+    """subgraph.feature "zero step" — literal, piped and $var sources."""
+    df = execute(nba_space,
+                 'GET SUBGRAPH WITH PROP 0 STEPS FROM "Tim Duncan", '
+                 '"Tony Parker", "Spurs" YIELD vertices as nodes')
+    assert [sorted(r.nodes) for r in df.collect()] == [
+        ["Spurs", "Tim Duncan", "Tony Parker"]]
+    df = execute(nba_space,
+                 "GO FROM 'Tim Duncan' over like YIELD like._dst AS id | "
+                 "GET SUBGRAPH WITH PROP 0 STEPS FROM $-.id "
+                 "YIELD vertices as nodes")
+    assert [sorted(r.nodes) for r in df.collect()] == [
+        ["Manu Ginobili", "Tony Parker"]]
+    df = execute(nba_space,
+                 "$a = GO FROM 'Tim Duncan' over serve YIELD "
+                 "serve._dst AS id; GET SUBGRAPH WITH PROP 0 STEPS FROM "
+                 "$a.id YIELD vertices as nodes")
+    assert [r.nodes for r in df.collect()] == [["Spurs"]]
+
+
+def test_subgraph_one_step_full(nba_space):
+    """subgraph.feature "subgraph" — the 1-step Tim Duncan neighborhood:
+    19 seed-incident edges (incl. all four Tim↔Manu/Tony teammate rows —
+    edge identity includes the TYPE, a teammate edge parallel to a like
+    edge is distinct), then 11 level-1 vertices with 25 closing edges
+    (incl. Marco Belinelli's @1 parallel serve)."""
+    df = execute(nba_space,
+                 "GET SUBGRAPH WITH PROP FROM 'Tim Duncan' "
+                 "YIELD vertices as nodes, edges as relationships")
+    rows_ = df.collect()
+    assert _sg_shape(df) == [(1, 19), (11, 25)]
+    e0 = {(e.et, e.s, e.d) for e in rows_[0].relationships}
+    assert ("teammate", "Manu Ginobili", "Tim Duncan") in e0
+    assert ("teammate", "Tim Duncan", "Manu Ginobili") in e0
+    e1 = {(e.et, e.s, e.d, e.r) for e in rows_[1].relationships}
+    assert ("serve", "Marco Belinelli", "Spurs", 0) in e1
+    assert ("serve", "Marco Belinelli", "Spurs", 1) in e1
+    df = execute(nba_space, "GET SUBGRAPH FROM 'Tim Duncan' OUT like "
+                            "YIELD vertices as v")
+    assert [sorted(r.v) for r in df.collect()] == [
+        ["Tim Duncan"], ["Manu Ginobili", "Tony Parker"]]
+
+
+def test_subgraph_directional_combos(nba_space):
+    """subgraph.feature "in edge" / "in and out edge" / "two steps in and
+    out edge" / "three steps" / "yield bidirect edge" — per-level
+    (vertices, edges) cardinalities match the reference's golden lists
+    exactly for every direction/edge-type combination."""
+    cases = [
+        ("GET SUBGRAPH WITH PROP 2 STEPS FROM 'Tim Duncan' IN like, serve "
+         "YIELD vertices as nodes, edges as relationships",
+         [(1, 10), (10, 17), (3, 0)]),
+        ("GET SUBGRAPH WITH PROP 2 STEPS FROM 'Tim Duncan' IN like OUT "
+         "serve YIELD vertices as nodes, edges as relationships",
+         [(1, 11), (11, 53), (19, 4)]),
+        ("GET SUBGRAPH WITH PROP 2 STEPS FROM 'Tim Duncan', 'James "
+         "Harden' IN teammate OUT serve YIELD vertices as nodes, "
+         "edges as relationships",
+         [(2, 5), (5, 7), (1, 0)]),
+        ("GET SUBGRAPH WITH PROP 3 STEPS FROM 'Paul George' OUT serve "
+         "BOTH like YIELD vertices as nodes, edges as relationships",
+         [(1, 4), (3, 4), (2, 14), (12, 21)]),
+        ("GET SUBGRAPH WITH PROP FROM 'Tony Parker' BOTH like "
+         "YIELD vertices as a, edges as b",
+         [(1, 8), (6, 8)]),
+    ]
+    for q, want in cases:
+        assert _sg_shape(execute(nba_space, q)) == want, q
+
+
+def test_subgraph_yield_pipe_uppercase(nba_space):
+    """subgraph.feature "yield pipe"/"yield var" — piped and $var seed
+    forms with UPPERCASE VERTICES/EDGES keywords; same per-level shape
+    as the direct 1-step query."""
+    for q in (
+        "GO FROM 'Tim Duncan' over serve YIELD serve._src AS id | "
+        "GET SUBGRAPH WITH PROP FROM $-.id YIELD VERTICES as a, "
+        "EDGES as b",
+        "$a = GO FROM 'Tim Duncan' over serve YIELD serve._src AS id; "
+        "GET SUBGRAPH WITH PROP FROM $a.id YIELD VERTICES as a, "
+        "EDGES as b",
+    ):
+        assert _sg_shape(execute(nba_space, q)) == [(1, 19), (11, 25)], q
