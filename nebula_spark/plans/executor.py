@@ -356,7 +356,7 @@ class ExprCompiler:
                 pass                      # not a path → fall through
         if name in ("id", "type", "rank", "startnode", "endnode",
                     "properties", "props", "src", "dst", "labels",
-                    "tags") and len(args) == 1 \
+                    "tags", "keys") and len(args) == 1 \
                 and isinstance(args[0], tuple) \
                 and args[0][0] in ("name", "src_vert", "dst_vert"):
             # `properties($^)` / `type(edge)` pass the marker kind as the
@@ -703,6 +703,9 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
     cells, FetchVertices.strVid.feature "multiple tags"); duplicate input
     vids keep their multiplicity (unlike GO's deduped FROM)."""
     tag_names = list(space.tags) if st.tags == ["*"] else st.tags
+    for tg in tag_names:                 # FetchVertices "Typical errors"
+        if tg not in space.tags:
+            raise ValueError(f"TagNotFound: TagName `{tg}`")
     vids = _vid_frame(space, st.vids, piped, st.src_col, env)
     out = vids
     tag_props: dict[str, list[str]] = {}
@@ -736,11 +739,35 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
         if kind == "edge_prop":      # parsed shape of tag.prop
             tg, prop = args
             if tg in tag_props:
+                if prop not in tag_props[tg]:
+                    raise ValueError(f"`{tg}.{prop}', not found the "
+                                     f"property `{prop}'.")
                 return F.col(f"{tg}__{prop}")
+            if tg not in space.tags:
+                raise ValueError(f"TagNotFound: TagName `{tg}`")
             return F.col(prop)
+        if kind in ("src_prop", "dst_prop"):
+            raise ValueError(
+                "unsupported src/dst property expression in yield.")
+        if kind in ("input_prop", "var_prop"):
+            raise ValueError(
+                "unsupported input/variable property expression in yield.")
         if kind == "graph_fn" and args[1] == "vertex":
             if args[0] == "id":
                 return F.col(VID)
+            if args[0] in ("tags", "labels"):
+                # tags the vid actually carries among the listed ones
+                return F.filter(F.array(*[
+                    F.when(F.col(f"__fv_{tg}").isNotNull(), F.lit(tg))
+                    for tg in sorted(tag_names)]), lambda x: x.isNotNull())
+            if args[0] == "keys":
+                # sorted distinct prop names over the vid's own tags
+                per = [F.when(F.col(f"__fv_{tg}").isNotNull(),
+                              F.array(*[F.lit(p) for p in tag_props[tg]]))
+                       .otherwise(F.array().cast("array<string>"))
+                       for tg in tag_names]
+                return F.array_sort(
+                    F.array_distinct(F.flatten(F.array(*per))))
             if args[0] in ("properties", "props"):
                 # properties(Vertex) — the prop map without the vid
                 # (PipeAndVariable.feature "FETCH PROP … YIELD
@@ -753,11 +780,19 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
         if kind == "name":
             if args[0] == "vertex":  # YIELD vertex [AS alias]
                 return vertex_col()
+            if args[0] == "edge":    # FetchVertices "Typical errors"
+                raise ValueError("illegal yield clauses `EDGE'")
             return F.col(args[0])
         raise ValueError(f"unresolvable {kind}")
 
     ec = ExprCompiler(resolve)
     if st.yields:
+        for y in st.yields:
+            # bare `YIELD vertex` (auto-alias == the keyword itself) —
+            # the reference demands an explicit alias
+            if y.expr == ("name", "vertex") and y.alias == "vertex":
+                raise SyntaxError(
+                    "please add alias when using `vertex'. near `vertex'")
         cols = [ec.col(y.expr).alias(y.alias or f"c{i}")
                 for i, y in enumerate(st.yields)]
         out = out.select(*cols)

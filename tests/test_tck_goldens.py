@@ -3746,3 +3746,94 @@ def test_subgraph_yield_pipe_uppercase(nba_space):
         "EDGES as b",
     ):
         assert _sg_shape(execute(nba_space, q)) == [(1, 19), (11, 25)], q
+
+
+# ---------------------------------------------------------------------------
+# FETCH PROP — tests/tck/features/fetch/FetchVertices.strVid.feature
+# ---------------------------------------------------------------------------
+
+def test_fetch_expr_and_vertex_value(nba_space):
+    """FetchVertices.strVid.feature "Fetch prop on one tag" — computed
+    YIELD items and the single-tag vertex value."""
+    df = execute(nba_space,
+                 "FETCH PROP ON player 'Boris Diaw' YIELD player.name, "
+                 "player.age, player.age > 30 AS old")
+    assert rows(df, "name", "age", "old") == [("Boris Diaw", 36, True)]
+    df = execute(nba_space,
+                 "FETCH PROP ON bachelor 'Tim Duncan' YIELD vertex as node")
+    r = df.collect()[0].node
+    assert (r.vid, r.speciality) == ("Tim Duncan", "psychology")
+
+
+def test_fetch_var_order_by(nba_space):
+    """FetchVertices.strVid.feature "works with ORDER BY" — $var seeds
+    into FETCH, piped into ORDER BY."""
+    df = execute(nba_space,
+                 "$var = GO FROM 'Boris Diaw' over like YIELD "
+                 "like._dst as id; FETCH PROP ON player $var.id YIELD "
+                 "player.name as name, player.age | ORDER BY $-.name")
+    assert rows(df, "name", "age") == [
+        ("Tim Duncan", 42), ("Tony Parker", 36)]
+
+
+def test_fetch_format_yield(nba_space):
+    """FetchVertices.strVid.feature "format yield" — id(vertex) mixes
+    with tag props and the vertex value; missing vids drop; keys()/
+    tags()/properties() over the fetched vertex."""
+    df = execute(nba_space,
+                 "FETCH PROP ON * 'Boris Diaw' YIELD id(vertex) AS i, "
+                 "player.age, vertex as node")
+    r = df.collect()[0]
+    assert (r.i, r.age, r.node.vid, r.node.player.age) == (
+        "Boris Diaw", 36, "Boris Diaw", 36)
+    df = execute(nba_space,
+                 "FETCH PROP ON * 'NON EXIST VERTEX ID', 'Boris Diaw' "
+                 "yield player.name, id(vertex) AS i")
+    assert rows(df, "name", "i") == [("Boris Diaw", "Boris Diaw")]
+    df = execute(nba_space,
+                 "FETCH PROP ON player 'Tim Duncan' YIELD id(vertex) AS i, "
+                 "properties(vertex).name as name")
+    assert rows(df, "i", "name") == [("Tim Duncan", "Tim Duncan")]
+    df = execute(nba_space,
+                 "FETCH PROP ON * 'Tim Duncan' YIELD id(vertex) AS i, "
+                 "keys(vertex) as ks, tags(vertex) as tg")
+    assert [(r.i, r.ks, r.tg) for r in df.collect()] == [
+        ("Tim Duncan", ["age", "name", "speciality"],
+         ["bachelor", "player"])]
+    df = execute(nba_space,
+                 'GO FROM "Tim Duncan" OVER like YIELD like._dst as id | '
+                 'FETCH PROP ON * $-.id YIELD vertex as node')
+    assert sorted(r.node.vid for r in df.collect()) == [
+        "Manu Ginobili", "Tony Parker"]
+
+
+def test_fetch_typical_errors(nba_space):
+    """FetchVertices.strVid.feature "Typical errors" — the validator's
+    refusals: bare vertex needs an alias, edge/src-dst/pipe expressions
+    are illegal in a vertex FETCH, unknown tags and props error by
+    name."""
+    with pytest.raises(SyntaxError, match="please add alias"):
+        execute(nba_space, "FETCH PROP ON player 'Boris Diaw' YIELD vertex")
+    with pytest.raises(ValueError, match="illegal yield clauses"):
+        execute(nba_space,
+                "FETCH PROP ON player 'Boris Diaw' YIELD edge as a")
+    with pytest.raises(ValueError, match="unsupported src/dst property"):
+        execute(nba_space, "FETCH PROP ON player 'Boris Diaw' "
+                           "YIELD $^.player.name, player.age")
+    with pytest.raises(ValueError, match="TagNotFound"):
+        execute(nba_space, "FETCH PROP ON player 'Boris Diaw' "
+                           "YIELD not_exist_tag.name, player.age")
+    with pytest.raises(ValueError, match="TagNotFound"):
+        execute(nba_space, "FETCH PROP ON not_exist_tag 'Boris Diaw'")
+    with pytest.raises(ValueError, match="not found the property"):
+        execute(nba_space, "FETCH PROP ON player 'Boris Diaw' "
+                           "YIELD player.not_exist_prop")
+    with pytest.raises(ValueError, match="Duplicate Column Name"):
+        execute(nba_space,
+                "GO FROM 'Boris Diaw' over like YIELD like._dst as id, "
+                "like._dst as id | FETCH PROP ON player $-.id "
+                "YIELD player.name, player.age")
+    with pytest.raises(ValueError, match="unsupported input/variable"):
+        execute(nba_space,
+                'GO FROM "11" over like YIELD like._dst as id | '
+                'FETCH PROP ON player "11" YIELD $-.id')
