@@ -832,6 +832,8 @@ def _exec_fetch_edges(space: GraphSpace, st: A.FetchEdgesStmt,
                 return F.col(m[args[0]])
             if args[0] == "type":
                 return F.lit(st.edge)
+            if args[0] in ("properties", "props"):
+                return F.struct(*[F.col(p).alias(p) for p in eprops])
             raise ValueError(f"unresolvable {kind}")
         if kind == "name":
             if args[0] == "edge":    # YIELD edge [AS alias]

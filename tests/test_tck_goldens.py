@@ -3837,3 +3837,32 @@ def test_fetch_typical_errors(nba_space):
         execute(nba_space,
                 'GO FROM "11" over like YIELD like._dst as id | '
                 'FETCH PROP ON player "11" YIELD $-.id')
+
+
+def test_fetch_edges_forms(nba_space):
+    """FetchEdges.strVid.feature — computed yields, explicit @rank keys,
+    missing keys dropping, the _src/_dst/_rank pseudo props, and the
+    src/dst/rank/properties function forms over the fetched edge."""
+    df = execute(nba_space,
+                 "FETCH PROP ON serve 'Boris Diaw'->'Hawks' "
+                 "YIELD serve.start_year > 2001 AS a, serve.end_year")
+    assert rows(df, "a", "end_year") == [(True, 2005)]
+    df = execute(nba_space,
+                 "FETCH PROP ON serve 'Boris Diaw'->'Hawks'@0 "
+                 "YIELD serve.start_year, serve.end_year")
+    assert rows(df, "start_year", "end_year") == [(2003, 2005)]
+    df = execute(nba_space,
+                 'FETCH PROP ON serve "Zion Williamson"->"Spurs", '
+                 '"Boris Diaw"->"Hawks" YIELD serve.start_year')
+    assert rows(df, "start_year") == [(2003,)]
+    df = execute(nba_space,
+                 "FETCH PROP ON serve 'Boris Diaw'->\"Spurs\" "
+                 "YIELD serve._src, serve._dst, serve._rank")
+    assert rows(df, "_src", "_dst", "_rank") == [("Boris Diaw", "Spurs", 0)]
+    df = execute(nba_space,
+                 "FETCH PROP ON serve 'Boris Diaw'->'Hawks' "
+                 "YIELD src(edge) AS s, dst(edge) AS d, rank(edge) AS r, "
+                 "properties(edge) AS p")
+    r = df.collect()[0]
+    assert (r.s, r.d, r.r, r.p.start_year) == ("Boris Diaw", "Hawks", 0,
+                                               2003)
