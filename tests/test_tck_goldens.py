@@ -3866,3 +3866,31 @@ def test_fetch_edges_forms(nba_space):
     r = df.collect()[0]
     assert (r.s, r.d, r.r, r.p.start_year) == ("Boris Diaw", "Hawks", 0,
                                                2003)
+
+
+def test_goyve_multi_edge_filters(nba_space):
+    """GoYieldVertexEdge.feature "multi edges with filter" — per-type
+    edge-prop predicates over a multi-type union (NULL on other types
+    drops the row), mixed with $$ prop predicates and object yields."""
+    df = execute(nba_space,
+                 'GO FROM "Russell Westbrook" OVER serve, like '
+                 'WHERE serve.start_year > 2000 YIELD edge as e')
+    assert [(r.e.s, r.e.d, r.e.et) for r in df.collect()] == [
+        ("Russell Westbrook", "Thunders", "serve")]
+    df = execute(nba_space,
+                 'GO FROM "Manu Ginobili" OVER like, teammate REVERSELY '
+                 'WHERE like.likeness > 90 YIELD $$ as dst')
+    assert sorted(r.dst.vid for r in df.collect()) == [
+        "Dejounte Murray", "Tim Duncan", "Tony Parker"]
+    df = execute(nba_space,
+                 'GO FROM "Manu Ginobili" OVER * WHERE $$.player.age > 30 '
+                 'or $$.team.name not starts with "Rockets" '
+                 'YIELD DISTINCT $$ as dst')
+    assert sorted(r.dst.vid for r in df.collect()) == [
+        "Spurs", "Tim Duncan", "Tony Parker"]
+    df = execute(nba_space,
+                 'GO FROM "Manu Ginobili" OVER like, teammate REVERSELY '
+                 'WHERE $$.player.age > 30 and $$.player.age < 40 '
+                 'YIELD DISTINCT $$ as dst')
+    assert sorted(r.dst.vid for r in df.collect()) == [
+        "Tiago Splitter", "Tony Parker"]
