@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from nebula_spark.catalog import DST, SRC, VID
 from nebula_spark.operators.traverse import (
-    BROADCAST_FRONTIER_ROWS, oriented,
+    BROADCAST_FRONTIER_ROWS, checkpoint_count, oriented,
 )
 
 
@@ -46,9 +46,9 @@ def k_hop_subgraph(edges: DataFrame, seeds: DataFrame, steps: int = 1,
     frontier = seeds.select(VID).distinct().persist()
     visited = frontier.withColumn("step", F.lit(0)).persist()
     collected: DataFrame | None = None
+    n = frontier.count()      # seed size; later levels ride the checkpoint
     try:
         for step in range(1, steps + 1):
-            n = frontier.count()
             if n == 0:
                 break
             f = F.broadcast(frontier) if n <= BROADCAST_FRONTIER_ROWS else frontier
@@ -59,19 +59,22 @@ def k_hop_subgraph(edges: DataFrame, seeds: DataFrame, steps: int = 1,
             # eager localCheckpoint, not persist(): nxt feeds both the
             # visited union and the next frontier, but a per-iteration
             # persist() was never unpersisted (one leaked cache entry per
-            # hop); checkpoint blocks are reclaimed by the ContextCleaner
+            # hop); checkpoint blocks are reclaimed by the ContextCleaner.
+            # The next level's size (termination + broadcast probe) rides
+            # the same materialization job via checkpoint_count — no
+            # dedicated frontier.count() stage per level (traverse.py:39).
             nxt = (hop.select(F.col(DST).alias(VID)).distinct()
                    .join(visited.select(VID), VID, "left_anti")
-                   .withColumn("step", F.lit(step))
-                   .localCheckpoint(eager=True))
+                   .withColumn("step", F.lit(step)))
+            nxt, n = checkpoint_count(nxt)
             old = visited
             visited = visited.unionByName(nxt).persist()
             old.unpersist()
             frontier.unpersist()
             frontier = nxt.select(VID)
-        # closing pass: edges among final-hop vertices back into the subgraph
-        # (reference's last round keeps only edges whose dst was seen before)
-        n = frontier.count()
+        # closing pass: edges among final-hop vertices back into the
+        # subgraph (reference's last round keeps only edges whose dst was
+        # seen before); n is the final frontier size off its checkpoint job
         if n > 0:
             f = F.broadcast(frontier) if n <= BROADCAST_FRONTIER_ROWS else frontier
             closing = (e_all.join(f, e_all[SRC] == f[VID], "inner").drop(VID)

@@ -354,6 +354,34 @@ class ExprCompiler:
                 return self.resolve("path_fn", name, args[0][1])
             except ValueError:
                 pass                      # not a path → fall through
+        if name in ("nodes", "relationships", "length", "startnode",
+                    "endnode") and len(args) == 1:
+            # PATH values from FIND … PATH YIELD path — struct(start, path)
+            # columns reaching a piped YIELD (length($-.p), nodes($-.p) …,
+            # AllPath.IntVid.feature:297-340); dispatched off the resolved
+            # schema when a frame is attached
+            from pyspark.sql.types import StructType
+            try:
+                c = self.col(args[0])
+            except ValueError:
+                c = None
+            if c is not None:
+                dt = self._dtype(c)
+                if isinstance(dt, StructType) \
+                        and {"start", "path"} <= set(dt.fieldNames()):
+                    if name == "length":
+                        return F.size(c["path"])
+                    if name == "relationships":
+                        return c["path"]
+                    if name == "nodes":
+                        return F.concat(
+                            F.array(c["start"]),
+                            F.transform(c["path"], lambda x: x["d"]))
+                    if name == "startnode":
+                        return c["start"]
+                    return (F.when(F.size(c["path"]) > 0,
+                                   F.element_at(c["path"], -1)["d"])
+                            .otherwise(c["start"]))
         if name in ("id", "type", "rank", "startnode", "endnode",
                     "properties", "props", "src", "dst", "labels",
                     "tags", "keys") and len(args) == 1 \
@@ -880,23 +908,201 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
     return out
 
 
-def _exec_find_path(space: GraphSpace, st: A.FindPathStmt) -> DataFrame:
-    names = st.edges or list(space.edges)
+def _find_path_where(space: GraphSpace, names: list[str],
+                     where: tuple) -> Column:
+    """Compile the FIND PATH WHERE clause into an edge filter.
+
+    Reference ``FindPathValidator::validateWhere``: only edge props are
+    legal — ``$-``/``$var``/``$^``/``$$`` raise a SemanticError; a label
+    attribute ``like.likeness`` is rewritten to an edge prop
+    (``rewriteLabelAttr2EdgeProp``). Over a multi-type OVER, a prop read
+    through another type's label is EMPTY (→ NULL here, guarded by the
+    ``_etype`` mask), which the TCK filters probe with ``is [not] EMPTY``
+    (AllPath.IntVid.feature:228-247).
+    """
+    bad: list = []
+    _walk(where, {"src_prop", "dst_prop", "var_prop", "input_prop"}, bad)
+    if bad:
+        raise ValueError("Not support `$' reference in where sentence.")
+
+    def resolve(kind, *args):
+        if kind == "edge_prop":
+            et, prop = args
+            if et not in space.edges:
+                raise ValueError(f"{et} not found in space [{space.name}].")
+            if prop not in space.edge(et).columns:
+                raise ValueError(
+                    f"`{et}.{prop}', not found the property `{prop}'.")
+            return F.when(F.col("_etype") == et, F.col(prop))
+        if kind == "name":
+            return F.col(args[0])
+        raise ValueError(f"unresolvable {kind} in FIND PATH WHERE")
+
+    return ExprCompiler(resolve).col(where)
+
+
+def _path_value_frame(space: GraphSpace, p: DataFrame, names: list[str],
+                      alias: str, with_prop: bool) -> DataFrame:
+    """Shape ``(start_vid, end_vid, hops, path)`` rows into the
+    single-column PATH value of ``FIND … PATH … YIELD path AS alias``:
+    struct(start, path[, vprops]) rendered by
+    :func:`~nebula_spark.functions.graphfns.format_path`.
+
+    WITH PROP resolves prop maps LAZILY — the path's edge identities and
+    node vids join back to the edge/tag tables at result-shaping time,
+    never carried per-hop through the BFS frontier (the SCALE.md
+    frontier-state rule; the reference carries Step props inline,
+    ``src/common/datatypes/Path.h:15``, which at 100 TB would multiply
+    every frontier row by the prop payload). Values are pre-rendered to
+    the reference's textual forms (strings quoted, ints bare) so the
+    renderer is a pure concat.
+    """
+    if not with_prop:
+        return p.select(F.struct(F.col("start_vid").alias("start"),
+                                 F.col("path").alias("path")).alias(alias))
+    from pyspark.sql.types import StringType
+
+    def _render(col: Column, dtype) -> Column:
+        v = F.concat(F.lit('"'), col, F.lit('"')) \
+            if isinstance(dtype, StringType) else col.cast("string")
+        return F.coalesce(v, F.lit("NULL"))
+
+    empty_map = F.map_from_arrays(F.array().cast("array<string>"),
+                                  F.array().cast("array<string>"))
+    # the frame is re-read by three branches (edge join, vertex join,
+    # final join-back) — checkpoint AFTER assigning the row id so the id
+    # is materialized once, not recomputed per branch
+    p = (p.withColumn("_pid", F.monotonically_increasing_id())
+         .localCheckpoint(eager=True))
+
+    # edge prop maps keyed by STORED identity (type, src, dst, rank) —
+    # a reverse-traversed step (t == -1) stores (d, s)
+    lut = None
+    for n in names:
+        e = space.edge(n)
+        props = sorted(c for c in e.columns if c not in (SRC, DST, RANK))
+        pairs: list[Column] = []
+        for c in props:
+            pairs += [F.lit(c), _render(F.col(c), e.schema[c].dataType)]
+        part = e.select(
+            F.lit(n).alias("_lt"), F.col(SRC).alias("_ls"),
+            F.col(DST).alias("_ld"), F.col(RANK).alias("_lr"),
+            (F.create_map(*pairs) if pairs else empty_map).alias("_lp"))
+        lut = part if lut is None else lut.unionByName(part)
+
+    ex = p.select("_pid", F.posexplode("path").alias("_pos", "_e"))
+    fwd = F.col("_e")["t"] >= 0
+    ss = F.when(fwd, F.col("_e")["s"]).otherwise(F.col("_e")["d"])
+    sd = F.when(fwd, F.col("_e")["d"]).otherwise(F.col("_e")["s"])
+    je = (ex.join(lut, (F.col("_e")["et"] == F.col("_lt"))
+                  & (ss == F.col("_ls")) & (sd == F.col("_ld"))
+                  & (F.col("_e")["r"] == F.col("_lr")), "left")
+          .select("_pid", F.struct(
+              F.col("_pos").alias("i"),
+              F.struct(F.col("_e")["s"].alias("s"),
+                       F.col("_e")["d"].alias("d"),
+                       F.col("_e")["r"].alias("r"),
+                       F.col("_e")["t"].alias("t"),
+                       F.col("_e")["et"].alias("et"),
+                       F.coalesce(F.col("_lp"), empty_map).alias("props"))
+              .alias("e")).alias("_pe")))
+    # array_sort needs an explicit index comparator: the element struct
+    # carries a MAP (unorderable type)
+    by_i = lambda l, r: (F.when(l["i"] < r["i"], -1)  # noqa: E731
+                         .when(l["i"] > r["i"], 1).otherwise(0))
+    pe = je.groupBy("_pid").agg(
+        F.transform(F.array_sort(F.collect_list("_pe"), by_i),
+                    lambda x: x["e"]).alias("_path2"))
+
+    # vertex tag suffixes " :tag{k: v}" per vid, tags in sorted order
+    vlut = None
+    for tname in sorted(space.tags):
+        t = space.tag(tname)
+        tprops = sorted(c for c in t.columns if c != VID)
+        inner: list[Column] = []
+        for c in tprops:
+            if inner:
+                inner.append(F.lit(", "))
+            inner += [F.lit(f"{c}: "),
+                      _render(F.col(c), t.schema[c].dataType)]
+        piece = F.concat(F.lit(f" :{tname}{{"), *inner, F.lit("}"))
+        part = t.select(F.col(VID).alias("_v"), F.lit(tname).alias("_tn"),
+                        piece.alias("_piece"))
+        vlut = part if vlut is None else vlut.unionByName(part)
+    vsfx = vlut.groupBy("_v").agg(
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("_tn", "_piece"))),
+            lambda x: x["_piece"]), "").alias("_vsfx"))
+
+    nx = p.select("_pid", F.posexplode(F.concat(
+        F.array("start_vid"), F.transform("path", lambda x: x["d"])))
+        .alias("_pos", "_v"))
+    pv = (nx.join(vsfx, "_v", "left")
+          .select("_pid", F.struct(
+              F.col("_pos").alias("i"),
+              F.coalesce("_vsfx", F.lit("")).alias("v")).alias("_pv"))
+          .groupBy("_pid")
+          .agg(F.transform(F.array_sort(F.collect_list("_pv")),
+                           lambda x: x["v"]).alias("_vprops")))
+
+    out = p.join(pe, "_pid", "left").join(pv, "_pid", "left")
+    return out.select(F.struct(
+        F.col("start_vid").alias("start"), F.col("_path2").alias("path"),
+        F.col("_vprops").alias("vprops")).alias(alias))
+
+
+def _exec_find_path(space: GraphSpace, st: A.FindPathStmt,
+                    piped: DataFrame | None = None,
+                    env: dict[str, DataFrame] | None = None) -> DataFrame:
+    """FIND [SINGLE] SHORTEST | ALL | NOLOOP PATH.
+
+    Reference: parser.yy:2317-2345 (full production incl. WITH PROP /
+    WHERE / YIELD path), FindPathValidator.cpp (yield & where rules),
+    executors under src/graph/executor/algo/. With a YIELD clause the
+    output is one row per path as a PATH value (struct start+path);
+    without one, the legacy distance / typed-path_str tables remain for
+    the pre-YIELD statement shape.
+    """
+    for n in (st.edges or []):
+        if n not in space.edges:
+            # reference SemanticError (ShortestPath.feature:61)
+            raise ValueError(f"{n} not found in space [{space.name}].")
+    names = st.edges or sorted(space.edges)
     edges = _edge_union(space, names)
-    src = _vid_frame(space, st.sources, None, None)
-    dst = _vid_frame(space, st.targets, None, None)
-    if st.kind == "shortest":
-        # bidirectional meet-in-the-middle: FIND SHORTEST PATH always has
-        # explicit FROM/TO sets, so both frontiers are seedable and the
-        # search depth halves (MultiShortestPathExecutor.cpp conjunct shape)
-        return bidir_distances(edges, src, dst, st.max_steps, st.direction)
-    p = all_paths(edges, src, dst, st.max_steps, st.direction,
-                  noloop=st.kind == "noloop")
-    return p.select(
-        "start_vid", "end_vid", "hops",
-        F.array_join(F.transform("path", lambda e: F.concat(
-            e["s"].cast("string"), F.lit(">"), e["d"].cast("string"))), "|")
-        .alias("path_str"))
+    src = _vid_frame(space, st.sources, piped, st.src_col, env)
+    dst = _vid_frame(space, st.targets, piped, st.dst_col, env)
+    edge_filter = (_find_path_where(space, names, st.where)
+                   if st.where is not None else None)
+    mode = "single" if st.single else "all"
+    if st.yield_alias is None:
+        if st.kind == "shortest":
+            # bidirectional meet-in-the-middle: FIND SHORTEST PATH always
+            # has explicit FROM/TO sets, so both frontiers are seedable and
+            # the search depth halves (MultiShortestPathExecutor.cpp shape)
+            return bidir_distances(edges, src, dst, st.max_steps,
+                                   st.direction, edge_filter=edge_filter)
+        p = all_paths(edges, src, dst, st.max_steps, st.direction,
+                      noloop=st.kind == "noloop", edge_filter=edge_filter)
+        # typed rendering — parallel edges of different types stay distinct
+        return p.select(
+            "start_vid", "end_vid", "hops",
+            F.array_join(F.transform("path", lambda e: F.concat(
+                e["s"].cast("string"), F.lit("-["), e["et"], F.lit("]->"),
+                e["d"].cast("string"))), "|")
+            .alias("path_str"))
+    # PATH-value form (YIELD path AS alias)
+    if st.max_steps <= 0:
+        # UPTO 0 STEPS → no paths (ShortestPath.feature "zero step",
+        # AllPath.feature "ALL Path zero step"); max_hops=0 short-circuits
+        # to an empty frame with the right schema
+        p = bidir_min_paths(edges, src, dst, 0, st.direction)
+    elif st.kind == "shortest":
+        p = bidir_min_paths(edges, src, dst, st.max_steps, st.direction,
+                            mode=mode, edge_filter=edge_filter)
+    else:
+        p = all_paths(edges, src, dst, st.max_steps, st.direction,
+                      noloop=st.kind == "noloop", edge_filter=edge_filter)
+    return _path_value_frame(space, p, names, st.yield_alias, st.with_prop)
 
 
 def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt,
@@ -982,7 +1188,6 @@ def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
             return F.col(f"_v_{args[0]}__{args[1]}")
         raise ValueError(f"unresolvable {kind}")
 
-    ec = ExprCompiler(resolve)
     base = piped if piped is not None else spark.range(1)
     for v in var_names:
         if v not in env:
@@ -993,6 +1198,8 @@ def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
     if var_names and piped is None:
         # the var table is the row source — drop the synthetic range(1) row
         base = base.drop("id")
+    # frame attached → schema-directed dispatch (PATH-struct fns, list +)
+    ec = ExprCompiler(resolve, df=base)
     if st.where is not None:
         base = base.filter(ec.col(st.where))
     aggish = any(_is_agg(y.expr) for y in st.yields)
@@ -2189,7 +2396,7 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
         elif isinstance(st, A.LookupStmt):
             df = _exec_lookup(space, st)
         elif isinstance(st, A.FindPathStmt):
-            df = _exec_find_path(space, st)
+            df = _exec_find_path(space, st, df, env)
         elif isinstance(st, A.SubgraphStmt):
             df = _exec_subgraph(space, st, df, env)
         elif isinstance(st, A.YieldStmt):

@@ -197,6 +197,13 @@ class FindPathStmt:
     edges: list[str] | None
     direction: str
     max_steps: int
+    src_col: str | None = None   # column when sources is $-/$var
+    dst_col: str | None = None
+    with_prop: bool = False      # WITH PROP (parser.yy opt_with_properties)
+    single: bool = False         # FIND SINGLE SHORTEST PATH
+    where: tuple | None = None   # edge-prop filter (FindPathValidator)
+    yield_alias: str | None = None  # YIELD path AS alias → PATH values;
+    #                                 None = legacy distance/path_str shape
 
 
 @dataclass
@@ -1047,13 +1054,29 @@ class Parser:
 
     # -- FIND PATH
     def find_path_sentence(self) -> FindPathStmt:
+        """The reference's full production (parser.yy:2317-2345):
+        FIND [SINGLE] SHORTEST|ALL|NOLOOP PATH [WITH PROP] from to over
+        [WHERE expr] [UPTO n STEPS] [YIELD path AS alias]. YIELD is
+        mandatory there (FindPathValidator::validateYield) but kept
+        optional here for the legacy distance/path_str statement shape."""
         self.eat_kw("find")
-        kind = self.eat_kw("shortest", "all", "noloop").text
+        # SINGLE is contextual — it stays an identifier elsewhere (the
+        # openCypher single() list predicate)
+        single = (self.peek().kind == "NAME"
+                  and self.peek().text.lower() == "single")
+        if single:
+            self.i += 1
+        kind = (self.eat_kw("shortest") if single
+                else self.eat_kw("shortest", "all", "noloop")).text
         self.eat_kw("path")
+        with_prop = False
+        if self.try_kw("with"):
+            self.eat_kw("prop")
+            with_prop = True
         self.eat_kw("from")
-        sources, _ = self.vid_list()
+        sources, src_col = self.vid_list()
         self.eat_kw("to")
-        targets, _ = self.vid_list()
+        targets, dst_col = self.vid_list()
         edges = None
         direction = "out"
         if self.try_kw("over"):
@@ -1069,11 +1092,30 @@ class Parser:
                 direction = "in"
             elif self.try_kw("bidirect"):
                 direction = "both"
+        where = self.expr() if self.try_kw("where") else None
         max_steps = 5
         if self.try_kw("upto"):
             max_steps = int(self.eat("INT").text)
             self.eat_kw("steps", "step")
-        return FindPathStmt(kind, sources, targets, edges, direction, max_steps)
+        yield_alias = None
+        if self.try_kw("yield"):
+            # FindPathValidator::validateYield: exactly one column whose
+            # expression is the label PATH (`path` is a keyword token, so
+            # the clause is parsed directly, not through yield_items)
+            t = self.peek()
+            if t.text.lower() != "path":
+                raise ValueError(f"Illegal yield clauses `{t.text}'. "
+                                 "only support yield path")
+            self.i += 1
+            alias = None
+            if self.try_kw("as"):
+                alias = self.name()
+            if self.peek().kind == "COMMA":
+                raise ValueError("Only support yield path")
+            yield_alias = alias or "path"
+        return FindPathStmt(kind, sources, targets, edges, direction,
+                            max_steps, src_col, dst_col, with_prop, single,
+                            where, yield_alias)
 
     # -- GET SUBGRAPH
     def subgraph_sentence(self) -> SubgraphStmt:

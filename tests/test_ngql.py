@@ -91,7 +91,8 @@ def test_find_all_path(space):
     df = execute(space, 'FIND ALL PATH FROM "p1" TO "p5" OVER like '
                         'UPTO 3 STEPS')
     got = {r.path_str for r in df.collect()}
-    assert got == {"p1>p3|p3>p5", "p1>p3|p3>p3|p3>p5"}
+    assert got == {"p1-[like]->p3|p3-[like]->p5",
+                   "p1-[like]->p3|p3-[like]->p3|p3-[like]->p5"}
 
 
 def test_get_subgraph(space):

@@ -208,8 +208,11 @@ def test_redundant_frontier_dedup_blocks_skew_split(spark, hub_graph):
     re-distinct, the frontier-side Aggregate sits between the exchange
     and the join and today's OptimizeSkewedJoin pattern no longer
     matches, so the hub partition is NOT split. If a future Spark learns
-    to split through aggregates this test can be dropped along with the
-    parameter's plan-shape rationale (the saved aggregate still stands)."""
+    to split through aggregates this is an improvement, not a bug —
+    the assert downgrades to a warning rather than failing the suite
+    (the saved aggregate still stands either way)."""
+    import warnings
+
     from nebula_spark.operators.traverse import get_neighbors
     from nebula_spark.session import scoped_conf
 
@@ -220,7 +223,11 @@ def test_redundant_frontier_dedup_blocks_skew_split(spark, hub_graph):
             F.lit(1).alias("one"))
         hop.collect()
         plan = hop._jdf.queryExecution().executedPlan().toString()
-    assert "skew=true" not in plan
+    if "skew=true" in plan:
+        warnings.warn(
+            "OptimizeSkewedJoin now splits through the frontier Aggregate "
+            "— Spark improved; dedup_frontier's plan-shape rationale (and "
+            "this test) can be retired", stacklevel=1)
 
 
 def test_bfs_shortest_path_statement_is_bidirectional(space):

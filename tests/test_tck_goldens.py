@@ -253,9 +253,9 @@ def test_noloop_path_one_to_m(nba_space):
                  '"Manu Ginobili" OVER like UPTO 3 STEPS')
     got = {r.path_str for r in df.collect()}
     assert got == {
-        "Tim Duncan>Tony Parker",
-        "Tim Duncan>Manu Ginobili",
-        "Tim Duncan>Tony Parker|Tony Parker>Manu Ginobili"}
+        "Tim Duncan-[like]->Tony Parker",
+        "Tim Duncan-[like]->Manu Ginobili",
+        "Tim Duncan-[like]->Tony Parker|Tony Parker-[like]->Manu Ginobili"}
 
 
 def test_all_path_edge_unique_only(nba_space):
@@ -264,11 +264,12 @@ def test_all_path_edge_unique_only(nba_space):
                             '"Tony Parker" OVER like UPTO 3 STEPS')
     got = {r.path_str for r in df.collect()}
     assert got == {
-        "Tim Duncan>Tony Parker",
-        "Tim Duncan>Manu Ginobili|Manu Ginobili>Tim Duncan"
-        "|Tim Duncan>Tony Parker",
-        "Tim Duncan>Tony Parker|Tony Parker>LaMarcus Aldridge"
-        "|LaMarcus Aldridge>Tony Parker"}
+        "Tim Duncan-[like]->Tony Parker",
+        "Tim Duncan-[like]->Manu Ginobili|Manu Ginobili-[like]->Tim Duncan"
+        "|Tim Duncan-[like]->Tony Parker",
+        "Tim Duncan-[like]->Tony Parker"
+        "|Tony Parker-[like]->LaMarcus Aldridge"
+        "|LaMarcus Aldridge-[like]->Tony Parker"}
 
 
 # ---------------------------------------------------------------------------
@@ -3894,3 +3895,334 @@ def test_goyve_multi_edge_filters(nba_space):
                  'YIELD DISTINCT $$ as dst')
     assert sorted(r.dst.vid for r in df.collect()) == [
         "Tiago Splitter", "Tony Parker"]
+
+
+# ---------------------------------------------------------------------------
+# FIND … PATH … YIELD path AS p — PATH values
+# tests/tck/features/path/{ShortestPath,AllPath,NoLoop,singleShortestPath}
+# .feature, round-5 batch (reference production parser.yy:2317-2345)
+# ---------------------------------------------------------------------------
+
+def pvals(df, with_prop=False):
+    """Render the single PATH column to the reference's textual form."""
+    from nebula_spark.functions.graphfns import format_path
+    col = df.columns[0]
+    return sorted(r.p for r in df.select(
+        format_path(F.col(col), with_prop=with_prop).alias("p")).collect())
+
+
+def test_fsp_yield_zero_step(nba_space):
+    """ShortestPath.feature:9 "Shortest Path zero step" — UPTO 0 STEPS
+    returns no paths, single- and multi-target, OVER named and *."""
+    for q in (
+        'FIND SHORTEST PATH FROM "Tim Duncan" , "Yao Ming" TO "Tony Parker"'
+        ' OVER like UPTO 0 STEPS YIELD path as p',
+        'FIND SHORTEST PATH FROM "Tim Duncan", "Yao Ming" TO "Tony Parker",'
+        ' "Spurs" OVER * UPTO 0 STEPS YIELD path as p',
+        'FIND SINGLE SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker" '
+        'OVER * UPTO 0 STEPS YIELD path as p',
+    ):
+        assert execute(nba_space, q).count() == 0
+
+
+def test_fsp_yield_single_pair(nba_space):
+    """ShortestPath.feature:28 [1] — one-hop pair; unknown vids on either
+    side change nothing; an unknown edge type is a SemanticError."""
+    want = ['<("Tim Duncan")-[:like]->("Tony Parker")>']
+    for q in (
+        'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker" OVER like '
+        'YIELD path as p',
+        'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker", "noexist" '
+        'OVER like YIELD path as p',
+        'FIND SHORTEST PATH FROM "Tim Duncan", "noexist" TO "Tony Parker" '
+        'OVER like YIELD path as p',
+    ):
+        assert pvals(execute(nba_space, q)) == want
+    with pytest.raises(ValueError, match="noexistedge not found in space"):
+        execute(nba_space,
+                'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker" '
+                'OVER noexistedge,like YIELD path as p')
+
+
+def test_fsp_yield_hops_and_multi_edge(nba_space):
+    """ShortestPath.feature:64-101 [2]-[5] — two- and three-hop chains;
+    a like,teammate OVER picks the teammate shortcut; OVER * matches."""
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tim Duncan" TO '
+                 '"LaMarcus Aldridge" OVER like YIELD path as p')
+    assert pvals(df) == ['<("Tim Duncan")-[:like]->("Tony Parker")'
+                         '-[:like]->("LaMarcus Aldridge")>']
+    for over in ("like, teammate", "*"):
+        df = execute(nba_space,
+                     'FIND SHORTEST PATH FROM "Tiago Splitter" TO '
+                     f'"LaMarcus Aldridge" OVER {over} YIELD path as p')
+        assert pvals(df) == ['<("Tiago Splitter")-[:like]->("Tim Duncan")'
+                             '-[:teammate]->("LaMarcus Aldridge")>']
+
+
+def test_fsp_yield_upto_limit(nba_space):
+    """ShortestPath.feature:103 [6] — UPTO 1 STEP drops the 2-hop pair,
+    keeps the direct one."""
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tiago Splitter" TO "Tony Parker" '
+                 'OVER * UPTO 1 STEPS YIELD path as p')
+    assert df.count() == 0
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tiago Splitter" TO "Tim Duncan" '
+                 'OVER * UPTO 1 STEPS YIELD path as p')
+    assert pvals(df) == ['<("Tiago Splitter")-[:like]->("Tim Duncan")>']
+
+
+def test_fsp_yield_multipair(nba_space):
+    """ShortestPath.feature:114-137 MultiPair [1]/[2] — per-pair minima
+    with all tied paths as separate rows."""
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker",'
+                 '"Spurs" OVER like,serve UPTO 3 STEPS YIELD path as p')
+    assert pvals(df) == ['<("Tim Duncan")-[:like]->("Tony Parker")>',
+                         '<("Tim Duncan")-[:serve]->("Spurs")>']
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker",'
+                 '"Spurs" OVER * UPTO 5 STEPS YIELD path as p')
+    assert pvals(df) == ['<("Tim Duncan")-[:like]->("Tony Parker")>',
+                         '<("Tim Duncan")-[:serve]->("Spurs")>',
+                         '<("Tim Duncan")-[:teammate]->("Tony Parker")>']
+
+
+def test_fsp_yield_rank_rendering(nba_space):
+    """ShortestPath.feature:178 MultiPair [5] — the rank-1 parallel serve
+    edge is a distinct tied path and renders its @1."""
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Marco Belinelli", "Yao Ming" TO '
+                 '"Spurs", "Lakers" OVER * UPTO 3 STEPS YIELD path as p')
+    assert pvals(df) == [
+        '<("Marco Belinelli")-[:like]->("Danny Green")-[:like]->'
+        '("LeBron James")-[:serve]->("Lakers")>',
+        '<("Marco Belinelli")-[:serve@1]->("Spurs")>',
+        '<("Marco Belinelli")-[:serve]->("Spurs")>',
+        '<("Yao Ming")-[:like]->("Shaquille O\'Neal")-[:serve]->("Lakers")>',
+        '<("Yao Ming")-[:like]->("Tracy McGrady")-[:serve]->("Spurs")>',
+    ]
+
+
+def test_fsp_yield_deep_pair(nba_space):
+    """ShortestPath.feature:136 MultiPair [3] — the Tony Parker → Lakers
+    4-hop pair resolves with both tied paths while 1-hop pairs coexist."""
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tony Parker", "Yao Ming" TO '
+                 '"Manu Ginobili", "Spurs", "Lakers" OVER * UPTO 5 STEPS '
+                 'YIELD path as p')
+    got = pvals(df)
+    assert len(got) == 9
+    assert ('<("Tony Parker")-[:like]->("Tim Duncan")-[:teammate]->'
+            '("Danny Green")-[:like]->("LeBron James")-[:serve]->'
+            '("Lakers")>') in got
+    assert ('<("Tony Parker")-[:teammate]->("Tim Duncan")-[:teammate]->'
+            '("Danny Green")-[:like]->("LeBron James")-[:serve]->'
+            '("Lakers")>') in got
+
+
+def test_fsp_yield_reversely(nba_space):
+    """ShortestPath.feature:441-481 REVERSELY [2]/[5] — reverse-traversed
+    steps render <-[:type]-."""
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker" '
+                 'OVER like REVERSELY YIELD path as p')
+    assert pvals(df) == ['<("Tim Duncan")<-[:like]-("Tony Parker")>']
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tony Parker", "Yao Ming" TO '
+                 '"Manu Ginobili", "Spurs", "Lakers" OVER * REVERSELY '
+                 'YIELD path as p')
+    assert pvals(df) == ['<("Tony Parker")<-[:teammate]-("Manu Ginobili")>']
+
+
+def test_fsp_yield_bidirect(nba_space):
+    """ShortestPath.feature:505 BIDIRECT [2] — all tied 1/2-hop paths,
+    both orientations of parallel edges."""
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tony Parker", "Yao Ming" TO '
+                 '"Manu Ginobili", "Spurs", "Lakers" OVER * BIDIRECT '
+                 'UPTO 2 STEPS YIELD path as p')
+    assert pvals(df) == [
+        '<("Tony Parker")-[:like]->("Manu Ginobili")>',
+        '<("Tony Parker")-[:serve]->("Spurs")>',
+        '<("Tony Parker")-[:teammate]->("Manu Ginobili")>',
+        '<("Tony Parker")<-[:teammate]-("Manu Ginobili")>',
+        '<("Yao Ming")-[:like]->("Shaquille O\'Neal")-[:serve]->("Lakers")>',
+        '<("Yao Ming")-[:like]->("Tracy McGrady")-[:serve]->("Spurs")>',
+    ]
+
+
+def test_fsp_yield_with_loop(nba_space):
+    """ShortestPath.feature:681 "Shortest Path With Loop" — src == dst
+    runs the cycle search: both 2-cycles, each in both orientations."""
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tim Duncan" '
+                 'OVER like BIDIRECT YIELD path as p')
+    assert pvals(df) == [
+        '<("Tim Duncan")-[:like]->("Manu Ginobili")-[:like]->'
+        '("Tim Duncan")>',
+        '<("Tim Duncan")-[:like]->("Tony Parker")-[:like]->("Tim Duncan")>',
+        '<("Tim Duncan")<-[:like]-("Manu Ginobili")<-[:like]-'
+        '("Tim Duncan")>',
+        '<("Tim Duncan")<-[:like]-("Tony Parker")<-[:like]-("Tim Duncan")>',
+    ]
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tim Duncan", '
+                 '"Tony Parker" OVER like BIDIRECT YIELD path as p')
+    assert len(pvals(df)) == 6
+
+
+def test_fsp_with_prop(nba_space):
+    """ShortestPath.feature:566 "Shortest Path With PROP" — vertices carry
+    sorted tag prop maps, edges carry @rank {props}; character-exact vs
+    the reference's rendering."""
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH WITH PROP FROM "Tim Duncan" TO '
+                 '"LaMarcus Aldridge" OVER like YIELD path as p')
+    assert pvals(df, with_prop=True) == [
+        '<("Tim Duncan" :bachelor{name: "Tim Duncan", speciality: '
+        '"psychology"} :player{age: 42, name: "Tim Duncan"})'
+        '-[:like@0 {likeness: 95}]->'
+        '("Tony Parker" :player{age: 36, name: "Tony Parker"})'
+        '-[:like@0 {likeness: 90}]->'
+        '("LaMarcus Aldridge" :player{age: 33, name: "LaMarcus Aldridge"})>']
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH WITH PROP FROM "Tony Parker", '
+                 '"Yao Ming" TO "Manu Ginobili", "Spurs", "Lakers" OVER * '
+                 'REVERSELY YIELD path as p')
+    assert pvals(df, with_prop=True) == [
+        '<("Tony Parker" :player{age: 36, name: "Tony Parker"})'
+        '<-[:teammate@0 {end_year: 2016, start_year: 2002}]-'
+        '("Manu Ginobili" :player{age: 41, name: "Manu Ginobili"})>']
+
+
+def test_fsp_where_filter(nba_space):
+    """ShortestPath.feature:593 "Shortest Path With Filter" — the WHERE
+    clause is an edge filter; a prop read through another type's label is
+    EMPTY (is [not] EMPTY guards)."""
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH WITH PROP FROM "Tony Parker", '
+                 '"Yao Ming" TO "Manu Ginobili", "Spurs", "Lakers" OVER * '
+                 'BIDIRECT WHERE like.likeness == 90 OR like.likeness is '
+                 'empty UPTO 2 STEPS YIELD path as p')
+    got = pvals(df)
+    assert len(got) == 5
+    assert '<("Tony Parker")-[:like]->("Manu Ginobili")>' not in got
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tony Parker", "Yao Ming" TO '
+                 '"Manu Ginobili", "Spurs", "Lakers" OVER * REVERSELY '
+                 'WHERE like.likeness > 70 YIELD path as p')
+    assert pvals(df) == [
+        '<("Tony Parker")<-[:like]-("Tim Duncan")<-[:like]-'
+        '("Manu Ginobili")>']
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Tony Parker", "Yao Ming" TO '
+                 '"Manu Ginobili", "Spurs", "Lakers" OVER * BIDIRECT WHERE '
+                 'teammate.start_year is not EMPTY OR like.likeness > 90 '
+                 'UPTO 3 STEPS YIELD path as p')
+    assert pvals(df) == [
+        '<("Tony Parker")-[:like]->("Manu Ginobili")>',
+        '<("Tony Parker")-[:teammate]->("Manu Ginobili")>',
+        '<("Tony Parker")<-[:teammate]-("Manu Ginobili")>',
+    ]
+    with pytest.raises(ValueError, match="in where sentence"):
+        execute(nba_space,
+                'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker" '
+                'OVER like WHERE $$.player.age > 30 YIELD path as p')
+
+
+def test_fsp_var_seeded_with_filter(nba_space):
+    """ShortestPath.feature:613 — $var-seeded FROM plus a serve.start_year
+    is EMPTY filter (like-only traversal survives)."""
+    df = execute(nba_space,
+                 '$a = GO FROM "Yao Ming" over like YIELD dst(edge) AS src;'
+                 'FIND SHORTEST PATH FROM $a.src TO "Tony Parker" OVER '
+                 'like, serve WHERE serve.start_year is EMPTY UPTO 5 STEPS '
+                 'YIELD path as p')
+    assert pvals(df) == [
+        '<("Shaquille O\'Neal")-[:like]->("Tim Duncan")-[:like]->'
+        '("Tony Parker")>',
+        '<("Tracy McGrady")-[:like]->("Rudy Gay")-[:like]->'
+        '("LaMarcus Aldridge")-[:like]->("Tony Parker")>',
+    ]
+
+
+def test_fsp_yield_piped_path_fns(nba_space):
+    """ShortestPath.feature:632 "Shortest Path YIELD path" +
+    singleShortestPath.feature:45 — piped length($-.p), startnode/endnode
+    over the PATH struct."""
+    df = execute(nba_space,
+                 'FIND SHORTEST PATH FROM "Shaquille O\'Neal", "Nobody" TO '
+                 '"Manu Ginobili", "Spurs", "Lakers" OVER * UPTO 5 STEPS '
+                 'YIELD path as p | YIELD length($-.p) as length')
+    assert sorted(r.length for r in df.collect()) == [1, 2, 2, 2]
+    df = execute(nba_space,
+                 'FIND SINGLE SHORTEST PATH FROM "Tim Duncan" TO '
+                 '"Tony Parker" OVER * BIDIRECT YIELD path as p '
+                 '| YIELD startnode($-.p) AS s, endnode($-.p) AS e')
+    assert rows(df, "s", "e") == [("Tim Duncan", "Tony Parker")]
+
+
+def test_single_shortest_one_per_pair(nba_space):
+    """singleShortestPath.feature:34 [1] — SINGLE keeps one deterministic
+    representative where SHORTEST keeps all four tied paths."""
+    q = ('FIND {} SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker" '
+         'OVER * BIDIRECT YIELD path as p')
+    assert execute(nba_space, q.format("")).count() == 4
+    assert execute(nba_space, q.format("SINGLE")).count() == 1
+
+
+def test_fap_yield_one_to_one(nba_space):
+    """AllPath.feature:30 "ALL Path one TO one" — src == dst enumeration:
+    all ten 2-hop closed walks, typed and edge-unique."""
+    df = execute(nba_space,
+                 'FIND ALL PATH FROM "Tim Duncan" TO "Tim Duncan" OVER * '
+                 'UPTO 2 STEPS YIELD path as p')
+    got = pvals(df)
+    assert len(got) == 10
+    assert ('<("Tim Duncan")-[:teammate]->("Danny Green")-[:like]->'
+            '("Tim Duncan")>') in got
+    assert ('<("Tim Duncan")-[:like]->("Manu Ginobili")-[:teammate]->'
+            '("Tim Duncan")>') in got
+    # zero step: no paths even for src == dst (AllPath.feature:9)
+    assert execute(
+        nba_space, 'FIND ALL PATH FROM "Tim Duncan" TO "Tim Duncan" OVER * '
+                   'UPTO 0 STEPS YIELD path as p').count() == 0
+
+
+def test_fap_yield_edge_unique(nba_space):
+    """AllPath.feature:46 — ALL PATH repeats vertices but never edges;
+    NOLOOP additionally forbids repeated vertices (NoLoop.feature:18)."""
+    df = execute(nba_space,
+                 'FIND ALL PATH FROM "Tim Duncan" TO "Tony Parker" OVER '
+                 'like UPTO 3 STEPS YIELD path as p')
+    assert pvals(df) == [
+        '<("Tim Duncan")-[:like]->("Manu Ginobili")-[:like]->("Tim Duncan")'
+        '-[:like]->("Tony Parker")>',
+        '<("Tim Duncan")-[:like]->("Tony Parker")-[:like]->'
+        '("LaMarcus Aldridge")-[:like]->("Tony Parker")>',
+        '<("Tim Duncan")-[:like]->("Tony Parker")>',
+    ]
+    df = execute(nba_space,
+                 'FIND NOLOOP PATH FROM "Tim Duncan" TO "Tony Parker", '
+                 '"Manu Ginobili" OVER like UPTO 3 STEPS YIELD path as p')
+    assert pvals(df) == [
+        '<("Tim Duncan")-[:like]->("Manu Ginobili")>',
+        '<("Tim Duncan")-[:like]->("Tony Parker")-[:like]->'
+        '("Manu Ginobili")>',
+        '<("Tim Duncan")-[:like]->("Tony Parker")>',
+    ]
+
+
+def test_find_path_yield_validation(nba_space):
+    """FindPathValidator::validateYield — only `YIELD path [AS x]` is
+    legal; anything else is the reference's SemanticError."""
+    with pytest.raises(ValueError, match="only support yield path"):
+        execute(nba_space,
+                'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker" '
+                'OVER like YIELD dst(edge) as p')
+    with pytest.raises(ValueError, match="Only support yield path"):
+        execute(nba_space,
+                'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker" '
+                'OVER like YIELD path as p, path as q')
