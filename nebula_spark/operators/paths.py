@@ -788,16 +788,58 @@ def weighted_shortest_paths(edges: DataFrame, sources: DataFrame,
 def all_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
               max_hops: int, direction: str = "out", noloop: bool = False,
               edge_filter: Column | None = None) -> DataFrame:
-    """FIND ALL PATH / NOLOOP PATH: enumerate paths source→target ≤ max_hops.
+    """FIND ALL PATH / NOLOOP PATH: enumerate edge-unique walks
+    source→target of length 1..max_hops, meeting in the middle.
 
-    Reference: AllPathsExecutor.cpp:1-764 — enumeration with per-path edge
-    dedup (loops allowed unless NOLOOP, which forbids repeated *vertices*).
-    Built on :func:`traverse` (edge-unique expansion); NOLOOP adds a
-    vertex-uniqueness filter over the path column. Returns
-    (start_vid, end_vid, hops, path).
+    Reference: ``AllPathsExecutor.h:16-21`` — "expand from left and right
+    at the same time" with a ``conjunctPath`` middle join
+    (``AllPathsExecutor.cpp:282``); loops allowed unless NOLOOP, which
+    forbids repeated *vertices*.
+
+    Shape: the left half enumerates ALL edge-unique walks from the
+    sources to depth ⌈L/2⌉ (:func:`traverse`, every intermediate depth
+    kept), the right half from the targets over the REVERSED direction to
+    depth ⌊L/2⌋; the conjunct joins on the meeting vertex under the
+    canonical-split constraint ``len_l − len_r ∈ {0, 1}`` and re-checks
+    edge uniqueness across the halves.
+
+    Why exact, each path exactly once: a walk of length t splits uniquely
+    at position ⌈t/2⌉; both halves of that split are edge-unique walks
+    within their depth bounds, so the join reconstructs the walk from
+    exactly one (left, right) row pair. Conversely every joined combo
+    that passes the cross-half uniqueness filter IS an edge-unique
+    source→target walk of length ≤ L. (Pinned against the one-sided
+    enumeration by a hypothesis test.)
+
+    Why it matters at scale: one-sided enumeration materializes every
+    ≤L-hop walk from the sources regardless of target — b^L rows for the
+    whole reachable set. Both-ends expansion is 2·b^(L/2) rows plus a
+    meeting-vertex equi-join; with few targets deep in a large graph that
+    is the difference between a runnable plan and an exponential one —
+    the reason the reference conjuncts.
+
+    Returns (start_vid, end_vid, hops, path).
     """
-    t = traverse(edges, sources, min_hops=1, max_hops=max_hops,
-                 direction=direction, edge_filter=edge_filter)
+    left_depth = (max_hops + 1) // 2
+    right_depth = max_hops // 2
+    lw = traverse(edges, sources, min_hops=0, max_hops=left_depth,
+                  direction=direction, edge_filter=edge_filter)
+    rw = traverse(edges, targets, min_hops=0, max_hops=right_depth,
+                  direction=_DIR_FLIP[direction], edge_filter=edge_filter)
+    l = lw.select("start_vid", F.col("end_vid").alias("_m"),
+                  F.col("hops").alias("_lh"), F.col("path").alias("_lp"))
+    r = rw.select(F.col("start_vid").alias("_rroot"),
+                  F.col("end_vid").alias("_m"),
+                  F.col("hops").alias("_rh"),
+                  _flip_path(F.col("path")).alias("_rp"))
+    t = (l.join(r, "_m")
+         .filter(((F.col("_lh") == F.col("_rh"))
+                  | (F.col("_lh") == F.col("_rh") + 1))
+                 & (F.col("_lh") + F.col("_rh") >= 1))
+         .select("start_vid", F.col("_rroot").alias("end_vid"),
+                 (F.col("_lh") + F.col("_rh")).alias("hops"),
+                 F.concat("_lp", "_rp").alias("path"))
+         .filter(_edges_unique(F.col("path"))))
     if noloop:
         # no repeated vertex: all step dsts distinct and != start
         t = t.filter(
@@ -805,5 +847,4 @@ def all_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
              == F.size("path"))
             & ~F.array_contains(F.transform("path", lambda p: p["d"]),
                                 F.col("start_vid")))
-    return t.join(F.broadcast(targets.select(F.col(VID).alias("end_vid"))
-                              .distinct()), "end_vid", "left_semi")
+    return t

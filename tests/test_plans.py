@@ -240,3 +240,30 @@ def test_bfs_shortest_path_statement_is_bidirectional(space):
     plan = plan_of(df)
     assert "min(dist" in plan      # exprId-suffixed: min(dist#NNN)
     assert "ExistingRDD" in plan
+
+
+def test_all_paths_expands_half_depth_from_both_ends(spark, monkeypatch):
+    """FIND ALL/NOLOOP PATH must never run a full-depth one-sided
+    enumeration: the conjunct design (AllPathsExecutor.h:16-21) expands
+    ⌈L/2⌉ from the sources and ⌊L/2⌋ from the targets — frontier
+    2·b^(L/2), not b^L. Pinned by recording the depths all_paths hands
+    to traverse."""
+    from nebula_spark.operators import paths as P
+
+    calls: list[tuple[int, str]] = []
+    real = P.traverse
+
+    def spy(edges, start, min_hops=1, max_hops=1, direction="out", **kw):
+        calls.append((max_hops, direction))
+        return real(edges, start, min_hops=min_hops, max_hops=max_hops,
+                    direction=direction, **kw)
+
+    monkeypatch.setattr(P, "traverse", spy)
+    e = spark.createDataFrame(
+        [("a", "b", 0), ("b", "c", 0), ("c", "d", 0)],
+        "src string, dst string, rank long")
+    src = spark.createDataFrame([("a",)], ["vid"])
+    dst = spark.createDataFrame([("d",)], ["vid"])
+    got = P.all_paths(e, src, dst, max_hops=6).collect()
+    assert [(r.start_vid, r.end_vid, r.hops) for r in got] == [("a", "d", 3)]
+    assert sorted(calls) == [(3, "in"), (3, "out")]

@@ -313,3 +313,53 @@ def test_bidir_distances_equals_single_direction_bfs(spark, edges,
                   bfs_shortest_paths(e, starts, targets, max_hops,
                                      direction).collect())
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1, max_size=12, unique=True),
+    direction=st.sampled_from(["out", "in", "both"]),
+    max_hops=st.integers(1, 4),
+    noloop=st.booleans(),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_all_paths_bidir_equals_forward_enumeration(spark, edges, direction,
+                                                    max_hops, noloop):
+    """FIND ALL/NOLOOP PATH's meet-in-the-middle conjunct must produce
+    exactly the walks the one-sided enumeration it replaced produced —
+    same multiset of (start, end, path) rows (AllPathsExecutor.h:16-21
+    exactness; the canonical-split uniqueness argument in the all_paths
+    docstring)."""
+    from pyspark.sql import functions as F
+
+    from nebula_spark.operators.paths import all_paths
+    from nebula_spark.operators.traverse import traverse
+
+    e = spark.createDataFrame(
+        [(f"v{s}", f"v{d}", 0) for s, d in edges],
+        "src string, dst string, rank long")
+    starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
+    targets = spark.createDataFrame([("v0",), ("v2",), ("v3",)], ["vid"])
+
+    def key(rows):
+        return sorted(
+            (r.start_vid, r.end_vid,
+             tuple((p.s, p.d, p.r, p.t) for p in r.path))
+            for r in rows)
+
+    got = key(all_paths(e, starts, targets, max_hops, direction,
+                        noloop=noloop).collect())
+    ref = traverse(e, starts, min_hops=1, max_hops=max_hops,
+                   direction=direction)
+    if noloop:
+        ref = ref.filter(
+            (F.size(F.array_distinct(
+                F.transform("path", lambda p: p["d"]))) == F.size("path"))
+            & ~F.array_contains(F.transform("path", lambda p: p["d"]),
+                                F.col("start_vid")))
+    ref = ref.join(
+        F.broadcast(targets.select(F.col("vid").alias("end_vid"))),
+        "end_vid", "left_semi")
+    assert got == key(ref.collect())
