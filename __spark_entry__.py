@@ -1291,6 +1291,23 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_find_path_yield(spark: SparkSession, sf: str) -> DataFrame:
+    """FIND SHORTEST PATH … YIELD path AS p through the nGQL front end —
+    PATH values rendered to the reference's textual form (r5:
+    parser.yy:2317-2345 full production). Sources are customer vids,
+    targets {0..4} — region vids that ALSO collide with low nation vids
+    (the fixture's shared long-vid universe), so per-(src, dst-vid)
+    minima mix 1-hop nation hits with 2-hop region paths and the oracle
+    must take the min over both."""
+    from nebula_spark.functions.graphfns import format_path
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    df = execute(sp, "FIND SHORTEST PATH FROM 1, 2, 3, 4, 5, 6, 7, 8 "
+                     "TO 0, 1, 2, 3, 4 OVER located_in, member_of "
+                     "UPTO 3 STEPS YIELD path as p")
+    return df.select(format_path(F.col("p")).alias("p")).orderBy("p")
+
+
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN top-10 (rows-only driver check: the k-means|| coarse
     quantizer isn't SQL-expressible — centroids come from Spark ML's
@@ -1342,7 +1359,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # near_dup_cosine rotated out in r5: its hyperplane-bucketed cosine
     # join is the same machinery ann_lsh's green row exercises
     # (similarity.hyperplane_bucket shared); stays in tests/test_pipeline.py
-    "ivf_topk": q_ivf_topk,
+    # ivf_topk rotated out in r5 per the r4 verdict (its oracle-less row
+    # read as err at the dashboard; recall + brute-force agreement stay
+    # pinned in tests/test_pipeline.py) for the PATH-value statement form
+    "find_path_yield": q_find_path_yield,
     # doc_chunks rotated out in r4 (chunk windows stay pytest-covered;
     # pack_sequences' new row consumes the same token-count machinery) to
     # make room for the packing stage itself
@@ -1774,6 +1794,33 @@ ORACLES: dict[str, str] = {
                 SELECT 1 FROM unnest(string_split_regex(text, '\s+')) t(w)
                 WHERE levenshtein(w, 'vektor') <= 1))
         ORDER BY doc_id
+    """,
+    "find_path_yield": """
+        WITH RECURSIVE edges AS (
+          SELECT c_custkey AS src, CAST(c_nationkey AS BIGINT) AS dst,
+                 'located_in' AS et FROM customer
+          UNION ALL
+          SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT),
+                 'member_of' FROM nation
+        ), walk(root, vid, hops, pstr) AS (
+          SELECT src, src, 0, '<("' || CAST(src AS VARCHAR) || '")'
+          FROM (SELECT DISTINCT c_custkey AS src FROM customer
+                WHERE c_custkey BETWEEN 1 AND 8) s
+          UNION ALL
+          SELECT w.root, e.dst, w.hops + 1,
+                 w.pstr || '-[:' || e.et || ']->("'
+                        || CAST(e.dst AS VARCHAR) || '")'
+          FROM walk w JOIN edges e ON w.vid = e.src WHERE w.hops < 3
+        ), hits AS (
+          SELECT root, vid, hops, pstr || '>' AS p FROM walk
+          WHERE hops >= 1 AND vid IN (0, 1, 2, 3, 4)
+        ), mins AS (
+          SELECT root, vid, MIN(hops) AS mh FROM hits GROUP BY root, vid
+        )
+        SELECT h.p
+        FROM hits h JOIN mins m
+          ON h.root = m.root AND h.vid = m.vid AND h.hops = m.mh
+        ORDER BY p
     """,
     "bfs_targets": """
         WITH RECURSIVE edges AS (
