@@ -252,29 +252,30 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
         frontier.unpersist()
 
 
+def _edge_id_fields(prefix: str = "", reversed_: bool = False) -> list:
+    s, d = (DST, SRC) if reversed_ else (SRC, DST)
+    t = -F.col(f"{prefix}_dir") if reversed_ else F.col(f"{prefix}_dir")
+    return [F.col(f"{prefix}{s}").alias("s"), F.col(f"{prefix}{d}").alias("d"),
+            F.col(f"{prefix}{RANK}").alias("r"), t.alias("t"),
+            F.col(f"{prefix}_etype").alias("et")]
+
+
 def _edge_id(prefix: str = "") -> Column:
-    return F.struct(F.col(f"{prefix}{SRC}").alias("s"),
-                    F.col(f"{prefix}{DST}").alias("d"),
-                    F.col(f"{prefix}{RANK}").alias("r"),
-                    F.col(f"{prefix}_dir").alias("t"),
-                    F.col(f"{prefix}_etype").alias("et"))
+    return F.struct(*_edge_id_fields(prefix))
 
 
 def _edge_id_reversed(prefix: str = "") -> Column:
     """The same underlying edge seen from the other orientation: reference
     edge equality is direction-normalized ((a,b,e,r) == (b,a,-e,r),
     Edge.cpp:128-136 keyEqual), so uniqueness checks both images."""
-    return F.struct(F.col(f"{prefix}{DST}").alias("s"),
-                    F.col(f"{prefix}{SRC}").alias("d"),
-                    F.col(f"{prefix}{RANK}").alias("r"),
-                    (-F.col(f"{prefix}_dir")).alias("t"),
-                    F.col(f"{prefix}_etype").alias("et"))
+    return F.struct(*_edge_id_fields(prefix, reversed_=True))
 
 
 def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
              max_hops: int = 1, direction: str = "out",
              edge_filter: Column | None = None,
-             self_loop_once: bool = False) -> DataFrame:
+             self_loop_once: bool = False,
+             prop_cols: list[str] | None = None) -> DataFrame:
     """MATCH variable-length expansion with per-path edge uniqueness.
 
     Reference: TraverseExecutor.cpp:25-676 — expand ``[m..n]`` hops building
@@ -282,9 +283,18 @@ def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
     appear once per path; tracked via dst2PathsMap + hasSameEdgeInPath).
 
     Returns one row per path: ``start_vid``, ``end_vid``, ``hops``,
-    ``path`` (array of edge structs (s,d,r,t)). The uniqueness filter is
-    ``NOT exists(path, e -> e == new_edge)`` — JVM-side higher-order
+    ``path`` (array of edge structs (s,d,r,t,et)). The uniqueness filter
+    is ``NOT exists(path, e -> e == new_edge)`` — JVM-side higher-order
     function, no UDF.
+
+    ``prop_cols`` (opt-in) appends the named edge prop columns to each
+    path struct so result-shaping can read ``relationships(p)[i].prop``
+    (the reference carries Step props inline, Path.h:15). Cost model: an
+    enumeration's frontier rows ARE its output paths, so carrying props
+    here multiplies only the output payload, never an intermediate
+    min-pruned frontier — the level-pruned shortest-path operators in
+    operators/paths.py therefore stay identity-only and leave prop
+    resolution to their callers.
     """
     from pyspark.sql.types import (ArrayType, IntegerType, StringType,
                                    StructField, StructType)
@@ -294,13 +304,15 @@ def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
         e = e.filter(edge_filter)
     if "_etype" not in e.columns:        # single-type edge tables
         e = e.withColumn("_etype", F.lit(""))
-    e = e.select(SRC, DST, RANK, "_dir", "_etype")
+    props = list(prop_cols or [])
+    e = e.select(SRC, DST, RANK, "_dir", "_etype", *props)
     path_type = ArrayType(StructType([
         StructField("s", e.schema[SRC].dataType),
         StructField("d", e.schema[DST].dataType),
         StructField("r", e.schema[RANK].dataType),
         StructField("t", IntegerType()),
         StructField("et", StringType()),
+        *[StructField(c, e.schema[c].dataType) for c in props],
     ]))
 
     def zero_paths() -> DataFrame:
@@ -310,16 +322,20 @@ def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
                 .withColumn("path", F.array().cast(path_type)))
 
     paths = zero_paths()
+    extra = [F.col(c).alias(c) for c in props]
     results: DataFrame | None = None
     for hop in range(1, max_hops + 1):
-        new_edge = _edge_id()
+        new_edge = F.struct(*_edge_id_fields(), *extra) if props \
+            else _edge_id()
         # edge-uniqueness via array_contains(path, struct(...)) — a lambda
         # with outer column refs (F.exists) miscompiles on reused Datasets
         # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime). Checked in both
         # orientations: BOTH-direction expansion must not walk back over
         # the edge it arrived by (direction-normalized edge equality).
+        rev_edge = F.struct(*_edge_id_fields(reversed_=True), *extra) \
+            if props else _edge_id_reversed()
         uniq = ~F.array_contains(F.col("path"), new_edge) \
-            & ~F.array_contains(F.col("path"), _edge_id_reversed())
+            & ~F.array_contains(F.col("path"), rev_edge)
         # alias-qualified join: the edge table participates in every
         # iteration, and df[col] cross-references break Spark's self-join
         # disambiguation once the same base Dataset appears twice in lineage

@@ -1356,7 +1356,30 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         cur = cur.filter(F.col(f"{a0}__{k}") == v)
 
     # per-hop path fragments for `p = (…)` bindings: each entry is an
-    # array<struct(s,d,r)> column expression over the final frame
+    # array<struct(s,d,r,t,et,props…)> column expression over the final
+    # frame. The prop fields are the union of the PATTERN's traversed edge
+    # types' props (sorted; names colliding with s/d/r/t/et skipped), so
+    # `relationships(p)[i].likeness` resolves (NullProp.feature; the
+    # reference carries Step props inline, Path.h:15). Single-hop segments
+    # read them from the already-joined frame columns — free; var-len
+    # enumerations carry them through traverse (output == frontier there,
+    # see its docstring); BFS-routed shortest segments stay identity-only
+    # (min-pruned frontiers must not widen) and pad NULL.
+    pat_props: dict = {}
+    for _me in path.edges:
+        for _n in (_me.types or sorted(space.edges)):
+            _e = space.edge(_n)
+            for _c in _e.columns:
+                if _c not in (SRC, DST, RANK, "s", "d", "r", "t", "et") \
+                        and _c not in pat_props:
+                    pat_props[_c] = _e.schema[_c].dataType
+
+    def _part_fields(have, get):
+        """The unified struct's prop tail: present fields via ``get``,
+        absent ones NULL of the pattern dtype."""
+        return [(get(p) if p in have else F.lit(None).cast(dt)).alias(p)
+                for p, dt in sorted(pat_props.items())]
+
     path_parts: list = []
     hop_counts: list[Column] = []
     # canonical edge ids per segment for openCypher relationship
@@ -1412,10 +1435,14 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             cur = cur.join(e, cur[f"{prev_alias}__vid"] == e[f"{ea}__src"],
                            "inner")
             end_col = f"{ea}__dst"
+            seg_have = {c for c in eprops if c not in ("_dir", "_etype")}
             path_parts.append(F.array(F.struct(
                 F.col(f"{ea}__src").alias("s"),
                 F.col(f"{ea}__dst").alias("d"),
-                F.col(f"{ea}__rank").alias("r"))))
+                F.col(f"{ea}__rank").alias("r"),
+                F.col(f"{ea}___dir").alias("t"),
+                F.col(f"{ea}___etype").alias("et"),
+                *_part_fields(seg_have, lambda p: F.col(f"{ea}__{p}")))))
             hop_counts.append(F.lit(1))
             canon_single.append(_canon_hop(ea))
         else:
@@ -1472,20 +1499,28 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                         mode=sp_mode, min_hops=sp_min,
                         self_loop_once=True)
                 shortest_done = True
+                seg_props = []
             else:
-                tr = traverse(edges.select(SRC, DST, RANK, "_etype"),
-                              seeds, me.min_hops, me.max_hops, me.direction,
-                              self_loop_once=True)
+                seg_props = sorted(
+                    c for c in edges.columns
+                    if c not in (SRC, DST, RANK, "_etype") and c in pat_props)
+                tr = traverse(
+                    edges.select(SRC, DST, RANK, "_etype", *seg_props),
+                    seeds, me.min_hops, me.max_hops, me.direction,
+                    self_loop_once=True, prop_cols=seg_props)
             tr = tr.select(F.col("start_vid").alias(f"{prev_alias}__vid"),
                            F.col("end_vid").alias(f"{ea}__dst"),
                            F.col("hops").alias(f"{ea}__hops"),
                            F.col("path").alias(f"{ea}__path"))
             cur = cur.join(tr, f"{prev_alias}__vid", "inner")
             end_col = f"{ea}__dst"
+            have = set(seg_props)
             path_parts.append(F.transform(
                 F.col(f"{ea}__path"),
                 lambda x: F.struct(x["s"].alias("s"), x["d"].alias("d"),
-                                   x["r"].alias("r"))))
+                                   x["r"].alias("r"), x["t"].alias("t"),
+                                   x["et"].alias("et"),
+                                   *_part_fields(have, lambda p: x[p]))))
             hop_counts.append(F.col(f"{ea}__hops"))
             canon_paths.append(_canon_path(ea))
         if na in aliases:

@@ -4226,3 +4226,27 @@ def test_find_path_yield_validation(nba_space):
         execute(nba_space,
                 'FIND SHORTEST PATH FROM "Tim Duncan" TO "Tony Parker" '
                 'OVER like YIELD path as p, path as q')
+
+
+def test_nullprop_relationships_prop(nba_space):
+    """bugfix/NullProp.feature — relationships(p)[0].likeness resolves:
+    path structs carry the pattern's edge props (inlined from the hop
+    join for single-hop segments; Path.h:15 Step props)."""
+    df = execute(nba_space,
+                 'match p = (v)-[e:like]->() '
+                 'where id(v) in ["Tim Duncan"] '
+                 'with relationships(p) as tt, e '
+                 'return tt[0].likeness AS l')
+    assert [r.l for r in df.collect()] == [95, 95]
+
+
+def test_varlen_path_relationship_props(nba_space):
+    """Var-len named-path prop access: traverse carries the segment's
+    edge props into the path structs (opt-in prop_cols), so each step's
+    likeness reads through relationships(p)."""
+    df = execute(nba_space,
+                 'MATCH p = (v:player{name:"Tim Duncan"})-[e:like*2]->(m) '
+                 'WHERE m.player.name == "LaMarcus Aldridge" '
+                 'RETURN relationships(p)[0].likeness AS l0, '
+                 'relationships(p)[1].likeness AS l1')
+    assert rows(df, "l0", "l1") == [(95, 90)]
