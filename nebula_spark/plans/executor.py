@@ -514,10 +514,27 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
     runtime_input = isinstance(st.sources, str)
     keyed: DataFrame | None = None
     if runtime_input:
+        # same column-existence/duplicate checks and reference error
+        # phrasing as _vid_frame's _checked — the keyed path used to
+        # bypass them, surfacing raw AnalysisExceptions (r5 ADVICE)
         src_df = piped if st.sources == "$-" else (env or {}).get(st.sources)
         if src_df is None:
-            raise ValueError(f"undefined query variable {st.sources}")
+            if st.sources == "$-":
+                raise ValueError(
+                    f"`$-.{st.src_col}', not exist prop `{st.src_col}'"
+                    if st.src_col else "$- with no piped input")
+            raise ValueError(
+                f"`{st.sources}.{st.src_col}', not exist variable "
+                f"`{st.sources[1:]}'" if st.src_col
+                else f"undefined query variable {st.sources}")
         src_col = st.src_col or src_df.columns[0]
+        n_col = src_df.columns.count(src_col)
+        sigil = "$-" if st.sources == "$-" else st.sources
+        if n_col == 0:
+            raise ValueError(f"`{sigil}.{src_col}', not exist prop "
+                             f"`{src_col}'")
+        if n_col > 1:
+            raise ValueError(f"Duplicate Column Name : `{src_col}'")
         keyed = (src_df.withColumn("__row", F.monotonically_increasing_id())
                  .localCheckpoint(eager=True))
         start = keyed.select("__row", F.col(src_col).alias(VID))
