@@ -2032,15 +2032,63 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     # consumed by the next aggregate projection's ordered collect()
     pending_order: list[tuple[str, bool]] | None = None
 
+    def _join_pattern(base, base_bound, base_ebound, pat, aliases, eals,
+                      how):
+        """Join a built pattern frame onto ``base`` over shared node /
+        edge aliases. A shared EDGE alias joins on edge identity
+        (MatchJoinOnEdge.feature): single edges on (src, dst, rank),
+        var-len on the whole hop list; mixing the two arities is the
+        reference's SemanticError."""
+        shared = [a for a in sorted(base_bound & aliases)]
+        shared_edges = [a for a in sorted(base_ebound & eals)]
+        keys = [f"{a}__vid" for a in shared]
+        for a in shared_edges:
+            base_list = f"{a}__path" in base.columns
+            pat_list = f"{a}__path" in pat.columns
+            if base_list != pat_list:
+                raise ValueError(f"`{a}' binding to different type: "
+                                 "Edge vs EdgeList")
+            keys += [f"{a}__path"] if pat_list else [
+                f"{a}__src", f"{a}__dst", f"{a}__rank"]
+        if keys:
+            # pattern side re-binds shared aliases: drop its duplicate
+            # prop columns, keep only new ones + keys
+            dup = [c for c in pat.columns
+                   if any(c.startswith(f"{a}__")
+                          for a in shared + shared_edges)
+                   and c not in keys]
+            return base.join(pat.drop(*dup), on=keys, how=how)
+        return base.crossJoin(pat) if how == "inner" \
+            else base.join(pat, F.lit(True), "left")
+
     for cl in st.clauses:
         if isinstance(cl, A.MatchClause):
             # relationship uniqueness is per path pattern, NOT across
             # comma patterns of one clause: the reference's
             # MultiQueryParts.feature:9-28 golden includes m-n and n-l
             # matched over the SAME edge in different comma patterns
-            for path in cl.paths:
-                pat, aliases, eals, ppaths, ptags, _pc = _build_pattern(
-                    space, path, counter)
+            built = [_build_pattern(space, path, counter)
+                     for path in cl.paths]
+            if cl.optional and len(built) > 1:
+                # comma patterns of ONE OPTIONAL MATCH are a single
+                # pattern and must hold all-or-nothing (openCypher; the
+                # reference's BI15 fan count relies on it): inner-join
+                # them into one block on the aliases they share with each
+                # other, then left-join the block ONCE below on the
+                # aliases the outer frame binds — separate left joins
+                # would let pattern 1's bindings survive rows where
+                # pattern 2 fails.
+                p0, a0_, e0, pp0, pt0, _ = built[0]
+                a0_, e0, pp0, pt0 = set(a0_), set(e0), set(pp0), dict(pt0)
+                for (p2, a2, e2, pp2, pt2, _pc) in built[1:]:
+                    p0 = _join_pattern(p0, a0_, e0, p2, set(a2), set(e2),
+                                       "inner")
+                    a0_ |= a2
+                    e0 |= e2
+                    pp0 |= pp2
+                    pt0.update(pt2)
+                built = [(p0, a0_, e0, pp0, pt0, None)]
+            for pat, aliases, eals, ppaths, ptags, _pc in built:
                 if cl.where is not None and cl.optional:
                     # WHERE of an OPTIONAL MATCH filters the pattern side
                     # BEFORE the left join (openCypher semantics)
@@ -2052,35 +2100,9 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 if cur is None:
                     cur = pat
                 else:
-                    shared = [a for a in sorted(bound & aliases)]
-                    shared_edges = [a for a in sorted(ebound & eals)]
-                    how = "left" if cl.optional else "inner"
-                    # a shared EDGE alias joins the clauses on edge
-                    # identity (MatchJoinOnEdge.feature): single edges on
-                    # (src, dst, rank), var-len on the whole hop list;
-                    # mixing the two arities is the reference's
-                    # SemanticError
-                    keys = [f"{a}__vid" for a in shared]
-                    for a in shared_edges:
-                        cur_list = f"{a}__path" in cur.columns
-                        pat_list = f"{a}__path" in pat.columns
-                        if cur_list != pat_list:
-                            raise ValueError(
-                                f"`{a}' binding to different type: "
-                                "Edge vs EdgeList")
-                        keys += [f"{a}__path"] if pat_list else [
-                            f"{a}__src", f"{a}__dst", f"{a}__rank"]
-                    if keys:
-                        # pattern side re-binds shared aliases: drop its
-                        # duplicate prop columns, keep only new ones + keys
-                        dup = [c for c in pat.columns
-                               if any(c.startswith(f"{a}__")
-                                      for a in shared + shared_edges)
-                               and c not in keys]
-                        cur = cur.join(pat.drop(*dup), on=keys, how=how)
-                    else:
-                        cur = cur.crossJoin(pat) if not cl.optional \
-                            else cur.join(pat, F.lit(True), "left")
+                    cur = _join_pattern(
+                        cur, bound, ebound, pat, set(aliases), set(eals),
+                        "left" if cl.optional else "inner")
                 bound |= aliases
                 ebound |= eals
                 pbound |= ppaths
@@ -2148,10 +2170,13 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
             if cl.limit is not None:
                 cur = cur.limit(cl.limit)
             if cl.where is not None:
-                cur = cur.filter(
-                    ExprCompiler(_match_resolver(bound | ebound, pbound,
-                                                 cur.columns, tagmap))
-                    .col(cl.where))
+                # full WHERE machinery, not a bare filter: a pattern
+                # predicate delayed to the WITH's WHERE — the reference's
+                # own BI8 rewrite ("where clause with pattern expression
+                # will be delay to next clause", Read.feature:216) — needs
+                # the PatternApply semi/anti join path
+                cur = _apply_where(space, cur, cl.where, bound, counter,
+                                   pbound, tagmap, ebound)
         elif isinstance(cl, A.UnwindStmt):
             if cur is None:
                 cur = _exec_unwind(cl, cur, space.spark)

@@ -4288,3 +4288,194 @@ def test_properties_edge_multi_type_struct_deviation(nba_space):
     assert ("like", 95, None) in got
     assert any(t == "serve" and lk is None and sy is not None
                for t, lk, sy in got)
+
+
+# LDBC BI tranche 3 (r5): BI8/11/13/15/16/19/20 shapes from
+# tests/tck/ldbc/business_intelligence_workload/Read.feature, ported onto
+# the nba fixture with independently recomputed expected rows (plain
+# DataFrame joins / traverse calls, no front end).
+
+
+def test_ldbc_bi8_related_topics(nba_space):
+    """BI8 shape (Read.feature:216): comma patterns + WITH carrying the
+    anchor + a NOT-pattern predicate delayed to the next clause's WHERE
+    (the rewritten form the reference itself tests) + count(DISTINCT)."""
+    df = execute(nba_space, '''
+        MATCH (t:player {name: "Tim Duncan"})<-[:like]-(liker:player),
+              (liker)<-[:like]-(fan:player)-[:serve]->(team:team)
+        WITH team, fan, t
+        WHERE NOT (fan)-[:like]->(t)
+        RETURN team.team.name AS teamName, count(DISTINCT fan) AS cnt
+        ORDER BY cnt DESC, teamName ASC
+        LIMIT 100
+    ''')
+    assert rows(df, "teamName", "cnt") == [
+        ('Spurs', 2), ('Grizzlies', 1), ('Kings', 1), ('Raptors', 1),
+        ('Rockets', 1), ('Trail Blazers', 1)]
+
+
+def test_ldbc_bi11_unrelated_replies(nba_space):
+    """BI11 shape (Read.feature:331): WITH list-literal blacklist + a
+    size([w IN list WHERE … | w]) == 0 comprehension filter + OPTIONAL
+    MATCH path binding filtered to p IS NULL + a second OPTIONAL MATCH +
+    two count(DISTINCT) over different bindings."""
+    df = execute(nba_space, '''
+        WITH ["Tim", "Tony"] AS blacklist
+        MATCH (team:team)<-[:serve]-(person:player)<-[:like]-(liker:player)
+        WHERE id(team) == "Spurs" AND
+              size([w IN blacklist
+                    WHERE liker.player.name CONTAINS w | w]) == 0
+        OPTIONAL MATCH p = (person)-[:teammate]->(liker)
+        WITH person.player.name AS personName, liker, p
+        WHERE p IS NULL
+        OPTIONAL MATCH (:player)-[lk:like]->(liker)
+        RETURN personName, liker.player.name AS likerName,
+               count(DISTINCT lk) AS countLikes,
+               count(DISTINCT liker) AS countLikers
+        ORDER BY countLikes DESC, personName ASC, likerName ASC
+        LIMIT 8
+    ''')
+    assert rows(df, "personName", "likerName", "countLikes",
+                "countLikers") == [
+        ('Rudy Gay', 'Tracy McGrady', 3, 1),
+        ('Danny Green', 'Marco Belinelli', 2, 1),
+        ('Marco Belinelli', 'Danny Green', 2, 1),
+        ('Tim Duncan', 'Marco Belinelli', 2, 1),
+        ('Tony Parker', 'Marco Belinelli', 2, 1),
+        ('LaMarcus Aldridge', 'Rudy Gay', 1, 1),
+        ('Paul Gasol', 'Marc Gasol', 1, 1),
+        ('Tim Duncan', "Shaquille O'Neal", 1, 1)]
+
+
+def test_ldbc_bi13_popular_per_bucket(nba_space):
+    """BI13 shape (Read.feature:382): integer div/mod bucketing +
+    WITH-aggregate + ORDER BY feeding an order-preserving collect + a
+    NULL-dropping list comprehension + slice [0..3]. Serve-stint
+    multiplicity doubles Marco Belinelli's idol rows — row-per-edge
+    semantics surface in the popularity counts."""
+    df = execute(nba_space, '''
+        MATCH (team:team {name: "Spurs"})<-[:serve]-(person:player)
+        OPTIONAL MATCH (person)-[:like]->(idol:player)
+        WITH toInteger(person.player.age/10) AS decade,
+             person.player.age % 10 AS yr, person, idol
+        WITH decade, yr, count(person) AS popularity,
+             idol, idol.player.name AS idolName
+        ORDER BY popularity DESC, idolName ASC
+        WITH decade, yr, collect(idolName) AS pops
+        WITH decade, yr, [x IN pops WHERE x IS NOT NULL] AS pops
+        RETURN decade, yr, pops[0..3] AS top
+        ORDER BY decade DESC, yr ASC
+        LIMIT 100
+    ''')
+    got = [(r.decade, r.yr, list(r.top)) for r in df.collect()]
+    assert got == [
+        (4, 1, ['Tim Duncan']),
+        (4, 2, ['Manu Ginobili', 'Tony Parker']),
+        (3, 1, ['LeBron James', 'Marco Belinelli', 'Tim Duncan']),
+        (3, 2, ['Tim Duncan', 'Danny Green', 'Tony Parker']),
+        (3, 3, ['Tim Duncan', 'Tony Parker']),
+        (3, 4, ['Manu Ginobili', 'Tim Duncan']),
+        (3, 6, ['Tim Duncan', 'LaMarcus Aldridge', 'Manu Ginobili']),
+        (3, 8, ['Kobe Bryant', 'Marc Gasol']),
+        (3, 9, ['Grant Hill', 'Kobe Bryant', 'Rudy Gay']),
+        (2, 5, []),
+        (2, 7, []),
+        (2, 9, ['Chris Paul', 'Danny Green', 'James Harden'])]
+
+
+def test_ldbc_bi15_social_normals(nba_space):
+    """BI15 shape (Read.feature:439): OPTIONAL comma-pattern fan count →
+    avg → floor, then the scalar carried by WITH across a re-entry MATCH
+    and compared against a fresh per-person count (the two-phase
+    social-normal query). Stint multiplicity counts per serve edge."""
+    df = execute(nba_space, '''
+        MATCH (t:team) WHERE id(t) == "Spurs"
+        MATCH (t)<-[:serve]-(p1:player)
+        OPTIONAL MATCH (t)<-[:serve]-(f1:player), (f1)-[:like]->(p1)
+        WITH t, p1, count(f1) AS c1
+        WITH t, avg(c1) AS socialNormalFloat
+        WITH t, floor(socialNormalFloat) AS socialNormal
+        MATCH (t)<-[:serve]-(p2:player)
+        OPTIONAL MATCH (t)<-[:serve]-(f2:player), (f2)-[:like]->(p2)
+        WITH p2, count(f2) AS c2, socialNormal
+        WHERE c2 == socialNormal
+        RETURN p2.player.name AS name, c2 AS cnt
+        ORDER BY name ASC
+        LIMIT 100
+    ''')
+    assert rows(df, "name", "cnt") == [('Kyle Anderson', 1),
+                                       ('Rudy Gay', 1)]
+
+
+def test_ldbc_bi16_experts_in_circle(nba_space):
+    """BI16 shape (Read.feature:469): undirected var-len *2..3 circle +
+    WITH DISTINCT re-entry + comma patterns + a further chained MATCH +
+    count(DISTINCT) with three-key ordering."""
+    df = execute(nba_space, '''
+        MATCH (n:player)-[:like*2..3]-(person:player)
+        WHERE id(n) == "Yao Ming"
+        WITH DISTINCT person
+        MATCH (person)-[:serve]->(:team {name: "Spurs"}),
+              (person)<-[:like]-(fan:player)
+        MATCH (fan)-[:like]->(other:player)
+        RETURN person.player.name AS personName,
+               other.player.name AS otherName,
+               count(DISTINCT fan) AS fanCount
+        ORDER BY fanCount DESC, otherName ASC, personName ASC
+        LIMIT 10
+    ''')
+    assert rows(df, "personName", "otherName", "fanCount") == [
+        ('Tim Duncan', 'Tim Duncan', 10),
+        ('Tony Parker', 'Tony Parker', 5),
+        ('Manu Ginobili', 'Manu Ginobili', 4),
+        ('Tony Parker', 'Tim Duncan', 4),
+        ('Tim Duncan', 'Tony Parker', 4),
+        ('LaMarcus Aldridge', 'LaMarcus Aldridge', 3),
+        ('Tim Duncan', 'Manu Ginobili', 3),
+        ('Manu Ginobili', 'Tim Duncan', 3),
+        ('Tracy McGrady', 'Tracy McGrady', 3),
+        ('Danny Green', 'Danny Green', 2)]
+
+
+def test_ldbc_bi19_strangers_interaction(nba_space):
+    """BI19 shape (Read.feature:534): two WITH DISTINCT narrowing stages
+    over different anchors + directed var-len interaction + alias
+    inequality (person <> stranger) + NOT undirected pattern + mixed
+    count(DISTINCT)/count(*) — interactionCount keeps walk
+    multiplicity."""
+    df = execute(nba_space, '''
+        MATCH (t1:team {name: "Spurs"})<-[:serve]-(stranger:player)
+        WITH DISTINCT stranger
+        MATCH (t2:team {name: "Hornets"})<-[:serve]-(stranger)
+        WITH DISTINCT stranger
+        MATCH (person:player)-[:like*1..2]->(stranger)
+        WHERE person.player.age > 30 AND person != stranger
+          AND NOT (person)-[:teammate]-(stranger)
+        RETURN person.player.name AS personName,
+               count(DISTINCT stranger) AS strangersCount,
+               count(*) AS interactionCount
+        ORDER BY interactionCount DESC, personName ASC
+        LIMIT 100
+    ''')
+    assert rows(df, "personName", "strangersCount", "interactionCount") == [
+        ('Danny Green', 2, 3), ('Boris Diaw', 1, 2),
+        ('Marco Belinelli', 1, 2), ('Aron Baynes', 1, 1),
+        ('Rudy Gay', 1, 1), ("Shaquille O'Neal", 1, 1),
+        ('Tiago Splitter', 1, 1)]
+
+
+def test_ldbc_bi20_high_level_topics(nba_space):
+    """BI20 shape (Read.feature:565): zero-length var-len hierarchy climb
+    (*0..2) + IN-list anchor + count(DISTINCT) — the *0 rows make the
+    anchor itself a topic (Yao Ming drops out only because nobody likes
+    him or his — nonexistent — teammates)."""
+    df = execute(nba_space, '''
+        MATCH (boss:player)<-[:teammate*0..2]-(mid:player)
+              <-[:like]-(fan:player)
+        WHERE id(boss) IN ["Tim Duncan", "Yao Ming"]
+        RETURN boss.player.name AS bossName,
+               count(DISTINCT fan) AS fanCount
+        ORDER BY fanCount DESC, bossName ASC
+        LIMIT 100
+    ''')
+    assert rows(df, "bossName", "fanCount") == [('Tim Duncan', 11)]
