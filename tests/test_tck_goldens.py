@@ -4479,3 +4479,55 @@ def test_ldbc_bi20_high_level_topics(nba_space):
         LIMIT 100
     ''')
     assert rows(df, "bossName", "fanCount") == [('Tim Duncan', 11)]
+
+
+def test_fap_yield_lookup_seeded_limits(nba_space):
+    """AllPath.feature:255 — $var FROM/TO seeded by LOOKUPs, PATH rows
+    through offset LIMIT into a count pipe. 281 total BIDIRECT ≤2-hop
+    walks from the >30 to the <=30 age cohort (independently recomputed
+    via one-sided enumeration)."""
+    script = ('$start = LOOKUP ON player WHERE player.age > 30 '
+              'YIELD id(vertex) AS id;'
+              '$end = LOOKUP ON player WHERE player.age <= 30 '
+              'YIELD id(vertex) AS id;'
+              'FIND ALL PATH FROM $start.id TO $end.id OVER * BIDIRECT '
+              'UPTO 2 STEPS YIELD path AS p {}| YIELD count(*) AS cnt')
+    for limit, want in (("", 281), ("| LIMIT 0, 174 ", 174),
+                        ("| LIMIT 200, 174 ", 81), ("| LIMIT 300, 10 ", 0)):
+        df = execute(nba_space, script.format(limit))
+        assert [r.cnt for r in df.collect()] == [want], limit
+
+
+def test_fap_yield_go_pipe_seeds(nba_space):
+    """AllPath.IntVid.feature:131 (string-vid form) — a LOOKUP|GO pipe
+    feeds FIND NOLOOP PATH's FROM and TO from two piped columns; offset
+    LIMIT over the 88 one-hop paths (independently recomputed)."""
+    q = ('lookup on player where player.age > 20 YIELD id(vertex) as vid '
+         '| go 1 step from $-.vid over * where "player" in labels($$) '
+         'yield distinct id($$) as dst, $-.vid as src '
+         '| find noloop path from $-.src to $-.dst over * upto 1 step '
+         'yield path as p | limit {} | yield count(*) AS cnt')
+    assert [r.cnt for r in execute(nba_space, q.format("10, 10")).collect()] \
+        == [10]
+    assert [r.cnt for r in execute(nba_space, q.format("80, 20")).collect()] \
+        == [8]
+
+
+def test_fap_yield_order_by_path_struct(nba_space):
+    """AllPath.IntVid.feature:103 (string-vid form) — ORDER BY $-.p sorts
+    the PATH struct (start, then hop array lexicographically) and LIMIT
+    keeps a deterministic prefix; the rows must be the first 3 of the
+    full sorted set."""
+    base = ('FIND ALL PATH FROM "Tim Duncan" TO "Tony Parker", "Spurs" '
+            'OVER like, serve UPTO 3 STEPS YIELD path as p ')
+    full = execute(nba_space, base + '| ORDER BY $-.p')
+    want = [r.p for r in full.collect()][:3]
+    got = execute(nba_space, base + '| ORDER BY $-.p | LIMIT 3')
+    assert [r.p for r in got.collect()] == want
+    # sanity: the direct one-hop path is in the full set
+    from nebula_spark.functions.graphfns import format_path
+    rendered = {r.s for r in full.select(
+        format_path(F.col("p")).alias("s")).collect()}
+    assert '<("Tim Duncan")-[:like]->("Tony Parker")>' in rendered
+    assert ('<("Tim Duncan")-[:like]->("Tony Parker")-[:like]->'
+            '("LaMarcus Aldridge")-[:serve]->("Spurs")>') in rendered
