@@ -2066,7 +2066,25 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
             # relationship uniqueness is per path pattern, NOT across
             # comma patterns of one clause: the reference's
             # MultiQueryParts.feature:9-28 golden includes m-n and n-l
-            # matched over the SAME edge in different comma patterns
+            # matched over the SAME edge in different comma patterns.
+            # Edge and path ALIASES, however, bind once per clause —
+            # re-declaring one in a later comma pattern is the
+            # reference's Redefined-alias SemanticError (match/
+            # Path.feature "distinct edges and paths"; node aliases may
+            # repeat as same-vertex constraints). Edges report before
+            # the path alias, matching the validator's order.
+            seen_e: set[str] = set()
+            seen_p: set[str] = set()
+            for path in cl.paths:
+                for me in path.edges:
+                    if me.alias and me.alias in seen_e | seen_p:
+                        raise ValueError(f"`{me.alias}': Redefined alias")
+                if path.path_alias and path.path_alias in seen_e | seen_p:
+                    raise ValueError(
+                        f"`{path.path_alias}': Redefined alias")
+                seen_e |= {me.alias for me in path.edges if me.alias}
+                if path.path_alias:
+                    seen_p.add(path.path_alias)
             built = [_build_pattern(space, path, counter)
                      for path in cl.paths]
             if cl.optional and len(built) > 1:

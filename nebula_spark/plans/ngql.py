@@ -1623,6 +1623,12 @@ class Parser:
             return ("src_vert",)
         if t.kind == "VAR_REF":
             self.i += 1
+            if self.peek().kind != "DOT":
+                # bare `$var` (optionally subscripted) as a value — the
+                # reference's parser refuses it outright
+                # (bugfix/VariableExpression.feature)
+                raise SyntaxError("Direct output of variable is "
+                                  f"prohibited near `{t.text}'")
             self.eat("DOT")
             return ("var_prop", t.text[1:], self.eat("NAME").text)
         if t.kind == "NAME" or (t.kind == "KW" and (

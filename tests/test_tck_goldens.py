@@ -4531,3 +4531,110 @@ def test_fap_yield_order_by_path_struct(nba_space):
     assert '<("Tim Duncan")-[:like]->("Tony Parker")>' in rendered
     assert ('<("Tim Duncan")-[:like]->("Tony Parker")-[:like]->'
             '("LaMarcus Aldridge")-[:serve]->("Spurs")>') in rendered
+
+
+def test_match_undeclared_tag_filter(nba_space):
+    """bugfix/MatchNotFilterTheUndeclaredTag.feature — a tag on the far
+    end filters membership without demanding the near end declare it; the
+    undirected team scan returns every server exactly once per stint."""
+    df = execute(nba_space,
+                 'MATCH (v:player{name:"Tim Duncan"})-->(v2:team) '
+                 'RETURN id(v2) AS t')
+    assert rows(df, "t") == [("Spurs",)]
+    df = execute(nba_space,
+                 'MATCH (v:team{name:"Spurs"})--(v2) RETURN id(v2) AS p')
+    got = sorted(r.p for r in df.collect())
+    assert len(got) == 18                   # 16 players + Marco's 2 stints
+    assert got.count("Marco Belinelli") == 2
+    assert "Tim Duncan" in got and "Tracy McGrady" in got
+
+
+def test_match_redefined_comma_pattern_aliases(nba_space):
+    """match/Path.feature "distinct edges and paths" — an edge or path
+    alias re-declared in a later comma pattern is the Redefined-alias
+    SemanticError (edges report before the path alias); fresh aliases
+    with repeated node aliases are legal same-vertex constraints."""
+    with pytest.raises(ValueError, match=r"`e': Redefined alias"):
+        execute(nba_space,
+                'MATCH p = (v:player)-[e:like]-(v1:player), '
+                'p = (v)-[e:like]-(v1) RETURN *')
+    with pytest.raises(ValueError, match=r"`e1': Redefined alias"):
+        execute(nba_space,
+                'MATCH p = (v:player)-[e:like]-(v1:player)-[e1:serve]-(t), '
+                'p = (v)-[e2:like]-(v1)-[e1:serve]-(t) RETURN *')
+    with pytest.raises(ValueError, match=r"`p': Redefined alias"):
+        execute(nba_space,
+                'MATCH p = (v:player)-[e:like]-(v1:player), '
+                'p = (v)-[e2:like]-(v1) RETURN *')
+    df = execute(nba_space,
+                 'MATCH p = (v:player{name:"Tim Duncan"})-[e:like]->(v1), '
+                 'p2 = (v)<-[e2:like]-(v1) RETURN count(*) AS n')
+    assert [r.n for r in df.collect()] == [2]   # Tony and Manu like back
+
+
+def test_match_start_from_middle_node(nba_space):
+    """match/StartFromAnyNode.feature — the anchor sits mid-pattern
+    (prop-inline and WHERE forms agree): 4 neighbors of Kyle Anderson in
+    ordered (n, l) pairs, n ≠ l by relationship uniqueness... the
+    reference's 12 rows."""
+    for q in (
+        'MATCH (n)-[]-(m:player{name:"Kyle Anderson"})-[]-(l) '
+        'RETURN id(n) AS n, id(l) AS l',
+        'MATCH (n)-[]-(m:player)-[]-(l) '
+        'WHERE m.player.name=="Kyle Anderson" '
+        'RETURN id(n) AS n, id(l) AS l',
+    ):
+        got = sorted(rows(execute(nba_space, q), "n", "l"))
+        nbrs = ["Dejounte Murray", "Grizzlies", "Spurs", "Tony Parker"]
+        want = sorted((a, b) for a in nbrs for b in nbrs if a != b)
+        assert got == want
+
+
+def test_variable_direct_output_prohibited(nba_space):
+    """bugfix/VariableExpression.feature — a bare `$var` (even
+    subscripted) is refused at parse time with the reference's
+    phrasing; only `$var.prop` reads are legal."""
+    with pytest.raises(SyntaxError,
+                       match=r"Direct output of variable is prohibited"):
+        execute(nba_space, '$var = YIELD 1 AS x; YIELD $var')
+    with pytest.raises(SyntaxError,
+                       match=r"Direct output of variable is prohibited"):
+        execute(nba_space,
+                '$var = GO FROM "Tim Duncan" OVER like '
+                'YIELD dst(edge) AS dst; YIELD $var[0][0]')
+
+
+def test_null_path_expr_multi_pattern(nba_space):
+    """bugfix/CrashWhenNullPathExpr.feature — a third comma pattern
+    binding a named path between two earlier comma-pattern anchors; the
+    only serve walk Yao→Rockets within *1..4 is the direct hop (any
+    longer return to Rockets would reuse a serve edge)."""
+    df = execute(nba_space,
+                 "MATCH (p:player {name: 'Yao Ming'}), "
+                 "(t:team {name: 'Rockets'}), "
+                 "pth = (p)-[:serve*1..4]-(t) "
+                 "RETURN length(pth) AS n")
+    assert [r.n for r in df.collect()] == [1]
+
+
+def test_null_input_of_length(nba_space):
+    """bugfix/NullInputOfLength.feature — length() over a string prop and
+    a path in one projection."""
+    df = execute(nba_space,
+                 "match p = (v)-[:like]->() where id(v) == 'Tim Duncan' "
+                 "return length(v.player.name) as l, length(p) as lp")
+    assert rows(df, "l", "lp") == [(10, 1), (10, 1)]
+
+
+def test_build_path_end_anchored_varlen(nba_space):
+    """bugfix/BuildPathMistake.feature — an end-anchored `()-[:like*2]->`
+    pattern builds paths from the anonymous start: the two feeders of
+    Tracy McGrady plus Grant Hill's own 2-cycle (edge-unique, distinct
+    edges)."""
+    df = execute(nba_space,
+                 "MATCH p = ()-[:like*2]->(v:player) "
+                 "WHERE id(v) == 'Grant Hill' "
+                 "RETURN nodes(p)[0] AS s, length(p) AS n")
+    got = sorted(rows(df, "s", "n"))
+    assert got == [("Grant Hill", 2), ("Vince Carter", 2),
+                   ("Yao Ming", 2)]
