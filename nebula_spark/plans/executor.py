@@ -1336,11 +1336,64 @@ def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
     return cur
 
 
+def _enrich_min_paths_props(space: GraphSpace, tr: DataFrame,
+                            enames: list[str],
+                            prop_names: list[str]) -> DataFrame:
+    """Typed edge props joined back onto identity-only minimal-path
+    structs AT RESULT-SHAPING TIME — the lazy half of the path-prop
+    design (SCALE.md): BFS frontiers never widen; only the minimal
+    result paths (already per-pair-pruned, orders of magnitude smaller
+    than any intermediate frontier) pay the explode → edge-table join →
+    regroup. ``tr``: (start_vid, end_vid, hops, path ≥1 edge)."""
+    lut = None
+    for n in enames:
+        e = space.edge(n)
+        keep = [c for c in e.columns
+                if c not in (SRC, DST, RANK) and c in prop_names]
+        part = e.select(F.lit(n).alias("_lt"), F.col(SRC).alias("_ls"),
+                        F.col(DST).alias("_ld"), F.col(RANK).alias("_lr"),
+                        *[F.col(c) for c in keep])
+        lut = part if lut is None else lut.unionByName(
+            part, allowMissingColumns=True)
+    # the id must be materialized once — three plan branches re-read it
+    tr = (tr.withColumn("_rid", F.monotonically_increasing_id())
+          .localCheckpoint(eager=True))
+    ex = tr.select("_rid", F.posexplode("path").alias("_pos", "_e"))
+    fwd = F.col("_e")["t"] >= 0
+    ss = F.when(fwd, F.col("_e")["s"]).otherwise(F.col("_e")["d"])
+    sd = F.when(fwd, F.col("_e")["d"]).otherwise(F.col("_e")["s"])
+    je = (ex.join(lut, (F.col("_e")["et"] == F.col("_lt"))
+                  & (ss == F.col("_ls")) & (sd == F.col("_ld"))
+                  & (F.col("_e")["r"] == F.col("_lr")), "left")
+          .select("_rid", F.struct(
+              F.col("_pos").alias("i"),
+              F.struct(F.col("_e")["s"].alias("s"),
+                       F.col("_e")["d"].alias("d"),
+                       F.col("_e")["r"].alias("r"),
+                       F.col("_e")["t"].alias("t"),
+                       F.col("_e")["et"].alias("et"),
+                       *[F.col(c) for c in prop_names]).alias("e"))
+              .alias("_pe")))
+    pe = je.groupBy("_rid").agg(
+        F.transform(F.array_sort(F.collect_list("_pe")),
+                    lambda x: x["e"]).alias("_p2"))
+    return (tr.join(pe, "_rid", "inner")   # min_hops >= 1 ⇒ path non-empty
+            .select("start_vid", "end_vid", "hops",
+                    F.col("_p2").alias("path")))
+
+
 def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
-                   seed: DataFrame | None = None) -> tuple[DataFrame, set[str]]:
+                   seed: DataFrame | None = None,
+                   lazy_path_props: bool = False
+                   ) -> tuple[DataFrame, set[str]]:
     """One pattern chain → DataFrame with alias-prefixed columns + the set
     of node aliases it binds (the Traverse/AppendVertices emission,
-    TraverseExecutor.cpp:25-676 / AppendVerticesExecutor.cpp:18-317)."""
+    TraverseExecutor.cpp:25-676 / AppendVerticesExecutor.cpp:18-317).
+
+    ``lazy_path_props``: the statement reads prop fields off path
+    relationships, so BFS-routed shortest segments — whose frontiers stay
+    identity-only by design — get their props joined back from the edge
+    tables onto the (small, minimal) result paths at shaping time."""
     def fresh(prefix: str) -> str:
         counter[0] += 1
         return f"_{prefix}{counter[0]}"
@@ -1517,6 +1570,14 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                         self_loop_once=True)
                 shortest_done = True
                 seg_props = []
+                if lazy_path_props:
+                    seg_props = sorted(
+                        c for c in edges.columns
+                        if c not in (SRC, DST, RANK, "_etype")
+                        and c in pat_props)
+                    if seg_props:
+                        tr = _enrich_min_paths_props(space, tr, enames,
+                                                     seg_props)
             else:
                 seg_props = sorted(
                     c for c in edges.columns
@@ -2021,8 +2082,40 @@ def _project_impl(cur, items, ec, bound):
     return out, out_bound, renames
 
 
+def _stmt_reads_path_props(st: A.MatchStmt) -> bool:
+    """Does any clause expression contain an attribute access? — the
+    (deliberately over-approximate) trigger for lazily joining props onto
+    BFS-routed shortest-path structs. False keeps those paths
+    identity-only, which is the common case; a false positive only costs
+    the shaping-time join when a shortest var-len segment also exists."""
+    def scan(e) -> bool:
+        if isinstance(e, tuple):
+            # attr: x["likeness"] on a struct value; edge_prop: the
+            # `x.likeness` form a comprehension var takes
+            if e and e[0] in ("attr", "edge_prop"):
+                return True
+            return any(scan(x) for x in e)
+        if isinstance(e, list):
+            return any(scan(x) for x in e)
+        return False
+
+    for cl in st.clauses:
+        for ex in getattr(cl, "items", None) or []:
+            if scan(getattr(ex, "expr", ex)):
+                return True
+        if scan(getattr(cl, "where", None)):
+            return True
+        if scan(getattr(cl, "expr", None)):
+            return True
+        if scan(getattr(cl, "order_by", None)):
+            return True
+    return any(scan(y.expr) for y in st.returns) \
+        or scan(st.order_by)
+
+
 def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     counter = [0]
+    lazy_props = _stmt_reads_path_props(st)
     cur: DataFrame | None = None
     bound: set[str] = set()
     ebound: set[str] = set()
@@ -2085,7 +2178,8 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 seen_e |= {me.alias for me in path.edges if me.alias}
                 if path.path_alias:
                     seen_p.add(path.path_alias)
-            built = [_build_pattern(space, path, counter)
+            built = [_build_pattern(space, path, counter,
+                                    lazy_path_props=lazy_props)
                      for path in cl.paths]
             if cl.optional and len(built) > 1:
                 # comma patterns of ONE OPTIONAL MATCH are a single

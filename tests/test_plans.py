@@ -267,3 +267,20 @@ def test_all_paths_expands_half_depth_from_both_ends(spark, monkeypatch):
     got = P.all_paths(e, src, dst, max_hops=6).collect()
     assert [(r.start_vid, r.end_vid, r.hops) for r in got] == [("a", "d", 3)]
     assert sorted(calls) == [(3, "in"), (3, "out")]
+
+
+def test_all_paths_conjunct_is_equi_join(spark):
+    """The ALL PATH middle conjunct must plan as an equi-join on the
+    meeting vertex — a nested-loop/cartesian there would pair every left
+    walk with every right walk (b^(L/2) × b^(L/2) = the b^L blowup the
+    design removes)."""
+    from nebula_spark.operators.paths import all_paths
+
+    e = spark.createDataFrame(
+        [("a", "b", 0), ("b", "c", 0), ("b", "d", 0), ("c", "d", 0)],
+        "src string, dst string, rank long")
+    src = spark.createDataFrame([("a",)], ["vid"])
+    dst = spark.createDataFrame([("d",)], ["vid"])
+    plan = plan_of(all_paths(e, src, dst, max_hops=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -4638,3 +4638,22 @@ def test_build_path_end_anchored_varlen(nba_space):
     got = sorted(rows(df, "s", "n"))
     assert got == [("Grant Hill", 2), ("Vince Carter", 2),
                    ("Yao Ming", 2)]
+
+
+def test_shortest_path_relationship_props(nba_space):
+    """Prop access over BFS-routed shortestPath structs: the identity-only
+    frontier design holds, and props join back LAZILY onto the minimal
+    result paths at shaping time (_enrich_min_paths_props; the bidir and
+    single-sided routes both covered)."""
+    df = execute(nba_space,
+                 'MATCH p = allShortestPaths((a:player{name:"Tim Duncan"})'
+                 '-[e:like*..3]->(b:player{name:"LaMarcus Aldridge"})) '
+                 'RETURN relationships(p)[0].likeness AS l0, '
+                 'relationships(p)[1].likeness AS l1')
+    assert rows(df, "l0", "l1") == [(95, 90)]
+    df = execute(nba_space,
+                 'MATCH p = allShortestPaths('
+                 '(a:player{name:"Tiago Splitter"})-[e:like*..3]->'
+                 '(b:player{name:"LaMarcus Aldridge"})) '
+                 'RETURN [x IN relationships(p) | x.likeness] AS ls')
+    assert [list(r.ls) for r in df.collect()] == [[80, 95, 90]]
