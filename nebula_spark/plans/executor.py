@@ -394,6 +394,19 @@ class ExprCompiler:
                 return self.resolve("graph_fn", name, key)
             except ValueError:
                 pass                      # not a MATCH binding → fall through
+        if name in ("is_edge", "is_vertex", "is_path") and len(args) == 1 \
+                and isinstance(args[0], tuple) and args[0][0] == "name" \
+                and self.df is not None:
+            # type predicates over MATCH bindings (FunctionManager
+            # typePredicates; bugfix/ExtractFilter.feature): binding kind
+            # is static — decided off the frame's convention columns
+            a = args[0][1]
+            cols = set(self.df.columns)
+            kind = ("edge" if f"{a}__src" in cols
+                    else "path" if f"{a}__start" in cols
+                    and f"{a}__path" in cols
+                    else "vertex" if f"{a}__vid" in cols else None)
+            return F.lit(kind == name.split("_", 1)[1])
         if name in ("bit_or", "bit_and", "bit_xor") and len(args) == 2:
             # two-arg form is the SCALAR bitwise op (FunctionManager
             # bit_* binary overloads); one-arg stays the aggregate
@@ -1773,7 +1786,8 @@ def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
         for p in plain[1:]:
             pred = ("and", pred, p)
         cur = cur.filter(
-            ExprCompiler(_match_resolver(allb, pbound, cur.columns, tagmap))
+            ExprCompiler(_match_resolver(allb, pbound, cur.columns, tagmap),
+                         df=cur)
             .col(pred))
     return cur
 

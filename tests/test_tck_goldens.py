@@ -4657,3 +4657,57 @@ def test_shortest_path_relationship_props(nba_space):
                  '(b:player{name:"LaMarcus Aldridge"})) '
                  'RETURN [x IN relationships(p) | x.likeness] AS ls')
     assert [list(r.ls) for r in df.collect()] == [[80, 95, 90]]
+
+
+def test_same_tag_propname(spark):
+    """match/SameTagPropname.feature — two tags sharing prop names on the
+    same vids: `v.player.name` reads the bound tag's column while
+    `v.student.name` lazily joins the other tag; full DDL + INSERT +
+    MATCH script through the catalog."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, '''
+        CREATE SPACE stp;
+        USE stp;
+        CREATE TAG student(name string, age int, score float);
+        CREATE TAG player(name string, age int, height float);
+        CREATE EDGE like(likeness int);
+        INSERT VERTEX student(name, age, score) VALUES
+          "zhang":("s_zhang", 18, 89), "wang": ("s_wang", 22, 82),
+          "li":   ("s_li",    20, 91), "zhao": ("s_zhao", 20, 99),
+          "qian": ("s_qian",  19, 88), "sun":  ("s_sun",  17, 72);
+        INSERT VERTEX player(name, age, height) VALUES
+          "zhang":("p_zhang", 18, 189), "wang": ("p_wang", 22, 192),
+          "li":   ("p_li",    20, 201), "zhao": ("p_zhao", 20, 187),
+          "qian": ("p_qian",  19, 179), "sun":  ("p_sun",  17, 192);
+        INSERT EDGE like(likeness) VALUES
+          "zhang"->"wang":(98), "zhao"->"li":(99), "li"->"sun":(99),
+          "wang"->"zhang":(91), "qian"->"zhang":(20)
+    ''')
+    df = execute(cat, 'USE stp; match (v:player) where v.player.age > 20 '
+                      'return v.player.name AS pn, v.student.name AS sn')
+    assert rows(df, "pn", "sn") == [("p_wang", "s_wang")]
+    df = execute(cat, 'USE stp; match (v:student) where '
+                      'v.student.score > 90 return v.student.name AS sn, '
+                      'v.player.height AS h')
+    assert sorted(rows(df, "sn", "h")) == [("s_li", 201.0),
+                                           ("s_zhao", 187.0)]
+    df = execute(cat, 'USE stp; match (v:player)-[e:like]->(d) where '
+                      'v.player.age > 19 return e.likeness AS lk, '
+                      'v.student.name AS sn, v.player.name AS pn')
+    assert sorted(rows(df, "lk", "sn", "pn")) == [
+        (91, "s_wang", "p_wang"), (99, "s_li", "p_li"),
+        (99, "s_zhao", "p_zhao")]
+    execute(cat, "DROP SPACE stp")
+
+
+def test_extract_filter_type_predicate(nba_space):
+    """bugfix/ExtractFilter.feature — a disjunct mixing a constant, a
+    NOT is_edge(node) type predicate and a prop test must not be
+    mis-extracted into the pattern join."""
+    df = execute(nba_space,
+                 "MATCH (v:player{name: 'Tim Duncan'})-[:like]->(t) "
+                 "WHERE ((1 == 1 AND (NOT is_edge(t))) OR "
+                 "(v.player.name == 'Tim Duncan')) "
+                 "RETURN v.player.name AS n")
+    assert [r.n for r in df.collect()] == ["Tim Duncan", "Tim Duncan"]
