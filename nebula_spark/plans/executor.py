@@ -409,10 +409,28 @@ class ExprCompiler:
             return F.lit(kind == name.split("_", 1)[1])
         if name in ("bit_or", "bit_and", "bit_xor") and len(args) == 2:
             # two-arg form is the SCALAR bitwise op (FunctionManager
-            # bit_* binary overloads); one-arg stays the aggregate
+            # bit_* binary overloads); one-arg stays the aggregate.
+            # A statically non-integer literal operand is the reference's
+            # planning-time type error (function/Mathematical.feature)
+            for bad in args:
+                if bad[0] == "lit" and bad[1] is not None \
+                        and not (isinstance(bad[1], int)
+                                 and not isinstance(bad[1], bool)):
+                    raise ValueError(f"Type error `{name}()'")
             a, b = self.col(args[0]), self.col(args[1])
             return {"bit_or": a.bitwiseOR(b), "bit_and": a.bitwiseAND(b),
                     "bit_xor": a.bitwiseXOR(b)}[name]
+        if name in ("toboolean", "tofloat") and len(args) == 1 \
+                and args[0][0] == "lit" and args[0][1] is not None:
+            # literal argument type rules (function/TypeConversion.feature):
+            # toBoolean takes bool/string only, toFloat numeric/string only
+            v = args[0][1]
+            if name == "toboolean" and isinstance(v, (int, float)) \
+                    and not isinstance(v, bool):
+                raise ValueError(f"Type error `toBoolean({v})'")
+            if name == "tofloat" and isinstance(v, bool):
+                raise ValueError(
+                    f"Type error `toFloat({str(v).lower()})'")
         if name in _AGG_FNS:
             if args and args[0] == ("star",):
                 return agg_call("count", F.lit(1))

@@ -4711,3 +4711,76 @@ def test_extract_filter_type_predicate(nba_space):
                  "(v.player.name == 'Tim Duncan')) "
                  "RETURN v.player.name AS n")
     assert [r.n for r in df.collect()] == ["Tim Duncan", "Tim Duncan"]
+
+
+def test_bit_functions_and_type_rules(nba_space):
+    """expression/function/Mathematical.feature — nested scalar bit ops,
+    NULL propagation, and the planning-time type error for non-integer
+    literal operands."""
+    df = execute(nba_space,
+                 "return bit_and(5, bit_xor(4, bit_or(1, 2))) as basic")
+    assert [r.basic for r in df.collect()] == [5]
+    df = execute(nba_space,
+                 "return [bit_and(5, null), bit_or(5, null), "
+                 "bit_xor(5, null)] as null_test")
+    assert [list(r.null_test) for r in df.collect()] == [[None, None, None]]
+    with pytest.raises(ValueError, match="Type error"):
+        execute(nba_space, "return bit_and(5, true) AS x")
+    with pytest.raises(ValueError, match="Type error"):
+        execute(nba_space, "return bit_xor(\"5\", 1) AS x")
+
+
+def test_type_conversion_rules(nba_space):
+    """expression/function/TypeConversion.feature — toBoolean parses
+    bool-ish strings case-insensitively (non-bool strings → NULL) and
+    refuses numeric literals; toFloat parses numeric strings and refuses
+    bool literals; runtime (UNWIND) values convert per-row."""
+    df = execute(nba_space,
+                 'YIELD [toBoolean(true), toBoolean(false), '
+                 'toBoolean("trUe"), toBoolean("3.14"), toBoolean(null)] '
+                 'AS bs')
+    assert [list(r.bs) for r in df.collect()] == [
+        [True, False, True, None, None]]
+    with pytest.raises(ValueError, match=r"Type error `toBoolean\(1\)'"):
+        execute(nba_space, "YIELD [toBoolean(1), toBoolean(3.14)] AS x")
+    df = execute(nba_space,
+                 'YIELD [toFloat(1), toFloat(3.14), toFloat("trUe"), '
+                 'toFloat("3.14"), toFloat(null)] AS fs')
+    assert [list(r.fs) for r in df.collect()] == [
+        [1.0, 3.14, None, 3.14, None]]
+    with pytest.raises(ValueError, match=r"Type error `toFloat\(true\)'"):
+        execute(nba_space, "YIELD [toFloat(true), toFloat(false)] AS x")
+    df = execute(nba_space,
+                 'UNWIND [1, 3.14, "trUe", "3.14", null] AS b '
+                 'RETURN toFloat(b) AS f')
+    assert sorted((r.f is None, r.f) for r in df.collect()) == sorted(
+        [(False, 1.0), (False, 3.14), (True, None), (False, 3.14),
+         (True, None)])
+
+
+def test_use_space_then_match(nba_space):
+    """bugfix/UseSpaceAndMatch.feature — USE then MATCH in one script
+    (user/grant machinery is obsolete here); team dsts read player.age
+    as NULL."""
+    df = execute(nba_space,
+                 'USE nba; MATCH (p)-[e]->(v) '
+                 'WHERE id(p) == "Tony Parker" RETURN v.player.age AS age')
+    got = sorted((r.age is None, r.age) for r in df.collect())
+    assert got == sorted([(True, None), (True, None), (False, 25),
+                          (False, 33), (False, 41), (False, 42),
+                          (False, 33), (False, 41), (False, 42)])
+
+
+def test_contains_filter_on_far_end(nba_space):
+    """bugfix/ContainsFilter.feature — CONTAINS / STARTS WITH / ENDS WITH
+    over the far end's tag props, including an undeclared team tag."""
+    df = execute(nba_space,
+                 'MATCH (n:player{name:"Tim Duncan"})-[e]->(m) '
+                 'where m.player.name contains "Tony Parker" '
+                 'RETURN type(e) AS t ORDER BY t')
+    assert [r.t for r in df.collect()] == ["like", "teammate"]
+    df = execute(nba_space,
+                 'MATCH (n:player{name:"Tim Duncan"})-[e]->(m) '
+                 'where m.team.name ends with "urs" '
+                 'RETURN id(m) AS m, type(e) AS t')
+    assert rows(df, "m", "t") == [("Spurs", "serve")]
