@@ -74,8 +74,9 @@ def time_plus(t: Column, dur: Column) -> Column:
     """TIME + duration (Date.h:115 Time arithmetic): only the seconds
     component applies (TIME has no date part for months to act on); wraps
     mod 24 h. Returns the same struct(hour, minute, sec) convention."""
-    total = (t["hour"].cast("long") * 3600 + t["minute"].cast("long") * 60
-             + t["sec"] + dur["seconds"]) % 86400
+    total = F.pmod(t["hour"].cast("long") * 3600
+                   + t["minute"].cast("long") * 60
+                   + t["sec"] + dur["seconds"], F.lit(86400))
     return F.struct(
         F.floor(total / 3600).cast("int").alias("hour"),
         F.floor(total % 3600 / 60).cast("int").alias("minute"),

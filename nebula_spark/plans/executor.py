@@ -83,6 +83,47 @@ def _is_floatish(e) -> bool:
     return False
 
 
+def _is_duration_type(dt) -> bool:
+    from pyspark.sql.types import StructType
+    return isinstance(dt, StructType) \
+        and set(dt.fieldNames()) == {"months", "seconds"}
+
+
+def _temporal_duration_arith(left_dt, a: Column, b: Column,
+                             plus: bool) -> Column | None:
+    """DATE/DATETIME/TIME ± DURATION (Date.cpp addDuration/subDuration):
+    months apply calendar-aware, then the seconds component — for DATE
+    only whole days of it (Duration::days() truncates toward zero);
+    TIME wraps mod 24 h. Returns None when the left type is not
+    temporal (caller falls through to numeric arithmetic)."""
+    from pyspark.sql.types import (DateType, StructType, TimestampNTZType,
+                                   TimestampType)
+    from nebula_spark.functions import temporal as T
+    if isinstance(left_dt, DateType):
+        months = b["months"] if plus else -b["months"]
+        # trunc-toward-zero day count survives negation symmetrically
+        days = (b["seconds"].cast("long") / F.lit(86400)).cast("long")
+        days = days if plus else -days
+        return F.date_add(F.add_months(a, months), days.cast("int"))
+    if isinstance(left_dt, (TimestampNTZType, TimestampType)):
+        return T.datetime_plus(a, b) if plus else T.datetime_minus(a, b)
+    if isinstance(left_dt, StructType) \
+            and {"hour", "minute", "sec"} <= set(left_dt.fieldNames()):
+        return T.time_plus(a, b) if plus else T.time_minus(a, b)
+    return None
+
+
+def _lit_col(v) -> Column:
+    """Literal value → Column, including the container values parameter
+    substitution introduces (parameter.feature): a list becomes a typed
+    array, a dict a struct (matching the map-literal encoding)."""
+    if isinstance(v, dict):
+        return F.struct(*[_lit_col(x).alias(k) for k, x in v.items()])
+    if isinstance(v, (list, tuple)):
+        return F.array(*[_lit_col(x) for x in v])
+    return F.lit(v)
+
+
 def _is_agg(e: tuple) -> bool:
     if not isinstance(e, tuple):
         return False
@@ -94,7 +135,7 @@ def _is_agg(e: tuple) -> bool:
 
 
 def _walk(e, kinds: set[str], out: list) -> None:
-    if not isinstance(e, tuple):
+    if not isinstance(e, tuple) or not e:
         return
     if isinstance(e[0], tuple):     # pair tuples, e.g. CASE (cond, val) arms
         _walk(e[0], kinds, out)
@@ -135,7 +176,7 @@ class ExprCompiler:
             raise ValueError(f"bad expr {e!r}")
         op = e[0]
         if op == "lit":
-            return F.lit(e[1])
+            return _lit_col(e[1])
         if op == "raw_agg":              # pre-built Column (ordered collect)
             return e[1]
         if op == "list":
@@ -193,6 +234,26 @@ class ExprCompiler:
             return -self.col(e[1])
         if op == "eqns":                 # null-safe equality (CASE arms)
             return self.col(e[1]).eqNullSafe(self.col(e[2]))
+        if op in ("==", "!=", "<", "<=", ">", ">="):
+            # dynamically-typed comparison of incomparable literal types:
+            # the reference yields NULL (Value.cpp lessThan/equal on
+            # mismatched types), where Spark refuses BOOLEAN-vs-numeric
+            # at analysis — resolve statically for literal sides
+            def _lt(x):
+                return type(x[1]) if isinstance(x, tuple) \
+                    and x[0] == "lit" and x[1] is not None else None
+            ta, tb = _lt(e[1]), _lt(e[2])
+            if ta is not None and tb is not None and ta is not tb \
+                    and bool in (ta, tb):
+                return F.lit(None).cast("boolean")
+            if op in ("<", "<=", ">", ">="):
+                # DURATION is unorderable (1 month vs 30 days has no
+                # answer — TimeComparison.feature: BAD_TYPE → typed null);
+                # only ==/!= compare field-wise
+                da = self._dtype(self.col(e[1]))
+                if _is_duration_type(da) \
+                        and _is_duration_type(self._dtype(self.col(e[2]))):
+                    return F.lit(None).cast("boolean")
         if op in ("==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%"):
             a, b = self.col(e[1]), self.col(e[2])
             if op == "+" and (_is_stringish(e[1]) or _is_stringish(e[2])):
@@ -205,11 +266,22 @@ class ExprCompiler:
                 # reference `+` over lists is concatenation
                 # (ArithmeticExpression LIST branch; LDBC BI10's
                 # `interestedPersons + collect(person)`): dispatched off
-                # the resolved schema when a frame is attached
-                from pyspark.sql.types import ArrayType
+                # the resolved schema when a frame is attached — and the
+                # STRING branch likewise applies when a side only
+                # resolves to string dynamically (parameter.feature
+                # `$-.id+$p1` ⇒ "Manu Ginobili1")
+                from pyspark.sql.types import ArrayType, StringType
                 if isinstance(self._dtype(a), ArrayType) \
                         or isinstance(self._dtype(b), ArrayType):
                     return F.concat(a, b)
+                if isinstance(self._dtype(a), StringType) \
+                        or isinstance(self._dtype(b), StringType):
+                    return F.concat(a.cast("string"), b.cast("string"))
+            if op in ("+", "-") and _is_duration_type(self._dtype(b)):
+                c = _temporal_duration_arith(self._dtype(a), a, b,
+                                             op == "+")
+                if c is not None:
+                    return c
             if op in ("==", "!=", "<", "<=", ">", ">=") \
                     and (_is_floatish(e[1]) or _is_floatish(e[2])):
                 # FLOAT comparisons are epsilon-tolerant in the reference
@@ -248,15 +320,43 @@ class ExprCompiler:
                 self.col(e[1]),
                 F.concat(F.lit("^(?:"), self.col(e[2]), F.lit(")$")))
         if op == "in":
-            if e[2][0] == "list" and all(
+            vals = None
+            if e[2][0] == "lit" and isinstance(e[2][1], list):
+                vals = e[2][1]          # folded parameter list (IN $p9)
+            elif e[2][0] == "list" and all(
                     isinstance(x, tuple) and x[0] == "lit"
-                    and x[1] is not None for x in e[2][1:]):
+                    for x in e[2][1:]):
                 vals = [x[1] for x in e[2][1:]]
-                if len({type(v) for v in vals}) == 1:
+            if vals is not None and vals and all(
+                    v is not None for v in vals):
+                if len({type(v) for v in vals}) == 1 and \
+                        not isinstance(vals[0], (list, dict)):
                     return self.col(e[1]).isin(*vals)
-            # mixed-type / NULL-bearing / computed lists — membership over
-            # the array value (heterogeneous elements coerce to a common
-            # Spark type, matching the reference's dynamic IN)
+                # mixed-type literal list (parameter.feature `IN
+                # [$p1,$p2,$p3,…]`): the reference's dynamically-typed IN
+                # can only match same-typed elements, so restrict the
+                # list by the left side's resolved type — containers and
+                # foreign types can never equal a scalar
+                lt = self._dtype(self.col(e[1]))
+                if lt is not None:
+                    from pyspark.sql.types import (BooleanType, DoubleType,
+                                                   FloatType, IntegerType,
+                                                   LongType, StringType)
+                    if isinstance(lt, StringType):
+                        kept = [v for v in vals if isinstance(v, str)]
+                    elif isinstance(lt, BooleanType):
+                        kept = [v for v in vals if isinstance(v, bool)]
+                    elif isinstance(lt, (IntegerType, LongType, FloatType,
+                                         DoubleType)):
+                        kept = [v for v in vals if isinstance(v, (int, float))
+                                and not isinstance(v, bool)]
+                    else:
+                        kept = []
+                    return self.col(e[1]).isin(*kept) if kept \
+                        else F.lit(False)
+            # NULL-bearing / computed lists — membership over the array
+            # value (heterogeneous elements coerce to a common Spark
+            # type, matching the reference's dynamic IN)
             return F.array_contains(self.col(e[2]), self.col(e[1]))
         if op == "is_null":
             return self.col(e[1]).isNull()
@@ -312,6 +412,27 @@ class ExprCompiler:
             return c
         if op == "pred_fn":              # all/any/none/single(x IN l WHERE p)
             _, fn, var, lst, pred = e
+            if (lst[0] == "lit" and isinstance(lst[1], list)
+                    and len({type(v) for v in lst[1]}) > 1
+                    and fn in ("all", "any", "none")):
+                # mixed-type parameter list: Spark arrays are typed, so
+                # unroll the quantifier over the literal elements — the
+                # AND/OR chains carry openCypher's three-valued semantics
+                # (false dominates null for all(), true for any()). The
+                # element substitutes as a literal AST node so the
+                # incomparable-type → NULL rule below applies statically.
+                def _subst(a, v):
+                    if not isinstance(a, tuple):
+                        return a
+                    if a[0] == "name" and a[1] == var:
+                        return ("lit", v)
+                    return tuple(a[0:1]) + tuple(_subst(x, v)
+                                                 for x in a[1:])
+                per = [self.col(_subst(pred, v)) for v in lst[1]]
+                acc = per[0]
+                for p in per[1:]:
+                    acc = (acc & p) if fn == "all" else (acc | p)
+                return ~acc if fn == "none" else acc
             c = self.col(lst)
             lam = lambda x: self.scoped({var: x}).col(pred)  # noqa: E731
             if fn == "all":
@@ -348,6 +469,36 @@ class ExprCompiler:
 
     def call(self, name: str, args: list, distinct: bool = False) -> Column:
         from nebula_spark.operators.aggregate import agg_call
+        if name == "duration" and len(args) == 1 \
+                and isinstance(args[0], tuple) and args[0][0] == "map":
+            # duration({years:…, months:…, days:…, …}) →
+            # struct(months, seconds) — the reference's unnormalized
+            # two-component Duration (Duration.h:20; TimeUtils
+            # durationFromMap). Values may be computed expressions.
+            parts = {k.lower(): self.col(v) for k, v in args[0][1]}
+            bad = set(parts) - {"years", "months", "weeks", "days",
+                                "hours", "minutes", "seconds"}
+            if bad:
+                raise ValueError(
+                    f"Invalid duration field `{sorted(bad)[0]}'.")
+            z = F.lit(0)
+            months = (parts.get("years", z).cast("long") * 12
+                      + parts.get("months", z).cast("long"))
+            secs = (((parts.get("weeks", z).cast("long") * 7
+                      + parts.get("days", z).cast("long")) * 24
+                     + parts.get("hours", z).cast("long")) * 60
+                    + parts.get("minutes", z).cast("long")) * 60 \
+                + parts.get("seconds", z).cast("long")
+            return F.struct(months.cast("int").alias("months"),
+                            secs.alias("seconds"))
+        if name == "json_extract" and len(args) == 1 \
+                and isinstance(args[0], tuple) and args[0][0] == "lit" \
+                and not isinstance(args[0][1], str):
+            # json_extract.feature: a non-string argument is the
+            # validator's type SemanticError, not a NULL
+            v = args[0][1]
+            raise ValueError(f"`JSON_EXTRACT({v})' is not a valid "
+                             "expression : Parameter's type error")
         if name in ("nodes", "relationships", "length") and len(args) == 1 \
                 and isinstance(args[0], tuple) and args[0][0] == "name":
             try:
@@ -1153,6 +1304,75 @@ def _exec_find_path(space: GraphSpace, st: A.FindPathStmt,
     return _path_value_frame(space, p, names, st.yield_alias, st.with_prop)
 
 
+def _subgraph_where(space: GraphSpace, st: A.SubgraphStmt,
+                    e_all: DataFrame) -> DataFrame:
+    """Apply GET SUBGRAPH's WHERE to the oriented edge universe.
+
+    Reference ``GetSubgraphValidator::validateWhere`` forbids aggregates,
+    ``$^``/``$-``/``$var`` refs and logical OR; edge props named through a
+    type not in the OVER list are a SemanticError. The executor applies
+    the edge filter on step 1 and the full (edge + ``$$`` tag) filter on
+    later steps (SubgraphExecutor.cpp:52-53 + filterEdges) — which nets
+    out to: an edge survives iff its edge props pass AND its *traversal
+    destination* passes the ``$$`` tag predicates (sources always expand,
+    even when they fail the tag filter themselves — subgraphWithFilter
+    .feature, 5-step Tony Parker scenario).
+
+    Pre-filtering the universe once keeps the per-superstep hop a plain
+    frontier equi-join — at 100 TB the tag join runs once against the
+    pruned tag columns, not once per level.
+    """
+    bad: list = []
+    _walk(st.where, {"src_prop", "var_prop", "input_prop", "or"}, bad)
+    if bad:
+        kindname = {"src_prop": "$^", "var_prop": "$var",
+                    "input_prop": "$-", "or": "OR"}[bad[0][0]]
+        raise ValueError(
+            f"Not support `{kindname}' in where sentence.")
+    if _is_agg(st.where):
+        raise ValueError("Not support aggregate in where sentence.")
+    eprops: list = []
+    _walk(st.where, {"edge_prop"}, eprops)
+    listed = (st.in_edges or []) + (st.out_edges or []) + \
+        (st.both_edges or [])
+    for _, et, prop in eprops:
+        if et not in space.edges:
+            raise ValueError(f"{et} not found in space [{space.name}].")
+        if listed and et not in listed:
+            raise ValueError(
+                f'Edge type "{et}" in filter is not in the edge types '
+                f"[{','.join(listed)}]")
+    # $$ tag props join against the traversal destination (the oriented
+    # frame's DST — reversed rows already carry the neighbor there)
+    dprops: list = []
+    _walk(st.where, {"dst_prop"}, dprops)
+    for tag in sorted({t for _, t, _ in dprops}):
+        if tag not in space.tags:
+            raise ValueError(f"`{tag}': Unknown tag")
+        cols = {p for _, t, p in dprops if t == tag}
+        for p in cols:
+            if p not in space.tag(tag).columns:
+                raise ValueError(
+                    f"`{tag}.{p}', not found the property `{p}'.")
+        side = space.tag(tag).select(
+            F.col(VID).alias(DST),
+            *[F.col(p).alias(f"__dst_{tag}__{p}") for p in sorted(cols)])
+        e_all = e_all.join(side, DST, "left")
+
+    def resolve(kind, *args):
+        if kind == "edge_prop":
+            return F.when(F.col("_etype") == args[0], F.col(args[1]))
+        if kind == "dst_prop":
+            return F.col(f"__dst_{args[0]}__{args[1]}")
+        if kind == "name":
+            return F.col(args[0])
+        raise ValueError(f"unresolvable {kind} in GET SUBGRAPH WHERE")
+
+    keep = ExprCompiler(resolve).col(st.where)
+    drop = [c for c in e_all.columns if c.startswith("__dst_")]
+    return e_all.filter(keep).drop(*drop)
+
+
 def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt,
                    piped: DataFrame | None = None,
                    env: dict[str, DataFrame] | None = None) -> DataFrame:
@@ -1169,6 +1389,8 @@ def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt,
     edges = parts[0]
     for p in parts[1:]:
         edges = edges.unionByName(p, allowMissingColumns=True)
+    if st.where is not None:
+        edges = _subgraph_where(space, st, edges)
     seeds = _vid_frame(space, st.sources, piped, st.src_col, env)
     # edges already oriented (carry _dir) — k_hop_subgraph detects the _dir
     # column and skips re-orienting, so IN/OUT identity survives dedup
@@ -2497,6 +2719,22 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
     for c in table.columns:
         if c not in rows.columns:
             rows = rows.withColumn(c, F.lit(None).cast(dt[c]))
+    # FIXED_STRING(N) truncates to N bytes at whole-codepoint boundaries
+    # (FetchEmpty.feature: a 5-byte column stores one 4-byte emoji):
+    # keep the longest codepoint prefix whose UTF-8 length fits
+    import re as _rex
+    defn = (space.edges if st.is_edge else space.tags).get(st.name)
+    for col, rt in (defn.decl or []) if defn is not None else []:
+        m = _rex.match(r"fixed_string\((\d+)\)", rt)
+        if m and col in rows.columns:
+            n = int(m.group(1))
+            c = F.col(col)
+            k = F.aggregate(
+                F.sequence(F.lit(1), F.char_length(c)), F.lit(0),
+                lambda acc, i: F.when(
+                    F.octet_length(F.substring(c, F.lit(1), i))
+                    <= F.lit(n), i).otherwise(acc))
+            rows = rows.withColumn(col, F.substring(c, F.lit(1), k))
     new = insert_rows(table, _cast_like(rows, table), key, st.if_not_exists)
     _rebind(space, st.name, st.is_edge, new)
     return space.spark.range(0)
@@ -2507,7 +2745,7 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
     table = space.edge(st.name) if st.is_edge else space.tag(st.name)
     key = [SRC, DST, RANK] if st.is_edge else [VID]
     keys_df = _cast_like(
-        space.spark.createDataFrame([st.key], key), table)
+        space.spark.createDataFrame(st.keys, key), table)
     # SET expressions evaluate against the stored row (UpdateExecutor
     # read-modify-write); UPSERT sees NULL props for a missing key
     base = keys_df.join(table, key, "left")
@@ -2829,7 +3067,8 @@ def _space_level(cat: SpaceCatalog, node) -> DataFrame | None:
     return None
 
 
-def execute(space: GraphSpace | SpaceCatalog, query: str) -> DataFrame:
+def execute(space: GraphSpace | SpaceCatalog, query: str,
+            params: dict | None = None) -> DataFrame:
     """Parse + run a (possibly piped, possibly set-op compound, possibly
     multi-statement) nGQL/MATCH query against a space or a space catalog.
 
@@ -2841,6 +3080,13 @@ def execute(space: GraphSpace | SpaceCatalog, query: str) -> DataFrame:
     single-space form: it is wrapped pre-chosen, so scripts opening with
     ``USE <its name>`` run verbatim.
 
+    ``params`` enables the reference's parameterized-query surface
+    (parameter.feature): ``$name`` reads where ``name`` is a key in
+    ``params`` substitute that literal (scalars, lists, maps — with
+    ``$p.a.b[0]`` chains folded constant), while vid positions, SAMPLE
+    lists, and variable definitions refuse parameters with the
+    reference's phrasing.
+
     An ``EXPLAIN``/``PROFILE`` prefix returns a one-row DataFrame with the
     physical plan text instead of executing the statement."""
     cat = space if isinstance(space, SpaceCatalog) else \
@@ -2849,7 +3095,7 @@ def execute(space: GraphSpace | SpaceCatalog, query: str) -> DataFrame:
     if m:
         plan = explain(cat.current(), query[m.end():])
         return cat.spark.createDataFrame([(plan,)], ["plan"])
-    node = A.parse(query)
+    node = A.parse(query, params)
     if isinstance(node, A.Script):
         # sequential statements sharing a variable table (the
         # ExecutionContext analog); the script's value is the last result

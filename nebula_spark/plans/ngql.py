@@ -24,7 +24,9 @@ from dataclasses import dataclass, field
 
 _TOKEN_SPEC = [
     ("WS", r"\s+"),
-    ("COMMENT", r"//[^\n]*|#[^\n]*"),
+    # line + block comments (scanner.lex:545-548 — `/* … */` enters a
+    # COMMENT start condition; unterminated is a scanner error)
+    ("COMMENT", r"//[^\n]*|#[^\n]*|/\*(?:[^*]|\*(?!/))*\*/"),
     # float forms per scanner.lex DEC: 1.1, 1., .3, any with [eE] exponent
     # (1e2, .3e4, 1.e4, 1234E-10); `1.` uses a lookahead so `1..5` still
     # lexes INT DOTDOT INT
@@ -215,6 +217,8 @@ class SubgraphStmt:
     both_edges: list[str] | None
     src_col: str | None = None          # column when sources is $-/$var
     yields: list[YieldItem] | None = None  # vertices/edges AS alias
+    where: tuple | None = None          # edge/$$-tag filter
+    #                                     (GetSubgraphValidator::validateWhere)
 
 
 @dataclass
@@ -412,7 +416,8 @@ class UpdateStmt:
     (UpdateExecutor; ``insertable`` = UPSERT, MutateSentences.h:385-411)."""
     is_edge: bool
     name: str
-    key: tuple                   # (vid,) or (src, dst, rank)
+    keys: list                   # [(vid,)] or [(src, dst, rank)], ≥1
+    #                              (MultiUpdate.feature key lists)
     sets: list                   # [(prop, expr-tuple)]
     insertable: bool = False
     when: tuple | None = None    # WHEN <cond> guard (UpdateSentence.h)
@@ -443,9 +448,14 @@ class Script:
 # --------------------------------------------------------------------------
 
 class Parser:
-    def __init__(self, toks: list[Tok]):
+    def __init__(self, toks: list[Tok], params: dict | None = None):
         self.toks = toks
         self.i = 0
+        # session parameters (parameter.feature): `$name` where name is a
+        # defined parameter substitutes its literal value at parse time —
+        # the analog of ExpressionUtils::rewriteParameter run in the
+        # reference's validators
+        self.params = params or {}
 
     # -- token helpers
     def peek(self, k: int = 0) -> Tok:
@@ -494,6 +504,10 @@ class Parser:
             if (self.peek().kind == "VAR_REF"
                     and self.peek(1).kind == "ASSIGN"):
                 var = self.eat("VAR_REF").text
+                if var[1:] in self.params:
+                    # parameter.feature [param-test-011]
+                    raise SyntaxError("Variable definition conflicts with "
+                                      f"a parameter near `{var}'")
                 self.eat("ASSIGN")
             stmts.append((var, self._set_op_chain()))
             if self.peek().kind == "SEMI":
@@ -501,9 +515,19 @@ class Parser:
             else:
                 break
         self.eat("EOF")
-        if len(stmts) == 1 and stmts[0][0] is None:
-            return stmts[0][1]
-        return Script(stmts)
+        node = stmts[0][1] if len(stmts) == 1 and stmts[0][0] is None \
+            else Script(stmts)
+        # any `$name` that is neither a parameter nor a `$var.prop` read
+        # survives as ("param_unres", name) — the reference's validators
+        # reject the statement wholesale (parameter.feature
+        # [param-test-010] "Undefined parameters: a, b")
+        missing: list[str] = []
+        for e in _iter_exprs(node):
+            if e[0] == "param_unres" and e[1] not in missing:
+                missing.append(e[1])
+        if missing:
+            raise ValueError(f"Undefined parameters: {', '.join(missing)}")
+        return node
 
     def _set_op_chain(self) -> "Pipeline | SetOp":
         node: Pipeline | SetOp = self.pipeline_group()
@@ -783,7 +807,12 @@ class Parser:
         if self.at_kw("on"):
             self.eat_kw("on")
             name = self.name()
-        key = self._edge_key() if is_edge else (self.literal(),)
+        keys = [self._edge_key() if is_edge else (self.literal(),)]
+        # MultiUpdate.feature (2024): UPDATE … ON <schema> k1, k2, … SET
+        while self.peek().kind == "COMMA":
+            self.eat("COMMA")
+            keys.append(self._edge_key() if is_edge
+                        else (self.literal(),))
         self.eat_kw("set")
         sets = []
         while True:
@@ -802,7 +831,8 @@ class Parser:
             raise SyntaxError("UPDATE needs ON <schema> or tag.prop SETs")
         when = self.expr() if self.try_kw("when") else None
         yields = self.yield_items() if self.try_kw("yield") else None
-        return UpdateStmt(is_edge, name, key, sets, insertable, when, yields)
+        return UpdateStmt(is_edge, name, keys, sets, insertable, when,
+                          yields)
 
     def delete_sentence(self) -> DeleteStmt:
         self.eat_kw("delete")
@@ -868,15 +898,29 @@ class Parser:
         # SAMPLE [n1,…] (random per-vertex) / LIMIT [n1,…] (per-vertex cap)
         sample = limits = None
         if self.try_kw("sample"):
-            sample = self._int_list()
+            sample = self._int_list("sample")
         elif self.at_kw("limit") and self.peek(1).kind == "LB":
             self.eat_kw("limit")
-            limits = self._int_list()
+            limits = self._int_list("limit")
         return GoStmt(mn, mx, sources, src_col, edges, direction, where,
                       yields, distinct, sample, limits)
 
-    def _int_list(self) -> list[int]:
+    def _int_list(self, clause: str = "sample") -> list[int]:
+        start = self.i
         self.eat("LB")
+        # pre-scan the bracketed run: a parameter anywhere in it is the
+        # reference's refusal, phrased with the clause's source text
+        # (parameter.feature: `SAMPLE [1,$p1]`)
+        j = self.i
+        while self.toks[j].kind not in ("RB", "EOF"):
+            if (self.toks[j].kind == "VAR_REF"
+                    and self.toks[j].text[1:] in self.params):
+                while self.toks[j].kind not in ("RB", "EOF"):
+                    j += 1
+                txt = "".join(t.text for t in self.toks[start:j + 1])
+                raise SyntaxError(f"Parameter is not supported in "
+                                  f"{clause} clause near `{txt}'")
+            j += 1
         out = [int(self.eat("INT").text)]
         while self.peek().kind == "COMMA":
             self.eat("COMMA")
@@ -884,7 +928,7 @@ class Parser:
         self.eat("RB")
         return out
 
-    def vid_list(self):
+    def vid_list(self, bare_var: bool = True):
         t = self.peek()
         if t.kind in ("PIPE_INPUT", "PIPE_REF"):
             self.i += 1
@@ -892,10 +936,21 @@ class Parser:
             return "$-", col
         if t.kind == "VAR_REF":
             self.i += 1
+            if t.text[1:] in self.params:
+                # parameter.feature [param-test-006..009]: vid positions
+                # take literals or runtime-input refs, never parameters
+                raise SyntaxError("Parameter is not supported in vid "
+                                  f"near `{t.text}'")
             col = None
             if self.peek().kind == "DOT":
                 self.eat("DOT")
                 col = self.eat("NAME").text
+            elif not bare_var:
+                # FETCH refuses a bare `$var` key (parameter.feature
+                # [param-test-007] FETCH PROP ON player $nonexist); GO
+                # accepts it and reads the variable's first column
+                raise SyntaxError("Variable is not supported in vid "
+                                  f"near `{t.text}'")
             return t.text, col
         vids = [self.literal()]
         while self.peek().kind == "COMMA":
@@ -941,6 +996,16 @@ class Parser:
             self.eat("STAR")
             return YieldItem(("star",), None)
         e = self.expr()
+        # a yield item that IS a bare `$var` (possibly subscripted /
+        # attributed) is the reference's parse-level refusal — even for
+        # an undefined name (parameter.feature [param-test-001])
+        core = e
+        while isinstance(core, tuple) and core[0] in ("subscript", "slice",
+                                                      "attr"):
+            core = core[1]
+        if isinstance(core, tuple) and core[0] == "param_unres":
+            raise SyntaxError("Direct output of variable is "
+                              f"prohibited near `${core[1]}'")
         alias = None
         if self.try_kw("as"):
             alias = self.eat("NAME").text
@@ -984,7 +1049,7 @@ class Parser:
             if self.peek().kind in ("PIPE_REF", "VAR_REF") and \
                     self._ref_is_edge_key():
                 return self.fetch_edges_tail(names[0])
-            vids, col = self.vid_list()
+            vids, col = self.vid_list(bare_var=False)
             yields, distinct = [], False
             if self.try_kw("yield"):
                 distinct = self.try_kw("distinct")
@@ -1142,6 +1207,7 @@ class Parser:
                 out_e = es
             else:
                 both_e = es
+        where = self.expr() if self.try_kw("where") else None
         yields: list[YieldItem] = []
         if self.try_kw("yield"):
             # GetSubgraphValidator: only `vertices`/`edges`, alias
@@ -1161,7 +1227,7 @@ class Parser:
                     continue
                 break
         return SubgraphStmt(steps, sources, in_e, out_e, both_e,
-                            src_col, yields)
+                            src_col, yields, where)
 
     # -- YIELD / GROUP BY / ORDER BY / LIMIT (pipe stages)
     def yield_sentence(self) -> YieldStmt:
@@ -1201,12 +1267,30 @@ class Parser:
 
     def limit_sentence(self) -> LimitStmt:
         self.eat_kw("limit")
-        a = int(self.eat("INT").text)
+        a = self._limit_int()
         if self.peek().kind == "COMMA":
             self.eat("COMMA")
-            b = int(self.eat("INT").text)
+            b = self._limit_int()
             return LimitStmt(b, a)
         return LimitStmt(a)
+
+    def _limit_int(self, clause: str = "LIMIT") -> int:
+        """Integer position that — with parameters substituted — may be a
+        constant-foldable expression (parameter.feature `LIMIT $p1+1`,
+        `LIMIT $p7.a.b.d[0]`); a non-integer constant is the reference's
+        SemanticError."""
+        if self.peek().kind == "INT" and self.peek(1).kind not in (
+                "PLUS", "MINUS", "STAR", "SLASH", "PCT"):
+            return int(self.eat("INT").text)
+        e = self.expr()
+        names = [x[1] for x in _iter_exprs(e) if x[0] == "param_unres"]
+        if names:
+            raise ValueError("Undefined parameters: "
+                             + ", ".join(dict.fromkeys(names)))
+        v = _const_eval(e)
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise ValueError(f"{clause} should be of type integer")
+        return v
 
     # -- MATCH (clause chain)
     def match_path(self) -> MatchPath:
@@ -1269,8 +1353,8 @@ class Parser:
         distinct = self.try_kw("distinct")
         items = self.yield_items()
         order_by = self._order_by_items() if self.try_kw("order") else None
-        skip = int(self.eat("INT").text) if self.try_kw("skip") else None
-        limit = int(self.eat("INT").text) if self.try_kw("limit") else None
+        skip = self._limit_int("SKIP") if self.try_kw("skip") else None
+        limit = self._limit_int() if self.try_kw("limit") else None
         where = self.expr() if self.try_kw("where") else None
         return WithClause(items, where, distinct, order_by, skip, limit)
 
@@ -1298,10 +1382,10 @@ class Parser:
         order_by = self._order_by_items() if self.try_kw("order") else None
         skip = None
         if self.try_kw("skip"):
-            skip = int(self.eat("INT").text)
+            skip = self._limit_int("SKIP")
         limit = None
         if self.try_kw("limit"):
-            limit = int(self.eat("INT").text)
+            limit = self._limit_int()
         return MatchStmt(clauses, rets, order_by, limit, distinct, skip)
 
     def match_node(self) -> MatchNode:
@@ -1318,7 +1402,20 @@ class Parser:
             while self.peek().kind != "RC":
                 k = self.eat("NAME").text
                 self.eat("COLON")
-                props[k] = self.literal()
+                if self.peek().kind == "VAR_REF":
+                    # {name: $p7.a.b.c} — parameter chains fold to
+                    # literals in expr_postfix (parameter.feature)
+                    e = self.expr_postfix()
+                    if e[0] != "lit":
+                        names = [x[1] for x in _iter_exprs(e)
+                                 if x[0] == "param_unres"]
+                        raise ValueError(
+                            "Undefined parameters: " + ", ".join(names)
+                            if names else
+                            f"Invalid value in property pattern: {k}")
+                    props[k] = e[1]
+                else:
+                    props[k] = self.literal()
                 if self.peek().kind == "COMMA":
                     self.eat("COMMA")
             self.eat("RC")
@@ -1506,7 +1603,14 @@ class Parser:
         while self.peek().kind in ("LB", "DOT"):
             if self.peek().kind == "DOT":
                 self.eat("DOT")
-                e = ("attr", e, self.eat("NAME").text)
+                fld = self.eat("NAME").text
+                if e[0] == "lit" and isinstance(e[1], dict):
+                    # parameter attribute chains fold to literals so
+                    # LIMIT $p7.a.b.d[0] stays a constant (parameter
+                    # maps are case-sensitive like map literals)
+                    e = ("lit", e[1].get(fld))
+                else:
+                    e = ("attr", e, fld)
                 continue
             self.eat("LB")
             lo = None if self.peek().kind == "DOTDOT" else self.expr()
@@ -1515,7 +1619,17 @@ class Parser:
                 hi = None if self.peek().kind == "RB" else self.expr()
                 e = ("slice", e, lo, hi)
             else:
-                e = ("subscript", e, lo)
+                if (e[0] == "lit" and isinstance(e[1], list)
+                        and isinstance(lo, tuple) and lo[0] == "lit"
+                        and isinstance(lo[1], int)
+                        and not isinstance(lo[1], bool)):
+                    # SubscriptExpression over a folded parameter list:
+                    # negative index counts from the end, OOB → NULL
+                    i = lo[1] + (len(e[1]) if lo[1] < 0 else 0)
+                    e = ("lit",
+                         e[1][i] if 0 <= i < len(e[1]) else None)
+                else:
+                    e = ("subscript", e, lo)
             self.eat("RB")
         return e
 
@@ -1623,14 +1737,20 @@ class Parser:
             return ("src_vert",)
         if t.kind == "VAR_REF":
             self.i += 1
+            name = t.text[1:]
+            if name in self.params:
+                # parameter substitution (rewriteParameter analog);
+                # attribute / subscript chains fold in expr_postfix
+                return ("lit", self.params[name])
             if self.peek().kind != "DOT":
-                # bare `$var` (optionally subscripted) as a value — the
-                # reference's parser refuses it outright
-                # (bugfix/VariableExpression.feature)
-                raise SyntaxError("Direct output of variable is "
-                                  f"prohibited near `{t.text}'")
+                # bare `$var` — unresolvable here: either the "Direct
+                # output of variable is prohibited" refusal (when it is a
+                # whole yield item, bugfix/VariableExpression.feature) or
+                # the "Undefined parameters" SemanticError (nested in a
+                # filter, parameter.feature) — decided by the caller
+                return ("param_unres", name)
             self.eat("DOT")
-            return ("var_prop", t.text[1:], self.eat("NAME").text)
+            return ("var_prop", name, self.eat("NAME").text)
         if t.kind == "NAME" or (t.kind == "KW" and (
                 t.text in ("all",)           # fn names that are keywords
                 or self.peek(1).kind == "DOT")):  # kw-named tag/edge: order.vid
@@ -1727,5 +1847,54 @@ class Parser:
         return ("case", whens, default)
 
 
-def parse(query: str) -> Pipeline:
-    return Parser(tokenize(query)).parse()
+def _iter_exprs(obj):
+    """Yield every expression tuple reachable from an AST node — walks
+    dataclass fields, lists, dicts, and nested tuples. Used for the
+    undefined-parameter sweep the reference's validators run."""
+    import dataclasses as _dc
+    if isinstance(obj, tuple):
+        yield obj
+        for x in obj:
+            yield from _iter_exprs(x)
+    elif isinstance(obj, list):
+        for x in obj:
+            yield from _iter_exprs(x)
+    elif isinstance(obj, dict):
+        for x in obj.values():
+            yield from _iter_exprs(x)
+    elif _dc.is_dataclass(obj) and not isinstance(obj, type):
+        for f in _dc.fields(obj):
+            yield from _iter_exprs(getattr(obj, f.name))
+
+
+def _const_eval(e):
+    """Evaluate a constant-foldable expression tuple to a Python value.
+
+    Only literal arithmetic survives — anything data-dependent raises,
+    which LIMIT/SKIP positions phrase as the reference's
+    'should be of type integer' SemanticError."""
+    if not isinstance(e, tuple):
+        raise ValueError("not a constant expression")
+    if e[0] == "lit":
+        return e[1]
+    if e[0] == "neg":
+        return -_const_eval(e[1])
+    if e[0] in ("+", "-", "*", "/", "%"):
+        a, b = _const_eval(e[1]), _const_eval(e[2])
+        if not isinstance(a, (int, float)) or not isinstance(b, (int, float)):
+            raise ValueError("not a constant expression")
+        if e[0] == "+":
+            return a + b
+        if e[0] == "-":
+            return a - b
+        if e[0] == "*":
+            return a * b
+        if e[0] == "/":
+            return a / b if isinstance(a, float) or isinstance(b, float) \
+                else a // b
+        return a % b
+    raise ValueError("not a constant expression")
+
+
+def parse(query: str, params: dict | None = None) -> Pipeline:
+    return Parser(tokenize(query), params).parse()

@@ -36,7 +36,9 @@ _TYPE_MAP: dict[str, DataType] = {
 }
 
 _CREATE = re.compile(
-    r"create\s+(tag|edge)\s+(?:if\s+not\s+exists\s+)?(\w+)\s*\(([^)]*)\)"
+    # greedy body up to the LAST close-paren so fixed_string(5) column
+    # defs nest; the tail (ttl options) never contains parens
+    r"create\s+(tag|edge)\s+(?:if\s+not\s+exists\s+)?(\w+)\s*\((.*)\)"
     r"\s*(.*?)\s*$",
     re.IGNORECASE | re.DOTALL)
 _TTL_OPT = re.compile(
@@ -46,7 +48,7 @@ _INDEX = re.compile(
     r"create\s+(tag|edge)\s+index\s+(?:if\s+not\s+exists\s+)?(\w+)\s+on\s+"
     r"(\w+)\s*\(([^)]*)\)", re.IGNORECASE)
 _COL = re.compile(
-    r"(\w+)\s+(\w+)(?:\s*\(\s*\d+\s*\))?"          # name type [(len)]
+    r"(\w+)\s+(\w+)(?:\s*\(\s*(\d+)\s*\))?"        # name type [(len)]
     r"(\s+not\s+null)?(?:\s+default\s+(\S+))?", re.IGNORECASE)
 
 
@@ -78,10 +80,13 @@ def _parse_cols(body: str) -> tuple[StructType, dict, list]:
         m = _COL.match(part)
         if not m:
             raise ValueError(f"bad column def: {part!r}")
-        name, typ, notnull, default = m.groups()
+        name, typ, flen, notnull, default = m.groups()
         ref_type = typ.lower()
         if ref_type == "fixed_string":
-            typ, ref_type = "string", "string"
+            # keep the byte limit in the declared type so INSERT can
+            # apply the reference's whole-codepoint truncation
+            # (FetchEmpty.feature "Tag Fixed String Property")
+            typ, ref_type = "string", f"fixed_string({flen})"
         if ref_type == "int":
             ref_type = "int64"
         dt = _TYPE_MAP.get(typ.lower())

@@ -3749,6 +3749,88 @@ def test_subgraph_yield_pipe_uppercase(nba_space):
         assert _sg_shape(execute(nba_space, q)) == [(1, 19), (11, 25)], q
 
 
+def _sg_rows(df):
+    """(sorted nodes, sorted (s,d,r,et) edge tuples) per level row."""
+    return [(sorted(r[0]), sorted(tuple(e) for e in r[1]))
+            for r in df.collect()]
+
+
+def test_subgraph_edge_filter(nba_space):
+    """subgraphWithFilter.feature "subgraph with edge filter" — the WHERE
+    clause prunes the expansion universe; an edge survives only when its
+    own props pass."""
+    df = execute(nba_space,
+                 "GET SUBGRAPH FROM 'Tim Duncan' OUT like WHERE "
+                 "like.likeness > 90 YIELD vertices as v")
+    assert [sorted(r.v) for r in df.collect()] == [
+        ["Tim Duncan"], ["Manu Ginobili", "Tony Parker"]]
+    df = execute(nba_space,
+                 "GET SUBGRAPH FROM 'Tim Duncan' BOTH like WHERE "
+                 "like.likeness > 90 YIELD vertices as v, edges as e")
+    assert _sg_rows(df) == [
+        (["Tim Duncan"],
+         [("Dejounte Murray", "Tim Duncan", 0, "like"),
+          ("Tim Duncan", "Manu Ginobili", 0, "like"),
+          ("Tim Duncan", "Tony Parker", 0, "like"),
+          ("Tony Parker", "Tim Duncan", 0, "like")]),
+        (["Dejounte Murray", "Manu Ginobili", "Tony Parker"],
+         [("Dejounte Murray", "Manu Ginobili", 0, "like"),
+          ("Dejounte Murray", "Tony Parker", 0, "like"),
+          ("Tony Parker", "Manu Ginobili", 0, "like")])]
+    # all edges dropped at step 1 → a single seeds-only row
+    df = execute(nba_space,
+                 "GET SUBGRAPH WITH PROP 2 STEPS FROM 'Tim Duncan', "
+                 "'James Harden' OUT serve WHERE serve.start_year > 2012 "
+                 "YIELD vertices as nodes, edges as relationships")
+    assert _sg_rows(df) == [(["James Harden", "Tim Duncan"], [])]
+
+
+def test_subgraph_tag_filter(nba_space):
+    """subgraphWithFilter.feature "subgraph with tag filter" / "tag and
+    edge filter" — `$$.tag.prop` gates the traversal DESTINATION: a
+    source that fails the tag filter still expands (the 5-step Tony
+    Parker scenario: Tony is 36, yet edges into/out of his passing
+    neighbors are kept)."""
+    df = execute(nba_space,
+                 "GET SUBGRAPH WITH PROP FROM 'Tim Duncan' OUT like WHERE "
+                 "$$.player.age > 36 YIELD vertices as v, edges as e")
+    assert _sg_rows(df) == [
+        (["Tim Duncan"], [("Tim Duncan", "Manu Ginobili", 0, "like")]),
+        (["Manu Ginobili"], [("Manu Ginobili", "Tim Duncan", 0, "like")])]
+    df = execute(nba_space,
+                 "GET SUBGRAPH WITH PROP 5 steps from 'Tony Parker' BOTH "
+                 "like WHERE $$.player.age > 36 AND like.likeness > 80 "
+                 "YIELD VERTICES as nodes, EDGES as relationships")
+    assert _sg_rows(df) == [
+        (["Tony Parker"],
+         [("Tim Duncan", "Tony Parker", 0, "like"),
+          ("Tony Parker", "Manu Ginobili", 0, "like"),
+          ("Tony Parker", "Tim Duncan", 0, "like")]),
+        (["Manu Ginobili", "Tim Duncan"],
+         [("Manu Ginobili", "Tim Duncan", 0, "like"),
+          ("Tim Duncan", "Manu Ginobili", 0, "like")])]
+
+
+def test_subgraph_where_validation(nba_space):
+    """GetSubgraphValidator::validateWhere — OR / $^ / aggregates are
+    refused; an edge type outside the OVER list is a SemanticError."""
+    with pytest.raises(ValueError, match=r"Not support `OR'"):
+        execute(nba_space,
+                "GET SUBGRAPH FROM 'Tim Duncan' OUT like WHERE "
+                "like.likeness > 90 OR $$.player.age > 36 "
+                "YIELD vertices as v")
+    with pytest.raises(ValueError, match=r"Not support `\$\^'"):
+        execute(nba_space,
+                "GET SUBGRAPH FROM 'Tim Duncan' OUT like WHERE "
+                "$^.player.age > 36 YIELD vertices as v")
+    with pytest.raises(ValueError,
+                       match=r'Edge type "like" in filter is not in '
+                             r"the edge types \[serve\]"):
+        execute(nba_space,
+                "GET SUBGRAPH FROM 'Tim Duncan' BOTH serve WHERE "
+                "like.likeness > 90 YIELD vertices as v")
+
+
 # ---------------------------------------------------------------------------
 # FETCH PROP — tests/tck/features/fetch/FetchVertices.strVid.feature
 # ---------------------------------------------------------------------------
@@ -4784,3 +4866,310 @@ def test_contains_filter_on_far_end(nba_space):
                  'where m.team.name ends with "urs" '
                  'RETURN id(m) AS m, type(e) AS t')
     assert rows(df, "m", "t") == [("Spurs", "serve")]
+
+
+# ---------------------------------------------------------------------------
+# LOOKUP conformance sweeps — tests/tck/features/lookup/LookupTag.feature,
+# LookupEdge.feature (string-vid Scenario Outlines, full DDL+INSERT scripts)
+# ---------------------------------------------------------------------------
+
+# the Examples table, verbatim (30 where-conditions, each selecting '201')
+_LOOKUP_TAG_CONDS = [
+    "lookup_tag_1.col1 == 201",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 == 201",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 >= 200",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 != 200",
+    "lookup_tag_1.col1 >= 201 AND lookup_tag_1.col2 == 201",
+    "lookup_tag_1.col1 >= 201 AND lookup_tag_1.col1 <= 201",
+    "lookup_tag_1.col1 >= 201 AND lookup_tag_1.col2 != 202",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 == 201 AND "
+    "lookup_tag_1.col3 == 201",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 >= 201 AND "
+    "lookup_tag_1.col3 == 201",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 >= 201 AND "
+    "lookup_tag_1.col3 >= 201",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 >= 201 AND "
+    "lookup_tag_1.col3 != 202",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 != 202 AND "
+    "lookup_tag_1.col3 == 201",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 != 202 AND "
+    "lookup_tag_1.col3 >= 201",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 != 202 AND "
+    "lookup_tag_1.col3 != 202",
+    "lookup_tag_1.col1 != 202 AND lookup_tag_1.col2 == 201 AND "
+    "lookup_tag_1.col3 == 201",
+    "lookup_tag_1.col1 != 202 AND lookup_tag_1.col2 == 201 AND "
+    "lookup_tag_1.col3 >= 201",
+    "lookup_tag_1.col1 != 202 AND lookup_tag_1.col2 >= 201 AND "
+    "lookup_tag_1.col3 >= 201",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 >= 201 AND "
+    "lookup_tag_1.col1 == 201",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 >= 201 AND "
+    "lookup_tag_1.col1 >= 201",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 > 200 AND "
+    "lookup_tag_1.col1 == 201",
+    "lookup_tag_1.col1 == 201 AND lookup_tag_1.col2 > 200 AND "
+    "lookup_tag_1.col1 > 200",
+    "lookup_tag_1.col1 == 201 OR lookup_tag_1.col2 == 201",
+    "lookup_tag_1.col1 == 201 OR lookup_tag_1.col2 >= 203",
+    "lookup_tag_1.col1 == 201 OR lookup_tag_1.col3 == 201",
+]
+
+
+def test_lookup_tag_condition_sweep(spark):
+    """LookupTag.feature "[tag] different condition and yield test for
+    string vid" — the full Examples sweep: every filter shape (==/!=/
+    >=/>, AND chains, OR, repeated conjuncts) must select exactly vid
+    '201' from {200, 201, 202}, for both the id(vertex) yield and the
+    three-prop yield."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE lkt;
+        USE lkt;
+        CREATE TAG lookup_tag_1(col1 int, col2 int, col3 int);
+        CREATE TAG INDEX t_index_1 ON lookup_tag_1(col1, col2, col3);
+        CREATE TAG INDEX t_index_3 ON lookup_tag_1(col2, col3);
+        INSERT VERTEX lookup_tag_1(col1, col2, col3) VALUES
+          '200':(200, 200, 200),
+          '201':(201, 201, 201),
+          '202':(202, 202, 202)
+    """)
+    try:
+        for cond in _LOOKUP_TAG_CONDS:
+            df = execute(cat, "USE lkt; LOOKUP ON lookup_tag_1 WHERE "
+                              f"{cond} YIELD id(vertex) as id")
+            assert rows(df, "id") == [("201",)], cond
+            df = execute(cat, "USE lkt; LOOKUP ON lookup_tag_1 WHERE "
+                              f"{cond} YIELD lookup_tag_1.col1, "
+                              "lookup_tag_1.col2, lookup_tag_1.col3")
+            assert [tuple(r) for r in df.collect()] == [(201, 201, 201)], \
+                cond
+    finally:
+        execute(cat, "DROP SPACE lkt")
+
+
+def test_lookup_edge_condition_sweep(spark):
+    """LookupEdge.feature "[edge] different condition and yield test for
+    string vid" — the Examples sweep over the 2-edge space: every
+    condition selects exactly '200'->'201'@0."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE lke;
+        USE lke;
+        CREATE EDGE lookup_edge_1(col1 int, col2 int, col3 int);
+        CREATE EDGE INDEX e_index_1 ON lookup_edge_1(col1, col2, col3);
+        CREATE EDGE INDEX e_index_3 ON lookup_edge_1(col2, col3);
+        INSERT EDGE lookup_edge_1(col1, col2, col3) VALUES
+          '200' -> '201'@0:(201, 201, 201),
+          '200' -> '202'@0:(202, 202, 202)
+    """)
+    conds = [c.replace("lookup_tag_1", "lookup_edge_1")
+             for c in _LOOKUP_TAG_CONDS]
+    try:
+        for cond in conds:
+            df = execute(cat, "USE lke; LOOKUP ON lookup_edge_1 WHERE "
+                              f"{cond} YIELD src(edge) as src, "
+                              "dst(edge) as dst, rank(edge) as rank")
+            assert [tuple(r) for r in df.collect()] == [("200", "201", 0)], \
+                cond
+            df = execute(cat, "USE lke; LOOKUP ON lookup_edge_1 WHERE "
+                              f"{cond} YIELD lookup_edge_1.col1 AS col1, "
+                              "lookup_edge_1.col2 AS col2, "
+                              "lookup_edge_1.col3")
+            assert [tuple(r) for r in df.collect()] == [(201, 201, 201)], \
+                cond
+    finally:
+        execute(cat, "DROP SPACE lke")
+
+
+def test_json_extract(nba_space):
+    """function/json_extract.feature — the agreeing subset: top-level
+    object parse, empty object, invalid JSON → BAD_DATA (NULL), and the
+    non-string-argument SemanticError. DEVIATION (documented): values
+    arrive as a map<string,string> (Spark maps are monomorphic), so
+    numeric/bool/nested values read as their JSON text rather than typed
+    values, and the reference's depth-2 truncation / list omission do
+    not apply."""
+    df = execute(nba_space,
+                 "YIELD JSON_EXTRACT('{}') AS result")
+    assert df.collect()[0].result == {}
+    df = execute(nba_space,
+                 "YIELD JSON_EXTRACT('fuzz') AS result")
+    assert df.collect()[0].result is None
+    df = execute(nba_space,
+                 'YIELD JSON_EXTRACT(\'{"a": "foo"}\') AS result')
+    assert df.collect()[0].result == {"a": "foo"}
+    with pytest.raises(ValueError,
+                       match=r"is not a valid expression : "
+                             r"Parameter's type error"):
+        execute(nba_space, "YIELD JSON_EXTRACT(3.1415926) AS result")
+
+
+def test_duration_arithmetic(nba_space):
+    """expression/TimeComputation.feature — DATE/TIME/DATETIME ±
+    duration({years…seconds}): months apply calendar-aware, DATE takes
+    only whole days of the seconds component (Duration::days()
+    truncates toward zero, Date.cpp:102-146), TIME wraps mod 24 h."""
+    import datetime as dt
+    M = ("{years: 12, months: 5, days: 14, hours: 16, minutes: 12, "
+         "seconds: 70}")
+    for q in (f"WITH date('1984-10-11') as x, duration({M}) as d "
+              "RETURN x + d AS sum, x - d AS diff",
+              f"RETURN date('1984-10-11') + duration({M}) AS sum, "
+              f"date('1984-10-11') - duration({M}) AS diff"):
+        assert [tuple(r) for r in execute(nba_space, q).collect()] == [
+            (dt.date(1997, 3, 25), dt.date(1972, 4, 27))], q
+    df = execute(nba_space,
+                 f"WITH time('12:31:14') as x, duration({M}) as d "
+                 "RETURN x + d AS sum, x - d AS diff")
+    [(s, d)] = [tuple(r) for r in df.collect()]
+    assert (s.hour, s.minute, s.sec) == (4, 44, 24.0)      # 04:44:24
+    assert (d.hour, d.minute, d.sec) == (20, 18, 4.0)      # 20:18:04
+    df = execute(nba_space,
+                 f"RETURN datetime('1984-10-11T12:31:14') + duration({M})"
+                 f" AS sum, datetime('1984-10-11T12:31:14') - "
+                 f"duration({M}) AS diff")
+    assert [tuple(r) for r in df.collect()] == [
+        (dt.datetime(1997, 3, 26, 4, 44, 24),
+         dt.datetime(1972, 4, 26, 20, 18, 4))]
+
+
+def test_duration_comparison(nba_space):
+    """expression/TimeComparison.feature — DURATION is unorderable
+    (BAD_TYPE → typed null for </<=/>/>=; 1 month vs 30 days has no
+    answer) while ==/!= compare the (months, seconds) pair."""
+    df = execute(nba_space,
+                 "WITH duration({days: 30}) as x, duration({months: 1}) "
+                 "as d RETURN x > d AS gt, x < d AS lt, x == d AS eq, "
+                 "x != d AS ne, x >= d AS ge, x <= d AS le")
+    assert [tuple(r) for r in df.collect()] == [
+        (None, None, False, True, None, None)]
+    df = execute(nba_space,
+                 "WITH duration({days: 30, months: 1}) as x, "
+                 "duration({days: 30, months: 1}) as d "
+                 "RETURN x == d AS eq, x != d AS ne")
+    assert [tuple(r) for r in df.collect()] == [(True, False)]
+
+
+def test_multi_update(spark):
+    """update/MultiUpdate.feature — UPDATE VERTEX/EDGE over a KEY LIST:
+    every key read-modify-writes, a failing WHEN keeps that row's old
+    values but still YIELDs it."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE mup;
+        USE mup;
+        CREATE TAG course(name string, credits int);
+        CREATE EDGE select(grade int, year int);
+        INSERT VERTEX course(name, credits) VALUES
+          "101":("Math", 3), "102":("English", 6);
+        INSERT EDGE select(grade, year) VALUES
+          "200"->"101"@0:(5, 2018), "200"->"102"@0:(3, 2018)
+    """)
+    try:
+        execute(cat, 'USE mup; UPDATE VERTEX ON course "101", "102" '
+                     "SET credits = credits + 1")
+        execute(cat, 'USE mup; UPDATE VERTEX ON course "101", "102" '
+                     "SET credits = credits + 1 "
+                     'WHEN name == "Math" AND credits > 2')
+        df = execute(cat, 'USE mup; UPDATE VERTEX ON course "101", "102" '
+                          "SET credits = credits + 1 "
+                          "YIELD name AS Name, credits AS Credits")
+        assert sorted(tuple(r) for r in df.collect()) == [
+            ("English", 8), ("Math", 6)]
+        df = execute(cat, 'USE mup; UPDATE VERTEX ON course "101", "102" '
+                          "SET credits = credits + 1 "
+                          'WHEN name == "Math" AND credits > 2 '
+                          "YIELD name AS Name, credits AS Credits")
+        assert sorted(tuple(r) for r in df.collect()) == [
+            ("English", 8), ("Math", 7)]
+        df = execute(cat, 'USE mup; UPDATE VERTEX ON course "101", "102" '
+                          "SET credits = credits + 1 "
+                          'WHEN name == "nonexistent" AND credits > 2 '
+                          "YIELD name AS Name, credits AS Credits")
+        assert sorted(tuple(r) for r in df.collect()) == [
+            ("English", 8), ("Math", 7)]
+        execute(cat, 'USE mup; UPDATE EDGE ON select '
+                     '"200"->"101"@0, "200"->"102"@0 '
+                     "SET grade = grade + 1, year = 2000")
+        df = execute(cat, 'USE mup; FETCH PROP ON select "200"->"101"@0 '
+                          "YIELD select.grade AS g, select.year AS y")
+        assert [tuple(r) for r in df.collect()] == [(6, 2000)]
+        df = execute(cat, 'USE mup; FETCH PROP ON select "200"->"102"@0 '
+                          "YIELD select.grade AS g, select.year AS y")
+        assert [tuple(r) for r in df.collect()] == [(4, 2000)]
+    finally:
+        execute(cat, "DROP SPACE mup")
+
+
+def test_lookup_pipe_output(nba_space):
+    """lookup/Output.feature — LOOKUP piped into FETCH via $-.id /
+    renamed columns / $var forms."""
+    for q in (
+        "LOOKUP ON player WHERE player.age == 40 YIELD id(vertex) as id |"
+        " FETCH PROP ON player $-.id YIELD player.name AS name",
+        "LOOKUP ON player WHERE player.age == 40 YIELD player.name AS "
+        "name | FETCH PROP ON player $-.name YIELD player.name AS name",
+        "$a = LOOKUP ON player WHERE player.age == 40 YIELD id(vertex) "
+        "as id; FETCH PROP ON player $a.id YIELD player.name AS name",
+        "$a = LOOKUP ON player WHERE player.age == 40 YIELD "
+        "player.name AS name; FETCH PROP ON player $a.name YIELD "
+        "player.name AS name",
+    ):
+        df = execute(nba_space, q)
+        assert sorted(r.name for r in df.collect()) == [
+            "Dirk Nowitzki", "Kobe Bryant"], q
+
+
+def test_fetch_empty_schemas(spark):
+    """fetch/FetchEmpty.feature — zero-prop tags/edges round-trip DDL →
+    INSERT → FETCH; missing keys drop; FIXED_STRING(N) stores the
+    longest whole-codepoint prefix that fits N bytes (a 5-byte column
+    keeps exactly one 4-byte emoji / one 3-byte CJK char)."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE fempty; USE fempty;
+        CREATE TAG zero_prop_tag_0();
+        CREATE TAG zero_prop_tag_1();
+        CREATE TAG person(money int);
+        CREATE EDGE zero_prop_edge();
+        CREATE TAG tag_with_fixed_string(col1 fixed_string(5));
+        INSERT VERTEX zero_prop_tag_0() values "1":(), "2":();
+        INSERT VERTEX zero_prop_tag_1() values "1":(), "2":();
+        INSERT VERTEX person(money) values "1":(78), "3":(88);
+        INSERT EDGE zero_prop_edge() values "1"->"2":();
+        INSERT VERTEX tag_with_fixed_string(col1) VALUES
+          "1": ("\U0001F600\U0001F600"), "2": ("\U0001F602\U0001F602"),
+          "3": ("羊羊羊"),
+          "4": ("\U0001F40F\U0001F40F\U0001F40F")
+    """)
+    try:
+        df = execute(cat, "USE fempty; FETCH PROP ON * '1' "
+                          "YIELD vertex as node")
+        [r] = df.collect()
+        assert r.node.vid == "1" and r.node.person.money == 78
+        assert r.node.zero_prop_tag_0 is not None
+        assert r.node.zero_prop_tag_1 is not None
+        df = execute(cat, "USE fempty; FETCH PROP ON zero_prop_tag_0 '1' "
+                          "YIELD vertex as node")
+        assert [r.node.vid for r in df.collect()] == ["1"]
+        df = execute(cat, 'USE fempty; FETCH PROP ON zero_prop_edge '
+                          '"1"->"2" YIELD edge as e')
+        [(e,)] = [tuple(r) for r in df.collect()]
+        assert (e.src, e.dst, e.rank) == ("1", "2", 0)
+        for missing in ('"1"->"3"', '"101"->"102"'):
+            df = execute(cat, "USE fempty; FETCH PROP ON zero_prop_edge "
+                              f"{missing} YIELD edge as e")
+            assert df.collect() == []
+        for vid, want in [("1", "\U0001F600"), ("2", "\U0001F602"),
+                          ("3", "羊"), ("4", "\U0001F40F")]:
+            df = execute(cat, "USE fempty; FETCH PROP on "
+                              f"tag_with_fixed_string \"{vid}\" yield "
+                              "tag_with_fixed_string.col1 as col1")
+            assert [r.col1 for r in df.collect()] == [want], vid
+    finally:
+        execute(cat, "DROP SPACE fempty")
