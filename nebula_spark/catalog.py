@@ -45,6 +45,8 @@ class TagDef:
     ttl_col: str | None = None
     ttl_duration: int = 0  # seconds
     decl: list | None = None   # declared (reference) types, for SHOW CREATE
+    defaults: dict | None = None  # DDL DEFAULT exprs, applied at INSERT
+    required: list | None = None  # NOT NULL columns (DDL nullability)
 
 
 @dataclass
@@ -61,6 +63,8 @@ class EdgeDef:
     ttl_col: str | None = None
     ttl_duration: int = 0
     decl: list | None = None   # declared (reference) types, for SHOW CREATE
+    defaults: dict | None = None  # DDL DEFAULT exprs, applied at INSERT
+    required: list | None = None  # NOT NULL columns (DDL nullability)
 
 
 @dataclass
@@ -75,16 +79,21 @@ class GraphSpace:
     # -- DDL ---------------------------------------------------------------
     def create_tag(self, name: str, *, path: str | None = None,
                    df: DataFrame | None = None, ttl_col: str | None = None,
-                   ttl_duration: int = 0, decl: list | None = None) -> TagDef:
-        tag = TagDef(name, path, df, ttl_col, ttl_duration, decl)
+                   ttl_duration: int = 0, decl: list | None = None,
+                   defaults: dict | None = None,
+                   required: list | None = None) -> TagDef:
+        tag = TagDef(name, path, df, ttl_col, ttl_duration, decl, defaults,
+                     required)
         self.tags[name] = tag
         return tag
 
     def create_edge(self, name: str, *, path: str | None = None,
                     df: DataFrame | None = None, ttl_col: str | None = None,
-                    ttl_duration: int = 0,
-                    decl: list | None = None) -> EdgeDef:
-        edge = EdgeDef(name, path, df, ttl_col, ttl_duration, decl)
+                    ttl_duration: int = 0, decl: list | None = None,
+                    defaults: dict | None = None,
+                    required: list | None = None) -> EdgeDef:
+        edge = EdgeDef(name, path, df, ttl_col, ttl_duration, decl,
+                       defaults, required)
         self.edges[name] = edge
         return edge
 
@@ -207,16 +216,31 @@ class SpaceCatalog:
         return cls(space.spark, {space.name: space}, space.name)
 
     def create_space(self, name: str, *, options: dict | None = None,
-                     if_not_exists: bool = False) -> GraphSpace:
+                     if_not_exists: bool = False,
+                     as_space: str | None = None) -> GraphSpace:
         """CREATE SPACE (``parser.yy:3633``): vid_type/partition_num/
         replica_factor become metadata — partitioning is how the backing
-        parquet is bucketed, replication is the storage layer's job."""
+        parquet is bucketed, replication is the storage layer's job.
+
+        ``as_space`` implements CREATE SPACE x AS y (CreateSpaceAs
+        .feature): tag/edge defs copy (sharing the immutable source
+        DataFrames — later mutations rebind only the clone's defs) and
+        options inherit."""
         if name in self.spaces:
             if if_not_exists:
                 return self.spaces[name]
             raise ValueError(f"Existed space {name!r}!")
         sp = GraphSpace(self.spark, name)
-        sp.options = dict(options or {})
+        if as_space is not None:
+            from dataclasses import replace
+            if as_space not in self.spaces:
+                raise KeyError(f"SpaceNotFound: {as_space!r}")
+            src = self.spaces[as_space]
+            sp.tags = {n: replace(d) for n, d in src.tags.items()}
+            sp.edges = {n: replace(d) for n, d in src.edges.items()}
+            sp.options = dict(getattr(src, "options", None) or {})
+        else:
+            sp.options = dict(options or {})
         self.spaces[name] = sp
         return sp
 

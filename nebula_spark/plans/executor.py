@@ -360,12 +360,23 @@ class ExprCompiler:
             return F.array_contains(self.col(e[2]), self.col(e[1]))
         if op == "is_null":
             return self.col(e[1]).isNull()
-        if op == "starts_with":
-            return self.col(e[1]).startswith(self.col(e[2]))
-        if op == "ends_with":
-            return self.col(e[1]).endswith(self.col(e[2]))
-        if op == "contains_str":
-            return self.col(e[1]).contains(self.col(e[2]))
+        if op in ("starts_with", "ends_with", "contains_str"):
+            # string-only relations (RelationalExpression.cpp kStartsWith
+            # etc.): a non-string literal side is the validator's type
+            # SemanticError (StartsWith.feature `123 STARTS WITH 1`)
+            kw = {"starts_with": "STARTS WITH", "ends_with": "ENDS WITH",
+                  "contains_str": "CONTAINS"}[op]
+            for side in (e[1], e[2]):
+                if isinstance(side, tuple) and side[0] == "lit" \
+                        and side[1] is not None \
+                        and not isinstance(side[1], str):
+                    raise ValueError(
+                        f"Type error `({e[1][1] if e[1][0] == 'lit' else '…'}"
+                        f" {kw} {e[2][1] if e[2][0] == 'lit' else '…'})'")
+            f = {"starts_with": Column.startswith,
+                 "ends_with": Column.endswith,
+                 "contains_str": Column.contains}[op]
+            return f(self.col(e[1]), self.col(e[2]))
         if op == "case":
             # condition cast to boolean: `WHEN null THEN …` must resolve
             # (NullType isn't boolean to Spark) and behave as not-matched
@@ -897,6 +908,10 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
                     F.when(fwd, F.col(DST)).otherwise(F.col(SRC)).alias("d"),
                     F.col(RANK).alias("r"),
                     F.col("_etype").alias("et"))
+            if n not in hop.columns:
+                # a bare label is never a column ref in GO YIELD
+                # (LabelExpr.feature): the reference's SemanticError
+                raise ValueError(f"Invalid label identifiers: {n}")
             return F.col(n)
         if kind == "input_prop":
             c = args[0]
@@ -1009,7 +1024,8 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
                 return vertex_col()
             if args[0] == "edge":    # FetchVertices "Typical errors"
                 raise ValueError("illegal yield clauses `EDGE'")
-            return F.col(args[0])
+            # bare labels are not prop refs (LabelExpr.feature)
+            raise ValueError(f"Invalid label identifiers: {args[0]}")
         raise ValueError(f"unresolvable {kind}")
 
     ec = ExprCompiler(resolve)
@@ -1068,7 +1084,8 @@ def _exec_fetch_edges(space: GraphSpace, st: A.FetchEdgesStmt,
                                 F.col(DST).alias(DST),
                                 F.col(RANK).alias(RANK),
                                 *[F.col(p).alias(p) for p in eprops])
-            return F.col(args[0])
+            # bare labels are not prop refs (LabelExpr.feature)
+            raise ValueError(f"Invalid label identifiers: {args[0]}")
         raise ValueError(f"unresolvable {kind} {args}")
 
     ec = ExprCompiler(resolve)
@@ -1132,6 +1149,10 @@ def _find_path_where(space: GraphSpace, names: list[str],
             if prop not in space.edge(et).columns:
                 raise ValueError(
                     f"`{et}.{prop}', not found the property `{prop}'.")
+            if len(names) == 1:
+                # single-OVER-type: unmasked column ref keeps the
+                # predicate pushable into the parquet scan
+                return F.col(prop)
             return F.when(F.col("_etype") == et, F.col(prop))
         if kind == "name":
             return F.col(args[0])
@@ -1342,6 +1363,11 @@ def _subgraph_where(space: GraphSpace, st: A.SubgraphStmt,
             raise ValueError(
                 f'Edge type "{et}" in filter is not in the edge types '
                 f"[{','.join(listed)}]")
+    # single-type universes resolve edge props UNMASKED so the predicate
+    # stays a plain column comparison Catalyst can push into the parquet
+    # scan; the _etype mask is only needed to scope same-named props
+    # across a multi-type union
+    universe = listed or sorted(space.edges)
     # $$ tag props join against the traversal destination (the oriented
     # frame's DST — reversed rows already carry the neighbor there)
     dprops: list = []
@@ -1361,6 +1387,8 @@ def _subgraph_where(space: GraphSpace, st: A.SubgraphStmt,
 
     def resolve(kind, *args):
         if kind == "edge_prop":
+            if len(universe) == 1:
+                return F.col(args[1])
             return F.when(F.col("_etype") == args[0], F.col(args[1]))
         if kind == "dst_prop":
             return F.col(f"__dst_{args[0]}__{args[1]}")
@@ -1451,6 +1479,11 @@ def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
         if kind == "input_prop":
             return F.col(args[0])
         if kind == "name":
+            if args[0] not in base.columns:
+                # a bare label that names no bound column is the
+                # reference's SemanticError (LabelExpr.feature
+                # `YIELD name`)
+                raise ValueError(f"Invalid label identifiers: {args[0]}")
             return F.col(args[0])
         if kind == "edge_prop":
             return F.col(args[1])
@@ -2692,7 +2725,42 @@ def _rebind(space: GraphSpace, name: str, is_edge: bool,
     d = defs[name]
     maker = space.create_edge if is_edge else space.create_tag
     maker(name, df=new_df, ttl_col=d.ttl_col, ttl_duration=d.ttl_duration,
-          decl=d.decl)
+          decl=d.decl, defaults=d.defaults, required=d.required)
+
+
+def _default_col(text, dtype: str) -> Column:
+    """A DDL DEFAULT value → Column: constant expressions (including
+    temporal constructors like datetime("…")) compile through the
+    expression pipeline; anything else is a literal cast. The DDL parser
+    strips quotes, so a bare word falls back to a string literal."""
+    try:
+        e = A.Parser(A.tokenize(str(text))).expr()
+
+        def refuse(*_a):
+            raise ValueError("non-constant default")
+        return ExprCompiler(refuse).col(e).cast(dtype)
+    except Exception:
+        return F.lit(text).cast(dtype)
+
+
+_VID_LEN_ERR = ("Storage Error: The VID must be a 64-bit integer or a "
+                "string fitting space vertex id length limit.")
+
+
+def _check_vid_len(space: GraphSpace, vids) -> None:
+    """Enforce the space's FIXED_STRING(N) vid length on mutation keys
+    (VidInvalidLength.feature; the reference's storage rejects oversize
+    vids at write time)."""
+    import re as _rex
+    opts = getattr(space, "options", None) or {}
+    m = _rex.fullmatch(r"fixed_string\((\d+)\)",
+                       str(opts.get("vid_type", "")).strip().lower())
+    if not m:
+        return
+    n = int(m.group(1))
+    for v in vids:
+        if isinstance(v, str) and len(v.encode("utf-8")) > n:
+            raise ValueError(_VID_LEN_ERR)
 
 
 def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
@@ -2702,10 +2770,12 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
         data = [(r[0], r[1], r[2], *r[3]) for r in st.rows]
         cols = [SRC, DST, RANK, *st.props]
         key = [SRC, DST, RANK]
+        _check_vid_len(space, [v for r in st.rows for v in (r[0], r[1])])
     else:
         data = [(r[0], *r[1]) for r in st.rows]
         cols = [VID, *st.props]
         key = [VID]
+        _check_vid_len(space, [r[0] for r in st.rows])
     # within-statement duplicate keys: VALUES apply in order against the
     # unique KV key, so IF NOT EXISTS keeps the FIRST occurrence and plain
     # INSERT keeps the LAST (InsertIfNotExists.feature "Conan" rows)
@@ -2716,9 +2786,22 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
     data = [seen[k] for k in ({tuple(r[:nkey]): None for r in data})]
     rows = space.spark.createDataFrame(data, cols)
     dt = dict(table.dtypes)
+    defn0 = (space.edges if st.is_edge else space.tags).get(st.name)
+    dflts = (defn0.defaults or {}) if defn0 is not None else {}
     for c in table.columns:
         if c not in rows.columns:
-            rows = rows.withColumn(c, F.lit(None).cast(dt[c]))
+            if c in dflts:
+                # DDL DEFAULT expression fills omitted props
+                # (MultiUpdate.feature student_default; TimeDefaultValue)
+                rows = rows.withColumn(
+                    c, _default_col(dflts[c], dt[c]))
+            else:
+                if c in (defn0.required or []) if defn0 is not None \
+                        else False:
+                    raise ValueError(
+                        f"The property `{c}' is not nullable and has "
+                        "no default value.")
+                rows = rows.withColumn(c, F.lit(None).cast(dt[c]))
     # FIXED_STRING(N) truncates to N bytes at whole-codepoint boundaries
     # (FetchEmpty.feature: a 5-byte column stores one 4-byte emoji):
     # keep the longest codepoint prefix whose UTF-8 length fits
@@ -2744,6 +2827,8 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
     from nebula_spark.operators.mutate import update_rows
     table = space.edge(st.name) if st.is_edge else space.tag(st.name)
     key = [SRC, DST, RANK] if st.is_edge else [VID]
+    _check_vid_len(space, [v for k in st.keys for v in
+                           (k[:2] if st.is_edge else k[:1])])
     keys_df = _cast_like(
         space.spark.createDataFrame(st.keys, key), table)
     # SET expressions evaluate against the stored row (UpdateExecutor
@@ -2775,12 +2860,14 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
 def _exec_delete(space: GraphSpace, st: A.DeleteStmt) -> DataFrame:
     from nebula_spark.operators.mutate import delete_rows
     if st.kind == "edge":
+        _check_vid_len(space, [v for k in st.keys for v in k[:2]])
         table = space.edge(st.name)
         keys_df = _cast_like(
             space.spark.createDataFrame(st.keys, [SRC, DST, RANK]), table)
         _rebind(space, st.name, True,
                 delete_rows(table, keys_df, [SRC, DST, RANK]))
         return space.spark.range(0)
+    _check_vid_len(space, list(st.keys))
     vids = space.spark.createDataFrame([(v,) for v in st.keys], [VID])
     for tname in list(space.tags):
         t = space.tag(tname)
@@ -2964,23 +3051,30 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
     metadata and the declared type names for SHOW CREATE). Index DDL is
     accepted and dropped — Parquet stats + Catalyst pushdown subsume
     secondary indexes (SURVEY §2.1 IndexScan)."""
-    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.types import LongType, StringType, StructField, \
+        StructType
 
     from nebula_spark.sources.ddl import parse_ddl
     schemas, _indexes = parse_ddl(st.text)
+    # vid columns follow the space's vid_type (SpaceDesc meta.thrift:108):
+    # int64 spaces key by LongType, FIXED_STRING(N) by StringType
+    opts = getattr(space, "options", None) or {}
+    vt = LongType() if str(opts.get("vid_type", "")).strip().lower() \
+        == "int64" else StringType()
     for sd in schemas:
-        key_cols = [StructField("vid", StringType(), False)] \
+        key_cols = [StructField("vid", vt, False)] \
             if sd.kind == "tag" else [
-                StructField("src", StringType(), False),
-                StructField("dst", StringType(), False),
-                StructField("rank", __import__(
-                    "pyspark.sql.types", fromlist=["LongType"]
-                ).LongType(), False)]
+                StructField("src", vt, False),
+                StructField("dst", vt, False),
+                StructField("rank", LongType(), False)]
         schema = StructType(key_cols + list(sd.schema.fields))
         empty = space.spark.createDataFrame([], schema)
         create = space.create_tag if sd.kind == "tag" else space.create_edge
         create(sd.name, df=empty, ttl_col=sd.ttl_col,
-               ttl_duration=sd.ttl_duration, decl=sd.decl)
+               ttl_duration=sd.ttl_duration, decl=sd.decl,
+               defaults=sd.defaults,
+               required=[f.name for f in sd.schema.fields
+                         if not f.nullable])
     return space.spark.range(0)
 
 
@@ -3056,7 +3150,8 @@ def _space_level(cat: SpaceCatalog, node) -> DataFrame | None:
         return cat.spark.range(0)
     if isinstance(st, A.CreateSpaceStmt):
         cat.create_space(st.name, options=st.options,
-                         if_not_exists=st.if_not_exists)
+                         if_not_exists=st.if_not_exists,
+                         as_space=st.as_space)
         return cat.spark.range(0)
     if isinstance(st, A.DropSpaceStmt):
         cat.drop_space(st.name, st.if_exists)

@@ -32,6 +32,11 @@ _TOKEN_SPEC = [
     # lexes INT DOTDOT INT
     ("FLOAT",
      r"(?:\d+\.\d+|\d+\.(?!\.)|\.\d+)(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+"),
+    # hex / octal integer literals (scanner.lex:412-417: 0[Xx]{HEX}+ and
+    # 0{OCT}+; a leading-zero run followed by 8/9 or a float tail is
+    # decimal, matching flex longest-match)
+    ("HEXINT", r"0[xX][0-9a-fA-F]+"),
+    ("OCTINT", r"0[0-7]+(?![0-9.eE])"),
     ("INT", r"\d+"),
     ("STRING", r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\''),
     ("DOTDOT", r"\.\."),
@@ -130,6 +135,12 @@ def tokenize(s: str) -> list[Tok]:
         i = m.end()
         if kind in ("WS", "COMMENT"):
             continue
+        if kind in ("HEXINT", "OCTINT"):
+            # normalize to a decimal INT token (GraphScanner.h parseHex/
+            # parseOct); the INT64 bound checks downstream treat the
+            # magnitude 2^63 as legal only under unary minus
+            v = int(text, 16) if kind == "HEXINT" else int(text, 8)
+            kind, text = "INT", str(v)
         if kind == "NAME" and text.lower() in _KEYWORDS:
             kind = "KW"
             text = text.lower()
@@ -323,6 +334,7 @@ class CreateSpaceStmt:
     name: str
     options: dict
     if_not_exists: bool = False
+    as_space: str | None = None  # CREATE SPACE x AS y — clone schema+data
 
 
 @dataclass
@@ -675,6 +687,11 @@ class Parser:
             self.eat(), self.eat(text="not"), self.eat(text="exists")
             if_not_exists = True
         name = self.name()
+        if self.at_kw("as") or self.peek().text.lower() == "as":
+            # CREATE SPACE <new> AS <existing> (CreateSpaceAs semantics:
+            # clone schema and data)
+            self.eat()
+            return CreateSpaceStmt(name, {}, if_not_exists, self.name())
         options: dict = {}
         if self.peek().kind == "LP":
             self.eat("LP")

@@ -49,7 +49,10 @@ _INDEX = re.compile(
     r"(\w+)\s*\(([^)]*)\)", re.IGNORECASE)
 _COL = re.compile(
     r"(\w+)\s+(\w+)(?:\s*\(\s*(\d+)\s*\))?"        # name type [(len)]
-    r"(\s+not\s+null)?(?:\s+default\s+(\S+))?", re.IGNORECASE)
+    # DEFAULT takes the rest of the column def — it may be a constant
+    # expression like datetime("…") that the statement re-serializer
+    # spaced out into several tokens
+    r"(\s+not\s+null)?(?:\s+default\s+(.+?))?\s*$", re.IGNORECASE)
 
 
 @dataclass

@@ -284,3 +284,37 @@ def test_all_paths_conjunct_is_equi_join(spark):
     plan = plan_of(all_paths(e, src, dst, max_hops=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_subgraph_where_filter_reaches_parquet_scan(spark):
+    """GET SUBGRAPH's WHERE pre-filters the edge universe ONCE before
+    the BFS (executor._subgraph_where) — and over a single-type
+    universe the edge predicate must stay a plain column comparison
+    that Catalyst pushes into the parquet scan, not a _etype-masked
+    CASE WHEN that blocks pushdown."""
+    from nebula_spark.catalog import tpch_space
+    from nebula_spark.operators.traverse import oriented
+    from nebula_spark.plans import ngql as A
+    from nebula_spark.plans.executor import _subgraph_where
+
+    sp = tpch_space(spark, SF_DIR)
+    st = A.parse("GET SUBGRAPH FROM 1 OUT placed WHERE "
+                 "placed.o_totalprice > 100000 YIELD edges as e").stages[0]
+    filtered = _subgraph_where(sp, st, oriented(sp.edge("placed"), "out"))
+    plan = plan_of(filtered)
+    assert "GreaterThan(o_totalprice,100000" in plan, plan
+
+
+def test_find_path_where_filter_pushes_single_type(spark):
+    """FIND PATH WHERE over a single OVER type likewise resolves the
+    edge prop unmasked so the filter reaches the scan."""
+    from nebula_spark.catalog import tpch_space
+    from nebula_spark.plans.executor import _find_path_where
+
+    sp = tpch_space(spark, SF_DIR)
+    keep = _find_path_where(sp, ["placed"],
+                            (">", ("edge_prop", "placed", "o_totalprice"),
+                             ("lit", 100000)))
+    filtered = sp.edge("placed").filter(keep)
+    plan = plan_of(filtered)
+    assert "GreaterThan(o_totalprice,100000" in plan, plan

@@ -5173,3 +5173,269 @@ def test_fetch_empty_schemas(spark):
             assert [r.col1 for r in df.collect()] == [want], vid
     finally:
         execute(cat, "DROP SPACE fempty")
+
+
+# ---------------------------------------------------------------------------
+# batch: BoundCheck / StartsWith / EndsWith / NotIn / LabelExpr /
+# VidInvalidLength / CreateSpaceAs (FixIterCrash) / SeekById
+# ---------------------------------------------------------------------------
+
+def test_hex_octal_int_literals(nba_space):
+    """insert/BoundCheck.feature + scanner.lex:412-417 — hex/octal
+    integer literals with INT64 bound checks; magnitude 2^63 is legal
+    only under unary minus."""
+    df = execute(nba_space,
+                 "YIELD 0x7fffffffffffffff AS a, 0777 AS b, "
+                 "-0x8000000000000000 AS c, "
+                 "-01000000000000000000000 AS d, 0x10 + 010 AS e")
+    assert [tuple(r) for r in df.collect()] == [
+        (2**63 - 1, 511, -2**63, -2**63, 24)]
+    for bad in ("0x8000000000000000", "01000000000000000000000",
+                "-0x8000000000000001", "9223372036854775808"):
+        with pytest.raises(SyntaxError, match=r"Out of range"):
+            execute(nba_space, f"YIELD {bad} AS x")
+
+
+def test_bound_check_insert(spark):
+    """insert/BoundCheck.feature — boundary INT64 values insert in all
+    three radixes; out-of-range raises at parse."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE bnd (vid_type = FIXED_STRING(20)); "
+                 "USE bnd; CREATE TAG test(id int)")
+    try:
+        for num, hx, oc in [
+            ("9223372036854775807", "0x7fffffffffffffff",
+             "0777777777777777777777"),
+            ("1", "0x1", "01"), ("0", "0x0", "00"),
+            ("-1", "-0x1", "-01"),
+            ("-9223372036854775808", "-0x8000000000000000",
+             "-01000000000000000000000"),
+        ]:
+            execute(cat, f"USE bnd; INSERT VERTEX test(id) VALUES "
+                         f"'100':({num}); INSERT VERTEX test(id) VALUES "
+                         f"'100':({hx}); INSERT VERTEX test(id) VALUES "
+                         f"'100':({oc})")
+        for bad in ("-9223372036854775809", "0x8000000000000000",
+                    "01000000000000000000000", "9223372036899999999"):
+            with pytest.raises(SyntaxError, match=r"Out of range"):
+                execute(cat, "USE bnd; INSERT VERTEX test(id) VALUES "
+                             f"'100':({bad})")
+    finally:
+        execute(cat, "DROP SPACE bnd")
+
+
+def test_starts_ends_with(nba_space):
+    """expression/StartsWith.feature + EndsWith.feature — case-sensitive
+    string relations, NOT forms, and the non-string type SemanticError."""
+    cases = [
+        ("YIELD 'apple' STARTS WITH 'app' AS r", True),
+        ("YIELD 'apple' STARTS WITH 'A' AS r", False),
+        ("YIELD '123' STARTS WITH '1' AS r", True),
+        ("YIELD 'apple' NOT STARTS WITH 'app' AS r", False),
+        ("YIELD 'apple' NOT STARTS WITH 'b' AS r", True),
+        ("YIELD 'apple' ENDS WITH 'le' AS r", True),
+        ("YIELD 'apple' ENDS WITH 'E' AS r", False),
+        ("YIELD 'apple' NOT ENDS WITH 'le' AS r", False),
+    ]
+    for q, want in cases:
+        assert [tuple(r) for r in execute(nba_space, q).collect()] == \
+            [(want,)], q
+    for q in ("YIELD 123 STARTS WITH 1",
+              "YIELD 123 ENDS WITH 1",
+              "YIELD 'apple' STARTS WITH 1"):
+        with pytest.raises(ValueError, match=r"Type error"):
+            execute(nba_space, q)
+
+
+def test_not_in_list_and_set(nba_space):
+    """expression/NotIn.feature — NOT IN over lists and {sets},
+    including mixed-type element lists (dynamic typing: only same-typed
+    elements can match)."""
+    cases = [
+        ("YIELD 1 NOT IN [1, 2, 3] AS r", False),
+        ("YIELD 0 NOT IN [1, 2, 3] AS r", True),
+        ("YIELD 'hello' NOT IN ['hello', 'world', 3] AS r", False),
+        ("YIELD 1 NOT IN {1, 2, 3} AS r", False),
+        ("YIELD 0 NOT IN {1, 2, 3} AS r", True),
+        ("YIELD 'hello' NOT IN {'hello', 'world', 3} AS r", False),
+    ]
+    for q, want in cases:
+        assert [tuple(r) for r in execute(nba_space, q).collect()] == \
+            [(want,)], q
+
+
+def test_invalid_label_identifiers(nba_space):
+    """expression/LabelExpr.feature — a bare label is never a prop ref
+    in YIELD / GO / FETCH yield clauses; the reference's SemanticError
+    names the identifier."""
+    for q in ("YIELD name",
+              "YIELD name + 1",
+              'GO FROM "Tim Duncan" OVER like YIELD name',
+              "FETCH PROP ON player 'Tim Duncan' YIELD name",
+              "FETCH PROP ON player 'Tim Duncan' YIELD name + 1"):
+        with pytest.raises(ValueError,
+                           match=r"Invalid label identifiers: name"):
+            execute(nba_space, q)
+    with pytest.raises(ValueError,
+                       match=r"Invalid label identifiers: likeness"):
+        execute(nba_space, "FETCH PROP ON like "
+                           "'Tim Duncan'->'Tony Parker' YIELD likeness")
+
+
+def test_vid_invalid_length(spark):
+    """bugfix/VidInvalidLength.feature — mutations against a
+    FIXED_STRING(10) space reject overlength vids with the storage
+    phrasing; an exact-length vid is legal."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE vlen (vid_type = FIXED_STRING(10)); "
+                 "USE vlen; CREATE TAG t1 (col1 int); "
+                 "CREATE EDGE e1 (col1 int)")
+    err = r"The VID must be a 64-bit integer or a string fitting"
+    try:
+        for q in ('INSERT VERTEX t1(col1) VALUES "01234567890": (1)',
+                  'DELETE VERTEX "01234567890"',
+                  'UPDATE VERTEX "01234567890" SET t1.col1 = 1',
+                  'UPSERT VERTEX ON t1 "01234567890" SET col1 = 1',
+                  'INSERT EDGE e1(col1) VALUES "a"->"01234567890": (1)',
+                  'DELETE EDGE e1 "01234567890"->"b"'):
+            with pytest.raises(ValueError, match=err):
+                execute(cat, f"USE vlen; {q}")
+        execute(cat, 'USE vlen; INSERT VERTEX t1(col1) VALUES '
+                     '"0123456789": (1)')
+    finally:
+        execute(cat, "DROP SPACE vlen")
+
+
+def test_create_space_as(spark):
+    """ddl CREATE SPACE x AS y + bugfix/FixIterCrash.feature — the clone
+    carries schema AND data; later mutations stay isolated per space."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE csa_src; USE csa_src;
+        CREATE TAG player(name string);
+        CREATE EDGE serve(start_year int);
+        INSERT VERTEX player(name) VALUES "a":("A"), "b":("B");
+        INSERT EDGE serve(start_year) VALUES "a"->"b":(1999)
+    """)
+    try:
+        execute(cat, "CREATE SPACE csa_clone AS csa_src")
+        # FixIterCrash shape: piped GET SUBGRAPH in the cloned space
+        df = execute(cat, 'USE csa_clone; GO from "a" OVER serve YIELD '
+                          "serve._src AS id | GET SUBGRAPH WITH PROP "
+                          "FROM $-.id YIELD vertices as nodes, "
+                          "edges as relationships")
+        assert df.count() > 0
+        execute(cat, 'USE csa_clone; INSERT VERTEX player(name) '
+                     'VALUES "c":("C")')
+        n_src = execute(cat, "USE csa_src; LOOKUP ON player "
+                             "YIELD id(vertex) AS v").count()
+        n_clone = execute(cat, "USE csa_clone; LOOKUP ON player "
+                               "YIELD id(vertex) AS v").count()
+        assert (n_src, n_clone) == (2, 3)
+    finally:
+        execute(cat, "DROP SPACE csa_clone; DROP SPACE csa_src")
+
+
+def test_seek_by_id(nba_space):
+    """match/SeekById.feature — id()-seek predicates under NOT/AND/OR
+    rewrites all select the same rows (the Spark plan is a pushed-down
+    scan filter either way)."""
+    four = ["Dejounte Murray", "James Harden", "Jonathon Simmons",
+            "Klay Thompson"]
+    for q, want in [
+        ("MATCH (v) WHERE id(v) == 'Paul Gasol' "
+         "RETURN v.player.name AS Name", ["Paul Gasol"]),
+        ("MATCH (v) WHERE NOT NOT id(v) == 'Paul Gasol' "
+         "RETURN v.player.name AS Name", ["Paul Gasol"]),
+        ("MATCH (v) WHERE id(v) IN ['James Harden', 'Jonathon Simmons',"
+         " 'Klay Thompson', 'Dejounte Murray'] "
+         "RETURN v.player.name AS Name", four),
+        ("MATCH (v) WHERE (NOT NOT id(v) == 'Paul Gasol') AND id(v) IN "
+         "['James Harden', 'Jonathon Simmons', 'Klay Thompson', "
+         "'Dejounte Murray'] RETURN v.player.name AS Name", []),
+        ("MATCH (v) WHERE (NOT NOT id(v) == 'Paul Gasol') OR id(v) IN "
+         "['James Harden', 'Jonathon Simmons', 'Klay Thompson', "
+         "'Dejounte Murray'] RETURN v.player.name AS Name",
+         sorted(four + ["Paul Gasol"])),
+        ("MATCH (v) WHERE (NOT NOT id(v) == 'Paul Gasol') AND "
+         "id(v) == 'Paul Gasol' RETURN v.player.name AS Name",
+         ["Paul Gasol"]),
+    ]:
+        df = execute(nba_space, q)
+        assert sorted(r.Name for r in df.collect()) == sorted(want), q
+
+
+def test_ddl_default_values(spark):
+    """update/MultiUpdate.feature student_default / TimeDefaultValue
+    shapes — DDL DEFAULT expressions (literals and temporal
+    constructors) fill omitted INSERT props; a NOT NULL column without
+    a default refuses the insert with the validator's phrasing
+    (MutateValidator.cpp:276)."""
+    import datetime as dt
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE ddef; USE ddef;
+        CREATE TAG student_default(name string NOT NULL,
+          age int NOT NULL, gender string DEFAULT "one",
+          birthday int DEFAULT 2010);
+        CREATE EDGE select_default(grade int NOT NULL,
+          year timestamp DEFAULT 1546308000);
+        CREATE TAG tdt(d datetime DEFAULT datetime("2020-01-01T00:00:00"))
+    """)
+    try:
+        execute(cat, 'USE ddef; INSERT VERTEX student_default(name, age) '
+                     'VALUES "s1":("n", 20)')
+        df = execute(cat, 'USE ddef; FETCH PROP ON student_default "s1" '
+                          "YIELD student_default.gender AS g, "
+                          "student_default.birthday AS b")
+        assert [tuple(r) for r in df.collect()] == [("one", 2010)]
+        execute(cat, 'USE ddef; INSERT EDGE select_default(grade) '
+                     'VALUES "a"->"b":(5)')
+        df = execute(cat, 'USE ddef; FETCH PROP ON select_default '
+                          '"a"->"b" YIELD select_default.year AS y')
+        assert [r.y for r in df.collect()] == [1546308000]
+        execute(cat, 'USE ddef; INSERT VERTEX tdt() VALUES "t1":()')
+        df = execute(cat, 'USE ddef; FETCH PROP ON tdt "t1" '
+                          "YIELD tdt.d AS d")
+        assert [r.d for r in df.collect()] == [dt.datetime(2020, 1, 1)]
+        with pytest.raises(ValueError,
+                           match=r"The property `age' is not nullable "
+                                 r"and has no default value."):
+            execute(cat, "USE ddef; INSERT VERTEX student_default(name) "
+                         'VALUES "s2":("x")')
+    finally:
+        execute(cat, "DROP SPACE ddef")
+
+
+def test_int_vid_space(spark):
+    """IntVid-variant features (LookupTag/GO/subgraph *.IntVid) — an
+    int64 vid_type space keys tags/edges by LongType: inserted integer
+    vids round-trip typed through LOOKUP / GO / GET SUBGRAPH."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE ivid (vid_type = int64); USE ivid;
+        CREATE TAG lookup_tag_1(col1 int);
+        CREATE EDGE like(likeness int);
+        INSERT VERTEX lookup_tag_1(col1) VALUES
+          200:(200), 201:(201), 202:(202);
+        INSERT EDGE like(likeness) VALUES
+          200 -> 201@0:(90), 200 -> 202@0:(80)
+    """)
+    try:
+        df = execute(cat, "USE ivid; LOOKUP ON lookup_tag_1 WHERE "
+                          "lookup_tag_1.col1 == 201 YIELD id(vertex) as id")
+        assert [tuple(r) for r in df.collect()] == [(201,)]
+        df = execute(cat, "USE ivid; GO FROM 200 OVER like WHERE "
+                          "like.likeness > 85 YIELD like._dst AS d, "
+                          "$$.lookup_tag_1.col1 AS c")
+        assert [tuple(r) for r in df.collect()] == [(201, 201)]
+        df = execute(cat, "USE ivid; GET SUBGRAPH FROM 200 OUT like "
+                          "YIELD vertices as v")
+        assert [sorted(r.v) for r in df.collect()] == [[200], [201, 202]]
+    finally:
+        execute(cat, "DROP SPACE ivid")
