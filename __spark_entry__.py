@@ -1509,16 +1509,12 @@ ORACLES: dict[str, str] = {
           ('tag', 'region', '', ''), ('tag', 'supplier', '', ''),
           ('edge', 'contains', '', ''), ('edge', 'located_in', '', ''),
           ('edge', 'member_of', '', ''), ('edge', 'placed', '', ''),
-          ('desc_nation', 'vid', 'bigint', 'YES'),
           ('desc_nation', 'n_name', 'string', 'YES'),
-          ('desc_nation', 'n_regionkey', 'int', 'YES'),
-          ('desc_contains', 'src', 'bigint', 'YES'),
-          ('desc_contains', 'dst', 'bigint', 'YES'),
-          ('desc_contains', 'rank', 'bigint', 'YES'),
+          ('desc_nation', 'n_regionkey', 'int32', 'YES'),
           ('desc_contains', 'l_quantity', 'double', 'YES'),
           ('desc_contains', 'l_extendedprice', 'double', 'YES'),
           ('desc_contains', 'l_discount', 'double', 'YES'),
-          ('desc_contains', 'l_shipdate', 'timestamp_ntz', 'YES')
+          ('desc_contains', 'l_shipdate', 'datetime', 'YES')
         ) AS t(kind, name, dtype, nullable)
         ORDER BY kind, name
     """,

@@ -1117,6 +1117,21 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
         raise ValueError(f"unresolvable {kind}")
 
     ec = ExprCompiler(resolve)
+    if st.where is not None:
+        rex: list = []
+        _walk(st.where, {"=~"}, rex)
+        if rex:
+            # the reference's IndexScan cannot accelerate regex and
+            # refuses it outright (TagIndexFullScan.feature) — kept for
+            # parity even though a Spark scan filter could serve it
+            e = rex[0]
+            lhs = ".".join(e[1][1:]) if isinstance(e[1], tuple) \
+                and e[1][0] in ("edge_prop", "alias_tag_prop") else "…"
+            pat = e[2][1] if isinstance(e[2], tuple) \
+                and e[2][0] == "lit" else "…"
+            raise ValueError(
+                f'Expression ({lhs}=~"{pat}") is not supported, please '
+                "use full-text index as an optimal solution")
     out = t.filter(ec.col(st.where)) if st.where is not None else t
     if st.yields:
         return out.select(*[ec.col(y.expr).alias(y.alias or f"c{i}")
@@ -2832,21 +2847,46 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
     keys_df = _cast_like(
         space.spark.createDataFrame(st.keys, key), table)
     # SET expressions evaluate against the stored row (UpdateExecutor
-    # read-modify-write); UPSERT sees NULL props for a missing key
-    base = keys_df.join(table, key, "left")
+    # read-modify-write). UPSERT initializes a MISSING key's props from
+    # the schema DEFAULTS (UpdateNode.h:84), so later SET exprs read them
+    # ($^.student_default.birthday + 1 = 2011, Update.feature "115"-"117");
+    # plain UPDATE on a missing key is the reference's storage error.
+    defn_u = (space.edges if st.is_edge else space.tags).get(st.name)
+    if not st.insertable:
+        if keys_df.join(table, key, "left_anti").limit(1).count() > 0:
+            raise ValueError("Storage Error: Vertex or edge not found.")
+    base = keys_df.join(table.withColumn("__exists", F.lit(True)),
+                        key, "left")
     ec = ExprCompiler(lambda kind, *a: F.col(a[-1] if kind != "name" else a[0]))
     dt = dict(table.dtypes)
+    if st.insertable and defn_u is not None:
+        for p, text in (defn_u.defaults or {}).items():
+            base = base.withColumn(
+                p, F.when(F.col("__exists").isNull(),
+                          _default_col(text, dt[p])).otherwise(F.col(p)))
     # WHEN guard (UpdateExecutor condition_): a failing row keeps its old
-    # values but still flows through (and still YIELDs, per Update.feature)
-    guard = ec.col(st.when).cast("boolean") if st.when is not None else None
+    # values but still flows through (and still YIELDs, per Update.feature);
+    # for an UPSERT's insert path the filter is vacuously true (the
+    # condition reads a row that does not exist yet)
+    guard = None
+    if st.when is not None:
+        guard = ec.col(st.when).cast("boolean")
+        if st.insertable:
+            guard = F.col("__exists").isNull() | guard
+        base = base.withColumn("__guard", guard)
+        guard = F.col("__guard")
 
-    def setval(prop, e):
-        v = ec.col(e).cast(dt[prop])
+    # SET clauses apply IN ORDER with visibility of prior sets
+    # (Update.feature "117": age reads the already-bumped birthday)
+    for p, e in st.sets:
+        v = ec.col(e).cast(dt[p])
         if guard is not None:
-            v = F.when(guard, v).otherwise(F.col(prop))
-        return v.alias(prop)
-
-    updates = base.select(*key, *[setval(p, e) for p, e in st.sets])
+            v = F.when(guard, v).otherwise(F.col(p))
+        base = base.withColumn(p, v)
+    # carry EVERY prop column so an UPSERT's inserted row keeps its
+    # default-initialized values, not NULLs
+    updates = base.select(*key,
+                          *[c for c in table.columns if c not in key])
     new = update_rows(table, updates, key, st.insertable)
     _rebind(space, st.name, st.is_edge, new)
     if st.yields:
@@ -2904,14 +2944,24 @@ def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
                 .select(F.col("kind").alias("Type"),
                         F.col("name").alias("Name"),
                         F.col("count").alias("Count")))
-    # describe
+    # describe — the reference's DescTagExecutor shape: PROP rows only
+    # (no vid/src/dst/rank keys), declared type names, Field/Type/Null/
+    # Default/Comment (TypoError.feature pins the 5-column layout)
     reg = space.tags if st.entity == "tag" else space.edges
     if st.name not in reg:
         raise KeyError(f"no {st.entity} named {st.name!r}")
-    rows = space.describe(st.name)
+    d = reg[st.name]
+    skip = {"vid"} if st.entity == "tag" else {"src", "dst", "rank"}
+    if d.decl is not None:
+        data = [(c, rt, "NO" if c in (d.required or []) else "YES",
+                 (d.defaults or {}).get(c), None) for c, rt in d.decl]
+    else:
+        data = [(f, _REF_TYPE.get(t, t), "YES" if n else "NO",
+                 None, None)
+                for f, t, n in space.describe(st.name) if f not in skip]
     return spark.createDataFrame(
-        [(f, t, "YES" if n else "NO") for f, t, n in rows],
-        "Field string, Type string, Null string")
+        data, "Field string, Type string, Null string, Default string, "
+              "Comment string")
 
 
 def _execute_node(space: GraphSpace, node,

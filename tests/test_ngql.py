@@ -459,12 +459,15 @@ def test_show_tags_edges(space):
 
 
 def test_describe_tag_edge(space):
+    # DescTagExecutor shape (TypoError.feature): PROP rows only — the
+    # vid/src/dst/rank keys are storage layout, not schema fields
     df = execute(space, "DESCRIBE TAG player")
-    assert df.columns == ["Field", "Type", "Null"]
+    assert df.columns == ["Field", "Type", "Null", "Default", "Comment"]
     fields = {r.Field for r in df.collect()}
-    assert {"vid", "name", "age"} <= fields
+    assert {"name", "age"} <= fields and "vid" not in fields
     df = execute(space, "DESC EDGE like")
-    assert {"src", "dst", "rank", "likeness"} <= {r.Field for r in df.collect()}
+    efields = {r.Field for r in df.collect()}
+    assert "likeness" in efields and not {"src", "dst", "rank"} & efields
     with pytest.raises(KeyError):
         execute(space, "DESCRIBE TAG like")   # like is an edge, not a tag
 

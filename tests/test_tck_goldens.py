@@ -5439,3 +5439,132 @@ def test_int_vid_space(spark):
         assert [sorted(r.v) for r in df.collect()] == [[200], [201, 202]]
     finally:
         execute(cat, "DROP SPACE ivid")
+
+
+def test_lookup_regex_refused_ne_fullscan(nba_space):
+    """lookup/TagIndexFullScan.feature — `=~` in LOOKUP WHERE is the
+    reference's SemanticError (IndexScan cannot accelerate regex; kept
+    for parity); a != filter full-scans and excludes only the named
+    row."""
+    with pytest.raises(ValueError,
+                       match=r"is not supported, please use full-text "
+                             r"index as an optimal solution"):
+        execute(nba_space,
+                'LOOKUP ON team where team.name =~ "\\\\d+\\\\w+" '
+                "YIELD vertex as node")
+    df = execute(nba_space,
+                 'LOOKUP ON team WHERE team.name != "Hornets" '
+                 "YIELD id(vertex) as id")
+    ids = [r.id for r in df.collect()]
+    assert "Hornets" not in ids and len(ids) == 29
+
+
+def test_match_labels_include_empty_tag(spark):
+    """bugfix/MatchReturnEmptyTag.feature — labels(v) reports EVERY tag
+    on the vid, including a zero-prop tag added after load."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE met; USE met;
+        CREATE TAG player(name string, age int);
+        CREATE TAG empty_tag();
+        INSERT VERTEX player(name, age) VALUES "td":("Tim Duncan", 42);
+        INSERT VERTEX empty_tag() values "td":()
+    """)
+    try:
+        df = execute(cat, 'USE met; MATCH (v:player{name:"Tim Duncan"}) '
+                          "RETURN labels(v) AS Labels")
+        assert [sorted(r.Labels) for r in df.collect()] == [
+            ["empty_tag", "player"]]
+        df = execute(cat, 'USE met; MATCH (v:empty_tag) '
+                          "RETURN id(v) AS id")
+        assert [r.id for r in df.collect()] == ["td"]
+    finally:
+        execute(cat, "DROP SPACE met")
+
+
+def test_typo_error_keyword_named_tag(spark):
+    """bugfix/TypoError.feature — a tag named by the near-keyword
+    `value` with `value`/`values` props round-trips DDL → DESC (the
+    5-column Field/Type/Null/Default/Comment shape, props only) →
+    SHOW CREATE with the reference's exact rendering."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE typo; USE typo; "
+                 "CREATE tag value(value int, values bool)")
+    try:
+        df = execute(cat, "USE typo; DESC TAG value")
+        assert [tuple(r) for r in df.collect()] == [
+            ("value", "int64", "YES", None, None),
+            ("values", "bool", "YES", None, None)]
+        df = execute(cat, "USE typo; SHOW CREATE TAG value")
+        assert df.collect()[0][1] == (
+            'CREATE TAG `value` (\n `value` int64 NULL,\n'
+            ' `values` bool NULL\n) ttl_duration = 0, ttl_col = ""')
+    finally:
+        execute(cat, "DROP SPACE typo")
+
+
+def test_seek_by_tag(nba_space):
+    """match/SeekByTag.feature — MATCH by tag: the single-row bachelor
+    tag (with a cross-tag prop read) and the 30-team scan."""
+    df = execute(nba_space,
+                 "MATCH (v:bachelor) RETURN id(v) AS vid, "
+                 "v.player.age AS age")
+    assert [tuple(r) for r in df.collect()] == [("Tim Duncan", 42)]
+    df = execute(nba_space, "MATCH (v:team) RETURN id(v) AS vid")
+    ids = [r.vid for r in df.collect()]
+    assert len(ids) == 30 and "Trail Blazers" in ids
+
+
+def test_upsert_defaults_sequential_sets(spark):
+    """update/Update.feature "115"-"117" — UPSERT on a missing key
+    initializes props from schema DEFAULTS before the SET clauses run,
+    the WHEN filter is vacuously true on the insert path, and SET
+    clauses apply IN ORDER (a later SET reads the value an earlier SET
+    just wrote); plain UPDATE of a missing key is the storage error."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE upsd; USE upsd;
+        CREATE TAG student_default(name string NOT NULL,
+          age int NOT NULL, gender string DEFAULT "one",
+          birthday int DEFAULT 2010)
+    """)
+    try:
+        df = execute(cat, 'USE upsd; UPSERT VERTEX ON student_default '
+                          '"115" SET name = "Kate", age = 12 '
+                          'WHEN $^.student_default.gender == "two" '
+                          "YIELD $^.student_default.name AS Name, "
+                          "$^.student_default.age AS Age, "
+                          "$^.student_default.gender AS gender")
+        assert [tuple(r) for r in df.collect()] == [("Kate", 12, "one")]
+        df = execute(cat, 'USE upsd; UPSERT VERTEX ON student_default '
+                          '"116" SET name = "Kate", '
+                          "age = $^.student_default.birthday + 1, "
+                          "birthday = $^.student_default.birthday + 1 "
+                          'WHEN $^.student_default.gender == "two" '
+                          "YIELD $^.student_default.name AS Name, "
+                          "$^.student_default.age AS Age, "
+                          "$^.student_default.gender AS gender, "
+                          "$^.student_default.birthday AS birthday")
+        assert [tuple(r) for r in df.collect()] == [
+            ("Kate", 2011, "one", 2011)]
+        df = execute(cat, 'USE upsd; UPSERT VERTEX ON student_default '
+                          '"117" SET '
+                          "birthday = $^.student_default.birthday + 1, "
+                          'name = "Kate", '
+                          "age = $^.student_default.birthday + 1 "
+                          "YIELD $^.student_default.name AS Name, "
+                          "$^.student_default.age AS Age, "
+                          "$^.student_default.gender AS gender, "
+                          "$^.student_default.birthday AS birthday")
+        assert [tuple(r) for r in df.collect()] == [
+            ("Kate", 2012, "one", 2011)]
+        with pytest.raises(ValueError,
+                           match=r"Storage Error: Vertex or edge not "
+                                 r"found."):
+            execute(cat, 'USE upsd; UPDATE VERTEX ON student_default '
+                         '"999" SET age = 1')
+    finally:
+        execute(cat, "DROP SPACE upsd")
