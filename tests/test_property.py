@@ -21,11 +21,13 @@ IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
 @given(st.text(max_size=60))
 @settings(max_examples=200, deadline=None)
 def test_parser_total(s):
-    """Any input → Pipeline/SetOp or SyntaxError, nothing else."""
+    """Any input → Pipeline/SetOp, SyntaxError, or a controlled
+    semantic ValueError (e.g. the r5 Undefined-parameters sweep for a
+    bare `$name`) — nothing else escapes."""
     try:
         out = parse(s)
         assert out is not None
-    except SyntaxError:
+    except (SyntaxError, ValueError):
         pass
 
 
@@ -363,3 +365,70 @@ def test_all_paths_bidir_equals_forward_enumeration(spark, edges, direction,
         F.broadcast(targets.select(F.col("vid").alias("end_vid"))),
         "end_vid", "left_semi")
     assert got == key(ref.collect())
+
+
+# -- round-5 surfaces: parameter substitution + duration arithmetic -------
+
+SCALAR = st.one_of(st.integers(-1000, 1000), st.booleans(),
+                   st.text(st.characters(whitelist_categories=("Ll", "Lu"),
+                                         max_codepoint=122), max_size=8))
+
+
+@given(a=st.integers(-10**6, 10**6), b=st.integers(1, 10**6),
+       s=st.text(st.characters(whitelist_categories=("Ll",),
+                               max_codepoint=122), max_size=6))
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_param_substitution_equals_inline(spark, a, b, s):
+    """`execute(q, params)` ≡ executing the same query with the
+    parameter values spelled as literals (rewriteParameter is pure
+    substitution)."""
+    from nebula_spark.catalog import GraphSpace
+    from nebula_spark.plans.executor import execute
+
+    sp = GraphSpace(spark, "prop")
+    q_p = ("YIELD $pa + $pb AS x, $pa % $pb AS m, "
+           "$ps + \"_t\" AS t, $pa < $pb AS c")
+    q_i = (f"YIELD {a} + {b} AS x, {a} % {b} AS m, "
+           f'"{s}" + "_t" AS t, {a} < {b} AS c')
+    rp = [tuple(r) for r in
+          execute(sp, q_p, {"pa": a, "pb": b, "ps": s}).collect()]
+    ri = [tuple(r) for r in execute(sp, q_i).collect()]
+    assert rp == ri
+
+
+@given(y=st.integers(0, 20), mo=st.integers(0, 11), d=st.integers(0, 40),
+       h=st.integers(0, 30), mi=st.integers(0, 70), se=st.integers(0, 90))
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duration_date_arithmetic_model(spark, y, mo, d, h, mi, se):
+    """DATE ± duration against a pure-Python model of Date.cpp
+    addDuration: months calendar-aware, then the truncated whole-day
+    count of the seconds component."""
+    import datetime as dt
+
+    from nebula_spark.catalog import GraphSpace
+    from nebula_spark.plans.executor import execute
+
+    sp = GraphSpace(spark, "prop")
+    m = (f"{{years: {y}, months: {mo}, days: {d}, hours: {h}, "
+         f"minutes: {mi}, seconds: {se}}}")
+    df = execute(sp, f"RETURN date('1984-10-11') + duration({m}) AS s, "
+                     f"date('1984-10-11') - duration({m}) AS f")
+    [(got_sum, got_diff)] = [tuple(r) for r in df.collect()]
+
+    def model(sign):
+        months = sign * (y * 12 + mo)
+        secs = ((d * 24 + h) * 60 + mi) * 60 + se
+        days = sign * (secs // 86400)
+        base = dt.date(1984, 10, 11)
+        # months via calendar walk (add_months semantics)
+        tm = (base.year * 12 + base.month - 1) + months
+        yy, mm = divmod(tm, 12)
+        mm += 1
+        import calendar
+        dd = min(base.day, calendar.monthrange(yy, mm)[1])
+        return dt.date(yy, mm, dd) + dt.timedelta(days=days)
+
+    assert got_sum == model(1), (got_sum, model(1))
+    assert got_diff == model(-1), (got_diff, model(-1))
