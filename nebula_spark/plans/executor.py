@@ -392,7 +392,23 @@ class ExprCompiler:
             # reference semantics (SubscriptExpression.cpp:26-36):
             # list[-1] == list[size-1]; out of range ([size..] / [..-size-1])
             # → NULL. F.get is 0-based and NULL-safe out of bounds.
+            # A string subscript is MAP access (SubscriptInUpdate.feature:
+            # json_extract(json)['b']) — element_at is NULL-safe on a
+            # missing key.
             base = self.col(e[1])
+            if (isinstance(e[2], tuple) and e[2][0] == "lit"
+                    and isinstance(e[2][1], str)):
+                from pyspark.sql.types import StructType
+                dt = self._dtype(base)
+                if isinstance(dt, StructType):
+                    # struct-encoded map literal: case-SENSITIVE key,
+                    # absent → NULL (the map-literal attr rule)
+                    return base[e[2][1]] \
+                        if e[2][1] in dt.fieldNames() else F.lit(None)
+                return F.element_at(base, F.lit(e[2][1]))
+            from pyspark.sql.types import MapType
+            if isinstance(self._dtype(base), MapType):
+                return F.element_at(base, self.col(e[2]))
             idx = self.col(e[2]).cast("int")
             return F.get(base, F.when(idx < 0, idx + F.size(base))
                          .otherwise(idx))

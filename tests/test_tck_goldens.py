@@ -5568,3 +5568,60 @@ def test_upsert_defaults_sequential_sets(spark):
                          '"999" SET age = 1')
     finally:
         execute(cat, "DROP SPACE upsd")
+
+
+def test_subscript_in_update(spark):
+    """bugfix/SubscriptInUpdate.feature — json_extract(json)['b'] (MAP
+    subscripting with a string key) inside UPDATE SET/WHEN, vertex and
+    edge; struct-encoded map literals keep case-SENSITIVE keys."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE subu; USE subu;
+        create tag test_tag(i1 int, json string);
+        create edge test_edge(i1 int, json string);
+        INSERT VERTEX test_tag(i1, json) VALUES
+          'xxx':(1, '{"a":1,"b":2}');
+        INSERT EDGE test_edge(i1, json) VALUES
+          'xxx'->'xxx':(1, '{"a":1,"b":2}')
+    """)
+    try:
+        df = execute(cat, "USE subu; UPDATE VERTEX ON test_tag 'xxx' "
+                          "SET i1=json_extract(json)['b'] "
+                          "WHEN json_extract(json)['a'] == 1 YIELD i1")
+        assert [tuple(r) for r in df.collect()] == [(2,)]
+        df = execute(cat, "USE subu; UPDATE EDGE ON test_edge "
+                          "'xxx'->'xxx' SET i1=json_extract(json)['b'] "
+                          "WHEN json_extract(json)['a'] == 1 YIELD i1")
+        assert [tuple(r) for r in df.collect()] == [(2,)]
+        df = execute(cat, 'USE subu; YIELD {k1: 1}["k1"] AS a, '
+                          '{k1: 1}["K1"] AS b')
+        assert [tuple(r) for r in df.collect()] == [(1, None)]
+    finally:
+        execute(cat, "DROP SPACE subu")
+
+
+def test_fixed_string_go_expressions(spark):
+    """expression/FixedString.feature — fixed_string props compare as
+    strings in GO WHERE across all three prop sigils ($^ / $$ / edge)."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE fsx (vid_type = int64); USE fsx;
+        CREATE TAG fixed_string_tag_1(c1 fixed_string(30));
+        CREATE EDGE fixed_string_edge_1(c1 fixed_string(30));
+        INSERT VERTEX fixed_string_tag_1(c1) VALUES
+          1:("row"), 2:("row"), 3:("row");
+        INSERT EDGE fixed_string_edge_1(c1) VALUES
+          1->2:("row"), 1->3:("row")
+    """)
+    try:
+        for cond in ('$$.fixed_string_tag_1.c1 == "row"',
+                     '$^.fixed_string_tag_1.c1 == "row"',
+                     'fixed_string_edge_1.c1 == "row"'):
+            df = execute(cat, "USE fsx; GO from 1 over "
+                              f"fixed_string_edge_1 where {cond} yield "
+                              "$$.fixed_string_tag_1.c1 as c1")
+            assert [r.c1 for r in df.collect()] == ["row", "row"], cond
+    finally:
+        execute(cat, "DROP SPACE fsx")
