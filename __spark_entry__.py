@@ -401,16 +401,21 @@ def q_go_1to2(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ngql_go_pipe(spark: SparkSession, sf: str) -> DataFrame:
-    """nGQL front end: LOOKUP | GO pipe, parsed and compiled by plans/."""
+    """nGQL front end: LOOKUP | GO pipe, parsed and compiled by plans/.
+
+    The thresholds arrive as session PARAMETERS (parameter.feature
+    surface, round 5) so the oracle also value-checks the substitution
+    path end-to-end — the SQL oracle is unchanged because substitution
+    is pure literal rewriting."""
     from nebula_spark.plans import execute
     sp = tpch_space(spark, sf)
     return execute(sp, """
-        LOOKUP ON customer WHERE customer.vid % 10 == 0
+        LOOKUP ON customer WHERE customer.vid % $mod == 0
           YIELD customer.vid AS vid
-        | GO FROM $-.vid OVER placed WHERE placed.o_totalprice > 50000
+        | GO FROM $-.vid OVER placed WHERE placed.o_totalprice > $minp
           YIELD src(edge) AS c_key, dst(edge) AS o_key,
                 placed.o_totalprice AS o_totalprice
-    """)
+    """, params={"mod": 10, "minp": 50000})
 
 
 def q_ngql_match_agg(spark: SparkSession, sf: str) -> DataFrame:
