@@ -518,6 +518,20 @@ class ExprCompiler:
                 + parts.get("seconds", z).cast("long")
             return F.struct(months.cast("int").alias("months"),
                             secs.alias("seconds"))
+        if name in ("setadd", "erase") and len(args) == 2:
+            # SET-prop mutators (Update.feature Set< t > scenarios)
+            a, v = self.col(args[0]), self.col(args[1])
+            if name == "setadd":
+                return F.array_distinct(F.concat(a, F.array(v)))
+            return F.array_remove(a, v)
+        if name == "replace" and len(args) == 3:
+            # REPLACE is the string fn unless the subject is a SET/LIST
+            from pyspark.sql.types import ArrayType
+            a = self.col(args[0])
+            if isinstance(self._dtype(a), ArrayType):
+                old, new = self.col(args[1]), self.col(args[2])
+                return F.array_distinct(F.transform(
+                    a, lambda x: F.when(x == old, new).otherwise(x)))
         if name == "json_extract" and len(args) == 1 \
                 and isinstance(args[0], tuple) and args[0][0] == "lit" \
                 and not isinstance(args[0][1], str):
@@ -2873,7 +2887,10 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
             raise ValueError("Storage Error: Vertex or edge not found.")
     base = keys_df.join(table.withColumn("__exists", F.lit(True)),
                         key, "left")
-    ec = ExprCompiler(lambda kind, *a: F.col(a[-1] if kind != "name" else a[0]))
+    # frame attached → schema-directed dispatch (list `+` concat,
+    # SET-fn vs string-REPLACE resolution on List/Set props)
+    ec = ExprCompiler(lambda kind, *a: F.col(a[-1] if kind != "name"
+                                             else a[0]), df=base)
     dt = dict(table.dtypes)
     if st.insertable and defn_u is not None:
         for p, text in (defn_u.defaults or {}).items():

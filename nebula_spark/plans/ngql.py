@@ -977,6 +977,26 @@ class Parser:
 
     def literal(self):
         t = self.peek()
+        if t.kind == "LB":               # [a, b] — List-prop INSERT value
+            self.eat("LB")
+            out = []
+            while self.peek().kind != "RB":
+                out.append(self.literal())
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+            self.eat("RB")
+            return out
+        if t.kind == "LC":               # {a, b} — Set-prop INSERT value
+            self.eat("LC")
+            out = []
+            while self.peek().kind != "RC":
+                v = self.literal()
+                if v not in out:         # sets dedup, first-wins order
+                    out.append(v)
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+            self.eat("RC")
+            return out
         if t.kind == "STRING":
             self.i += 1
             return _unescape_string(t.text[1:-1])

@@ -48,7 +48,9 @@ _INDEX = re.compile(
     r"create\s+(tag|edge)\s+index\s+(?:if\s+not\s+exists\s+)?(\w+)\s+on\s+"
     r"(\w+)\s*\(([^)]*)\)", re.IGNORECASE)
 _COL = re.compile(
-    r"(\w+)\s+(\w+)(?:\s*\(\s*(\d+)\s*\))?"        # name type [(len)]
+    # name type [(len)] | List< t > | Set< t >  (Ddl.feature container
+    # prop types)
+    r"(\w+)\s+(\w+(?:\s*<\s*\w+\s*>)?)(?:\s*\(\s*(\d+)\s*\))?"
     # DEFAULT takes the rest of the column def — it may be a constant
     # expression like datetime("…") that the statement re-serializer
     # spaced out into several tokens
@@ -85,6 +87,23 @@ def _parse_cols(body: str) -> tuple[StructType, dict, list]:
             raise ValueError(f"bad column def: {part!r}")
         name, typ, flen, notnull, default = m.groups()
         ref_type = typ.lower()
+        cm = re.fullmatch(r"(list|set)\s*<\s*(\w+)\s*>", ref_type)
+        if cm:
+            # List< t > / Set< t > → ArrayType(t); DESC echoes the
+            # reference's list_t / set_t names (Ddl.feature). Sets
+            # dedup on write (INSERT applies array_distinct).
+            inner = cm.group(2)
+            elem = _TYPE_MAP.get(inner)
+            if elem is None:
+                raise ValueError(f"unknown element type {inner!r}")
+            from pyspark.sql.types import ArrayType
+            ref_type = f"{cm.group(1)}_{inner}"
+            fields.append(StructField(name, ArrayType(elem),
+                                      nullable=notnull is None))
+            decl.append((name, ref_type))
+            if default is not None:
+                defaults[name] = default.strip("\"'")
+            continue
         if ref_type == "fixed_string":
             # keep the byte limit in the declared type so INSERT can
             # apply the reference's whole-codepoint truncation

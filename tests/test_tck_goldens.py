@@ -5625,3 +5625,65 @@ def test_fixed_string_go_expressions(spark):
             assert [r.c1 for r in df.collect()] == ["row", "row"], cond
     finally:
         execute(cat, "DROP SPACE fsx")
+
+
+def test_list_set_prop_types(spark):
+    """ddl/Ddl.feature + update/Update.feature List/Set scenarios —
+    `List< t >` / `Set< t >` prop columns (ArrayType): DESC echoes
+    list_t/set_t, INSERT takes [..]/{..} literals ({..} dedups
+    first-wins), `+` concatenates lists, SETADD/REPLACE/ERASE mutate
+    sets."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE lsp; USE lsp;
+        CREATE TAG player(name string, age int, hobby List< string >,
+          ids List< int >, score List< float >);
+        CREATE TAG splayer(hobby Set< string >, ids Set< int >);
+        INSERT VERTEX player(name, age, hobby, ids, score) VALUES
+          "player100":("Tim Duncan", 42, ["Basketball", "Swimming"],
+                       [100, 528], [50.0, 22.0]);
+        INSERT VERTEX splayer(hobby, ids) VALUES
+          "p":({"Basketball", "Swimming", "Swimming"}, {100, 528, 100})
+    """)
+    try:
+        df = execute(cat, 'USE lsp; DESC TAG player')
+        assert [(r.Field, r.Type) for r in df.collect()] == [
+            ("name", "string"), ("age", "int64"),
+            ("hobby", "list_string"), ("ids", "list_int"),
+            ("score", "list_float")]
+        df = execute(cat, 'USE lsp; UPDATE VERTEX ON player "player100" '
+                          "SET hobby = hobby + [], ids = ids + [], "
+                          "score = score + [] "
+                          'WHEN name == "Tim Duncan" '
+                          "YIELD hobby AS H, ids AS I, score AS S")
+        assert [tuple(r) for r in df.collect()] == [
+            (["Basketball", "Swimming"], [100, 528], [50.0, 22.0])]
+        df = execute(cat, 'USE lsp; UPDATE VERTEX ON player "player100" '
+                          'SET hobby = hobby + ["Coding"], '
+                          "ids = ids + [37564], score = score + [85.0] "
+                          'WHEN name == "Tim Duncan" '
+                          "YIELD hobby AS H, ids AS I, score AS S")
+        assert [tuple(r) for r in df.collect()] == [
+            (["Basketball", "Swimming", "Coding"], [100, 528, 37564],
+             [50.0, 22.0, 85.0])]
+        df = execute(cat, 'USE lsp; UPDATE VERTEX ON splayer "p" '
+                          'SET hobby = SETADD(hobby, "Coding"), '
+                          "ids = SETADD(ids, 37564) "
+                          "YIELD hobby AS H, ids AS I")
+        assert [tuple(r) for r in df.collect()] == [
+            (["Basketball", "Swimming", "Coding"], [100, 528, 37564])]
+        df = execute(cat, 'USE lsp; UPDATE VERTEX ON splayer "p" '
+                          'SET hobby = REPLACE(hobby, "Basketball", '
+                          '"Football"), ids = REPLACE(ids, 37564, 12345) '
+                          "YIELD hobby AS H, ids AS I")
+        assert [tuple(r) for r in df.collect()] == [
+            (["Football", "Swimming", "Coding"], [100, 528, 12345])]
+        df = execute(cat, 'USE lsp; UPDATE VERTEX ON splayer "p" '
+                          'SET hobby = ERASE(hobby, "Coding"), '
+                          "ids = ERASE(ids, 100) YIELD hobby AS H, "
+                          "ids AS I")
+        assert [tuple(r) for r in df.collect()] == [
+            (["Football", "Swimming"], [528, 12345])]
+    finally:
+        execute(cat, "DROP SPACE lsp")
