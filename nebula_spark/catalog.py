@@ -47,6 +47,7 @@ class TagDef:
     decl: list | None = None   # declared (reference) types, for SHOW CREATE
     defaults: dict | None = None  # DDL DEFAULT exprs, applied at INSERT
     required: list | None = None  # NOT NULL columns (DDL nullability)
+    comments: dict | None = None  # per-column COMMENT text (DESC)
 
 
 @dataclass
@@ -65,6 +66,7 @@ class EdgeDef:
     decl: list | None = None   # declared (reference) types, for SHOW CREATE
     defaults: dict | None = None  # DDL DEFAULT exprs, applied at INSERT
     required: list | None = None  # NOT NULL columns (DDL nullability)
+    comments: dict | None = None  # per-column COMMENT text (DESC)
 
 
 @dataclass
@@ -81,9 +83,10 @@ class GraphSpace:
                    df: DataFrame | None = None, ttl_col: str | None = None,
                    ttl_duration: int = 0, decl: list | None = None,
                    defaults: dict | None = None,
-                   required: list | None = None) -> TagDef:
+                   required: list | None = None,
+                   comments: dict | None = None) -> TagDef:
         tag = TagDef(name, path, df, ttl_col, ttl_duration, decl, defaults,
-                     required)
+                     required, comments)
         self.tags[name] = tag
         return tag
 
@@ -91,9 +94,10 @@ class GraphSpace:
                     df: DataFrame | None = None, ttl_col: str | None = None,
                     ttl_duration: int = 0, decl: list | None = None,
                     defaults: dict | None = None,
-                    required: list | None = None) -> EdgeDef:
+                    required: list | None = None,
+                    comments: dict | None = None) -> EdgeDef:
         edge = EdgeDef(name, path, df, ttl_col, ttl_duration, decl,
-                       defaults, required)
+                       defaults, required, comments)
         self.edges[name] = edge
         return edge
 

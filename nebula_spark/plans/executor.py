@@ -2770,7 +2770,8 @@ def _rebind(space: GraphSpace, name: str, is_edge: bool,
     d = defs[name]
     maker = space.create_edge if is_edge else space.create_tag
     maker(name, df=new_df, ttl_col=d.ttl_col, ttl_duration=d.ttl_duration,
-          decl=d.decl, defaults=d.defaults, required=d.required)
+          decl=d.decl, defaults=d.defaults, required=d.required,
+          comments=d.comments)
 
 
 def _default_col(text, dtype: str) -> Column:
@@ -2987,7 +2988,8 @@ def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
     skip = {"vid"} if st.entity == "tag" else {"src", "dst", "rank"}
     if d.decl is not None:
         data = [(c, rt, "NO" if c in (d.required or []) else "YES",
-                 (d.defaults or {}).get(c), None) for c, rt in d.decl]
+                 (d.defaults or {}).get(c),
+                 (d.comments or {}).get(c)) for c, rt in d.decl]
     else:
         data = [(f, _REF_TYPE.get(t, t), "YES" if n else "NO",
                  None, None)
@@ -3152,12 +3154,34 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
                 StructField("rank", LongType(), False)]
         schema = StructType(key_cols + list(sd.schema.fields))
         empty = space.spark.createDataFrame([], schema)
+        reg0 = space.tags if sd.kind == "tag" else space.edges
+        if sd.name in reg0:
+            # re-CREATE of an existing schema: IF NOT EXISTS is a no-op
+            # (the original def survives, Ddl.feature); without it the
+            # reference errors
+            if sd.if_not_exists:
+                continue
+            raise ValueError(f"Existed {sd.kind} `{sd.name}'!")
         create = space.create_tag if sd.kind == "tag" else space.create_edge
         create(sd.name, df=empty, ttl_col=sd.ttl_col,
                ttl_duration=sd.ttl_duration, decl=sd.decl,
                defaults=sd.defaults,
                required=[f.name for f in sd.schema.fields
-                         if not f.nullable])
+                         if not f.nullable],
+               comments=sd.comments)
+    for ix in _indexes:
+        # index DDL stays metadata-only (Parquet stats + Catalyst
+        # pushdown subsume it) but the column check is real: a column
+        # the schema lacks is the reference's error (Ddl.feature)
+        reg = space.tags if ix.kind == "tag" else space.edges
+        target = reg.get(ix.on)
+        if target is None:
+            raise ValueError(f"{ix.on} not found in space "
+                             f"[{space.name}].")
+        have = {c for c, _ in (target.decl or [])}
+        for c in ix.cols:
+            if c and c not in have:
+                raise ValueError("Key not existed!")
     return space.spark.range(0)
 
 

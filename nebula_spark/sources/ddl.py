@@ -38,7 +38,7 @@ _TYPE_MAP: dict[str, DataType] = {
 _CREATE = re.compile(
     # greedy body up to the LAST close-paren so fixed_string(5) column
     # defs nest; the tail (ttl options) never contains parens
-    r"create\s+(tag|edge)\s+(?:if\s+not\s+exists\s+)?(\w+)\s*\((.*)\)"
+    r"create\s+(tag|edge)\s+(if\s+not\s+exists\s+)?(\w+)\s*\((.*)\)"
     r"\s*(.*?)\s*$",
     re.IGNORECASE | re.DOTALL)
 _TTL_OPT = re.compile(
@@ -51,10 +51,11 @@ _COL = re.compile(
     # name type [(len)] | List< t > | Set< t >  (Ddl.feature container
     # prop types)
     r"(\w+)\s+(\w+(?:\s*<\s*\w+\s*>)?)(?:\s*\(\s*(\d+)\s*\))?"
-    # DEFAULT takes the rest of the column def — it may be a constant
-    # expression like datetime("…") that the statement re-serializer
-    # spaced out into several tokens
-    r"(\s+not\s+null)?(?:\s+default\s+(.+?))?\s*$", re.IGNORECASE)
+    # DEFAULT takes the rest of the column def up to an optional COMMENT
+    # — it may be a constant expression like datetime("…") that the
+    # statement re-serializer spaced out into several tokens
+    r"(\s+not\s+null)?(?:\s+default\s+(.+?))?"
+    r"(?:\s+comment\s+(\"[^\"]*\"|'[^']*'))?\s*$", re.IGNORECASE)
 
 
 @dataclass
@@ -69,6 +70,8 @@ class SchemaDef:
     # Spark StructType collapses int8/16/32 and timestamp, but
     # SHOW CREATE TAG must echo the original (TTL.feature Schematest)
     decl: list = field(default_factory=list)   # [(col, ref_type_name)]
+    comments: dict = field(default_factory=dict)  # per-column COMMENT text
+    if_not_exists: bool = False
 
 
 @dataclass
@@ -79,13 +82,15 @@ class IndexDef:
     cols: list[str]
 
 
-def _parse_cols(body: str) -> tuple[StructType, dict, list]:
-    fields, defaults, decl = [], {}, []
+def _parse_cols(body: str) -> tuple[StructType, dict, list, dict]:
+    fields, defaults, decl, comments = [], {}, [], {}
     for part in filter(None, (p.strip() for p in body.split(","))):
         m = _COL.match(part)
         if not m:
             raise ValueError(f"bad column def: {part!r}")
-        name, typ, flen, notnull, default = m.groups()
+        name, typ, flen, notnull, default, comment = m.groups()
+        if comment is not None:
+            comments[name] = comment[1:-1]
         ref_type = typ.lower()
         cm = re.fullmatch(r"(list|set)\s*<\s*(\w+)\s*>", ref_type)
         if cm:
@@ -118,7 +123,7 @@ def _parse_cols(body: str) -> tuple[StructType, dict, list]:
         decl.append((name, ref_type))
         if default is not None:
             defaults[name] = default.strip("\"'")
-    return StructType(fields), defaults, decl
+    return StructType(fields), defaults, decl, comments
 
 
 def parse_ddl(ddl: str) -> tuple[list[SchemaDef], list[IndexDef]]:
@@ -134,8 +139,12 @@ def parse_ddl(ddl: str) -> tuple[list[SchemaDef], list[IndexDef]]:
             continue
         cm = _CREATE.match(stmt)
         if cm:
-            kind, name, body, tail = cm.groups()
-            schema, defaults, decl = _parse_cols(body)
+            kind, ine, name, body, tail = cm.groups()
+            schema, defaults, decl, comments = _parse_cols(body)
+            # schema-level COMMENT = "…" is accepted metadata
+            # (Ddl.feature `TTL_DURATION = 100, …, COMMENT = "TAG B"`)
+            tail = re.sub(r"comment\s*=\s*(\"[^\"]*\"|'[^']*')", "",
+                          tail, flags=re.IGNORECASE)
             ttl_dur, ttl_col = 0, None
             consumed = 0
             for om in _TTL_OPT.finditer(tail):
@@ -163,7 +172,8 @@ def parse_ddl(ddl: str) -> tuple[list[SchemaDef], list[IndexDef]]:
                         f"ttl_col {ttl_col!r} must be int64/timestamp, "
                         f"got {typ} (Ttl schema error)")
             schemas.append(SchemaDef(kind.lower(), name, schema, defaults,
-                                     ttl_col, ttl_dur, decl))
+                                     ttl_col, ttl_dur, decl, comments,
+                                     ine is not None))
             continue
         raise ValueError(f"unrecognized DDL statement: {stmt[:60]!r}")
     return schemas, indexes

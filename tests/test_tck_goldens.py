@@ -5687,3 +5687,45 @@ def test_list_set_prop_types(spark):
             (["Football", "Swimming"], [528, 12345])]
     finally:
         execute(cat, "DROP SPACE lsp")
+
+
+def test_ddl_comments_if_not_exists_index_check(spark):
+    """ddl/Ddl.feature — per-column COMMENT lands in DESC's Comment
+    column, DEFAULT may be an expression followed by COMMENT, re-CREATE
+    with IF NOT EXISTS is a no-op (without it an error), and CREATE
+    INDEX validates its columns against the schema (`Key not
+    existed!`)."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE ddlf; USE ddlf;
+        CREATE TAG A();
+        CREATE TAG IF NOT EXISTS A(id int, name string);
+        CREATE TAG B(
+          id int NOT NULL DEFAULT 0+0 COMMENT "primary key",
+          name string NOT NULL,
+          createDate DATETIME,
+          isVisited bool COMMENT "kHop search flag",
+          listString List< string >,
+          setInt Set< int >
+        ) TTL_DURATION = 100, TTL_COL = "id", COMMENT = "TAG B"
+    """)
+    try:
+        df = execute(cat, "USE ddlf; DESC TAG A")
+        assert df.collect() == []          # IF NOT EXISTS kept zero-prop A
+        df = execute(cat, "USE ddlf; DESC TAG B")
+        assert [tuple(r) for r in df.collect()] == [
+            ("id", "int64", "NO", "0 + 0", "primary key"),
+            ("name", "string", "NO", None, None),
+            ("createDate", "datetime", "YES", None, None),
+            ("isVisited", "bool", "YES", None, "kHop search flag"),
+            ("listString", "list_string", "YES", None, None),
+            ("setInt", "set_int", "YES", None, None)]
+        with pytest.raises(ValueError, match=r"Existed tag `A'!"):
+            execute(cat, "USE ddlf; CREATE TAG A(x int)")
+        execute(cat, "USE ddlf; CREATE TAG INDEX idx_A_1 on A()")
+        with pytest.raises(ValueError, match=r"Key not existed!"):
+            execute(cat, "USE ddlf; CREATE TAG INDEX idx_A_2 on A(id)")
+        execute(cat, "USE ddlf; CREATE TAG INDEX idx_B_2 on B(id)")
+    finally:
+        execute(cat, "DROP SPACE ddlf")
