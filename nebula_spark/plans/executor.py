@@ -1134,11 +1134,16 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
             return F.col(args[1])
         if kind == "graph_fn":
             # id(vertex) / src(edge) / dst(edge) / rank(edge) in LOOKUP
-            # YIELD (WithYield.feature, LookupIn.feature)
+            # YIELD (WithYield.feature, LookupIn.feature);
+            # properties(vertex|edge) is the prop struct (LookUpTopN)
             fn = {"id": VID, "src": SRC, "dst": DST, "rank": RANK}.get(
                 args[0])
             if fn is not None:
                 return F.col(fn)
+            if args[0] in ("properties", "props"):
+                skip = {VID} if is_tag else {SRC, DST, RANK}
+                return F.struct(*[F.col(c).alias(c) for c in t.columns
+                                  if c not in skip])
             raise ValueError(f"unresolvable {kind} {args}")
         if kind == "name":
             if args[0] == "vertex" and is_tag:

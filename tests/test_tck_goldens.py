@@ -5729,3 +5729,26 @@ def test_ddl_comments_if_not_exists_index_check(spark):
         execute(cat, "USE ddlf; CREATE TAG INDEX idx_B_2 on B(id)")
     finally:
         execute(cat, "DROP SPACE ddlf")
+
+
+def test_lookup_topn_pipes(nba_space):
+    """lookup/LookUpTopN.feature — LOOKUP | ORDER BY | LIMIT pipelines
+    (Spark plans these as a TakeOrdered over the scan; the reference's
+    push-TopN-down rule is subsumed by Catalyst)."""
+    for q, want in [
+        ("LOOKUP ON player YIELD id(vertex) as id | ORDER BY $-.id | "
+         "Limit 2", ["Amar'e Stoudemire", "Aron Baynes"]),
+        ("LOOKUP ON player WHERE player.age==30 YIELD id(vertex) as id "
+         "| ORDER BY $-.id | Limit 2",
+         ["Blake Griffin", "DeAndre Jordan"]),
+        ('LOOKUP ON player WHERE player.name > "Ti" YIELD id(vertex) '
+         "as id | ORDER BY $-.id | Limit 2",
+         ["Tiago Splitter", "Tim Duncan"]),
+    ]:
+        df = execute(nba_space, q)
+        assert [r[0] for r in df.collect()] == want, q
+    df = execute(nba_space,
+                 "LOOKUP ON player YIELD properties(vertex).name as "
+                 "name | ORDER BY $-.name | Limit 2")
+    assert [r.name for r in df.collect()] == [
+        "Amar'e Stoudemire", "Aron Baynes"]
