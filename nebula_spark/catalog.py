@@ -77,6 +77,10 @@ class GraphSpace:
     name: str
     tags: dict[str, TagDef] = field(default_factory=dict)
     edges: dict[str, EdgeDef] = field(default_factory=dict)
+    # CREATE TAG/EDGE INDEX metadata ({name: IndexDef}) — kept for the
+    # SHOW/DESCRIBE INDEX lifecycle even though scans ride Parquet
+    # stats + Catalyst pushdown rather than secondary indexes
+    indexes: dict = field(default_factory=dict)
 
     # -- DDL ---------------------------------------------------------------
     def create_tag(self, name: str, *, path: str | None = None,

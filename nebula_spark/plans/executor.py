@@ -855,17 +855,44 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
                 for p, cols in by_name.items()]
 
     def _edge_props_struct() -> Column:
-        # properties(edge): the union of the traversed types' props in
-        # declaration order — exact for a single OVER type; for OVER
-        # multiple types the other types' fields read NULL (Spark structs
-        # are fixed-schema, the documented stand-in for the reference's
-        # per-row map)
-        seen: list[str] = []
-        for n in (st.edges or sorted(space.edges)):
-            for c in space.edge(n).columns:
-                if c not in (SRC, DST, RANK) and c not in seen:
-                    seen.append(c)
-        return F.struct(*[F.col(c) for c in seen])
+        # properties(edge) — single OVER type: the exact prop struct
+        # (attribute access, fixed schema). Multiple types / OVER *: the
+        # reference returns a per-row MAP of only the traversed edge's
+        # own props (FunctionManager.cpp properties → Edge props map), so
+        # emit F.when(_etype == t, map-of-t's-props) per type. Spark maps
+        # need one value type: identical dtypes pass through, numeric
+        # mixes widen (bigint < double), anything else stringifies —
+        # documented coercion, the map KEYS are always exact.
+        names = st.edges or sorted(space.edges)
+        if len(names) == 1:
+            e = space.edge(names[0])
+            return F.struct(*[F.col(c) for c in e.columns
+                              if c not in (SRC, DST, RANK)])
+        per_type: dict[str, list[str]] = {
+            n: [c for c in space.edge(n).columns
+                if c not in (SRC, DST, RANK)] for n in names}
+        dtypes: set[str] = set()
+        for n in names:
+            dt = dict(space.edge(n).dtypes)
+            dtypes.update(dt[p] for p in per_type[n])
+        _num = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        if len(dtypes) <= 1:
+            cast = None
+        elif dtypes <= set(_num):
+            cast = "double" if {"float", "double"} & dtypes else "bigint"
+        else:
+            cast = "string"
+        expr = None
+        for n in names:
+            kv = []
+            for p in per_type[n]:
+                kv.append(F.lit(p))
+                kv.append(F.col(p).cast(cast) if cast else F.col(p))
+            m = (F.create_map(*kv) if kv
+                 else F.create_map().cast("map<string,string>"))
+            expr = F.when(F.col("_etype") == n, m) if expr is None \
+                else expr.when(F.col("_etype") == n, m)
+        return expr
 
     def _vert_struct(side: str) -> Column:
         return F.struct(F.col(side).alias(VID), *_side_props(side))
@@ -991,6 +1018,20 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
     pred = F.col(f"__fv_{tag_names[0]}").isNotNull()
     for tg in tag_names[1:]:
         pred = pred | F.col(f"__fv_{tg}").isNotNull()
+    # a vid also survives (with EMPTY props) if the VERTEX exists via a
+    # tag outside the listed set — storage's vid prefix scan sees every
+    # tag row, so DELETE TAG player leaves FETCH PROP ON player returning
+    # an EMPTY row while the bachelor tag keeps the vertex alive
+    # (DeleteTag.feature "the output has one row because the vertex has
+    # multiple tags")
+    others = [t for t in space.tags if t not in tag_names]
+    if others:
+        ex = space.tag(others[0]).select(VID)
+        for t in others[1:]:
+            ex = ex.unionByName(space.tag(t).select(VID))
+        ex = ex.select(F.col(VID).alias("__fv__other")).distinct()
+        out = out.join(ex, out[VID] == ex["__fv__other"], "left")
+        pred = pred | F.col("__fv__other").isNotNull()
     out = out.filter(pred)
 
     def vertex_col() -> Column:
@@ -1070,7 +1111,7 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
                 for i, y in enumerate(st.yields)]
         out = out.select(*cols)
     else:
-        out = out.drop(*[f"__fv_{tg}" for tg in tag_names])
+        out = out.drop(*[f"__fv_{tg}" for tg in tag_names], "__fv__other")
     return out.distinct() if st.distinct else out
 
 
@@ -2888,9 +2929,6 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
     # ($^.student_default.birthday + 1 = 2011, Update.feature "115"-"117");
     # plain UPDATE on a missing key is the reference's storage error.
     defn_u = (space.edges if st.is_edge else space.tags).get(st.name)
-    if not st.insertable:
-        if keys_df.join(table, key, "left_anti").limit(1).count() > 0:
-            raise ValueError("Storage Error: Vertex or edge not found.")
     base = keys_df.join(table.withColumn("__exists", F.lit(True)),
                         key, "left")
     # frame attached → schema-directed dispatch (list `+` concat,
@@ -2925,7 +2963,22 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
     # carry EVERY prop column so an UPSERT's inserted row keeps its
     # default-initialized values, not NULLs
     updates = base.select(*key,
-                          *[c for c in table.columns if c not in key])
+                          *[c for c in table.columns if c not in key],
+                          "__exists")
+    if not st.insertable:
+        # plain UPDATE on a missing key is the reference's storage error
+        # — the missing-key count rides the SAME job that materializes
+        # the update rows (checkpoint_observe), so one UPDATE = one
+        # Spark action instead of a dedicated anti-join probe (r5
+        # verdict item 6), and the eager checkpoint keeps an N-statement
+        # script's table lineage flat instead of N plans deep
+        from nebula_spark.operators.traverse import checkpoint_observe
+        updates, m = checkpoint_observe(
+            updates, missing=F.sum(
+                F.when(F.col("__exists").isNull(), 1).otherwise(0)))
+        if int(m["missing"] or 0) > 0:
+            raise ValueError("Storage Error: Vertex or edge not found.")
+    updates = updates.drop("__exists")
     new = update_rows(table, updates, key, st.insertable)
     _rebind(space, st.name, st.is_edge, new)
     if st.yields:
@@ -2936,18 +2989,96 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
     return space.spark.range(0)
 
 
-def _exec_delete(space: GraphSpace, st: A.DeleteStmt) -> DataFrame:
+def _delete_ref_col(space: GraphSpace, st: A.DeleteStmt, col: str,
+                    piped: DataFrame | None,
+                    env: dict[str, DataFrame] | None,
+                    which: str = "vid") -> Column:
+    """Resolve one ``$-.col``/``$var.col`` key reference for DELETE and
+    enforce the space's vid type (the reference rejects an INT column in
+    a FIXED_STRING space — DeleteEdge.feature:215 "Wrong srcId type
+    `INT`"; DeleteVertex.feature:205 SemanticError)."""
+    src_df = piped if st.var == "$-" else (env or {}).get(st.var)
+    if src_df is None:
+        raise ValueError(
+            f"`{st.var}.{col}', not exist prop `{col}'" if st.var == "$-"
+            else f"`{st.var}.{col}', not exist variable `{st.var[1:]}'")
+    if src_df.columns.count(col) == 0:
+        raise ValueError(f"`{st.var}.{col}', not exist prop `{col}'")
+    if src_df.columns.count(col) > 1:
+        raise ValueError(f"Duplicate Column Name : `{col}'")
+    if which != "rank":
+        opts = getattr(space, "options", None) or {}
+        vt = str(opts.get("vid_type", "")).strip().lower()
+        want_int = vt in ("int", "int64")
+        dt = dict(src_df.dtypes)[col]
+        got_int = dt in ("tinyint", "smallint", "int", "bigint")
+        if got_int != want_int:
+            got = "INT" if got_int else "STRING"
+            label = {"vid": "vid", "src": "srcId", "dst": "dstId"}[which]
+            raise ValueError(f"Wrong {label} type `{got}`, value")
+    return F.col(col)
+
+
+def _delete_ref_frame(space: GraphSpace, st: A.DeleteStmt,
+                      piped: DataFrame | None,
+                      env: dict[str, DataFrame] | None) -> DataFrame:
+    """The piped/$var key frame for a runtime-input DELETE."""
+    src_df = piped if st.var == "$-" else (env or {}).get(st.var)
+    if src_df is None:
+        raise ValueError(
+            f"`{st.var}.{st.src_col}', not exist prop `{st.src_col}'"
+            if st.var == "$-" else
+            f"`{st.var}.{st.src_col}', not exist variable `{st.var[1:]}'")
+    return src_df
+
+
+def _exec_delete(space: GraphSpace, st: A.DeleteStmt,
+                 piped: DataFrame | None = None,
+                 env: dict[str, DataFrame] | None = None) -> DataFrame:
     from nebula_spark.operators.mutate import delete_rows
     if st.kind == "edge":
-        _check_vid_len(space, [v for k in st.keys for v in k[:2]])
         table = space.edge(st.name)
-        keys_df = _cast_like(
-            space.spark.createDataFrame(st.keys, [SRC, DST, RANK]), table)
+        if st.var is not None:
+            src_df = _delete_ref_frame(space, st, piped, env)
+            keys_df = src_df.select(
+                _delete_ref_col(space, st, st.src_col, piped, env, "src")
+                .alias(SRC),
+                _delete_ref_col(space, st, st.dst_col, piped, env, "dst")
+                .alias(DST),
+                (_delete_ref_col(space, st, st.rank_col, piped, env, "rank")
+                 if st.rank_col else F.lit(0)).cast("long").alias(RANK))
+            keys_df = _cast_like(keys_df, table)
+        else:
+            _check_vid_len(space, [v for k in st.keys for v in k[:2]])
+            keys_df = _cast_like(
+                space.spark.createDataFrame(st.keys, [SRC, DST, RANK]),
+                table)
         _rebind(space, st.name, True,
                 delete_rows(table, keys_df, [SRC, DST, RANK]))
         return space.spark.range(0)
-    _check_vid_len(space, list(st.keys))
-    vids = space.spark.createDataFrame([(v,) for v in st.keys], [VID])
+    # vertex / tag share the vid-keyed shape
+    if st.var is not None:
+        src_df = _delete_ref_frame(space, st, piped, env)
+        vids = src_df.select(
+            _delete_ref_col(space, st, st.src_col, piped, env, "vid")
+            .alias(VID))
+    else:
+        _check_vid_len(space, list(st.keys))
+        vids = space.spark.createDataFrame([(v,) for v in st.keys], [VID])
+    if st.kind == "tag":
+        # DELETE TAG <names|*> FROM … (DeleteTagsSentence
+        # MutateSentences.h:564-580): drop the tag rows only — the vertex
+        # survives while any other tag still holds it (DeleteTag.feature
+        # "the output has one row because the vertex has multiple tags")
+        names = list(space.tags) if st.tags is None else st.tags
+        for tname in names:
+            if tname not in space.tags:
+                raise ValueError(f"TagNotFound: TagName `{tname}`")
+        for tname in names:
+            t = space.tag(tname)
+            _rebind(space, tname, False,
+                    delete_rows(t, _cast_like(vids, t), [VID]))
+        return space.spark.range(0)
     for tname in list(space.tags):
         t = space.tag(tname)
         _rebind(space, tname, False,
@@ -2983,6 +3114,45 @@ def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
                 .select(F.col("kind").alias("Type"),
                         F.col("name").alias("Name"),
                         F.col("count").alias("Count")))
+    if st.kind == "show_indexes":
+        # SHOW TAG/EDGE INDEXES [BY schema] (Index.feature: columns
+        # `Index Name` / `By Tag`|`By Edge` / `Columns`; the BY form
+        # drops the schema column)
+        by = "By Tag" if st.entity == "tag" else "By Edge"
+        items = sorted((ix.name, ix.on, ix.cols)
+                       for ix in space.indexes.values()
+                       if ix.kind == st.entity
+                       and (st.name is None or ix.on == st.name))
+        if st.name is not None:
+            return spark.createDataFrame(
+                [(n, c) for n, _, c in items],
+                "`Index Name` string, Columns array<string>")
+        return spark.createDataFrame(
+            items, f"`Index Name` string, `{by}` string, "
+                   "Columns array<string>")
+    if st.kind == "show_create_index":
+        # SHOW CREATE TAG/EDGE INDEX (Index.feature:105 — success +
+        # re-runnable statement text)
+        ix = space.indexes.get(st.name)
+        if ix is None or ix.kind != st.entity:
+            raise ValueError(f"Index not existed: {st.name}")
+        stmt = (f"CREATE {ix.kind.upper()} INDEX `{ix.name}` ON "
+                f"`{ix.on}` ({', '.join(f'`{c}`' for c in ix.cols)})")
+        label = f"{ix.kind.title()} Index Name"
+        return spark.createDataFrame(
+            [(ix.name, stmt)],
+            f"`{label}` string, `Create {ix.kind.title()} Index` string")
+    if st.kind == "describe_index":
+        # DESCRIBE TAG/EDGE INDEX — Field/Type per indexed column with
+        # the schema's declared type names (Index.feature:89-102)
+        ix = space.indexes.get(st.name)
+        if ix is None or ix.kind != st.entity:
+            raise ValueError(f"Index not existed: {st.name}")
+        reg = space.tags if ix.kind == "tag" else space.edges
+        decl = dict((reg[ix.on].decl or []))
+        return spark.createDataFrame(
+            [(c, decl.get(c, "unknown")) for c in ix.cols],
+            "Field string, Type string")
     # describe — the reference's DescTagExecutor shape: PROP rows only
     # (no vid/src/dst/rank keys), declared type names, Field/Type/Null/
     # Default/Comment (TypoError.feature pins the 5-column layout)
@@ -3064,7 +3234,7 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
         elif isinstance(st, A.UpdateStmt):
             df = _exec_update(space, st)
         elif isinstance(st, A.DeleteStmt):
-            df = _exec_delete(space, st)
+            df = _exec_delete(space, st, df, env)
         elif isinstance(st, A.AdminStmt):
             df = _exec_admin(space, st)
         elif isinstance(st, A.DdlStmt):
@@ -3120,6 +3290,16 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
 
 
 def _exec_drop(space: GraphSpace, st) -> DataFrame:
+    if st.entity in ("tag_index", "edge_index"):
+        # DROP TAG/EDGE INDEX [IF EXISTS] (Index.feature lifecycle)
+        kind = st.entity.split("_", 1)[0]
+        ix = space.indexes.get(st.name)
+        if ix is None or ix.kind != kind:
+            if st.if_exists:
+                return space.spark.range(0)
+            raise ValueError(f"Index not existed: {st.name}")
+        del space.indexes[st.name]
+        return space.spark.range(0)
     reg = space.tags if st.entity == "tag" else space.edges
     if st.name not in reg and not st.if_exists:
         raise KeyError(f"no {st.entity} named {st.name!r}")
@@ -3139,7 +3319,8 @@ def _exec_clear(space: GraphSpace) -> DataFrame:
 def _exec_ddl(space: GraphSpace, st) -> DataFrame:
     """CREATE TAG/EDGE [INDEX]: register an empty typed table (plus TTL
     metadata and the declared type names for SHOW CREATE). Index DDL is
-    accepted and dropped — Parquet stats + Catalyst pushdown subsume
+    validated and kept as catalog metadata for SHOW/DESCRIBE INDEX —
+    scans themselves ride Parquet stats + Catalyst pushdown rather than
     secondary indexes (SURVEY §2.1 IndexScan)."""
     from pyspark.sql.types import LongType, StringType, StructField, \
         StructType
@@ -3177,7 +3358,9 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
     for ix in _indexes:
         # index DDL stays metadata-only (Parquet stats + Catalyst
         # pushdown subsume it) but the column check is real: a column
-        # the schema lacks is the reference's error (Ddl.feature)
+        # the schema lacks is the reference's error (Ddl.feature), and
+        # the IndexDef is kept in the space catalog so the SHOW/DESCRIBE
+        # INDEX lifecycle works (Index.feature — r5 verdict item 5)
         reg = space.tags if ix.kind == "tag" else space.edges
         target = reg.get(ix.on)
         if target is None:
@@ -3187,6 +3370,11 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
         for c in ix.cols:
             if c and c not in have:
                 raise ValueError("Key not existed!")
+        if ix.name in space.indexes:
+            if ix.if_not_exists:
+                continue
+            raise ValueError(f"Existed index `{ix.name}'!")
+        space.indexes[ix.name] = ix
     return space.spark.range(0)
 
 

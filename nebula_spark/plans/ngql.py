@@ -438,12 +438,21 @@ class UpdateStmt:
 
 @dataclass
 class DeleteStmt:
-    """DELETE VERTEX vids [WITH EDGE] / DELETE EDGE name keys
-    (DeleteExecutor.cpp)."""
-    kind: str                    # vertex|edge
+    """DELETE VERTEX vids [WITH EDGE] / DELETE EDGE name keys /
+    DELETE TAG names|* FROM vids (DeleteExecutor.cpp;
+    delete_tag_sentence parser.yy:3321-3338). Keys are literal lists OR
+    runtime-input refs (vid_ref_expression parser.yy:3297-3318):
+    ``var`` holds ``$-``/``$name`` and the ``*_col`` fields name the
+    referenced columns."""
+    kind: str                    # vertex|edge|tag
     name: str | None             # edge type for DELETE EDGE
     keys: list                   # vids or (src, dst, rank)
     with_edge: bool = False
+    tags: list | None = None     # DELETE TAG names; None means `*`
+    var: str | None = None       # `$-` / `$var` runtime-input form
+    src_col: str | None = None   # vid col (vertex/tag) or edge src col
+    dst_col: str | None = None   # edge dst col
+    rank_col: str | None = None  # edge rank col (defaults to rank 0)
 
 
 @dataclass
@@ -667,6 +676,10 @@ class Parser:
             is_space = True
         else:
             entity = self._tag_or_edge()
+            if self.peek().text.lower() == "index":
+                # DROP TAG/EDGE INDEX [IF EXISTS] name (Index.feature)
+                self.eat()
+                entity = f"{entity}_index"
         if_exists = False
         if self.peek().text.lower() == "if":
             self.eat()
@@ -738,14 +751,31 @@ class Parser:
                 if ent not in ("tag", "edge"):
                     raise SyntaxError("expected TAG or EDGE after "
                                       "SHOW CREATE")
+                if self.peek().text.lower() == "index":
+                    # SHOW CREATE TAG/EDGE INDEX name (Index.feature:105)
+                    self.eat()
+                    return AdminStmt("show_create_index", self.name(), ent)
                 return AdminStmt("show_create", self.name(), ent)
             what = self.eat("NAME").text.lower()
+            if (what in ("tag", "edge")
+                    and self.peek().text.lower() == "indexes"):
+                # SHOW TAG/EDGE INDEXES [BY schema] (Index.feature:115)
+                self.eat()
+                by = None
+                if self.peek().text.lower() == "by":
+                    self.eat()
+                    by = self.name()
+                return AdminStmt("show_indexes", by, what)
             if what in ("tags", "edges", "stats", "spaces"):
                 return AdminStmt(what)
             raise SyntaxError(f"cannot SHOW {what!r}")
         t = self.eat().text.lower()            # describe/desc TAG|EDGE name
         if t not in ("tag", "edge"):
             raise SyntaxError(f"expected TAG or EDGE after {w.upper()}")
+        if self.peek().text.lower() == "index":
+            # DESCRIBE/DESC TAG/EDGE INDEX name (Index.feature:89)
+            self.eat()
+            return AdminStmt("describe_index", self.name(), t)
         return AdminStmt("describe", self.name(), t)
 
     # -- DML (MutateSentences.h; InsertExecutor/UpdateExecutor/DeleteExecutor)
@@ -851,16 +881,98 @@ class Parser:
         return UpdateStmt(is_edge, name, keys, sets, insertable, when,
                           yields)
 
+    def _refuse_unevaluable(self) -> None:
+        """DELETE key positions take literals or $-/$var property refs
+        only; a function call like ``src($-.e)`` is the reference's
+        "not an evaluable expression" SemanticError
+        (DeleteVertex.feature:236, DeleteEdge.feature:230)."""
+        if self.peek().kind == "NAME" and self.peek(1).kind == "LP":
+            j, depth, parts = self.i, 0, []
+            while j < len(self.toks):
+                t = self.toks[j]
+                parts.append(t.text)
+                if t.kind == "LP":
+                    depth += 1
+                elif t.kind == "RP":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            raise ValueError(
+                f"`{''.join(parts)}' is not an evaluable expression.")
+
+    def _delete_vid_ref(self) -> tuple[str, str]:
+        """A single ``$-.col`` / ``$var.col`` vid reference."""
+        t = self.peek()
+        if t.kind == "PIPE_REF":
+            return "$-", self.eat("PIPE_REF").text.split(".", 1)[1]
+        var = self.eat("VAR_REF").text
+        self.eat("DOT")
+        return var, self.eat("NAME").text
+
     def delete_sentence(self) -> DeleteStmt:
         self.eat_kw("delete")
+        if (self.peek().kind == "NAME"
+                and self.peek().text.lower() == "tag"):
+            # DELETE TAG <name_list|*> FROM <vid_list|vid_ref>
+            # (delete_tag_sentence parser.yy:3321-3338)
+            self.eat("NAME")
+            if self.peek().kind == "STAR":
+                self.eat("STAR")
+                tags = None
+            else:
+                tags = [self.name()]
+                while self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+                    tags.append(self.name())
+            self.eat_kw("from")
+            self._refuse_unevaluable()
+            if self.peek().kind in ("PIPE_REF", "VAR_REF"):
+                var, col = self._delete_vid_ref()
+                return DeleteStmt("tag", None, [], tags=tags,
+                                  var=var, src_col=col)
+            keys = [self.literal()]
+            while self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                keys.append(self.literal())
+            return DeleteStmt("tag", None, keys, tags=tags)
         kind = self._entity_kw()
         if kind == "edge":
             name = self.name()
+            self._refuse_unevaluable()
+            if self.peek().kind in ("PIPE_REF", "VAR_REF"):
+                # DELETE EDGE e $-.src -> $-.dst [@ $-.rank]
+                # (edge_key_ref parser.yy; DeleteEdge.feature:197)
+                var, src_col = self._delete_vid_ref()
+                self.eat("ARROW_R")
+                self._refuse_unevaluable()
+                _, dst_col = self._delete_vid_ref()
+                rank_col = None
+                if self.peek().kind == "AT":
+                    self.eat("AT")
+                    _, rank_col = self._delete_vid_ref()
+                return DeleteStmt("edge", name, [], var=var,
+                                  src_col=src_col, dst_col=dst_col,
+                                  rank_col=rank_col)
             keys = [self._edge_key()]
             while self.peek().kind == "COMMA":
                 self.eat("COMMA")
                 keys.append(self._edge_key())
             return DeleteStmt("edge", name, keys)
+        self._refuse_unevaluable()
+        if self.peek().kind in ("PIPE_REF", "VAR_REF"):
+            # DELETE VERTEX $-.id / $var.id [WITH EDGE]
+            # (vid_ref_expression parser.yy:3297-3318)
+            var, col = self._delete_vid_ref()
+            with_edge = False
+            if self.try_kw("with"):
+                t = self.eat("NAME")
+                if t.text.lower() != "edge":
+                    raise SyntaxError(
+                        f"expected EDGE after WITH, got {t.text!r}")
+                with_edge = True
+            return DeleteStmt("vertex", None, [], with_edge,
+                              var=var, src_col=col)
         keys = [self.literal()]
         while self.peek().kind == "COMMA":
             self.eat("COMMA")
@@ -1339,8 +1451,12 @@ class Parser:
 
     def _maybe_named_path(self) -> MatchPath:
         alias = None
-        if self.peek().kind == "NAME" and self.peek(1).kind == "ASSIGN":
-            alias = self.eat("NAME").text
+        # the alias may collide with a keyword (`path = shortestPath(…)`,
+        # LDBC IC13) — a pattern itself always starts with `(`, so
+        # KW + `=` is unambiguous here
+        if (self.peek().kind in ("NAME", "KW")
+                and self.peek(1).kind == "ASSIGN"):
+            alias = self.eat().text
             self.eat("ASSIGN")
         # shortestPath((a)-[*..n]-(b)) / allShortestPaths(...) — the MATCH
         # kShortestPath plan node (SingleShortestPath.cpp:214-265)
@@ -1789,7 +1905,10 @@ class Parser:
             self.eat("DOT")
             return ("var_prop", name, self.eat("NAME").text)
         if t.kind == "NAME" or (t.kind == "KW" and (
-                t.text in ("all",)           # fn names that are keywords
+                # fn/label names that are keywords: all(...) predicate,
+                # `path` as a bound path alias (LDBC IC13 `CASE path IS
+                # NULL`; FIND PATH YIELD path)
+                t.text in ("all", "path")
                 or self.peek(1).kind == "DOT")):  # kw-named tag/edge: order.vid
             name = self.eat().text
             low = name.lower()

@@ -45,7 +45,7 @@ _TTL_OPT = re.compile(
     r"(ttl_duration)\s*=\s*(\d+)|(ttl_col)\s*=\s*\"?([\w]*)\"?",
     re.IGNORECASE)
 _INDEX = re.compile(
-    r"create\s+(tag|edge)\s+index\s+(?:if\s+not\s+exists\s+)?(\w+)\s+on\s+"
+    r"create\s+(tag|edge)\s+index\s+(if\s+not\s+exists\s+)?(\w+)\s+on\s+"
     r"(\w+)\s*\(([^)]*)\)", re.IGNORECASE)
 _COL = re.compile(
     # name type [(len)] | List< t > | Set< t >  (Ddl.feature container
@@ -80,6 +80,7 @@ class IndexDef:
     name: str
     on: str
     cols: list[str]
+    if_not_exists: bool = False
 
 
 def _parse_cols(body: str) -> tuple[StructType, dict, list, dict]:
@@ -132,10 +133,11 @@ def parse_ddl(ddl: str) -> tuple[list[SchemaDef], list[IndexDef]]:
     for stmt in filter(None, (s.strip() for s in ddl.split(";"))):
         im = _INDEX.match(stmt)
         if im:
-            kind, name, on, cols = im.groups()
+            kind, ine, name, on, cols = im.groups()
             col_names = [re.sub(r"\(\s*\d+\s*\)", "", c).strip()
                          for c in cols.split(",") if c.strip()]
-            indexes.append(IndexDef(kind.lower(), name, on, col_names))
+            indexes.append(IndexDef(kind.lower(), name, on, col_names,
+                                    bool(ine)))
             continue
         cm = _CREATE.match(stmt)
         if cm:

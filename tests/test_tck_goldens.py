@@ -2350,6 +2350,228 @@ def test_delete_vertex_with_and_without_edge(dml_space):
     assert rows(df, "l") == [(7,)]
 
 
+def test_index_lifecycle(spark):
+    """Index.feature "IndexTest TagIndex"/"EdgeIndex" — create → show →
+    describe → show create → drop, with the reference's result shapes
+    (`Index Name`/`By Tag`/`Columns`; DESCRIBE = Field/Type) and error
+    semantics (duplicate name, missing column, describe/drop after
+    drop, IF EXISTS no-op)."""
+    sp = GraphSpace(spark, "index_test")
+    execute(sp, 'CREATE TAG tag_1(col1 string, col2 int, col3 double, '
+                'col4 timestamp)')
+    execute(sp, 'CREATE EDGE edge_1(col1 string, col2 int, col3 double)')
+    execute(sp, 'CREATE TAG INDEX single_tag_index ON tag_1(col2)')
+    # duplicate name errors; IF NOT EXISTS is a no-op
+    with pytest.raises(ValueError, match="Existed index"):
+        execute(sp, 'CREATE TAG INDEX single_tag_index ON tag_1(col3)')
+    execute(sp,
+            'CREATE TAG INDEX IF NOT EXISTS single_tag_index ON '
+            'tag_1(col3)')
+    # a column the schema lacks is an error (Index.feature "not exist")
+    with pytest.raises(ValueError, match="Key not existed"):
+        execute(sp, 'CREATE TAG INDEX bad ON tag_1(nonexistent)')
+    execute(sp, 'CREATE TAG INDEX disorder_tag_index ON tag_1(col3, col2)')
+    execute(sp, 'CREATE TAG INDEX multi_tag_index ON tag_1(col2, col3)')
+    df = execute(sp, 'DESCRIBE TAG INDEX multi_tag_index;')
+    assert rows(df, "Field", "Type") == [("col2", "int64"),
+                                         ("col3", "double")]
+    df = execute(sp, 'DESC TAG INDEX multi_tag_index;')
+    assert rows(df, "Field", "Type") == [("col2", "int64"),
+                                         ("col3", "double")]
+    assert execute(sp, 'SHOW CREATE TAG INDEX multi_tag_index').count() == 1
+    execute(sp, 'DROP TAG INDEX multi_tag_index;')
+    df = execute(sp, 'Show TAG INDEXES;')
+    got = sorted(rows(df, "Index Name", "By Tag", "Columns"))
+    assert got == [("disorder_tag_index", "tag_1", ["col3", "col2"]),
+                   ("single_tag_index", "tag_1", ["col2"])]
+    with pytest.raises(ValueError, match="Index not existed"):
+        execute(sp, 'DESCRIBE TAG INDEX multi_tag_index;')
+    with pytest.raises(ValueError, match="Index not existed"):
+        execute(sp, 'DROP TAG INDEX not_exists_tag_index;')
+    execute(sp, 'DROP TAG INDEX IF EXISTS not_exists_tag_index')
+    # edge index family (Index.feature:232-279)
+    execute(sp, 'CREATE EDGE INDEX single_edge_index ON edge_1(col2)')
+    execute(sp, 'CREATE EDGE INDEX disorder_edge_1_index ON '
+                'edge_1(col3, col2)')
+    df = execute(sp, 'SHOW EDGE INDEXES')
+    got = sorted(rows(df, "Index Name", "By Edge", "Columns"))
+    assert got == [("disorder_edge_1_index", "edge_1", ["col3", "col2"]),
+                   ("single_edge_index", "edge_1", ["col2"])]
+    df = execute(sp, 'SHOW EDGE INDEXES BY edge_1')
+    assert sorted(rows(df, "Index Name", "Columns")) == [
+        ("disorder_edge_1_index", ["col3", "col2"]),
+        ("single_edge_index", ["col2"])]
+    # tag and edge index namespaces are per-kind: a tag-index DESCRIBE
+    # cannot see an edge index
+    with pytest.raises(ValueError, match="Index not existed"):
+        execute(sp, 'DESCRIBE TAG INDEX single_edge_index')
+
+
+@pytest.fixture
+def deltag_space(spark):
+    """Minimal nba-shaped space for the DELETE TAG / pipe-DELETE family
+    (DeleteTag.feature, DeleteVertex.feature, DeleteEdge.feature): Tim
+    carries two tags, Tony one, Spurs is a team."""
+    sp = GraphSpace(spark, "deltag_test")
+    execute(sp, 'CREATE TAG player(name string, age int)')
+    execute(sp, 'CREATE TAG bachelor(name string, speciality string)')
+    execute(sp, 'CREATE TAG team(name string)')
+    execute(sp, 'CREATE EDGE serve(start_year int)')
+    execute(sp, 'CREATE EDGE like(likeness int)')
+    execute(sp, 'INSERT VERTEX player(name, age) VALUES '
+                '"Tim Duncan":("Tim Duncan", 42), '
+                '"Tony Parker":("Tony Parker", 36), '
+                '"Manu Ginobili":("Manu Ginobili", 41)')
+    execute(sp, 'INSERT VERTEX bachelor(name, speciality) VALUES '
+                '"Tim Duncan":("Tim Duncan", "psychology")')
+    execute(sp, 'INSERT VERTEX team(name) VALUES "Spurs":("Spurs")')
+    execute(sp, 'INSERT EDGE serve(start_year) VALUES '
+                '"Tim Duncan"->"Spurs":(1997)')
+    execute(sp, 'INSERT EDGE like(likeness) VALUES '
+                '"Tim Duncan"->"Tony Parker":(95), '
+                '"Tony Parker"->"Manu Ginobili":(95), '
+                '"Manu Ginobili"->"Tim Duncan":(90)')
+    return sp
+
+
+def test_delete_tag_single(deltag_space):
+    """DeleteTag.feature "delete string vid one vertex one tag" — the
+    vertex survives via its other tag, so FETCH on the deleted tag
+    returns one EMPTY row and LOOKUP finds nothing."""
+    sp = deltag_space
+    df = execute(sp, 'FETCH PROP ON player "Tim Duncan" '
+                     'YIELD player.name AS n, player.age AS a')
+    assert rows(df, "n", "a") == [("Tim Duncan", 42)]
+    execute(sp, 'DELETE TAG player FROm "Tim Duncan";')
+    df = execute(sp, 'FETCH PROP ON player "Tim Duncan" '
+                     'YIELD player.name AS n, player.age AS a')
+    assert rows(df, "n", "a") == [(None, None)]
+    df = execute(sp, 'FETCH PROP ON bachelor "Tim Duncan" '
+                     'YIELD bachelor.name AS n, bachelor.speciality AS s')
+    assert rows(df, "n", "s") == [("Tim Duncan", "psychology")]
+    df = execute(sp, 'LOOKUP ON player WHERE player.name == "Tim Duncan" '
+                     'YIELD id(vertex) as id')
+    assert df.count() == 0
+
+
+def test_delete_tag_multiple(deltag_space):
+    """DeleteTag.feature "one vertex multiple tag" — deleting every tag
+    the vertex carries removes it entirely: zero FETCH rows."""
+    sp = deltag_space
+    execute(sp, 'DELETE TAG player, bachelor FROM "Tim Duncan";')
+    assert execute(sp, 'FETCH PROP ON player "Tim Duncan" '
+                       'YIELD player.name AS n').count() == 0
+    assert execute(sp, 'FETCH PROP ON bachelor "Tim Duncan" '
+                       'YIELD bachelor.name AS n').count() == 0
+
+
+def test_delete_tag_star(deltag_space):
+    """DeleteTag.feature "one vertex all tag" — DELETE TAG * FROM."""
+    sp = deltag_space
+    execute(sp, 'DELETE TAG * FROM "Tim Duncan";')
+    assert execute(sp, 'FETCH PROP ON player "Tim Duncan" '
+                       'YIELD player.name AS n').count() == 0
+    assert execute(sp, 'LOOKUP ON player WHERE player.name == '
+                       '"Tim Duncan" YIELD id(vertex) as id').count() == 0
+
+
+def test_delete_tag_multi_vertex(deltag_space):
+    """DeleteTag.feature "multiple vertex one tag" — Tim keeps an EMPTY
+    row (bachelor holds the vertex alive), Tony disappears."""
+    sp = deltag_space
+    execute(sp, 'DELETE TAG player FROM "Tim Duncan", "Tony Parker";')
+    df = execute(sp, 'FETCH PROP ON player "Tim Duncan" '
+                     'YIELD player.name AS n, player.age AS a')
+    assert rows(df, "n", "a") == [(None, None)]
+    assert execute(sp, 'FETCH PROP ON player "Tony Parker" '
+                       'YIELD player.name AS n').count() == 0
+    assert execute(sp, 'LOOKUP ON player WHERE player.name == '
+                       '"Tony Parker" YIELD id(vertex) as id').count() == 0
+
+
+def test_delete_tag_from_pipe(deltag_space):
+    """DeleteTag.feature "delete string vid from pipe" — vid_ref input
+    plus the `src($-.e)' evaluable-expression refusal."""
+    sp = deltag_space
+    with pytest.raises(ValueError,
+                       match=r"`src\(\$-\.e\)' is not an evaluable "
+                             r"expression\."):
+        execute(sp, 'GO FROM "Tim Duncan" OVER serve YIELD edge as e '
+                    '| DELETE TAG team FROM src($-.e)')
+    execute(sp, 'GO FROM "Tim Duncan" OVER serve YIELD dst(edge) as id '
+                '| DELETE TAG team FROM $-.id')
+    assert execute(sp, 'FETCH PROP ON team "Spurs" '
+                       'YIELD team.name AS n').count() == 0
+
+
+def test_delete_vertex_by_pipe(deltag_space):
+    """DeleteVertex.feature "delete string vertex by pipe" — wrong vid
+    type refused, src($-.e) refused, then the cascade delete empties
+    every like chain."""
+    sp = deltag_space
+    with pytest.raises(ValueError, match="Wrong vid type"):
+        execute(sp, 'GO FROM "Tim Duncan" OVER like YIELD '
+                    'rank(edge) as id | DELETE VERTEX $-.id WITH EDGE')
+    with pytest.raises(ValueError,
+                       match="is not an evaluable expression"):
+        execute(sp, 'GO FROM "Tim Duncan" OVER like YIELD edge as e '
+                    '| DELETE VERTEX src($-.e) WITH EDGE')
+    execute(sp, 'GO FROM "Tim Duncan" OVER like YIELD dst(edge) as id '
+                '| DELETE VERTEX $-.id WITH EDGE')
+    assert execute(sp, 'GO FROM "Tim Duncan" OVER like '
+                       'YIELD dst(edge) AS d').count() == 0
+    assert execute(sp, 'GO FROM "Tony Parker" OVER like '
+                       'YIELD dst(edge) AS d').count() == 0
+
+
+def test_delete_vertex_by_var(deltag_space):
+    """DeleteVertex.feature "delete with var, get result by go"."""
+    sp = deltag_space
+    execute(sp, '$var = GO FROM "Tim Duncan" OVER like YIELD '
+                'dst(edge) as id; DELETE VERTEX $var.id WITH EDGE')
+    assert execute(sp, 'GO FROM "Tim Duncan" OVER like '
+                       'YIELD dst(edge) AS d').count() == 0
+    assert execute(sp, 'FETCH PROP ON player "Tony Parker" '
+                       'YIELD player.name AS n').count() == 0
+
+
+def test_delete_edge_by_pipe_with_rank(dml_space):
+    """DeleteEdge.feature "delete edges use pipe" + the ranked form
+    `$-.src -> $-.dst @ $-.rank` (:197) and the wrong-srcId-type
+    refusal (:215)."""
+    sp = dml_space
+    execute(sp, 'INSERT VERTEX person(name, age) VALUES '
+                '"Zhangsan":("Zhangsan", 22), "Lisi":("Lisi", 23)')
+    execute(sp, 'INSERT EDGE like(likeness) VALUES '
+                '"Zhangsan"->"Lisi"@15:(2), "Zhangsan"->"Lisi"@25:(3), '
+                '"Zhangsan"->"Lisi"@35:(4)')
+    with pytest.raises(ValueError, match=r"Wrong srcId type `INT`"):
+        execute(sp, 'GO FROM "Zhangsan" OVER like YIELD '
+                    'rank(edge) as id | DELETE EDGE like $-.id->$-.id')
+    with pytest.raises(ValueError,
+                       match="is not an evaluable expression"):
+        execute(sp, 'GO FROM "Zhangsan" OVER like YIELD edge as e '
+                    '| DELETE EDGE like src($-.e)->dst($-.e)')
+    execute(sp, 'GO FROM "Zhangsan" OVER like YIELD src(edge) AS src, '
+                'dst(edge) AS dst, rank(edge) AS rank '
+                '| DELETE EDGE like $-.src -> $-.dst @ $-.rank;')
+    assert execute(sp, 'GO FROM "Zhangsan" OVER like '
+                       'YIELD dst(edge) AS d').count() == 0
+
+
+def test_delete_edge_by_var(dml_space):
+    """DeleteEdge.feature "delete with var" (:259)."""
+    sp = dml_space
+    execute(sp, 'INSERT VERTEX person(name, age) VALUES '
+                '"RW":("RW", 30), "PG":("PG", 28)')
+    execute(sp, 'INSERT EDGE like(likeness) VALUES "RW"->"PG":(90)')
+    execute(sp, '$var = GO FROM "RW" OVER like YIELD src(edge) as src, '
+                'dst(edge) as dst, rank(edge) as rank; '
+                'DELETE EDGE like $var.src -> $var.dst @ $var.rank')
+    assert execute(sp, 'GO FROM "RW" OVER like '
+                       'YIELD dst(edge) AS d').count() == 0
+
+
 def test_update_edge_v1_syntax(dml_space):
     """Update.feature — 1.0 edge syntax: UPDATE EDGE "a"->"b" SET
     etype.prop, schema inferred from the SET target."""
@@ -3382,16 +3604,18 @@ def test_goyve_reversely_stored_orientation(nba_space):
 
 def test_goyve_multi_edge_props(nba_space):
     """GoYieldVertexEdge.feature "multi edges" (1st query) —
-    properties(edge) over a two-type union: the other type's fields read
-    NULL (the documented struct stand-in for the reference's per-row
-    map)."""
+    properties(edge) over a two-type union is a per-row MAP of the
+    traversed edge's OWN props (FunctionManager.cpp properties → Edge
+    props map): {end_year: 2019, start_year: 2008} for the serve row,
+    {likeness: 90} for the like rows — no NULL-padded foreign keys."""
     df = execute(nba_space,
                  'GO FROM "Russell Westbrook" OVER serve, like '
                  'YIELD properties(edge) as props, type(edge) as type')
-    got = sorted((r.type, r.props.start_year, r.props.likeness)
-                 for r in df.collect())
-    assert got == [("like", None, 90), ("like", None, 90),
-                   ("serve", 2008, None)]
+    got = sorted((r.type, sorted(r.props.items())) for r in df.collect())
+    assert got == [
+        ("like", [("likeness", 90)]),
+        ("like", [("likeness", 90)]),
+        ("serve", [("end_year", 2019), ("start_year", 2008)])]
 
 
 def test_goyve_reversely_vertex_and_props(nba_space):
