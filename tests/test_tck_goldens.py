@@ -1316,6 +1316,303 @@ def test_ldbc_ic10_friend_recommendation(nba_space):
     ]
 
 
+def test_ldbc_ic4_new_topics(nba_space):
+    """IC4 shape (ComplexReads.feature:123): MATCH+agg WITH → OPTIONAL
+    MATCH with its own WHERE → cp == 0 gate → grouped sum. The reference
+    itself REFUSES the WHERE-in-OPTIONAL-MATCH form (ComplexReads:141
+    pins a SyntaxError); this engine executes it. Port: teams friends
+    joined since 2015 that no friend served before 2015; friend bindings
+    carry like-edge multiplicity (Tim↔Tony bind twice), verified by the
+    pandas oracle both ways (same result on this data)."""
+    df = execute(nba_space, '''
+        MATCH (person:player)-[:like]-(friend:player)-[s:serve]->(team:team)
+        WHERE id(person) == "Tim Duncan" AND s.start_year >= 2015
+        WITH person, count(s) AS servesOnTeam, team
+        OPTIONAL MATCH (person)-[:like]-(:player)-[olds:serve]->(team)
+        WHERE olds.start_year < 2015
+        WITH person, servesOnTeam, team, count(olds) AS cp
+        WHERE cp == 0
+        RETURN team.team.name AS teamName, sum(servesOnTeam) AS serveCount
+        ORDER BY serveCount DESC, teamName ASC
+    ''')
+    assert rows(df, "teamName", "serveCount") == [
+        ('76ers', 2), ('Jazz', 1), ('Kings', 1), ('Pistons', 1)]
+
+
+def test_ldbc_ic8_recent_replies(nba_space):
+    """IC8 shape (ComplexReads.feature:215): fixed 2-hop chain with both
+    edge directions reversed (start ← teammate ← mid ← like ← commenter)
+    + 3-key ORDER + LIMIT."""
+    df = execute(nba_space, '''
+        MATCH (start:player)<-[:teammate]-(m:player)<-[:like]-(c:player)
+        WHERE id(start) == "Tim Duncan"
+        RETURN c.player.name AS personName, c.player.age AS personAge,
+               m.player.name AS viaName
+        ORDER BY personAge DESC, personName ASC, viaName ASC
+        LIMIT 20
+    ''')
+    assert rows(df, "personName", "personAge", "viaName") == [
+        ('Tim Duncan', 42, 'Manu Ginobili'), ('Tim Duncan', 42, 'Tony Parker'),
+        ('Boris Diaw', 36, 'Tony Parker'), ('Tony Parker', 36, 'Manu Ginobili'),
+        ('Tiago Splitter', 34, 'Manu Ginobili'),
+        ('LaMarcus Aldridge', 33, 'Tony Parker'),
+        ('Marco Belinelli', 32, 'Tony Parker'),
+        ('Dejounte Murray', 29, 'Manu Ginobili'),
+        ('Dejounte Murray', 29, 'Tony Parker')]
+
+
+def test_ldbc_ic9_recent_messages_fof(nba_space):
+    """IC9 shape (ComplexReads.feature:234): like*1..2 friends-of-friends
+    + RETURN DISTINCT + CASE exists(edge prop) + ORDER/LIMIT 20."""
+    df = execute(nba_space, '''
+        MATCH (n:player)-[:like*1..2]-(friend:player)-[s:serve]->(team:team)
+        WHERE id(n) == "Tim Duncan" AND id(friend) != "Tim Duncan"
+          AND s.start_year < 2017
+        RETURN DISTINCT friend.player.name AS personName,
+               team.team.name AS teamName,
+               CASE exists(s.end_year) WHEN true THEN s.end_year
+                    ELSE -1 END AS endYear,
+               s.start_year AS startYear
+        ORDER BY startYear DESC, personName ASC, teamName ASC
+        LIMIT 20
+    ''')
+    assert rows(df, "personName", "teamName", "endYear", "startYear") == [
+        ('Boris Diaw', 'Jazz', 2017, 2016),
+        ('Dejounte Murray', 'Spurs', 2019, 2016),
+        ('JaVale McGee', 'Warriors', 2018, 2016),
+        ('Kevin Durant', 'Warriors', 2019, 2016),
+        ('Marco Belinelli', 'Hornets', 2017, 2016),
+        ('Aron Baynes', 'Pistons', 2017, 2015),
+        ('JaVale McGee', 'Mavericks', 2016, 2015),
+        ('LaMarcus Aldridge', 'Spurs', 2019, 2015),
+        ('Marco Belinelli', 'Kings', 2016, 2015),
+        ('Tiago Splitter', 'Hawks', 2017, 2015),
+        ('Kyle Anderson', 'Spurs', 2018, 2014),
+        ('LeBron James', 'Cavaliers', 2018, 2014),
+        ('Aron Baynes', 'Spurs', 2015, 2013),
+        ('Marco Belinelli', 'Spurs', 2015, 2013),
+        ('Rudy Gay', 'Kings', 2017, 2013),
+        ('Rudy Gay', 'Raptors', 2013, 2013),
+        ('Boris Diaw', 'Spurs', 2016, 2012),
+        ('Damian Lillard', 'Trail Blazers', 2019, 2012),
+        ('JaVale McGee', 'Nuggets', 2015, 2012),
+        ('James Harden', 'Rockets', 2019, 2012)]
+
+
+def test_ldbc_ic11_job_referral(nba_space):
+    """IC11 shape (ComplexReads.feature:290): like*1..2 + WITH DISTINCT +
+    second MATCH with an edge-prop filter + 3-key ORDER (year ASC, name
+    ASC, org DESC) + LIMIT 10."""
+    df = execute(nba_space, '''
+        MATCH (person:player)-[:like*1..2]-(friend:player)
+        WHERE id(person) == "Tim Duncan" AND id(friend) != "Tim Duncan"
+        WITH DISTINCT friend
+        MATCH (friend)-[workAt:serve]->(company:team)
+        WHERE workAt.start_year < 2000
+        RETURN friend.player.name AS personName,
+               company.team.name AS organizationName,
+               workAt.start_year AS organizationWorkFromYear
+        ORDER BY organizationWorkFromYear ASC, personName ASC,
+                 organizationName DESC
+        LIMIT 10
+    ''')
+    assert rows(df, "personName", "organizationName",
+                "organizationWorkFromYear") == [
+        ("Shaquille O'Neal", 'Magic', 1992),
+        ("Shaquille O'Neal", 'Lakers', 1996),
+        ('Tony Parker', 'Spurs', 1999)]
+
+
+def test_ldbc_ic12_expert_search(nba_space):
+    """IC12 shape (ComplexReads.feature:310): comma pattern with a shared
+    alias + collect(DISTINCT) + count(DISTINCT) + ORDER/LIMIT. Port:
+    fans of Tim's friends serving a team Tony Parker also served."""
+    df = execute(nba_space, '''
+        MATCH (n:player)-[:like]-(friend:player)<-[:like]-(fan:player)
+              -[:serve]->(team:team),
+              (team)<-[:serve]-(vet:player)
+        WHERE id(n) == "Tim Duncan" AND vet.player.name == "Tony Parker"
+        RETURN fan.player.name AS personName,
+               collect(DISTINCT team.team.name) AS teamNames,
+               count(DISTINCT friend) AS viaCount
+        ORDER BY viaCount DESC, personName ASC
+        LIMIT 20
+    ''')
+    got = [(r.personName, sorted(r.teamNames), r.viaCount)
+           for r in df.collect()]
+    assert got == [
+        ('Dejounte Murray', ['Spurs'], 4),
+        ('Marco Belinelli', ['Hornets', 'Spurs'], 2),
+        ('Tim Duncan', ['Spurs'], 2),
+        ('Tony Parker', ['Hornets', 'Spurs'], 2),
+        ('Boris Diaw', ['Hornets', 'Spurs'], 1),
+        ('Danny Green', ['Spurs'], 1),
+        ('LaMarcus Aldridge', ['Spurs'], 1),
+        ('Rudy Gay', ['Spurs'], 1),
+        ('Tiago Splitter', ['Spurs'], 1)]
+
+
+def test_ldbc_ic13_single_shortest_path(nba_space):
+    """IC13 (ComplexReads.feature:330 — @skip'd in the reference, which
+    pins a SyntaxError for OPTIONAL MATCH shortestPath): two anchored
+    persons, OPTIONAL shortest path, -1 when unreachable. Routes through
+    bidir_min_paths; Ben Simmons has no like edges at all."""
+    df = execute(nba_space, '''
+        MATCH (p1:player), (p2:player)
+        WHERE id(p1) == "Tim Duncan"
+          AND id(p2) IN ["Yao Ming", "Ben Simmons"]
+        OPTIONAL MATCH path = shortestPath((p1)-[:like*..15]-(p2))
+        RETURN id(p2) AS person2Id,
+               CASE path IS NULL WHEN true THEN -1
+                    ELSE length(path) END AS shortestPathLength
+    ''')
+    assert sorted(rows(df, "person2Id", "shortestPathLength")) == [
+        ('Ben Simmons', -1), ('Yao Ming', 2)]
+
+
+def test_ldbc_ic14_trusted_connection_paths(nba_space):
+    """IC14 shape (ComplexReads.feature:344): allShortestPaths *..15 +
+    nodes(p)/relationships(p) + list comprehension + reduce-accumulated
+    path weight + ORDER BY weight. One minimal Tim→Yao path exists
+    (via Shaquille O'Neal), weight 0.8 + 0.9."""
+    df = execute(nba_space, '''
+        MATCH p = allShortestPaths((p1:player {name: "Tim Duncan"})
+                  -[:like*..15]-(p2:player {name: "Yao Ming"}))
+        WITH nodes(p) AS pathNodes, relationships(p) AS rs
+        RETURN [n IN pathNodes | id(n)] AS personIdsInPath,
+               reduce(w = 0.0, r IN rs | w + r.likeness / 100.0)
+                 AS pathWeight
+        ORDER BY pathWeight DESC
+    ''')
+    got = [(r.personIdsInPath, round(r.pathWeight, 6)) for r in df.collect()]
+    assert got == [(['Tim Duncan', "Shaquille O'Neal", 'Yao Ming'], 1.7)]
+
+
+# ---------------------------------------------------------------------------
+# LDBC interactive short reads — ShortReads.feature:9-110 ported onto nba
+# (SR7 already lives above as test_ldbc_sr7_case_null_on_optional_edge);
+# expected rows independently recomputed (pandas over the CSVs).
+# ---------------------------------------------------------------------------
+
+def test_ldbc_sr1_person_profile(nba_space):
+    """SR1 (ShortReads.feature:9): anchored 1-hop + wide prop RETURN."""
+    df = execute(nba_space, '''
+        MATCH (n:player)-[s:serve]->(p:team)
+        WHERE id(n) == "Boris Diaw"
+        RETURN n.player.name AS firstName, n.player.age AS age,
+               p.team.name AS cityName, s.start_year AS since
+        ORDER BY since ASC
+    ''')
+    assert rows(df, "firstName", "age", "cityName", "since") == [
+        ('Boris Diaw', 36, 'Hawks', 2003), ('Boris Diaw', 36, 'Suns', 2005),
+        ('Boris Diaw', 36, 'Hornets', 2008), ('Boris Diaw', 36, 'Spurs', 2012),
+        ('Boris Diaw', 36, 'Jazz', 2016)]
+
+
+def test_ldbc_sr2_recent_messages_of_person(nba_space):
+    """SR2 (ShortReads.feature:27): zero-step var-len (*0..) chained into
+    a second MATCH over the shared alias + ORDER/LIMIT (the reference
+    caps *0.. at *0..100; this port uses *0..2)."""
+    df = execute(nba_space, '''
+        MATCH (n:player)<-[:like]-(m:player)-[:like*0..2]->(p:player)
+        WHERE id(n) == "Tony Parker"
+        MATCH (p)-[s:serve]->(c:team)
+        RETURN DISTINCT m.player.name AS messengerName,
+               p.player.name AS authorName,
+               c.team.name AS teamName, s.start_year AS startYear
+        ORDER BY startYear DESC, messengerName ASC, authorName ASC,
+                 teamName ASC
+        LIMIT 10
+    ''')
+    assert rows(df, "messengerName", "authorName", "teamName",
+                "startYear") == [
+        ('Boris Diaw', 'Tony Parker', 'Hornets', 2018),
+        ('Dejounte Murray', 'Carmelo Anthony', 'Rockets', 2018),
+        ('Dejounte Murray', 'Danny Green', 'Raptors', 2018),
+        ('Dejounte Murray', 'Dwyane Wade', 'Heat', 2018),
+        ('Dejounte Murray', 'Kyle Anderson', 'Grizzlies', 2018),
+        ('Dejounte Murray', 'LeBron James', 'Lakers', 2018),
+        ('Dejounte Murray', 'Marco Belinelli', '76ers', 2018),
+        ('Dejounte Murray', 'Marco Belinelli', 'Spurs', 2018),
+        ('Dejounte Murray', 'Tony Parker', 'Hornets', 2018),
+        ('LaMarcus Aldridge', 'Tony Parker', 'Hornets', 2018)]
+
+
+def test_ldbc_sr3_friends_of_person(nba_space):
+    """SR3 (ShortReads.feature:51): undirected 1-hop with the edge
+    bound + edge-prop ORDER key."""
+    df = execute(nba_space, '''
+        MATCH (n:player)-[r:like]-(friend:player)
+        WHERE id(n) == "Dejounte Murray"
+        RETURN friend.player.name AS personName, r.likeness AS likeness
+        ORDER BY likeness DESC, personName ASC
+    ''')
+    assert rows(df, "personName", "likeness") == [
+        ('Chris Paul', 99), ('Danny Green', 99), ('James Harden', 99),
+        ('Kevin Durant', 99), ('Kyle Anderson', 99), ('LeBron James', 99),
+        ('Manu Ginobili', 99), ('Marco Belinelli', 99),
+        ('Russell Westbrook', 99), ('Tim Duncan', 99), ('Tony Parker', 99)]
+
+
+def test_ldbc_sr4_content_of_message(nba_space):
+    """SR4 (ShortReads.feature:66): single anchored vertex + CASE
+    exists(prop) fallback (the reference's content/imageFile switch;
+    here bachelor.speciality vs player.name on a multi-tag vertex)."""
+    df = execute(nba_space, '''
+        MATCH (m:player)
+        WHERE id(m) == "Tim Duncan"
+        RETURN m.player.age AS age,
+               CASE exists(m.bachelor.speciality)
+                    WHEN true THEN m.bachelor.speciality
+                    ELSE m.player.name END AS content
+    ''')
+    assert rows(df, "age", "content") == [(42, "psychology")]
+    df = execute(nba_space, '''
+        MATCH (m:player)
+        WHERE id(m) == "Tony Parker"
+        RETURN m.player.age AS age,
+               CASE exists(m.bachelor.speciality)
+                    WHEN true THEN m.bachelor.speciality
+                    ELSE m.player.name END AS content
+    ''')
+    assert rows(df, "age", "content") == [(36, "Tony Parker")]
+
+
+def test_ldbc_sr5_author_of_message(nba_space):
+    """SR5 (ShortReads.feature:81): anchored reverse 1-hop."""
+    df = execute(nba_space, '''
+        MATCH (m:team)<-[:serve]-(p:player)
+        WHERE id(m) == "Magic"
+        RETURN p.player.name AS personName, p.player.age AS personAge
+        ORDER BY personName ASC
+    ''')
+    assert rows(df, "personName", "personAge") == [
+        ('Dwight Howard', 33), ('Grant Hill', 46), ('Jonathon Simmons', 29),
+        ("Shaquille O'Neal", 47), ('Tracy McGrady', 39), ('Vince Carter', 42)]
+
+
+def test_ldbc_sr6_forum_of_message(nba_space):
+    """SR6 (ShortReads.feature:94): zero-step var-len feeding a 3-hop
+    chain with mixed directions."""
+    df = execute(nba_space, '''
+        MATCH (m:player)-[:like*0..2]->(p:player)<-[:teammate]-(f:player)
+              -[:serve]->(t:team)
+        WHERE id(m) == "Aron Baynes"
+        RETURN DISTINCT p.player.name AS authorName,
+               f.player.name AS moderatorName, t.team.name AS teamName
+        ORDER BY authorName ASC, moderatorName ASC, teamName ASC
+    ''')
+    assert rows(df, "authorName", "moderatorName", "teamName") == [
+        ('Manu Ginobili', 'Tim Duncan', 'Spurs'),
+        ('Manu Ginobili', 'Tony Parker', 'Hornets'),
+        ('Manu Ginobili', 'Tony Parker', 'Spurs'),
+        ('Tim Duncan', 'Manu Ginobili', 'Spurs'),
+        ('Tim Duncan', 'Tony Parker', 'Hornets'),
+        ('Tim Duncan', 'Tony Parker', 'Spurs'),
+        ('Tony Parker', 'Manu Ginobili', 'Spurs'),
+        ('Tony Parker', 'Tim Duncan', 'Spurs')]
+
+
 def test_ldbc_bi1_posting_summary(nba_space):
     """BI1 shape (Read.feature:9): global-count WITH chain + re-MATCH with
     carried scalar + CASE bucketing + implicit grouping + percentage."""
