@@ -373,15 +373,27 @@ def q_paths_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_subgraph(spark: SparkSession, sf: str) -> DataFrame:
-    """GET SUBGRAPH 2 STEPS: collected edge set with step tags."""
-    from nebula_spark.operators import k_hop_subgraph
-    t = load_tables(spark, sf, ("customer", "nation"))
-    seeds = t["customer"].filter(F.col("c_custkey") <= 10).select(
-        _nk("c", F.col("c_custkey")).alias("vid"))
-    _, edges = k_hop_subgraph(_cnr_edges(t), seeds, steps=2,
-                              direction="out")
-    return edges.select(_nk_str(F.col("src")).alias("src"),
-                        _nk_str(F.col("dst")).alias("dst"), "step")
+    """GET SUBGRAPH WHERE through the nGQL front end (r5 verdict item 7):
+    session parameters + an edge-prop filter + a `$$` destination gate in
+    one statement, so the oracle value-checks parameter substitution, the
+    WHERE-pruned expansion universe, the tag-gate join, AND the closing
+    pass (edges from the final frontier back into the visited set —
+    SubgraphExecutor.cpp's last round) end-to-end. The former
+    operator-direct k_hop_subgraph slot was this statement's redundant
+    sibling; the operator keeps its pytest + TCK golden coverage."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    df = execute(sp, """
+        GET SUBGRAPH 1 STEPS FROM 1,2,3,4,5,6,7,8,9,10,
+                                  11,12,13,14,15,16,17,18,19,20
+        OUT placed WHERE placed.o_totalprice > $minp
+          AND $$.order.o_orderpriority STARTS WITH $prio
+        YIELD edges AS e
+    """, params={"minp": 30000.0, "prio": "1"})
+    edge = df.select(F.explode("e").alias("edge"))
+    return (edge.select(F.col("edge.s").alias("src"),
+                        F.col("edge.d").alias("dst"))
+            .distinct())
 
 
 def q_go_1to2(spark: SparkSession, sf: str) -> DataFrame:
@@ -1631,12 +1643,22 @@ ORACLES: dict[str, str] = {
         WHERE end_vid LIKE 'r:%'
     """,
     "subgraph": """
-        SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst, 1 AS step
-        FROM customer WHERE c_custkey <= 10
-        UNION ALL
-        SELECT DISTINCT 'n:' || n_nationkey, 'r:' || n_regionkey, 2
-        FROM nation WHERE n_nationkey IN
-          (SELECT c_nationkey FROM customer WHERE c_custkey <= 10)
+        WITH seeds(v) AS (
+          SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),
+                 (11),(12),(13),(14),(15),(16),(17),(18),(19),(20))),
+        s1 AS (
+          SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+          WHERE o_custkey IN (SELECT v FROM seeds)
+            AND o_totalprice > 30000.0 AND o_orderpriority LIKE '1%'),
+        visited(v) AS (SELECT v FROM seeds UNION SELECT dst FROM s1),
+        frontier(v) AS (SELECT dst FROM s1 EXCEPT SELECT v FROM seeds),
+        closing AS (
+          SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+          WHERE o_custkey IN (SELECT v FROM frontier)
+            AND o_totalprice > 30000.0 AND o_orderpriority LIKE '1%'
+            AND o_orderkey IN (SELECT v FROM visited))
+        SELECT DISTINCT src, dst FROM
+          (SELECT src, dst FROM s1 UNION ALL SELECT src, dst FROM closing)
     """,
     "go_1to2": """
         SELECT 'c:' || o_custkey AS src, 'o:' || o_orderkey AS dst,
