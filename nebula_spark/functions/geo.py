@@ -377,6 +377,32 @@ def covering_cell_ids(min_lng: float, min_lat: float, max_lng: float,
     return out
 
 
+def covering_cells_capped(min_lng: float, min_lat: float, max_lng: float,
+                          max_lat: float, level: int = 8,
+                          max_cells: int = 256) -> tuple[list[int], int]:
+    """Bounded covering: coarsen the level until the bbox needs at most
+    ``max_cells`` cells, returning ``(cells, effective_level)``.
+
+    The S2 RegionCoverer the reference wraps has the same knob
+    (``GeoIndex.cpp`` RegionCoverParams ``max_cells``) — without it a
+    large region at a fine level enumerates millions of cells ON THE
+    DRIVER before the query even starts. Halving the level quarters the
+    cell count, so the loop terminates in ≤ ``level`` steps; the caller
+    must bucket the data column at the SAME effective level for the
+    ``isin`` prefilter to prune."""
+    lv = max(0, level)
+    while lv > 0:
+        n = 1 << lv
+        x0 = max(0, min(n - 1, int((min_lng + 180.0) / 360.0 * n)))
+        x1 = max(0, min(n - 1, int((max_lng + 180.0) / 360.0 * n)))
+        y0 = max(0, min(n - 1, int((min_lat + 90.0) / 180.0 * n)))
+        y1 = max(0, min(n - 1, int((max_lat + 90.0) / 180.0 * n)))
+        if (x1 - x0 + 1) * (y1 - y0 + 1) <= max_cells:
+            break
+        lv -= 1
+    return covering_cell_ids(min_lng, min_lat, max_lng, max_lat, lv), lv
+
+
 def dwithin_prefilter(df, geog_col: str, center_lng: float, center_lat: float,
                       meters: float, level: int = 8):
     """The GeoPredicateIndexScanRule analog: ``st_dwithin(g, center, d)``
@@ -385,11 +411,15 @@ def dwithin_prefilter(df, geog_col: str, center_lng: float, center_lat: float,
     isin() prunes file groups before any distance math runs."""
     dlat = math.degrees(meters / EARTH_RADIUS_M)
     dlng = dlat / max(math.cos(math.radians(center_lat)), 1e-9)
-    cells = covering_cell_ids(center_lng - dlng, center_lat - dlat,
-                              center_lng + dlng, center_lat + dlat, level)
+    # bounded covering (S2 RegionCoverer max_cells analog): a huge radius
+    # at a fine level would otherwise enumerate unbounded cells on the
+    # driver; the prefilter buckets the data at the SAME effective level
+    cells, eff_level = covering_cells_capped(
+        center_lng - dlng, center_lat - dlat,
+        center_lng + dlng, center_lat + dlat, level)
     center = st_point(F.lit(center_lng), F.lit(center_lat))
     g = F.col(geog_col)
-    return (df.withColumn("_cell", cell_id_from_point(g, level))
+    return (df.withColumn("_cell", cell_id_from_point(g, eff_level))
               .filter(F.col("_cell").isin(cells))
               .filter(st_dwithin(g, center, meters))
               .drop("_cell"))

@@ -164,3 +164,41 @@ def test_polygon_holes_intersects(spark):
     got = {r.name: r.c for r in df.select(
         "name", st_intersects(F.col("a"), F.col("b")).alias("c")).collect()}
     assert got == {n: e for n, _, e in cases}
+
+
+def test_covering_cells_capped_coarsens():
+    """covering_cells_capped mirrors S2 RegionCoverer's max_cells: a
+    whole-earth bbox at level 12 would be ~16.7M driver-side cells;
+    the cap coarsens the level until the count fits, and the returned
+    effective level lets the caller bucket data to match."""
+    from nebula_spark.functions import geo as G
+    cells, lv = G.covering_cells_capped(-180, -90, 180, 90, level=12,
+                                        max_cells=256)
+    assert lv < 12 and len(cells) <= 256 and len(cells) > 0
+    # a tiny bbox keeps the requested level
+    cells, lv = G.covering_cells_capped(10.0, 10.0, 10.1, 10.1, level=12,
+                                        max_cells=256)
+    assert lv == 12
+    # capped covering at the effective level equals the direct
+    # enumeration at that level (same prefilter universe)
+    direct = G.covering_cell_ids(-180, -90, 180, 90, level=lv)
+    cells2, lv2 = G.covering_cells_capped(-180, -90, 180, 90, level=lv,
+                                          max_cells=1 << 62)
+    assert lv2 == lv and sorted(cells2) == sorted(direct)
+
+
+def test_dwithin_prefilter_huge_radius_exact(spark):
+    """A quarter-earth radius forces the cap to coarsen; the prefilter
+    must stay EXACT (prefilter+refine == brute-force refine)."""
+    from nebula_spark.functions import geo as G
+    from pyspark.sql import functions as F
+    df = spark.range(500).select(
+        ((F.col("id") * 37 % 3600) / 10.0 - 180.0).alias("lng"),
+        ((F.col("id") * 53 % 1700) / 10.0 - 85.0).alias("lat"),
+        "id").withColumn("g", G.st_point(F.col("lng"), F.col("lat")))
+    fast = G.dwithin_prefilter(df, "g", 0.0, 0.0, 10_000_000.0, level=12)
+    brute = df.filter(G.st_dwithin(F.col("g"),
+                                   G.st_point(F.lit(0.0), F.lit(0.0)),
+                                   10_000_000.0))
+    assert sorted(r.id for r in fast.collect()) == \
+        sorted(r.id for r in brute.collect())
