@@ -19,19 +19,30 @@ from pyspark.sql import functions as F
 
 # -- constructors ----------------------------------------------------------
 
-def d_date(s: Column) -> Column:
-    """date("2020-01-02") / date(datetime) (FunctionManager date)."""
+def d_date(s: Column | None = None) -> Column:
+    """date("2020-01-02") / date(datetime); zero-arg date() is the
+    current UTC date (FunctionManager date — CompareDate.feature)."""
+    if s is None:
+        return F.current_date()
     return F.to_date(s)
 
 
-def d_datetime(s: Column) -> Column:
-    """datetime(...) → TimestampNTZ."""
+def d_datetime(s: Column | None = None) -> Column:
+    """datetime(...) → TimestampNTZ; zero-arg = now."""
+    if s is None:
+        return F.localtimestamp()
     return F.to_timestamp_ntz(s)
 
 
-def d_time(s: Column) -> Column:
+def d_time(s: Column | None = None) -> Column:
     """time("10:20:30") → struct(hour,minute,sec) — TIME has no Spark
-    type (SURVEY §1.1); struct compares correctly field-by-field."""
+    type (SURVEY §1.1); struct compares correctly field-by-field.
+    Zero-arg = current time of day."""
+    if s is None:
+        now = F.localtimestamp()
+        return F.struct(F.hour(now).alias("hour"),
+                        F.minute(now).alias("minute"),
+                        F.second(now).cast("double").alias("sec"))
     p = F.split(s, ":")
     return F.struct(p[0].try_cast("int").alias("hour"),
                     p[1].try_cast("int").alias("minute"),

@@ -2876,9 +2876,66 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
     for row in (data if st.if_not_exists else reversed(data)):
         seen.setdefault(tuple(row[:nkey]), row)
     data = [seen[k] for k in ({tuple(r[:nkey]): None for r in data})]
+    defn0 = (space.edges if st.is_edge else space.tags).get(st.name)
+    # constant-expression values (("__const_expr__", text) markers from
+    # the parser — `date()`, `datetime("…")`) evaluate ONCE on the driver
+    # through the same pipeline as DDL defaults (CompareDate.feature)
+    dt0 = dict(table.dtypes)
+    idx0 = {c: i for i, c in enumerate(cols)}
+    expr_cache: dict = {}
+    if any(isinstance(v, tuple) and len(v) == 2
+           and v[0] == "__const_expr__" for row in data for v in row):
+        fixed = []
+        for row in data:
+            row = list(row)
+            for i, v in enumerate(row):
+                if (isinstance(v, tuple) and len(v) == 2
+                        and v[0] == "__const_expr__"):
+                    k = (v[1], dt0.get(cols[i], "string"))
+                    if k not in expr_cache:
+                        expr_cache[k] = space.spark.range(1).select(
+                            _default_col(k[0], k[1]).alias("v")
+                        ).collect()[0]["v"]
+                    row[i] = expr_cache[k]
+            fixed.append(tuple(row))
+        data = fixed
+    del idx0
+    # integer columns take float values by ROUNDING half away from zero
+    # (RowWriterV2 setValue: 3.8 → 4, -3.8 → -4 — bugfix/RoundFloat
+    # .feature), and the PRE-rounding value must fit the declared width
+    # (2147483647.1 into int32 is "Storage Error: Out of range value.")
+    _INT_BITS = {"int8": 7, "int16": 15, "int32": 31,
+                 "int64": 63, "int": 63}
+    if defn0 is not None and defn0.decl:
+        import math as _math
+        ranges = {}
+        for colname, rt in defn0.decl:
+            b = _INT_BITS.get(str(rt).strip().lower())
+            if b:
+                ranges[colname] = (-(2 ** b), 2 ** b - 1)
+        if ranges:
+            idx = {c: i for i, c in enumerate(cols)}
+            fixed = []
+            for row in data:
+                row = list(row)
+                for colname, (lo, hi) in ranges.items():
+                    i = idx.get(colname)
+                    if i is None or row[i] is None:
+                        continue
+                    v = row[i]
+                    if isinstance(v, bool) or not isinstance(v,
+                                                             (int, float)):
+                        continue
+                    if v < lo or v > hi:
+                        raise ValueError(
+                            "Storage Error: Out of range value.")
+                    if isinstance(v, float):
+                        row[i] = int(_math.floor(v + 0.5)) if v >= 0 \
+                            else int(_math.ceil(v - 0.5))
+                fixed.append(tuple(row))
+            data = fixed
     rows = space.spark.createDataFrame(data, cols)
     dt = dict(table.dtypes)
-    defn0 = (space.edges if st.is_edge else space.tags).get(st.name)
     dflts = (defn0.defaults or {}) if defn0 is not None else {}
     for c in table.columns:
         if c not in rows.columns:

@@ -837,7 +837,26 @@ class Parser:
         self.eat("LP")
         vals = []
         while self.peek().kind != "RP":
-            vals.append(self.literal())
+            if self.peek().kind == "NAME" and self.peek(1).kind == "LP":
+                # constant-expression value — `date()`, `datetime("…")`,
+                # `now()` (bugfix/CompareDate.feature; the reference
+                # evaluates VALUES expressions at insert time): capture
+                # the raw call text; the executor evaluates it once
+                j, depth, parts = self.i, 0, []
+                while j < len(self.toks):
+                    t = self.toks[j]
+                    parts.append(t.text)
+                    if t.kind == "LP":
+                        depth += 1
+                    elif t.kind == "RP":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                self.i = j + 1
+                vals.append(("__const_expr__", "".join(parts)))
+            else:
+                vals.append(self.literal())
             if self.peek().kind == "COMMA":
                 self.eat("COMMA")
         self.eat("RP")
@@ -1031,6 +1050,13 @@ class Parser:
         elif self.at_kw("limit") and self.peek(1).kind == "LB":
             self.eat_kw("limit")
             limits = self._int_list("limit")
+        # the element list must name one cap per step (SampleLimit
+        # .feature: "`[1,2]' length must be equal to GO step size 1")
+        lst = sample if sample is not None else limits
+        if lst is not None and len(lst) != mx:
+            txt = "[" + ",".join(str(v) for v in lst) + "]"
+            raise ValueError(f"`{txt}' length must be equal to GO step "
+                             f"size {mx}.")
         return GoStmt(mn, mx, sources, src_col, edges, direction, where,
                       yields, distinct, sample, limits)
 
@@ -1050,10 +1076,29 @@ class Parser:
                 raise SyntaxError(f"Parameter is not supported in "
                                   f"{clause} clause near `{txt}'")
             j += 1
-        out = [int(self.eat("INT").text)]
+        # elements parse as literals so the refusals are the reference's
+        # SEMANTIC errors, not parse failures (SampleLimit.feature):
+        # "must be nonnegative" for -1, "type must be Integer" for "1"
+        def elem() -> int:
+            neg = False
+            if self.peek().kind == "MINUS":
+                self.eat("MINUS")
+                neg = True
+            t = self.peek()
+            if t.kind != "INT":
+                self.literal()           # consume whatever it was
+                raise ValueError(
+                    "Limit/Sample element type must be Integer.")
+            v = int(self.eat("INT").text)
+            if neg:
+                raise ValueError(
+                    "Limit/Sample element must be nonnegative.")
+            return v
+
+        out = [elem()]
         while self.peek().kind == "COMMA":
             self.eat("COMMA")
-            out.append(int(self.eat("INT").text))
+            out.append(elem())
         self.eat("RB")
         return out
 

@@ -2647,6 +2647,130 @@ def test_delete_vertex_with_and_without_edge(dml_space):
     assert rows(df, "l") == [(7,)]
 
 
+def test_go_sample_limit_validation(nba_space):
+    """SampleLimit.feature "Sample Limit Go in One step" — the truncate
+    list's SEMANTIC refusals: negative element, non-integer element,
+    length ≠ step size."""
+    with pytest.raises(ValueError,
+                       match="Limit/Sample element must be nonnegative"):
+        execute(nba_space,
+                "GO FROM 'Tim Duncan' OVER like YIELD edge as e LIMIT [-1]")
+    with pytest.raises(ValueError,
+                       match=r"`\[1,2\]' length must be equal to GO step "
+                             r"size 1\."):
+        execute(nba_space,
+                "GO FROM 'Tim Duncan' OVER like YIELD $$ as dst LIMIT [1, 2]")
+    with pytest.raises(ValueError,
+                       match="Limit/Sample element type must be Integer"):
+        execute(nba_space,
+                'GO FROM \'Tim Duncan\' OVER like YIELD $$ as dst '
+                'LIMIT ["1"]')
+    with pytest.raises(ValueError,
+                       match="Limit/Sample element type must be Integer"):
+        execute(nba_space,
+                'GO FROM \'Tim Duncan\' OVER like YIELD edge as e '
+                'SAMPLE ["1"]')
+    with pytest.raises(ValueError,
+                       match=r"`\[1,2\]' length must be equal to GO step "
+                             r"size 3\."):
+        execute(nba_space,
+                "GO 3 STEPS FROM 'Tim Duncan' OVER like "
+                "YIELD dst(edge) AS d LIMIT [1, 2]")
+
+
+def test_go_sample_limit_results(nba_space):
+    """SampleLimit.feature — LIMIT [n] keeps the FIRST n edges per vertex
+    in storage (dst, rank) order: Tim's LIMIT [1] is deterministically
+    Manu Ginobili; SAMPLE [3] over 2 edges keeps both."""
+    df = execute(nba_space, "GO FROM 'Tim Duncan' OVER like "
+                            "YIELD dst(edge) AS d LIMIT [1]")
+    assert rows(df, "d") == [("Manu Ginobili",)]
+    df = execute(nba_space, "GO FROM 'Tim Duncan' OVER like "
+                            "YIELD dst(edge) AS d LIMIT [3]")
+    assert sorted(rows(df, "d")) == [("Manu Ginobili",), ("Tony Parker",)]
+    df = execute(nba_space, "GO FROM 'Tim Duncan' OVER like "
+                            "YIELD dst(edge) AS d SAMPLE [3]")
+    assert sorted(rows(df, "d")) == [("Manu Ginobili",), ("Tony Parker",)]
+    df = execute(nba_space, "GO 3 STEPS FROM 'Tim Duncan' OVER like "
+                            "YIELD dst(edge) AS d LIMIT [1, 2, 3]")
+    assert df.count() == 2          # the reference pins 2 rows (regexes)
+
+
+def test_rewrite_edge_filter_multi_type_inline_prop(nba_space):
+    """bugfix/RewriteEdgeFilter.feature — inline prop map on a multi-type
+    edge pattern `[e:like|teammate{start_year: 2010}]`: like lacks the
+    prop entirely, so only the 2010 teammate edge survives."""
+    df = execute(nba_space,
+                 "match (v)-[e:like|teammate{start_year: 2010}]->() "
+                 "where id(v) == 'Tim Duncan' return e")
+    got = [(r.e.s, r.e.d) for r in df.collect()]
+    assert got == [("Tim Duncan", "Danny Green")]
+
+
+def test_invalid_node_pattern_is_syntax_error(nba_space):
+    """bugfix/SyntaxErrorCrash.feature — `(v.player)` is a syntax error
+    (repeatedly, without wedging the session), and the session still
+    answers afterwards."""
+    for _ in range(3):
+        with pytest.raises(SyntaxError):
+            execute(nba_space, "match (v.player) return v")
+    df = execute(nba_space, "YIELD 1 AS one")
+    assert rows(df, "one") == [(1,)]
+
+
+def test_push_filter_down_project_arith(nba_space):
+    """bugfix/PushFilterDownProject.feature — arithmetic over a WITH
+    projection in a later WHERE (the filter is pushed below the project
+    without re-evaluating against unbound columns)."""
+    df = execute(nba_space, """
+        MATCH (n0)-[:like]->(n1)
+        WHERE id(n0) IN ['Tim Duncan']
+        WITH n1.player.age AS a0
+        WHERE (a0 - (a0 + ((a0 % a0) + (a0 + a0)))) <= a0
+        RETURN count(*) AS c
+    """)
+    assert rows(df, "c") == [(2,)]
+
+
+def test_parameter_in_inline_prop_seek(nba_space):
+    """bugfix/ParameterQuery.feature — a parameter inside an inline prop
+    map still routes through the prefix index seek."""
+    df = execute(nba_space, "MATCH (v:player{name:$p1}) "
+                            "RETURN v.player.age AS age",
+                 params={"p1": "Tim Duncan"})
+    assert rows(df, "age") == [(42,)]
+
+
+def test_insert_float_into_int_column_rounds(spark):
+    """bugfix/RoundFloat.feature — a float into an integer column rounds
+    half away from zero (3.8 → 4, -3.8 → -4); a value exceeding the
+    declared width BEFORE rounding is the storage out-of-range error."""
+    sp = GraphSpace(spark, "roundfloat_test")
+    execute(sp, 'create tag test(a int32)')
+    execute(sp, "INSERT VERTEX test(a) VALUES '101':(3.2)")
+    execute(sp, "INSERT VERTEX test(a) VALUES '102':(3.8)")
+    execute(sp, "INSERT VERTEX test(a) VALUES '103':(-3.2)")
+    execute(sp, "INSERT VERTEX test(a) VALUES '104':(-3.8)")
+    with pytest.raises(ValueError,
+                       match="Storage Error: Out of range value"):
+        execute(sp, "INSERT VERTEX test(a) VALUES '104':(2147483647.1)")
+    df = execute(sp, "FETCH PROP ON test '101', '102', '103', '104' "
+                     "YIELD test.a AS a")
+    assert sorted(rows(df, "a")) == [(-4,), (-3,), (3,), (4,)]
+
+
+def test_compare_date_roundtrip(spark):
+    """bugfix/CompareDate.feature — zero-arg date() as an INSERT VALUES
+    constant expression and in an UPDATE WHEN guard (insert today, guard
+    passes, SET applies)."""
+    sp = GraphSpace(spark, "comparedate_test")
+    execute(sp, 'create tag date_comp(i1 int, d1 date)')
+    execute(sp, "INSERT VERTEX date_comp(i1, d1) VALUES 'xxx':(1, date())")
+    df = execute(sp, "UPDATE VERTEX ON date_comp 'xxx' SET i1=3 "
+                     "WHEN d1 == date() YIELD i1 AS i1")
+    assert rows(df, "i1") == [(3,)]
+
+
 def test_index_lifecycle(spark):
     """Index.feature "IndexTest TagIndex"/"EdgeIndex" — create → show →
     describe → show create → drop, with the reference's result shapes
