@@ -149,6 +149,86 @@ def _walk(e, kinds: set[str], out: list) -> None:
                 _walk(y if isinstance(y, tuple) else (), kinds, out)
 
 
+_BIN_TEXT = {"+": "+", "-": "-", "*": "*", "/": "/", "%": "%",
+             "==": "==", "!=": "!=", ">": ">", ">=": ">=", "<": "<",
+             "<=": "<=", "and": " AND ", "or": " OR ", "xor": " XOR "}
+
+
+def _expr_text(e) -> str | None:
+    """Render an expression AST back to the reference's column-header
+    text (Expression::toString — binary ops parenthesized, props dotted,
+    strings double-quoted). Unaliased YIELD/RETURN items are NAMED by
+    this text in the reference; shapes without a stable rendering return
+    None and the caller falls back to a positional name."""
+    if not isinstance(e, tuple):
+        return None
+    op = e[0]
+    if op == "lit":
+        v = e[1]
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return f'"{v}"'
+        if isinstance(v, (int, float)):
+            return str(v)
+        return None
+    if op == "name":
+        return e[1]
+    if op == "star":
+        return "*"
+    if op == "edge_prop":
+        return f"{e[1]}.{e[2]}"
+    if op == "alias_tag_prop":
+        return f"{e[1]}.{e[2]}.{e[3]}"
+    if op == "input_prop":
+        return f"$-.{e[1]}"
+    if op == "var_prop":
+        return f"${e[1]}.{e[2]}"
+    if op == "src_prop":
+        return f"$^.{e[1]}.{e[2]}"
+    if op == "dst_prop":
+        return f"$$.{e[1]}.{e[2]}"
+    if op == "src_vert":
+        return "$^"
+    if op == "dst_vert":
+        return "$$"
+    if op == "graph_fn":
+        key = {"src_vert": "$^", "dst_vert": "$$"}.get(e[2], e[2])
+        return f"{e[1]}({key})"
+    if op in ("call", "call_distinct"):
+        args = [_expr_text(a) for a in e[2:]]
+        if any(a is None for a in args):
+            return None
+        d = "distinct " if op == "call_distinct" else ""
+        return f"{e[1]}({d}{','.join(args)})"
+    if op == "not":
+        a = _expr_text(e[1])
+        return None if a is None else f"!({a})"
+    if op == "neg":
+        a = _expr_text(e[1])
+        return None if a is None else f"-{a}"
+    if op == "attr":
+        a = _expr_text(e[1])
+        return None if a is None else f"{a}.{e[2]}"
+    if op == "subscript":
+        a, b = _expr_text(e[1]), _expr_text(e[2])
+        return None if a is None or b is None else f"{a}[{b}]"
+    if op in _BIN_TEXT and len(e) == 3:
+        a, b = _expr_text(e[1]), _expr_text(e[2])
+        if a is None or b is None:
+            return None
+        return f"({a}{_BIN_TEXT[op]}{b})"
+    return None
+
+
+def _yname(y, i: int) -> str:
+    """Result column name for a YIELD/RETURN item: explicit alias, else
+    the reference's expression-text rendering, else positional."""
+    return y.alias or _expr_text(y.expr) or f"c{i}"
+
+
 class ExprCompiler:
     """Expression tuples → Columns, with statement-specific ref resolution.
 
@@ -220,7 +300,9 @@ class ExprCompiler:
             return self.col(e[1])[e[2]]
         if op in ("name", "edge_prop", "alias_tag_prop", "src_prop",
                   "dst_prop", "input_prop", "var_prop", "src_vert",
-                  "dst_vert"):
+                  "dst_vert", "param_unres"):
+            # param_unres = a bare `$name` bound by a script assignment
+            # (not a parameter) — per-clause resolvers decide its error
             return self.resolve(*e)
         if op in ("and", "or"):
             a, b = self.col(e[1]), self.col(e[2])
@@ -986,7 +1068,7 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
     if not st.yields:
         out = hop.select(F.col(DST).alias("dst"))
     else:
-        cols = [ec.col(y.expr).alias(y.alias or f"c{i}")
+        cols = [ec.col(y.expr).alias(_yname(y, i))
                 for i, y in enumerate(st.yields)]
         out = hop.select(*cols)
     return out.distinct() if st.distinct else out
@@ -1107,7 +1189,7 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
             if y.expr == ("name", "vertex") and y.alias == "vertex":
                 raise SyntaxError(
                     "please add alias when using `vertex'. near `vertex'")
-        cols = [ec.col(y.expr).alias(y.alias or f"c{i}")
+        cols = [ec.col(y.expr).alias(_yname(y, i))
                 for i, y in enumerate(st.yields)]
         out = out.select(*cols)
     else:
@@ -1161,7 +1243,7 @@ def _exec_fetch_edges(space: GraphSpace, st: A.FetchEdgesStmt,
 
     ec = ExprCompiler(resolve)
     if st.yields:
-        out = out.select(*[ec.col(y.expr).alias(y.alias or f"c{i}")
+        out = out.select(*[ec.col(y.expr).alias(_yname(y, i))
                            for i, y in enumerate(st.yields)])
     return out.distinct() if st.distinct else out
 
@@ -1170,9 +1252,25 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
     is_tag = st.name in space.tags
     t = space.tag(st.name) if is_tag else space.edge(st.name)
 
-    def resolve(kind, *args):
+    def resolve(kind, *args, in_where: bool = False):
         if kind == "edge_prop":
             return F.col(args[1])
+        # LOOKUP's IndexScan evaluates against the index only — query
+        # variables and piped columns are the reference's refusals
+        # (LookUpLimit.feature:137-187), phrased per clause
+        if kind in ("var_prop", "param_unres"):
+            name = f"${args[0].lstrip('$')}"
+            if in_where:
+                raise ValueError(
+                    f"Expression ({name}==…) not supported yet")
+            raise SyntaxError(
+                f"Direct output of variable is prohibited near `{name}'")
+        if kind == "input_prop":
+            if in_where:
+                raise ValueError(
+                    f"'$-.{args[0]}' is not an evaluable expression")
+            raise ValueError("unsupported input/variable property "
+                             "expression in yield")
         if kind == "graph_fn":
             # id(vertex) / src(edge) / dst(edge) / rank(edge) in LOOKUP
             # YIELD (WithYield.feature, LookupIn.feature);
@@ -1189,9 +1287,20 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
         if kind == "name":
             if args[0] == "vertex" and is_tag:
                 return F.col(VID)
+            if args[0] not in t.columns:
+                # a bare label is not a prop ref (LookUpLimit.feature)
+                if in_where:
+                    raise ValueError(
+                        f"'{args[0]}' is not an evaluable expression")
+                raise ValueError(
+                    f"Invalid label identifiers: {args[0]}")
             return F.col(args[0])
         raise ValueError(f"unresolvable {kind}")
 
+    def resolve_where(kind, *args):
+        return resolve(kind, *args, in_where=True)
+
+    ec_where = ExprCompiler(resolve_where)
     ec = ExprCompiler(resolve)
     if st.where is not None:
         rex: list = []
@@ -1208,9 +1317,9 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
             raise ValueError(
                 f'Expression ({lhs}=~"{pat}") is not supported, please '
                 "use full-text index as an optimal solution")
-    out = t.filter(ec.col(st.where)) if st.where is not None else t
+    out = t.filter(ec_where.col(st.where)) if st.where is not None else t
     if st.yields:
-        return out.select(*[ec.col(y.expr).alias(y.alias or f"c{i}")
+        return out.select(*[ec.col(y.expr).alias(_yname(y, i))
                             for i, y in enumerate(st.yields)])
     return out
 
@@ -1597,7 +1706,7 @@ def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
     if st.where is not None:
         base = base.filter(ec.col(st.where))
     aggish = any(_is_agg(y.expr) for y in st.yields)
-    cols = [ec.col(y.expr).alias(y.alias or f"c{i}")
+    cols = [ec.col(y.expr).alias(_yname(y, i))
             for i, y in enumerate(st.yields)]
     if aggish:
         out = base.agg(*cols)
@@ -1616,15 +1725,15 @@ def _exec_group_by(st: A.GroupByStmt, piped: DataFrame) -> DataFrame:
 
     ec = ExprCompiler(resolve)
     keys = [ec.col(k) for k in st.keys]
-    aggs = [ec.col(y.expr).alias(y.alias or f"c{i}")
+    aggs = [ec.col(y.expr).alias(_yname(y, i))
             for i, y in enumerate(st.yields) if _is_agg(y.expr)]
     grouped = piped.groupBy(*keys).agg(*aggs) if aggs else \
         piped.select(*keys).distinct()
     # final projection in yield order: non-agg items re-compile against the
     # grouped output (their source columns are the group keys), agg items
     # are picked up by alias
-    final = [F.col(y.alias or f"c{i}") if _is_agg(y.expr)
-             else ec.col(y.expr).alias(y.alias or f"c{i}")
+    final = [F.col(_yname(y, i)) if _is_agg(y.expr)
+             else ec.col(y.expr).alias(_yname(y, i))
              for i, y in enumerate(st.yields)]
     return grouped.select(*final)
 
@@ -1800,7 +1909,9 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
     else:
         cur = _bind_tag(space, a0, n0.tag)
     for k, v in n0.props.items():
-        cur = cur.filter(F.col(f"{a0}__{k}") == v)
+        # undeclared prop → no match (UNKNOWN_PROP, MatchCrash.feature)
+        cur = cur.filter(F.col(f"{a0}__{k}") == v) \
+            if f"{a0}__{k}" in cur.columns else cur.filter(F.lit(False))
 
     # per-hop path fragments for `p = (…)` bindings: each entry is an
     # array<struct(s,d,r,t,et,props…)> column expression over the final
@@ -1870,7 +1981,12 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         enames = me.types or list(space.edges)
         edges = _edge_union(space, enames)
         for k, v in me.props.items():    # inline {k: v} per-step edge filter
-            edges = edges.filter(F.col(k) == v)
+            # a prop NO listed type declares can never match (the
+            # reference's UNKNOWN_PROP → no-match, MatchCrash.feature);
+            # on a multi-type union the other types read NULL, which the
+            # equality already drops (RewriteEdgeFilter.feature)
+            edges = edges.filter(F.col(k) == v) if k in edges.columns \
+                else edges.filter(F.lit(False))
         if me.min_hops == 1 and me.max_hops == 1:
             from nebula_spark.operators.traverse import oriented
             e = oriented(edges, me.direction, self_loop_once=True)
@@ -1922,8 +2038,10 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 elif mn.tag:
                     tt = space.tag(mn.tag)
                     for k, v in mn.props.items():
-                        if k in tt.columns:
-                            tt = tt.filter(F.col(k) == v)
+                        # undeclared prop → no vertex matches
+                        # (UNKNOWN_PROP, MatchCrash.feature)
+                        tt = tt.filter(F.col(k) == v) if k in tt.columns \
+                            else tt.filter(F.lit(False))
                     sp_targets = tt.select(VID)
                 # the reference never emits zero-length shortest paths:
                 # `[e*0]` and same-vid pairs under `*0..n` return nothing
@@ -1989,7 +2107,10 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 cur = cur.join(tt, cur[end_col] == tt["_rd_vid"],
                                "left_semi")
             for k, v in mn.props.items():
-                cur = cur.filter(F.col(f"{na}__{k}") == v)
+                # undeclared prop → no match (UNKNOWN_PROP)
+                cur = cur.filter(F.col(f"{na}__{k}") == v) \
+                    if f"{na}__{k}" in cur.columns \
+                    else cur.filter(F.lit(False))
         else:
             if mn.tag:
                 tt = _bind_tag(space, na, mn.tag)
@@ -1998,7 +2119,11 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             else:
                 cur = cur.withColumn(f"{na}__vid", F.col(end_col))
             for k, v in mn.props.items():
-                cur = cur.filter(F.col(f"{na}__{k}") == v)
+                # undeclared prop → no match (UNKNOWN_PROP,
+                # MatchCrash.feature `{age: 102, in_service: false}`)
+                cur = cur.filter(F.col(f"{na}__{k}") == v) \
+                    if f"{na}__{k}" in cur.columns \
+                    else cur.filter(F.lit(False))
             aliases.add(na)
             tags[na] = mn.tag
         edge_aliases.add(ea)
@@ -2450,9 +2575,9 @@ def _project_impl(cur, items, ec, bound):
         else:
             if has_agg and _is_agg(y.expr):
                 aggs.append(_compile_mixed_agg(y.expr, ec)
-                            .alias(y.alias or f"c{i}"))
+                            .alias(_yname(y, i)))
             else:
-                keys.append(ec.col(y.expr).alias(y.alias or f"c{i}"))
+                keys.append(ec.col(y.expr).alias(_yname(y, i)))
     if has_agg:
         out = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
     else:
@@ -2743,13 +2868,13 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                       for c in cur.columns if c.startswith(f"{a}__")
                       and not c.startswith(f"{a}___")]
             return F.struct(*fields).alias(y.alias or a)
-        return ec.col(y.expr).alias(y.alias or f"c{i}")
+        return ec.col(y.expr).alias(_yname(y, i))
 
     items = [(i, y, ret_col(y, i)) for i, y in enumerate(returns)]
     has_agg = any(_is_agg(y.expr) for _, y, _ in items)
     if has_agg:
         keys = [c for _, y, c in items if not _is_agg(y.expr)]
-        aggs = [_compile_mixed_agg(y.expr, ec).alias(y.alias or f"c{i}")
+        aggs = [_compile_mixed_agg(y.expr, ec).alias(_yname(y, i))
                 for i, y, _ in items if _is_agg(y.expr)]
         out = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
     else:
@@ -2972,14 +3097,36 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
     return space.spark.range(0)
 
 
-def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
+def _exec_update(space: GraphSpace, st: A.UpdateStmt,
+                 piped: DataFrame | None = None,
+                 env: dict[str, DataFrame] | None = None) -> DataFrame:
     from nebula_spark.operators.mutate import update_rows
     table = space.edge(st.name) if st.is_edge else space.tag(st.name)
     key = [SRC, DST, RANK] if st.is_edge else [VID]
-    _check_vid_len(space, [v for k in st.keys for v in
-                           (k[:2] if st.is_edge else k[:1])])
-    keys_df = _cast_like(
-        space.spark.createDataFrame(st.keys, key), table)
+    if st.var is not None:
+        # runtime-input keys (LookUpUpdate.feature `LOOKUP … | UPDATE
+        # VERTEX ON t $-.id SET …`) — same checked ref resolution as the
+        # DELETE family
+        src_df = _delete_ref_frame(space, st, piped, env)
+        if st.is_edge:
+            keys_df = src_df.select(
+                _delete_ref_col(space, st, st.src_col, piped, env, "src")
+                .alias(SRC),
+                _delete_ref_col(space, st, st.dst_col, piped, env, "dst")
+                .alias(DST),
+                (_delete_ref_col(space, st, st.rank_col, piped, env,
+                                 "rank")
+                 if st.rank_col else F.lit(0)).cast("long").alias(RANK))
+        else:
+            keys_df = src_df.select(
+                _delete_ref_col(space, st, st.src_col, piped, env, "vid")
+                .alias(VID))
+        keys_df = _cast_like(keys_df.distinct(), table)
+    else:
+        _check_vid_len(space, [v for k in st.keys for v in
+                               (k[:2] if st.is_edge else k[:1])])
+        keys_df = _cast_like(
+            space.spark.createDataFrame(st.keys, key), table)
     # SET expressions evaluate against the stored row (UpdateExecutor
     # read-modify-write). UPSERT initializes a MISSING key's props from
     # the schema DEFAULTS (UpdateNode.h:84), so later SET exprs read them
@@ -3041,7 +3188,7 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt) -> DataFrame:
     if st.yields:
         post = keys_df.join(space.edge(st.name) if st.is_edge
                             else space.tag(st.name), key, "left")
-        return post.select(*[ec.col(it.expr).alias(it.alias or f"c{i}")
+        return post.select(*[ec.col(it.expr).alias(_yname(it, i))
                              for i, it in enumerate(st.yields)])
     return space.spark.range(0)
 
@@ -3289,7 +3436,7 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
         elif isinstance(st, A.InsertStmt):
             df = _exec_insert(space, st)
         elif isinstance(st, A.UpdateStmt):
-            df = _exec_update(space, st)
+            df = _exec_update(space, st, df, env)
         elif isinstance(st, A.DeleteStmt):
             df = _exec_delete(space, st, df, env)
         elif isinstance(st, A.AdminStmt):

@@ -434,6 +434,12 @@ class UpdateStmt:
     insertable: bool = False
     when: tuple | None = None    # WHEN <cond> guard (UpdateSentence.h)
     yields: list | None = None   # YIELD items over the post-update row
+    # runtime-input keys (LookUpUpdate.feature `UPDATE VERTEX ON t
+    # $-.id SET …` / `UPDATE EDGE ON e $-.src->$-.dst@$-.rank SET …`)
+    var: str | None = None       # `$-` / `$var`
+    src_col: str | None = None   # vid col (vertex) or edge src col
+    dst_col: str | None = None
+    rank_col: str | None = None
 
 
 @dataclass
@@ -542,9 +548,15 @@ class Parser:
         # survives as ("param_unres", name) — the reference's validators
         # reject the statement wholesale (parameter.feature
         # [param-test-010] "Undefined parameters: a, b")
+        # names bound by the script's own `$var = …` assignments are
+        # query VARIABLES, not parameters — they stay param_unres nodes
+        # for the per-clause validators (e.g. LOOKUP WHERE's "Expression
+        # ($var==…) not supported yet", LookUpLimit.feature:137-149)
+        bound = {v.lstrip("$") for v, _ in stmts if v}
         missing: list[str] = []
         for e in _iter_exprs(node):
-            if e[0] == "param_unres" and e[1] not in missing:
+            if e[0] == "param_unres" and e[1] not in missing \
+                    and e[1] not in bound:
                 missing.append(e[1])
         if missing:
             raise ValueError(f"Undefined parameters: {', '.join(missing)}")
@@ -873,12 +885,27 @@ class Parser:
         if self.at_kw("on"):
             self.eat_kw("on")
             name = self.name()
-        keys = [self._edge_key() if is_edge else (self.literal(),)]
-        # MultiUpdate.feature (2024): UPDATE … ON <schema> k1, k2, … SET
-        while self.peek().kind == "COMMA":
-            self.eat("COMMA")
-            keys.append(self._edge_key() if is_edge
-                        else (self.literal(),))
+        # runtime-input keys (LookUpUpdate.feature): UPDATE VERTEX ON t
+        # $-.id SET … / UPDATE EDGE ON e $-.src->$-.dst@$-.rank SET …
+        self._refuse_unevaluable()
+        uvar = usrc = udst = urank = None
+        keys: list = []
+        if self.peek().kind in ("PIPE_REF", "VAR_REF"):
+            uvar, usrc = self._delete_vid_ref()
+            if is_edge:
+                self.eat("ARROW_R")
+                self._refuse_unevaluable()
+                _, udst = self._delete_vid_ref()
+                if self.peek().kind == "AT":
+                    self.eat("AT")
+                    _, urank = self._delete_vid_ref()
+        else:
+            keys = [self._edge_key() if is_edge else (self.literal(),)]
+            # MultiUpdate.feature (2024): UPDATE … ON <schema> k1, k2, … SET
+            while self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                keys.append(self._edge_key() if is_edge
+                            else (self.literal(),))
         self.eat_kw("set")
         sets = []
         while True:
@@ -898,7 +925,8 @@ class Parser:
         when = self.expr() if self.try_kw("when") else None
         yields = self.yield_items() if self.try_kw("yield") else None
         return UpdateStmt(is_edge, name, keys, sets, insertable, when,
-                          yields)
+                          yields, var=uvar, src_col=usrc, dst_col=udst,
+                          rank_col=urank)
 
     def _refuse_unevaluable(self) -> None:
         """DELETE key positions take literals or $-/$var property refs
@@ -1166,6 +1194,14 @@ class Parser:
         if t.kind == "FLOAT":
             self.i += 1
             return float(t.text)
+        if t.kind == "KW" and t.text in ("true", "false"):
+            # boolean literal value ({in_service: false} inline prop
+            # maps — bugfix/MatchCrash.feature)
+            self.i += 1
+            return t.text == "true"
+        if t.kind == "KW" and t.text == "null":
+            self.i += 1
+            return None
         if t.kind == "MINUS":
             self.i += 1
             nxt = self.peek()
