@@ -124,6 +124,12 @@ def _lit_col(v) -> Column:
     return F.lit(v)
 
 
+class _UndefinedAliasError(ValueError):
+    """Reference SemanticError: a name used in a MATCH expression that no
+    pattern alias, WITH column, or path binding defines — must surface to
+    the user, never be swallowed by graph-fn arity fallbacks."""
+
+
 def _is_agg(e: tuple) -> bool:
     if not isinstance(e, tuple):
         return False
@@ -600,6 +606,31 @@ class ExprCompiler:
                 + parts.get("seconds", z).cast("long")
             return F.struct(months.cast("int").alias("months"),
                             secs.alias("seconds"))
+        if name in ("date", "time", "datetime") and len(args) == 1 \
+                and isinstance(args[0], tuple) and args[0][0] == "map":
+            # calendar map constructors — Date({year:…, month:…, day:…}),
+            # Time({hour:…, minute:…, second:…, millisecond:…,
+            # microsecond:…}), DateTime({…both…}) (TimeUtils
+            # dateFromMap/timeFromMap/dateTimeFromMap;
+            # InsertWithTimeType.feature UPDATE scenarios)
+            parts = {k.lower(): self.col(v) for k, v in args[0][1]}
+            z = F.lit(0)
+            sec = (parts.get("second", z).cast("double")
+                   + parts.get("millisecond", z).cast("double") / 1e3
+                   + parts.get("microsecond", z).cast("double") / 1e6)
+            if name == "date":
+                return F.make_date(parts.get("year", F.lit(1970)),
+                                   parts.get("month", F.lit(1)),
+                                   parts.get("day", F.lit(1)))
+            if name == "time":
+                return F.struct(
+                    parts.get("hour", z).cast("int").alias("hour"),
+                    parts.get("minute", z).cast("int").alias("minute"),
+                    sec.alias("sec"))
+            return F.make_timestamp_ntz(
+                parts.get("year", F.lit(1970)),
+                parts.get("month", F.lit(1)), parts.get("day", F.lit(1)),
+                parts.get("hour", z), parts.get("minute", z), sec)
         if name in ("setadd", "erase") and len(args) == 2:
             # SET-prop mutators (Update.feature Set< t > scenarios)
             a, v = self.col(args[0]), self.col(args[1])
@@ -714,6 +745,8 @@ class ExprCompiler:
                     and args[0][0] in ("name", "src_vert", "dst_vert"):
                 try:
                     return _GRAPH_FNS[name](self.resolve(*args[0]))
+                except _UndefinedAliasError:
+                    raise
                 except Exception:  # noqa: BLE001 — id(edge)/src(edge) forms
                     return _GRAPH_FNS[name]()
             if args:
@@ -1088,6 +1121,13 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
         if tg not in space.tags:
             raise ValueError(f"TagNotFound: TagName `{tg}`")
     vids = _vid_frame(space, st.vids, piped, st.src_col, env)
+    if not tag_names:
+        # FETCH PROP ON * in a space with no tags (vertex-only storage,
+        # insertVertexOnly.feature): nothing can match
+        return vids.filter(F.lit(False)).select(
+            F.struct(F.col(VID).alias(VID)).alias(
+                st.yields[0].alias if st.yields else "vertices_")
+            if st.yields else F.col(VID))
     out = vids
     tag_props: dict[str, list[str]] = {}
     for tg in tag_names:
@@ -1254,6 +1294,11 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
 
     def resolve(kind, *args, in_where: bool = False):
         if kind == "edge_prop":
+            # schema-qualified prop ref — the qualifier must be the
+            # LOOKUP target and the column must exist
+            # (LookupTag2.feature "Invalid column: col5")
+            if args[1] not in t.columns:
+                raise ValueError(f"Invalid column: {args[1]}")
             return F.col(args[1])
         # LOOKUP's IndexScan evaluates against the index only — query
         # variables and piped columns are the reference's refusals
@@ -1294,6 +1339,12 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
                         f"'{args[0]}' is not an evaluable expression")
                 raise ValueError(
                     f"Invalid label identifiers: {args[0]}")
+            if in_where:
+                # even a real prop must be schema-qualified in the
+                # LOOKUP filter (LookupTag2.feature `WHERE col1 == 200`
+                # → "Expression (col1==200) not supported yet")
+                raise ValueError(
+                    f"Expression ({args[0]}==…) not supported yet")
             return F.col(args[0])
         raise ValueError(f"unresolvable {kind}")
 
@@ -1660,8 +1711,64 @@ def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt,
     return out.orderBy("_lvl").select(*cols)
 
 
+def _exec_yield_join(st: A.YieldStmt, spark,
+                     env: dict[str, DataFrame] | None) -> DataFrame:
+    """``YIELD … FROM $a INNER JOIN $b ON $a.x == $b.y``
+    (YieldValidator::validateJoin, YieldValidator.cpp:179-255;
+    yield/join.feature). Validation order mirrors the reference: mode →
+    self-join → ON-side consistency → variable existence → duplicate
+    column names (join-condition columns exempt) → condition prop
+    existence. Execution is a plain equi-key inner join — Spark plans it
+    as a broadcast/shuffled HashInnerJoin, the same physical shape as the
+    reference's HashInnerJoinExecutor, with both sides' columns
+    namespaced ``_v_<var>__<col>`` so the shared var_prop resolver
+    applies unchanged."""
+    mode, lv, rv, lc, rc = st.join
+    if mode != "inner":
+        raise ValueError("only support inner join.")
+    if lv == rv:
+        raise ValueError("do not support self-join.")
+    if lc[1] != lv:
+        raise ValueError(f"`{lv}' should be consistent with join "
+                         f"condition variable `${lc[1]}.{lc[2]}'.")
+    if rc[1] != rv:
+        raise ValueError(f"`{rv}' should be consistent with join "
+                         f"condition variable `${rc[1]}.{rc[2]}'.")
+    env = {k.lstrip("$"): v for k, v in (env or {}).items()}
+    for v in (lv, rv):
+        if v not in env:
+            raise ValueError(f"variable: `{v}' not exist")
+    lf, rf = env[lv], env[rv]
+    for c in lf.columns:
+        if c != lc[2] and c != rc[2] and c in rf.columns:
+            raise ValueError(
+                f"column name `{c}' of ${lv} and column name `{c}' of "
+                f"${rv} are the same, please rename it to a "
+                "non-duplicate column name.")
+    for vf, cond in ((lf, lc), (rf, rc)):
+        if cond[2] not in vf.columns:
+            raise ValueError(f"`${cond[1]}.{cond[2]}', not exist prop "
+                             f"`{cond[2]}'")
+    a = lf.select(*[F.col(c).alias(f"_v_{lv}__{c}") for c in lf.columns])
+    b = rf.select(*[F.col(c).alias(f"_v_{rv}__{c}") for c in rf.columns])
+    base = a.join(b, F.col(f"_v_{lv}__{lc[2]}")
+                  == F.col(f"_v_{rv}__{rc[2]}"), "inner")
+
+    def resolve(kind, *args):
+        if kind == "var_prop" and args[0] in (lv, rv):
+            return F.col(f"_v_{args[0]}__{args[1]}")
+        raise ValueError(f"unresolvable {kind}")
+
+    ec = ExprCompiler(resolve, df=base)
+    out = base.select(*[ec.col(y.expr).alias(_yname(y, i))
+                        for i, y in enumerate(st.yields)])
+    return out.distinct() if st.distinct else out
+
+
 def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
                 spark, env: dict[str, DataFrame] | None = None) -> DataFrame:
+    if getattr(st, "join", None) is not None:
+        return _exec_yield_join(st, spark, env)
     # $var.prop refs (VariablePropertyExpression): the statement iterates
     # the named result table(s) — each var's frame joins the input
     # row-source, columns namespaced var__prop
@@ -1899,6 +2006,21 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 and path.nodes[0].alias == path.nodes[1].alias):
             raise ValueError("The shortest path algorithm does not work "
                              "when the start and end nodes are the same")
+    def _apply_extra_tags(cur: DataFrame, node, key: str) -> DataFrame:
+        """Additional ``:tag{props}`` items of a multi-tag node pattern
+        (Scan.feature ``(v:person{name:"Mary"}:teacher)``): each narrows
+        the binding via a vid semi-join against that tag's table, its
+        prop map filtering that tag's own columns — broadcast-able
+        semi-joins, no column bloat on the pattern frame."""
+        for tg, pm in getattr(node, "extra", ()) or ():
+            tt = space.tag(tg)
+            for k, v in pm.items():
+                tt = tt.filter(F.col(k) == v) if k in tt.columns \
+                    else tt.filter(F.lit(False))
+            tt = tt.select(F.col(VID).alias("_mt_vid"))
+            cur = cur.join(tt, cur[key] == tt["_mt_vid"], "left_semi")
+        return cur
+
     n0 = path.nodes[0]
     a0 = n0.alias or fresh("n")
     aliases = {a0}
@@ -1912,6 +2034,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         # undeclared prop → no match (UNKNOWN_PROP, MatchCrash.feature)
         cur = cur.filter(F.col(f"{a0}__{k}") == v) \
             if f"{a0}__{k}" in cur.columns else cur.filter(F.lit(False))
+    cur = _apply_extra_tags(cur, n0, f"{a0}__vid")
 
     # per-hop path fragments for `p = (…)` bindings: each entry is an
     # array<struct(s,d,r,t,et,props…)> column expression over the final
@@ -2111,6 +2234,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 cur = cur.filter(F.col(f"{na}__{k}") == v) \
                     if f"{na}__{k}" in cur.columns \
                     else cur.filter(F.lit(False))
+            cur = _apply_extra_tags(cur, mn, end_col)
         else:
             if mn.tag:
                 tt = _bind_tag(space, na, mn.tag)
@@ -2124,6 +2248,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 cur = cur.filter(F.col(f"{na}__{k}") == v) \
                     if f"{na}__{k}" in cur.columns \
                     else cur.filter(F.lit(False))
+            cur = _apply_extra_tags(cur, mn, f"{na}__vid")
             aliases.add(na)
             tags[na] = mn.tag
         edge_aliases.add(ea)
@@ -2463,6 +2588,15 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
             if columns is not None and a not in columns \
                     and f"{a}__path" in columns:
                 return F.col(f"{a}__path")
+            if columns is not None and a not in columns \
+                    and f"{a}__vid" not in columns \
+                    and f"{a}__src" not in columns:
+                # a name that resolves to nothing on the clause frame is
+                # the reference's undefined-alias SemanticError
+                # (SeekById.feature `WHERE id(x) == …`), raised here
+                # rather than surfacing Spark's UNRESOLVED_COLUMN
+                raise _UndefinedAliasError(
+                    f"Alias used but not defined: `{a}'")
             return F.col(a)
         raise ValueError(f"unresolvable {kind} {args}")
     return resolve
@@ -3006,7 +3140,32 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
     # the parser — `date()`, `datetime("…")`) evaluate ONCE on the driver
     # through the same pipeline as DDL defaults (CompareDate.feature)
     dt0 = dict(table.dtypes)
-    idx0 = {c: i for i, c in enumerate(cols)}
+    # time-dependent columns accept only NULL or constructor expressions
+    # (date()/time()/datetime(), which arrive as __const_expr__ markers) —
+    # a raw string literal is the reference's storage-side type error
+    # (InsertWithTimeType.feature "insert wrong format timestamp");
+    # timestamp additionally takes raw int64 epochs (TTL fixtures)
+    if defn0 is not None and defn0.decl:
+        _temporal = {c: str(t).strip().lower() for c, t in defn0.decl
+                     if str(t).strip().lower() in
+                     ("date", "time", "datetime", "timestamp", "duration")}
+        if _temporal:
+            idx = {c: i for i, c in enumerate(cols)}
+            for row in data:
+                for c, t in _temporal.items():
+                    i = idx.get(c)
+                    v = row[i] if i is not None else None
+                    if v is None or (isinstance(v, tuple) and len(v) == 2
+                                     and v[0] == "__const_expr__"):
+                        continue
+                    if t == "timestamp" and isinstance(v, int) \
+                            and not isinstance(v, bool):
+                        continue
+                    raise ValueError(
+                        "Storage Error: The data type does not meet the "
+                        "requirements. Use the correct type of data.")
+    decl_ref = {c: str(t).strip().lower() for c, t in defn0.decl} \
+        if defn0 is not None and defn0.decl else {}
     expr_cache: dict = {}
     if any(isinstance(v, tuple) and len(v) == 2
            and v[0] == "__const_expr__" for row in data for v in row):
@@ -3016,15 +3175,65 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
             for i, v in enumerate(row):
                 if (isinstance(v, tuple) and len(v) == 2
                         and v[0] == "__const_expr__"):
-                    k = (v[1], dt0.get(cols[i], "string"))
+                    # TIME columns store the reference's canonical
+                    # rendering (InsertWithTimeType.feature
+                    # '23:01:00.000000') — the time() struct formats to
+                    # HH:MM:SS.ffffff at storage-conversion time
+                    is_time = decl_ref.get(cols[i]) == "time"
+                    is_dur = decl_ref.get(cols[i]) == "duration"
+                    k = (v[1],
+                         "time" if is_time else
+                         "duration" if is_dur else
+                         dt0.get(cols[i], "string"))
                     if k not in expr_cache:
-                        expr_cache[k] = space.spark.range(1).select(
-                            _default_col(k[0], k[1]).alias("v")
-                        ).collect()[0]["v"]
+                        e = A.Parser(A.tokenize(str(k[0]))).expr()
+
+                        def _refuse(*_a):
+                            raise ValueError("non-constant value")
+                        col = ExprCompiler(_refuse).col(e)
+                        if is_time:
+                            col = F.format_string(
+                                "%02d:%02d:%09.6f", col["hour"],
+                                col["minute"], col["sec"].cast("double"))
+                        elif is_dur:
+                            # duration storage rendering: the months +
+                            # seconds pair (Duration.h two-component
+                            # model) as a stable ISO-like string
+                            col = F.format_string(
+                                "P%dMT%dS", col["months"],
+                                col["seconds"].cast("long"))
+                        else:
+                            col = col.cast(k[1])
+                        try:
+                            expr_cache[k] = space.spark.range(1).select(
+                                col.alias("v")).collect()[0]["v"]
+                        except Exception:
+                            # an uncastable constructor value (e.g.
+                            # duration({years: 3}) into an int column) is
+                            # the reference's storage-side type error
+                            # (InsertDurationType.feature)
+                            raise ValueError(
+                                "Storage Error: The data type does not "
+                                "meet the requirements. Use the correct "
+                                "type of data.") from None
                     row[i] = expr_cache[k]
             fixed.append(tuple(row))
         data = fixed
-    del idx0
+    # all-NULL prop columns defeat createDataFrame's type inference —
+    # pull them out and re-add as typed nulls (an explicit NULL stores
+    # NULL; it does NOT take the DDL default)
+    all_null = [i for i, c in enumerate(cols)
+                if i >= nkey and all(r[i] is None for r in data)]
+    null_cols = [cols[i] for i in all_null]
+    for c in null_cols:
+        if defn0 is not None and c in (defn0.required or []):
+            raise ValueError(
+                f"The property `{c}' is not nullable and has "
+                "no default value.")
+    if all_null:
+        keep = [i for i in range(len(cols)) if i not in all_null]
+        cols = [cols[i] for i in keep]
+        data = [tuple(r[i] for i in keep) for r in data]
     # integer columns take float values by ROUNDING half away from zero
     # (RowWriterV2 setValue: 3.8 → 4, -3.8 → -4 — bugfix/RoundFloat
     # .feature), and the PRE-rounding value must fit the declared width
@@ -3061,6 +3270,8 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
             data = fixed
     rows = space.spark.createDataFrame(data, cols)
     dt = dict(table.dtypes)
+    for c in null_cols:
+        rows = rows.withColumn(c, F.lit(None).cast(dt.get(c, "string")))
     dflts = (defn0.defaults or {}) if defn0 is not None else {}
     for c in table.columns:
         if c not in rows.columns:
@@ -3159,8 +3370,25 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt,
 
     # SET clauses apply IN ORDER with visibility of prior sets
     # (Update.feature "117": age reads the already-bumped birthday)
+    _decl_upd = {c: str(t).strip().lower() for c, t in (defn_u.decl or [])} \
+        if (defn_u := (space.edges if st.is_edge
+                       else space.tags).get(st.name)) is not None else {}
     for p, e in st.sets:
-        v = ec.col(e).cast(dt[p])
+        v = ec.col(e)
+        if _decl_upd.get(p) == "time":
+            # Time(…) SET values store the canonical HH:MM:SS.ffffff
+            # rendering, same as the INSERT path
+            # (InsertWithTimeType.feature UPDATE scenarios)
+            from pyspark.sql.types import StructType as _ST
+            try:
+                probe = base.select(v.alias("_probe")).schema[0].dataType
+                if isinstance(probe, _ST) and "hour" in probe.fieldNames():
+                    v = F.format_string("%02d:%02d:%09.6f", v["hour"],
+                                        v["minute"],
+                                        v["sec"].cast("double"))
+            except Exception:  # noqa: BLE001 — non-struct SET value
+                pass
+        v = v.cast(dt[p])
         if guard is not None:
             v = F.when(guard, v).otherwise(F.col(p))
         base = base.withColumn(p, v)
@@ -3397,7 +3625,11 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
                       env: dict[str, DataFrame] | None = None) -> DataFrame:
     df: DataFrame | None = None
     for st in pipeline.stages:
-        if isinstance(st, A.GoStmt):
+        if isinstance(st, (A.Pipeline, A.SetOp)):
+            # parenthesized statement group as a stage — a fresh chain
+            # (parens scope the pipe; no piped input flows in)
+            df = _execute_node(space, st, env)
+        elif isinstance(st, A.GoStmt):
             df = _exec_go(space, st, df, env)
         elif isinstance(st, A.FetchVerticesStmt):
             df = _exec_fetch_vertices(space, st, df, env)
@@ -3570,10 +3802,15 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
         if target is None:
             raise ValueError(f"{ix.on} not found in space "
                              f"[{space.name}].")
-        have = {c for c, _ in (target.decl or [])}
+        have = {c: str(t).strip().lower() for c, t in (target.decl or [])}
         for c in ix.cols:
             if c and c not in have:
                 raise ValueError("Key not existed!")
+            if have.get(c) == "duration":
+                # duration is not an indexable type
+                # (InsertDurationType.feature "duration don't support
+                # index")
+                raise ValueError("Invalid param!")
         if ix.name in space.indexes:
             if ix.if_not_exists:
                 continue

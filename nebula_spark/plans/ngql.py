@@ -232,11 +232,31 @@ class SubgraphStmt:
     #                                     (GetSubgraphValidator::validateWhere)
 
 
+# aggregate function names (AggFunctionManager) — the parser needs them
+# for the joined-YIELD refusal, which the reference performs in the
+# grammar action itself (parser.yy:1731 yield_columns->hasAgg())
+_AGG_FNS = {"count", "sum", "avg", "max", "min", "std", "collect",
+            "collect_set", "bit_and", "bit_or", "bit_xor"}
+
+
+def _has_agg(e) -> bool:
+    if not isinstance(e, tuple) or not e:
+        return False
+    if e[0] in ("call", "call_distinct") and e[1] in _AGG_FNS:
+        return True
+    return any(_has_agg(x) for x in e[1:] if isinstance(x, tuple))
+
+
 @dataclass
 class YieldStmt:
     yields: list[YieldItem]
     where: tuple | None
     distinct: bool = False
+    # joined YIELD (parser.yy:1702-1716 join_clause; yield/join.feature):
+    # (mode, left_var, right_var, left_cond, right_cond) — conds are
+    # ("var_prop", var, prop) tuples, None for the bare `FROM $a JOIN $b`
+    # form (which parses as kCrossJoin and is refused at validation)
+    join: tuple | None = None
 
 
 @dataclass
@@ -261,6 +281,9 @@ class MatchNode:
     alias: str | None
     tag: str | None
     props: dict = field(default_factory=dict)
+    # multi-tag pattern `(v:person{…}:teacher)` (Scan.feature): every
+    # additional `:tag{props}` intersects — (tag, props) pairs
+    extra: list = field(default_factory=list)
 
 
 @dataclass
@@ -475,9 +498,11 @@ class Script:
 # --------------------------------------------------------------------------
 
 class Parser:
-    def __init__(self, toks: list[Tok], params: dict | None = None):
+    def __init__(self, toks: list[Tok], params: dict | None = None,
+                 src: str = ""):
         self.toks = toks
         self.i = 0
+        self.src = src      # original text, for `near `…'` error slices
         # session parameters (parameter.feature): `$name` where name is a
         # defined parameter substitutes its literal value at parse time —
         # the analog of ExpressionUtils::rewriteParameter run in the
@@ -577,7 +602,22 @@ class Parser:
             node = SetOp(op, dedup, node, self.pipeline_group())
         return node
 
-    def pipeline_group(self) -> Pipeline:
+    def pipeline_group(self) -> "Pipeline | SetOp":
+        if self.peek().kind == "LP":
+            # parenthesized statement group (parser.yy set_exp
+            # `L_PAREN piped_sentence R_PAREN`) — a set-op operand or an
+            # assignment RHS (`$b = (FIND … | YIELD …);`,
+            # join.feature "join path"); parens scope the pipe
+            self.eat("LP")
+            inner = self._set_op_chain()
+            self.eat("RP")
+            if self.peek().kind != "PIPE":
+                return inner
+            stages: list = [inner]
+            while self.peek().kind == "PIPE":
+                self.eat("PIPE")
+                stages.append(self.sentence())
+            return Pipeline(stages)
         stages = [self.sentence()]
         while self.peek().kind == "PIPE":
             self.eat("PIPE")
@@ -811,6 +851,12 @@ class Parser:
     def insert_sentence(self) -> InsertStmt:
         self.eat_kw("insert")
         is_edge = self._entity_kw() == "edge"
+        if not is_edge and self.at_kw("values"):
+            # tagless form `INSERT VERTEX VALUES vid:()` — the reference
+            # parses it (vertex-only storage) but the validator forbids it
+            # (insertVertexOnly.feature:24)
+            raise ValueError(
+                "Insert vertex is forbidden, please specify the tag")
         ine = False
         if self.peek().kind == "NAME" and self.peek().text.lower() == "if":
             self.eat("NAME")
@@ -906,6 +952,12 @@ class Parser:
                 self.eat("COMMA")
                 keys.append(self._edge_key() if is_edge
                             else (self.literal(),))
+        if is_edge and name is None and self.at_kw("of"):
+            # 1.0 edge syntax: `UPDATE EDGE "s"->"d"@r OF <type> SET …`
+            # (parser.yy update_edge_sentence legacy alternative;
+            # InsertWithTimeType.feature UPDATE EDGE … OF edge_date)
+            self.eat_kw("of")
+            name = self.name()
         self.eat_kw("set")
         sets = []
         while True:
@@ -1245,9 +1297,6 @@ class Parser:
             # last path component
             if e[0] in ("name", "input_prop", "var_prop"):
                 alias = e[1] if e[0] == "name" else e[-1]
-            elif e[0] in ("edge_prop", "alias_tag_prop", "src_prop",
-                          "dst_prop"):
-                alias = e[-1]
         return YieldItem(e, alias)
 
     # -- FETCH
@@ -1463,9 +1512,63 @@ class Parser:
     def yield_sentence(self) -> YieldStmt:
         self.eat_kw("yield")
         distinct = self.try_kw("distinct")
+        start = self.peek().pos
         items = self.yield_items()
+        if self.at_kw("from"):
+            # joined YIELD (parser.yy:1730-1749): the join form refuses
+            # aggregates AT PARSE TIME, quoting the yield-columns text
+            if any(_has_agg(y.expr) for y in items):
+                end = self.toks[self.i - 1]
+                txt = self.src[start:end.pos + len(end.text)]
+                raise SyntaxError("Invalid use of aggregating function "
+                                  f"in yield clause. near `{txt}'")
+            return YieldStmt(items, None, distinct, self._join_clause())
         where = self.expr() if self.try_kw("where") else None
         return YieldStmt(items, where, distinct)
+
+    def _join_var(self) -> str:
+        # join operands must be `$var` — `$-` is the reference's syntax
+        # error (join.feature "invalid join": near `$-')
+        t = self.peek()
+        if t.kind == "VAR_REF":
+            self.eat()
+            return t.text[1:]
+        near = "$-" if t.kind in ("PIPE_INPUT", "PIPE_REF") else t.text
+        raise SyntaxError(f"syntax error near `{near}'")
+
+    def _join_cond(self) -> tuple:
+        v = self._join_var()
+        self.eat("DOT")
+        return ("var_prop", v, self.name())
+
+    def _join_clause(self) -> tuple:
+        """``FROM $a [INNER|LEFT|RIGHT|OUTER|SEMI|ANTI] JOIN $b [ON
+        $a.x == $b.y]`` (parser.yy:1681-1717). Mode words are contextual
+        keywords here, as in the reference grammar; the bare ``FROM $a
+        JOIN $b`` alternative carries no condition (kCrossJoin) and is
+        refused at validation like every non-inner mode."""
+        self.eat_kw("from")
+        left = self._join_var()
+        mode = None
+        t = self.peek()
+        if t.kind in ("NAME", "KW") and t.text.lower() in (
+                "inner", "left", "right", "outer", "semi", "anti"):
+            mode = t.text.lower()
+            self.eat()
+        if not (self.peek().kind in ("NAME", "KW")
+                and self.peek().text.lower() == "join"):
+            raise SyntaxError(f"syntax error near `{self.peek().text}'")
+        self.eat()
+        right = self._join_var()
+        if mode is None:
+            return ("cross", left, right, None, None)
+        self.eat_kw("on")
+        lc = self._join_cond()
+        if self.peek().kind in ("EQ", "ASSIGN"):
+            self.eat()
+        else:
+            raise SyntaxError(f"syntax error near `{self.peek().text}'")
+        return (mode, left, right, lc, self._join_cond())
 
     def group_by_sentence(self) -> GroupByStmt:
         self.eat_kw("group")
@@ -1622,39 +1725,54 @@ class Parser:
             limit = self._limit_int()
         return MatchStmt(clauses, rets, order_by, limit, distinct, skip)
 
+    def _match_prop_map(self) -> dict:
+        props: dict = {}
+        self.eat("LC")
+        while self.peek().kind != "RC":
+            k = self.eat("NAME").text
+            self.eat("COLON")
+            if self.peek().kind == "VAR_REF":
+                # {name: $p7.a.b.c} — parameter chains fold to
+                # literals in expr_postfix (parameter.feature)
+                e = self.expr_postfix()
+                if e[0] != "lit":
+                    names = [x[1] for x in _iter_exprs(e)
+                             if x[0] == "param_unres"]
+                    raise ValueError(
+                        "Undefined parameters: " + ", ".join(names)
+                        if names else
+                        f"Invalid value in property pattern: {k}")
+                props[k] = e[1]
+            else:
+                props[k] = self.literal()
+            if self.peek().kind == "COMMA":
+                self.eat("COMMA")
+        self.eat("RC")
+        return props
+
     def match_node(self) -> MatchNode:
         self.eat("LP")
         alias = tag = None
         if self.peek().kind == "NAME":
             alias = self.eat("NAME").text
-        if self.peek().kind == "COLON":
+        # `:tag{props}` items repeat — `(v:person{name:"Mary"}:teacher)`
+        # intersects every listed tag (Scan.feature), each prop map
+        # scoped to its own tag
+        extra: list = []
+        props: dict = {}
+        first = True
+        while self.peek().kind == "COLON":
             self.eat("COLON")
-            tag = self.name()
-        props = {}
-        if self.peek().kind == "LC":
-            self.eat("LC")
-            while self.peek().kind != "RC":
-                k = self.eat("NAME").text
-                self.eat("COLON")
-                if self.peek().kind == "VAR_REF":
-                    # {name: $p7.a.b.c} — parameter chains fold to
-                    # literals in expr_postfix (parameter.feature)
-                    e = self.expr_postfix()
-                    if e[0] != "lit":
-                        names = [x[1] for x in _iter_exprs(e)
-                                 if x[0] == "param_unres"]
-                        raise ValueError(
-                            "Undefined parameters: " + ", ".join(names)
-                            if names else
-                            f"Invalid value in property pattern: {k}")
-                    props[k] = e[1]
-                else:
-                    props[k] = self.literal()
-                if self.peek().kind == "COMMA":
-                    self.eat("COMMA")
-            self.eat("RC")
+            tg = self.name()
+            pm = self._match_prop_map() if self.peek().kind == "LC" else {}
+            if first:
+                tag, props, first = tg, pm, False
+            else:
+                extra.append((tg, pm))
+        if first and self.peek().kind == "LC":    # tagless `(v {age: 29})`
+            props = self._match_prop_map()
         self.eat("RP")
-        return MatchNode(alias, tag, props)
+        return MatchNode(alias, tag, props, extra)
 
     def match_edge(self) -> MatchEdge:
         direction = "out"
@@ -2134,4 +2252,4 @@ def _const_eval(e):
 
 
 def parse(query: str, params: dict | None = None) -> Pipeline:
-    return Parser(tokenize(query), params).parse()
+    return Parser(tokenize(query), params, src=query).parse()

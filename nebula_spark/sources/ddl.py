@@ -46,7 +46,9 @@ _TTL_OPT = re.compile(
     re.IGNORECASE)
 _INDEX = re.compile(
     r"create\s+(tag|edge)\s+index\s+(if\s+not\s+exists\s+)?(\w+)\s+on\s+"
-    r"(\w+)\s*\(([^)]*)\)", re.IGNORECASE)
+    # greedy body: per-column length hints nest parens —
+    # `ON edge_1(col1_str(10))` (EdgeIndexFullScan.feature)
+    r"(\w+)\s*\((.*)\)", re.IGNORECASE)
 _COL = re.compile(
     # name type [(len)] | List< t > | Set< t >  (Ddl.feature container
     # prop types)

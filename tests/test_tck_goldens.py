@@ -4619,7 +4619,10 @@ def test_fetch_expr_and_vertex_value(nba_space):
     df = execute(nba_space,
                  "FETCH PROP ON player 'Boris Diaw' YIELD player.name, "
                  "player.age, player.age > 30 AS old")
-    assert rows(df, "name", "age", "old") == [("Boris Diaw", 36, True)]
+    # unaliased prop refs carry the reference's expression-text column
+    # names (FetchVertices.strVid.feature:11 header `player.name`)
+    assert rows(df, "player.name", "player.age", "old") == [
+        ("Boris Diaw", 36, True)]
     df = execute(nba_space,
                  "FETCH PROP ON bachelor 'Tim Duncan' YIELD vertex as node")
     r = df.collect()[0].node
@@ -4633,7 +4636,7 @@ def test_fetch_var_order_by(nba_space):
                  "$var = GO FROM 'Boris Diaw' over like YIELD "
                  "like._dst as id; FETCH PROP ON player $var.id YIELD "
                  "player.name as name, player.age | ORDER BY $-.name")
-    assert rows(df, "name", "age") == [
+    assert rows(df, "name", "player.age") == [
         ("Tim Duncan", 42), ("Tony Parker", 36)]
 
 
@@ -4645,12 +4648,12 @@ def test_fetch_format_yield(nba_space):
                  "FETCH PROP ON * 'Boris Diaw' YIELD id(vertex) AS i, "
                  "player.age, vertex as node")
     r = df.collect()[0]
-    assert (r.i, r.age, r.node.vid, r.node.player.age) == (
+    assert (r.i, r["player.age"], r.node.vid, r.node.player.age) == (
         "Boris Diaw", 36, "Boris Diaw", 36)
     df = execute(nba_space,
                  "FETCH PROP ON * 'NON EXIST VERTEX ID', 'Boris Diaw' "
                  "yield player.name, id(vertex) AS i")
-    assert rows(df, "name", "i") == [("Boris Diaw", "Boris Diaw")]
+    assert rows(df, "player.name", "i") == [("Boris Diaw", "Boris Diaw")]
     df = execute(nba_space,
                  "FETCH PROP ON player 'Tim Duncan' YIELD id(vertex) AS i, "
                  "properties(vertex).name as name")
@@ -4707,19 +4710,21 @@ def test_fetch_edges_forms(nba_space):
     df = execute(nba_space,
                  "FETCH PROP ON serve 'Boris Diaw'->'Hawks' "
                  "YIELD serve.start_year > 2001 AS a, serve.end_year")
-    assert rows(df, "a", "end_year") == [(True, 2005)]
+    assert rows(df, "a", "serve.end_year") == [(True, 2005)]
     df = execute(nba_space,
                  "FETCH PROP ON serve 'Boris Diaw'->'Hawks'@0 "
                  "YIELD serve.start_year, serve.end_year")
-    assert rows(df, "start_year", "end_year") == [(2003, 2005)]
+    assert rows(df, "serve.start_year", "serve.end_year") == [
+        (2003, 2005)]
     df = execute(nba_space,
                  'FETCH PROP ON serve "Zion Williamson"->"Spurs", '
                  '"Boris Diaw"->"Hawks" YIELD serve.start_year')
-    assert rows(df, "start_year") == [(2003,)]
+    assert rows(df, "serve.start_year") == [(2003,)]
     df = execute(nba_space,
                  "FETCH PROP ON serve 'Boris Diaw'->\"Spurs\" "
                  "YIELD serve._src, serve._dst, serve._rank")
-    assert rows(df, "_src", "_dst", "_rank") == [("Boris Diaw", "Spurs", 0)]
+    assert rows(df, "serve._src", "serve._dst", "serve._rank") == [
+        ("Boris Diaw", "Spurs", 0)]
     df = execute(nba_space,
                  "FETCH PROP ON serve 'Boris Diaw'->'Hawks' "
                  "YIELD src(edge) AS s, dst(edge) AS d, rank(edge) AS r, "
@@ -6527,3 +6532,916 @@ def test_lookup_topn_pipes(nba_space):
                  "name | ORDER BY $-.name | Limit 2")
     assert [r.name for r in df.collect()] == [
         "Amar'e Stoudemire", "Aron Baynes"]
+
+
+# ---------------------------------------------------------------------------
+# joined YIELD — tests/tck/features/yield/join.feature
+# ---------------------------------------------------------------------------
+
+def test_join_invalid(nba_space):
+    """join.feature "invalid join" — the reference's validation ladder
+    (YieldValidator.cpp:179-255): agg refusal at parse time, duplicate
+    column names, non-inner modes, self-join, ON-side consistency,
+    missing prop, `$-` operands, undefined variables."""
+    ab = ("$a = GO FROM 'Tim Duncan' OVER like YIELD id($$) as vid, "
+          "edge as e;\n$b = GO FROM 'Tony Parker' OVER like YIELD "
+          "id($$) as vid, edge as e2;\n")
+    with pytest.raises(SyntaxError,
+                       match=r"Invalid use of aggregating function in "
+                             r"yield clause"):
+        execute(nba_space,
+                "$a = GO FROM 'Tim Duncan' OVER like YIELD id($$) as "
+                "vid, edge as e;\n$b = GO FROM 'Tony Parker' OVER like "
+                "YIELD id($$) as vid, edge as e;\nYIELD $a.vid AS id, "
+                "$b.e AS e, count(*) FROM $a INNER JOIN $b ON "
+                "$a.vid == $b.vid")
+    with pytest.raises(ValueError,
+                       match=r"column name `e' of \$a and column name "
+                             r"`e' of \$b are the same"):
+        execute(nba_space,
+                "$a = GO FROM 'Tim Duncan' OVER like YIELD id($$) as "
+                "vid, edge as e;\n$b = GO FROM 'Tony Parker' OVER like "
+                "YIELD id($$) as vid, edge as e;\nYIELD $a.vid AS id, "
+                "$b.e AS e FROM $a INNER JOIN $b ON $a.vid == $b.vid")
+    for mode in ("LEFT", "RIGHT", "OUTER", "SEMI", "ANTI"):
+        with pytest.raises(ValueError, match="only support inner join"):
+            execute(nba_space,
+                    ab + "YIELD $a.vid AS id, $b.e2 AS e FROM $a "
+                    f"{mode} JOIN $b ON $a.vid == $b.vid")
+    with pytest.raises(ValueError, match="do not support self-join"):
+        execute(nba_space, ab + "YIELD $a.vid AS id, $b.e2 AS e FROM "
+                "$a INNER JOIN $a ON $a.vid == $a.vid")
+    with pytest.raises(ValueError,
+                       match=r"`b' should be consistent with join "
+                             r"condition variable `\$a.vid'"):
+        execute(nba_space, ab + "YIELD $a.vid AS id, $b.e2 AS e FROM "
+                "$a INNER JOIN $b ON $a.vid == $a.vid")
+    with pytest.raises(ValueError,
+                       match=r"`\$b.noexist', not exist prop `noexist'"):
+        execute(nba_space, ab + "YIELD $a.vid AS id, $b.e2 AS e FROM "
+                "$a INNER JOIN $b ON $a.vid == $b.noexist")
+    with pytest.raises(SyntaxError, match=r"syntax error near `\$-'"):
+        execute(nba_space,
+                "$a = GO FROM 'Tim Duncan' OVER like YIELD id($$) as "
+                "vid, edge as e;\nGO FROM 'Tony Parker' OVER like YIELD "
+                "id($$) as vid, edge as e2\n| YIELD $a.vid AS id, "
+                "$-.e2 AS e FROM $a INNER JOIN $- ON $a.vid == $-.vid")
+    with pytest.raises(ValueError, match=r"variable: `b' not exist"):
+        execute(nba_space,
+                "$a = GO FROM 'Tim Duncan' OVER like YIELD id($$) as a;"
+                "\nYIELD $a.a from $a inner join $b on $a.a == $b.a")
+    # bare `FROM $a JOIN $b` parses as a cross-join mode and is refused
+    # exactly like every other non-inner mode (parser.yy:1702-1709)
+    with pytest.raises(ValueError, match="only support inner join"):
+        execute(nba_space,
+                "$a = GO FROM 'Tim Duncan' OVER like YIELD id($$) as "
+                "vid;\n$b = GO FROM 'Tony Parker' OVER like YIELD "
+                "id($$) as vid2;\nYIELD $a.vid AS id FROM $a JOIN $b")
+
+
+def _e(v):
+    # GO's `edge AS e` struct is (s, d, r, et [, props…]) — src/dst first
+    return (v[0], v[1])
+
+
+def test_join_go(nba_space):
+    """join.feature "join go" — two GO variables joined on dst==src; the
+    same rows whether $b starts from $a.dst (runtime input) or from the
+    literal seeds."""
+    want = {("Tim Duncan", ("Tim Duncan", "Manu Ginobili"),
+             ("Manu Ginobili", "Tim Duncan")),
+            ("LaMarcus Aldridge", ("Tim Duncan", "Tony Parker"),
+             ("Tony Parker", "LaMarcus Aldridge")),
+            ("Manu Ginobili", ("Tim Duncan", "Tony Parker"),
+             ("Tony Parker", "Manu Ginobili")),
+            ("Tim Duncan", ("Tim Duncan", "Tony Parker"),
+             ("Tony Parker", "Tim Duncan"))}
+    for bsrc in ("$a.dst", "'Tony Parker', 'Manu Ginobili'"):
+        df = execute(nba_space,
+                     "$a = GO FROM 'Tim Duncan' OVER like YIELD id($$) "
+                     "as dst, edge as e;\n"
+                     f"$b = GO FROM {bsrc} OVER like YIELD id($^) as "
+                     "src, id($$) as vid, edge AS e2;\n"
+                     "YIELD $b.vid AS vid, $a.e AS e1, $b.e2 AS e2 "
+                     "FROM $a INNER JOIN $b ON $a.dst == $b.src")
+        got = {(r.vid, _e(r.e1), _e(r.e2)) for r in df.collect()}
+        assert got == want, bsrc
+
+
+def test_join_result_feeds_go(nba_space):
+    """join.feature "join go" last scenario — the joined variable $c
+    seeds a subsequent GO (runtime-input starts from a join output)."""
+    df = execute(nba_space,
+                 "$a = GO FROM 'Tim Duncan' OVER like YIELD id($$) as "
+                 "dst, edge as e;\n"
+                 "$b = GO FROM $a.dst OVER like YIELD id($^) as src, "
+                 "id($$) as vid, edge AS e2;\n"
+                 "$c = YIELD $b.vid AS vid, $a.e AS e1, $b.e2 AS e2 "
+                 "FROM $a INNER JOIN $b ON $a.dst == $b.src;\n"
+                 "GO FROM $c.vid OVER like YIELD $c.vid AS src, "
+                 "id($$) AS dst, $c.e1 AS e")
+    got = sorted((r.src, r.dst, _e(r.e)) for r in df.collect())
+    assert got == sorted([
+        ("LaMarcus Aldridge", "Tim Duncan",
+         ("Tim Duncan", "Tony Parker")),
+        ("LaMarcus Aldridge", "Tony Parker",
+         ("Tim Duncan", "Tony Parker")),
+        ("Tim Duncan", "Manu Ginobili", ("Tim Duncan", "Manu Ginobili")),
+        ("Tim Duncan", "Manu Ginobili", ("Tim Duncan", "Tony Parker")),
+        ("Tim Duncan", "Tony Parker", ("Tim Duncan", "Manu Ginobili")),
+        ("Tim Duncan", "Tony Parker", ("Tim Duncan", "Tony Parker")),
+        ("Manu Ginobili", "Tim Duncan", ("Tim Duncan", "Tony Parker"))])
+
+
+def test_join_lookup_fetch(nba_space):
+    """join.feature "join lookup" + "join fetch" — LOOKUP and FETCH
+    variables as join operands."""
+    df = execute(nba_space,
+                 "$a = LOOKUP ON player WHERE player.name == "
+                 "'Tony Parker' YIELD id(vertex) as dst, vertex AS v;\n"
+                 "$b = GO FROM 'Tony Parker', 'Manu Ginobili' OVER like "
+                 "YIELD id($^) as src, id($$) as vid, edge AS e2;\n"
+                 "YIELD $b.vid AS vid, $a.v AS v, $b.e2 AS e2 FROM $a "
+                 "INNER JOIN $b ON $a.dst == $b.src")
+    got = {(r.vid, _e(r.e2)) for r in df.collect()}
+    assert got == {
+        ("LaMarcus Aldridge", ("Tony Parker", "LaMarcus Aldridge")),
+        ("Manu Ginobili", ("Tony Parker", "Manu Ginobili")),
+        ("Tim Duncan", ("Tony Parker", "Tim Duncan"))}
+    df = execute(nba_space,
+                 "$a = LOOKUP ON player WHERE player.name == "
+                 "'Tony Parker' YIELD id(vertex) as dst, vertex AS v;\n"
+                 "$b = LOOKUP on player WHERE player.age > 30 YIELD "
+                 "id(vertex) AS src, vertex AS v2;\n"
+                 "YIELD $b.src AS vid, $a.v AS v, $b.v2 AS v2 FROM $a "
+                 "INNER JOIN $b ON $a.dst == $b.src")
+    assert [r.vid for r in df.collect()] == ["Tony Parker"]
+    df = execute(nba_space,
+                 "$a = LOOKUP ON player WHERE player.name == "
+                 "'Tony Parker' YIELD id(vertex) as src, vertex AS v;\n"
+                 "$b = FETCH PROP ON like 'Tony Parker'->'Tim Duncan' "
+                 "YIELD src(edge) as src, edge as e;\n"
+                 # `src` appears in BOTH variables but is the join
+                 # condition column on each side — exempt from the
+                 # duplicate-name refusal (YieldValidator.cpp:232-246)
+                 "YIELD $a.src AS src, $a.v AS v, $b.e AS e FROM $a "
+                 "INNER JOIN $b ON $a.src == $b.src")
+    got = [(r.src, _e(r.e)) for r in df.collect()]
+    assert got == [("Tony Parker", ("Tony Parker", "Tim Duncan"))]
+
+
+def test_join_path(nba_space):
+    """join.feature "join path" — a parenthesized FIND PATH pipeline as
+    an assignment RHS, joined with a LOOKUP variable."""
+    df = execute(nba_space,
+                 "$a = LOOKUP ON player WHERE player.name == "
+                 "'Tony Parker' YIELD id(vertex) as src, vertex AS v;\n"
+                 "$b = (FIND SHORTEST PATH FROM $a.src TO 'Tim Duncan' "
+                 "OVER like YIELD path AS p | YIELD $-.p AS p, "
+                 "id(startNode($-.p)) AS src);\n"
+                 "YIELD $a.src AS src, $a.v AS v, $b.p AS p FROM $a "
+                 "INNER JOIN $b ON $a.src == $b.src")
+    from nebula_spark.functions.graphfns import format_path
+    out = df.select("src", format_path(F.col("p")).alias("s")).collect()
+    # join.feature's table prints the client rendering `[:like@0 {}]`;
+    # this repo's pinned Path::toString shape (ShortestPath.feature
+    # goldens) elides the zero rank and empty prop map
+    assert [(r.src, r.s) for r in out] == [
+        ("Tony Parker", '<("Tony Parker")-[:like]->("Tim Duncan")>')]
+
+
+def test_join_limit(nba_space):
+    """join.feature "join limit" — joined YIELD pipes into LIMIT."""
+    df = execute(nba_space,
+                 '$a = GO FROM "Tim Duncan" OVER like YIELD src(edge) '
+                 "AS src, edge AS e1;\n"
+                 '$b = GO 2 STEPS FROM "Tony Parker" OVER like YIELD '
+                 "edge AS e2, dst(edge) AS dst;\n"
+                 "YIELD $a.e1 AS e1, $b.e2 AS e2 from $a inner join $b "
+                 "ON $a.src == $b.dst | limit 10")
+    got = sorted((_e(r.e1), _e(r.e2)) for r in df.collect())
+    assert got == sorted([
+        (("Tim Duncan", "Manu Ginobili"),
+         ("LaMarcus Aldridge", "Tim Duncan")),
+        (("Tim Duncan", "Tony Parker"),
+         ("LaMarcus Aldridge", "Tim Duncan")),
+        (("Tim Duncan", "Manu Ginobili"),
+         ("Manu Ginobili", "Tim Duncan")),
+        (("Tim Duncan", "Tony Parker"),
+         ("Manu Ginobili", "Tim Duncan"))])
+
+
+# ---------------------------------------------------------------------------
+# scan — tests/tck/features/match/Scan.feature (student space)
+# ---------------------------------------------------------------------------
+
+STUDENT_DIR = "/root/reference/tests/data/student"
+
+
+@pytest.fixture(scope="session")
+def student_space(spark):
+    """The reference's secondary fixture (tests/data/student/config.yaml):
+    tags person/teacher/student share vids, four int-prop edges."""
+    def _r(name, cols):
+        df = (spark.read.option("header", True)
+              .csv(f"{STUDENT_DIR}/{name}.csv"))
+        return df.toDF(*cols)
+    person = _r("person", ["vid", "name", "age", "gender"]).select(
+        "vid", "name", F.col("age").cast("long").alias("age"), "gender")
+    teacher = _r("teacher", ["vid", "grade", "subject"]).select(
+        "vid", F.col("grade").cast("long").alias("grade"), "subject")
+    student = _r("student", ["vid", "hobby", "grade"]).select(
+        "vid", "hobby", F.col("grade").cast("long").alias("grade"))
+
+    def _edge(name, last, typ="long"):
+        # storage parity: duplicate (src,dst,rank) keys upsert in the
+        # reference's KV layer (is_schoolmate.csv repeats three rows)
+        return _r(name, ["src", "dst", "start_year", last]).select(
+            "src", "dst", F.lit(0).cast("long").alias("rank"),
+            F.col("start_year").cast("long").alias("start_year"),
+            F.col(last).cast(typ).alias(last)).dropDuplicates(
+            ["src", "dst", "rank"])
+    sp = GraphSpace(spark, "student")
+    sp.create_tag("person", df=person)
+    sp.create_tag("teacher", df=teacher)
+    sp.create_tag("student", df=student)
+    sp.create_edge("is_schoolmate", df=_edge("is_schoolmate", "end_year"))
+    sp.create_edge("is_teacher", df=_edge("is_teacher", "end_year"))
+    sp.create_edge("is_friend", df=_edge("is_friend", "intimacy",
+                                         "double"))
+    sp.create_edge("is_colleagues", df=_edge("is_colleagues", "end_year"))
+    return sp
+
+
+SCAN_PERSONS = [
+    "Anne", "Cynthia", "Jane", "Lisa", "Peggy", "Kevin", "WangLe",
+    "WuXiao", "Sandy", "Harry", "Ada", "Lynn", "Bonnie", "Peter", "Carl",
+    "Sonya", "HeNa", "Tom", "XiaMei", "Lily", "Mary", "Ann", "Julie",
+    "Kim", "Ellen", "ZhangKai", "Emma", "Ben", "Helen", "Lilan"]
+
+
+def test_scan_vertices(student_space):
+    """Scan.feature "query vertices by scan" — tagless MATCH is a full
+    vertex scan (ScanVertices); multi-tag patterns intersect."""
+    df = execute(student_space,
+                 "MATCH (v) RETURN v.student.name AS Name LIMIT 3")
+    assert df.count() == 3
+    df = execute(student_space,
+                 "MATCH (v:teacher:student) RETURN v.student.name AS "
+                 "Name LIMIT 3")
+    assert df.count() == 0          # no vid carries both tags
+    df = execute(student_space,
+                 "MATCH (v:person:teacher) RETURN v.person.name AS "
+                 "Name LIMIT 3")
+    assert df.count() == 3
+    df = execute(student_space,
+                 'MATCH (v:person{name: "Mary"}:teacher) RETURN '
+                 "v.person.name AS Name LIMIT 3")
+    assert rows(df, "Name") == [("Mary",)]
+
+
+def test_scan_vertices_full(student_space):
+    """Scan.feature "query vertices by scan failed" — the unlimited scan
+    returns every vertex; a prop off a tag the vertex lacks is NULL."""
+    df = execute(student_space,
+                 "MATCH (v) RETURN v.person.name AS Name")
+    assert sorted(r.Name for r in df.collect()) == sorted(SCAN_PERSONS)
+    df = execute(student_space,
+                 "MATCH (v:person) RETURN v.student.name AS Name")
+    assert [r.Name for r in df.collect()] == [None] * 30
+
+
+def test_scan_vertices_skip_limit(student_space):
+    """Scan.feature "query vertices by scan with skip limit"."""
+    for lim in (4, 5, 7, 11):
+        df = execute(student_space,
+                     "MATCH (v) RETURN v.person.name AS name "
+                     f"SKIP 10 LIMIT {lim}")
+        assert df.count() == lim, lim
+
+
+def test_scan_edges(student_space):
+    """Scan.feature "query edge by scan" + "failed" — tagless edge
+    patterns scan every edge table; the unlimited scan's type() multiset
+    is the reference's exact table."""
+    df = execute(student_space,
+                 "MATCH ()-[e]->() RETURN type(e) AS Type LIMIT 3")
+    assert df.count() == 3
+    df = execute(student_space,
+                 "MATCH ()-[e:is_teacher]->() RETURN type(e) AS Type, "
+                 "e.start_year AS StartYear, e.end_year AS EndYear "
+                 "LIMIT 3")
+    got = df.collect()
+    assert len(got) == 3
+    assert all(r.Type == "is_teacher" and r.StartYear and r.EndYear
+               for r in got)
+    df = execute(student_space,
+                 "MATCH ()-[e]->() RETURN type(e) AS Type")
+    from collections import Counter
+    got = Counter(r.Type for r in df.collect())
+    assert got == Counter({"is_schoolmate": 26, "is_teacher": 11,
+                           "is_colleagues": 7, "is_friend": 7})
+    df = execute(student_space,
+                 "MATCH (v)-[e]->() RETURN v.person.name, type(e) AS "
+                 "Type LIMIT 3")
+    # unaliased RETURN item keeps its expression text as the header
+    assert df.columns == ["v.person.name", "Type"]
+    assert df.count() == 3
+    df = execute(student_space,
+                 "MATCH ()-[e:is_teacher]-() RETURN type(e) AS Type, "
+                 "e.start_year AS StartYear, e.end_year AS EndYear "
+                 "LIMIT 3")
+    assert df.count() == 3
+
+
+def test_scan_edges_skip_limit(student_space):
+    """Scan.feature "query edge by scan with skip limit" (52 edges)."""
+    for lim in (4, 5, 7, 11):
+        df = execute(student_space,
+                     "MATCH ()-[e]->() RETURN type(e) AS Type "
+                     f"SKIP 10 LIMIT {lim}")
+        assert df.count() == lim, lim
+
+
+# ---------------------------------------------------------------------------
+# seek by id / tag — tests/tck/features/match/SeekById.feature,
+#                    SeekByTag.feature
+# ---------------------------------------------------------------------------
+
+_SEEK4 = ("['James Harden', 'Jonathon Simmons', 'Klay Thompson', "
+          "'Dejounte Murray']")
+
+
+def test_seek_by_id_basic(nba_space):
+    """SeekById.feature "basic" / "basic logical not" — id(v) equality
+    and IN, plus double negation."""
+    for pred in ("id(v) == 'Paul Gasol'",
+                 "NOT NOT id(v) == 'Paul Gasol'"):
+        df = execute(nba_space,
+                     f"MATCH (v) WHERE {pred} RETURN v.player.name AS "
+                     "Name, v.player.age AS Age")
+        assert rows(df, "Name", "Age") == [("Paul Gasol", 38)]
+    for pred in (f"id(v) IN {_SEEK4}", f"NOT NOT id(v) IN {_SEEK4}"):
+        df = execute(nba_space,
+                     f"MATCH (v) WHERE {pred} RETURN v.player.name AS "
+                     "Name")
+        assert sorted(r.Name for r in df.collect()) == [
+            "Dejounte Murray", "James Harden", "Jonathon Simmons",
+            "Klay Thompson"]
+
+
+def test_seek_by_id_logical(nba_space):
+    """SeekById.feature "basic logical and/or/with noise" — seeks
+    combine through the boolean structure of the WHERE."""
+    df = execute(nba_space,
+                 "MATCH (v) WHERE (NOT NOT id(v) == 'Paul Gasol') AND "
+                 f"id(v) IN {_SEEK4} RETURN v.player.name AS Name")
+    assert df.count() == 0
+    df = execute(nba_space,
+                 "MATCH (v) WHERE (NOT NOT id(v) == 'Paul Gasol') OR "
+                 f"id(v) IN {_SEEK4} RETURN v.player.name AS Name")
+    assert sorted(r.Name for r in df.collect()) == [
+        "Dejounte Murray", "James Harden", "Jonathon Simmons",
+        "Klay Thompson", "Paul Gasol"]
+    df = execute(nba_space,
+                 "MATCH (v) WHERE (NOT NOT id(v) == 'Paul Gasol') AND "
+                 "id(v) != 'Paul Gasol' RETURN v.player.name AS Name")
+    assert df.count() == 0
+    df = execute(nba_space,
+                 "MATCH (v) WHERE id(v) IN ['James Harden', "
+                 "'Jonathon Simmons', 'Klay Thompson', "
+                 "'Dejounte Murray', 'Paul Gasol'] AND true "
+                 "RETURN v.player.name AS Name")
+    assert df.count() == 5
+    # `OR true` widens the seek to a full scan — every vertex flows out
+    df = execute(nba_space,
+                 "MATCH (v) WHERE id(v) IN ['Paul Gasol'] OR true "
+                 "RETURN v.player.name AS Name")
+    assert df.count() == 86
+    df = execute(nba_space,
+                 f"MATCH (v) WHERE id(v) IN {_SEEK4} AND "
+                 "(id(v) == 'James Harden' OR v.player.age == 23) "
+                 "RETURN v.player.name AS Name")
+    assert rows(df, "Name") == [("James Harden",)]
+    # a non-constant IN list member disables the seek, not the filter
+    df = execute(nba_space,
+                 "MATCH (v:player) WHERE id(v) IN ['James Harden', "
+                 "v.player.age] RETURN v.player.name AS Name")
+    assert rows(df, "Name") == [("James Harden",)]
+
+
+def test_seek_by_id_complicate(nba_space):
+    """SeekById.feature "complicate logical" + "with extend" +
+    "multiple nodes"."""
+    df = execute(nba_space,
+                 "MATCH (v) WHERE ((NOT NOT id(v) == 'Paul Gasol') OR "
+                 f"id(v) IN {_SEEK4}) AND id(v) != 'Paul Gasol' AND "
+                 "v.player.name != 'Jonathon Simmons' AND "
+                 "v.player.age == 29 RETURN v.player.name AS Name")
+    assert sorted(r.Name for r in df.collect()) == [
+        "Dejounte Murray", "James Harden", "Klay Thompson"]
+    df = execute(nba_space,
+                 'MATCH (v) WHERE (id(v) == "Tim Duncan" AND '
+                 'v.player.age>10) OR (id(v) == "Tony Parker" AND '
+                 "v.player.age>10) RETURN v.player.name AS Name")
+    assert sorted(r.Name for r in df.collect()) == [
+        "Tim Duncan", "Tony Parker"]
+    df = execute(nba_space,
+                 "MATCH (v)-[:serve]->(t) WHERE (NOT NOT id(v) == "
+                 "'Paul Gasol') AND id(v) == 'Paul Gasol' "
+                 "RETURN v.player.name AS Name, t.team.name AS Team")
+    assert sorted(r.Team for r in df.collect()) == [
+        "Bucks", "Bulls", "Grizzlies", "Lakers", "Spurs"]
+    df = execute(nba_space,
+                 "MATCH (v)-[:serve]->(t) WHERE (NOT NOT id(v) == "
+                 "'Paul Gasol') AND id(v) == 'Paul Gasol' AND id(t) IN "
+                 "['Grizzlies', 'Lakers'] RETURN v.player.name AS Name, "
+                 "t.team.name AS Team")
+    assert sorted(r.Team for r in df.collect()) == ["Grizzlies", "Lakers"]
+    df = execute(nba_space,
+                 "MATCH (v)-[:serve]->(t) WHERE ((NOT NOT id(v) == "
+                 "'Paul Gasol') AND id(v) == 'Paul Gasol') OR id(t) IN "
+                 "['Grizzlies', 'Lakers'] RETURN v.player.name AS Name, "
+                 "t.team.name AS Team")
+    assert df.count() == 16
+
+
+def test_seek_by_id_negation_and_count(nba_space):
+    """SeekById.feature "can't refer" — negated seeks fall back to full
+    scans (85 vertices), undefined aliases refuse, and computed id
+    comparisons still match."""
+    df = execute(nba_space,
+                 "MATCH (v) WHERE id(v) == \"Tim Duncan\" OR id(v) != "
+                 "\"Tony Parker\" RETURN COUNT(*) AS count")
+    assert rows(df, "count") == [(85,)]
+    df = execute(nba_space,
+                 "MATCH (v) WHERE NOT id(v) == 'Paul Gasol' "
+                 "RETURN v.player.name AS Name, v.player.age AS Age")
+    names = [r.Name for r in df.collect()]
+    assert len(names) == 85 and "Paul Gasol" not in names \
+        and "Tony Parker" in names
+    df = execute(nba_space,
+                 f"MATCH (v) WHERE NOT id(v) IN {_SEEK4} "
+                 "RETURN v.player.name AS Name")
+    assert df.count() == 82
+    with pytest.raises(ValueError,
+                       match=r"Alias used but not defined: `x'"):
+        execute(nba_space, "MATCH (v) WHERE id(x) == 'James Harden' "
+                           "RETURN v.player.name AS Name")
+    df = execute(nba_space,
+                 "MATCH (v) WHERE (id(v) + '') == 'James Harden' "
+                 "RETURN v.player.name AS Name")
+    assert rows(df, "Name") == [("James Harden",)]
+    df = execute(nba_space,
+                 f"MATCH (v) WHERE id(v) IN {_SEEK4} OR "
+                 "v.player.age == 23 RETURN v.player.name AS Name")
+    assert sorted(r.Name for r in df.collect()) == [
+        "Dejounte Murray", "James Harden", "Jonathon Simmons",
+        "Klay Thompson", "Kristaps Porzingis"]
+
+
+def test_seek_by_id_unwind_var(nba_space):
+    """SeekById.feature "can't refer" — UNWIND variables in the id()
+    predicate: the constant disjunct still matches per input row."""
+    df = execute(nba_space,
+                 "WITH [1, 2, 3] AS coll UNWIND coll AS vid "
+                 'MATCH (v) WHERE id(v) == "Tony Parker" OR '
+                 "id(v) == vid RETURN v")
+    assert df.count() == 3
+    df = execute(nba_space,
+                 "WITH [1, 2, 3] AS coll UNWIND coll AS vid "
+                 "MATCH (v) WHERE id(v) == vid RETURN v")
+    assert df.count() == 0
+
+
+def test_seek_by_tag(nba_space):
+    """SeekByTag.feature — tag scans, incl. a single-vertex tag and a
+    cross-tag prop read off it."""
+    df = execute(nba_space, "MATCH (v:bachelor) RETURN id(v) AS vid")
+    assert rows(df, "vid") == [("Tim Duncan",)]
+    df = execute(nba_space,
+                 "MATCH (v:bachelor) RETURN id(v) AS vid, "
+                 "v.player.age AS age")
+    assert rows(df, "vid", "age") == [("Tim Duncan", 42)]
+    df = execute(nba_space, "MATCH (v:team) RETURN id(v)")
+    assert df.columns == ["id(v)"] and df.count() == 30
+    df = execute(nba_space,
+                 "MATCH (v:team) RETURN id(v) AS vid, v.team.name AS "
+                 "name")
+    assert all(r.vid == r.name for r in df.collect())
+    df = execute(nba_space,
+                 "MATCH (p:bachelor)-[:serve]->(t) RETURN t.team.name "
+                 "AS team")
+    assert rows(df, "team") == [("Spurs",)]
+
+
+# ---------------------------------------------------------------------------
+# start from any node — tests/tck/features/match/StartFromAnyNode.feature
+# ---------------------------------------------------------------------------
+
+def test_start_from_middle_2step(nba_space):
+    """StartFromAnyNode.feature "with totally 2 steps" — an indexed
+    middle node anchors the pattern; every direction combination of the
+    two hops matches the reference's tables (transcribed as (n,l) id
+    pairs)."""
+    TP, DM, GZ, SP = ("Tony Parker", "Dejounte Murray", "Grizzlies",
+                      "Spurs")
+    both = sorted([(DM, TP), (GZ, TP), (SP, TP), (TP, DM), (GZ, DM),
+                   (SP, DM), (TP, GZ), (DM, GZ), (SP, GZ), (TP, SP),
+                   (DM, SP), (GZ, SP)])
+    cases = {
+        ("-", "-"): both,
+        ("-", "->"): sorted([(TP, GZ), (DM, GZ), (SP, GZ), (TP, SP),
+                             (DM, SP), (GZ, SP)]),
+        ("-", "<-"): sorted([(DM, TP), (GZ, TP), (SP, TP), (TP, DM),
+                             (GZ, DM), (SP, DM)]),
+        ("->", "-"): sorted([(DM, TP), (TP, DM), (TP, GZ), (DM, GZ),
+                             (TP, SP), (DM, SP)]),
+        ("->", "->"): sorted([(TP, GZ), (DM, GZ), (TP, SP), (DM, SP)]),
+        ("->", "<-"): sorted([(DM, TP), (TP, DM)]),
+        ("<-", "-"): sorted([(GZ, TP), (SP, TP), (GZ, DM), (SP, DM),
+                             (SP, GZ), (GZ, SP)]),
+        ("<-", "->"): sorted([(SP, GZ), (GZ, SP)]),
+        ("<-", "<-"): sorted([(GZ, TP), (SP, TP), (GZ, DM), (SP, DM)]),
+    }
+    for (d1, d2), want in cases.items():
+        e1 = {"-": "-[e1]-", "->": "-[e1]->", "<-": "<-[e1]-"}[d1]
+        e2 = {"-": "-[e2]-", "->": "-[e2]->", "<-": "<-[e2]-"}[d2]
+        df = execute(nba_space,
+                     f'MATCH (n){e1}(m:player{{name:"Kyle Anderson"}})'
+                     f"{e2}(l) RETURN id(n) AS n, id(l) AS l")
+        assert sorted(rows(df, "n", "l")) == want, (d1, d2)
+    # the WHERE form of the same anchor gives the same frame
+    df = execute(nba_space,
+                 "MATCH (n)-[]-(m:player)-[]-(l) WHERE "
+                 'm.player.name=="Kyle Anderson" '
+                 "RETURN id(n) AS n, id(l) AS l")
+    assert sorted(rows(df, "n", "l")) == both
+
+
+def test_start_from_middle_3step(nba_space):
+    """StartFromAnyNode.feature "with totally 3 steps" + the Kobe
+    Bryant anchor-at-position-3 scenario."""
+    df = execute(nba_space,
+                 'MATCH p = (n)-[]-(m:player{name:"Kyle Anderson"})'
+                 "-[]-(l)-[]-(k) RETURN count(*) AS count")
+    assert rows(df, "count") == [(141,)]
+    df = execute(nba_space,
+                 'MATCH p = (n)-[]-(m:player{name:"Kyle Anderson"})'
+                 '-[]-(l)-[]-(k) WHERE k.player.name == "Marc Gasol" '
+                 "RETURN id(n) AS n, id(l) AS l, id(k) AS k")
+    assert sorted(rows(df, "n", "l", "k")) == sorted([
+        ("Tony Parker", "Grizzlies", "Marc Gasol"),
+        ("Dejounte Murray", "Grizzlies", "Marc Gasol"),
+        ("Spurs", "Grizzlies", "Marc Gasol")])
+    df = execute(nba_space,
+                 'MATCH p = (k)-[]-(n)-[]-(m:player{name:"Kobe Bryant"})'
+                 "-[]-(l) RETURN count(p) AS count")
+    assert rows(df, "count") == [(46,)]
+    df = execute(nba_space,
+                 'MATCH p = (k)-[]-(n)-[]-(m:player{name:"Kobe Bryant"})'
+                 '-[]-(l) WHERE l.team.name == "Lakers" '
+                 "RETURN id(k) AS k, id(n) AS n")
+    got = sorted(rows(df, "k", "n"))
+    assert got == sorted([
+        ("Grant Hill", "Tracy McGrady"), ("Vince Carter", "Tracy McGrady"),
+        ("Yao Ming", "Tracy McGrady"), ("Grant Hill", "Tracy McGrady"),
+        ("Rudy Gay", "Tracy McGrady"), ("Magic", "Tracy McGrady"),
+        ("Raptors", "Tracy McGrady"), ("Rockets", "Tracy McGrady"),
+        ("Spurs", "Tracy McGrady"), ("Marc Gasol", "Paul Gasol"),
+        ("Marc Gasol", "Paul Gasol"), ("Bucks", "Paul Gasol"),
+        ("Bulls", "Paul Gasol"), ("Grizzlies", "Paul Gasol"),
+        ("Lakers", "Paul Gasol"), ("Spurs", "Paul Gasol")])
+
+
+# ---------------------------------------------------------------------------
+# LOOKUP on fresh index spaces — tests/tck/features/lookup/LookupTag2.feature,
+# LookupEdge2.feature, EdgeIndexFullScan.feature (both vid flavors where the
+# feature's Examples table parameterizes them)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("vids", [("200", "201", "202"), (200, 201, 202)],
+                         ids=["strvid", "intvid"])
+def test_lookup_tag2(spark, vids):
+    """LookupTag2.feature "[tag] simple tag test cases" + "scan without
+    hints" — OR/AND precedence, unqualified-prop refusal, unknown-column
+    refusal, empty ranges, and the unaliased YIELD's expression-text
+    column name."""
+    from nebula_spark.catalog import SpaceCatalog
+    a, b, c = vids
+    lit = (lambda v: f'"{v}"') if isinstance(a, str) else str
+    vt = "FIXED_STRING(16)" if isinstance(a, str) else "int64"
+    cat = SpaceCatalog(spark)
+    execute(cat, f"""
+        CREATE SPACE lt2(partition_num=1, vid_type={vt}); USE lt2;
+        CREATE TAG lookup_tag_1(col1 int, col2 int, col3 int);
+        CREATE TAG INDEX t_index_1 ON lookup_tag_1(col1, col2, col3);
+        CREATE TAG INDEX t_index_3 ON lookup_tag_1(col2, col3);
+        INSERT VERTEX lookup_tag_1(col1, col2, col3) VALUES
+          {lit(a)}:(200, 200, 200), {lit(b)}:(201, 201, 201),
+          {lit(c)}:(202, 202, 202)
+    """)
+    sp = cat.spaces["lt2"]
+    # AND binds tighter than OR: col1==201 OR (col2==201 AND col3==202)
+    df = execute(sp, "LOOKUP ON lookup_tag_1 WHERE lookup_tag_1.col1 == 201"
+                     " OR lookup_tag_1.col2 == 201 AND "
+                     "lookup_tag_1.col3 == 202 YIELD id(vertex) AS id")
+    assert rows(df, "id") == [(b,)]
+    with pytest.raises(ValueError,
+                       match=r"Expression \(col1==…\) not supported yet"):
+        execute(sp, "LOOKUP ON lookup_tag_1 WHERE col1 == 200 "
+                    "YIELD vertex as node")
+    with pytest.raises(ValueError, match="Invalid column: col5"):
+        execute(sp, "LOOKUP ON lookup_tag_1 WHERE lookup_tag_1.col1 == 200 "
+                    "OR lookup_tag_1.col5 == 20 YIELD vertex as node")
+    df = execute(sp, "LOOKUP ON lookup_tag_1 WHERE "
+                     "lookup_tag_1.col1 == 300 YIELD id(vertex) as id")
+    assert df.count() == 0
+    df = execute(sp, "lookup on lookup_tag_1 WHERE lookup_tag_1.col1 == 201"
+                     " AND lookup_tag_1.col2 > 200 AND "
+                     "lookup_tag_1.col1 > 201 YIELD id(vertex) as id")
+    assert df.count() == 0
+    # scan without hints (a != filter is a full scan) + expression-text
+    # column name for the unaliased `lookup_tag_1.col3`
+    df = execute(sp, "LOOKUP ON lookup_tag_1 WHERE lookup_tag_1.col1 != 200"
+                     " YIELD lookup_tag_1.col1 AS col1, lookup_tag_1.col3")
+    assert df.columns == ["col1", "lookup_tag_1.col3"]
+    assert sorted(rows(df, "col1", "lookup_tag_1.col3")) == [
+        (201, 201), (202, 202)]
+
+
+@pytest.mark.parametrize("vids", [("200", "201", "202"), (200, 201, 202)],
+                         ids=["strvid", "intvid"])
+def test_lookup_edge2(spark, vids):
+    """LookupEdge2.feature "[edge] Simple test cases"."""
+    from nebula_spark.catalog import SpaceCatalog
+    a, b, c = vids
+    lit = (lambda v: f'"{v}"') if isinstance(a, str) else str
+    vt = "FIXED_STRING(16)" if isinstance(a, str) else "int64"
+    cat = SpaceCatalog(spark)
+    execute(cat, f"""
+        CREATE SPACE le2(partition_num=1, vid_type={vt}); USE le2;
+        CREATE EDGE lookup_edge_1(col1 int, col2 int, col3 int);
+        CREATE EDGE INDEX e_index_1 ON lookup_edge_1(col1, col2, col3);
+        CREATE EDGE INDEX e_index_3 ON lookup_edge_1(col2, col3);
+        INSERT EDGE lookup_edge_1(col1, col2, col3) VALUES
+          {lit(a)} -> {lit(b)}@0:(201, 201, 201),
+          {lit(a)} -> {lit(c)}@0:(202, 202, 202)
+    """)
+    sp = cat.spaces["le2"]
+    df = execute(sp, "LOOKUP ON lookup_edge_1 WHERE "
+                     "lookup_edge_1.col1 == 201 OR lookup_edge_1.col2 == "
+                     "201 AND lookup_edge_1.col3 == 202 "
+                     "YIELD src(edge) AS src, dst(edge) AS dst")
+    assert rows(df, "src", "dst") == [(a, b)]
+    with pytest.raises(ValueError,
+                       match=r"Expression \(col1==…\) not supported yet"):
+        execute(sp, "LOOKUP ON lookup_edge_1 WHERE col1 == 201 "
+                    "YIELD edge as e")
+    with pytest.raises(ValueError, match="Invalid column: col5"):
+        execute(sp, "LOOKUP ON lookup_edge_1 WHERE lookup_edge_1.col1 == "
+                    "201 OR lookup_edge_1.col5 == 201 YIELD edge as e")
+    df = execute(sp, "LOOKUP ON lookup_edge_1 WHERE lookup_edge_1.col1 == "
+                     "300 YIELD src(edge) as src, dst(edge) as dst, "
+                     "rank(edge) as rank")
+    assert df.count() == 0
+    df = execute(sp, "LOOKUP ON lookup_edge_1 WHERE lookup_edge_1.col1 == "
+                     "201 AND lookup_edge_1.col2 > 200 AND "
+                     "lookup_edge_1.col1 > 201 YIELD src(edge) as src")
+    assert df.count() == 0
+
+
+@pytest.fixture
+def fullscan_space(spark):
+    """EdgeIndexFullScan.feature fixture: edge_1 with a string and an int
+    column, three edges."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE efs(partition_num=1, vid_type=FIXED_STRING(15));
+        USE efs;
+        CREATE EDGE edge_1(col1_str string, col2_int int);
+        CREATE EDGE INDEX col1_str_index ON edge_1(col1_str(10));
+        CREATE EDGE INDEX col2_int_index ON edge_1(col2_int);
+        INSERT EDGE edge_1(col1_str, col2_int) VALUES
+          '101'->'102':('Red1', 11),
+          '102'->'103':('Yellow', 22),
+          '103'->'101':('Blue', 33)
+    """)
+    return cat.spaces["efs"]
+
+
+def test_edge_index_full_scan(fullscan_space):
+    """EdgeIndexFullScan.feature — regexp refusal, NE full-scan filters,
+    IN-list (with arithmetic and fn-call elements), and IN+EQ combos."""
+    sp = fullscan_space
+    with pytest.raises(ValueError, match="please use full-text index"):
+        execute(sp, 'LOOKUP ON edge_1 WHERE edge_1.col1_str =~ '
+                    '"\\\\w+\\\\d+" YIELD edge_1.col1_str')
+    df = execute(sp, 'LOOKUP ON edge_1 WHERE edge_1.col1_str != "Yellow" '
+                     "YIELD src(edge) as src, dst(edge) as dst, "
+                     "rank(edge) as rank, edge_1.col1_str AS s")
+    assert sorted(rows(df, "src", "dst", "rank", "s")) == [
+        ("101", "102", 0, "Red1"), ("103", "101", 0, "Blue")]
+    df = execute(sp, "LOOKUP ON edge_1 WHERE edge_1.col2_int != 11 "
+                     "YIELD src(edge) as src, edge_1.col2_int AS i")
+    assert sorted(rows(df, "src", "i")) == [("102", 22), ("103", 33)]
+    df = execute(sp, 'LOOKUP ON edge_1 WHERE edge_1.col1_str IN '
+                     '["Red", "Yellow"] YIELD edge_1.col1_str AS s')
+    assert rows(df, "s") == [("Yellow",)]
+    df = execute(sp, 'LOOKUP ON edge_1 WHERE edge_1.col1_str IN '
+                     '["non-existed-name"] YIELD edge_1.col1_str AS s')
+    assert df.count() == 0
+    # IN-list elements are constant expressions: arithmetic and fn calls
+    df = execute(sp, "LOOKUP ON edge_1 WHERE edge_1.col2_int IN "
+                     "[23 - 1 , 66/2] YIELD edge_1.col2_int AS i")
+    assert sorted(rows(df, "i")) == [(22,), (33,)]
+    df = execute(sp, "LOOKUP ON edge_1 WHERE edge_1.col2_int IN "
+                     "[23 - 1 , 66/2] OR edge_1.col2_int==11 "
+                     "YIELD edge_1.col2_int AS i")
+    assert sorted(rows(df, "i")) == [(11,), (22,), (33,)]
+    df = execute(sp, 'LOOKUP ON edge_1 WHERE edge_1.col2_int IN '
+                     '[23 - 1 , 66/2] OR edge_1.col1_str IN '
+                     '[toUpper("r")+"ed1"] YIELD edge_1.col1_str AS s, '
+                     "edge_1.col2_int AS i")
+    assert sorted(rows(df, "s", "i")) == [
+        ("Blue", 33), ("Red1", 11), ("Yellow", 22)]
+    df = execute(sp, "LOOKUP ON edge_1 WHERE edge_1.col2_int IN [11 , 66/2]"
+                     " AND edge_1.col2_int==11 YIELD edge_1.col2_int AS i")
+    assert rows(df, "i") == [(11,)]
+    df = execute(sp, 'LOOKUP ON edge_1 WHERE edge_1.col2_int IN [11 , 33] '
+                     'AND edge_1.col1_str IN ["Red1"] '
+                     "YIELD edge_1.col1_str AS s, edge_1.col2_int AS i")
+    assert rows(df, "s", "i") == [("Red1", 11)]
+
+
+# ---------------------------------------------------------------------------
+# INSERT families — insertVertexOnly.feature, InsertWithTimeType.feature,
+# InsertDurationType.feature
+# ---------------------------------------------------------------------------
+
+def test_insert_vertex_only(spark):
+    """insertVertexOnly.feature — the tagless INSERT VERTEX form is
+    forbidden at validation; empty-prop edges still traverse."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE vonly(partition_num=1, vid_type=int64); "
+                 "USE vonly; CREATE EDGE e()")
+    sp = cat.spaces["vonly"]
+    with pytest.raises(ValueError,
+                       match="Insert vertex is forbidden, please specify "
+                             "the tag"):
+        execute(sp, "INSERT VERTEX VALUES 1:(),2:(),3:()")
+    execute(sp, "INSERT EDGE e() VALUES 1->2:(),2->3:()")
+    df = execute(sp, "GO 2 STEP FROM 1 OVER e YIELD dst(edge) AS dst")
+    assert rows(df, "dst") == [(3,)]
+    df = execute(sp, "FETCH PROP ON * 1,2 YIELD vertex AS v")
+    assert df.count() == 0
+
+
+def test_insert_time_types_refusals(spark):
+    """InsertWithTimeType.feature "insert wrong format timestamp" — a raw
+    string into a time-dependent column is the storage type error; NULL
+    is fine."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE twrong(partition_num=1, vid_type=FIXED_STRING(20));
+        USE twrong;
+        CREATE TAG IF NOT EXISTS TAG_TIMESTAMP(a timestamp);
+        CREATE TAG IF NOT EXISTS TAG_TIME(a time);
+        CREATE TAG IF NOT EXISTS TAG_DATE(a date);
+        CREATE TAG IF NOT EXISTS TAG_DATETIME(a datetime)
+    """)
+    sp = cat.spaces["twrong"]
+    err = ("Storage Error: The data type does not meet the requirements."
+           " Use the correct type of data.")
+    for tag, bad in [("TAG_TIMESTAMP", '"2000.0.0 10:0:0"'),
+                     ("TAG_TIME", '"10:0:0"'),
+                     ("TAG_DATE", '"2000.0.0"'),
+                     ("TAG_DATETIME", '"2000.0.0"')]:
+        execute(sp, f'INSERT VERTEX {tag}(a) VALUES "TEST_VERTEX":(NULL)')
+        with pytest.raises(ValueError) as ei:
+            execute(sp,
+                    f'INSERT VERTEX {tag}(a) VALUES "TEST_VERTEX":({bad})')
+        assert str(ei.value) == err, tag
+
+
+def test_insert_time_types_crud(spark):
+    """InsertWithTimeType.feature "Basic CRUD for timestamp type" — SHOW
+    CREATE echo, constructor inserts, FETCH value parity (native values
+    per FIXTURES.md; time renders the reference's HH:MM:SS.ffffff), the
+    Date/Time/DateTime map-constructor UPDATE, and DELETE cleanup."""
+    import datetime as _dt
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE tcrud(partition_num=1, vid_type=FIXED_STRING(20));
+        USE tcrud;
+        CREATE TAG tag_date(f_date DATE, f_time TIME, f_datetime DATETIME);
+        CREATE EDGE edge_date(f_date DATE, f_time TIME, f_datetime DATETIME)
+    """)
+    sp = cat.spaces["tcrud"]
+    r = execute(sp, "SHOW CREATE TAG tag_date").collect()[0]
+    assert r["Create Tag"] == (
+        'CREATE TAG `tag_date` (\n `f_date` date NULL,\n'
+        ' `f_time` time NULL,\n `f_datetime` datetime NULL\n'
+        ') ttl_duration = 0, ttl_col = ""')
+    execute(sp, 'INSERT VERTEX tag_date(f_date, f_time, f_datetime) VALUES'
+                ' "test":(date("2017-03-04"), time("23:01:00"), '
+                'datetime("2017-03-04T22:30:40"))')
+    execute(sp, 'INSERT EDGE edge_date(f_date, f_time, f_datetime) VALUES '
+                '"test_src"->"test_dst":(date("2017-03-04"), '
+                'time("23:01:00"), datetime("2017-03-04T22:30:40"))')
+    with pytest.raises(ValueError, match="Storage Error"):
+        execute(sp, 'INSERT VERTEX tag_date(f_date, f_time, f_datetime) '
+                    'VALUES "test":("2017-03-04", "23:01:00", 1234)')
+    with pytest.raises(ValueError, match="Storage Error"):
+        execute(sp, 'INSERT EDGE edge_date(f_date, f_time, f_datetime) '
+                    'VALUES "test_src"->"test_dst":(true, "23:01:00", '
+                    '"2017-03-04T22:30:40")')
+    df = execute(sp, 'FETCH PROP ON tag_date "test" YIELD '
+                     "tag_date.f_date AS d, tag_date.f_time AS t, "
+                     "tag_date.f_datetime AS dt")
+    assert rows(df, "d", "t", "dt") == [
+        (_dt.date(2017, 3, 4), "23:01:00.000000",
+         _dt.datetime(2017, 3, 4, 22, 30, 40))]
+    df = execute(sp, 'FETCH PROP ON edge_date "test_src"->"test_dst" YIELD'
+                     " edge_date.f_date AS d, edge_date.f_time AS t, "
+                     "edge_date.f_datetime AS dt")
+    assert rows(df, "d", "t", "dt") == [
+        (_dt.date(2017, 3, 4), "23:01:00.000000",
+         _dt.datetime(2017, 3, 4, 22, 30, 40))]
+    # map-constructor UPDATE (Date({year:…}) / Time({hour:…}) /
+    # DateTime({year:…}))
+    df = execute(sp, 'UPDATE VERTEX "test" SET '
+                     "tag_date.f_date = Date({year: 2018, month: 3, "
+                     "day: 4}), tag_date.f_time = Time({hour: 22, "
+                     "minute: 1, second: 0}), tag_date.f_datetime = "
+                     "DateTime({year: 2018, month: 3, day: 4, hour: 22, "
+                     "minute: 30, second: 40}) "
+                     "YIELD f_date, f_time, f_datetime")
+    assert rows(df, "f_date", "f_time", "f_datetime") == [
+        (_dt.date(2018, 3, 4), "22:01:00.000000",
+         _dt.datetime(2018, 3, 4, 22, 30, 40))]
+    df = execute(sp, 'UPDATE EDGE "test_src"->"test_dst" OF edge_date SET '
+                     'edge_date.f_date = Date("2018-03-04"), '
+                     'edge_date.f_time = Time("22:01:00"), '
+                     'edge_date.f_datetime = DateTime("2018-03-04T22:30:40")'
+                     " YIELD f_date, f_time, f_datetime")
+    assert rows(df, "f_date", "f_time", "f_datetime") == [
+        (_dt.date(2018, 3, 4), "22:01:00.000000",
+         _dt.datetime(2018, 3, 4, 22, 30, 40))]
+    execute(sp, 'DELETE VERTEX "test" WITH EDGE; '
+                'DELETE EDGE edge_date "test_src"->"test_dst"')
+    assert execute(sp, 'FETCH PROP ON tag_date "test" '
+                       "YIELD vertex as node").count() == 0
+    assert execute(sp, 'FETCH PROP ON edge_date "test_src"->"test_dst" '
+                       "YIELD edge as e").count() == 0
+
+
+def test_insert_duration_type(spark):
+    """InsertDurationType.feature — duration into a non-duration column
+    is the storage type error; duration columns are not indexable
+    (Invalid param!); CRUD + DELETE cleanup."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE durins(partition_num=1, vid_type=FIXED_STRING(20));
+        USE durins;
+        CREATE TAG IF NOT EXISTS test_failed(a int);
+        CREATE TAG IF NOT EXISTS test_tag_index_failed(a duration);
+        CREATE EDGE IF NOT EXISTS test_edge_index_failed(a duration);
+        CREATE TAG tag_duration(f_duration duration);
+        CREATE EDGE edge_duration(f_duration duration)
+    """)
+    sp = cat.spaces["durins"]
+    with pytest.raises(ValueError, match="Storage Error: The data type"):
+        execute(sp, 'INSERT VERTEX test_failed(a) VALUES '
+                    '"TEST_VERTEX_FAILED":(duration({years: 3}))')
+    with pytest.raises(ValueError, match="Invalid param!"):
+        execute(sp, "CREATE TAG INDEX test_tag_duration_index ON "
+                    "test_tag_index_failed(a)")
+    with pytest.raises(ValueError, match="Invalid param!"):
+        execute(sp, "CREATE EDGE INDEX test_edge_duration_index ON "
+                    "test_edge_index_failed(a)")
+    r = execute(sp, "SHOW CREATE TAG tag_duration").collect()[0]
+    assert r["Create Tag"] == (
+        'CREATE TAG `tag_duration` (\n `f_duration` duration NULL\n'
+        ') ttl_duration = 0, ttl_col = ""')
+    execute(sp, 'INSERT VERTEX tag_duration(f_duration) VALUES '
+                '"test":(duration({years: 1, seconds: 0}))')
+    execute(sp, 'INSERT EDGE edge_duration(f_duration) VALUES '
+                '"test_src"->"test_dst":(duration({years: 1, seconds: 0}))')
+    with pytest.raises(ValueError, match="Storage Error"):
+        execute(sp, 'INSERT VERTEX tag_duration(f_duration) VALUES '
+                    '"test":(1)')
+    with pytest.raises(ValueError, match="Storage Error"):
+        execute(sp, 'INSERT EDGE edge_duration(f_duration) VALUES '
+                    '"test_src"->"test_dst":(true)')
+    execute(sp, 'DELETE VERTEX "test"; '
+                'DELETE EDGE edge_duration "test_src"->"test_dst"')
+    assert execute(sp, 'FETCH PROP ON tag_duration "test" '
+                       "YIELD vertex as node").count() == 0
+    assert execute(sp, 'FETCH PROP ON edge_duration '
+                       '"test_src"->"test_dst" YIELD edge as e').count() == 0
