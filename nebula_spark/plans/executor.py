@@ -1097,7 +1097,28 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
 
     ec = ExprCompiler(resolve)
     if st.where is not None:
-        hop = hop.filter(ec.col(st.where))
+        # EMPTY comparison semantics over a multi-type OVER: a
+        # type-qualified prop read on another type's row is EMPTY, and
+        # Value.cpp equal() says EMPTY == x is false / EMPTY != x is
+        # TRUE — not NULL, so `WHERE serve._dst != "abc"` KEEPS like-edge
+        # rows (SimpleCase.feature "could not be optimied cases"). The
+        # _etype mask is the empty-ness witness.
+        multi = "_etype" in hop.columns and len(st.edges or space.edges) > 1
+
+        def _empty_cmp(e):
+            if not isinstance(e, tuple) or not e:
+                return e
+            if multi and e[0] in ("==", "!=") and len(e) == 3:
+                for a, b in ((e[1], e[2]), (e[2], e[1])):
+                    if isinstance(a, tuple) and a[0] == "edge_prop" \
+                            and a[1] in space.edges:
+                        cmp_col = ec.col((e[0], a, b))
+                        return ("raw_agg", F.when(
+                            F.col("_etype") != a[1],
+                            F.lit(e[0] == "!=")).otherwise(cmp_col))
+            return (e[0], *[_empty_cmp(x) for x in e[1:]])
+
+        hop = hop.filter(ec.col(_empty_cmp(st.where)))
     if not st.yields:
         out = hop.select(F.col(DST).alias("dst"))
     else:
@@ -1351,9 +1372,70 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
     def resolve_where(kind, *args):
         return resolve(kind, *args, in_where=True)
 
+    def _fold_int(e):
+        """Constant-fold integer arithmetic; the reference refuses an
+        overflowing fold at validation (ByIndex.feature "Tag TODO":
+        `player.age > 9223372036854775807+1`)."""
+        if not isinstance(e, tuple):
+            return None
+        if e[0] == "lit" and isinstance(e[1], int) \
+                and not isinstance(e[1], bool):
+            return e[1]
+        if e[0] in ("+", "-", "*") and len(e) == 3:
+            a, b = _fold_int(e[1]), _fold_int(e[2])
+            if a is None or b is None:
+                return None
+            v = a + b if e[0] == "+" else a - b if e[0] == "-" else a * b
+            if not (-2**63 <= v <= 2**63 - 1):
+                raise ValueError(
+                    f"result of {_expr_text(e)} cannot be represented "
+                    "as an integer")
+            return v
+        if e[0] == "neg":
+            a = _fold_int(e[1])
+            return None if a is None else -a
+        for x in e[1:]:
+            if isinstance(x, tuple):
+                _fold_int(x)
+        return None
+
+    def _has_prop(e) -> bool:
+        refs: list = []
+        _walk(e, {"edge_prop", "alias_tag_prop"}, refs)
+        return bool(refs)
+
+    def _check_rel(e) -> None:
+        """The reference's IndexScan accepts only <prop> <rel> <const>
+        comparisons: a constant-only relational (`1 + 1 == 2`) and a
+        prop-vs-prop comparison are both SemanticErrors (ByIndex.feature
+        TODO scenarios). Piped/variable/bare-label operands skip this
+        check — the resolver refuses those with the pinned per-clause
+        phrasing (LookUpLimit.feature)."""
+        if not isinstance(e, tuple):
+            return
+        if e[0] in ("==", "!=", "<", "<=", ">", ">=") and len(e) == 3:
+            other: list = []
+            _walk(e, {"var_prop", "input_prop", "param_unres", "name"},
+                  other)
+            if other:
+                return
+            lp, rp = _has_prop(e[1]), _has_prop(e[2])
+            if lp and rp:
+                raise ValueError(
+                    f"Expression {_expr_text(e)} not supported yet")
+            if not lp and not rp:
+                raise ValueError(
+                    f"Expression {_expr_text(e)} not supported yet")
+            return
+        if e[0] in ("and", "or", "xor", "not"):
+            for x in e[1:]:
+                _check_rel(x)
+
     ec_where = ExprCompiler(resolve_where)
     ec = ExprCompiler(resolve)
     if st.where is not None:
+        _fold_int(st.where)
+        _check_rel(st.where)
         rex: list = []
         _walk(st.where, {"=~"}, rex)
         if rex:
@@ -3546,6 +3628,28 @@ def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
                 .select(F.col("kind").alias("Type"),
                         F.col("name").alias("Name"),
                         F.col("count").alias("Count")))
+    if st.kind == "rebuild_index":
+        # REBUILD is a storage backfill job in the reference; Parquet
+        # stats + Catalyst pushdown subsume the backfill, but the name
+        # check and the STATUS record are kept (TagEdgeIndex.feature —
+        # rebuilding an unknown index is a SemanticError)
+        for n in st.name:
+            ix = space.indexes.get(n)
+            if ix is None or ix.kind != st.entity:
+                raise ValueError(f"Index not existed: {n}")
+        jobs = getattr(space, "_index_jobs", None)
+        if jobs is None:
+            jobs = space._index_jobs = []
+        jobs.append((st.entity, ",".join(st.name), "FINISHED"))
+        return space.spark.range(0)
+    if st.kind == "index_status":
+        # SHOW TAG/EDGE INDEX STATUS — one row per finished rebuild job
+        from pyspark.sql.types import StringType, StructField, StructType
+        schema = StructType([StructField("Name", StringType()),
+                             StructField("Index Status", StringType())])
+        rows_ = [(n, s) for k, n, s in getattr(space, "_index_jobs", [])
+                 if k == st.entity]
+        return space.spark.createDataFrame(rows_, schema)
     if st.kind == "show_indexes":
         # SHOW TAG/EDGE INDEXES [BY schema] (Index.feature: columns
         # `Index Name` / `By Tag`|`By Edge` / `Columns`; the BY form
@@ -3568,8 +3672,9 @@ def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
         ix = space.indexes.get(st.name)
         if ix is None or ix.kind != st.entity:
             raise ValueError(f"Index not existed: {st.name}")
+        body = ",\n".join(f" `{c}`" for c in ix.cols)
         stmt = (f"CREATE {ix.kind.upper()} INDEX `{ix.name}` ON "
-                f"`{ix.on}` ({', '.join(f'`{c}`' for c in ix.cols)})")
+                f"`{ix.on}` (\n{body}\n)")
         label = f"{ix.kind.title()} Index Name"
         return spark.createDataFrame(
             [(ix.name, stmt)],
@@ -3803,6 +3908,15 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
             raise ValueError(f"{ix.on} not found in space "
                              f"[{space.name}].")
         have = {c: str(t).strip().lower() for c, t in (target.decl or [])}
+        if not [c for c in ix.cols if c] and have:
+            # an empty column list is the zero-prop existence index when
+            # the schema itself has no props (Ddl.feature `on A()`), but
+            # an error on a schema WITH props (TagEdgeIndex.feature
+            # "Property is empty")
+            raise ValueError("Column is empty")
+        if len(set(ix.cols)) != len(ix.cols):
+            # duplicate field (TagEdgeIndex.feature "Duplicate Field")
+            raise ValueError("Conflict fields in the index.")
         for c in ix.cols:
             if c and c not in have:
                 raise ValueError("Key not existed!")
@@ -3815,6 +3929,14 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
             if ix.if_not_exists:
                 continue
             raise ValueError(f"Existed index `{ix.name}'!")
+        for other in space.indexes.values():
+            # same schema + same column sequence under a new name is the
+            # reference's duplicate-index error (TagEdgeIndex.feature
+            # "Duplicate Index"); a different column ORDER is a distinct
+            # index (disorder_tag_index)
+            if (other.kind, other.on, other.cols) == (ix.kind, ix.on,
+                                                      ix.cols):
+                raise ValueError(f"Existed index `{other.name}'!")
         space.indexes[ix.name] = ix
     return space.spark.range(0)
 
@@ -3929,7 +4051,28 @@ def execute(space: GraphSpace | SpaceCatalog, query: str,
         SpaceCatalog.wrap(space)
     m = _EXPLAIN_RE.match(query)
     if m:
-        plan = explain(cat.current(), query[m.end():])
+        rest = query[m.end():]
+        # FORMAT="row|dot|dot:struct|tck" (parser.yy explain_sentence
+        # opt_explain_format; ExplainAndProfile.feature) — the named
+        # formats shape the reference's plan-description output; here
+        # row/tck map to Spark's formatted mode and the dot forms to
+        # extended (a graph-ish full tree)
+        fmt = "row"
+        fm = _re.match(r'\s*FORMAT\s*=\s*"([^"]*)"', rest, _re.IGNORECASE)
+        if fm:
+            fmt = fm.group(1)
+            if fmt not in ("row", "dot", "dot:struct", "tck"):
+                raise SyntaxError(f"syntax error near `{fmt}'")
+            rest = rest[fm.end():]
+        # braces block: EXPLAIN { stmt; stmt; } (sequential_sentences)
+        bm = _re.match(r"\s*\{(.*)\}\s*$", rest, _re.DOTALL)
+        if bm:
+            rest = bm.group(1).rstrip().rstrip(";")
+        if _EXPLAIN_RE.match(rest):
+            # nested EXPLAIN EXPLAIN is the reference's syntax error
+            raise SyntaxError("syntax error near `EXPLAIN'")
+        plan = explain(cat.current(), rest,
+                       formatted=not fmt.startswith("dot"))
         return cat.spark.createDataFrame([(plan,)], ["plan"])
     node = A.parse(query, params)
     if isinstance(node, A.Script):

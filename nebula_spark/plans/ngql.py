@@ -61,6 +61,9 @@ _TOKEN_SPEC = [
     ("COMMA", r","), ("COLON", r":"), ("SEMI", r";"), ("DOT", r"\."),
     ("AT", r"@"), ("QM", r"\?"),
     ("PIPE", r"\|"),
+    # backquoted label (scanner.lex LABEL_FULL_WIDTH): reserved words and
+    # arbitrary identifiers — `timestamp`(…), CREATE TAG INDEX `name`
+    ("BQNAME", r"`[^`]+`"),
     ("NAME", r"[A-Za-z_][A-Za-z0-9_]*"),
 ]
 _LEX = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC))
@@ -141,7 +144,11 @@ def tokenize(s: str) -> list[Tok]:
             # magnitude 2^63 as legal only under unary minus
             v = int(text, 16) if kind == "HEXINT" else int(text, 8)
             kind, text = "INT", str(v)
-        if kind == "NAME" and text.lower() in _KEYWORDS:
+        if kind == "BQNAME":
+            # backquoting un-reserves a word: `timestamp` is always the
+            # identifier, never the keyword
+            kind, text = "NAME", text[1:-1]
+        elif kind == "NAME" and text.lower() in _KEYWORDS:
             kind = "KW"
             text = text.lower()
         out.append(Tok(kind, text, m.start()))
@@ -684,6 +691,21 @@ class Parser:
             return self.drop_sentence()
         if t.text.lower() == "clear":
             return self.clear_sentence()
+        if t.text.lower() == "rebuild":
+            # REBUILD TAG|EDGE INDEX n1[, n2…] (parser.yy
+            # rebuild_tag_index_sentence) — a storage backfill job there;
+            # metadata-only here (Parquet stats subsume it) but the name
+            # check and SHOW … INDEX STATUS lifecycle are real
+            # (TagEdgeIndex.feature)
+            self.eat()
+            ent = self._tag_or_edge()
+            if self.name().lower() != "index":
+                raise SyntaxError("expected INDEX after REBUILD TAG/EDGE")
+            names = [self.name()]
+            while self.peek().kind == "COMMA":
+                self.eat("COMMA")
+                names.append(self.name())
+            return AdminStmt("rebuild_index", names, ent)
         raise SyntaxError(f"unknown sentence start {t.text!r} @{t.pos}")
 
     def _tag_or_edge(self) -> str:
@@ -809,6 +831,12 @@ class Parser:
                     return AdminStmt("show_create_index", self.name(), ent)
                 return AdminStmt("show_create", self.name(), ent)
             what = self.eat("NAME").text.lower()
+            if (what in ("tag", "edge")
+                    and self.peek().text.lower() == "index"
+                    and self.peek(1).text.lower() == "status"):
+                # SHOW TAG/EDGE INDEX STATUS (TagEdgeIndex.feature)
+                self.eat(), self.eat()
+                return AdminStmt("index_status", None, what)
             if (what in ("tag", "edge")
                     and self.peek().text.lower() == "indexes"):
                 # SHOW TAG/EDGE INDEXES [BY schema] (Index.feature:115)

@@ -7445,3 +7445,391 @@ def test_insert_duration_type(spark):
                        "YIELD vertex as node").count() == 0
     assert execute(sp, 'FETCH PROP ON edge_duration '
                        '"test_src"->"test_dst" YIELD edge as e').count() == 0
+
+
+# ---------------------------------------------------------------------------
+# GO — tests/tck/features/go/SimpleCase.feature (result goldens; the
+# feature's execution-plan tables pin the reference's physical operators,
+# which SURVEY §2.2 declares obsolete under Catalyst — results only here)
+# ---------------------------------------------------------------------------
+
+def test_simple_case_counts(nba_space):
+    """SimpleCase.feature — every `| YIELD count(*)` scenario's count,
+    covering BIDIRECT dedup-dst expansion, WHERE on $$/$^ props, OVER *,
+    per-step LIMIT, m-to-n ranges, $-' pipes and the k-hop minus
+    script."""
+    cases = [
+        ('GO FROM "Tony Parker" OVER serve BIDIRECT YIELD DISTINCT '
+         'id($$) as dst | YIELD count(*)', 2),
+        ('GO 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT YIELD '
+         'DISTINCT id($$) AS dst | YIELD count(*)', 22),
+        ('GO 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT WHERE '
+         '$$.team.name != "Lakers" YIELD DISTINCT id($$) '
+         '| YIELD count(*)', 21),
+        ('GO 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT YIELD '
+         'id($$) AS dst | YIELD count(*)', 65),
+        ('GO 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT YIELD '
+         'DISTINCT $$.team.name, id($$) AS dst | YIELD count(*)', 22),
+        ('GO 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT WHERE '
+         '$^.player.age > 30 YIELD DISTINCT id($$) AS dst '
+         '| YIELD count(*)', 22),
+        ('GO 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT YIELD '
+         '$$.player.age AS age | YIELD count(*)', 65),
+        ('GO 3 STEPS FROM "Tony Parker" OVER * WHERE $$.player.age > 36 '
+         'YIELD $$.player.age AS age | YIELD count(*)', 10),
+        ('YIELD "Tony Parker" as a | GO 3 STEPS FROM $-.a OVER serve '
+         'BIDIRECT YIELD DISTINCT $$.team.name, id($$) AS dst '
+         '| YIELD COUNT(*)', 22),
+        ('GO 3 STEPS FROM "Tony Parker" OVER * YIELD DISTINCT id($$) '
+         'LIMIT [100, 100, 100] | YIELD count(*)', 13),
+        ('GO 1 to 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT YIELD '
+         'DISTINCT id($$) AS dst | YIELD count(*)', 41),
+        ('GO 1 to 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT YIELD '
+         'DISTINCT 3, id($$) AS dst | YIELD count(*)', 41),
+        ('GO 1 to 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT YIELD '
+         'DISTINCT $$.player.age AS age, id($$) | YIELD COUNT($-.age)',
+         19),
+        ('GO 1 to 8 steps FROM "Tony Parker" OVER serve, like YIELD '
+         'distinct like._dst AS a | YIELD COUNT($-.a)', 4),
+        ('GO 1 to 8 steps FROM "Tony Parker" OVER serve, like YIELD '
+         'DISTINCT serve._dst AS a | YIELD COUNT($-.a)', 3),
+        # k-hop neighbors: two frontier vars, set minus
+        ('$v1 = GO 1 to 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT '
+         'YIELD DISTINCT id($$) as dst; $v2 = GO from $v1.dst OVER serve '
+         'BIDIRECT YIELD DISTINCT id($$) as dst; (Yield $v2.dst as id '
+         'minus yield $v1.dst as id) | yield count(*)', 28),
+        # serve targets have no outgoing serve edges
+        ('GO FROM "Tony Parker" OVER serve BIDIRECT YIELD DISTINCT '
+         'id($$) as dst | GO FROM $-.dst OVER serve YIELD DISTINCT '
+         'id($$) as dst | YIELD count(*)', 0),
+        ('GO 1 STEP FROM "Tony Parker" OVER * YIELD distinct id($$) as id'
+         '| GO 3 STEP FROM $-.id OVER * YIELD distinct id($$) '
+         '| YIELD COUNT(*)', 22),
+        ('GO 1 STEP FROM "Tony Parker" OVER * YIELD distinct id($$) as id'
+         '| GO 2 to 4 STEP FROM $-.id OVER * YIELD distinct id($$) '
+         '| YIELD COUNT(*)', 26),
+        ('GO 1 STEP FROM "Tony Parker" OVER like, serve REVERSELY WHERE '
+         'id($$) != "Tim Duncan" YIELD DISTINCT id($$)  '
+         '| YIELD  count(*)', 4),
+        ('GO 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT WHERE '
+         'id($$) != "Not exists" YIELD DISTINCT id($$), $$.player.age '
+         '| YIELD count(*)', 22),
+    ]
+    for q, want in cases:
+        got = execute(nba_space, q).collect()
+        assert len(got) == 1 and got[0][0] == want, (q, got)
+
+
+def test_simple_case_rows(nba_space):
+    """SimpleCase.feature — the scenarios with explicit result rows:
+    dst-prop filters, multi-column DISTINCT with literals, arithmetic
+    over $$ props, edge-qualified _dst filters, m-to-n with WHERE."""
+    df = execute(nba_space, 'GO FROM "Yao Ming" OVER like YIELD DISTINCT '
+                            'id($$) AS dst, $$.player.age AS age '
+                            '| ORDER BY $-.dst')
+    assert rows(df, "dst", "age") == [("Shaquille O'Neal", 47),
+                                      ("Tracy McGrady", 39)]
+    df = execute(nba_space, 'GO FROM "Yao Ming" OVER like WHERE '
+                            '$$.player.age > 40 YIELD DISTINCT id($$) AS '
+                            'dst, $$.player.age AS age | ORDER BY $-.dst')
+    assert rows(df, "dst", "age") == [("Shaquille O'Neal", 47)]
+    df = execute(nba_space, 'GO FROM "Tony Parker" OVER like YIELD '
+                            'DISTINCT 2, id($$) AS a | ORDER BY $-.a')
+    assert df.columns == ["2", "a"]
+    assert rows(df, "2", "a") == [(2, "LaMarcus Aldridge"),
+                                  (2, "Manu Ginobili"), (2, "Tim Duncan")]
+    df = execute(nba_space, 'GO 1 to 3 STEP FROM "Tony Parker" OVER like '
+                            'WHERE $$.player.age > 40 YIELD DISTINCT '
+                            'id($$), $$.player.age as age, $$.player.name '
+                            '| ORDER BY $-.age')
+    assert rows(df, "id($$)", "age", "$$.player.name") == [
+        ("Manu Ginobili", 41, "Manu Ginobili"),
+        ("Tim Duncan", 42, "Tim Duncan")]
+    df = execute(nba_space, 'GO FROM "Yao Ming" OVER like WHERE '
+                            '$$.player.age > 40 AND id($$) != "Tony Parker"'
+                            ' YIELD DISTINCT id($$) AS dst, id($$) AS dst2,'
+                            " $$.player.age + 100 AS age | ORDER BY $-.dst")
+    assert rows(df, "dst", "dst2", "age") == [
+        ("Shaquille O'Neal", "Shaquille O'Neal", 147)]
+    df = execute(nba_space, 'GO FROM "Tony Parker" OVER like WHERE '
+                            'like._dst != "Tim Duncan" YIELD DISTINCT '
+                            'id($$), 2, like._dst AS a | ORDER BY $-.a')
+    assert rows(df, "id($$)", "2", "a") == [
+        ("LaMarcus Aldridge", 2, "LaMarcus Aldridge"),
+        ("Manu Ginobili", 2, "Manu Ginobili")]
+    df = execute(nba_space, 'GO FROM "Tony Parker" OVER serve, like WHERE '
+                            'serve._dst !="abc" YIELD DISTINCT id($$) AS a'
+                            " | ORDER BY $-.a")
+    assert [r.a for r in df.collect()] == [
+        "Hornets", "LaMarcus Aldridge", "Manu Ginobili", "Spurs",
+        "Tim Duncan"]
+    df = execute(nba_space, 'GO 1 to 3 STEPS FROM "Tony Parker" OVER like '
+                            'WHERE like._dst != "Yao Ming" YIELD DISTINCT '
+                            "id($$) AS a | ORDER BY $-.a")
+    assert [r.a for r in df.collect()] == [
+        "LaMarcus Aldridge", "Manu Ginobili", "Tim Duncan", "Tony Parker"]
+    df = execute(nba_space, 'GO 1 to 3 STEP FROM "Tony Parker" OVER like '
+                            'WHERE id($$) != "Tim Duncan" YIELD DISTINCT '
+                            "id($$), $$.player.age as age, $$.player.name "
+                            "| ORDER BY $-.age")
+    assert rows(df, "id($$)", "age", "$$.player.name") == [
+        ("LaMarcus Aldridge", 33, "LaMarcus Aldridge"),
+        ("Tony Parker", 36, "Tony Parker"),
+        ("Manu Ginobili", 41, "Manu Ginobili")]
+    df = execute(nba_space, 'GO FROM "Yao Ming" OVER like YIELD DISTINCT '
+                            "id($$) AS aa | GO 1 to 3 STEP FROM $-.aa OVER"
+                            ' like WHERE id($$) != "Tim Duncan" YIELD '
+                            "DISTINCT id($$), $$.player.age as age, "
+                            "$$.player.name | ORDER BY $-.age")
+    assert rows(df, "id($$)", "age", "$$.player.name") == [
+        ("JaVale McGee", 31, "JaVale McGee"),
+        ("Rudy Gay", 32, "Rudy Gay"),
+        ("LaMarcus Aldridge", 33, "LaMarcus Aldridge"),
+        ("Tony Parker", 36, "Tony Parker"),
+        ("Tracy McGrady", 39, "Tracy McGrady"),
+        ("Kobe Bryant", 40, "Kobe Bryant"),
+        ("Manu Ginobili", 41, "Manu Ginobili"),
+        ("Grant Hill", 46, "Grant Hill")]
+
+
+# ---------------------------------------------------------------------------
+# LOOKUP — tests/tck/features/lookup/ByIndex.feature
+# ---------------------------------------------------------------------------
+
+def test_by_index_full_scans(nba_space):
+    """ByIndex.feature [1]/[2] — whole-index scans: every team id/name,
+    every serve edge key, count parity between YIELD forms."""
+    df = execute(nba_space, "LOOKUP ON team YIELD id(vertex) as teamID")
+    ids = sorted(r.teamID for r in df.collect())
+    assert len(ids) == 30 and ids[0] == "76ers" and "Spurs" in ids
+    df2 = execute(nba_space, "LOOKUP ON team YIELD team.name AS Name")
+    assert sorted(r.Name for r in df2.collect()) == ids
+    df = execute(nba_space, "LOOKUP ON serve YIELD src(edge) as src, "
+                            "dst(edge) as dst, rank(edge) as rank")
+    n_serve = df.count()
+    assert n_serve == 152
+    df = execute(nba_space,
+                 "LOOKUP ON serve YIELD serve.start_year AS startYear")
+    assert df.count() == n_serve
+
+
+def test_by_index_refusals(nba_space):
+    """ByIndex.feature "Tag TODO"/"Edge TODO" — constant-only WHERE,
+    prop-vs-prop comparison, and INT64-overflowing constant folds are
+    SemanticErrors."""
+    for q in ["LOOKUP ON team WHERE 1 + 1 == 2 YIELD team.name AS Name",
+              "LOOKUP ON serve WHERE 1 + 1 == 2 YIELD serve.start_year "
+              "AS startYear",
+              "LOOKUP ON serve WHERE serve.start_year == serve.end_year "
+              "YIELD edge as e"]:
+        with pytest.raises(ValueError, match="not supported yet"):
+            execute(nba_space, q)
+    with pytest.raises(ValueError,
+                       match=r"result of \(9223372036854775807\+1\) cannot"
+                             " be represented as an integer"):
+        execute(nba_space, "LOOKUP ON player WHERE player.age > "
+                           "9223372036854775807+1 YIELD player.name")
+    with pytest.raises(ValueError,
+                       match="cannot be represented as an integer"):
+        execute(nba_space, "LOOKUP ON player WHERE player.age > "
+                           "-9223372036854775808-1 YIELD player.name")
+
+
+def test_by_index_int_float_compare(nba_space):
+    """ByIndex.feature "[1] Compare INT and FLOAT during IndexScan" —
+    float bounds against an int prop: >=40.0 includes the 40s,
+    >40.5 / >=40.5 exclude them."""
+    df = execute(nba_space, "LOOKUP ON player WHERE player.age == 40 "
+                            "YIELD id(vertex) as name, player.age AS Age")
+    assert sorted(rows(df, "name", "Age")) == [
+        ("Dirk Nowitzki", 40), ("Kobe Bryant", 40)]
+    over40 = {("Grant Hill", 46), ("Jason Kidd", 45), ("Manu Ginobili", 41),
+              ("Ray Allen", 43), ("Shaquille O'Neal", 47),
+              ("Steve Nash", 45), ("Tim Duncan", 42), ("Vince Carter", 42)}
+    df = execute(nba_space, "LOOKUP ON player WHERE player.age > 40 "
+                            "YIELD id(vertex) as name, player.age AS Age")
+    assert set(rows(df, "name", "Age")) == over40
+    df = execute(nba_space, "LOOKUP ON player WHERE player.age >= 40.0 "
+                            "YIELD id(vertex) as name, player.age AS Age")
+    assert set(rows(df, "name", "Age")) == over40 | {
+        ("Dirk Nowitzki", 40), ("Kobe Bryant", 40)}
+    for op in (">", ">="):
+        df = execute(nba_space, f"LOOKUP ON player WHERE player.age {op} "
+                                "40.5 YIELD id(vertex) as name, "
+                                "player.age AS Age")
+        assert set(rows(df, "name", "Age")) == over40
+    df = execute(nba_space, "LOOKUP ON player WHERE player.age < 40 YIELD "
+                            "player.age AS Age, player.name AS Name "
+                            "| order by $-.Age DESC, $-.Name| limit 10")
+    assert rows(df, "Age", "Name") == [
+        (39, "Tracy McGrady"), (38, "David West"), (38, "Paul Gasol"),
+        (38, "Yao Ming"), (37, "Dwyane Wade"), (36, "Amar'e Stoudemire"),
+        (36, "Boris Diaw"), (36, "Tony Parker"), (34, "Carmelo Anthony"),
+        (34, "LeBron James")]
+    df = execute(nba_space, "LOOKUP ON player WHERE player.age <= 40 YIELD"
+                            " player.age AS Age, player.name AS Name "
+                            "| order by $-.Age DESC, $-.Name| limit 10")
+    assert rows(df, "Age", "Name")[:2] == [
+        (40, "Dirk Nowitzki"), (40, "Kobe Bryant")]
+
+
+def test_by_index_float_prop_scan(spark):
+    """ByIndex.feature "[2] Compare INT and FLOAT" — int bound on a
+    double-typed prop."""
+    sp = GraphSpace(spark, "byidx2")
+    execute(sp, "CREATE TAG weight (WEIGHT double); "
+                "CREATE TAG INDEX weight_index ON weight(WEIGHT)")
+    execute(sp, 'INSERT VERTEX weight(WEIGHT) VALUES "Tim Duncan" : (70.5);'
+                ' INSERT VERTEX weight(WEIGHT) VALUES '
+                '"Tony Parker" : (80.0)')
+    df = execute(sp, "LOOKUP ON weight WHERE weight.WEIGHT > 70 "
+                     "YIELD id(vertex) as name")
+    assert sorted(r.name for r in df.collect()) == [
+        "Tim Duncan", "Tony Parker"]
+    df = execute(sp, "LOOKUP ON weight WHERE weight.WEIGHT > 70.4 "
+                     "YIELD id(vertex) as name")
+    assert sorted(r.name for r in df.collect()) == [
+        "Tim Duncan", "Tony Parker"]
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle on data — tests/tck/features/index/TagEdgeIndex.feature
+# ---------------------------------------------------------------------------
+
+def test_tag_edge_index_lifecycle(spark):
+    """TagEdgeIndex.feature "test tag index from pytest" — create with
+    duplicate-name / duplicate-columns / missing-schema / missing-column /
+    empty-columns / duplicate-field refusals, REBUILD + SHOW INDEX
+    STATUS, filtered LOOKUPs over the indexed data, DESC/SHOW CREATE
+    shapes (backquoted identifiers parse), and cross-kind DROP refusal."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE teidx(partition_num=1, vid_type=FIXED_STRING(30));
+        USE teidx;
+        CREATE TAG tag_1(col1 string, col2 int, col3 double,
+                         col4 timestamp);
+        CREATE EDGE edge_1(col1 string, col2 int, col3 double,
+                           col4 timestamp)
+    """)
+    sp = cat.spaces["teidx"]
+    execute(sp, "INSERT VERTEX tag_1(col1, col2, col3, col4) VALUES "
+                "'101':('Tom', 18, 35.4, `timestamp`('2010-09-01T08:00:00')),"
+                "'102':('Jerry', 22, 38.4, "
+                "`timestamp`('2011-09-01T08:00:00')),"
+                "'103':('Bob', 19, 36.4, `timestamp`('2010-09-01T12:00:00'))")
+    execute(sp, "CREATE TAG INDEX single_tag_index ON tag_1(col2)")
+    with pytest.raises(ValueError, match="Existed index"):
+        execute(sp, "CREATE TAG INDEX duplicate_tag_index_1 ON tag_1(col2)")
+    with pytest.raises(ValueError, match="not found in space"):
+        execute(sp, "CREATE TAG INDEX single_person_index ON student(name)")
+    with pytest.raises(ValueError, match="Existed index|Key not existed"):
+        execute(sp, "CREATE TAG INDEX single_tag_index ON tag_1(col5)")
+    with pytest.raises(ValueError, match="Column is empty"):
+        execute(sp, "CREATE TAG INDEX empty_tag_index ON tag_1()")
+    execute(sp, "CREATE TAG INDEX multi_tag_index ON tag_1(col2, col3)")
+    with pytest.raises(ValueError, match="Existed index"):
+        execute(sp, "CREATE TAG INDEX duplicate_person_index ON "
+                    "tag_1(col2, col3)")
+    with pytest.raises(ValueError, match="Conflict fields"):
+        execute(sp, "CREATE TAG INDEX duplicate_index ON tag_1(col2, col2)")
+    execute(sp, "CREATE TAG INDEX disorder_tag_index ON tag_1(col3, col2)")
+    execute(sp, "REBUILD TAG INDEX single_tag_index, multi_tag_index, "
+                "disorder_tag_index")
+    with pytest.raises(ValueError, match="Index not existed"):
+        execute(sp, "REBUILD TAG INDEX non_existent_tag_index")
+    df = execute(sp, "SHOW TAG INDEX STATUS")
+    assert rows(df, "Name", "Index Status") == [
+        ("single_tag_index,multi_tag_index,disorder_tag_index",
+         "FINISHED")]
+    df = execute(sp, "LOOKUP ON tag_1 WHERE tag_1.col2 == 18 "
+                     "YIELD tag_1.col1")
+    assert [r["tag_1.col1"] for r in df.collect()] == ["Tom"]
+    df = execute(sp, "LOOKUP ON tag_1 WHERE tag_1.col3 > 35.7 "
+                     "YIELD tag_1.col1")
+    assert sorted(r["tag_1.col1"] for r in df.collect()) == [
+        "Bob", "Jerry"]
+    df = execute(sp, "LOOKUP ON tag_1 WHERE tag_1.col2 > 18 AND "
+                     "tag_1.col3 < 37.2 YIELD tag_1.col1")
+    assert [r["tag_1.col1"] for r in df.collect()] == ["Bob"]
+    df = execute(sp, "DESC TAG INDEX single_tag_index")
+    assert rows(df, "Field", "Type") == [("col2", "int64")]
+    df = execute(sp, "DESC TAG INDEX multi_tag_index")
+    assert rows(df, "Field", "Type") == [("col2", "int64"),
+                                         ("col3", "double")]
+    with pytest.raises(ValueError, match="Index not existed"):
+        execute(sp, "DESC TAG INDEX non_existent_tag_index")
+    r = execute(sp, "SHOW CREATE TAG INDEX single_tag_index").collect()[0]
+    assert r["Create Tag Index"] == (
+        "CREATE TAG INDEX `single_tag_index` ON `tag_1` (\n `col2`\n)")
+    r = execute(sp, "SHOW CREATE TAG INDEX multi_tag_index").collect()[0]
+    assert r["Create Tag Index"] == (
+        "CREATE TAG INDEX `multi_tag_index` ON `tag_1` "
+        "(\n `col2`,\n `col3`\n)")
+    with pytest.raises(ValueError, match="Index not existed"):
+        execute(sp, "DROP EDGE INDEX multi_tag_index")
+    execute(sp, "DROP TAG INDEX multi_tag_index")
+    # the SHOW CREATE output is re-runnable (backquoted, multiline)
+    execute(sp, "CREATE TAG INDEX `multi_tag_index` ON `tag_1` (\n"
+                " `col2`,\n `col3`\n)")
+    r = execute(sp, "SHOW CREATE TAG INDEX disorder_tag_index").collect()[0]
+    assert r["Create Tag Index"] == (
+        "CREATE TAG INDEX `disorder_tag_index` ON `tag_1` "
+        "(\n `col3`,\n `col2`\n)")
+    # edge side mirror
+    execute(sp, "INSERT EDGE edge_1(col1, col2, col3, col4) VALUES "
+                "'101'->'102':('Red', 81, 45.3, "
+                "`timestamp`('2010-09-01T08:00:00')),"
+                "'102'->'103':('Yellow', 22, 423.8, "
+                "`timestamp`('2011-09-01T08:00:00')),"
+                "'103'->'101':('Blue', 91, 43.1, "
+                "`timestamp`('2010-09-01T12:00:00'))")
+    execute(sp, "CREATE EDGE INDEX single_edge_index ON edge_1(col2)")
+    execute(sp, "REBUILD EDGE INDEX single_edge_index")
+    df = execute(sp, "SHOW EDGE INDEX STATUS")
+    assert rows(df, "Name", "Index Status") == [
+        ("single_edge_index", "FINISHED")]
+    df = execute(sp, "LOOKUP ON edge_1 WHERE edge_1.col2 > 30 YIELD "
+                     "src(edge) as src, edge_1.col1 AS c")
+    assert sorted(rows(df, "src", "c")) == [("101", "Red"),
+                                            ("103", "Blue")]
+
+
+# ---------------------------------------------------------------------------
+# EXPLAIN / PROFILE — tests/tck/features/explain/ExplainAndProfile.feature
+# ---------------------------------------------------------------------------
+
+def test_explain_profile_formats(nba_space):
+    """ExplainAndProfile.feature "Different format"/"Error format" —
+    every named FORMAT succeeds over a plain statement and a braces
+    script; unknown formats and nested EXPLAIN are syntax errors. The
+    plan text is Spark's (the reference's operator-tree formats are
+    obsolete under Catalyst — SURVEY §2.12)."""
+    for kw in ("EXPLAIN", "PROFILE"):
+        for fmt in ("row", "dot", "dot:struct", "tck"):
+            df = execute(nba_space, f'{kw} FORMAT="{fmt}" YIELD 1')
+            assert df.count() == 1
+            df = execute(nba_space, f'{kw} FORMAT="{fmt}" {{\n'
+                                    "  $var=YIELD 1 AS a;\n"
+                                    "  YIELD $var.a;\n}")
+            assert df.count() == 1
+            df = execute(nba_space, f'{kw} FORMAT="{fmt}" {{\n'
+                                    "  YIELD 1 AS a;\n}")
+            assert df.count() == 1
+        with pytest.raises(SyntaxError):
+            execute(nba_space, f'{kw} FORMAT="unknown" YIELD 1')
+        with pytest.raises(SyntaxError):
+            execute(nba_space, f'{kw} FORMAT="unknown" {{\n'
+                               "  YIELD 1 AS a;\n}")
+        with pytest.raises(SyntaxError):
+            execute(nba_space, f"{kw} EXPLAIN YIELD 1")
+        with pytest.raises(SyntaxError):
+            execute(nba_space, f"{kw} PROFILE YIELD 1")
+
+
+def test_profile_pipeline_result(nba_space):
+    """ExplainAndProfile.feature "Test profiling data format" — the
+    profiled GO 4 STEPS pipe still returns its result count."""
+    df = execute(nba_space, "GO 4 STEPS FROM 'Tim Duncan' OVER like YIELD "
+                            "like._dst AS dst | YIELD count(*)")
+    assert df.collect()[0][0] == 6
