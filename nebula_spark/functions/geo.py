@@ -81,9 +81,18 @@ def st_isvalid(geog: Column) -> Column:
     is_pt = geog.rlike(_PT) & st_x(geog).between(-180, 180) \
         & st_y(geog).between(-90, 90)
     is_line = geog.rlike(r"^\s*LINESTRING\s*\((\s*-?[0-9.eE+]+\s+-?[0-9.eE+]+\s*,){1,}\s*-?[0-9.eE+]+\s+-?[0-9.eE+]+\s*\)\s*$")
-    poly_re = r"^\s*POLYGON\s*\(\s*\((\s*-?[0-9.eE+]+\s+-?[0-9.eE+]+\s*,){2,}\s*-?[0-9.eE+]+\s+-?[0-9.eE+]+\s*\)\s*\)\s*$"
-    first_pair = F.regexp_extract(geog, r"\(\(\s*(-?[0-9.eE+]+\s+-?[0-9.eE+]+)", 1)
-    last_pair = F.regexp_extract(geog, r",\s*(-?[0-9.eE+]+\s+-?[0-9.eE+]+)\s*\)\)", 1)
+    # POLYGON accepts interior rings (holes) after the shell — the
+    # reference's S2 loops (GeoUtils.h:43; GeoBase.feature inserts a
+    # holed polygon); closure is checked on the shell
+    _ring = (r"\(\s*(?:-?[0-9.eE+]+\s+-?[0-9.eE+]+\s*,\s*){2,}"
+             r"-?[0-9.eE+]+\s+-?[0-9.eE+]+\s*\)")
+    poly_re = (r"^\s*POLYGON\s*\(\s*" + _ring
+               + r"(?:\s*,\s*" + _ring + r")*\s*\)\s*$")
+    outer = F.regexp_extract(geog, r"^\s*POLYGON\s*\(\s*\(([^)]*)\)", 1)
+    first_pair = F.regexp_extract(
+        outer, r"^\s*(-?[0-9.eE+]+\s+-?[0-9.eE+]+)", 1)
+    last_pair = F.regexp_extract(
+        outer, r"(-?[0-9.eE+]+\s+-?[0-9.eE+]+)\s*$", 1)
     is_poly = geog.rlike(poly_re) & (first_pair == last_pair)
     return is_pt | is_line | is_poly
 
@@ -167,6 +176,49 @@ def _parse_rings(wkt: str) -> list[np.ndarray]:
         pts = [p.split() for p in ring.strip("() \t").split(",")]
         rings.append(np.array([[float(x), float(y)] for x, y, *_ in pts]))
     return rings
+
+
+def wkt_shape(text: str) -> str | None:
+    """Driver-side WKT sanity mirror of :func:`st_isvalid` for DDL- and
+    INSERT-time checks (GeoBase.feature): returns "POINT" / "LINESTRING"
+    / "POLYGON" when the text parses as that shape, else None."""
+    if not isinstance(text, str):
+        return None
+    t = text.strip()
+    kind = t.split("(", 1)[0].strip().upper() if "(" in t else ""
+    if kind not in ("POINT", "LINESTRING", "POLYGON"):
+        return None
+    try:
+        rings = _parse_rings(t)
+    except Exception:  # noqa: BLE001 — malformed text
+        return None
+    if kind == "POINT":
+        (x, y), = rings[0]
+        return kind if -180 <= x <= 180 and -90 <= y <= 90 else None
+    if kind == "LINESTRING":
+        return kind if len(rings) == 1 and len(rings[0]) >= 2 else None
+    for r in rings:                      # POLYGON: closed rings, >= 4 pts
+        if len(r) < 4 or (r[0] != r[-1]).any():
+            return None
+    return kind
+
+
+def wkt_normalize(text: str) -> str:
+    """Canonical WKT rendering on the write path (GeoBase.feature —
+    the reference's S2 text writer prints minimal numbers: 1.0 → 1,
+    4.7 → 4.7) — parse rings, reformat with %g."""
+    kind = wkt_shape(text)
+    if kind is None:
+        return text
+    rings = _parse_rings(text)
+
+    def ring(r):
+        return ", ".join(f"{x:g} {y:g}" for x, y in r)
+    if kind == "POINT":
+        return f"POINT({ring(rings[0])})"
+    if kind == "LINESTRING":
+        return f"LINESTRING({ring(rings[0])})"
+    return "POLYGON(" + ", ".join(f"({ring(r)})" for r in rings) + ")"
 
 
 def _covers_point_batch(poly: pd.Series, pt: pd.Series) -> pd.Series:

@@ -3230,7 +3230,8 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
     if defn0 is not None and defn0.decl:
         _temporal = {c: str(t).strip().lower() for c, t in defn0.decl
                      if str(t).strip().lower() in
-                     ("date", "time", "datetime", "timestamp", "duration")}
+                     ("date", "time", "datetime", "timestamp", "duration")
+                     or str(t).strip().lower().startswith("geography")}
         if _temporal:
             idx = {c: i for i, c in enumerate(cols)}
             for row in data:
@@ -3299,6 +3300,32 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
                                 "meet the requirements. Use the correct "
                                 "type of data.") from None
                     row[i] = expr_cache[k]
+            fixed.append(tuple(row))
+        data = fixed
+    # geography columns: the evaluated value must be valid WKT, and a
+    # shape-constrained column takes only its own shape
+    # (GeoBase.feature "test geo CURD" — wrong shape is the same
+    # storage type error as a raw string)
+    _geo_cols = {c: t for c, t in decl_ref.items()
+                 if t.startswith("geography")}
+    if _geo_cols:
+        from nebula_spark.functions.geo import wkt_normalize, wkt_shape
+        idxg = {c: i for i, c in enumerate(cols)}
+        fixed = []
+        for row in data:
+            row = list(row)
+            for c, t in _geo_cols.items():
+                i = idxg.get(c)
+                v = row[i] if i is not None else None
+                if v is None:
+                    continue
+                shape = wkt_shape(v)
+                want = t[len("geography"):].strip("()").upper() or None
+                if shape is None or (want and shape != want):
+                    raise ValueError(
+                        "Storage Error: The data type does not meet the "
+                        "requirements. Use the correct type of data.")
+                row[i] = wkt_normalize(v)
             fixed.append(tuple(row))
         data = fixed
     # all-NULL prop columns defeat createDataFrame's type inference —
@@ -3675,6 +3702,11 @@ def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
         body = ",\n".join(f" `{c}`" for c in ix.cols)
         stmt = (f"CREATE {ix.kind.upper()} INDEX `{ix.name}` ON "
                 f"`{ix.on}` (\n{body}\n)")
+        if getattr(ix, "options", None):
+            stmt += " WITH (" + ", ".join(
+                f"{k} = {v}" for k, v in ix.options) + ")"
+        if getattr(ix, "comment", None):
+            stmt += f' comment "{ix.comment}"'
         label = f"{ix.kind.title()} Index Name"
         return spark.createDataFrame(
             [(ix.name, stmt)],
@@ -3800,6 +3832,28 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
     if st.name not in reg:
         raise KeyError(f"no {st.entity} named {st.name!r}")
     d = reg[st.name]
+    if st.ttl_duration is not None or st.ttl_col is not None:
+        # ALTER … ttl_duration / ttl_col (TTL2.feature "ttl ddl"):
+        # refused when any index exists on the schema; a duration needs
+        # a ttl_col (given now or already set); the column must exist
+        # and be int64/timestamp
+        if any(ix.on == st.name and ix.kind == st.entity
+               for ix in space.indexes.values()):
+            raise ValueError("Unsupported!")
+        col = st.ttl_col if st.ttl_col is not None else d.ttl_col
+        decl_t = {c: str(t).strip().lower() for c, t in (d.decl or [])}
+        if st.ttl_col is not None:
+            if st.ttl_col not in decl_t:
+                raise ValueError(
+                    f"{st.entity.capitalize()} prop not existed!")
+            if decl_t[st.ttl_col] not in ("int", "int64", "timestamp"):
+                raise ValueError("Ttl column type illegal")
+        if st.ttl_duration and not col:
+            raise ValueError("Unsupported!")
+        d.ttl_col = col
+        if st.ttl_duration is not None:
+            d.ttl_duration = st.ttl_duration
+        return space.spark.range(0)
     df = space._load(d)
     decl = list(d.decl or [])
     for col, typ in st.adds:
@@ -3874,6 +3928,26 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
     vt = LongType() if str(opts.get("vid_type", "")).strip().lower() \
         == "int64" else StringType()
     for sd in schemas:
+        # geography DEFAULTs validate eagerly at CREATE (GeoBase.feature
+        # "test geo schema" — a malformed WKT or a shape mismatch on a
+        # constrained column is "Invalid param!")
+        for colname, rt in (sd.decl or []):
+            t = str(rt).strip().lower()
+            if not t.startswith("geography") \
+                    or colname not in (sd.defaults or {}):
+                continue
+            from nebula_spark.functions.geo import wkt_shape
+            txt = str(sd.defaults[colname]).strip()
+            pm = _re.fullmatch(
+                r"(?is)st_point\s*\(\s*(-?[\d.eE+]+)\s*,\s*"
+                r"(-?[\d.eE+]+)\s*\)", txt)
+            gm = _re.fullmatch(
+                r"(?is)st_geogfromtext\s*\(\s*([\"'])(.*)\1\s*\)", txt)
+            shape = (wkt_shape(f"POINT({pm.group(1)} {pm.group(2)})")
+                     if pm else wkt_shape(gm.group(2)) if gm else None)
+            want = t[len("geography"):].strip("()").upper() or None
+            if shape is None or (want and shape != want):
+                raise ValueError("Invalid param!")
         key_cols = [StructField("vid", vt, False)] \
             if sd.kind == "tag" else [
                 StructField("src", vt, False),

@@ -331,6 +331,10 @@ class AlterStmt:
     adds: list                   # [(col, ref_type)]
     changes: list                # [(col, ref_type)]
     drops: list                  # [col]
+    # ALTER … ttl_duration=N, ttl_col="c" (parser.yy alter_schema_prop;
+    # TTL2.feature "ttl ddl") — None means not mentioned
+    ttl_duration: int | None = None
+    ttl_col: str | None = None
 
 
 @dataclass
@@ -719,6 +723,33 @@ class Parser:
         entity = self._tag_or_edge()
         name = self.name()
         adds, changes, drops = [], [], []
+        if self.peek().kind == "NAME" and self.peek().text.lower() in (
+                "ttl_duration", "ttl_col"):
+            # ALTER … ttl_duration=N[, ttl_col="c"] (TTL2.feature):
+            # duration must be a non-negative integer literal
+            ttl_dur = ttl_col = None
+            while True:
+                w = self.eat("NAME").text.lower()
+                self.eat("ASSIGN")
+                if w == "ttl_duration":
+                    t = self.peek()
+                    if t.kind != "INT":
+                        raise SyntaxError(f"syntax error near `{t.text}'")
+                    self.eat()
+                    ttl_dur = int(t.text)
+                    if ttl_dur > 2**63 - 1:
+                        raise SyntaxError(f"Out of range: near `{t.text}'")
+                elif w == "ttl_col":
+                    t = self.eat("STRING")
+                    ttl_col = t.text[1:-1]
+                else:
+                    raise SyntaxError(f"syntax error near `{w}'")
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+                    continue
+                break
+            return AlterStmt(entity, name, [], [], [],
+                             ttl_duration=ttl_dur, ttl_col=ttl_col)
         while True:
             op = self.name().lower()
             if op not in ("add", "change", "drop"):

@@ -46,13 +46,21 @@ _TTL_OPT = re.compile(
     re.IGNORECASE)
 _INDEX = re.compile(
     r"create\s+(tag|edge)\s+index\s+(if\s+not\s+exists\s+)?(\w+)\s+on\s+"
-    # greedy body: per-column length hints nest parens —
-    # `ON edge_1(col1_str(10))` (EdgeIndexFullScan.feature)
-    r"(\w+)\s*\((.*)\)", re.IGNORECASE)
+    # cols body: names with optional numeric length hints —
+    # `ON edge_1(col1_str(10))` (EdgeIndexFullScan.feature); geo index
+    # params + comment follow (GeoBase.feature `with (s2_max_level=30)
+    # comment "test"`)
+    r"(\w+)\s*\(((?:[^()]|\(\s*\d+\s*\))*)\)"
+    r"(?:\s+with\s*\(([^)]*)\))?"
+    r"(?:\s+comment\s+(\"[^\"]*\"|'[^']*'))?\s*$",
+    re.IGNORECASE | re.DOTALL)
 _COL = re.compile(
-    # name type [(len)] | List< t > | Set< t >  (Ddl.feature container
-    # prop types)
-    r"(\w+)\s+(\w+(?:\s*<\s*\w+\s*>)?)(?:\s*\(\s*(\d+)\s*\))?"
+    # name type [(len)] | List< t > | Set< t > (Ddl.feature container
+    # prop types) | geography(point|linestring|polygon) (GeoBase.feature
+    # shape-constrained columns)
+    r"(\w+)\s+(\w+(?:\s*<\s*\w+\s*>"
+    r"|\s*\(\s*(?:point|linestring|polygon)\s*\))?)"
+    r"(?:\s*\(\s*(\d+)\s*\))?"
     # DEFAULT takes the rest of the column def up to an optional COMMENT
     # — it may be a constant expression like datetime("…") that the
     # statement re-serializer spaced out into several tokens
@@ -83,11 +91,34 @@ class IndexDef:
     on: str
     cols: list[str]
     if_not_exists: bool = False
+    # geo index params (GeoIndex.cpp s2 covering knobs) + comment —
+    # metadata echoed by SHOW CREATE INDEX (GeoBase.feature)
+    options: list = field(default_factory=list)   # [(key, value)]
+    comment: str | None = None
+
+
+def _split_cols(body: str) -> list[str]:
+    """Split column defs on top-level commas only — DEFAULT expressions
+    nest commas (ST_Point(3, 8), ST_GeogFromText("LINESTRING(0 1, 2 3)"),
+    GeoBase.feature)."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _parse_cols(body: str) -> tuple[StructType, dict, list, dict]:
     fields, defaults, decl, comments = [], {}, [], {}
-    for part in filter(None, (p.strip() for p in body.split(","))):
+    for part in _split_cols(body):
         m = _COL.match(part)
         if not m:
             raise ValueError(f"bad column def: {part!r}")
@@ -112,6 +143,11 @@ def _parse_cols(body: str) -> tuple[StructType, dict, list, dict]:
             if default is not None:
                 defaults[name] = default.strip("\"'")
             continue
+        if ref_type.startswith("geography") and "(" in ref_type:
+            # shape-constrained geography(point|linestring|polygon):
+            # stored as WKT strings like plain geography, shape enforced
+            # at INSERT (GeoBase.feature "test geo CURD")
+            typ, ref_type = "geography", re.sub(r"\s+", "", ref_type)
         if ref_type == "fixed_string":
             # keep the byte limit in the declared type so INSERT can
             # apply the reference's whole-codepoint truncation
@@ -135,11 +171,17 @@ def parse_ddl(ddl: str) -> tuple[list[SchemaDef], list[IndexDef]]:
     for stmt in filter(None, (s.strip() for s in ddl.split(";"))):
         im = _INDEX.match(stmt)
         if im:
-            kind, ine, name, on, cols = im.groups()
+            kind, ine, name, on, cols, opts, comment = im.groups()
             col_names = [re.sub(r"\(\s*\d+\s*\)", "", c).strip()
                          for c in cols.split(",") if c.strip()]
+            options = []
+            for o in (opts or "").split(","):
+                if "=" in o:
+                    k, v = o.split("=", 1)
+                    options.append((k.strip(), v.strip()))
             indexes.append(IndexDef(kind.lower(), name, on, col_names,
-                                    bool(ine)))
+                                    bool(ine), options,
+                                    comment[1:-1] if comment else None))
             continue
         cm = _CREATE.match(stmt)
         if cm:
@@ -155,6 +197,11 @@ def parse_ddl(ddl: str) -> tuple[list[SchemaDef], list[IndexDef]]:
                 consumed += len(om.group(0))
                 if om.group(1):
                     ttl_dur = int(om.group(2))
+                    if ttl_dur > 2**63 - 1:
+                        # TTL2.feature: INT64 max is legal, +1 is the
+                        # lexer's out-of-range error
+                        raise SyntaxError(
+                            f"Out of range: near `{om.group(2)}'")
                 else:
                     ttl_col = om.group(4) or None
             if len(re.sub(r"[\s,]", "", tail)) != \
@@ -165,16 +212,17 @@ def parse_ddl(ddl: str) -> tuple[list[SchemaDef], list[IndexDef]]:
             # a duration needs a column, and the column must be a
             # timestamp/int64 type
             if ttl_dur > 0 and not ttl_col:
-                raise ValueError(
-                    "ttl_duration requires ttl_col (Ttl schema error)")
+                # TTL2.feature "ttl ddl": a duration with no column is
+                # the reference's "Implicit ttl_col not support"
+                raise ValueError("Implicit ttl_col not support")
             if ttl_col:
                 typ = dict(decl).get(ttl_col)
                 if typ is None:
                     raise ValueError(f"unknown ttl_col {ttl_col!r}")
-                if typ not in ("int64", "timestamp"):
-                    raise ValueError(
-                        f"ttl_col {ttl_col!r} must be int64/timestamp, "
-                        f"got {typ} (Ttl schema error)")
+                if typ.lower() not in ("int", "int64", "timestamp"):
+                    # float/string TTL columns are illegal
+                    # (TTL2.feature "Ttl column type illegal")
+                    raise ValueError("Ttl column type illegal")
             schemas.append(SchemaDef(kind.lower(), name, schema, defaults,
                                      ttl_col, ttl_dur, decl, comments,
                                      ine is not None))

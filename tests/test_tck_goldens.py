@@ -2410,11 +2410,11 @@ def test_create_tag_with_ttl_roundtrip(ttl_space):
 def test_create_tag_ttl_validation(ttl_space):
     """TTL.feature — duration without column, and a non-timestamp
     column, are both schema errors."""
-    with pytest.raises(ValueError, match="Ttl schema error"):
+    with pytest.raises(ValueError, match="Implicit ttl_col not support"):
         execute(ttl_space,
                 'CREATE TAG woman(name string, row_timestamp timestamp) '
                 'ttl_duration = 100')
-    with pytest.raises(ValueError, match="Ttl schema error"):
+    with pytest.raises(ValueError, match="Ttl column type illegal"):
         execute(ttl_space,
                 'CREATE TAG woman(name string, row_timestamp timestamp) '
                 'ttl_col = "name"')
@@ -7833,3 +7833,211 @@ def test_profile_pipeline_result(nba_space):
     df = execute(nba_space, "GO 4 STEPS FROM 'Tim Duncan' OVER like YIELD "
                             "like._dst AS dst | YIELD count(*)")
     assert df.collect()[0][0] == 6
+
+
+# ---------------------------------------------------------------------------
+# TTL DDL — tests/tck/features/ttl/TTL2.feature "ttl ddl" (the expire
+# scenarios sleep against wall-clock and are covered by the read-filter
+# unit tests instead)
+# ---------------------------------------------------------------------------
+
+def test_ttl_ddl(spark):
+    """TTL2.feature "ttl ddl" — ttl column type rules, INT64 duration
+    bounds, implicit-column refusal, ALTER ttl lifecycle and its
+    index-incompatibility."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE ttl2(partition_num=1, "
+                 "vid_type=FIXED_STRING(32)); USE ttl2")
+    sp = cat.spaces["ttl2"]
+    execute(sp, 'CREATE TAG ttl_tag01(a int, b int) ttl_duration=5, '
+                'ttl_col="a"')
+    with pytest.raises(ValueError, match="Ttl column type illegal"):
+        execute(sp, 'CREATE TAG ttl_tag02(a float,b int) ttl_duration=5,'
+                    'ttl_col="a"')
+    with pytest.raises(ValueError, match="Ttl column type illegal"):
+        execute(sp, 'CREATE TAG ttl_tag02(a string,b int) ttl_duration=5,'
+                    'ttl_col="a"')
+    execute(sp, 'CREATE TAG ttl_tag02(a timestamp,b int) ttl_duration=5,'
+                'ttl_col="a"')
+    execute(sp, "CREATE EDGE ttl_edge01(a timestamp, b int) "
+                'ttl_duration=9223372036854775807, ttl_col="a"')
+    with pytest.raises(SyntaxError, match="Out of range: near "
+                                          "`9223372036854775808'"):
+        execute(sp, "CREATE EDGE ttl_edge02(a timestamp, b int) "
+                    'ttl_duration=9223372036854775808, ttl_col="a"')
+    with pytest.raises((SyntaxError, ValueError)):
+        execute(sp, "CREATE EDGE ttl_edge02(a timestamp, b int) "
+                    'ttl_duration=5.1, ttl_col="a"')
+    execute(sp, 'CREATE EDGE ttl_edge03(a timestamp, b int) ttl_col="a"')
+    with pytest.raises(SyntaxError, match="syntax error near"):
+        execute(sp, "ALTER EDGE ttl_edge03 ttl_duration=-1")
+    execute(sp, "ALTER EDGE ttl_edge03 ttl_duration=100")
+    with pytest.raises(ValueError, match="Implicit ttl_col not support"):
+        execute(sp, "CREATE EDGE ttl_edge04(a timestamp,b int) "
+                    "ttl_duration=100")
+    execute(sp, "CREATE EDGE ttl_edge04(a timestamp,b int)")
+    with pytest.raises(ValueError, match="Unsupported!"):
+        execute(sp, "ALTER EDGE ttl_edge04 ttl_duration=100")
+    execute(sp, "CREATE TAG ttl_tag03(a timestamp,c string)")
+    with pytest.raises(ValueError, match="Tag prop not existed!"):
+        execute(sp, 'ALTER TAG ttl_tag03 ttl_duration=10, ttl_col="b"')
+    execute(sp, 'ALTER TAG ttl_tag03 ttl_duration=10, ttl_col="a"')
+    # SHOW CREATE reflects the ALTERed ttl
+    r = execute(sp, "SHOW CREATE TAG ttl_tag03").collect()[0]
+    assert 'ttl_duration = 10, ttl_col = "a"' in r["Create Tag"]
+    # index creation on a ttl'd schema is allowed…
+    execute(sp, "CREATE TAG INDEX index_ttl_tag03_a on ttl_tag03(a)")
+    execute(sp, "CREATE TAG INDEX index_ttl_tag03_c on ttl_tag03(c(10))")
+    # …but ALTERing ttl on an indexed schema refuses
+    with pytest.raises(ValueError, match="Unsupported!"):
+        execute(sp, "ALTER TAG ttl_tag03 ttl_duration=100")
+    with pytest.raises(ValueError, match="Unsupported!"):
+        execute(sp, 'ALTER TAG ttl_tag03 ttl_col="a"')
+    execute(sp, "CREATE TAG ttl_tag04(a int,b int)")
+    execute(sp, "CREATE TAG INDEX index_ttl_tag04_a on ttl_tag04(a)")
+    with pytest.raises(ValueError, match="Unsupported!"):
+        execute(sp, 'ALTER TAG ttl_tag04 ttl_col="a"')
+
+
+# ---------------------------------------------------------------------------
+# Geo — tests/tck/features/geo/GeoBase.feature (cell-id rows are covered
+# by tests/test_geo.py under the repo's documented Z-order id contract)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def geo_space(spark):
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE geob(partition_num=1, vid_type=FIXED_STRING(30));
+        USE geob;
+        CREATE TAG any_shape(geo geography, non_geo_prop int64);
+        CREATE TAG only_point(geo geography(point));
+        CREATE TAG only_linestring(geo geography(linestring));
+        CREATE TAG only_polygon(geo geography(polygon));
+        CREATE EDGE any_shape_edge(geo geography)
+    """)
+    return cat.spaces["geob"]
+
+
+def test_geo_schema(geo_space):
+    """GeoBase.feature "test geo schema" — DESC shapes, SHOW CREATE echo,
+    geography DEFAULT validation at CREATE (bad WKT / wrong shape →
+    Invalid param!)."""
+    sp = geo_space
+    df = execute(sp, "DESC TAG any_shape")
+    assert rows(df, "Field", "Type") == [("geo", "geography"),
+                                         ("non_geo_prop", "int64")]
+    df = execute(sp, "DESC TAG only_point")
+    assert rows(df, "Field", "Type") == [("geo", "geography(point)")]
+    df = execute(sp, "DESC TAG only_linestring")
+    assert rows(df, "Field", "Type") == [("geo", "geography(linestring)")]
+    df = execute(sp, "DESC EDGE any_shape_edge")
+    assert rows(df, "Field", "Type") == [("geo", "geography")]
+    r = execute(sp, "SHOW CREATE TAG only_point").collect()[0]
+    assert r["Create Tag"] == (
+        'CREATE TAG `only_point` (\n `geo` geography(point) NULL\n'
+        ') ttl_duration = 0, ttl_col = ""')
+    execute(sp, "CREATE TAG test_1(geo geography DEFAULT ST_Point(3, 8))")
+    execute(sp, "CREATE EDGE test_2(geo geography DEFAULT "
+                'ST_GeogFromText("LINESTRING(0 1, 2 3)"))')
+    with pytest.raises(ValueError, match="Invalid param!"):
+        execute(sp, "CREATE EDGE test_2x(geo geography DEFAULT "
+                    'ST_GeogFromText("LINESTRING(0 1, 2xxxx"))')
+    with pytest.raises(ValueError, match="Invalid param!"):
+        execute(sp, "CREATE TAG test_3(geo geography(point) DEFAULT "
+                    'ST_GeogFromText("LineString(0 1, 2 3)"))')
+    execute(sp, "CREATE TAG test_3(geo geography(linestring) DEFAULT "
+                'ST_GeogFromText("LineString(0 1, 2 3)"))')
+    execute(sp, 'INSERT VERTEX test_1() VALUES "test_101":()')
+    execute(sp, 'INSERT EDGE test_2() VALUES "test_101"->"test_102":()')
+    execute(sp, 'INSERT VERTEX test_3() VALUES "test_103":()')
+
+
+def test_geo_curd(geo_space):
+    """GeoBase.feature "test geo CURD" — any shape into geography,
+    shape-constrained columns refuse other shapes and raw strings,
+    ST_ASText round trips (with the reference's minimal-number
+    rendering), geo indexes with s2 options echo through SHOW CREATE."""
+    sp = geo_space
+    err = "Storage Error: The data type"
+    execute(sp, 'INSERT VERTEX any_shape(geo) VALUES '
+                '"101":(ST_GeogFromText("POINT(3 8)"))')
+    execute(sp, 'INSERT VERTEX any_shape(geo) VALUES '
+                '"102":(ST_GeogFromText("LINESTRING(3 8, 4.7 73.23)"))')
+    execute(sp, 'INSERT VERTEX any_shape(geo) VALUES '
+                '"103":(ST_GeogFromText("POLYGON((0 1, 1 2, 2 3, 0 1))"))')
+    with pytest.raises(ValueError, match=err):
+        execute(sp, 'INSERT VERTEX any_shape(geo) VALUES '
+                    '"104":("POINT(3 8)")')
+    execute(sp, 'INSERT VERTEX only_point(geo) VALUES '
+                '"201":(ST_GeogFromText("POINT(3 8)"))')
+    for bad in ['"202":(ST_GeogFromText("LINESTRING(3 8, 4.7 73.23)"))',
+                '"203":(ST_GeogFromText("POLYGON((0 1, 1 2, 2 3, 0 1))"))']:
+        with pytest.raises(ValueError, match=err):
+            execute(sp, f"INSERT VERTEX only_point(geo) VALUES {bad}")
+    with pytest.raises(ValueError, match=err):
+        execute(sp, 'INSERT VERTEX only_linestring(geo) VALUES '
+                    '"301":(ST_GeogFromText("POINT(3 8)"))')
+    execute(sp, 'INSERT VERTEX only_linestring(geo) VALUES '
+                '"302":(ST_GeogFromText("LINESTRING(3 8, 4.7 73.23)"))')
+    with pytest.raises(ValueError, match=err):
+        execute(sp, 'INSERT VERTEX only_polygon(geo) VALUES '
+                    '"402":(ST_GeogFromText("LINESTRING(3 8, 4.7 73.23)"))')
+    execute(sp, 'INSERT VERTEX only_polygon(geo) VALUES '
+                '"403":(ST_GeogFromText("POLYGON((0 1, 1 2, 2 3, 0 1))"))')
+    execute(sp, 'INSERT EDGE any_shape_edge(geo) VALUES "201"->"302":'
+                '(ST_GeogFromText("POLYGON((0 1, 1 2, 2 3, 0 1))"))')
+    df = execute(sp, 'FETCH PROP ON any_shape "101","102","103" YIELD '
+                     "ST_ASText(any_shape.geo) AS t")
+    assert sorted(r.t for r in df.collect()) == [
+        "LINESTRING(3 8, 4.7 73.23)", "POINT(3 8)",
+        "POLYGON((0 1, 1 2, 2 3, 0 1))"]
+    df = execute(sp, 'FETCH PROP ON only_point "201","202","203" YIELD '
+                     "ST_ASText(only_point.geo) AS t")
+    assert [r.t for r in df.collect()] == ["POINT(3 8)"]
+    df = execute(sp, 'FETCH PROP ON any_shape_edge "201"->"302" YIELD '
+                     "ST_ASText(any_shape_edge.geo) AS t")
+    assert [r.t for r in df.collect()] == ["POLYGON((0 1, 1 2, 2 3, 0 1))"]
+    # geo index DDL with s2 options + comment, SHOW CREATE echo, REBUILD
+    execute(sp, "CREATE TAG INDEX any_shape_geo_index ON any_shape(geo) "
+                'with (s2_max_level=30, s2_max_cells=8) comment "test"')
+    execute(sp, "CREATE TAG INDEX non_geo_prop_index ON "
+                "any_shape(non_geo_prop)")
+    execute(sp, "CREATE TAG INDEX only_point_geo_index ON only_point(geo)"
+                ' comment "test2"')
+    execute(sp, "CREATE EDGE INDEX any_shape_edge_geo_index ON "
+                "any_shape_edge(geo) with (s2_max_level=23)")
+    r = execute(sp, "SHOW CREATE TAG INDEX any_shape_geo_index").collect()[0]
+    assert r["Create Tag Index"] == (
+        "CREATE TAG INDEX `any_shape_geo_index` ON `any_shape` "
+        '(\n `geo`\n) WITH (s2_max_level = 30, s2_max_cells = 8) '
+        'comment "test"')
+    execute(sp, "REBUILD TAG INDEX any_shape_geo_index")
+    # whole-index scans after inserting more shapes (minimal-number WKT:
+    # the polygon hole's `1.0 1.0` echoes as `1 1`)
+    execute(sp, 'INSERT VERTEX any_shape(geo) VALUES '
+                '"108":(ST_GeogFromText("POINT(72.3 84.6)"))')
+    execute(sp, 'INSERT EDGE any_shape_edge(geo) VALUES "108"->"408":'
+                '(ST_GeogFromText("POLYGON((-20 -20, -20 20, 20 20, '
+                "20 -20, -20 -20), (1.0 1.0, 2.0 2.0, 0.0 2.0, "
+                '1.0 1.0))"))')
+    df = execute(sp, "LOOKUP ON any_shape YIELD id(vertex) as id, "
+                     "ST_ASText(any_shape.geo) AS t")
+    assert sorted(rows(df, "id", "t")) == [
+        ("101", "POINT(3 8)"), ("102", "LINESTRING(3 8, 4.7 73.23)"),
+        ("103", "POLYGON((0 1, 1 2, 2 3, 0 1))"),
+        ("108", "POINT(72.3 84.6)")]
+    df = execute(sp, "LOOKUP ON any_shape_edge YIELD src(edge) as src, "
+                     "dst(edge) as dst, ST_ASText(any_shape_edge.geo) AS t")
+    assert sorted(rows(df, "src", "dst", "t")) == [
+        ("108", "408", "POLYGON((-20 -20, -20 20, 20 20, 20 -20, "
+         "-20 -20), (1 1, 2 2, 0 2, 1 1))"),
+        ("201", "302", "POLYGON((0 1, 1 2, 2 3, 0 1))")]
+    # MATCH over the geo tag
+    df = execute(sp, "MATCH (v:any_shape) RETURN "
+                     "ST_ASText(v.any_shape.geo) AS t")
+    assert sorted(r.t for r in df.collect()) == [
+        "LINESTRING(3 8, 4.7 73.23)", "POINT(3 8)", "POINT(72.3 84.6)",
+        "POLYGON((0 1, 1 2, 2 3, 0 1))"]
