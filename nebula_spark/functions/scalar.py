@@ -116,6 +116,9 @@ FUNCTIONS: dict[str, object] = {
     "tan": F.tan, "atan": F.atan, "radians": F.radians,
     "sign": F.signum, "rand": F.rand, "rand32": _rand32,
     "rand64": lambda: F.xxhash64(F.rand()),
+    # uuid() is a random int64 in the reference (UUIDExpression,
+    # parser.yy:1157) — not an RFC UUID string
+    "uuid": lambda: F.xxhash64(F.rand()),
     "e": lambda: F.lit(math.e), "pi": lambda: F.lit(math.pi),
     "bit_and": lambda a, b: a.bitwiseAND(b),
     "bit_or": lambda a, b: a.bitwiseOR(b),

@@ -221,6 +221,9 @@ def _expr_text(e) -> str | None:
     if op == "subscript":
         a, b = _expr_text(e[1]), _expr_text(e[2])
         return None if a is None or b is None else f"{a}[{b}]"
+    if op == "cast":                     # (INT)3.14 → "(INT)3.14"
+        a = _expr_text(e[2])
+        return None if a is None else f"({e[1].upper()}){a}"
     if op in _BIN_TEXT and len(e) == 3:
         a, b = _expr_text(e[1]), _expr_text(e[2])
         if a is None or b is None:
@@ -483,6 +486,18 @@ class ExprCompiler:
             # A string subscript is MAP access (SubscriptInUpdate.feature:
             # json_extract(json)['b']) — element_at is NULL-safe on a
             # missing key.
+            if (isinstance(e[1], tuple) and e[1][0] == "list"
+                    and isinstance(e[2], tuple) and e[2][0] == "lit"
+                    and isinstance(e[2][1], int)
+                    and not isinstance(e[2][1], bool)):
+                # AST-level fold of a literal-index subscript into a
+                # literal list: heterogeneous lists ([{num: 0}, 1],
+                # openCypher Map1.feature) have no Spark array type but
+                # their elements are individually typed
+                els, idx = list(e[1][1:]), e[2][1]
+                if -len(els) <= idx < len(els):
+                    return self.col(els[idx])
+                return F.lit(None)
             base = self.col(e[1])
             if (isinstance(e[2], tuple) and e[2][0] == "lit"
                     and isinstance(e[2][1], str)):
@@ -750,11 +765,16 @@ class ExprCompiler:
                 except Exception:  # noqa: BLE001 — id(edge)/src(edge) forms
                     return _GRAPH_FNS[name]()
             if args:
-                # computed argument — id(nodes(p)[0]), id(collect(...)[i]):
-                # the value IS the vid (nodes() yields vid elements), so
-                # id() is identity over the compiled expression
+                # computed argument — id(nodes(p)[0]), rank(e[0]),
+                # src(relationships(p)[i]): a computed edge value is the
+                # repo's (s,d,r,t,et,…) struct, so src/dst/rank read its
+                # fields (bugfix/LackFilterGetEdges.feature); id() is
+                # identity (nodes() yields vid elements)
+                c = self.col(args[0])
+                if name in ("src", "dst", "rank"):
+                    return c[{"src": "s", "dst": "d", "rank": "r"}[name]]
                 try:
-                    return _GRAPH_FNS[name](self.col(args[0]))
+                    return _GRAPH_FNS[name](c)
                 except TypeError:
                     pass                  # zero-arg forms (src()/dst())
             return _GRAPH_FNS[name]()
@@ -825,6 +845,20 @@ def _vid_frame(space: GraphSpace, vids, piped: DataFrame | None,
                 f"`{vids}.{src_col}', not exist variable `{vids[1:]}'"
                 if src_col else f"undefined query variable {vids}")
         return _checked(bound, vids)
+    if any(isinstance(v, tuple) and len(v) == 2 and v[0] == "__const_expr__"
+           for v in vids):
+        # constant function-call vids — `GO FROM hash("Boris Diaw")`
+        # (parser.yy vid : function_call_expression) — evaluate once on
+        # the driver through the expression pipeline
+        def _refuse(*_a):
+            raise ValueError("non-constant vid expression")
+        vids = [space.spark.range(1).select(
+                    ExprCompiler(_refuse).col(
+                        A.Parser(A.tokenize(str(v[1]))).expr()).alias("v")
+                ).collect()[0]["v"]
+                if isinstance(v, tuple) and len(v) == 2
+                and v[0] == "__const_expr__" else v
+                for v in vids]
     return space.spark.createDataFrame([(v,) for v in vids], [VID])
 
 
@@ -1848,7 +1882,8 @@ def _exec_yield_join(st: A.YieldStmt, spark,
 
 
 def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
-                spark, env: dict[str, DataFrame] | None = None) -> DataFrame:
+                spark, env: dict[str, DataFrame] | None = None,
+                space: GraphSpace | None = None) -> DataFrame:
     if getattr(st, "join", None) is not None:
         return _exec_yield_join(st, spark, env)
     # $var.prop refs (VariablePropertyExpression): the statement iterates
@@ -1866,6 +1901,11 @@ def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
 
     def resolve(kind, *args):
         if kind == "input_prop":
+            if args[0] not in base.columns:
+                # `$-.x' with no such piped column
+                # (yield/NoSpaceChosen.feature "tagProp" $-.dummyTag.p)
+                raise ValueError(
+                    f"`$-.{args[0]}', not exist prop `{args[0]}'")
             return F.col(args[0])
         if kind == "name":
             if args[0] not in base.columns:
@@ -1878,6 +1918,11 @@ def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
             return F.col(args[1])
         if kind == "var_prop" and env is not None and args[0] in env:
             return F.col(f"_v_{args[0]}__{args[1]}")
+        if kind in ("src_prop", "dst_prop") and space is not None \
+                and args[0] not in space.tags:
+            # standalone YIELD $$.t.p / $^.t.p checks the tag name first
+            # (yield/NoSpaceChosen.feature "tagProp")
+            raise ValueError(f"TagNotFound: TagName `{args[0]}`")
         raise ValueError(f"unresolvable {kind}")
 
     base = piped if piped is not None else spark.range(1)
@@ -2192,7 +2237,11 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             # equality already drops (RewriteEdgeFilter.feature)
             edges = edges.filter(F.col(k) == v) if k in edges.columns \
                 else edges.filter(F.lit(False))
-        if me.min_hops == 1 and me.max_hops == 1:
+        if me.min_hops == 1 and me.max_hops == 1 \
+                and not getattr(me, "var_len", False):
+            # explicit `[e*1]` skips this single-hop fast path: the `*`
+            # syntax binds e as a LIST (bugfix/LackFilterGetEdges.feature
+            # reads e[0].likeness)
             from nebula_spark.operators.traverse import oriented
             e = oriented(edges, me.direction, self_loop_once=True)
             eprops = [c for c in e.columns if c not in (SRC, DST, RANK)]
@@ -2418,6 +2467,10 @@ def _apply_pattern_pred(space: GraphSpace, cur: DataFrame, path: A.MatchPath,
     expansion, not a full re-scan. Shared *edge* aliases constrain on the
     edge's canonical identity, so ``WHERE (x)-[e]->(y)`` requires e itself
     to connect x and y, not just any edge."""
+    # WITH-projected value columns count as bound names too
+    # (bugfix/AliasTypeDeduce.feature: `with relationships(p)[1] AS e1
+    # … where (b)-[e1]->()`)
+    bound = bound | {c for c in cur.columns if "__" not in c}
     for n in path.nodes:             # MatchValidator::validatePathInWhere
         if n.alias and n.alias not in bound:
             raise ValueError("PatternExpression are not allowed to "
@@ -2439,13 +2492,28 @@ def _apply_pattern_pred(space: GraphSpace, cur: DataFrame, path: A.MatchPath,
     keys = [f"{a}__vid" for a in shared]
     tmp: list[str] = []
     for ea in shared_e:
-        for frame, nm in ((cur, "cur"), (pat, "pat")):
-            if f"{ea}__src" not in frame.columns:
-                raise ValueError(
-                    f"`{ea}' is referenced with type Edge but bound as a "
-                    "different type (var-len edge lists cannot re-bind)")
+        if f"{ea}__src" not in pat.columns:
+            raise ValueError(
+                f"`{ea}' is referenced with type Edge but bound as a "
+                "different type (var-len edge lists cannot re-bind)")
         k = f"_pp_canon_{ea}"
-        cur = cur.withColumn(k, _edge_canon(ea))
+        if f"{ea}__src" in cur.columns:
+            cur = cur.withColumn(k, _edge_canon(ea))
+        elif ea in cur.columns:
+            # edge VALUE binding — a WITH-projected relationships(p)[i]
+            # struct (bugfix/AliasTypeDeduce.feature `(b)-[e1]->()`):
+            # canonicalize from the (s,d,r,t,et) fields, stored
+            # orientation
+            c = F.col(ea)
+            fwd = c["t"] != -1
+            cur = cur.withColumn(k, F.struct(
+                F.when(fwd, c["s"]).otherwise(c["d"]).alias("s"),
+                F.when(fwd, c["d"]).otherwise(c["s"]).alias("d"),
+                c["r"].alias("r"), c["et"].alias("et")))
+        else:
+            raise ValueError(
+                f"`{ea}' is referenced with type Edge but bound as a "
+                "different type (var-len edge lists cannot re-bind)")
         pat = pat.withColumn(k, _edge_canon(ea))
         keys.append(k)
         tmp.append(k)
@@ -2466,6 +2534,19 @@ def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
     allb = bound | ebound
     plain: list[tuple] = []
     for c in _split_conjuncts(where):
+        if isinstance(c, tuple) and c[0] == "comprehension" \
+                and c[3] is None and c[4] is not None:
+            pats: list = []
+            _walk(c[4], {"pattern_pred", "pattern_path"}, pats)
+            if pats:
+                # comprehension whose OUTPUT is a pattern expression —
+                # `WHERE [t in [v] | (v)-[:like]->(t)]`
+                # (PathExprRefLocalVariable.feature "In Where"): each
+                # element maps to a (possibly empty) list of paths, so
+                # the comprehension itself is non-empty — and truthy —
+                # iff its INPUT list is; the pattern never decides it
+                plain.append((">", ("call", "size", c[2]), ("lit", 0)))
+                continue
         if isinstance(c, tuple) and c[0] in ("pattern_pred", "pattern_path"):
             cur = _apply_pattern_pred(space, cur, c[1], allb, counter, False)
         elif (isinstance(c, tuple) and c[0] == "not"
@@ -2843,6 +2924,54 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     # sort keys stashed by the last WITH … ORDER BY (hidden _ob columns),
     # consumed by the next aggregate projection's ordered collect()
     pending_order: list[tuple[str, bool]] | None = None
+
+    # literal WITH bindings with no Spark array type (heterogeneous
+    # container lists — `WITH [{num: 0}, 1] AS l`, openCypher
+    # Map1.feature) never materialize as columns: the AST substitutes
+    # into later clauses, where literal-index subscripts fold
+    # element-wise (the reference's dynamic Value model needs no type)
+    lit_env: dict[str, tuple] = {}
+
+    def _subst(e):
+        if isinstance(e, tuple) and e:
+            if e[0] == "name" and len(e) == 2 and e[1] in lit_env:
+                return lit_env[e[1]]
+            return (e[0], *[_subst(x) for x in e[1:]])
+        if isinstance(e, list):
+            return [_subst(x) for x in e]
+        return e
+
+    def _hetero_const_list(e) -> bool:
+        if not (isinstance(e, tuple) and e and e[0] == "list"):
+            return False
+        kinds = {("c" if isinstance(x, tuple)
+                  and x[0] in ("map", "list", "set") else "s")
+                 for x in e[1:]}
+        return len(kinds) > 1
+
+    for cl in st.clauses:
+        if lit_env:
+            for it in getattr(cl, "items", None) or []:
+                it.expr = _subst(it.expr)
+            if getattr(cl, "where", None) is not None:
+                cl.where = _subst(cl.where)
+            if getattr(cl, "order_by", None):
+                cl.order_by = [(_subst(e), asc) for e, asc in cl.order_by]
+            if getattr(cl, "expr", None) is not None:       # UNWIND
+                cl.expr = _subst(cl.expr)
+        if isinstance(cl, A.WithClause) and cl.items:
+            keep = []
+            for it in cl.items:
+                if it.alias and _hetero_const_list(it.expr):
+                    lit_env[it.alias] = it.expr
+                else:
+                    keep.append(it)
+            cl.items = keep or [A.YieldItem(("lit", 1), "_lit_with")]
+    if lit_env:
+        st.returns = [A.YieldItem(_subst(y.expr), y.alias)
+                      for y in st.returns]
+        if st.order_by:
+            st.order_by = [(_subst(e), asc) for e, asc in st.order_by]
 
     def _join_pattern(base, base_bound, base_ebound, pat, aliases, eals,
                       how):
@@ -3238,8 +3367,22 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
                 for c, t in _temporal.items():
                     i = idx.get(c)
                     v = row[i] if i is not None else None
-                    if v is None or (isinstance(v, tuple) and len(v) == 2
-                                     and v[0] == "__const_expr__"):
+                    if v is None:
+                        continue
+                    if isinstance(v, tuple) and len(v) == 2 \
+                            and v[0] == "__const_expr__":
+                        # constructor kind must match the column type:
+                        # date(…) into a datetime column is the same
+                        # storage type error
+                        # (InsertMismatchedTypeDateTime.feature)
+                        fn = str(v[1]).strip().split("(", 1)[0] \
+                            .strip().lower()
+                        if fn in ("date", "time", "datetime",
+                                  "timestamp", "duration") and fn != t:
+                            raise ValueError(
+                                "Storage Error: The data type does not "
+                                "meet the requirements. Use the correct "
+                                "type of data.")
                         continue
                     if t == "timestamp" and isinstance(v, int) \
                             and not isinstance(v, bool):
@@ -3779,7 +3922,7 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
         elif isinstance(st, A.SubgraphStmt):
             df = _exec_subgraph(space, st, df, env)
         elif isinstance(st, A.YieldStmt):
-            df = _exec_yield(st, df, space.spark, env)
+            df = _exec_yield(st, df, space.spark, env, space)
         elif isinstance(st, A.GroupByStmt):
             df = _exec_group_by(st, df)
         elif isinstance(st, A.OrderByStmt):

@@ -301,6 +301,10 @@ class MatchEdge:
     min_hops: int = 1
     max_hops: int = 1
     props: dict = field(default_factory=dict)   # inline {k: v} edge filter
+    # explicit `*` syntax: even a fixed [e*1] binds e as a LIST of edges
+    # (MatchValidator aliasesGenerated kEdgeList;
+    # bugfix/LackFilterGetEdges.feature `e[0].likeness`)
+    var_len: bool = False
 
 
 @dataclass
@@ -1265,11 +1269,37 @@ class Parser:
                 raise SyntaxError("Variable is not supported in vid "
                                   f"near `{t.text}'")
             return t.text, col
-        vids = [self.literal()]
+        vids = [self._vid_value()]
         while self.peek().kind == "COMMA":
             self.eat("COMMA")
-            vids.append(self.literal())
+            vids.append(self._vid_value())
         return vids, None
+
+    def _vid_value(self):
+        """One vid: a literal, or a CONSTANT function call — `hash("x")`,
+        `uuid()` (parser.yy vid : function_call_expression;
+        GO.IntVid.feature / DeleteVertex.IntVid.feature). A call that
+        reads runtime input is the evaluable-expression refusal."""
+        t = self.peek()
+        if t.kind == "NAME" and self.peek(1).kind == "LP":
+            j, depth, dep = self.i, 0, False
+            while j < len(self.toks):
+                tk = self.toks[j]
+                if tk.kind in ("PIPE_REF", "PIPE_INPUT", "VAR_REF"):
+                    dep = True
+                if tk.kind == "LP":
+                    depth += 1
+                elif tk.kind == "RP":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if dep:
+                self._refuse_unevaluable()
+            text = "".join(tok.text for tok in self.toks[self.i:j + 1])
+            self.i = j + 1
+            return ("__const_expr__", text)
+        return self.literal()
 
     def literal(self):
         t = self.peek()
@@ -1841,6 +1871,7 @@ class Parser:
         else:
             self.eat("MINUS")
         alias, types, mn, mx = None, [], 1, 1
+        var_len = False
         props: dict = {}
         if self.peek().kind == "LB":
             self.eat("LB")
@@ -1854,6 +1885,7 @@ class Parser:
                     types.append(self.name())
             if self.peek().kind == "STAR":
                 self.eat("STAR")
+                var_len = True
                 if self.peek().kind == "INT":
                     mn = mx = int(self.eat("INT").text)
                     if self.peek().kind == "DOTDOT":
@@ -1883,7 +1915,8 @@ class Parser:
                 direction = "both"
         else:
             self.eat("MINUS")
-        return MatchEdge(alias, types, direction, mn, mx, props)
+        return MatchEdge(alias, types, direction, mn, mx, props,
+                         var_len=var_len)
 
     # -- expressions (Pratt)
     def expr(self) -> tuple:

@@ -8041,3 +8041,319 @@ def test_geo_curd(geo_space):
     assert sorted(r.t for r in df.collect()) == [
         "LINESTRING(3 8, 4.7 73.23)", "POINT(3 8)", "POINT(72.3 84.6)",
         "POLYGON((0 1, 1 2, 2 3, 0 1))"]
+
+
+# ---------------------------------------------------------------------------
+# Bugfix corpus — tests/tck/features/bugfix/*.feature (the reference's
+# regression pins; plan tables omitted per SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+def test_argument_plan_node_dep(nba_space):
+    """ArgumentPlanNodeDep.feature #4938 — a second MATCH consuming the
+    first MATCH's binding through an Argument join."""
+    df = execute(nba_space, "MATCH (a:player) WHERE id(a)=='Tim Duncan' "
+                            "MATCH (a)-[:like]-(b) RETURN count(*) AS cnt")
+    assert rows(df, "cnt") == [(12,)]
+
+
+def test_mt_safe_minus(nba_space):
+    """MTSafeConcurrencyVariables.feature — MINUS over two YIELD branches
+    (the reference re-runs 100× for a race; the semantic pin is the
+    result)."""
+    for _ in range(3):
+        df = execute(nba_space, "YIELD 1 AS number MINUS YIELD 2 AS number")
+        assert [r.number for r in df.collect()] == [1]
+
+
+def test_create_duration_default(spark):
+    """CreateDurationAsDefaultValue.feature — duration map-constructor
+    DEFAULTs parse (top-level-comma split) and fill on omitted-prop
+    inserts."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE durdef(partition_num=1, "
+                 "vid_type=FIXED_STRING(30)); USE durdef")
+    sp = cat.spaces["durdef"]
+    execute(sp, "create tag ddl_tag1(col1 DURATION DEFAULT "
+                "duration({years: 3, months: 2}))")
+    execute(sp, "create edge ddl_edge1(col1 DURATION DEFAULT "
+                "duration({years: 3, months: 2}))")
+    execute(sp, 'INSERT VERTEX ddl_tag1() VALUES "t":()')
+    assert execute(sp, 'FETCH PROP ON ddl_tag1 "t" '
+                       "YIELD ddl_tag1.col1 AS c").count() == 1
+
+
+def test_match_scan_edges_limit(student_space):
+    """GetEdgesTransformLimitRule.feature — unfiltered edge pattern with
+    LIMIT stays correct."""
+    df = execute(student_space, "MATCH p=()-[e]->() RETURN p LIMIT 3")
+    assert df.count() == 3
+
+
+def test_lack_filter_get_edges(nba_space):
+    """LackFilterGetEdges.feature #5145 — a non-pushable disjunct
+    (uuid() > 100) must not drop the edge filter."""
+    df = execute(nba_space, "match ()-[e*1]->() "
+                            "where e[0].likeness > 78 or uuid() > 100 "
+                            "return rank(e[0]) AS re limit 3")
+    assert [r.re for r in df.collect()] == [0, 0, 0]
+    df = execute(nba_space, "match ()-[e]->() "
+                            "where e.likeness > 78 or uuid() > 100 "
+                            "return rank(e) AS re limit 3")
+    assert [r.re for r in df.collect()] == [0, 0, 0]
+
+
+def test_insert_mismatched_datetime_type(spark):
+    """InsertMismatchedTypeDateTime.feature #1318 — a temporal
+    constructor of the WRONG kind into a typed column is the storage
+    type error; matching constructors (or omitted props with defaults)
+    are fine."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE mmdt(partition_num=1, "
+                 "vid_type=FIXED_STRING(30)); USE mmdt")
+    sp = cat.spaces["mmdt"]
+    execute(sp, 'create tag ddl_tag1(col1 date default date("2017-03-04"),'
+                " col2 datetime default "
+                'datetime("2017-03-04T00:00:01"),'
+                ' col3 time default time("11:11:11"))')
+    execute(sp, "INSERT VERTEX ddl_tag1() VALUES 'test':()")
+    err = "Storage Error: The data type"
+    with pytest.raises(ValueError, match=err):
+        execute(sp, "INSERT VERTEX ddl_tag1(col1, col2, col3) VALUES "
+                    "'test':(date(\"2019-01-02\"), date('2019-01-02'), "
+                    "time('11:11:11'))")
+    with pytest.raises(ValueError, match=err):
+        execute(sp, "INSERT VERTEX ddl_tag1(col1, col2, col3) VALUES "
+                    "'test':(datetime(\"2019-01-02T00:00:00\"), "
+                    "datetime('2019-01-02T00:00:00'), time('11:11:11'))")
+    with pytest.raises(ValueError, match=err):
+        execute(sp, "INSERT VERTEX ddl_tag1(col1, col2, col3) VALUES "
+                    "'test':(date(\"2019-01-02\"), "
+                    "datetime('2019-01-02T00:00:00'), "
+                    "datetime('2019-01-02T11:11:11'))")
+
+
+def test_label_index_crash(nba_space):
+    """LabelIndexCrash.feature — an un-tagged attribute disjunct
+    (x.name) must not crash the label-index path."""
+    df = execute(nba_space, 'MATCH (x:bachelor) WHERE '
+                            'x.bachelor.name == "Tim Duncan" '
+                            'or x.name == "Tim Duncan" '
+                            "RETURN x.bachelor.name AS n")
+    assert rows(df, "n") == [("Tim Duncan",)]
+    df = execute(nba_space, "MATCH (v:bachelor)-[e:serve]-(v2) WHERE "
+                            'v.bachelor.name == "Tim Duncan" or '
+                            "e.start_year > 2000 "
+                            "RETURN v.bachelor.name AS n, "
+                            "e.start_year AS y")
+    assert rows(df, "n", "y") == [("Tim Duncan", 1997)]
+
+
+def test_truncated_string_index(spark):
+    """TruncatedStringIndex.feature — a length-truncated string index
+    must not produce false exact matches; ranges stay correct."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE tsi(partition_num=1, "
+                 "vid_type=FIXED_STRING(30)); USE tsi")
+    sp = cat.spaces["tsi"]
+    execute(sp, "create tag person(name string); "
+                "create tag index p1 on person(name(3))")
+    execute(sp, 'insert vertex person(name) values "1":("abc1"),'
+                '"2":("abc2")')
+    assert execute(sp, 'LOOKUP ON person WHERE person.name=="abc" '
+                       "YIELD id(vertex) as id").count() == 0
+    assert execute(sp, 'match (v:person) where v.person.name == "abc" '
+                       "return v").count() == 0
+    df = execute(sp, 'match (v:person) where v.person.name >= "abc" '
+                     "return id(v) AS id")
+    assert sorted(r.id for r in df.collect()) == ["1", "2"]
+    df = execute(sp, 'match (v:person{name:"abc1"}) return id(v) AS id')
+    assert [r.id for r in df.collect()] == ["1"]
+    df = execute(sp, 'match (v:person) where v.person.name<="abc2" '
+                     "return id(v) AS id")
+    assert sorted(r.id for r in df.collect()) == ["1", "2"]
+
+
+def test_alias_type_deduce(nba_space):
+    """AliasTypeDeduce.feature — a WITH-projected edge VALUE
+    (relationships(p)[1], and its list-slice form) reused as a bound
+    edge inside a later pattern predicate."""
+    df = execute(nba_space, "match p=(a:player)-[e:like*1..3]->(b) "
+                            "where b.player.age>42 "
+                            "with relationships(p)[1] AS e1 "
+                            "match (b)-[:serve]->(c) "
+                            'where c.team.name>"S" and (b)-[e1]->() '
+                            "return count(c) AS cnt")
+    assert rows(df, "cnt") == [(49,)]
+    df = execute(nba_space, "match p=(a:player)-[e:like*1..3]->(b) "
+                            "where b.player.age>42 "
+                            "with relationships(p)[1..2][0] AS e1 "
+                            "match (b)-[:serve]->(c) "
+                            'where c.team.name>"S" and (b)-[e1]->() '
+                            "return count(c) AS cnt")
+    assert rows(df, "cnt") == [(49,)]
+
+
+# ---------------------------------------------------------------------------
+# Path expressions referencing local variables —
+# tests/tck/features/match/PathExprRefLocalVariable.feature ("In Where"
+# scenarios; the In With/In Return pattern-value forms with comprehension
+# locals stay unported)
+# ---------------------------------------------------------------------------
+
+def test_path_expr_local_var_where(nba_space):
+    """PathExprRefLocalVariable.feature "In Where" — a comprehension
+    whose OUTPUT is a pattern expression is truthy iff its input list is
+    non-empty (each element maps to a possibly-empty path list); bound
+    edge aliases in the pattern constrain by edge identity."""
+    df = execute(nba_space, "MATCH (v:player) WHERE "
+                            "[t in [v] | (v)-[:like]->(t)] "
+                            "RETURN v.player.name AS name")
+    assert df.count() == 56
+    df = execute(nba_space, "MATCH (v:player) WHERE "
+                            "[t in [v] | (v)-[:like]->(t)] AND "
+                            '(v)-[:serve]->(:team{name: "Spurs"}) '
+                            "RETURN v.player.name AS name")
+    assert sorted(r.name for r in df.collect()) == [
+        "Aron Baynes", "Boris Diaw", "Cory Joseph", "Danny Green",
+        "David West", "Dejounte Murray", "Jonathon Simmons",
+        "Kyle Anderson", "LaMarcus Aldridge", "Manu Ginobili",
+        "Marco Belinelli", "Paul Gasol", "Rudy Gay", "Tiago Splitter",
+        "Tim Duncan", "Tony Parker", "Tracy McGrady"]
+    df = execute(nba_space, "MATCH (v:player{name: 'Tim Duncan'})"
+                            "-[:like]->() WHERE [t in [v] | (v)-->(t)] "
+                            "RETURN v.player.name AS name")
+    assert [r.name for r in df.collect()] == ["Tim Duncan", "Tim Duncan"]
+    # a bound edge cannot run backwards
+    df = execute(nba_space, "MATCH (v:player)-[e:like]->(n) WHERE "
+                            "(n)-[e]->(:player) RETURN v")
+    assert df.count() == 0
+    # anonymous-endpoint pattern over the bound edge + prop filter
+    df = execute(nba_space, "MATCH (v:player)-[e]->(n) WHERE "
+                            "()-[e]->(:player) and e.likeness<80 "
+                            "RETURN distinct v.player.name AS vname")
+    assert sorted(r.vname for r in df.collect()) == [
+        "Blake Griffin", "Danny Green", "Dirk Nowitzki", "Kyrie Irving",
+        "LaMarcus Aldridge", "Marco Belinelli", "Rajon Rondo",
+        "Ray Allen", "Rudy Gay", "Vince Carter"]
+
+
+# ---------------------------------------------------------------------------
+# openCypher conformance — openCypher/features/expressions/list/
+# List2.feature (list slicing), map/Map1.feature (static access)
+# ---------------------------------------------------------------------------
+
+def test_opencypher_list_slicing(nba_space):
+    """List2.feature [1]-[9] — slice bounds: implicit ends, singleton,
+    empty, negative, inverted, exceeding, and null ranges."""
+    cases = [
+        ("WITH [1, 2, 3, 4, 5] AS l RETURN l[1..3] AS r", [2, 3]),
+        ("WITH [1, 2, 3] AS l RETURN l[1..] AS r", [2, 3]),
+        ("WITH [1, 2, 3] AS l RETURN l[..2] AS r", [1, 2]),
+        ("WITH [1, 2, 3] AS l RETURN l[0..1] AS r", [1]),
+        ("WITH [1, 2, 3] AS l RETURN l[0..0] AS r", []),
+        ("WITH [1, 2, 3] AS l RETURN l[-3..-1] AS r", [1, 2]),
+        ("WITH [1, 2, 3] AS l RETURN l[3..1] AS r", []),
+        ("WITH [1, 2, 3] AS l RETURN l[-5..5] AS r", [1, 2, 3]),
+        ("WITH [1, 2, 3] AS l RETURN l[null..null] AS r", None),
+        ("WITH [1, 2, 3] AS l RETURN l[1..null] AS r", None),
+        ("WITH [1, 2, 3] AS l RETURN l[null..3] AS r", None),
+        ("WITH [1, 2, 3] AS l RETURN l[..null] AS r", None),
+        ("WITH [1, 2, 3] AS l RETURN l[null..] AS r", None),
+    ]
+    for q, want in cases:
+        got = execute(nba_space, q).collect()[0].r
+        assert (list(got) if got is not None else None) == want, q
+
+
+def test_opencypher_map_static_access(nba_space):
+    """Map1.feature [1] — dot access on a map element of a list."""
+    df = execute(nba_space, "WITH [{num: 0}, 1] AS l RETURN (l[0]).num AS r")
+    assert [r.r for r in df.collect()] == [0]
+
+
+# ---------------------------------------------------------------------------
+# Int-vid parity — tests/tck/features/delete/DeleteVertex.IntVid.feature
+# pipe scenarios + GO.IntVid.feature hash() seeds. The reference hashes
+# string names to int64 vids with MurmurHash2; the repo's hash() is a
+# stable 64-bit xxhash64 (functions/scalar.py) — the fixture derives its
+# vids with the SAME function, so hash("name") seeds resolve identically.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def nba_int_space(spark):
+    from nebula_spark.catalog import GraphSpace
+    player = _read(spark, "player", ["vid", "name", "age"]).select(
+        F.xxhash64("vid").alias("vid"), "name",
+        F.col("age").cast("long").alias("age"))
+    like = _read(spark, "like", ["src", "dst", "likeness"]).select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst"),
+        F.lit(0).cast("long").alias("rank"),
+        F.col("likeness").cast("long").alias("likeness")
+    ).dropDuplicates(["src", "dst", "rank"])
+    sp = GraphSpace(spark, "nba_int")
+    sp.options = {"vid_type": "int64"}
+    sp.create_tag("player", df=player)
+    sp.create_edge("like", df=like)
+    return sp
+
+
+def test_delete_int_vertex_by_pipe(nba_int_space):
+    """DeleteVertex.IntVid.feature "delete int vertex by pipe succeeded"
+    — string-typed pipe columns refuse in an int64 space, fn-call key
+    refs refuse as unevaluable, and the successful pipe DELETE cascades
+    WITH EDGE."""
+    sp = nba_int_space
+    with pytest.raises(ValueError, match="Wrong vid type `STRING`"):
+        execute(sp, 'GO FROM hash("Boris Diaw") OVER like YIELD '
+                    "(string)like._src as id | DELETE VERTEX $-.id "
+                    "WITH EDGE")
+    df = execute(sp, 'GO FROM hash("Boris Diaw") OVER like '
+                     "YIELD like._dst AS d")
+    got = {r.d for r in df.collect()}
+    want = {r.v for r in sp.spark.range(1).select(
+        F.xxhash64(F.lit("Tony Parker")).alias("v")).collect()} | \
+        {r.v for r in sp.spark.range(1).select(
+            F.xxhash64(F.lit("Tim Duncan")).alias("v")).collect()}
+    assert got == want
+    with pytest.raises(ValueError,
+                       match=r"`src\(\$-\.e\)' is not an evaluable "
+                             "expression"):
+        execute(sp, 'GO FROM hash("Boris Diaw") OVER like YIELD edge as e'
+                    " | DELETE VERTEX src($-.e) WITH EDGE")
+    execute(sp, 'GO FROM hash("Boris Diaw") OVER like YIELD '
+                "like._dst as id | DELETE VERTEX $-.id WITH EDGE")
+    for seed in ("Boris Diaw", "Tony Parker", "Tim Duncan"):
+        assert execute(sp, f'GO FROM hash("{seed}") OVER like '
+                           "YIELD like._dst AS d").count() == 0
+
+
+def test_yield_nospace_semantics(nba_space, spark):
+    """yield/NoSpaceChosen.feature — cast expression-text column names,
+    XOR precedence rendering, tag-prop/label refusals, and the
+    no-space-chosen refusal for GO (the hash-call row is covered under
+    the repo's stable-64-bit hash contract in tests/test_functions.py)."""
+    df = execute(nba_space,
+                 "YIELD 1+1, '1+1', (int)3.14, (string)(1+1), (string)true")
+    assert df.columns == ["(1+1)", '"1+1"', "(INT)3.14", "(STRING)(1+1)",
+                          "(STRING)true"]
+    assert [tuple(r) for r in df.collect()] == [(2, "1+1", 3, "2", "true")]
+    df = execute(nba_space, "YIELD NOT FALSE OR FALSE AND FALSE XOR FALSE")
+    assert df.columns == ["((!(false) OR (false AND false)) XOR false)"]
+    assert df.collect()[0][0] is True
+    with pytest.raises(ValueError, match="TagNotFound: TagName `dummyTag`"):
+        execute(nba_space, "YIELD $$.dummyTag.p")
+    with pytest.raises(ValueError, match="TagNotFound: TagName `dummyTag`"):
+        execute(nba_space, "YIELD $^.dummyTag.p")
+    with pytest.raises(ValueError,
+                       match=r"`\$-\.dummyTag', not exist prop "
+                             "`dummyTag'"):
+        execute(nba_space, "YIELD $-.dummyTag.p")
+    with pytest.raises(ValueError, match="Invalid label identifiers: name"):
+        execute(nba_space, "YIELD name")
+    from nebula_spark.catalog import SpaceCatalog
+    with pytest.raises(ValueError, match="Space was not chosen"):
+        execute(SpaceCatalog(spark), 'GO FROM "Boris Diaw" OVER serve '
+                "YIELD $^.player.name as name")
