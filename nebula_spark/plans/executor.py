@@ -3798,6 +3798,42 @@ def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
                 .select(F.col("kind").alias("Type"),
                         F.col("name").alias("Name"),
                         F.col("count").alias("Count")))
+    if st.kind == "create_ft_index":
+        # CREATE FULLTEXT TAG|EDGE INDEX (FulltextIndexUtils; the ES
+        # listener is obsolete under Spark — functions/fulltext.py scans
+        # natively — but the metadata lifecycle and type rules are real:
+        # only string/fixed_string props are indexable, Unsupported!)
+        name, schema, fieldname = st.name
+        reg = space.tags if st.entity == "tag" else space.edges
+        target = reg.get(schema)
+        if target is None:
+            raise ValueError(f"{schema} not found in space "
+                             f"[{space.name}].")
+        decl_t = {c: str(t).strip().lower() for c, t in (target.decl or [])}
+        t = decl_t.get(fieldname)
+        if t is None:
+            raise ValueError("Key not existed!")
+        if not (t == "string" or t.startswith("fixed_string")):
+            raise ValueError("Unsupported!")
+        fts = getattr(space, "ft_indexes", None)
+        if fts is None:
+            fts = space.ft_indexes = {}
+        if name in fts:
+            raise ValueError(f"Existed index `{name}'!")
+        fts[name] = (st.entity, schema, fieldname)
+        return space.spark.range(0)
+    if st.kind == "show_ft_indexes":
+        from pyspark.sql.types import StringType, StructField, StructType
+        schema_t = StructType([
+            StructField("Name", StringType()),
+            StructField("Schema Type", StringType()),
+            StructField("Schema Name", StringType()),
+            StructField("Fields", StringType()),
+            StructField("Analyzer", StringType())])
+        rows_ = sorted((n, k.title(), s, f, "default")
+                       for n, (k, s, f) in
+                       getattr(space, "ft_indexes", {}).items())
+        return space.spark.createDataFrame(rows_, schema_t)
     if st.kind == "rebuild_index":
         # REBUILD is a storage backfill job in the reference; Parquet
         # stats + Catalyst pushdown subsume the backfill, but the name
@@ -3997,6 +4033,14 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
         if st.ttl_duration is not None:
             d.ttl_duration = st.ttl_duration
         return space.spark.range(0)
+    # a column carrying a fulltext index cannot CHANGE or DROP
+    # (FultextIndexDDL.feature)
+    ft_cols = {f for k, s, f in getattr(space, "ft_indexes", {}).values()
+               if k == st.entity and s == st.name}
+    for col, _t in list(st.changes) + [(c, None) for c in st.drops]:
+        if col in ft_cols:
+            raise ValueError("Related fulltext index exists, please "
+                             "drop it first")
     df = space._load(d)
     decl = list(d.decl or [])
     for col, typ in st.adds:
@@ -4028,6 +4072,19 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
 
 
 def _exec_drop(space: GraphSpace, st) -> DataFrame:
+    if st.entity == "ft_index":
+        # DROP FULLTEXT INDEX (FultextIndexDDL.feature)
+        fts = getattr(space, "ft_indexes", {})
+        if st.name not in fts:
+            raise ValueError(f"Index not existed: {st.name}")
+        del fts[st.name]
+        return space.spark.range(0)
+    if st.entity in ("tag", "edge") and any(
+            k == st.entity and s == st.name
+            for k, s, _ in getattr(space, "ft_indexes", {}).values()):
+        # a schema with a live fulltext index cannot drop
+        # (FultextIndexDDL.feature)
+        raise ValueError("Related index exists, please drop index first")
     if st.entity in ("tag_index", "edge_index"):
         # DROP TAG/EDGE INDEX [IF EXISTS] (Index.feature lifecycle)
         kind = st.entity.split("_", 1)[0]
@@ -4125,12 +4182,10 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
             raise ValueError(f"{ix.on} not found in space "
                              f"[{space.name}].")
         have = {c: str(t).strip().lower() for c, t in (target.decl or [])}
-        if not [c for c in ix.cols if c] and have:
-            # an empty column list is the zero-prop existence index when
-            # the schema itself has no props (Ddl.feature `on A()`), but
-            # an error on a schema WITH props (TagEdgeIndex.feature
-            # "Property is empty")
-            raise ValueError("Column is empty")
+        # an empty column list is the vertex-existence index (Ddl.feature
+        # `on A()`; IndexSelecting.feature `player_index on player()`) —
+        # always legal; TagEdgeIndex.feature's `ON tag_1()` error is the
+        # duplicate NAME, which the existed-index check below raises
         if len(set(ix.cols)) != len(ix.cols):
             # duplicate field (TagEdgeIndex.feature "Duplicate Field")
             raise ValueError("Conflict fields in the index.")

@@ -691,6 +691,22 @@ class Parser:
         if (t.text.lower() == "create"
                 and self.peek(1).text.lower() == "space"):
             return self.create_space_sentence()
+        if (t.text.lower() == "create"
+                and self.peek(1).text.lower() == "fulltext"):
+            # CREATE FULLTEXT TAG|EDGE INDEX name ON schema(field)
+            # (parser.yy create_fulltext_index_sentence;
+            # FultextIndexDDL.feature)
+            self.eat(), self.eat()
+            ent = self._tag_or_edge()
+            if self.name().lower() != "index":
+                raise SyntaxError("expected INDEX after CREATE FULLTEXT")
+            name = self.name()
+            self.eat_kw("on")
+            schema = self.name()
+            self.eat("LP")
+            field = self.name()
+            self.eat("RP")
+            return AdminStmt("create_ft_index", (name, schema, field), ent)
         if t.text.lower() == "create":
             return self.ddl_sentence()
         if t.text.lower() == "alter":
@@ -783,6 +799,12 @@ class Parser:
         if self.peek().text.lower() == "space":
             self.eat()
             is_space = True
+        elif self.peek().text.lower() == "fulltext":
+            # DROP FULLTEXT INDEX name (FultextIndexDDL.feature)
+            self.eat()
+            if self.name().lower() != "index":
+                raise SyntaxError("expected INDEX after DROP FULLTEXT")
+            return DropStmt("ft_index", self.name(), False)
         else:
             entity = self._tag_or_edge()
             if self.peek().text.lower() == "index":
@@ -866,6 +888,10 @@ class Parser:
                     return AdminStmt("show_create_index", self.name(), ent)
                 return AdminStmt("show_create", self.name(), ent)
             what = self.eat("NAME").text.lower()
+            if (what == "fulltext"
+                    and self.peek().text.lower() == "indexes"):
+                self.eat()
+                return AdminStmt("show_ft_indexes")
             if (what in ("tag", "edge")
                     and self.peek().text.lower() == "index"
                     and self.peek(1).text.lower() == "status"):

@@ -7725,8 +7725,13 @@ def test_tag_edge_index_lifecycle(spark):
         execute(sp, "CREATE TAG INDEX single_person_index ON student(name)")
     with pytest.raises(ValueError, match="Existed index|Key not existed"):
         execute(sp, "CREATE TAG INDEX single_tag_index ON tag_1(col5)")
-    with pytest.raises(ValueError, match="Column is empty"):
-        execute(sp, "CREATE TAG INDEX empty_tag_index ON tag_1()")
+    # `ON tag_1()` under an EXISTING name errors on the name (the
+    # feature's "Property is empty" comment rides a duplicate name);
+    # a fresh-named empty-column index is the legal existence index
+    with pytest.raises(ValueError, match="Existed index"):
+        execute(sp, "CREATE TAG INDEX single_tag_index ON tag_1()")
+    execute(sp, "CREATE TAG INDEX empty_tag_index ON tag_1()")
+    execute(sp, "DROP TAG INDEX empty_tag_index")
     execute(sp, "CREATE TAG INDEX multi_tag_index ON tag_1(col2, col3)")
     with pytest.raises(ValueError, match="Existed index"):
         execute(sp, "CREATE TAG INDEX duplicate_person_index ON "
@@ -8357,3 +8362,112 @@ def test_yield_nospace_semantics(nba_space, spark):
     with pytest.raises(ValueError, match="Space was not chosen"):
         execute(SpaceCatalog(spark), 'GO FROM "Boris Diaw" OVER serve '
                 "YIELD $^.player.name as name")
+
+
+# ---------------------------------------------------------------------------
+# Fulltext index DDL — tests/tck/features/fulltext_index/
+# FultextIndexDDL.feature (the ES listener is obsolete under Spark —
+# functions/fulltext.py scans natively — but the metadata lifecycle,
+# type rules, and schema guards are real)
+# ---------------------------------------------------------------------------
+
+def test_fulltext_index_ddl(spark):
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE ftddl(partition_num=1, "
+                 "vid_type=FIXED_STRING(30)); USE ftddl")
+    sp = cat.spaces["ftddl"]
+    execute(sp, "CREATE TAG ddl_tag(prop1 string,prop2 fixed_string(20),"
+                "prop3 int); CREATE EDGE ddl_edge(prop1 string,"
+                "prop2 float)")
+    execute(sp, "CREATE FULLTEXT TAG INDEX nebula_index_ddl_tag_prop1 "
+                "on ddl_tag(prop1)")
+    execute(sp, "CREATE FULLTEXT TAG INDEX nebula_index_ddl_tag_prop2 "
+                "on ddl_tag(prop2)")
+    with pytest.raises(ValueError, match="Unsupported!"):
+        execute(sp, "CREATE FULLTEXT TAG INDEX nebula_index_ddl_tag_prop3"
+                    " on ddl_tag(prop3)")
+    df = execute(sp, "SHOW FULLTEXT INDEXES")
+    assert sorted(rows(df, "Name", "Schema Type", "Schema Name", "Fields",
+                       "Analyzer")) == [
+        ("nebula_index_ddl_tag_prop1", "Tag", "ddl_tag", "prop1",
+         "default"),
+        ("nebula_index_ddl_tag_prop2", "Tag", "ddl_tag", "prop2",
+         "default")]
+    execute(sp, "DROP FULLTEXT INDEX nebula_index_ddl_tag_prop1")
+    execute(sp, "DROP FULLTEXT INDEX nebula_index_ddl_tag_prop2")
+    assert execute(sp, "SHOW FULLTEXT INDEXES").count() == 0
+    # re-create under the old name on a different field
+    execute(sp, "CREATE FULLTEXT TAG INDEX nebula_index_ddl_tag_prop1 "
+                "on ddl_tag(prop2)")
+    df = execute(sp, "SHOW FULLTEXT INDEXES")
+    assert rows(df, "Name", "Fields") == [
+        ("nebula_index_ddl_tag_prop1", "prop2")]
+    with pytest.raises(ValueError,
+                       match="Related index exists, please drop index "
+                             "first"):
+        execute(sp, "DROP TAG ddl_tag")
+    with pytest.raises(ValueError,
+                       match="Related fulltext index exists, please "
+                             "drop it first"):
+        execute(sp, "ALTER TAG ddl_tag DROP (prop2)")
+    execute(sp, "ALTER TAG ddl_tag DROP (prop1)")
+    execute(sp, "ALTER TAG ddl_tag ADD (prop1_new string)")
+    with pytest.raises(ValueError,
+                       match="Related fulltext index exists, please "
+                             "drop it first"):
+        execute(sp, "ALTER TAG ddl_tag CHANGE (prop2 string)")
+    execute(sp, "DROP FULLTEXT INDEX nebula_index_ddl_tag_prop1")
+    execute(sp, "DROP TAG ddl_tag; DROP EDGE ddl_edge")
+
+
+def test_index_selecting_match(spark):
+    """match/IndexSelecting.feature — the feature pins the reference's
+    index-selection plans; under Catalyst the selection is the
+    optimizer's (SURVEY §2.1), so the pins here are the RESULTS of every
+    scanned predicate shape (prefix, IN, degenerate ranges, mixed
+    prefix+range, truncated-index ranges)."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE idxsel(partition_num=1, "
+                 "vid_type=FIXED_STRING(30)); USE idxsel")
+    sp = cat.spaces["idxsel"]
+    execute(sp, "CREATE tag player(name string, age int, score int, "
+                "gender bool)")
+    execute(sp, 'INSERT VERTEX player(name, age, score, gender) VALUES '
+                '"Tim Duncan":("Tim Duncan", 42, 28, true),'
+                '"Yao Ming":("Yao Ming", 38, 23, true),'
+                '"Nneka Ogwumike":("Nneka Ogwumike", 35, 13, false)')
+    execute(sp, "create tag index player_index on player(); "
+                "create tag index player_name_index on player(name(8)); "
+                "create tag index player_age_name_index on "
+                "player(age,name(8))")
+    execute(sp, "rebuild tag index player_index, player_name_index, "
+                "player_age_name_index")
+    cases = [
+        ('MATCH (v:player {name: "Yao Ming"}) RETURN v.player.name AS '
+         "name", ["Yao Ming"]),
+        ('MATCH (v:player) WHERE v.player.name in ["Yao Ming"] RETURN '
+         "v.player.name AS name", ["Yao Ming"]),
+        ('MATCH (v:player) WHERE v.player.name in ["Yao Ming", '
+         '"Tim Duncan"] RETURN v.player.name AS name',
+         ["Tim Duncan", "Yao Ming"]),
+        ('MATCH (v:player) WHERE v.player.name == "Tim Duncan" and '
+         'v.player.name < "Zom" RETURN v.player.name AS name',
+         ["Tim Duncan"]),
+        ('MATCH (v:player) WHERE v.player.name=="Tim Duncan" and '
+         'v.player.age>4 and v.player.name>"A" RETURN v.player.name AS '
+         "name", ["Tim Duncan"]),
+        ('MATCH (v:player{name:"Tim Duncan"}) WHERE v.player.name < '
+         '"Zom" RETURN v.player.name AS name', ["Tim Duncan"]),
+        ('MATCH (v:player) WHERE v.player.name > "Tim" and '
+         'v.player.name < "Zom" RETURN v.player.name AS name',
+         ["Tim Duncan", "Yao Ming"]),
+        ("MATCH (v:player) WHERE v.player.score < 20 RETURN "
+         "v.player.name AS name", ["Nneka Ogwumike"]),
+        ('MATCH (v:player) WHERE v.player.name == "Tim Duncan" and '
+         "v.player.score == 28 RETURN v.player.name AS name",
+         ["Tim Duncan"]),
+    ]
+    for q, want in cases:
+        assert sorted(r.name for r in execute(sp, q).collect()) == want, q
