@@ -27,26 +27,71 @@ def d_date(s: Column | None = None) -> Column:
     return F.to_date(s)
 
 
+_OFFSET_RE = r"(Z|[+-]\d{2}:?\d{2})$"
+
+
+def _tz_parts(s: Column) -> tuple[Column, Column, Column]:
+    """Split a temporal literal into (base text, utc offset text, zone
+    name): ``23:01:00.010000+08:00[Asia/Shanghai]`` → ("23:01:00.010000",
+    "+08:00", "Asia/Shanghai") (TimeUtils parse — offsets and bracketed
+    IANA names, InsertWithTimeType.feature)."""
+    zone = F.regexp_extract(s, r"\[([^\]]+)\]", 1)
+    nob = F.regexp_replace(s, r"\[[^\]]+\]", "")
+    off = F.regexp_extract(nob, _OFFSET_RE, 1)
+    base = F.regexp_replace(nob, _OFFSET_RE, "")
+    return base, off, zone
+
+
+def _utc_ts(base: Column, off: Column, zone: Column,
+            prefix: Column | None = None) -> Column:
+    """Base text (+offset and/or zone) → UTC TimestampNTZ. A mismatched
+    offset-and-zone pair yields NULL (the INSERT path phrases it as the
+    reference's "Wrong value type" error)."""
+    txt = F.concat(prefix, base) if prefix is not None else base
+    ntz = F.to_timestamp_ntz(txt)
+    by_off = F.to_timestamp(F.concat(txt, off)).cast("timestamp_ntz")
+    by_zone = F.convert_timezone(zone, F.lit("UTC"), ntz)
+    has_off, has_zone = off != "", zone != ""
+    return (F.when(has_off & has_zone,
+                   F.when(by_off == by_zone, by_off))
+            .when(has_off, by_off)
+            .when(has_zone, by_zone)
+            .otherwise(ntz))
+
+
 def d_datetime(s: Column | None = None) -> Column:
-    """datetime(...) → TimestampNTZ; zero-arg = now."""
+    """datetime(...) → TimestampNTZ (UTC); zero-arg = now. Accepts UTC
+    offsets and bracketed zone names (InsertWithTimeType.feature)."""
     if s is None:
         return F.localtimestamp()
-    return F.to_timestamp_ntz(s)
+    base, off, zone = _tz_parts(s)
+    return F.when((off != "") | (zone != ""),
+                  _utc_ts(base, off, zone)) \
+            .otherwise(F.to_timestamp_ntz(s))
 
 
 def d_time(s: Column | None = None) -> Column:
     """time("10:20:30") → struct(hour,minute,sec) — TIME has no Spark
     type (SURVEY §1.1); struct compares correctly field-by-field.
-    Zero-arg = current time of day."""
+    Zero-arg = current time of day. Offsets/zone names convert to UTC
+    wall time (wrapping at 24h)."""
     if s is None:
         now = F.localtimestamp()
         return F.struct(F.hour(now).alias("hour"),
                         F.minute(now).alias("minute"),
                         F.second(now).cast("double").alias("sec"))
-    p = F.split(s, ":")
-    return F.struct(p[0].try_cast("int").alias("hour"),
-                    p[1].try_cast("int").alias("minute"),
-                    p[2].try_cast("double").alias("sec"))
+    base, off, zone = _tz_parts(s)
+    p = F.split(base, ":")
+    plain = F.struct(p[0].try_cast("int").alias("hour"),
+                     p[1].try_cast("int").alias("minute"),
+                     p[2].try_cast("double").alias("sec"))
+    ts = _utc_ts(base, off, zone, prefix=F.lit("1970-01-01T"))
+    frac = p[2].try_cast("double") - F.floor(p[2].try_cast("double"))
+    shifted = F.struct(
+        F.hour(ts).alias("hour"), F.minute(ts).alias("minute"),
+        (F.second(ts) + frac).alias("sec"))
+    return F.when((off != "") | (zone != ""),
+                  F.when(ts.isNotNull(), shifted)).otherwise(plain)
 
 
 def d_timestamp(s: Column) -> Column:

@@ -3418,9 +3418,12 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
                             raise ValueError("non-constant value")
                         col = ExprCompiler(_refuse).col(e)
                         if is_time:
-                            col = F.format_string(
+                            # NULL-struct guard: a failed time() parse
+                            # must surface as NULL, not a formatted
+                            # zero-string (mismatched offset+zone)
+                            col = F.when(col.isNotNull(), F.format_string(
                                 "%02d:%02d:%09.6f", col["hour"],
-                                col["minute"], col["sec"].cast("double"))
+                                col["minute"], col["sec"].cast("double")))
                         elif is_dur:
                             # duration storage rendering: the months +
                             # seconds pair (Duration.h two-component
@@ -3431,8 +3434,24 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
                         else:
                             col = col.cast(k[1])
                         try:
-                            expr_cache[k] = space.spark.range(1).select(
+                            got = space.spark.range(1).select(
                                 col.alias("v")).collect()[0]["v"]
+                            fn0 = str(k[0]).strip().split("(", 1)[0] \
+                                .strip().lower()
+                            if got is None and fn0 in (
+                                    "date", "time", "datetime",
+                                    "timestamp") and "null" not in \
+                                    str(k[0]).lower():
+                                # a temporal constructor that fails to
+                                # parse — e.g. a mismatched offset+zone
+                                # pair — is the reference's value error
+                                # (InsertWithTimeType.feature "Wrong
+                                # value type: time(…)")
+                                raise ValueError(
+                                    f"Wrong value type: {k[0]}")
+                            expr_cache[k] = got
+                        except ValueError:
+                            raise
                         except Exception:
                             # an uncastable constructor value (e.g.
                             # duration({years: 3}) into an int column) is

@@ -8471,3 +8471,43 @@ def test_index_selecting_match(spark):
     ]
     for q, want in cases:
         assert sorted(r.name for r in execute(sp, q).collect()) == want, q
+
+
+def test_insert_time_types_timezones(spark):
+    """InsertWithTimeType.feature timezone scenarios — UTC offsets,
+    bracketed IANA zone names, a matched offset+zone pair, and the
+    mismatched-pair Wrong value type refusal."""
+    import datetime as _dt
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE ttz(partition_num=1, vid_type=FIXED_STRING(20));
+        USE ttz;
+        CREATE TAG tag_date(f_date DATE, f_time TIME, f_datetime DATETIME)
+    """)
+    sp = cat.spaces["ttz"]
+    execute(sp, 'INSERT VERTEX tag_date(f_date, f_time, f_datetime) '
+                'VALUES "test":(date("2017-03-04"), '
+                'time("23:01:00.010000+01:00"), '
+                'datetime("2017-03-04T22:30:40.003000-02:30"))')
+    df = execute(sp, 'FETCH PROP ON tag_date "test" YIELD '
+                     "tag_date.f_time AS t, tag_date.f_datetime AS dt")
+    assert rows(df, "t", "dt") == [
+        ("22:01:00.010000", _dt.datetime(2017, 3, 5, 1, 0, 40, 3000))]
+    for suffix in ("[Asia/Shanghai]", "+08:00[Asia/Shanghai]"):
+        execute(sp, 'INSERT VERTEX tag_date(f_date, f_time, f_datetime) '
+                    'VALUES "test":(date("2017-03-04"), '
+                    f'time("23:01:00.010000{suffix}"), '
+                    f'datetime("2017-03-04T22:30:40.003000{suffix}"))')
+        df = execute(sp, 'FETCH PROP ON tag_date "test" YIELD '
+                         "tag_date.f_time AS t, tag_date.f_datetime AS dt")
+        assert rows(df, "t", "dt") == [
+            ("15:01:00.010000",
+             _dt.datetime(2017, 3, 4, 14, 30, 40, 3000))], suffix
+    with pytest.raises(ValueError, match=r'Wrong value type: time\('):
+        execute(sp, 'INSERT VERTEX tag_date(f_time) VALUES "test":('
+                    'time("23:01:00.010000-03:00[Asia/Shanghai]"))')
+    with pytest.raises(ValueError, match=r"Wrong value type: datetime"):
+        execute(sp, 'INSERT VERTEX tag_date(f_datetime) VALUES "test":('
+                    'datetime("2017-03-04T22:30:40.003000+03:00'
+                    '[Asia/Shanghai]"))')
