@@ -672,6 +672,8 @@ class ExprCompiler:
                 and isinstance(args[0], tuple) and args[0][0] == "name":
             try:
                 return self.resolve("path_fn", name, args[0][1])
+            except _UndefinedAliasError:
+                raise
             except ValueError:
                 pass                      # not a path → fall through
         if name in ("nodes", "relationships", "length", "startnode",
@@ -702,6 +704,12 @@ class ExprCompiler:
                     return (F.when(F.size(c["path"]) > 0,
                                    F.element_at(c["path"], -1)["d"])
                             .otherwise(c["start"]))
+                if name == "length" and isinstance(dt, StructType):
+                    # length() of a vertex/edge VALUE — openCypher
+                    # Path3.feature [2]: InvalidArgumentType
+                    raise ValueError(
+                        "InvalidArgumentType: length() expects a PATH "
+                        "or STRING")
         if name in ("id", "type", "rank", "startnode", "endnode",
                     "properties", "props", "src", "dst", "labels",
                     "tags", "keys") and len(args) == 1 \
@@ -2685,6 +2693,13 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
         if kind == "path_fn":            # nodes(p) / relationships(p) / …
             fn, alias = args
             if alias not in paths:
+                if fn == "length" and alias in bound:
+                    # length() of a node binding — openCypher
+                    # Path3.feature [2]: InvalidArgumentType, never the
+                    # vid's string length
+                    raise _UndefinedAliasError(
+                        "InvalidArgumentType: length() expects a PATH "
+                        "or STRING")
                 raise ValueError(f"{alias!r} is not a bound path")
             p = F.col(f"{alias}__path")
             if fn == "length":

@@ -8511,3 +8511,47 @@ def test_insert_time_types_timezones(spark):
         execute(sp, 'INSERT VERTEX tag_date(f_datetime) VALUES "test":('
                     'datetime("2017-03-04T22:30:40.003000+03:00'
                     '[Asia/Shanghai]"))')
+
+
+def test_opencypher_path_relationships(nba_space):
+    """openCypher Path2.feature [1]/[2] — relationships(p) over a
+    *1..1 teammate pattern, anchored from either end."""
+    want = sorted([
+        ("Manu Ginobili", "Tim Duncan"), ("Manu Ginobili", "Tony Parker"),
+        ("Tim Duncan", "Danny Green"), ("Tim Duncan", "LaMarcus Aldridge"),
+        ("Tim Duncan", "Manu Ginobili"), ("Tim Duncan", "Tony Parker"),
+        ("Tony Parker", "Kyle Anderson"),
+        ("Tony Parker", "LaMarcus Aldridge"),
+        ("Tony Parker", "Manu Ginobili"), ("Tony Parker", "Tim Duncan")])
+    for q in ("MATCH p = (a:player)-[:teammate*1..1]->(b) "
+              "RETURN relationships(p) AS r",
+              "MATCH p = (a)-[:teammate*1..1]->(b:player) "
+              "RETURN relationships(p) AS r"):
+        df = execute(nba_space, q)
+        got = sorted((r.r[0]["s"], r.r[0]["d"]) for r in df.collect())
+        assert got == want, q
+
+
+def test_opencypher_path_length(nba_space):
+    """openCypher Path3.feature [1]/[2] — length() of zero-step paths
+    from teams (no outgoing edges → all 30 at length 0), and length()
+    of a node refusing."""
+    df = execute(nba_space, "MATCH p = (a:team)-[*0..1]->(b) "
+                            "RETURN a, length(p) AS l")
+    ls = [r.l for r in df.collect()]
+    assert len(ls) == 30 and set(ls) == {0}
+    with pytest.raises((ValueError, Exception)):
+        execute(nba_space, "MATCH (n) RETURN length(n)")
+
+
+def test_prune_properties_space_switch(nba_space, student_space):
+    """bugfix/PrunePropertiesError.feature — a USE switch mid-script must
+    not leak the previous space's prop-pruning state into the next
+    MATCH."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(nba_space.spark)
+    cat.spaces["nba"] = nba_space
+    cat.spaces["student"] = student_space
+    execute(cat, "USE student")
+    df = execute(cat, "USE nba; MATCH (u:player) RETURN count(*) AS n")
+    assert [r.n for r in df.collect()] == [56]
