@@ -223,13 +223,14 @@ def q_go_2step(spark: SparkSession, sf: str) -> DataFrame:
         _nk("c", F.col("vid")).alias("vid"))
     placed = sp.edge("placed").select(
         _nk("c", F.col("src")).alias("src"),
-        _nk("o", F.col("dst")).alias("dst"), "rank")
+        _nk("o", F.col("dst")).alias("dst"), "_rank")
     contains = sp.edge("contains").select(
         _nk("o", F.col("src")).alias("src"),
-        _nk("p", F.col("dst")).alias("dst"), "rank")
+        _nk("p", F.col("dst")).alias("dst"), "_rank")
     hop = go([placed, contains], start, 2, 2)
     return dedup(hop.select(_nk_str(F.col("src")).alias("o_key"),
-                            _nk_str(F.col("dst")).alias("p_key"), "rank"))
+                            _nk_str(F.col("dst")).alias("p_key"),
+                            F.col("_rank").alias("rank")))
 
 
 def _cnr_edges(t):
@@ -237,11 +238,11 @@ def _cnr_edges(t):
     e1 = t["customer"].select(
         _nk("c", F.col("c_custkey")).alias("src"),
         _nk("n", F.col("c_nationkey")).alias("dst"),
-        F.lit(0).cast("long").alias("rank"))
+        F.lit(0).cast("long").alias("_rank"))
     e2 = t["nation"].select(
         _nk("n", F.col("n_nationkey")).alias("src"),
         _nk("r", F.col("n_regionkey")).alias("dst"),
-        F.lit(0).cast("long").alias("rank"))
+        F.lit(0).cast("long").alias("_rank"))
     return e1.unionByName(e2)
 
 
@@ -267,8 +268,10 @@ def q_fetch_edges(spark: SparkSession, sf: str) -> DataFrame:
     from nebula_spark.operators import get_edges
     sp = tpch_space(spark, sf)
     e = sp.edge("contains")
-    keys = e.filter((F.col("src") % 50 == 0) & (F.col("rank") <= 2))
-    return get_edges(keys, e).select("src", "dst", "rank", "l_quantity",
+    keys = e.filter((F.col("src") % 50 == 0) & (F.col("_rank") <= 2))
+    return get_edges(keys, e).select("src", "dst",
+                                     F.col("_rank").alias("rank"),
+                                     "l_quantity",
                                      "l_extendedprice")
 
 
@@ -403,13 +406,14 @@ def q_go_1to2(spark: SparkSession, sf: str) -> DataFrame:
         _nk("c", F.col("vid")).alias("vid"))
     placed = sp.edge("placed").select(
         _nk("c", F.col("src")).alias("src"),
-        _nk("o", F.col("dst")).alias("dst"), "rank")
+        _nk("o", F.col("dst")).alias("dst"), "_rank")
     contains = sp.edge("contains").select(
         _nk("o", F.col("src")).alias("src"),
-        _nk("p", F.col("dst")).alias("dst"), "rank")
+        _nk("p", F.col("dst")).alias("dst"), "_rank")
     hop = go([placed, contains], start, 1, 2)
     return hop.select(_nk_str(F.col("src")).alias("src"),
-                      _nk_str(F.col("dst")).alias("dst"), "rank", "step")
+                      _nk_str(F.col("dst")).alias("dst"),
+                      F.col("_rank").alias("rank"), "step")
 
 
 def q_ngql_go_pipe(spark: SparkSession, sf: str) -> DataFrame:
@@ -1267,12 +1271,12 @@ def q_weighted_paths(spark: SparkSession, sf: str) -> DataFrame:
     placed = t["orders"].select(
         _nk("c", F.col("o_custkey")).alias("src"),
         _nk("o", F.col("o_orderkey")).alias("dst"),
-        F.lit(0).cast("long").alias("rank"),
+        F.lit(0).cast("long").alias("_rank"),
         F.col("o_totalprice").cast("double").alias("weight"))
     contains = t["lineitem"].select(
         _nk("o", F.col("l_orderkey")).alias("src"),
         _nk("p", F.col("l_partkey")).alias("dst"),
-        F.col("l_linenumber").cast("long").alias("rank"),
+        F.col("l_linenumber").cast("long").alias("_rank"),
         F.col("l_quantity").cast("double").alias("weight"))
     seeds = t["orders"].filter(F.col("o_custkey") <= 5).select(
         _nk("c", F.col("o_custkey")).alias("vid")).distinct()

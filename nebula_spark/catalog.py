@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 VID = "vid"
 SRC = "src"
 DST = "dst"
-RANK = "rank"
+# The edge-rank KEY column is namespaced `_rank` (the reference's own
+# pseudo-prop spelling, `GO … YIELD E._rank`) so a USER property named
+# `rank` — legal in the reference, InsertEdgeOnDiffParts.feature:15
+# `CREATE EDGE E(rank timestamp …)` — never collides with the key. The
+# reference keeps rank in a separate key namespace entirely
+# (src/common/utils/NebulaKeyUtils.h:13-27); `_rank` is our Spark-column
+# analog of that namespace split.
+RANK = "_rank"
 
 
 @dataclass

@@ -94,8 +94,12 @@ def d_time(s: Column | None = None) -> Column:
                   F.when(ts.isNotNull(), shifted)).otherwise(plain)
 
 
-def d_timestamp(s: Column) -> Column:
-    """timestamp(...) → seconds since epoch (reference Timestamp = int64)."""
+def d_timestamp(s: Column | None = None) -> Column:
+    """timestamp(...) → seconds since epoch (reference Timestamp = int64).
+    Zero-arg = now (TimeUtils::utcTimestamp — InsertEdgeOnDiffParts
+    .feature's `default timestamp()`)."""
+    if s is None:
+        return F.unix_timestamp()
     return F.unix_timestamp(F.to_timestamp(s))
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nebula_spark.catalog import DST, SRC, VID
+from nebula_spark.catalog import DST, RANK, SRC, VID
 from nebula_spark.operators.traverse import (
     BROADCAST_FRONTIER_ROWS, checkpoint_count, oriented,
 )
@@ -90,7 +90,7 @@ def k_hop_subgraph(edges: DataFrame, seeds: DataFrame, steps: int = 1,
         # identity INCLUDES the edge type: a teammate edge parallel to a
         # like edge shares (src, dst, rank) but is a distinct edge
         # (subgraph.feature "subgraph": both Tim↔Manu teammate rows)
-        keys = [SRC, DST, "rank", "_dir"]
+        keys = [SRC, DST, RANK, "_dir"]
         if "_etype" in collected.columns:
             keys.append("_etype")
         collected = collected.dropDuplicates(keys)

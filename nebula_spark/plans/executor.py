@@ -2022,16 +2022,29 @@ def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
     for e in exprs:
         if e is not None:
             _walk(e, {"alias_tag_prop"}, refs)
+    dtypes = None
     for a, t in sorted({(r[1], r[2]) for r in refs}):
-        if a not in tagmap or tagmap.get(a) == t or t not in space.tags:
+        if t not in space.tags or f"{a}___t_{t}__vid" in cur.columns:
             continue
-        if f"{a}___t_{t}__vid" in cur.columns or f"{a}__vid" not in cur.columns:
+        if a in tagmap and tagmap.get(a) != t and f"{a}__vid" in cur.columns:
+            key = cur[f"{a}__vid"]
+        elif a not in tagmap and a in cur.columns:
+            # a plain vid-valued column — `UNWIND nodes(p) AS ua0` then
+            # `ua0.tag.prop` (Attribute1.feature over ngdata): nodes()
+            # yields vids, so attribute access joins the tag back on.
+            # Struct/map/array columns keep the field-chain path in the
+            # resolver (x.b.d on a WITH-bound map)
+            if dtypes is None:
+                dtypes = dict(cur.dtypes)
+            if dtypes[a].startswith(("struct", "map", "array")):
+                continue
+            key = cur[a]
+        else:
             continue
         td = space.tag(t)
         sel = td.select(*[F.col(c).alias(f"{a}___t_{t}__{c}")
                           for c in td.columns])
-        cur = cur.join(
-            sel, cur[f"{a}__vid"] == sel[f"{a}___t_{t}__vid"], "left")
+        cur = cur.join(sel, key == sel[f"{a}___t_{t}__vid"], "left")
     # labels()/tags() must report EVERY tag on the vertex (Vertex.h:62-70;
     # MatchNodeLabelFilter.feature: a :bachelor-bound Tim Duncan is
     # ["bachelor","player"]). Tag binding stores only the declared tag;
@@ -2213,7 +2226,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             .alias("s"),
             F.when(fwd, F.col(f"{ea}__dst")).otherwise(F.col(f"{ea}__src"))
             .alias("d"),
-            F.col(f"{ea}__rank").alias("r"),
+            F.col(f"{ea}___rank").alias("r"),
             F.col(f"{ea}___etype").alias("et"))
 
     def _canon_path(ea: str) -> Column:
@@ -2255,7 +2268,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             eprops = [c for c in e.columns if c not in (SRC, DST, RANK)]
             e = e.select(F.col(SRC).alias(f"{ea}__src"),
                          F.col(DST).alias(f"{ea}__dst"),
-                         F.col(RANK).alias(f"{ea}__rank"),
+                         F.col(RANK).alias(f"{ea}___rank"),
                          *[F.col(c).alias(f"{ea}__{c}") for c in eprops])
             cur = cur.join(e, cur[f"{prev_alias}__vid"] == e[f"{ea}__src"],
                            "inner")
@@ -2264,7 +2277,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             path_parts.append(F.array(F.struct(
                 F.col(f"{ea}__src").alias("s"),
                 F.col(f"{ea}__dst").alias("d"),
-                F.col(f"{ea}__rank").alias("r"),
+                F.col(f"{ea}___rank").alias("r"),
                 F.col(f"{ea}___dir").alias("t"),
                 F.col(f"{ea}___etype").alias("et"),
                 *_part_fields(seg_have, lambda p: F.col(f"{ea}__{p}")))))
@@ -2460,7 +2473,7 @@ def _edge_canon(ea: str) -> Column:
         .alias("s"),
         F.when(fwd, F.col(f"{ea}__dst")).otherwise(F.col(f"{ea}__src"))
         .alias("d"),
-        F.col(f"{ea}__rank").alias("r"),
+        F.col(f"{ea}___rank").alias("r"),
         F.col(f"{ea}___etype").alias("et"))
 
 
@@ -2570,10 +2583,15 @@ def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
         pred = plain[0]
         for p in plain[1:]:
             pred = ("and", pred, p)
-        cur = cur.filter(
-            ExprCompiler(_match_resolver(allb, pbound, cur.columns, tagmap),
-                         df=cur)
-            .col(pred))
+        c = ExprCompiler(_match_resolver(allb, pbound, cur.columns, tagmap),
+                         df=cur).col(pred)
+        # a WHERE that compiles to an untyped NULL (UNKNOWN_PROP access —
+        # `WHERE ua0.tag.nosuchprop`, Attribute1/BugFixWithngdata class)
+        # drops every row in the reference; Spark refuses a VOID filter.
+        # Only the VOID case casts — non-boolean WHEREs keep erroring
+        if cur.select(c.alias("_w")).schema[0].dataType.typeName() == "void":
+            c = c.cast("boolean")
+        cur = cur.filter(c)
     return cur
 
 
@@ -2673,7 +2691,7 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
             fn, alias = args
             if alias not in bound:
                 raise ValueError(f"{alias!r} is not a bound alias")
-            col = {"id": "__vid", "rank": "__rank", "type": "___etype",
+            col = {"id": "__vid", "rank": "___rank", "type": "___etype",
                    "startnode": "__src", "endnode": "__dst",
                    "src": "__src", "dst": "__dst"}.get(fn)
             if col is not None:
@@ -2682,8 +2700,8 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                     and f"{alias}___labels" in columns:
                 return F.col(f"{alias}___labels")
             if fn in ("properties", "props") and columns is not None:
-                skip = {f"{alias}__vid", f"{alias}__src", f"{alias}__dst",
-                        f"{alias}__rank"}
+                skip = {f"{alias}__vid", f"{alias}__src",
+                        f"{alias}__dst"}
                 pc = [c for c in columns
                       if c.startswith(f"{alias}__") and c not in skip
                       and not c.startswith(f"{alias}___")]
@@ -2723,6 +2741,12 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                     # tag joined but prop not in its schema → NULL
                     # (UNKNOWN_PROP semantics)
                     return F.lit(None)
+            if columns is not None and f"{alias}___t_{tag}__vid" in columns:
+                # vid-valued plain column (UNWIND nodes(p) AS a) enriched
+                # by _ensure_tag_props — lazy col, NULL if the prop is
+                # absent from the tag schema (UNKNOWN_PROP semantics)
+                lazy = f"{alias}___t_{tag}__{prop}"
+                return F.col(lazy) if lazy in columns else F.lit(None)
             if columns is not None and f"{alias}__{prop}" not in columns:
                 if alias in columns:
                     # not a graph binding — field chain on a map/struct
@@ -2756,7 +2780,7 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                     # MATCH left it unmatched
                     ident = F.struct(F.col(f"{a}__src").alias("s"),
                                      F.col(f"{a}__dst").alias("d"),
-                                     F.col(f"{a}__rank").alias("r"))
+                                     F.col(f"{a}___rank").alias("r"))
                     return F.when(F.col(f"{a}__src").isNotNull(), ident)
             # bare path alias (`p IS NULL` after OPTIONAL MATCH p = …,
             # LDBC IC10 shape) OR bare var-len edge alias (`RETURN e` for
@@ -3005,7 +3029,7 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 raise ValueError(f"`{a}' binding to different type: "
                                  "Edge vs EdgeList")
             keys += [f"{a}__path"] if pat_list else [
-                f"{a}__src", f"{a}__dst", f"{a}__rank"]
+                f"{a}__src", f"{a}__dst", f"{a}___rank"]
         if keys:
             # pattern side re-binds shared aliases: drop its duplicate
             # prop columns, keep only new ones + keys
@@ -3149,7 +3173,11 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 # predicate delayed to the WITH's WHERE — the reference's
                 # own BI8 rewrite ("where clause with pattern expression
                 # will be delay to next clause", Read.feature:216) — needs
-                # the PatternApply semi/anti join path
+                # the PatternApply semi/anti join path. The WHERE sees
+                # the POST-projection frame, so tag-prop access on a
+                # projected vid column (WITH ua0 WHERE ua0.tag.prop —
+                # Attribute1.feature) re-joins lazily here
+                cur = _ensure_tag_props(space, cur, [cl.where], tagmap)
                 cur = _apply_where(space, cur, cl.where, bound, counter,
                                    pbound, tagmap, ebound)
         elif isinstance(cl, A.UnwindStmt):
@@ -3942,7 +3970,7 @@ def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
     if st.name not in reg:
         raise KeyError(f"no {st.entity} named {st.name!r}")
     d = reg[st.name]
-    skip = {"vid"} if st.entity == "tag" else {"src", "dst", "rank"}
+    skip = {VID} if st.entity == "tag" else {SRC, DST, RANK}
     if d.decl is not None:
         data = [(c, rt, "NO" if c in (d.required or []) else "YES",
                  (d.defaults or {}).get(c),
@@ -4182,11 +4210,24 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
             want = t[len("geography"):].strip("()").upper() or None
             if shape is None or (want and shape != want):
                 raise ValueError("Invalid param!")
-        key_cols = [StructField("vid", vt, False)] \
+        # user props named `rank` are legal (InsertEdgeOnDiffParts
+        # .feature:15) — the key column is namespaced `_rank` so they
+        # never collide. `vid`/`src`/`dst` DO collide with our physical
+        # key columns; the reference's value/key namespaces are separate
+        # (NebulaKeyUtils.h:13-27) so it accepts them — a documented
+        # deviation, refused eagerly here rather than corrupting keys
+        reserved = {VID} if sd.kind == "tag" else {SRC, DST}
+        for colname, _rt in (sd.decl or []):
+            if colname in reserved:
+                raise ValueError(
+                    f"SemanticError: property name `{colname}' collides "
+                    f"with the engine's {sd.kind} key column; rename the "
+                    "property (keys are stored as vid/src/dst columns)")
+        key_cols = [StructField(VID, vt, False)] \
             if sd.kind == "tag" else [
-                StructField("src", vt, False),
-                StructField("dst", vt, False),
-                StructField("rank", LongType(), False)]
+                StructField(SRC, vt, False),
+                StructField(DST, vt, False),
+                StructField(RANK, LongType(), False)]
         schema = StructType(key_cols + list(sd.schema.fields))
         empty = space.spark.createDataFrame([], schema)
         reg0 = space.tags if sd.kind == "tag" else space.edges
@@ -4263,7 +4304,7 @@ def _exec_show_create(space: GraphSpace, st) -> DataFrame:
     if st.name not in reg:
         raise KeyError(f"no {st.entity} named {st.name!r}")
     d = reg[st.name]
-    skip = {"vid"} if st.entity == "tag" else {"src", "dst", "rank"}
+    skip = {VID} if st.entity == "tag" else {SRC, DST, RANK}
     if d.decl:
         cols = d.decl
         nullable = {f.name: f.nullable

@@ -42,17 +42,17 @@ def test_update_partial_props_and_upsert(spark):
 
 def test_delete_edge_by_composite_key(spark):
     e = spark.createDataFrame([("a", "b", 0, 1), ("a", "b", 1, 2), ("a", "c", 0, 3)],
-                              "src string, dst string, rank long, w long")
-    keys = spark.createDataFrame([("a", "b", 1)], "src string, dst string, rank long")
+                              "src string, dst string, _rank long, w long")
+    keys = spark.createDataFrame([("a", "b", 1)], "src string, dst string, _rank long")
     out = delete_rows(e, keys, EDGE_KEY).collect()
-    assert {(r.src, r.dst, r.rank) for r in out} == {("a", "b", 0), ("a", "c", 0)}
+    assert {(r.src, r.dst, r["_rank"]) for r in out} == {("a", "b", 0), ("a", "c", 0)}
 
 
 def test_delete_vertex_cascade(spark):
     tags = {"p": spark.createDataFrame([("v1", 1), ("v2", 2)], "vid string, x long")}
     edges = {"e": spark.createDataFrame(
         [("v1", "v2", 0), ("v2", "v3", 0), ("v3", "v4", 0)],
-        "src string, dst string, rank long")}
+        "src string, dst string, _rank long")}
     vids = spark.createDataFrame([("v2",)], ["vid"])
     nt, ne = delete_vertex_cascade(tags, edges, vids)
     assert [r.vid for r in nt["p"].collect()] == ["v1"]

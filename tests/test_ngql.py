@@ -467,7 +467,7 @@ def test_describe_tag_edge(space):
     assert {"name", "age"} <= fields and "vid" not in fields
     df = execute(space, "DESC EDGE like")
     efields = {r.Field for r in df.collect()}
-    assert "likeness" in efields and not {"src", "dst", "rank"} & efields
+    assert "likeness" in efields and not {"src", "dst", "_rank"} & efields
     with pytest.raises(KeyError):
         execute(space, "DESCRIBE TAG like")   # like is an edge, not a tag
 

@@ -170,11 +170,11 @@ def hub_graph(spark):
     hub = spark.range(40_000).select(
         F.lit("h").alias("src"),
         F.concat(F.lit("d"), F.col("id")).alias("dst"),
-        F.lit(0).alias("rank"))
+        F.lit(0).alias("_rank"))
     bg = spark.range(10_000).select(
         F.concat(F.lit("s"), (F.col("id") % 5_000)).alias("src"),
         F.concat(F.lit("t"), F.col("id")).alias("dst"),
-        F.lit(0).alias("rank"))
+        F.lit(0).alias("_rank"))
     edges = hub.unionByName(bg).localCheckpoint(eager=True)
     frontier = (edges.select(F.col("src").alias("vid")).distinct()
                 .localCheckpoint(eager=True))

@@ -163,7 +163,7 @@ def test_bfs_min_paths_equals_enumerate_prune(spark, edges, direction,
 
     e = spark.createDataFrame(
         [(f"v{s}", f"v{d}", 0) for s, d in edges],
-        "src string, dst string, rank long")
+        "src string, dst string, _rank long")
     starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
 
     got = bfs_min_paths(e, starts, max_hops=max_hops, direction=direction,
@@ -212,7 +212,7 @@ def test_bfs_min_paths_both_finds_triangle_cycle(spark):
 
     e = spark.createDataFrame(
         [("v0", "v1", 0), ("v0", "v2", 0), ("v1", "v2", 0)],
-        "src string, dst string, rank long")
+        "src string, dst string, _rank long")
     starts = spark.createDataFrame([("v0",)], ["vid"])
     got = bfs_min_paths(e, starts, max_hops=3, direction="both").collect()
     cycles = sorted(
@@ -249,7 +249,7 @@ def test_bidir_min_paths_equals_enumerate_prune(spark, edges, direction,
 
     e = spark.createDataFrame(
         [(f"v{s}", f"v{d}", 0) for s, d in edges],
-        "src string, dst string, rank long")
+        "src string, dst string, _rank long")
     starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
     tvids = [f"v{i}" for i in range(n_targets)]   # overlaps sources: diag
     targets = spark.createDataFrame([(t,) for t in tvids], ["vid"])
@@ -305,7 +305,7 @@ def test_bidir_distances_equals_single_direction_bfs(spark, edges,
 
     e = spark.createDataFrame(
         [(f"v{s}", f"v{d}", 0) for s, d in edges],
-        "src string, dst string, rank long")
+        "src string, dst string, _rank long")
     starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
     targets = spark.createDataFrame([("v0",), ("v2",), ("v3",)], ["vid"])
     got = sorted((r.src, r.dst, r.dist) for r in
@@ -341,7 +341,7 @@ def test_all_paths_bidir_equals_forward_enumeration(spark, edges, direction,
 
     e = spark.createDataFrame(
         [(f"v{s}", f"v{d}", 0) for s, d in edges],
-        "src string, dst string, rank long")
+        "src string, dst string, _rank long")
     starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
     targets = spark.createDataFrame([("v0",), ("v2",), ("v3",)], ["vid"])
 

@@ -51,16 +51,16 @@ def nba_space(spark):
     team = _read(spark, "team", ["vid", "name"])
     bachelor = _read(spark, "bachelor", ["vid", "name", "speciality"])
     like = (_read(spark, "like", ["src", "dst", "likeness"])
-            .select("src", "dst", F.lit(0).cast("long").alias("rank"),
+            .select("src", "dst", F.lit(0).cast("long").alias("_rank"),
                     F.col("likeness").cast("long").alias("likeness")))
     serve = (_read(spark, "serve",
                    ["src", "dst", "rank", "start_year", "end_year"])
-             .select("src", "dst", F.col("rank").cast("long").alias("rank"),
+             .select("src", "dst", F.col("rank").cast("long").alias("_rank"),
                      F.col("start_year").cast("long").alias("start_year"),
                      F.col("end_year").cast("long").alias("end_year")))
     teammate = (_read(spark, "teammate",
                       ["src", "dst", "start_year", "end_year"])
-                .select("src", "dst", F.lit(0).cast("long").alias("rank"),
+                .select("src", "dst", F.lit(0).cast("long").alias("_rank"),
                         F.col("start_year").cast("long").alias("start_year"),
                         F.col("end_year").cast("long").alias("end_year")))
     sp = GraphSpace(spark, "nba")
@@ -69,10 +69,10 @@ def nba_space(spark):
     sp.create_tag("bachelor", df=bachelor)
     # storage parity: edge key (src,dst,rank) is unique in the reference's
     # KV layer — like.csv repeats one row, which upserts there
-    sp.create_edge("like", df=like.dropDuplicates(["src", "dst", "rank"]))
-    sp.create_edge("serve", df=serve.dropDuplicates(["src", "dst", "rank"]))
+    sp.create_edge("like", df=like.dropDuplicates(["src", "dst", "_rank"]))
+    sp.create_edge("serve", df=serve.dropDuplicates(["src", "dst", "_rank"]))
     sp.create_edge("teammate",
-                   df=teammate.dropDuplicates(["src", "dst", "rank"]))
+                   df=teammate.dropDuplicates(["src", "dst", "_rank"]))
     return sp
 
 
@@ -1089,7 +1089,8 @@ def test_fetch_edge_struct(nba_space):
     df = execute(nba_space,
                  'FETCH PROP ON serve "Boris Diaw"->"Spurs" YIELD edge as e')
     [r] = df.collect()
-    assert (r.e.src, r.e.dst, r.e.rank, r.e.start_year, r.e.end_year) == \
+    assert (r.e.src, r.e.dst, r.e["_rank"], r.e.start_year,
+            r.e.end_year) == \
         ("Boris Diaw", "Spurs", 0, 2012, 2016)
 
 
@@ -5940,7 +5941,7 @@ def test_fetch_empty_schemas(spark):
         df = execute(cat, 'USE fempty; FETCH PROP ON zero_prop_edge '
                           '"1"->"2" YIELD edge as e')
         [(e,)] = [tuple(r) for r in df.collect()]
-        assert (e.src, e.dst, e.rank) == ("1", "2", 0)
+        assert (e.src, e.dst, e["_rank"]) == ("1", "2", 0)
         for missing in ('"1"->"3"', '"101"->"102"'):
             df = execute(cat, "USE fempty; FETCH PROP ON zero_prop_edge "
                               f"{missing} YIELD edge as e")
@@ -6757,10 +6758,10 @@ def student_space(spark):
         # storage parity: duplicate (src,dst,rank) keys upsert in the
         # reference's KV layer (is_schoolmate.csv repeats three rows)
         return _r(name, ["src", "dst", "start_year", last]).select(
-            "src", "dst", F.lit(0).cast("long").alias("rank"),
+            "src", "dst", F.lit(0).cast("long").alias("_rank"),
             F.col("start_year").cast("long").alias("start_year"),
             F.col(last).cast(typ).alias(last)).dropDuplicates(
-            ["src", "dst", "rank"])
+            ["src", "dst", "_rank"])
     sp = GraphSpace(spark, "student")
     sp.create_tag("person", df=person)
     sp.create_tag("teacher", df=teacher)
@@ -8295,9 +8296,9 @@ def nba_int_space(spark):
         F.col("age").cast("long").alias("age"))
     like = _read(spark, "like", ["src", "dst", "likeness"]).select(
         F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst"),
-        F.lit(0).cast("long").alias("rank"),
+        F.lit(0).cast("long").alias("_rank"),
         F.col("likeness").cast("long").alias("likeness")
-    ).dropDuplicates(["src", "dst", "rank"])
+    ).dropDuplicates(["src", "dst", "_rank"])
     sp = GraphSpace(spark, "nba_int")
     sp.options = {"vid_type": "int64"}
     sp.create_tag("player", df=player)
@@ -8555,3 +8556,52 @@ def test_prune_properties_space_switch(nba_space, student_space):
     execute(cat, "USE student")
     df = execute(cat, "USE nba; MATCH (u:player) RETURN count(*) AS n")
     assert [r.n for r in df.collect()] == [56]
+
+
+def test_insert_edge_prop_named_rank(spark):
+    """insert/InsertEdgeOnDiffParts.feature — a USER edge property named
+    `rank` is legal (the reference keeps rank in a separate key
+    namespace, NebulaKeyUtils.h:13-27; our key column is `_rank`):
+    CREATE EDGE E(rank timestamp default timestamp()) round-trips, the
+    default fires on a zero-prop INSERT, and E.rank reads the PROP."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE diffparts; USE diffparts;
+        CREATE TAG IF NOT EXISTS V();
+        CREATE EDGE IF NOT EXISTS E(rank timestamp default timestamp());
+        INSERT VERTEX V() VALUES "v1":();
+        INSERT VERTEX V() VALUES "v2":();
+        INSERT EDGE E() VALUES "v1"->"v2":()
+    """)
+    df = execute(cat, 'USE diffparts; (GO FROM "v1" over E yield E.rank '
+                      'union GO FROM "v2" over E REVERSELY yield E.rank) '
+                      '| yield count(*) AS count')
+    assert [r["count"] for r in df.collect()] == [1]
+    # the default actually fired: the prop is a non-null timestamp
+    df = execute(cat, 'USE diffparts; FETCH PROP ON E "v1"->"v2" '
+                      'YIELD E.rank AS r')
+    [row] = df.collect()
+    assert row.r is not None
+    # and rank(edge) still reads the KEY (0), not the prop
+    df = execute(cat, 'USE diffparts; FETCH PROP ON E "v1"->"v2" '
+                      'YIELD rank(edge) AS kr, E.rank AS pr')
+    [row] = df.collect()
+    assert row.kr == 0 and row.pr is not None
+
+
+def test_create_prop_colliding_with_key_refused(spark):
+    """Engine-documented deviation: `vid`/`src`/`dst` props collide with
+    the physical key columns and are refused eagerly at CREATE (the
+    reference's separate key namespace accepts them — SURVEY §2.12)."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE keycol; USE keycol")
+    with pytest.raises(ValueError, match="collides"):
+        execute(cat, "USE keycol; CREATE TAG t(vid int)")
+    with pytest.raises(ValueError, match="collides"):
+        execute(cat, "USE keycol; CREATE EDGE e(src int)")
+    with pytest.raises(ValueError, match="collides"):
+        execute(cat, "USE keycol; CREATE EDGE e(dst string)")
+    # `rank` is NOT refused — the key is namespaced `_rank`
+    execute(cat, "USE keycol; CREATE EDGE ok(rank int)")

@@ -94,7 +94,7 @@ def test_append_vertices(nba):
 
 def test_get_edges(nba):
     spark = nba["serve"].sparkSession
-    keys = spark.createDataFrame([("p1", "t1", 1)], ["src", "dst", "rank"])
+    keys = spark.createDataFrame([("p1", "t1", 1)], ["src", "dst", "_rank"])
     got = get_edges(keys, nba["serve"]).collect()
     assert len(got) == 1 and got[0].start_year == 2016
 
@@ -134,7 +134,7 @@ def test_pagerank_chain(spark):
     # a is dangling-source → base 0.15
     from nebula_spark.operators.algo import pagerank
     e = spark.createDataFrame([("a", "b", 0), ("b", "c", 0)],
-                              "src string, dst string, rank long")
+                              "src string, dst string, _rank long")
     r = {x.vid: round(x.rank, 6) for x in pagerank(e, iterations=1).collect()}
     assert r == {"a": 0.15, "b": 1.0, "c": 1.0}
     r2 = {x.vid: round(x.rank, 6)
@@ -155,7 +155,7 @@ def test_weighted_shortest_paths(spark):
         [(1, 3, 0, 10.0), (1, 2, 0, 1.0), (2, 3, 0, 2.0), (3, 4, 0, 1.0),
          (1, 2, 1, 5.0),          # parallel edge, worse weight
          (5, 6, 0, 1.0)],         # disconnected from 1
-        "src long, dst long, rank long, weight double")
+        "src long, dst long, _rank long, weight double")
     src = spark.createDataFrame([(1,)], ["vid"])
     got = {(r.src, r.dst): r.dist
            for r in weighted_shortest_paths(e, src).collect()}
@@ -170,5 +170,5 @@ def test_weighted_shortest_paths(spark):
 
     with pytest.raises(ValueError, match="non-negative"):
         neg = spark.createDataFrame([(1, 2, 0, -1.0)],
-                                    "src long, dst long, rank long, weight double")
+                                    "src long, dst long, _rank long, weight double")
         weighted_shortest_paths(neg, src).collect()
