@@ -523,6 +523,15 @@ class Parser:
         # the analog of ExpressionUtils::rewriteParameter run in the
         # reference's validators
         self.params = params or {}
+        self._depth = 0     # expression-descent guard (see expr())
+        # the guard bounds nesting at the reference's 512
+        # (--max_expression_depth, ExpressionUtils.cpp:21); the
+        # recursive-descent chain costs ~11 Python frames per level, so
+        # give CPython headroom to reach the guard instead of dying with
+        # RecursionError at ~90 levels
+        import sys
+        if sys.getrecursionlimit() < 10000:
+            sys.setrecursionlimit(10000)
 
     # -- token helpers
     def peek(self, k: int = 0) -> Tok:
@@ -1949,6 +1958,22 @@ class Parser:
         """Ternary ``cond ? a : b`` (ConditionalExpression,
         parser.yy expression_conditional) is the lowest-precedence form;
         it lowers to a one-armed CASE."""
+        # descent guard: pathological nesting ("((((…1…))))") must raise
+        # the reference's plan-depth refusal, never RecursionError — the
+        # reference bounds plans at --max_plan_depth 512
+        # (src/graph/optimizer/Optimizer.cpp:25); bison's stack bounds
+        # its parser the same way
+        self._depth += 1
+        if self._depth > 512:
+            self._depth = 0
+            raise SyntaxError("The above expression nesting exceeds "
+                              "max_expression_depth (512)")
+        try:
+            return self._expr_inner()
+        finally:
+            self._depth = max(0, self._depth - 1)
+
+    def _expr_inner(self) -> tuple:
         cond = self.expr_or()
         if self.peek().kind == "QM":
             self.eat("QM")

@@ -433,7 +433,7 @@ def test_dml_edge_update(spark, nba):
     sp.create_edge("serve", df=nba["serve"])
     # parallel edges discriminated by rank (Edge.h ranking)
     execute(sp, 'UPDATE EDGE ON serve "p1"->"t1"@1 SET end_year = 2019')
-    rows = {r.rank: r.end_year
+    rows = {r["_rank"]: r.end_year
             for r in sp.edge("serve").filter("src = 'p1'").collect()}
     assert rows == {0: 2016, 1: 2019}
 

@@ -261,7 +261,7 @@ def test_all_paths_expands_half_depth_from_both_ends(spark, monkeypatch):
     monkeypatch.setattr(P, "traverse", spy)
     e = spark.createDataFrame(
         [("a", "b", 0), ("b", "c", 0), ("c", "d", 0)],
-        "src string, dst string, rank long")
+        "src string, dst string, _rank long")
     src = spark.createDataFrame([("a",)], ["vid"])
     dst = spark.createDataFrame([("d",)], ["vid"])
     got = P.all_paths(e, src, dst, max_hops=6).collect()
@@ -278,7 +278,7 @@ def test_all_paths_conjunct_is_equi_join(spark):
 
     e = spark.createDataFrame(
         [("a", "b", 0), ("b", "c", 0), ("b", "d", 0), ("c", "d", 0)],
-        "src string, dst string, rank long")
+        "src string, dst string, _rank long")
     src = spark.createDataFrame([("a",)], ["vid"])
     dst = spark.createDataFrame([("d",)], ["vid"])
     plan = plan_of(all_paths(e, src, dst, max_hops=4))

@@ -2045,14 +2045,14 @@ def hades_space(spark):
     team = spark.createDataFrame([("Underworld", "Underworld")],
                                  "vid string, name string")
     like = spark.createDataFrame([("Hades", "Hades", 0, 3000)],
-                                 "src string, dst string, rank long, "
+                                 "src string, dst string, _rank long, "
                                  "likeness long")
     teammate = spark.createDataFrame(
         [("Hades", "Hades", 0, 3000, 3000)],
-        "src string, dst string, rank long, start_year long, end_year long")
+        "src string, dst string, _rank long, start_year long, end_year long")
     serve = spark.createDataFrame(
         [("Hades", "Underworld", 0, 0, 99999)],
-        "src string, dst string, rank long, start_year long, end_year long")
+        "src string, dst string, _rank long, start_year long, end_year long")
     sp = GraphSpace(spark, "hades")
     sp.create_tag("player", df=player)
     sp.create_tag("team", df=team)
