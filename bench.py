@@ -43,6 +43,9 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    load_before = os.getloadavg()  # machine-contention evidence (r6: the
+    # recorded artifact drifted +40% over two rounds purely from a busy
+    # box — SCALE.md "Round-7 clean-machine bench re-record")
     spark = get_spark("nebula_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
@@ -82,6 +85,8 @@ def main() -> None:
         "queries_detail": detail,
         "reps": reps,
         "sf": sf_dir,
+        "load_avg_1m": {"before": round(load_before[0], 2),
+                        "after": round(os.getloadavg()[0], 2)},
     }))
 
 

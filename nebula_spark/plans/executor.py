@@ -771,7 +771,15 @@ class ExprCompiler:
                 except _UndefinedAliasError:
                     raise
                 except Exception:  # noqa: BLE001 — id(edge)/src(edge) forms
-                    return _GRAPH_FNS[name]()
+                    try:
+                        return _GRAPH_FNS[name]()
+                    except TypeError:
+                        # id(vertex)/rank(edge) with no binding in scope
+                        # (standalone YIELD — found by fuzzing)
+                        arg = args[0][1] if len(args[0]) > 1 else ""
+                        raise ValueError(
+                            f"SemanticError: `{name}({arg})' is "
+                            "not a valid expression") from None
             if args:
                 # computed argument — id(nodes(p)[0]), rank(e[0]),
                 # src(relationships(p)[i]): a computed edge value is the
@@ -785,7 +793,15 @@ class ExprCompiler:
                     return _GRAPH_FNS[name](c)
                 except TypeError:
                     pass                  # zero-arg forms (src()/dst())
-            return _GRAPH_FNS[name]()
+            try:
+                return _GRAPH_FNS[name]()
+            except TypeError:
+                # id()/rank() etc. with no binding in scope — a
+                # standalone-YIELD context has no vertex/edge value
+                # (FunctionManager signature check; found by fuzzing)
+                raise ValueError(
+                    f"SemanticError: `{name}()' is not a valid "
+                    "expression") from None
         if name == "exists" and len(args) == 1:
             # exists(v.tag.prop) — property existence (the pattern form was
             # already consumed by the parser's backtrack)
@@ -4456,17 +4472,30 @@ def execute(space: GraphSpace | SpaceCatalog, query: str,
                        formatted=not fmt.startswith("dot"))
         return cat.spark.createDataFrame([(plan,)], ["plan"])
     node = A.parse(query, params)
-    if isinstance(node, A.Script):
-        # sequential statements sharing a variable table (the
-        # ExecutionContext analog); the script's value is the last result
-        env: dict[str, DataFrame] = {}
-        df: DataFrame | None = None
-        for var, stmt in node.statements:
-            df = _space_level(cat, stmt)
-            if df is None:
-                df = _execute_node(cat.current(), stmt, env)
-            if var is not None:
-                env[var] = df
-        return df
-    df = _space_level(cat, node)
-    return df if df is not None else _execute_node(cat.current(), node)
+    try:
+        if isinstance(node, A.Script):
+            # sequential statements sharing a variable table (the
+            # ExecutionContext analog); the script's value is the last
+            # result
+            env: dict[str, DataFrame] = {}
+            df: DataFrame | None = None
+            for var, stmt in node.statements:
+                df = _space_level(cat, stmt)
+                if df is None:
+                    df = _execute_node(cat.current(), stmt, env)
+                if var is not None:
+                    env[var] = df
+            return df
+        df = _space_level(cat, node)
+        return df if df is not None else _execute_node(cat.current(), node)
+    except Exception as ex:
+        # Catalyst analysis failures on plan build (unresolved column
+        # from a misspelled prop, a field-extract on a scalar, a
+        # non-boolean filter…) are the reference's SemanticError class
+        # (Validator status), not an engine traceback — re-raise in the
+        # refusal class the goldens pin, keeping Spark's message
+        from pyspark.errors.exceptions.base import AnalysisException
+        if isinstance(ex, AnalysisException):
+            raise ValueError(
+                f"SemanticError: {str(ex).splitlines()[0]}") from None
+        raise

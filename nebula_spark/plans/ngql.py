@@ -1950,6 +1950,13 @@ class Parser:
                 direction = "both"
         else:
             self.eat("MINUS")
+        if mn > mx:
+            # the reference refuses an inverted range at validation
+            # (MatchValidator::validateStepRange,
+            # MatchValidator.cpp:574-580) — left unchecked it crashed
+            # the traversal with a NoneType frame (found by fuzzing)
+            raise ValueError("Max hop must be greater equal than min "
+                             f"hop: {mx} vs. {mn}")
         return MatchEdge(alias, types, direction, mn, mx, props,
                          var_len=var_len)
 

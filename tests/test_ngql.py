@@ -614,3 +614,72 @@ def test_multi_space_script(spark):
     # s2 survives untouched
     assert execute(cat, "USE s2; LOOKUP ON player "
                         "YIELD player.name AS n").count() == 2
+
+
+def test_fuzz_found_refusals(space):
+    """Round-7 executor-fuzz regressions: every one of these previously
+    escaped as a Python/JVM traceback; all must raise the controlled
+    refusal classes with reference-style phrasing."""
+    # zero-arg graph fn with no binding in scope (was TypeError)
+    with pytest.raises(ValueError, match="not a valid expression"):
+        execute(space, "YIELD [x IN [1,2,id(vertex)] WHERE x > 1 | x] AS l")
+    # unresolved prop in a WITH projection (was AnalysisException)
+    with pytest.raises(ValueError, match="SemanticError"):
+        execute(space, "MATCH (v) WHERE v.player.age > 3 "
+                       "WITH v.playername AS n RETURN collect(n)")
+    # undefined alias in WHERE (was AnalysisException)
+    with pytest.raises(ValueError, match="SemanticError"):
+        execute(space, "MATCH (v) WHERE vv.player.age > 3 RETURN v")
+
+
+def test_executor_fuzz_smoke(space):
+    """Deterministic executor-level fuzz smoke (the round-7 manual probe,
+    pinned): mutate valid statements, execute every one that parses, and
+    require the controlled refusal classes — plan-build time Catalyst
+    errors surface as SemanticError ValueErrors, never raw tracebacks."""
+    import random
+    import re as _re
+    rnd = random.Random(20260815)
+    corpus = [
+        'GO FROM "p1" OVER like YIELD like._dst AS d',
+        'FETCH PROP ON player "p1" YIELD player.name AS n',
+        'LOOKUP ON player WHERE player.age > 3 YIELD id(vertex) as v',
+        "MATCH (v:player)-[e:like*1..2]->(w) RETURN v, count(*)",
+        "MATCH (v) WHERE v.player.age > 3 WITH v.player.name AS n "
+        "RETURN collect(n)",
+        "YIELD [x IN [1,2,3] WHERE x > 1 | x + 1] AS l",
+        "UNWIND [1, 2, NULL] AS u RETURN u",
+        'GO FROM "p1" OVER like YIELD dst(edge) AS d '
+        '| GO FROM $-.d OVER like YIELD like._dst',
+    ]
+    pool = ["age", "name", "player", "like", "p1", "$-.d", "id(vertex)",
+            "dst(edge)", "rank(edge)", "*", "0", "NULL", "count(*)",
+            "edge", "vertex", "path"]
+    from nebula_spark.plans import ngql as A
+    executed = 0
+    for _ in range(120):
+        q = rnd.choice(corpus)
+        toks = _re.findall(r"\s+|\w+|.", q)
+        i = rnd.randrange(len(toks))
+        mode = rnd.randrange(4)
+        if mode == 0:
+            toks = toks[:i] + toks[i + 1:]
+        elif mode == 1:
+            j = rnd.randrange(len(toks))
+            toks[i], toks[j] = toks[j], toks[i]
+        elif mode == 2:
+            toks[i] = rnd.choice(pool)
+        else:
+            toks = toks[:i] + [" ", rnd.choice(pool), " "] + toks[i:]
+        q2 = "".join(toks)
+        try:
+            A.parse(q2)
+        except (SyntaxError, ValueError, KeyError):
+            continue
+        try:
+            execute(space, q2)       # plan build — no job needed to
+            executed += 1            # surface the analysis-error class
+        except (ValueError, KeyError, SyntaxError):
+            executed += 1
+        # anything else (TypeError, AttributeError, raw Py4J…) fails
+    assert executed > 20             # the corpus must actually exercise

@@ -157,3 +157,16 @@ def test_deep_nesting_bounded():
               "YIELD " + "NOT " * 400 + "true",
               "MATCH " + "(a)-->" * 150 + "(b) RETURN 1"):
         _try_parse(q)
+
+
+def test_inverted_hop_range_refused():
+    """Fuzz-found: `[e*11..2]` crashed the traversal with a NoneType
+    frame; the reference refuses at validation
+    (MatchValidator::validateStepRange, MatchValidator.cpp:574-580)."""
+    import pytest
+    with pytest.raises(ValueError, match="Max hop must be greater equal"):
+        A.parse("MATCH (v)-[e:like*11..2]->(w) RETURN v")
+    with pytest.raises(ValueError, match="Max hop"):
+        A.parse("MATCH p = (a)-[*3..1]-(b) RETURN p")
+    # equal bounds stay legal
+    A.parse("MATCH (v)-[e*2..2]->(w) RETURN v")
