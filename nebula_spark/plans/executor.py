@@ -2609,11 +2609,13 @@ def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
             pred = ("and", pred, p)
         c = ExprCompiler(_match_resolver(allb, pbound, cur.columns, tagmap),
                          df=cur).col(pred)
-        # a WHERE that compiles to an untyped NULL (UNKNOWN_PROP access —
-        # `WHERE ua0.tag.nosuchprop`, Attribute1/BugFixWithngdata class)
-        # drops every row in the reference; Spark refuses a VOID filter.
-        # Only the VOID case casts — non-boolean WHEREs keep erroring
-        if cur.select(c.alias("_w")).schema[0].dataType.typeName() == "void":
+        # a WHERE that compiles to a bare untyped NULL at the root
+        # (UNKNOWN_PROP access — `WHERE ua0.tag.nosuchprop`,
+        # Attribute1/BugFixWithngdata class) drops every row in the
+        # reference; Spark refuses a VOID filter. The root-literal check
+        # is string-cheap — no analysis pass — and NULL nested under
+        # boolean operators types itself
+        if str(c) == "Column<'NULL'>":
             c = c.cast("boolean")
         cur = cur.filter(c)
     return cur
