@@ -1982,6 +1982,13 @@ def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
 
 
 def _exec_group_by(st: A.GroupByStmt, piped: DataFrame) -> DataFrame:
+    if piped is None:
+        # standalone GROUP BY — the reference's input-prop refusal
+        # (GroupByValidator: $-.x with no input; found by fuzzing)
+        ref = st.keys[0] if st.keys else None
+        name = ref[1] if isinstance(ref, tuple) and len(ref) > 1 else "?"
+        raise ValueError(f"`$-.{name}', not exist prop `{name}'")
+
     def resolve(kind, *args):
         if kind in ("input_prop", "name"):
             return F.col(args[0])
@@ -3491,6 +3498,13 @@ def _eval_const_exprs(space: GraphSpace, data: list, cols: list[str],
 
 def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
     from nebula_spark.operators.mutate import insert_rows
+    # every VALUES row must carry exactly len(props) values — the
+    # reference's MutateValidator refusal (MutateValidator.cpp:105,224;
+    # found by fuzzing: a short row crashed with IndexError)
+    for r in st.rows:
+        vals = r[3] if st.is_edge else r[1]
+        if len(vals) != len(st.props):
+            raise ValueError("Column count doesn't match value count.")
     table = space.edge(st.name) if st.is_edge else space.tag(st.name)
     if st.is_edge:
         data = [(r[0], r[1], r[2], *r[3]) for r in st.rows]

@@ -683,3 +683,17 @@ def test_executor_fuzz_smoke(space):
             executed += 1
         # anything else (TypeError, AttributeError, raw Py4J…) fails
     assert executed > 20             # the corpus must actually exercise
+
+
+def test_fuzz_found_refusals_dml(spark, nba):
+    """Round-7 fuzz batch 2: INSERT value-count mismatch crashed with
+    IndexError (reference: MutateValidator.cpp:105,224), standalone
+    GROUP BY crashed with NoneType.groupBy."""
+    sp = GraphSpace(spark, "fzdml")
+    sp.create_tag("player", df=nba["player"])
+    with pytest.raises(ValueError, match="Column count doesn't match"):
+        execute(sp, 'INSERT VERTEX player(name, age) VALUES "p9":("Z")')
+    with pytest.raises(ValueError, match="Column count doesn't match"):
+        execute(sp, 'INSERT VERTEX player(name) VALUES "p9":("Z", 1, 2)')
+    with pytest.raises(ValueError, match="not exist prop"):
+        execute(sp, "GROUP BY $-.d YIELD $-.d, count(*) AS c")
