@@ -59,10 +59,13 @@ class TagDef:
 
 @dataclass
 class EdgeDef:
-    """An edge type: ``(src, dst, rank)`` key + typed property columns.
+    """An edge type: ``(src, dst, _rank)`` key + typed property columns.
 
-    ``rank`` discriminates parallel edges (``src/common/datatypes/Edge.h:16-23``)
-    and is part of edge identity everywhere (joins, path-uniqueness filters).
+    ``_rank`` (namespaced so user props named ``rank`` never collide —
+    the reference keeps rank in a separate key namespace,
+    ``NebulaKeyUtils.h:13-27``) discriminates parallel edges
+    (``src/common/datatypes/Edge.h:16-23``) and is part of edge identity
+    everywhere (joins, path-uniqueness filters).
     """
 
     name: str
@@ -134,7 +137,7 @@ class GraphSpace:
         return self._load(self.tags[name])
 
     def edge(self, name: str) -> DataFrame:
-        """Edge table: ``src, dst, rank`` + props."""
+        """Edge table: ``src, dst, _rank`` + props."""
         return self._load(self.edges[name])
 
     # -- admin / meta surface (SURVEY.md §2.12) ----------------------------

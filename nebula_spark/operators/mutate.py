@@ -11,7 +11,7 @@ each mutation produces the NEW full table DataFrame (pure function), and
 ``commit_table`` atomically swaps the parquet directory (write temp +
 rename). On a Delta-enabled cluster the same call sites map 1:1 to
 ``MERGE INTO`` / ``DELETE FROM`` — the API is the contract, the sink is
-pluggable. Keys: vertices by ``vid``, edges by ``(src, dst, rank)``.
+pluggable. Keys: vertices by ``vid``, edges by ``(src, dst, _rank)``.
 
 Scale note: upsert/delete are anti/outer joins on the key — shuffle on the
 key, same co-location as every other traversal op; at 100 TB you'd bucket

@@ -104,7 +104,7 @@ def get_neighbors(vids: DataFrame, edges: DataFrame, direction: str = "out",
                   dedup_frontier: bool = True) -> DataFrame:
     """One hop from a vid set: the GetNeighbors RPC as a join.
 
-    Returns edge rows oriented origin→neighbor (columns src, dst, rank,
+    Returns edge rows oriented origin→neighbor (columns src, dst, _rank,
     props…, _dir). Pushdown parity with storage.thrift:128-166:
     ``edge_filter`` applies before the join (reaches the parquet scan);
     ``limit_per_vertex`` (+ optional ``order_per_vertex``) reproduces the
@@ -371,7 +371,7 @@ def append_vertices(df: DataFrame, tag: DataFrame, on_col: str = DST,
 
 
 def get_edges(keys: DataFrame, edges: DataFrame) -> DataFrame:
-    """GetEdges (kGetEdges): fetch edge props for (src, dst, rank) keys.
+    """GetEdges (kGetEdges): fetch edge props for (src, dst, _rank) keys.
 
     Reference: GetEdgesExecutor.cpp:1-112. Composite-key equi join; the key
     set is typically tiny → broadcast.

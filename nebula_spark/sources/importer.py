@@ -65,7 +65,7 @@ def read_edge_csv(spark: SparkSession, path: str, edge: SchemaDef,
                   rank_index: int | None = None,
                   prop_indexes: list[int] | None = None,
                   with_header: bool = True) -> DataFrame:
-    """Edge rows: (src, dst, rank, props…); missing rank column → rank 0
+    """Edge rows: (src, dst, _rank, props…); missing rank column → rank 0
     (the reference's default ranking)."""
     props = edge.schema.fields
     first_prop = (rank_index + 1 if rank_index is not None
