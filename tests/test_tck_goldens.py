@@ -8605,3 +8605,35 @@ def test_create_prop_colliding_with_key_refused(spark):
         execute(cat, "USE keycol; CREATE EDGE e(dst string)")
     # `rank` is NOT refused — the key is namespaced `_rank`
     execute(cat, "USE keycol; CREATE EDGE ok(rank int)")
+
+
+def test_rank_pseudo_prop_and_user_prop_namespaces(spark):
+    """Round-7 rank-namespace pins: after the `_rank` key rename, the
+    GO/FETCH/LOOKUP `E._rank/_src/_dst/_type` pseudo-props keep reading
+    the KEY, while a MATCH edge alias's `.rank` reads the USER prop,
+    `rank(e)` the key, and `properties(e)` includes the user prop and
+    excludes every key (NebulaKeyUtils.h:13-27 namespace split)."""
+    like = spark.createDataFrame(
+        [("p1", "p2", 0, 80, 5), ("p2", "p3", 1, 70, 9)],
+        "src string, dst string, _rank long, likeness long, rank long")
+    sp = GraphSpace(spark, "rankns")
+    sp.create_tag("player", df=spark.createDataFrame(
+        [("p1", "T"), ("p2", "U"), ("p3", "V")],
+        "vid string, name string"))
+    sp.create_edge("like", df=like)
+    df = execute(sp, 'GO FROM "p1" OVER like YIELD like._rank AS r, '
+                     "like._src AS s, like._dst AS d, like._type AS t, "
+                     "like.rank AS pr")
+    assert rows(df, "r", "s", "d", "t", "pr") == [("p1", "p2", 0, "like", 5)] \
+        or [tuple(x) for x in df.collect()] == [(0, "p1", "p2", "like", 5)]
+    df = execute(sp, 'FETCH PROP ON like "p2"->"p3"@1 YIELD like._rank '
+                     "AS kr, like.rank AS pr")
+    assert [tuple(x) for x in df.collect()] == [(1, 9)]
+    df = execute(sp, "MATCH (a)-[e:like]->(b) RETURN e.rank AS pr, "
+                     "rank(e) AS kr ORDER BY pr")
+    assert [tuple(x) for x in df.collect()] == [(5, 0), (9, 1)]
+    [m1, m2] = [r.m.asDict() for r in execute(
+        sp, "MATCH (a)-[e:like]->(b) RETURN properties(e) AS m "
+            "ORDER BY e.rank").collect()]
+    assert m1 == {"likeness": 80, "rank": 5}
+    assert m2 == {"likeness": 70, "rank": 9}
