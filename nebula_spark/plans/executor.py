@@ -841,6 +841,31 @@ class ExprCompiler:
 
 # --------------------------------------------------------------------------
 
+def _eval_const_vids(space: GraphSpace, vals: list) -> list:
+    """Evaluate ("__const_expr__", text) markers — constant function-call
+    vids like ``hash("Tim Duncan")`` (parser.yy vid :
+    function_call_expression; GO/FETCH/DELETE IntVid features) — in ONE
+    ``range(1)`` probe job for every distinct expression of the
+    statement."""
+    texts = []                           # distinct, first-occurrence order
+    for v in vals:
+        if isinstance(v, tuple) and len(v) == 2 \
+                and v[0] == "__const_expr__" and v[1] not in texts:
+            texts.append(v[1])
+    if not texts:
+        return list(vals)
+
+    def _refuse(*_a):
+        raise ValueError("non-constant vid expression")
+    row = space.spark.range(1).select(
+        *[ExprCompiler(_refuse).col(
+            A.Parser(A.tokenize(str(t))).expr()).alias(f"_c{j}")
+          for j, t in enumerate(texts)]).collect()[0]
+    m = {t: row[f"_c{j}"] for j, t in enumerate(texts)}
+    return [m[v[1]] if isinstance(v, tuple) and len(v) == 2
+            and v[0] == "__const_expr__" else v for v in vals]
+
+
 def _vid_frame(space: GraphSpace, vids, piped: DataFrame | None,
                src_col: str | None,
                env: dict[str, DataFrame] | None = None) -> DataFrame:
@@ -874,23 +899,7 @@ def _vid_frame(space: GraphSpace, vids, piped: DataFrame | None,
         # constant function-call vids — `GO FROM hash("Boris Diaw")`
         # (parser.yy vid : function_call_expression) — evaluate once on
         # the driver through the expression pipeline
-        def _refuse(*_a):
-            raise ValueError("non-constant vid expression")
-        texts = []                       # distinct, first-occurrence order
-        for v in vids:
-            if isinstance(v, tuple) and len(v) == 2 \
-                    and v[0] == "__const_expr__" and v[1] not in texts:
-                texts.append(v[1])
-        # ONE probe job for every distinct const vid of the statement
-        # (r6 verdict: N distinct exprs paid N driver round-trips)
-        row = space.spark.range(1).select(
-            *[ExprCompiler(_refuse).col(
-                A.Parser(A.tokenize(str(t))).expr()).alias(f"_c{j}")
-              for j, t in enumerate(texts)]).collect()[0]
-        vals = {t: row[f"_c{j}"] for j, t in enumerate(texts)}
-        vids = [vals[v[1]] if isinstance(v, tuple) and len(v) == 2
-                and v[0] == "__const_expr__" else v
-                for v in vids]
+        vids = _eval_const_vids(space, vids)
     return space.spark.createDataFrame([(v,) for v in vids], [VID])
 
 
@@ -3861,9 +3870,13 @@ def _exec_delete(space: GraphSpace, st: A.DeleteStmt,
                  if st.rank_col else F.lit(0)).cast("long").alias(RANK))
             keys_df = _cast_like(keys_df, table)
         else:
-            _check_vid_len(space, [v for k in st.keys for v in k[:2]])
+            flat = _eval_const_vids(space,
+                                    [v for k in st.keys for v in k[:2]])
+            keys = [(flat[2 * i], flat[2 * i + 1], k[2])
+                    for i, k in enumerate(st.keys)]
+            _check_vid_len(space, [v for k in keys for v in k[:2]])
             keys_df = _cast_like(
-                space.spark.createDataFrame(st.keys, [SRC, DST, RANK]),
+                space.spark.createDataFrame(keys, [SRC, DST, RANK]),
                 table)
         _rebind(space, st.name, True,
                 delete_rows(table, keys_df, [SRC, DST, RANK]))
@@ -3875,8 +3888,9 @@ def _exec_delete(space: GraphSpace, st: A.DeleteStmt,
             _delete_ref_col(space, st, st.src_col, piped, env, "vid")
             .alias(VID))
     else:
-        _check_vid_len(space, list(st.keys))
-        vids = space.spark.createDataFrame([(v,) for v in st.keys], [VID])
+        keys = _eval_const_vids(space, list(st.keys))
+        _check_vid_len(space, keys)
+        vids = space.spark.createDataFrame([(v,) for v in keys], [VID])
     if st.kind == "tag":
         # DELETE TAG <names|*> FROM … (DeleteTagsSentence
         # MutateSentences.h:564-580): drop the tag rows only — the vertex

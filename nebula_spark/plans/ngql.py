@@ -1098,6 +1098,18 @@ class Parser:
             raise ValueError(
                 f"`{''.join(parts)}' is not an evaluable expression.")
 
+    def _delete_edge_key(self) -> tuple:
+        """DELETE EDGE key: src->dst[@rank] where src/dst take literals
+        or CONST calls (hash("…") — DeleteEdge.IntVid.feature:79)."""
+        src = self._vid_value()
+        self.eat("ARROW_R")
+        dst = self._vid_value()
+        rank = 0
+        if self.peek().kind == "AT":
+            self.eat("AT")
+            rank = self.literal()
+        return (src, dst, rank)
+
     def _delete_vid_ref(self) -> tuple[str, str]:
         """A single ``$-.col`` / ``$var.col`` vid reference."""
         t = self.peek()
@@ -1123,20 +1135,21 @@ class Parser:
                     self.eat("COMMA")
                     tags.append(self.name())
             self.eat_kw("from")
-            self._refuse_unevaluable()
             if self.peek().kind in ("PIPE_REF", "VAR_REF"):
                 var, col = self._delete_vid_ref()
                 return DeleteStmt("tag", None, [], tags=tags,
                                   var=var, src_col=col)
-            keys = [self.literal()]
+            # _vid_value: literals and CONST calls (hash("…") —
+            # DeleteTag.IntVid.feature:34); a call reading runtime
+            # input stays the evaluable-expression refusal
+            keys = [self._vid_value()]
             while self.peek().kind == "COMMA":
                 self.eat("COMMA")
-                keys.append(self.literal())
+                keys.append(self._vid_value())
             return DeleteStmt("tag", None, keys, tags=tags)
         kind = self._entity_kw()
         if kind == "edge":
             name = self.name()
-            self._refuse_unevaluable()
             if self.peek().kind in ("PIPE_REF", "VAR_REF"):
                 # DELETE EDGE e $-.src -> $-.dst [@ $-.rank]
                 # (edge_key_ref parser.yy; DeleteEdge.feature:197)
@@ -1151,12 +1164,11 @@ class Parser:
                 return DeleteStmt("edge", name, [], var=var,
                                   src_col=src_col, dst_col=dst_col,
                                   rank_col=rank_col)
-            keys = [self._edge_key()]
+            keys = [self._delete_edge_key()]
             while self.peek().kind == "COMMA":
                 self.eat("COMMA")
-                keys.append(self._edge_key())
+                keys.append(self._delete_edge_key())
             return DeleteStmt("edge", name, keys)
-        self._refuse_unevaluable()
         if self.peek().kind in ("PIPE_REF", "VAR_REF"):
             # DELETE VERTEX $-.id / $var.id [WITH EDGE]
             # (vid_ref_expression parser.yy:3297-3318)
@@ -1170,10 +1182,10 @@ class Parser:
                 with_edge = True
             return DeleteStmt("vertex", None, [], with_edge,
                               var=var, src_col=col)
-        keys = [self.literal()]
+        keys = [self._vid_value()]
         while self.peek().kind == "COMMA":
             self.eat("COMMA")
-            keys.append(self.literal())
+            keys.append(self._vid_value())
         with_edge = False
         if self.try_kw("with"):
             t = self.eat("NAME")
@@ -1437,14 +1449,18 @@ class Parser:
                 self.eat("COMMA")
                 names.append(self.name())
         if self.peek().kind in ("STRING", "INT", "PIPE_INPUT", "PIPE_REF",
-                                "VAR_REF", "FLOAT", "MINUS"):
+                                "VAR_REF", "FLOAT", "MINUS") or \
+                (self.peek().kind == "NAME"
+                 and self.peek(1).kind == "LP"):
             # vertex form unless "src -> dst" follows (edge fetch is
-            # always a single edge type)
+            # always a single edge type); NAME+LP is a constant
+            # function-call vid — FETCH PROP ON player hash("…")
+            # (DeleteTag.IntVid.feature, parser.yy vid)
             save = self.i
             if len(names) == 1 and names[0] != "*" and \
                     self.peek().kind not in ("PIPE_INPUT", "PIPE_REF",
                                              "VAR_REF"):
-                self.literal()
+                self._vid_value()
                 if self.peek().kind in ("ARROW_R", "AT"):
                     self.i = save
                     return self.fetch_edges_tail(names[0])
@@ -1491,9 +1507,9 @@ class Parser:
                                   var, src_col, dst_col)
         keys = []
         while True:
-            src = self.literal()
+            src = self._vid_value()
             self.eat("ARROW_R")
-            dst = self.literal()
+            dst = self._vid_value()
             rank = 0                     # src->dst@rank; @ defaults to 0
             if self.peek().kind == "AT":
                 self.eat("AT")

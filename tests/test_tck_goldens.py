@@ -8299,9 +8299,12 @@ def nba_int_space(spark):
         F.lit(0).cast("long").alias("_rank"),
         F.col("likeness").cast("long").alias("likeness")
     ).dropDuplicates(["src", "dst", "_rank"])
+    bachelor = _read(spark, "bachelor", ["vid", "name", "speciality"]) \
+        .select(F.xxhash64("vid").alias("vid"), "name", "speciality")
     sp = GraphSpace(spark, "nba_int")
     sp.options = {"vid_type": "int64"}
     sp.create_tag("player", df=player)
+    sp.create_tag("bachelor", df=bachelor)
     sp.create_edge("like", df=like)
     return sp
 
@@ -8637,3 +8640,33 @@ def test_rank_pseudo_prop_and_user_prop_namespaces(spark):
             "ORDER BY e.rank").collect()]
     assert m1 == {"likeness": 80, "rank": 5}
     assert m2 == {"likeness": 70, "rank": 9}
+
+
+def test_delete_int_vid_tag(nba_int_space):
+    """DeleteTag.IntVid.feature "delete int vid one vertex one tag" —
+    hash("…") const-call keys; the vertex survives via bachelor with an
+    EMPTY player row; LOOKUP stops finding it."""
+    sp = nba_int_space
+    df = execute(sp, 'FETCH PROP ON player hash("Tim Duncan") '
+                     'YIELD player.name AS n, player.age AS a')
+    assert rows(df, "n", "a") == [("Tim Duncan", 42)]
+    execute(sp, 'DELETE TAG player FROM hash("Tim Duncan");')
+    df = execute(sp, 'FETCH PROP ON player hash("Tim Duncan") '
+                     'YIELD player.name AS n, player.age AS a')
+    assert rows(df, "n", "a") == [(None, None)]
+    df = execute(sp, 'FETCH PROP ON bachelor hash("Tim Duncan") YIELD '
+                     'bachelor.name AS n, bachelor.speciality AS s')
+    assert rows(df, "n", "s") == [("Tim Duncan", "psychology")]
+    assert execute(sp, 'LOOKUP ON player WHERE player.name == '
+                       '"Tim Duncan" YIELD id(vertex) as id').count() == 0
+
+
+def test_delete_int_vid_tag_multiple(nba_int_space):
+    """DeleteTag.IntVid.feature "delete int vid one vertex multiple tag"
+    — deleting every tag removes the vertex entirely."""
+    sp = nba_int_space
+    execute(sp, 'DELETE TAG player, bachelor FROM hash("Tim Duncan");')
+    assert execute(sp, 'FETCH PROP ON player hash("Tim Duncan") '
+                       'YIELD player.name AS n').count() == 0
+    assert execute(sp, 'FETCH PROP ON bachelor hash("Tim Duncan") '
+                       'YIELD bachelor.name AS n').count() == 0
