@@ -1349,8 +1349,11 @@ def _exec_fetch_edges(space: GraphSpace, st: A.FetchEdgesStmt,
                             F.lit(0).cast("long").alias(RANK),
                             F.col(st.key_dst_col).alias(DST))
     else:
+        flat = _eval_const_vids(space,
+                                [v for s, r, d in st.keys for v in (s, d)])
         kdf = space.spark.createDataFrame(
-            [(s, int(r), d) for s, r, d in st.keys], [SRC, RANK, DST])
+            [(flat[2 * i], int(k[1]), flat[2 * i + 1])
+             for i, k in enumerate(st.keys)], [SRC, RANK, DST])
     out = kdf.join(e, [SRC, DST, RANK], "inner")
     eprops = [c for c in e.columns if c not in (SRC, DST, RANK)]
 
@@ -3515,16 +3518,24 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
         if len(vals) != len(st.props):
             raise ValueError("Column count doesn't match value count.")
     table = space.edge(st.name) if st.is_edge else space.tag(st.name)
+    # const function-call keys — INSERT … VALUES hash("Tom"):(…)
+    # (Insert.IntVid.feature) — resolve in one probe job
     if st.is_edge:
-        data = [(r[0], r[1], r[2], *r[3]) for r in st.rows]
+        flat = _eval_const_vids(space,
+                                [v for r in st.rows for v in r[:2]])
+        st_rows = [(flat[2 * i], flat[2 * i + 1], r[2], r[3])
+                   for i, r in enumerate(st.rows)]
+        data = [(r[0], r[1], r[2], *r[3]) for r in st_rows]
         cols = [SRC, DST, RANK, *st.props]
         key = [SRC, DST, RANK]
-        _check_vid_len(space, [v for r in st.rows for v in (r[0], r[1])])
+        _check_vid_len(space, [v for r in st_rows for v in (r[0], r[1])])
     else:
-        data = [(r[0], *r[1]) for r in st.rows]
+        vks = _eval_const_vids(space, [r[0] for r in st.rows])
+        st_rows = [(k, r[1]) for k, r in zip(vks, st.rows)]
+        data = [(r[0], *r[1]) for r in st_rows]
         cols = [VID, *st.props]
         key = [VID]
-        _check_vid_len(space, [r[0] for r in st.rows])
+        _check_vid_len(space, [r[0] for r in st_rows])
     # within-statement duplicate keys: VALUES apply in order against the
     # unique KV key, so IF NOT EXISTS keeps the FIRST occurrence and plain
     # INSERT keeps the LAST (InsertIfNotExists.feature "Conan" rows)
@@ -3723,10 +3734,14 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt,
                 .alias(VID))
         keys_df = _cast_like(keys_df.distinct(), table)
     else:
-        _check_vid_len(space, [v for k in st.keys for v in
-                               (k[:2] if st.is_edge else k[:1])])
+        nk = 2 if st.is_edge else 1
+        flat = _eval_const_vids(space,
+                                [v for k in st.keys for v in k[:nk]])
+        ukeys = [(*flat[nk * i:nk * i + nk], *k[nk:])
+                 for i, k in enumerate(st.keys)]
+        _check_vid_len(space, [v for k in ukeys for v in k[:nk]])
         keys_df = _cast_like(
-            space.spark.createDataFrame(st.keys, key), table)
+            space.spark.createDataFrame(ukeys, key), table)
     # SET expressions evaluate against the stored row (UpdateExecutor
     # read-modify-write). UPSERT initializes a MISSING key's props from
     # the schema DEFAULTS (UpdateNode.h:84), so later SET exprs read them

@@ -937,13 +937,18 @@ class Parser:
         return w
 
     def _edge_key(self) -> tuple:
-        src = self.literal()
+        # src/dst take literals or CONST calls — `hash("Zhangsan")`
+        # (Insert/Update/DeleteEdge IntVid features; parser.yy vid)
+        src = self._vid_value()
         self.eat("ARROW_R")
-        dst = self.literal()
+        dst = self._vid_value()
         rank = 0
         if self.peek().kind == "AT":
             self.eat("AT")
+            neg = self.peek().kind == "MINUS" and (self.eat("MINUS") or True)
             rank = int(self.eat("INT").text)
+            if neg:
+                rank = -rank
         return (src, dst, rank)
 
     def insert_sentence(self) -> InsertStmt:
@@ -980,7 +985,7 @@ class Parser:
                 vals = self._value_tuple()
                 rows.append((src, dst, rank, vals))
             else:
-                vid = self.literal()
+                vid = self._vid_value()
                 self.eat("COLON")
                 rows.append((vid, self._value_tuple()))
             if self.peek().kind == "COMMA":
@@ -1044,12 +1049,13 @@ class Parser:
                     self.eat("AT")
                     _, urank = self._delete_vid_ref()
         else:
-            keys = [self._edge_key() if is_edge else (self.literal(),)]
+            keys = [self._edge_key() if is_edge
+                    else (self._vid_value(),)]
             # MultiUpdate.feature (2024): UPDATE … ON <schema> k1, k2, … SET
             while self.peek().kind == "COMMA":
                 self.eat("COMMA")
                 keys.append(self._edge_key() if is_edge
-                            else (self.literal(),))
+                            else (self._vid_value(),))
         if is_edge and name is None and self.at_kw("of"):
             # 1.0 edge syntax: `UPDATE EDGE "s"->"d"@r OF <type> SET …`
             # (parser.yy update_edge_sentence legacy alternative;

@@ -8670,3 +8670,58 @@ def test_delete_int_vid_tag_multiple(nba_int_space):
                        'YIELD player.name AS n').count() == 0
     assert execute(sp, 'FETCH PROP ON bachelor hash("Tim Duncan") '
                        'YIELD bachelor.name AS n').count() == 0
+
+
+def test_delete_edge_int_vid(spark):
+    """DeleteEdge.IntVid.feature "delete edges" — the full script through
+    the front end: int-vid space DDL, INSERT with hash() keys (and
+    int64 ranks up to 1561013237), GO checks before/after DELETE EDGE
+    with hash() keys at specific ranks."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE dei (vid_type = int64); USE dei;
+        CREATE TAG IF NOT EXISTS person(name string, age int);
+        CREATE EDGE IF NOT EXISTS friend(intimacy int);
+        CREATE EDGE IF NOT EXISTS schoolmate(likeness int);
+        CREATE EDGE IF NOT EXISTS transfer(money int)
+    """)
+    execute(cat, '''USE dei;
+        INSERT VERTEX person(name, age) VALUES
+          hash("Zhangsan"):("Zhangsan", 22), hash("Lisi"):("Lisi", 23),
+          hash("Jack"):("Jack", 18), hash("Rose"):("Rose", 19);
+        INSERT EDGE friend(intimacy) VALUES
+          hash("Zhangsan")->hash("Lisi")@15:(90),
+          hash("Zhangsan")->hash("Jack")@12:(50),
+          hash("Jack")->hash("Rose")@13:(100);
+        INSERT EDGE schoolmate(likeness) VALUES
+          hash("Zhangsan")->hash("Jack"):(60),
+          hash("Lisi")->hash("Rose"):(70);
+        INSERT EDGE transfer(money) VALUES
+          hash("Zhangsan")->hash("Lisi")@1561013236:(33),
+          hash("Zhangsan")->hash("Lisi")@1561013237:(77)''')
+    df = execute(cat, 'USE dei; GO FROM hash("Zhangsan"), hash("Jack") '
+                      "OVER friend YIELD $^.person.name AS n, "
+                      "friend.intimacy AS i")
+    assert sorted(rows(df, "n", "i")) == [
+        ("Jack", 100), ("Zhangsan", 50), ("Zhangsan", 90)]
+    df = execute(cat, 'USE dei; GO FROM hash("Zhangsan") OVER transfer '
+                      "YIELD transfer._rank AS r, transfer.money AS m")
+    assert sorted(rows(df, "r", "m")) == [
+        (1561013236, 33), (1561013237, 77)]
+    execute(cat, 'USE dei; DELETE EDGE friend '
+                 'hash("Zhangsan")->hash("Lisi")@15, '
+                 'hash("Jack")->hash("Rose")@13;')
+    execute(cat, 'USE dei; DELETE EDGE schoolmate '
+                 'hash("Lisi")->hash("Rose")')
+    execute(cat, 'USE dei; DELETE EDGE transfer '
+                 'hash("Zhangsan")->hash("Lisi")@1561013237')
+    df = execute(cat, 'USE dei; GO FROM hash("Zhangsan"), hash("Jack") '
+                      "OVER friend YIELD $^.person.name AS n, "
+                      "friend.intimacy AS i")
+    assert sorted(rows(df, "n", "i")) == [("Zhangsan", 50)]
+    df = execute(cat, 'USE dei; GO FROM hash("Zhangsan") OVER transfer '
+                      "YIELD transfer._rank AS r, transfer.money AS m")
+    assert rows(df, "r", "m") == [(1561013236, 33)]
+    # deleting a non-existent key is a no-op (feature's tail scenario)
+    execute(cat, 'USE dei; DELETE EDGE friend hash("Zhangsan")->hash("Rose")')
