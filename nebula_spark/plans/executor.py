@@ -3510,6 +3510,33 @@ def _eval_const_exprs(space: GraphSpace, data: list, cols: list[str],
 
 def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
     from nebula_spark.operators.mutate import insert_rows
+    if not st.is_edge and (st.extra_specs or st.props_all):
+        # multi-tag / no-parens forms (vertex_tag_list,
+        # MutateSentences.h:128-160; Insert.feature "insert vertex with
+        # multi tags"): each row's value tuple concatenates the specs'
+        # props in order; a no-parens spec takes every DECLARED prop
+        specs = [(st.name, None if st.props_all else st.props)] \
+            + list(st.extra_specs or [])
+        resolved = []
+        for n, ps in specs:
+            if ps is None:
+                d = space.tags.get(n)
+                if d is None:
+                    raise ValueError(f"TagNotFound: TagName `{n}`")
+                ps = [c for c, _t in d.decl] if d.decl else \
+                    [c for c in space.tag(n).columns if c != VID]
+            resolved.append((n, ps))
+        total = sum(len(ps) for _n, ps in resolved)
+        for r in st.rows:
+            if len(r[1]) != total:
+                raise ValueError("Column count doesn't match value count.")
+        out, off = None, 0
+        for n, ps in resolved:
+            sub = [(r[0], list(r[1][off:off + len(ps)])) for r in st.rows]
+            out = _exec_insert(space, A.InsertStmt(
+                False, n, ps, sub, st.if_not_exists))
+            off += len(ps)
+        return out
     # every VALUES row must carry exactly len(props) values — the
     # reference's MutateValidator refusal (MutateValidator.cpp:105,224;
     # found by fuzzing: a short row crashed with IndexError)

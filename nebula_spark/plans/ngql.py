@@ -458,6 +458,12 @@ class InsertStmt:
     props: list[str]
     rows: list                   # vertex: (vid, vals); edge: (src,dst,rank,vals)
     if_not_exists: bool = False
+    # INSERT VERTEX t1(a, b), t2(c) VALUES vid:(va, vb, vc)
+    # (vertex_tag_list, MutateSentences.h:128-160): extra (name, props)
+    # specs beyond the first; props None = every DECLARED prop in order
+    # (the no-parens form `INSERT VERTEX person VALUES …`)
+    extra_specs: list | None = None
+    props_all: bool = False      # first spec had no parens
 
 
 @dataclass
@@ -968,14 +974,26 @@ class Parser:
             if t.text.lower() != "exists":
                 raise SyntaxError(f"expected EXISTS, got {t.text!r}")
             ine = True
-        name = self.name()
-        props = []
-        self.eat("LP")
-        while self.peek().kind != "RP":
-            props.append(self.name())
-            if self.peek().kind == "COMMA":
-                self.eat("COMMA")
-        self.eat("RP")
+        def _spec():
+            n = self.name()
+            if self.peek().kind != "LP":
+                return n, None           # no parens → all declared props
+            ps = []
+            self.eat("LP")
+            while self.peek().kind != "RP":
+                ps.append(self.name())
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+            self.eat("RP")
+            return n, ps
+        name, props = _spec()
+        if is_edge and props is None:
+            raise SyntaxError("INSERT EDGE requires a prop list")
+        extra = []
+        while not is_edge and self.peek().kind == "COMMA":
+            # INSERT VERTEX t1(…), t2(…) VALUES … (vertex_tag_list)
+            self.eat("COMMA")
+            extra.append(_spec())
         self.eat_kw("values")
         rows = []
         while True:
@@ -992,7 +1010,9 @@ class Parser:
                 self.eat("COMMA")
                 continue
             break
-        return InsertStmt(is_edge, name, props, rows, ine)
+        return InsertStmt(is_edge, name, props or [], rows, ine,
+                          extra_specs=extra or None,
+                          props_all=props is None)
 
     def _value_tuple(self) -> list:
         self.eat("LP")
@@ -1405,7 +1425,13 @@ class Parser:
                 if v < -(2**63):
                     raise SyntaxError(f"Out of range: near `{nxt.text}'")
                 return v
-            return -self.literal()
+            v = self.literal()
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                # -"str" / -true — negation is numeric-only
+                # (found by fuzzing)
+                raise SyntaxError(
+                    f"expected numeric literal after `-' @{t.pos}")
+            return -v
         raise SyntaxError(f"expected literal, got {t.text!r} @{t.pos}")
 
     def yield_items(self) -> list[YieldItem]:

@@ -8725,3 +8725,47 @@ def test_delete_edge_int_vid(spark):
     assert rows(df, "r", "m") == [(1561013236, 33)]
     # deleting a non-existent key is a no-op (feature's tail scenario)
     execute(cat, 'USE dei; DELETE EDGE friend hash("Zhangsan")->hash("Rose")')
+
+
+def test_insert_vertex_multi_tag_forms(spark):
+    """Insert.feature "insert vertex succeeded" forms 33-70: single-tag,
+    no-parens (all declared props), multi-tag with every parens
+    combination, and partial prop lists with defaults; FETCH PROP ON *
+    sees the union of tags."""
+    from nebula_spark.catalog import SpaceCatalog
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE mtins; USE mtins;
+        CREATE TAG person(name string DEFAULT "N", age int DEFAULT 0);
+        CREATE TAG interest(name string DEFAULT "none")
+    """)
+    for q in (
+        'INSERT VERTEX person(name, age) VALUES "Tom":("Tom", 22)',
+        'INSERT VERTEX person VALUES "Tom":("Tom", 18)',
+        'INSERT VERTEX person(name, age), interest(name) VALUES '
+        '"Tom":("Tom", 18, "basketball")',
+        'INSERT VERTEX person, interest(name) VALUES '
+        '"Tom":("Tom", 18, "basketball")',
+        'INSERT VERTEX person(name, age), interest VALUES '
+        '"Tom":("Tom", 18, "basketball")',
+        'INSERT VERTEX person(age), interest(name) VALUES '
+        '"Tom":(18, "basketball")',
+        'INSERT VERTEX person, interest VALUES '
+        '"Tom":("Tom", 18, "basketball")',
+    ):
+        execute(cat, f"USE mtins; {q}")
+    [r] = execute(cat, 'USE mtins; FETCH PROP ON * "Tom" '
+                       "YIELD vertex AS node").collect()
+    assert r.node.person.age == 18
+    assert r.node.interest.name == "basketball"
+    # the person(age) partial form filled name from the DEFAULT
+    execute(cat, 'USE mtins; INSERT VERTEX person(age), interest(name) '
+                 'VALUES "Ann":(30, "chess")')
+    df = execute(cat, 'USE mtins; FETCH PROP ON person "Ann" '
+                      "YIELD person.name AS n, person.age AS a")
+    assert rows(df, "n", "a") == [("N", 30)]
+    # count mismatch across the concatenated tuple is the reference's
+    # value-count refusal
+    with pytest.raises(ValueError, match="Column count doesn't match"):
+        execute(cat, 'USE mtins; INSERT VERTEX person, interest VALUES '
+                     '"X":("a", 1)')
