@@ -37,15 +37,47 @@ BENCH_QUERIES = [
 ]
 
 
+def wait_for_quiet_machine() -> tuple[float, list[float], bool]:
+    """Contention guard (r8, per r7 verdict task #1): three consecutive
+    official BENCH artifacts were recorded on a loaded box (r7:
+    load_avg_1m before=6.08 vs the builder's clean 0.26). If the 1-minute
+    load exceeds LOAD_THRESHOLD at start, sleep and retry a bounded number
+    of times; if it never clears, still run but stamp ``"contended": true``
+    so the artifact self-reports instead of needing SCALE.md forensics.
+
+    Returns (final_load_before, all_attempt_loads, contended_flag).
+    Tunables: SPARK_GRAFT_LOAD_THRESHOLD (default 1.5),
+    SPARK_GRAFT_LOAD_RETRIES (default 5), SPARK_GRAFT_LOAD_WAIT_SEC (60).
+    """
+    threshold = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "1.5"))
+    retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "5"))
+    wait_sec = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "60"))
+    attempts: list[float] = []
+    for i in range(retries + 1):
+        load = os.getloadavg()[0]
+        attempts.append(round(load, 2))
+        if load <= threshold:
+            return load, attempts, False
+        if i < retries:
+            print(f"bench: 1m load {load:.2f} > {threshold} — "
+                  f"waiting {wait_sec:.0f}s (attempt {i + 1}/{retries})",
+                  file=sys.stderr)
+            time.sleep(wait_sec)
+    return attempts[-1], attempts, True
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from nebula_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    load_before = os.getloadavg()  # machine-contention evidence (r6: the
-    # recorded artifact drifted +40% over two rounds purely from a busy
-    # box — SCALE.md "Round-7 clean-machine bench re-record")
+    # machine-contention evidence + guard (r6-r8: recorded artifacts
+    # drifted +40% over two rounds purely from a busy box — SCALE.md
+    # "Round-7 clean-machine bench re-record"); waits for a quiet machine
+    # before burning any JVM time, stamps "contended" if it never clears
+    load_before_val, load_attempts, contended = wait_for_quiet_machine()
+    load_before = (load_before_val,)
     spark = get_spark("nebula_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
@@ -86,7 +118,9 @@ def main() -> None:
         "reps": reps,
         "sf": sf_dir,
         "load_avg_1m": {"before": round(load_before[0], 2),
-                        "after": round(os.getloadavg()[0], 2)},
+                        "after": round(os.getloadavg()[0], 2),
+                        "attempts": load_attempts},
+        "contended": contended,
     }))
 
 
