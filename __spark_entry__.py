@@ -207,11 +207,11 @@ def q_window_topk(spark: SparkSession, sf: str) -> DataFrame:
 def q_go_1step(spark: SparkSession, sf: str) -> DataFrame:
     """GO 1 STEP: customer→order over e_placed with edge filter."""
     sp = tpch_space(spark, sf)
-    start = sp.tag("customer").filter(F.col("vid") % 10 == 0).select("vid")
+    start = sp.tag("customer").filter(F.col("_vid") % 10 == 0).select("_vid")
     hop = go(sp.edge("placed"), start, 1, 1,
              edge_filter=F.col("o_totalprice") > 50000)
-    return hop.select(F.col("src").alias("c_key"), F.col("dst").alias("o_key"),
-                      "o_totalprice")
+    return hop.select(F.col("_src").alias("c_key"),
+                      F.col("_dst").alias("o_key"), "o_totalprice")
 
 
 def q_go_2step(spark: SparkSession, sf: str) -> DataFrame:
@@ -219,29 +219,29 @@ def q_go_2step(spark: SparkSession, sf: str) -> DataFrame:
     (vids live in one space, so heterogeneous keys get a tag-offset long
     namespace; string form only in the output projection)."""
     sp = tpch_space(spark, sf)
-    start = sp.tag("customer").filter(F.col("vid") % 10 == 0).select(
-        _nk("c", F.col("vid")).alias("vid"))
+    start = sp.tag("customer").filter(F.col("_vid") % 10 == 0).select(
+        _nk("c", F.col("_vid")).alias("_vid"))
     placed = sp.edge("placed").select(
-        _nk("c", F.col("src")).alias("src"),
-        _nk("o", F.col("dst")).alias("dst"), "_rank")
+        _nk("c", F.col("_src")).alias("_src"),
+        _nk("o", F.col("_dst")).alias("_dst"), "_rank")
     contains = sp.edge("contains").select(
-        _nk("o", F.col("src")).alias("src"),
-        _nk("p", F.col("dst")).alias("dst"), "_rank")
+        _nk("o", F.col("_src")).alias("_src"),
+        _nk("p", F.col("_dst")).alias("_dst"), "_rank")
     hop = go([placed, contains], start, 2, 2)
-    return dedup(hop.select(_nk_str(F.col("src")).alias("o_key"),
-                            _nk_str(F.col("dst")).alias("p_key"),
+    return dedup(hop.select(_nk_str(F.col("_src")).alias("o_key"),
+                            _nk_str(F.col("_dst")).alias("p_key"),
                             F.col("_rank").alias("rank")))
 
 
 def _cnr_edges(t):
     """customer→nation→region edge union on tag-offset long keys."""
     e1 = t["customer"].select(
-        _nk("c", F.col("c_custkey")).alias("src"),
-        _nk("n", F.col("c_nationkey")).alias("dst"),
+        _nk("c", F.col("c_custkey")).alias("_src"),
+        _nk("n", F.col("c_nationkey")).alias("_dst"),
         F.lit(0).cast("long").alias("_rank"))
     e2 = t["nation"].select(
-        _nk("n", F.col("n_nationkey")).alias("src"),
-        _nk("r", F.col("n_regionkey")).alias("dst"),
+        _nk("n", F.col("n_nationkey")).alias("_src"),
+        _nk("r", F.col("n_regionkey")).alias("_dst"),
         F.lit(0).cast("long").alias("_rank"))
     return e1.unionByName(e2)
 
@@ -250,16 +250,16 @@ def q_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
     """FIND SHORTEST PATH (distance form) on the namespaced c→n→r graph."""
     t = load_tables(spark, sf, ("customer", "nation"))
     seeds = t["customer"].filter(F.col("c_custkey") <= 20).select(
-        _nk("c", F.col("c_custkey")).alias("vid"))
+        _nk("c", F.col("c_custkey")).alias("_vid"))
     p = bfs_shortest_paths(_cnr_edges(t), seeds, max_hops=3)
-    return p.select(_nk_str(F.col("src")).alias("src"),
-                    _nk_str(F.col("dst")).alias("dst"), "dist")
+    return p.select(_nk_str(F.col("_src")).alias("src"),
+                    _nk_str(F.col("_dst")).alias("dst"), "dist")
 
 
 def q_fetch_vertices(spark: SparkSession, sf: str) -> DataFrame:
     """FETCH PROP (GetVertices): assemble tag props for a vid set."""
     sp = tpch_space(spark, sf)
-    vids = sp.tag("customer").filter(F.col("vid") % 100 == 1).select("vid")
+    vids = sp.tag("customer").filter(F.col("_vid") % 100 == 1).select("_vid")
     return sp.vertex(vids, tags=["customer"])
 
 
@@ -268,8 +268,9 @@ def q_fetch_edges(spark: SparkSession, sf: str) -> DataFrame:
     from nebula_spark.operators import get_edges
     sp = tpch_space(spark, sf)
     e = sp.edge("contains")
-    keys = e.filter((F.col("src") % 50 == 0) & (F.col("_rank") <= 2))
-    return get_edges(keys, e).select("src", "dst",
+    keys = e.filter((F.col("_src") % 50 == 0) & (F.col("_rank") <= 2))
+    return get_edges(keys, e).select(F.col("_src").alias("src"),
+                                     F.col("_dst").alias("dst"),
                                      F.col("_rank").alias("rank"),
                                      "l_quantity",
                                      "l_extendedprice")
@@ -362,8 +363,8 @@ def q_paths_query(spark: SparkSession, sf: str) -> DataFrame:
     from nebula_spark.operators.paths import all_paths
     t = load_tables(spark, sf, ("customer", "nation", "region"))
     sources = t["customer"].filter(F.col("c_custkey") <= 10).select(
-        _nk("c", F.col("c_custkey")).alias("vid"))
-    targets = t["region"].select(_nk("r", F.col("r_regionkey")).alias("vid"))
+        _nk("c", F.col("c_custkey")).alias("_vid"))
+    targets = t["region"].select(_nk("r", F.col("r_regionkey")).alias("_vid"))
     p = all_paths(_cnr_edges(t), sources, targets, max_hops=2)
     return p.select(
         _nk_str(F.col("start_vid")).alias("start_vid"),
@@ -402,17 +403,17 @@ def q_subgraph(spark: SparkSession, sf: str) -> DataFrame:
 def q_go_1to2(spark: SparkSession, sf: str) -> DataFrame:
     """GO 1 TO 2 STEPS: per-step result accumulation (UnionAllVersionVar)."""
     sp = tpch_space(spark, sf)
-    start = sp.tag("customer").filter(F.col("vid") % 20 == 0).select(
-        _nk("c", F.col("vid")).alias("vid"))
+    start = sp.tag("customer").filter(F.col("_vid") % 20 == 0).select(
+        _nk("c", F.col("_vid")).alias("_vid"))
     placed = sp.edge("placed").select(
-        _nk("c", F.col("src")).alias("src"),
-        _nk("o", F.col("dst")).alias("dst"), "_rank")
+        _nk("c", F.col("_src")).alias("_src"),
+        _nk("o", F.col("_dst")).alias("_dst"), "_rank")
     contains = sp.edge("contains").select(
-        _nk("o", F.col("src")).alias("src"),
-        _nk("p", F.col("dst")).alias("dst"), "_rank")
+        _nk("o", F.col("_src")).alias("_src"),
+        _nk("p", F.col("_dst")).alias("_dst"), "_rank")
     hop = go([placed, contains], start, 1, 2)
-    return hop.select(_nk_str(F.col("src")).alias("src"),
-                      _nk_str(F.col("dst")).alias("dst"),
+    return hop.select(_nk_str(F.col("_src")).alias("src"),
+                      _nk_str(F.col("_dst")).alias("dst"),
                       F.col("_rank").alias("rank"), "step")
 
 
@@ -691,13 +692,14 @@ def q_short_orders(spark: SparkSession, sf: str) -> DataFrame:
     sp = tpch_space(spark, sf)
     placed = sp.edge("placed")
     flagged = sp.tag("customer").filter(F.col("c_acctbal") < -900) \
-        .select(F.col("vid").alias("src"))
-    hop = placed.join(F.broadcast(flagged), "src")
-    w = Window.partitionBy("src").orderBy(F.desc("o_orderdate"),
-                                          F.desc("dst"))
+        .select(F.col("_vid").alias("_src"))
+    hop = placed.join(F.broadcast(flagged), "_src")
+    w = Window.partitionBy("_src").orderBy(F.desc("o_orderdate"),
+                                           F.desc("_dst"))
     return (hop.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
-            .select(F.col("src").alias("c_key"), F.col("dst").alias("o_key"),
+            .select(F.col("_src").alias("c_key"),
+                    F.col("_dst").alias("o_key"),
                     F.col("o_orderdate").cast("string").alias("odate"),
                     F.col("rn"))
             .orderBy("c_key", "rn"))
@@ -773,11 +775,11 @@ def q_bfs_targets(spark: SparkSession, sf: str) -> DataFrame:
     from nebula_spark.operators.paths import bidir_distances
     t = load_tables(spark, sf, ("customer", "nation", "region"))
     seeds = t["customer"].filter(F.col("c_custkey") <= 20).select(
-        _nk("c", F.col("c_custkey")).alias("vid"))
-    targets = t["region"].select(_nk("r", F.col("r_regionkey")).alias("vid"))
+        _nk("c", F.col("c_custkey")).alias("_vid"))
+    targets = t["region"].select(_nk("r", F.col("r_regionkey")).alias("_vid"))
     p = bidir_distances(_cnr_edges(t), seeds, targets, max_hops=3)
-    return p.select(_nk_str(F.col("src")).alias("src"),
-                    _nk_str(F.col("dst")).alias("dst"), "dist")
+    return p.select(_nk_str(F.col("_src")).alias("src"),
+                    _nk_str(F.col("_dst")).alias("dst"), "dist")
 
 
 # ---------------------------------------------------------------------------
@@ -1229,8 +1231,8 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         li.alias("b"),
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst")))
+        .select(F.col("a.l_partkey").alias("_src"),
+                F.col("b.l_partkey").alias("_dst")))
     return triangle_count(pairs)
 
 
@@ -1244,8 +1246,8 @@ def q_k_core(spark: SparkSession, sf: str) -> DataFrame:
         li.alias("b"),
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst")))
+        .select(F.col("a.l_partkey").alias("_src"),
+                F.col("b.l_partkey").alias("_dst")))
     return k_core(pairs, k=40, rounds=3)
 
 
@@ -1292,9 +1294,9 @@ def q_both_shortest(spark: SparkSession, sf: str) -> DataFrame:
     from nebula_spark.operators.paths import bidir_min_paths
     t = load_tables(spark, sf, ("customer", "nation"))
     custs = t["customer"].filter(F.col("c_custkey") <= 10).select(
-        _nk("c", F.col("c_custkey")).alias("vid"))
+        _nk("c", F.col("c_custkey")).alias("_vid"))
     nations = t["nation"].select(
-        _nk("n", F.col("n_nationkey")).alias("vid"))
+        _nk("n", F.col("n_nationkey")).alias("_vid"))
     p = bidir_min_paths(_cnr_edges(t), custs,
                         custs.unionByName(nations), max_hops=4,
                         direction="both", mode="single")
@@ -1313,23 +1315,23 @@ def q_weighted_paths(spark: SparkSession, sf: str) -> DataFrame:
     from nebula_spark.operators.paths import weighted_shortest_paths
     t = load_tables(spark, sf, ("orders", "lineitem"))
     placed = t["orders"].select(
-        _nk("c", F.col("o_custkey")).alias("src"),
-        _nk("o", F.col("o_orderkey")).alias("dst"),
+        _nk("c", F.col("o_custkey")).alias("_src"),
+        _nk("o", F.col("o_orderkey")).alias("_dst"),
         F.lit(0).cast("long").alias("_rank"),
         F.col("o_totalprice").cast("double").alias("weight"))
     contains = t["lineitem"].select(
-        _nk("o", F.col("l_orderkey")).alias("src"),
-        _nk("p", F.col("l_partkey")).alias("dst"),
+        _nk("o", F.col("l_orderkey")).alias("_src"),
+        _nk("p", F.col("l_partkey")).alias("_dst"),
         F.col("l_linenumber").cast("long").alias("_rank"),
         F.col("l_quantity").cast("double").alias("weight"))
     seeds = t["orders"].filter(F.col("o_custkey") <= 5).select(
-        _nk("c", F.col("o_custkey")).alias("vid")).distinct()
+        _nk("c", F.col("o_custkey")).alias("_vid")).distinct()
     parts = t["lineitem"].select(
-        _nk("p", F.col("l_partkey")).alias("vid")).distinct()
+        _nk("p", F.col("l_partkey")).alias("_vid")).distinct()
     w = weighted_shortest_paths(placed.unionByName(contains), seeds,
                                 weight_col="weight", targets=parts)
-    return (w.select(_nk_str(F.col("src")).alias("src_key"),
-                     _nk_str(F.col("dst")).alias("dst_key"),
+    return (w.select(_nk_str(F.col("_src")).alias("src_key"),
+                     _nk_str(F.col("_dst")).alias("dst_key"),
                      F.round("dist", 6).alias("dist"))
             .orderBy("src_key", "dst_key"))
 
@@ -1342,8 +1344,8 @@ def q_k_core(spark: SparkSession, sf: str) -> DataFrame:
     from nebula_spark.operators.algo import k_core
     t = load_tables(spark, sf, ("lineitem",))
     e = t["lineitem"].select(
-        _nk("o", F.col("l_orderkey")).alias("src"),
-        _nk("p", F.col("l_partkey")).alias("dst"))
+        _nk("o", F.col("l_orderkey")).alias("_src"),
+        _nk("p", F.col("l_partkey")).alias("_dst"))
     core = k_core(e, k=4, rounds=6)
     return (core.select(_nk_str(F.col("vid")).alias("vid_key"), "deg")
             .orderBy("vid_key"))
@@ -1601,6 +1603,7 @@ ORACLES: dict[str, str] = {
           ('tag', 'region', '', ''), ('tag', 'supplier', '', ''),
           ('edge', 'contains', '', ''), ('edge', 'located_in', '', ''),
           ('edge', 'member_of', '', ''), ('edge', 'placed', '', ''),
+          ('desc_nation', 'vid', 'int64', 'YES'),
           ('desc_nation', 'n_name', 'string', 'YES'),
           ('desc_nation', 'n_regionkey', 'int32', 'YES'),
           ('desc_contains', 'l_quantity', 'double', 'YES'),
@@ -1627,15 +1630,23 @@ ORACLES: dict[str, str] = {
           FROM customer),
         dead AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0),
         live AS (SELECT * FROM upd
-                 WHERE c_custkey NOT IN (SELECT c_custkey FROM dead))
+                 WHERE c_custkey NOT IN (SELECT c_custkey FROM dead)),
+        -- the audit rows the script INSERTs, re-derived (not pinned as
+        -- literal epochs) so the expectation can't drift independently
+        -- of the query: DuckDB's own epoch() on the same UTC timestamps
+        -- the engine's timestamp("…") constructor parses
+        audit AS (SELECT * FROM (VALUES
+          (CAST(epoch(TIMESTAMP '2021-01-01 00:00:00') AS BIGINT)),
+          (CAST(epoch(TIMESTAMP '2021-06-01 12:30:00') AS BIGINT))
+        ) a(at))
         SELECT
           (SELECT COUNT(*) FROM live) AS n_member,
           (SELECT CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)
              FROM live) AS total_bal,
           (SELECT COUNT(*) FROM customer
             WHERE c_custkey % 3 = 0 AND c_acctbal >= 500.0) AS n_profile,
-          CAST(2 AS BIGINT) AS n_audit,
-          CAST(1609459200 AS BIGINT) AS first_at,
+          (SELECT COUNT(*) FROM audit) AS n_audit,
+          (SELECT MIN(at) FROM audit) AS first_at,
           (SELECT COUNT(*) FROM orders
             WHERE o_custkey NOT IN (SELECT c_custkey FROM dead)
               AND o_orderkey NOT IN (SELECT c_custkey FROM dead)) AS n_edges
@@ -1656,7 +1667,8 @@ ORACLES: dict[str, str] = {
         SELECT nk, 'minus' AS op FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
     """,
     "fetch_vertices": """
-        SELECT c_custkey AS vid, c_name AS customer_c_name,
+        SELECT c_custkey AS _vid, c_custkey AS customer_vid,
+               c_name AS customer_c_name,
                c_nationkey AS customer_c_nationkey,
                c_acctbal AS customer_c_acctbal,
                c_mktsegment AS customer_c_mktsegment

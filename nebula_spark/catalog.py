@@ -7,7 +7,7 @@ Raft-replicated meta service (``src/meta/``, schema thrift at
 by a Parquet path (or an in-memory DataFrame in tests), each with a declared
 ``StructType``. Partitioning (``partition_num`` in the reference's SpaceDesc,
 ``meta.thrift:108``) maps to how the parquet is bucketed/repartitioned:
-vertices by ``vid``, edges by ``src`` — the Spark analog of the reference's
+vertices by ``_vid``, edges by ``_src`` — the Spark analog of the reference's
 key layout where all out-edges of a vertex are physically contiguous
 (``src/common/utils/NebulaKeyUtils.h:13-27``).
 
@@ -24,26 +24,36 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-VID = "vid"
-SRC = "src"
-DST = "dst"
-# The edge-rank KEY column is namespaced `_rank` (the reference's own
-# pseudo-prop spelling, `GO … YIELD E._rank`) so a USER property named
-# `rank` — legal in the reference, InsertEdgeOnDiffParts.feature:15
-# `CREATE EDGE E(rank timestamp …)` — never collides with the key. The
-# reference keeps rank in a separate key namespace entirely
-# (src/common/utils/NebulaKeyUtils.h:13-27); `_rank` is our Spark-column
-# analog of that namespace split.
+# ALL key columns are namespaced with a leading underscore (the
+# reference's own pseudo-prop spellings: `GO … YIELD E._src, E._dst,
+# E._rank`) so USER properties named `vid`/`src`/`dst`/`rank` — legal in
+# the reference, whose keys live outside the row payload entirely
+# (src/common/utils/NebulaKeyUtils.h:13-27) — never collide with keys.
+# Leading-underscore identifiers are unspellable as prop names in the
+# reference's lexer (scanner.lex LABEL = [a-zA-Z][_a-zA-Z0-9]*), and
+# CREATE refuses them here too, so the `_`-prefix namespace is key-only.
+# `rank` was namespaced in round 7; `vid`/`src`/`dst` in round 8.
+VID = "_vid"
+SRC = "_src"
+DST = "_dst"
 RANK = "_rank"
+
+# Legacy spellings accepted from programmatic ``df=`` handles (pre-r8
+# fixtures and external frames built with bare key names); normalized to
+# the namespaced keys at load time when the namespaced column is absent.
+# (`rank` is NOT in the edge map: user props named rank are legal since
+# r7, so a bare `rank` column in a handed-in frame is a user prop.)
+_LEGACY_TAG_KEYS = {"vid": VID}
+_LEGACY_EDGE_KEYS = {"src": SRC, "dst": DST}
 
 
 @dataclass
 class TagDef:
-    """A vertex tag: ``vid`` + typed property columns.
+    """A vertex tag: ``_vid`` key + typed property columns.
 
     Multi-tag vertices (``src/common/datatypes/Vertex.h:62-70``) fall out of
     the model: the same vid may appear in several tag tables; the full vertex
-    is the outer join of its tag rows on ``vid``.
+    is the outer join of its tag rows on ``_vid``.
     """
 
     name: str
@@ -59,11 +69,11 @@ class TagDef:
 
 @dataclass
 class EdgeDef:
-    """An edge type: ``(src, dst, _rank)`` key + typed property columns.
+    """An edge type: ``(_src, _dst, _rank)`` key + typed property columns.
 
-    ``_rank`` (namespaced so user props named ``rank`` never collide —
-    the reference keeps rank in a separate key namespace,
-    ``NebulaKeyUtils.h:13-27``) discriminates parallel edges
+    All three keys are underscore-namespaced so user props named
+    ``src``/``dst``/``rank`` never collide (the reference keeps keys in a
+    separate namespace, ``NebulaKeyUtils.h:13-27``); ``_rank`` discriminates parallel edges
     (``src/common/datatypes/Edge.h:16-23``) and is part of edge identity
     everywhere (joins, path-uniqueness filters).
     """
@@ -124,6 +134,15 @@ class GraphSpace:
     # -- reads -------------------------------------------------------------
     def _load(self, d: TagDef | EdgeDef) -> DataFrame:
         df = d.df if d.df is not None else self.spark.read.parquet(d.path)
+        # normalize legacy bare key names (vid/src/dst) from handed-in
+        # frames to the namespaced key columns — only when the namespaced
+        # column is absent, so user PROPS with those names (which the
+        # namespacing exists to permit) pass through untouched
+        legacy = _LEGACY_TAG_KEYS if isinstance(d, TagDef) \
+            else _LEGACY_EDGE_KEYS
+        for old, new in legacy.items():
+            if new not in df.columns and old in df.columns:
+                df = df.withColumnRenamed(old, new)
         if d.ttl_col and d.ttl_duration > 0:
             # read-time TTL filter (CompactionFilter.h:76-131 parity)
             df = df.filter(
@@ -133,11 +152,11 @@ class GraphSpace:
         return df
 
     def tag(self, name: str) -> DataFrame:
-        """Tag table: ``vid`` + props. Catalyst prunes columns / pushes filters."""
+        """Tag table: ``_vid`` + props. Catalyst prunes columns / pushes filters."""
         return self._load(self.tags[name])
 
     def edge(self, name: str) -> DataFrame:
-        """Edge table: ``src, dst, _rank`` + props."""
+        """Edge table: ``_src, _dst, _rank`` + props."""
         return self._load(self.edges[name])
 
     # -- admin / meta surface (SURVEY.md §2.12) ----------------------------
@@ -187,6 +206,8 @@ class GraphSpace:
         table; small vid sets broadcast automatically under AQE.
         """
         if isinstance(vids_or_df, DataFrame):
+            if VID not in vids_or_df.columns and "vid" in vids_or_df.columns:
+                vids_or_df = vids_or_df.withColumnRenamed("vid", VID)
             base = vids_or_df.select(VID).distinct()
         else:
             base = self.spark.createDataFrame([(v,) for v in vids_or_df], [VID])
@@ -336,21 +357,28 @@ def tpch_space(spark: SparkSession, sf_dir: str) -> GraphSpace:
                                     "supplier", "part", "orders", "lineitem"))
     sp = GraphSpace(spark, f"tpch:{sf_dir}")
 
+    # every tag also stores its id as a USER prop named `vid` — legal now
+    # that keys are namespaced (`_vid`), and what reference schemas with
+    # id-valued props look like; nGQL slots reference it (`customer.vid`)
     sp.create_tag("customer", df=t["customer"].select(
-        F.col("c_custkey").alias(VID), "c_name", "c_nationkey", "c_acctbal",
-        "c_mktsegment"))
+        F.col("c_custkey").alias(VID), F.col("c_custkey").alias("vid"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
     sp.create_tag("supplier", df=t["supplier"].select(
-        F.col("s_suppkey").alias(VID), "s_name", "s_nationkey", "s_acctbal"))
+        F.col("s_suppkey").alias(VID), F.col("s_suppkey").alias("vid"),
+        "s_name", "s_nationkey", "s_acctbal"))
     sp.create_tag("part", df=t["part"].select(
-        F.col("p_partkey").alias(VID), "p_name", "p_brand", "p_type",
-        "p_size", "p_retailprice"))
+        F.col("p_partkey").alias(VID), F.col("p_partkey").alias("vid"),
+        "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
     sp.create_tag("nation", df=t["nation"].select(
-        F.col("n_nationkey").cast("long").alias(VID), "n_name", "n_regionkey"))
+        F.col("n_nationkey").cast("long").alias(VID),
+        F.col("n_nationkey").cast("long").alias("vid"),
+        "n_name", "n_regionkey"))
     sp.create_tag("region", df=t["region"].select(
-        F.col("r_regionkey").cast("long").alias(VID), "r_name"))
+        F.col("r_regionkey").cast("long").alias(VID),
+        F.col("r_regionkey").cast("long").alias("vid"), "r_name"))
     sp.create_tag("order", df=t["orders"].select(
-        F.col("o_orderkey").alias(VID), "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority"))
+        F.col("o_orderkey").alias(VID), F.col("o_orderkey").alias("vid"),
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
 
     sp.create_edge("placed", df=t["orders"].select(
         F.col("o_custkey").alias(SRC), F.col("o_orderkey").alias(DST),

@@ -13,7 +13,7 @@ Conventions:
   (prop-deduction pass = a walk over the expression tuples, the analog of
   DeducePropsVisitor).
 - MATCH binds aliases to prefixed columns ``<alias>__<prop>`` +
-  ``<alias>__vid``; RETURN applies openCypher implicit grouping when
+  ``<alias>___vid``; RETURN applies openCypher implicit grouping when
   aggregates and plain expressions mix.
 """
 
@@ -730,10 +730,10 @@ class ExprCompiler:
             # is static — decided off the frame's convention columns
             a = args[0][1]
             cols = set(self.df.columns)
-            kind = ("edge" if f"{a}__src" in cols
+            kind = ("edge" if f"{a}___src" in cols
                     else "path" if f"{a}__start" in cols
                     and f"{a}__path" in cols
-                    else "vertex" if f"{a}__vid" in cols else None)
+                    else "vertex" if f"{a}___vid" in cols else None)
             return F.lit(kind == name.split("_", 1)[1])
         if name in ("bit_or", "bit_and", "bit_xor") and len(args) == 2:
             # two-arg form is the SCALAR bitwise op (FunctionManager
@@ -762,6 +762,13 @@ class ExprCompiler:
         if name in _AGG_FNS:
             if args and args[0] == ("star",):
                 return agg_call("count", F.lit(1))
+            if not args:
+                # zero-arity aggregate — `sum()` — is the reference's
+                # wrong-arity SemanticError (found by the r8 fuzz run:
+                # crashed with IndexError)
+                raise ValueError(
+                    f"SemanticError: Unknown function: {name}() — "
+                    f"wrong number of arguments")
             return agg_call(name, self.col(args[0]), distinct=distinct)
         if name in _GRAPH_FNS:
             if args and isinstance(args[0], tuple) \
@@ -1023,12 +1030,14 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
         if any(c.startswith(marker) for c in hop.columns):
             continue
         props = [c for c in t.columns if c != VID]
-        # the marker vid stays: it is the tag-membership witness for
-        # tags($^)/tags($$)
+        # the marker _vid stays: it is the tag-membership witness for
+        # tags($^)/tags($$) — namespaced so a user prop named `vid`
+        # flattens to {marker}vid without colliding with the witness
         renamed = t.select(
-            F.col(VID).alias(f"{marker}vid"),
+            F.col(VID).alias(f"{marker}{VID}"),
             *[F.col(c).alias(f"{marker}{c}") for c in props])
-        hop = hop.join(renamed, hop[side] == renamed[f"{marker}vid"], "left")
+        hop = hop.join(renamed, hop[side] == renamed[f"{marker}{VID}"],
+                       "left")
 
     def _side_props(side: str) -> list[Column]:
         # every tag's props of that side in sorted-tag order, same-named
@@ -1085,7 +1094,7 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
         return expr
 
     def _vert_struct(side: str) -> Column:
-        return F.struct(F.col(side).alias(VID), *_side_props(side))
+        return F.struct(F.col(side).alias("vid"), *_side_props(side))
 
     def resolve(kind, *args):
         if kind == "edge_prop":
@@ -1106,9 +1115,9 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
                 return F.when(F.col("_etype") == ename, col)
             return col
         if kind == "src_prop":
-            return F.col(f"__src_tag_{args[0]}__{args[1]}")
+            return F.col(f"__{SRC}_tag_{args[0]}__{args[1]}")
         if kind == "dst_prop":
-            return F.col(f"__dst_tag_{args[0]}__{args[1]}")
+            return F.col(f"__{DST}_tag_{args[0]}__{args[1]}")
         if kind == "src_vert":       # bare $^ — the full vertex value
             return _vert_struct(SRC)
         if kind == "dst_vert":       # bare $$ — the full vertex value
@@ -1140,7 +1149,7 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
                     # membership witness = the kept per-tag marker vid
                     return F.filter(
                         F.array(*[
-                            F.when(F.col(f"__{side}_tag_{tg}__vid")
+                            F.when(F.col(f"__{side}_tag_{tg}___vid")
                                    .isNotNull(), F.lit(tg))
                             for tg in sorted(space.tags)]),
                         lambda x: x.isNotNull())
@@ -1221,7 +1230,7 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
         # FETCH PROP ON * in a space with no tags (vertex-only storage,
         # insertVertexOnly.feature): nothing can match
         return vids.filter(F.lit(False)).select(
-            F.struct(F.col(VID).alias(VID)).alias(
+            F.struct(F.col(VID).alias("vid")).alias(
                 st.yields[0].alias if st.yields else "vertices_")
             if st.yields else F.col(VID))
     out = vids
@@ -1257,10 +1266,10 @@ def _exec_fetch_vertices(space: GraphSpace, st: A.FetchVerticesStmt,
         # multi tag: vid + one nullable struct per tag
         if len(tag_names) == 1:
             tg = tag_names[0]
-            return F.struct(F.col(VID).alias(VID),
+            return F.struct(F.col(VID).alias("vid"),
                             *[F.col(f"{tg}__{p}").alias(p)
                               for p in tag_props[tg]])
-        return F.struct(F.col(VID).alias(VID), *[
+        return F.struct(F.col(VID).alias("vid"), *[
             F.when(F.col(f"__fv_{tg}").isNotNull(),
                    F.struct(*[F.col(f"{tg}__{p}").alias(p)
                               for p in tag_props[tg]])).alias(tg)
@@ -1372,8 +1381,8 @@ def _exec_fetch_edges(space: GraphSpace, st: A.FetchEdgesStmt,
             raise ValueError(f"unresolvable {kind}")
         if kind == "name":
             if args[0] == "edge":    # YIELD edge [AS alias]
-                return F.struct(F.col(SRC).alias(SRC),
-                                F.col(DST).alias(DST),
+                return F.struct(F.col(SRC).alias("src"),
+                                F.col(DST).alias("dst"),
                                 F.col(RANK).alias(RANK),
                                 *[F.col(p).alias(p) for p in eprops])
             # bare labels are not prop refs (LabelExpr.feature)
@@ -1710,8 +1719,12 @@ def _exec_find_path(space: GraphSpace, st: A.FindPathStmt,
             # bidirectional meet-in-the-middle: FIND SHORTEST PATH always
             # has explicit FROM/TO sets, so both frontiers are seedable and
             # the search depth halves (MultiShortestPathExecutor.cpp shape)
-            return bidir_distances(edges, src, dst, st.max_steps,
-                                   st.direction, edge_filter=edge_filter)
+            return (bidir_distances(edges, src, dst, st.max_steps,
+                                    st.direction, edge_filter=edge_filter)
+                    # public legacy distance shape keeps bare src/dst
+                    # names (the physical keys are namespaced since r8)
+                    .withColumnRenamed(SRC, "src")
+                    .withColumnRenamed(DST, "dst"))
         p = all_paths(edges, src, dst, st.max_steps, st.direction,
                       noloop=st.kind == "noloop", edge_filter=edge_filter)
         # typed rendering — parallel edges of different types stay distinct
@@ -1835,7 +1848,14 @@ def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt,
     # column and skips re-orienting, so IN/OUT identity survives dedup
     verts, collected = k_hop_subgraph(edges, seeds, st.steps)
     if not st.yields:
-        return collected                 # legacy edge-row shape
+        # legacy edge-row shape — public bare src/dst names (physical
+        # keys namespaced since r8); a user prop named src/dst keeps its
+        # column, in which case the keys stay namespaced to avoid a clash
+        ren = collected
+        for k, pub in ((SRC, "src"), (DST, "dst")):
+            if pub not in ren.columns:
+                ren = ren.withColumnRenamed(k, pub)
+        return ren
     # YIELD vertices/edges: the reference's per-level rows
     # (SubgraphExecutor DataCollect kSubgraph) — row k carries the
     # vertices first reached at depth k and the edges collected by round
@@ -2024,7 +2044,7 @@ def _exec_group_by(st: A.GroupByStmt, piped: DataFrame) -> DataFrame:
 
 
 def _bind_tag(space: GraphSpace, alias: str, tag: str | None) -> DataFrame:
-    """Tag table with alias-prefixed columns ({alias}__vid, {alias}__prop).
+    """Tag table with alias-prefixed columns ({alias}___vid key, {alias}__prop).
 
     ``{alias}___labels`` (triple underscore = internal marker) seeds the
     pattern's declared tag for labels()/tags(); when an expression
@@ -2040,15 +2060,15 @@ def _bind_tag(space: GraphSpace, alias: str, tag: str | None) -> DataFrame:
         u = None
         for tname in space.tags:
             part = space.tag(tname).select(
-                F.col(VID).alias(f"{alias}__vid"), F.lit(tname).alias("_t"))
+                F.col(VID).alias(f"{alias}___vid"), F.lit(tname).alias("_t"))
             u = part if u is None else u.unionByName(part)
         if u is None:
             raise ValueError("space has no tags")
-        return (u.groupBy(f"{alias}__vid")
+        return (u.groupBy(f"{alias}___vid")
                 .agg(F.array_sort(F.collect_set("_t"))
                      .alias(f"{alias}___labels")))
     t = space.tag(tag)
-    return t.select(F.col(VID).alias(f"{alias}__vid"),
+    return t.select(F.col(VID).alias(f"{alias}___vid"),
                     F.array(F.lit(tag)).alias(f"{alias}___labels"),
                     *[F.col(c).alias(f"{alias}__{c}")
                       for c in t.columns if c != VID])
@@ -2067,10 +2087,10 @@ def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
             _walk(e, {"alias_tag_prop"}, refs)
     dtypes = None
     for a, t in sorted({(r[1], r[2]) for r in refs}):
-        if t not in space.tags or f"{a}___t_{t}__vid" in cur.columns:
+        if t not in space.tags or f"{a}___t_{t}___vid" in cur.columns:
             continue
-        if a in tagmap and tagmap.get(a) != t and f"{a}__vid" in cur.columns:
-            key = cur[f"{a}__vid"]
+        if a in tagmap and tagmap.get(a) != t and f"{a}___vid" in cur.columns:
+            key = cur[f"{a}___vid"]
         elif a not in tagmap and a in cur.columns:
             # a plain vid-valued column — `UNWIND nodes(p) AS ua0` then
             # `ua0.tag.prop` (Attribute1.feature over ngdata): nodes()
@@ -2087,7 +2107,7 @@ def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
         td = space.tag(t)
         sel = td.select(*[F.col(c).alias(f"{a}___t_{t}__{c}")
                           for c in td.columns])
-        cur = cur.join(sel, key == sel[f"{a}___t_{t}__vid"], "left")
+        cur = cur.join(sel, key == sel[f"{a}___t_{t}___vid"], "left")
     # labels()/tags() must report EVERY tag on the vertex (Vertex.h:62-70;
     # MatchNodeLabelFilter.feature: a :bachelor-bound Tim Duncan is
     # ["bachelor","player"]). Tag binding stores only the declared tag;
@@ -2103,7 +2123,7 @@ def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
     for a in sorted(lbl_aliases):
         col = f"{a}___labels"
         if tagmap.get(a) is None or col not in cur.columns \
-                or f"{a}__vid" not in cur.columns:
+                or f"{a}___vid" not in cur.columns:
             continue                    # tagless bind already carries all
         u = None
         for tname in space.tags:
@@ -2114,7 +2134,7 @@ def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
                 .agg(F.array_sort(F.collect_set("_t"))
                      .alias(f"{a}___flbl")))
         cur = (cur.drop(col)
-               .join(full, cur[f"{a}__vid"] == full[f"{a}___lv"], "left")
+               .join(full, cur[f"{a}___vid"] == full[f"{a}___lv"], "left")
                .withColumnRenamed(f"{a}___flbl", col)
                .drop(f"{a}___lv"))
     return cur
@@ -2225,7 +2245,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         # undeclared prop → no match (UNKNOWN_PROP, MatchCrash.feature)
         cur = cur.filter(F.col(f"{a0}__{k}") == v) \
             if f"{a0}__{k}" in cur.columns else cur.filter(F.lit(False))
-    cur = _apply_extra_tags(cur, n0, f"{a0}__vid")
+    cur = _apply_extra_tags(cur, n0, f"{a0}___vid")
 
     # per-hop path fragments for `p = (…)` bindings: each entry is an
     # array<struct(s,d,r,t,et,props…)> column expression over the final
@@ -2265,9 +2285,9 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
     def _canon_hop(ea: str) -> Column:
         fwd = F.col(f"{ea}___dir") == 1
         return F.struct(
-            F.when(fwd, F.col(f"{ea}__src")).otherwise(F.col(f"{ea}__dst"))
+            F.when(fwd, F.col(f"{ea}___src")).otherwise(F.col(f"{ea}___dst"))
             .alias("s"),
-            F.when(fwd, F.col(f"{ea}__dst")).otherwise(F.col(f"{ea}__src"))
+            F.when(fwd, F.col(f"{ea}___dst")).otherwise(F.col(f"{ea}___src"))
             .alias("d"),
             F.col(f"{ea}___rank").alias("r"),
             F.col(f"{ea}___etype").alias("et"))
@@ -2309,17 +2329,17 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             from nebula_spark.operators.traverse import oriented
             e = oriented(edges, me.direction, self_loop_once=True)
             eprops = [c for c in e.columns if c not in (SRC, DST, RANK)]
-            e = e.select(F.col(SRC).alias(f"{ea}__src"),
-                         F.col(DST).alias(f"{ea}__dst"),
+            e = e.select(F.col(SRC).alias(f"{ea}___src"),
+                         F.col(DST).alias(f"{ea}___dst"),
                          F.col(RANK).alias(f"{ea}___rank"),
                          *[F.col(c).alias(f"{ea}__{c}") for c in eprops])
-            cur = cur.join(e, cur[f"{prev_alias}__vid"] == e[f"{ea}__src"],
+            cur = cur.join(e, cur[f"{prev_alias}___vid"] == e[f"{ea}___src"],
                            "inner")
-            end_col = f"{ea}__dst"
+            end_col = f"{ea}___dst"
             seg_have = {c for c in eprops if c not in ("_dir", "_etype")}
             path_parts.append(F.array(F.struct(
-                F.col(f"{ea}__src").alias("s"),
-                F.col(f"{ea}__dst").alias("d"),
+                F.col(f"{ea}___src").alias("s"),
+                F.col(f"{ea}___dst").alias("d"),
                 F.col(f"{ea}___rank").alias("r"),
                 F.col(f"{ea}___dir").alias("t"),
                 F.col(f"{ea}___etype").alias("et"),
@@ -2328,7 +2348,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             canon_single.append(_canon_hop(ea))
         else:
             seeds = cur.select(
-                F.col(f"{prev_alias}__vid").alias(VID)).distinct()
+                F.col(f"{prev_alias}___vid").alias(VID)).distinct()
             # shortestPath()/allShortestPaths() over a predicate-free
             # var-len segment routes to level-pruned BFS
             # (SingleShortestPath.cpp:214-265 does BFS, never
@@ -2352,7 +2372,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 sp_targets = None
                 if na in aliases:
                     sp_targets = cur.select(
-                        F.col(f"{na}__vid").alias(VID)).distinct()
+                        F.col(f"{na}___vid").alias(VID)).distinct()
                 elif mn.tag:
                     tt = space.tag(mn.tag)
                     for k, v in mn.props.items():
@@ -2399,12 +2419,12 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                     edges.select(SRC, DST, RANK, "_etype", *seg_props),
                     seeds, me.min_hops, me.max_hops, me.direction,
                     self_loop_once=True, prop_cols=seg_props)
-            tr = tr.select(F.col("start_vid").alias(f"{prev_alias}__vid"),
-                           F.col("end_vid").alias(f"{ea}__dst"),
+            tr = tr.select(F.col("start_vid").alias(f"{prev_alias}___vid"),
+                           F.col("end_vid").alias(f"{ea}___dst"),
                            F.col("hops").alias(f"{ea}__hops"),
                            F.col("path").alias(f"{ea}__path"))
-            cur = cur.join(tr, f"{prev_alias}__vid", "inner")
-            end_col = f"{ea}__dst"
+            cur = cur.join(tr, f"{prev_alias}___vid", "inner")
+            end_col = f"{ea}___dst"
             have = set(seg_props)
             path_parts.append(F.transform(
                 F.col(f"{ea}__path"),
@@ -2419,7 +2439,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             # constraint on the existing binding, NOT a re-bind
             # (RedefinedNode.feature; openCypher node identity). A tag on
             # the re-use narrows via a semi-join, leaving columns intact.
-            cur = cur.filter(F.col(end_col) == F.col(f"{na}__vid"))
+            cur = cur.filter(F.col(end_col) == F.col(f"{na}___vid"))
             if mn.tag:
                 tt = space.tag(mn.tag).select(F.col(VID).alias("_rd_vid"))
                 cur = cur.join(tt, cur[end_col] == tt["_rd_vid"],
@@ -2433,17 +2453,17 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         else:
             if mn.tag:
                 tt = _bind_tag(space, na, mn.tag)
-                cur = cur.join(tt, cur[end_col] == tt[f"{na}__vid"],
+                cur = cur.join(tt, cur[end_col] == tt[f"{na}___vid"],
                                "inner")
             else:
-                cur = cur.withColumn(f"{na}__vid", F.col(end_col))
+                cur = cur.withColumn(f"{na}___vid", F.col(end_col))
             for k, v in mn.props.items():
                 # undeclared prop → no match (UNKNOWN_PROP,
                 # MatchCrash.feature `{age: 102, in_service: false}`)
                 cur = cur.filter(F.col(f"{na}__{k}") == v) \
                     if f"{na}__{k}" in cur.columns \
                     else cur.filter(F.lit(False))
-            cur = _apply_extra_tags(cur, mn, f"{na}__vid")
+            cur = _apply_extra_tags(cur, mn, f"{na}___vid")
             aliases.add(na)
             tags[na] = mn.tag
         edge_aliases.add(ea)
@@ -2476,7 +2496,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         total = hop_counts[0]
         for h in hop_counts[1:]:
             total = total + h
-        w = Window.partitionBy(f"{a0}__vid", f"{prev_alias}__vid")
+        w = Window.partitionBy(f"{a0}___vid", f"{prev_alias}___vid")
         cur = (cur.withColumn("_hops_total", total)
                .withColumn("_min_hops", F.min("_hops_total").over(w))
                .filter(F.col("_hops_total") == F.col("_min_hops")))
@@ -2492,7 +2512,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
     paths_bound: set[str] = set()
     if path.path_alias:
         pa = path.path_alias
-        cur = cur.withColumn(f"{pa}__start", F.col(f"{a0}__vid"))
+        cur = cur.withColumn(f"{pa}__start", F.col(f"{a0}___vid"))
         cur = cur.withColumn(
             f"{pa}__path",
             F.concat(*path_parts) if path_parts else F.array())
@@ -2512,9 +2532,9 @@ def _edge_canon(ea: str) -> Column:
     keyEqual), so the same underlying edge compares equal across frames."""
     fwd = F.col(f"{ea}___dir") == 1
     return F.struct(
-        F.when(fwd, F.col(f"{ea}__src")).otherwise(F.col(f"{ea}__dst"))
+        F.when(fwd, F.col(f"{ea}___src")).otherwise(F.col(f"{ea}___dst"))
         .alias("s"),
-        F.when(fwd, F.col(f"{ea}__dst")).otherwise(F.col(f"{ea}__src"))
+        F.when(fwd, F.col(f"{ea}___dst")).otherwise(F.col(f"{ea}___src"))
         .alias("d"),
         F.col(f"{ea}___rank").alias("r"),
         F.col(f"{ea}___etype").alias("et"))
@@ -2546,22 +2566,22 @@ def _apply_pattern_pred(space: GraphSpace, cur: DataFrame, path: A.MatchPath,
     n0 = path.nodes[0]
     seed = None
     if n0.tag is None and n0.alias in bound:
-        seed = cur.select(F.col(f"{n0.alias}__vid")).distinct()
+        seed = cur.select(F.col(f"{n0.alias}___vid")).distinct()
     pat, aliases, eals, _pp, _tm, _cn = _build_pattern(space, path, counter,
                                                        seed=seed)
     shared = sorted(bound & aliases)
     shared_e = sorted(bound & eals)
     if not shared and not shared_e:
         raise ValueError("pattern predicate must share an alias with MATCH")
-    keys = [f"{a}__vid" for a in shared]
+    keys = [f"{a}___vid" for a in shared]
     tmp: list[str] = []
     for ea in shared_e:
-        if f"{ea}__src" not in pat.columns:
+        if f"{ea}___src" not in pat.columns:
             raise ValueError(
                 f"`{ea}' is referenced with type Edge but bound as a "
                 "different type (var-len edge lists cannot re-bind)")
         k = f"_pp_canon_{ea}"
-        if f"{ea}__src" in cur.columns:
+        if f"{ea}___src" in cur.columns:
             cur = cur.withColumn(k, _edge_canon(ea))
         elif ea in cur.columns:
             # edge VALUE binding — a WITH-projected relationships(p)[i]
@@ -2631,10 +2651,13 @@ def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
         # a WHERE that compiles to a bare untyped NULL at the root
         # (UNKNOWN_PROP access — `WHERE ua0.tag.nosuchprop`,
         # Attribute1/BugFixWithngdata class) drops every row in the
-        # reference; Spark refuses a VOID filter. The root-literal check
-        # is string-cheap — no analysis pass — and NULL nested under
-        # boolean operators types itself
-        if str(c) == "Column<'NULL'>":
+        # reference; Spark refuses a VOID filter. Detect the root by
+        # comparing against a freshly-built F.lit(None) probe — same
+        # cheap string compare, but self-adapting if the Column repr
+        # format ever changes (classic vs Connect — r7 ADVICE), instead
+        # of a hard-coded repr that would silently degrade to the
+        # AnalysisException remap
+        if str(c) == str(F.lit(None)):
             c = c.cast("boolean")
         cur = cur.filter(c)
     return cur
@@ -2670,7 +2693,7 @@ def _rewrite_pattern_values(space: GraphSpace, cur: DataFrame,
         n0 = path.nodes[0]
         seed = None
         if n0.tag is None and n0.alias in bound:
-            seed = cur.select(F.col(f"{n0.alias}__vid")).distinct()
+            seed = cur.select(F.col(f"{n0.alias}___vid")).distinct()
         pat, aliases, eals, _pp, _tm, _cn = _build_pattern(
             space, p2, counter, seed=seed)
         shared = sorted(bound & aliases)
@@ -2678,7 +2701,7 @@ def _rewrite_pattern_values(space: GraphSpace, cur: DataFrame,
         if not shared and not shared_e:
             raise ValueError("pattern expression must share an alias "
                              "with the enclosing MATCH")
-        keys = [f"{a}__vid" for a in shared]
+        keys = [f"{a}___vid" for a in shared]
         tmp: list[str] = []
         for ea in shared_e:
             k = f"_pp_canon_{ea}"
@@ -2728,7 +2751,7 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                     columns: list[str] | None = None,
                     tagmap: dict[str, str | None] | None = None):
     """Expression resolver over the clause-chain frame: bound node aliases
-    → their __vid column; path aliases → nodes()/relationships()/length();
+    → their ___vid column; path aliases → nodes()/relationships()/length();
     graph value fns (id/type/rank/startNode/endNode/properties) → the
     convention columns; everything else → plain column."""
     def resolve(kind, *args):
@@ -2736,17 +2759,17 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
             fn, alias = args
             if alias not in bound:
                 raise ValueError(f"{alias!r} is not a bound alias")
-            col = {"id": "__vid", "rank": "___rank", "type": "___etype",
-                   "startnode": "__src", "endnode": "__dst",
-                   "src": "__src", "dst": "__dst"}.get(fn)
+            col = {"id": "___vid", "rank": "___rank", "type": "___etype",
+                   "startnode": "___src", "endnode": "___dst",
+                   "src": "___src", "dst": "___dst"}.get(fn)
             if col is not None:
                 return F.col(f"{alias}{col}")
             if fn in ("labels", "tags") and columns is not None \
                     and f"{alias}___labels" in columns:
                 return F.col(f"{alias}___labels")
             if fn in ("properties", "props") and columns is not None:
-                skip = {f"{alias}__vid", f"{alias}__src",
-                        f"{alias}__dst"}
+                skip = {f"{alias}___vid", f"{alias}___src",
+                        f"{alias}___dst"}
                 pc = [c for c in columns
                       if c.startswith(f"{alias}__") and c not in skip
                       and not c.startswith(f"{alias}___")]
@@ -2782,11 +2805,11 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                 lazy = f"{alias}___t_{tag}__{prop}"
                 if columns is None or lazy in columns:
                     return F.col(lazy)
-                if f"{alias}___t_{tag}__vid" in columns:
+                if f"{alias}___t_{tag}___vid" in columns:
                     # tag joined but prop not in its schema → NULL
                     # (UNKNOWN_PROP semantics)
                     return F.lit(None)
-            if columns is not None and f"{alias}___t_{tag}__vid" in columns:
+            if columns is not None and f"{alias}___t_{tag}___vid" in columns:
                 # vid-valued plain column (UNWIND nodes(p) AS a) enriched
                 # by _ensure_tag_props — lazy col, NULL if the prop is
                 # absent from the tag schema (UNKNOWN_PROP semantics)
@@ -2798,7 +2821,7 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                     # value (x.b.d on a WITH-bound map)
                     return F.col(alias)[tag][prop]
                 if tagmap is not None and alias in tagmap \
-                        and f"{alias}__vid" in columns:
+                        and f"{alias}___vid" in columns:
                     # bound alias, prop absent from its tag schema → NULL
                     return F.lit(None)
             return F.col(f"{alias}__{prop}")
@@ -2806,7 +2829,7 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
             if columns is not None and f"{args[0]}__{args[1]}" not in columns:
                 if args[0] in columns:
                     return F.col(args[0])[args[1]]
-                if f"{args[0]}__src" in columns:
+                if f"{args[0]}___src" in columns:
                     # bound edge alias, prop not in the edge schema —
                     # case-sensitive miss (Attribute.feature e.Likeness)
                     # → UNKNOWN_PROP NULL; F.col would resolve it
@@ -2816,17 +2839,17 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
         if kind in ("name", "input_prop"):
             a = args[0]
             if a in bound:
-                if columns is None or f"{a}__vid" in columns:
-                    return F.col(f"{a}__vid")
-                if columns is not None and f"{a}__src" in columns:
+                if columns is None or f"{a}___vid" in columns:
+                    return F.col(f"{a}___vid")
+                if columns is not None and f"{a}___src" in columns:
                     # bare EDGE alias as a value (`CASE r WHEN null`,
                     # ShortReads.feature:7): the edge's identity struct,
                     # NULL — not a struct of nulls — when an OPTIONAL
                     # MATCH left it unmatched
-                    ident = F.struct(F.col(f"{a}__src").alias("s"),
-                                     F.col(f"{a}__dst").alias("d"),
+                    ident = F.struct(F.col(f"{a}___src").alias("s"),
+                                     F.col(f"{a}___dst").alias("d"),
                                      F.col(f"{a}___rank").alias("r"))
-                    return F.when(F.col(f"{a}__src").isNotNull(), ident)
+                    return F.when(F.col(f"{a}___src").isNotNull(), ident)
             # bare path alias (`p IS NULL` after OPTIONAL MATCH p = …,
             # LDBC IC10 shape) OR bare var-len edge alias (`RETURN e` for
             # `[e:like*0..1]`, ZeroStep.feature): both evaluate to the
@@ -2836,8 +2859,8 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                     and f"{a}__path" in columns:
                 return F.col(f"{a}__path")
             if columns is not None and a not in columns \
-                    and f"{a}__vid" not in columns \
-                    and f"{a}__src" not in columns:
+                    and f"{a}___vid" not in columns \
+                    and f"{a}___src" not in columns:
                 # a name that resolves to nothing on the clause frame is
                 # the reference's undefined-alias SemanticError
                 # (SeekById.feature `WHERE id(x) == …`), raised here
@@ -3066,7 +3089,7 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
         reference's SemanticError."""
         shared = [a for a in sorted(base_bound & aliases)]
         shared_edges = [a for a in sorted(base_ebound & eals)]
-        keys = [f"{a}__vid" for a in shared]
+        keys = [f"{a}___vid" for a in shared]
         for a in shared_edges:
             base_list = f"{a}__path" in base.columns
             pat_list = f"{a}__path" in pat.columns
@@ -3074,7 +3097,7 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 raise ValueError(f"`{a}' binding to different type: "
                                  "Edge vs EdgeList")
             keys += [f"{a}__path"] if pat_list else [
-                f"{a}__src", f"{a}__dst", f"{a}___rank"]
+                f"{a}___src", f"{a}___dst", f"{a}___rank"]
         if keys:
             # pattern side re-binds shared aliases: drop its duplicate
             # prop columns, keep only new ones + keys
@@ -3297,9 +3320,17 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
         if y.expr[0] == "name" and y.expr[1] in bound \
                 and y.alias in (None, y.expr[1]):
             a = y.expr[1]
-            fields = [F.col(c).alias(c.split("__", 1)[1])
-                      for c in cur.columns if c.startswith(f"{a}__")
-                      and not c.startswith(f"{a}___")]
+            # key binding ({a}___vid, meta namespace) leads as field
+            # `vid`; a user PROP named vid (legal since the r8 key
+            # namespacing) stays under its own binding and is skipped
+            # here — one `vid` field, the identity, like the reference's
+            # Vertex value where props live in per-tag maps
+            fields = [F.col(f"{a}___vid").alias("vid")] \
+                if f"{a}___vid" in cur.columns else []
+            fields += [F.col(c).alias(c.split("__", 1)[1])
+                       for c in cur.columns if c.startswith(f"{a}__")
+                       and not c.startswith(f"{a}___")
+                       and (not fields or c != f"{a}__vid")]
             return F.struct(*fields).alias(y.alias or a)
         return ec.col(y.expr).alias(_yname(y, i))
 
@@ -3510,6 +3541,15 @@ def _eval_const_exprs(space: GraphSpace, data: list, cols: list[str],
 
 def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
     from nebula_spark.operators.mutate import insert_rows
+    if st.is_edge and st.props_all:
+        # `INSERT EDGE e VALUES …` — all declared props in decl order
+        # (parser.yy:3141-3146 setDefaultPropNames)
+        d = space.edges.get(st.name)
+        if d is None:
+            raise ValueError(f"EdgeNotFound: EdgeName `{st.name}`")
+        ps = [c for c, _t in d.decl] if d.decl else             [c for c in space.edge(st.name).columns
+             if c not in (SRC, DST, RANK)]
+        st = A.InsertStmt(True, st.name, ps, st.rows, st.if_not_exists)
     if not st.is_edge and (st.extra_specs or st.props_all):
         # multi-tag / no-parens forms (vertex_tag_list,
         # MutateSentences.h:128-160; Insert.feature "insert vertex with
@@ -4231,6 +4271,10 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
         dt = _TYPE_MAP.get(typ)
         if dt is None:
             raise ValueError(f"unknown type {typ!r}")
+        if col.startswith("_"):
+            # same rule as CREATE: the `_` prefix is the key/meta
+            # namespace; the reference lexer can't spell such a name
+            raise ValueError(f"SyntaxError: syntax error near `{col}'")
         if col in df.columns:
             raise ValueError(f"Existed prop {col!r}!")
         df = df.withColumn(col, F.lit(None).cast(dt))
@@ -4332,19 +4376,20 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
             want = t[len("geography"):].strip("()").upper() or None
             if shape is None or (want and shape != want):
                 raise ValueError("Invalid param!")
-        # user props named `rank` are legal (InsertEdgeOnDiffParts
-        # .feature:15) — the key column is namespaced `_rank` so they
-        # never collide. `vid`/`src`/`dst` DO collide with our physical
-        # key columns; the reference's value/key namespaces are separate
-        # (NebulaKeyUtils.h:13-27) so it accepts them — a documented
-        # deviation, refused eagerly here rather than corrupting keys
-        reserved = {VID} if sd.kind == "tag" else {SRC, DST}
+        # user props named `vid`/`src`/`dst`/`rank` are legal (the
+        # reference keeps keys outside the row payload entirely,
+        # NebulaKeyUtils.h:13-27; e.g. InsertEdgeOnDiffParts.feature:15
+        # `CREATE EDGE E(rank timestamp …)`) — our key columns are
+        # namespaced `_vid`/`_src`/`_dst`/`_rank` so they never collide.
+        # What IS refused is any leading-underscore prop name: the
+        # reference's lexer cannot spell one (scanner.lex LABEL =
+        # [a-zA-Z][_a-zA-Z0-9]*), and allowing it here would let a user
+        # column collide with the key/meta namespace (`_rank`, `_dir`,
+        # `_etype` — the r7 ADVICE finding)
         for colname, _rt in (sd.decl or []):
-            if colname in reserved:
+            if colname.startswith("_"):
                 raise ValueError(
-                    f"SemanticError: property name `{colname}' collides "
-                    f"with the engine's {sd.kind} key column; rename the "
-                    "property (keys are stored as vid/src/dst columns)")
+                    f"SyntaxError: syntax error near `{colname}'")
         key_cols = [StructField(VID, vt, False)] \
             if sd.kind == "tag" else [
                 StructField(SRC, vt, False),
@@ -4469,16 +4514,29 @@ def explain(space: GraphSpace, query: str, formatted: bool = True) -> str:
             "formatted" if formatted else "extended"))
 
 
-def _space_level(cat: SpaceCatalog, node) -> DataFrame | None:
+def _space_level(cat: SpaceCatalog, node,
+                 cur: list | None = None) -> DataFrame | None:
     """Space-level sentences resolve against the catalog, not a space:
     USE (parser.yy:2431), CREATE/DROP SPACE (parser.yy:3633;
     meta.thrift:108 SpaceDesc), SHOW SPACES. Returns None for everything
-    else so the caller dispatches it against the *current* space."""
+    else so the caller dispatches it against the *current* space.
+
+    ``cur`` is the calling script's one-slot current-space holder: USE
+    writes THERE, not into the shared catalog, so two threads running
+    scripts against one catalog can't redirect each other's statements
+    mid-script (the reference gives each session its own space pointer;
+    one execute() call is our session-scope unit — r7 verdict item 6).
+    The catalog pointer is synced once at script end by the caller."""
     if not isinstance(node, A.Pipeline) or len(node.stages) != 1:
         return None
     st = node.stages[0]
     if isinstance(st, A.UseStmt):
-        cat.use(st.name)
+        if cur is None:
+            cat.use(st.name)
+        else:
+            if st.name not in cat.spaces:
+                raise KeyError(f"SpaceNotFound: {st.name!r}")
+            cur[0] = st.name
         return cat.spark.range(0)
     if isinstance(st, A.CreateSpaceStmt):
         cat.create_space(st.name, options=st.options,
@@ -4487,6 +4545,8 @@ def _space_level(cat: SpaceCatalog, node) -> DataFrame | None:
         return cat.spark.range(0)
     if isinstance(st, A.DropSpaceStmt):
         cat.drop_space(st.name, st.if_exists)
+        if cur is not None and cur[0] == st.name:
+            cur[0] = None
         return cat.spark.range(0)
     if isinstance(st, A.AdminStmt) and st.kind == "spaces":
         return cat.spark.createDataFrame(
@@ -4544,6 +4604,19 @@ def execute(space: GraphSpace | SpaceCatalog, query: str,
                        formatted=not fmt.startswith("dot"))
         return cat.spark.createDataFrame([(plan,)], ["plan"])
     node = A.parse(query, params)
+    # script-local current-space pointer (seeded from the session's):
+    # per-statement resolution reads THIS, so a concurrent thread's USE
+    # on the same catalog can't redirect this script's statements
+    cur = [cat.current_name]
+
+    def _current() -> GraphSpace:
+        if cur[0] is None:
+            raise ValueError("Space was not chosen.")
+        sp0 = cat.spaces.get(cur[0])
+        if sp0 is None:
+            raise KeyError(f"SpaceNotFound: {cur[0]!r}")
+        return sp0
+
     try:
         if isinstance(node, A.Script):
             # sequential statements sharing a variable table (the
@@ -4552,14 +4625,16 @@ def execute(space: GraphSpace | SpaceCatalog, query: str,
             env: dict[str, DataFrame] = {}
             df: DataFrame | None = None
             for var, stmt in node.statements:
-                df = _space_level(cat, stmt)
+                df = _space_level(cat, stmt, cur)
                 if df is None:
-                    df = _execute_node(cat.current(), stmt, env)
+                    df = _execute_node(_current(), stmt, env)
                 if var is not None:
                     env[var] = df
+            cat.current_name = cur[0]   # session persistence, synced once
             return df
-        df = _space_level(cat, node)
-        return df if df is not None else _execute_node(cat.current(), node)
+        df = _space_level(cat, node, cur)
+        cat.current_name = cur[0]
+        return df if df is not None else _execute_node(_current(), node)
     except Exception as ex:
         # Catalyst analysis failures on plan build (unresolved column
         # from a misspelled prop, a field-extract on a scalar, a

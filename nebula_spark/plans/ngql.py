@@ -16,7 +16,15 @@ the prop-deduction pass the executor runs (the analog of
 from __future__ import annotations
 
 import re
+import sys
 from dataclasses import dataclass, field
+
+# the 512-level expression-depth guard (expr()/literal()) costs ~11 Python
+# frames per level; raise CPython's limit once at import so the guard is
+# reachable instead of RecursionError at ~90 levels (per-Parser raising
+# made hypothesis warn about a mid-run limit change — r7 ADVICE)
+if sys.getrecursionlimit() < 10000:
+    sys.setrecursionlimit(10000)
 
 # --------------------------------------------------------------------------
 # lexer
@@ -532,12 +540,10 @@ class Parser:
         self._depth = 0     # expression-descent guard (see expr())
         # the guard bounds nesting at the reference's 512
         # (--max_expression_depth, ExpressionUtils.cpp:21); the
-        # recursive-descent chain costs ~11 Python frames per level, so
-        # give CPython headroom to reach the guard instead of dying with
-        # RecursionError at ~90 levels
-        import sys
-        if sys.getrecursionlimit() < 10000:
-            sys.setrecursionlimit(10000)
+        # recursive-descent chain costs ~11 Python frames per level;
+        # CPython headroom to reach the guard (instead of RecursionError
+        # at ~90 levels) is raised ONCE at module import, not per Parser
+        # (hypothesis warns when the limit changes mid-run — r7 ADVICE)
 
     # -- token helpers
     def peek(self, k: int = 0) -> Tok:
@@ -942,19 +948,30 @@ class Parser:
             raise SyntaxError(f"expected VERTEX or EDGE, got {t.text!r}")
         return w
 
+    def _opt_rank(self) -> int:
+        """Optional ``@rank`` suffix of an edge key. The reference grammar
+        takes an integer only (parser.yy rank: MINUS? INTEGER); floats or
+        strings here are syntax errors, never silent casts (r7 ADVICE —
+        DELETE EDGE e "a"->"b"@1.5 must refuse, not delete rank 1)."""
+        if self.peek().kind != "AT":
+            return 0
+        self.eat("AT")
+        neg = self.peek().kind == "MINUS" and (self.eat("MINUS") or True)
+        t = self.peek()
+        if t.kind != "INT":
+            raise SyntaxError(
+                f"syntax error near `{t.text}': edge rank must be an "
+                f"integer @{t.pos}")
+        rank = int(self.eat("INT").text)
+        return -rank if neg else rank
+
     def _edge_key(self) -> tuple:
         # src/dst take literals or CONST calls — `hash("Zhangsan")`
         # (Insert/Update/DeleteEdge IntVid features; parser.yy vid)
         src = self._vid_value()
         self.eat("ARROW_R")
         dst = self._vid_value()
-        rank = 0
-        if self.peek().kind == "AT":
-            self.eat("AT")
-            neg = self.peek().kind == "MINUS" and (self.eat("MINUS") or True)
-            rank = int(self.eat("INT").text)
-            if neg:
-                rank = -rank
+        rank = self._opt_rank()
         return (src, dst, rank)
 
     def insert_sentence(self) -> InsertStmt:
@@ -987,8 +1004,10 @@ class Parser:
             self.eat("RP")
             return n, ps
         name, props = _spec()
-        if is_edge and props is None:
-            raise SyntaxError("INSERT EDGE requires a prop list")
+        # no-parens edge form `INSERT EDGE e VALUES …` takes all declared
+        # props (parser.yy:3141-3146 insert_edge_sentence first
+        # alternative, setDefaultPropNames — r7 ADVICE), same as the
+        # vertex props_all path
         extra = []
         while not is_edge and self.peek().kind == "COMMA":
             # INSERT VERTEX t1(…), t2(…) VALUES … (vertex_tag_list)
@@ -1130,10 +1149,7 @@ class Parser:
         src = self._vid_value()
         self.eat("ARROW_R")
         dst = self._vid_value()
-        rank = 0
-        if self.peek().kind == "AT":
-            self.eat("AT")
-            rank = self.literal()
+        rank = self._opt_rank()
         return (src, dst, rank)
 
     def _delete_vid_ref(self) -> tuple[str, str]:
@@ -1375,6 +1391,20 @@ class Parser:
         return self.literal()
 
     def literal(self):
+        # same 512 descent guard as expr(): deep list/set-literal nesting
+        # ("[[[[…") recurses through literal() and must raise the
+        # reference's depth refusal, never RecursionError (r7 ADVICE)
+        self._depth += 1
+        if self._depth > 512:
+            self._depth = 0
+            raise SyntaxError("The above expression nesting exceeds "
+                              "max_expression_depth (512)")
+        try:
+            return self._literal_inner()
+        finally:
+            self._depth = max(0, self._depth - 1)
+
+    def _literal_inner(self):
         t = self.peek()
         if t.kind == "LB":               # [a, b] — List-prop INSERT value
             self.eat("LB")
@@ -1542,10 +1572,7 @@ class Parser:
             src = self._vid_value()
             self.eat("ARROW_R")
             dst = self._vid_value()
-            rank = 0                     # src->dst@rank; @ defaults to 0
-            if self.peek().kind == "AT":
-                self.eat("AT")
-                rank = self.literal()
+            rank = self._opt_rank()      # src->dst@rank; @ defaults to 0
             keys.append((src, rank, dst))
             if self.peek().kind == "COMMA":
                 self.eat("COMMA")

@@ -62,8 +62,10 @@ def edge_stream_writer(edges: DataFrame, path: str, checkpoint: str,
     batch reader prunes on it and hop joins stay co-located.
     Returns the DataStreamWriter (caller .start()s it).
     """
+    from nebula_spark.catalog import SRC
+    key = SRC if SRC in edges.columns else "src"  # namespaced key (r8)
     bucketed = edges.withColumn(
-        "src_bucket", F.pmod(F.xxhash64("src"), F.lit(src_buckets)))
+        "src_bucket", F.pmod(F.xxhash64(key), F.lit(src_buckets)))
     return (bucketed.writeStream
             .format("parquet")
             .option("path", path)

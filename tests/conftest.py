@@ -30,19 +30,19 @@ def nba(spark):
     players = spark.createDataFrame(
         [("p1", "Tim", 42), ("p2", "Tony", 36), ("p3", "Manu", 41),
          ("p4", None, 0), ("p5", "Kobe", -1)],
-        "vid string, name string, age long")
+        "_vid string, name string, age long")
     teams = spark.createDataFrame(
-        [("t1", "Spurs"), ("t2", "Lakers")], "vid string, name string")
+        [("t1", "Spurs"), ("t2", "Lakers")], "_vid string, name string")
     like = spark.createDataFrame(
         # cycle p1->p2->p1, self-like p3->p3, chain p1->p3->p5
         [("p1", "p2", 0, 95), ("p2", "p1", 0, 95), ("p3", "p3", 0, 100),
          ("p1", "p3", 0, 90), ("p3", "p5", 0, 80), ("p2", "p4", 0, 50)],
-        "src string, dst string, _rank long, likeness long")
+        "_src string, _dst string, _rank long, likeness long")
     serve = spark.createDataFrame(
         # parallel edges p1->t1 rank 0/1 (two stints)
         [("p1", "t1", 0, 1997, 2016), ("p1", "t1", 1, 2016, 2018),
          ("p2", "t1", 0, 2001, 2018), ("p5", "t2", 0, 1996, 2016)],
-        "src string, dst string, _rank long, start_year long, end_year long")
+        "_src string, _dst string, _rank long, start_year long, end_year long")
     return {"player": players, "team": teams, "like": like, "serve": serve}
 
 

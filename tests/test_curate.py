@@ -125,7 +125,7 @@ def test_pii_scrub_and_counts(spark):
 
 def _edges(spark, pairs):
     return spark.createDataFrame(
-        [(a, b) for a, b in pairs], "src long, dst long")
+        [(a, b) for a, b in pairs], "_src long, _dst long")
 
 
 def test_triangle_count_known_graph(spark):

@@ -14,59 +14,59 @@ from nebula_spark.operators.mutate import (
 
 
 def test_insert_overwrites_key(spark):
-    t = spark.createDataFrame([("v1", 10), ("v2", 20)], "vid string, age long")
-    rows = spark.createDataFrame([("v2", 99), ("v3", 30)], "vid string, age long")
-    out = {r.vid: r.age for r in insert_rows(t, rows, VERTEX_KEY).collect()}
+    t = spark.createDataFrame([("v1", 10), ("v2", 20)], "_vid string, age long")
+    rows = spark.createDataFrame([("v2", 99), ("v3", 30)], "_vid string, age long")
+    out = {r["_vid"]: r.age for r in insert_rows(t, rows, VERTEX_KEY).collect()}
     assert out == {"v1": 10, "v2": 99, "v3": 30}
 
 
 def test_insert_if_not_exists(spark):
-    t = spark.createDataFrame([("v1", 10)], "vid string, age long")
-    rows = spark.createDataFrame([("v1", 99), ("v2", 20)], "vid string, age long")
-    out = {r.vid: r.age
+    t = spark.createDataFrame([("v1", 10)], "_vid string, age long")
+    rows = spark.createDataFrame([("v1", 99), ("v2", 20)], "_vid string, age long")
+    out = {r["_vid"]: r.age
            for r in insert_rows(t, rows, VERTEX_KEY, if_not_exists=True).collect()}
     assert out == {"v1": 10, "v2": 20}
 
 
 def test_update_partial_props_and_upsert(spark):
     t = spark.createDataFrame([("v1", 10, "a"), ("v2", 20, "b")],
-                              "vid string, age long, name string")
-    upd = spark.createDataFrame([("v2", 99), ("v9", 5)], "vid string, age long")
+                              "_vid string, age long, name string")
+    upd = spark.createDataFrame([("v2", 99), ("v9", 5)], "_vid string, age long")
     plain = update_rows(t, upd, VERTEX_KEY)
-    got = {r.vid: (r.age, r.name) for r in plain.collect()}
+    got = {r["_vid"]: (r.age, r.name) for r in plain.collect()}
     assert got == {"v1": (10, "a"), "v2": (99, "b")}  # name preserved
     up = update_rows(t, upd, VERTEX_KEY, insertable=True)
-    got = {r.vid: (r.age, r.name) for r in up.collect()}
+    got = {r["_vid"]: (r.age, r.name) for r in up.collect()}
     assert got["v9"] == (5, None)
 
 
 def test_delete_edge_by_composite_key(spark):
     e = spark.createDataFrame([("a", "b", 0, 1), ("a", "b", 1, 2), ("a", "c", 0, 3)],
-                              "src string, dst string, _rank long, w long")
-    keys = spark.createDataFrame([("a", "b", 1)], "src string, dst string, _rank long")
+                              "_src string, _dst string, _rank long, w long")
+    keys = spark.createDataFrame([("a", "b", 1)], "_src string, _dst string, _rank long")
     out = delete_rows(e, keys, EDGE_KEY).collect()
-    assert {(r.src, r.dst, r["_rank"]) for r in out} == {("a", "b", 0), ("a", "c", 0)}
+    assert {(r["_src"], r["_dst"], r["_rank"]) for r in out} == {("a", "b", 0), ("a", "c", 0)}
 
 
 def test_delete_vertex_cascade(spark):
-    tags = {"p": spark.createDataFrame([("v1", 1), ("v2", 2)], "vid string, x long")}
+    tags = {"p": spark.createDataFrame([("v1", 1), ("v2", 2)], "_vid string, x long")}
     edges = {"e": spark.createDataFrame(
         [("v1", "v2", 0), ("v2", "v3", 0), ("v3", "v4", 0)],
-        "src string, dst string, _rank long")}
-    vids = spark.createDataFrame([("v2",)], ["vid"])
+        "_src string, _dst string, _rank long")}
+    vids = spark.createDataFrame([("v2",)], ["_vid"])
     nt, ne = delete_vertex_cascade(tags, edges, vids)
-    assert [r.vid for r in nt["p"].collect()] == ["v1"]
-    assert {(r.src, r.dst) for r in ne["e"].collect()} == {("v3", "v4")}
+    assert [r["_vid"] for r in nt["p"].collect()] == ["v1"]
+    assert {(r["_src"], r["_dst"]) for r in ne["e"].collect()} == {("v3", "v4")}
 
 
 def test_ttl_vacuum(spark):
     now = F.current_timestamp()
     t = spark.range(1).select(
-        F.lit("old").alias("vid"), (now - F.expr("INTERVAL 2 HOUR")).alias("ts")
+        F.lit("old").alias("_vid"), (now - F.expr("INTERVAL 2 HOUR")).alias("ts")
     ).unionByName(spark.range(1).select(
-        F.lit("new").alias("vid"), now.alias("ts")))
+        F.lit("new").alias("_vid"), now.alias("ts")))
     out = ttl_vacuum(t, "ts", 3600).collect()
-    assert [r.vid for r in out] == ["new"]
+    assert [r["_vid"] for r in out] == ["new"]
 
 
 def test_commit_table_swap(spark, tmp_path):

@@ -97,7 +97,7 @@ def test_find_all_path(space):
 
 def test_get_subgraph(space):
     df = execute(space, 'GET SUBGRAPH 1 STEPS FROM "p1" OUT like')
-    got = {(r.src, r.dst) for r in df.collect()}
+    got = {(r["_src"], r["_dst"]) for r in df.collect()}
     assert ("p1", "p2") in got and ("p1", "p3") in got
 
 
@@ -354,7 +354,7 @@ def test_shortest_path_fn(space):
     df = execute(space,
                  'MATCH p = shortestPath('
                  '(v:player {name: "Tim"})-[:like*1..3]->(m:player)) '
-                 'RETURN m.player.vid AS d, length(p) AS n')
+                 'RETURN id(m) AS d, length(p) AS n')
     got = {(r.d, r.n) for r in df.collect()}
     assert got == {("p2", 1), ("p3", 1), ("p1", 2), ("p5", 2), ("p4", 2)}
     assert len(df.collect()) == 5  # exactly one path per endpoint pair
@@ -389,7 +389,7 @@ def test_assign_default_column(space):
 
 def test_return_skip_limit(space):
     df = execute(space,
-                 'MATCH (v:player) RETURN v.player.vid AS vid '
+                 'MATCH (v:player) RETURN id(v) AS vid '
                  'ORDER BY vid SKIP 1 LIMIT 2')
     assert [r.vid for r in df.collect()] == ["p2", "p3"]
 
@@ -400,32 +400,32 @@ def test_dml_vertex_lifecycle(spark, nba):
     sp.create_edge("like", df=nba["like"])
 
     execute(sp, 'INSERT VERTEX player(name, age) VALUES "p9":("Zed", 21)')
-    got = {r.vid: (r.name, r.age) for r in sp.tag("player").collect()}
+    got = {r["_vid"]: (r.name, r.age) for r in sp.tag("player").collect()}
     assert got["p9"] == ("Zed", 21)
 
     execute(sp, 'UPDATE VERTEX ON player "p9" SET age = age + 1')
-    assert sp.tag("player").filter("vid = 'p9'").collect()[0].age == 22
+    assert sp.tag("player").filter("_vid = 'p9'").collect()[0].age == 22
 
     execute(sp, 'UPSERT VERTEX ON player "p10" SET age = 1')
-    assert sp.tag("player").filter("vid = 'p10'").collect()[0].age == 1
+    assert sp.tag("player").filter("_vid = 'p10'").collect()[0].age == 1
 
     # plain INSERT overwrites (AddVerticesProcessor upsert semantics);
     # IF NOT EXISTS keeps the stored row
     execute(sp, 'INSERT VERTEX IF NOT EXISTS player(name, age) '
                 'VALUES "p9":("Other", 99)')
-    assert sp.tag("player").filter("vid = 'p9'").collect()[0].age == 22
+    assert sp.tag("player").filter("_vid = 'p9'").collect()[0].age == 22
     execute(sp, 'INSERT VERTEX player(name, age) VALUES "p9":("Other", 99)')
-    assert sp.tag("player").filter("vid = 'p9'").collect()[0].age == 99
+    assert sp.tag("player").filter("_vid = 'p9'").collect()[0].age == 99
 
     execute(sp, 'INSERT EDGE like(likeness) VALUES "p1"->"p9"@0:(50)')
-    assert sp.edge("like").filter("dst = 'p9'").count() == 1
+    assert sp.edge("like").filter("_dst = 'p9'").count() == 1
 
     execute(sp, 'DELETE VERTEX "p9" WITH EDGE')
-    assert sp.tag("player").filter("vid = 'p9'").count() == 0
-    assert sp.edge("like").filter("dst = 'p9'").count() == 0
+    assert sp.tag("player").filter("_vid = 'p9'").count() == 0
+    assert sp.edge("like").filter("_dst = 'p9'").count() == 0
 
     execute(sp, 'DELETE EDGE like "p1"->"p2"@0')
-    assert sp.edge("like").filter("src = 'p1' AND dst = 'p2'").count() == 0
+    assert sp.edge("like").filter("_src = 'p1' AND _dst = 'p2'").count() == 0
 
 
 def test_dml_edge_update(spark, nba):
@@ -434,7 +434,7 @@ def test_dml_edge_update(spark, nba):
     # parallel edges discriminated by rank (Edge.h ranking)
     execute(sp, 'UPDATE EDGE ON serve "p1"->"t1"@1 SET end_year = 2019')
     rows = {r["_rank"]: r.end_year
-            for r in sp.edge("serve").filter("src = 'p1'").collect()}
+            for r in sp.edge("serve").filter("_src = 'p1'").collect()}
     assert rows == {0: 2016, 1: 2019}
 
 
@@ -533,7 +533,7 @@ def test_shortest_path_fn_both_direction(space):
     df = execute(space,
                  'MATCH p = shortestPath('
                  '(v:player {name: "Tim"})-[:like*1..3]-(m:player)) '
-                 'RETURN m.player.vid AS d, length(p) AS n')
+                 'RETURN id(m) AS d, length(p) AS n')
     got = {(r.d, r.n) for r in df.collect()}
     assert got == {("p2", 1), ("p3", 1), ("p1", 2), ("p5", 2), ("p4", 2)}
     assert len(df.collect()) == 5
@@ -562,7 +562,7 @@ def test_use_space_prefix_goldens_unchanged(space):
          '| GROUP BY $-.d YIELD $-.d AS d, count(*) AS n',
          {("p1", 1), ("p4", 1), ("p3", 1), ("p5", 1)}),
         ('MATCH (v:player {name: "Tim"})-[:like]->(m:player) '
-         'RETURN m.player.vid AS d, 0 AS z', {("p2", 0), ("p3", 0)}),
+         'RETURN id(m) AS d, 0 AS z', {("p2", 0), ("p3", 0)}),
     ]
     for q, want in cases:
         got = {tuple(r) for r in execute(space, "USE nba; " + q).collect()}
@@ -636,9 +636,15 @@ def test_executor_fuzz_smoke(space):
     """Deterministic executor-level fuzz smoke (the round-7 manual probe,
     pinned): mutate valid statements, execute every one that parses, and
     require the controlled refusal classes — plan-build time Catalyst
-    errors surface as SemanticError ValueErrors, never raw tracebacks."""
+    errors surface as SemanticError ValueErrors, never raw tracebacks.
+
+    Default 120 trials keep CI fast; set SPARK_GRAFT_DEEP_FUZZ (e.g.
+    2000) for the nightly-depth run the r7 verdict asked for — same
+    harness, same seed derivation, just more mutations."""
+    import os
     import random
     import re as _re
+    trials = int(os.environ.get("SPARK_GRAFT_DEEP_FUZZ", "120"))
     rnd = random.Random(20260815)
     corpus = [
         'GO FROM "p1" OVER like YIELD like._dst AS d',
@@ -651,13 +657,18 @@ def test_executor_fuzz_smoke(space):
         "UNWIND [1, 2, NULL] AS u RETURN u",
         'GO FROM "p1" OVER like YIELD dst(edge) AS d '
         '| GO FROM $-.d OVER like YIELD like._dst',
+        'INSERT VERTEX player(name, age) VALUES "p9":("Z", 1)',
+        'FETCH PROP ON like "p1"->"p2"@0 YIELD like._rank AS r',
+        'LOOKUP ON player YIELD id(vertex) AS id '
+        '| DELETE TAG player FROM $-.id',
+        'DELETE EDGE like "p1"->"p2"@0',
     ]
     pool = ["age", "name", "player", "like", "p1", "$-.d", "id(vertex)",
             "dst(edge)", "rank(edge)", "*", "0", "NULL", "count(*)",
             "edge", "vertex", "path"]
     from nebula_spark.plans import ngql as A
     executed = 0
-    for _ in range(120):
+    for _ in range(trials):
         q = rnd.choice(corpus)
         toks = _re.findall(r"\s+|\w+|.", q)
         i = rnd.randrange(len(toks))
@@ -697,3 +708,6 @@ def test_fuzz_found_refusals_dml(spark, nba):
         execute(sp, 'INSERT VERTEX player(name) VALUES "p9":("Z", 1, 2)')
     with pytest.raises(ValueError, match="not exist prop"):
         execute(sp, "GROUP BY $-.d YIELD $-.d, count(*) AS c")
+    # r8 fuzz batch: zero-arity aggregate crashed with IndexError
+    with pytest.raises(ValueError, match="wrong number of arguments"):
+        execute(sp, "YIELD sum() AS s")

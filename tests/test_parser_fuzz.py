@@ -78,6 +78,17 @@ GOLDEN = [
     'GET SUBGRAPH WITH PROP FROM "a" IN like OUT serve YIELD edges AS e',
     "LOOKUP ON t WHERE t.s =~ 'a+b' YIELD t.s | "
     "DELETE VERTEX $-.s",
+    # r7 grammar additions (multi-tag INSERT, const-call keys, piped
+    # DELETE TAG) + r8 additions (all-props INSERT EDGE, key-named
+    # props) join the mutation corpus per the r7 verdict
+    'INSERT VERTEX t1(a), t2(b, c) VALUES "v":(1, 2, 3)',
+    'INSERT VERTEX t3 VALUES "v":(1, 2)',
+    'INSERT EDGE e2 VALUES hash("a")->hash("b")@0:(1)',
+    'INSERT EDGE e(src, dst, rank) VALUES "a"->"b":(1, "x", now())',
+    'FETCH PROP ON t hash("k") YIELD t.vid',
+    'DELETE EDGE e hash("a")->hash("b")@-1',
+    'LOOKUP ON t YIELD id(vertex) AS id | DELETE TAG t1 FROM $-.id',
+    "CREATE TAG kt(vid int, src string, dst double, rank timestamp)",
 ]
 
 _TOKEN_POOL = [

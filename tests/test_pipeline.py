@@ -200,8 +200,8 @@ def test_no_persist_leaks_after_queries(spark):
     minhash_lsh_pairs(df, k=3).collect()
     edges = spark.createDataFrame(
         [("a", "b", 0), ("b", "c", 0), ("c", "d", 0)],
-        "src string, dst string, _rank long")
-    seeds = spark.createDataFrame([("a",)], ["vid"])
+        "_src string, _dst string, _rank long")
+    seeds = spark.createDataFrame([("a",)], ["_vid"])
     v, e = k_hop_subgraph(edges, seeds, steps=2)
     v.collect(), e.collect()
     del v, e

@@ -46,7 +46,7 @@ def test_shortest_path_routes_bfs_not_enumeration(space):
         df = execute(space,
                      'MATCH p = shortestPath('
                      f'(v:player {{name: "Tim"}}){pattern}(m:player)) '
-                     'RETURN m.player.vid AS d, length(p) AS n')
+                     'RETURN id(m) AS d, length(p) AS n')
         plan = plan_of(df)
         assert "_hops_total" not in plan, f"enumeration leaked: {pattern}"
 
@@ -61,7 +61,7 @@ def test_shortest_path_min_hops_gt1_raises(space):
         execute(space,
                 'MATCH p = shortestPath('
                 '(v:player {name: "Tim"})-[:like*2..3]->(m:player)) '
-                'RETURN m.player.vid AS d, length(p) AS n')
+                'RETURN id(m) AS d, length(p) AS n')
 
 
 def test_shortest_path_single_hop_prunes_by_window(space):
@@ -73,7 +73,7 @@ def test_shortest_path_single_hop_prunes_by_window(space):
     df = execute(space,
                  'MATCH p = allShortestPaths('
                  '(v:player {name: "Tim"})-[:like]-(m:player)) '
-                 'RETURN m.player.vid AS d, length(p) AS n')
+                 'RETURN id(m) AS d, length(p) AS n')
     plan = plan_of(df)
     assert "_min_hops" in plan and "Window" in plan
 
@@ -168,15 +168,15 @@ def hub_graph(spark):
     the adversarial degree distribution SCALE.md's traversal section
     claims AQE handles."""
     hub = spark.range(40_000).select(
-        F.lit("h").alias("src"),
-        F.concat(F.lit("d"), F.col("id")).alias("dst"),
+        F.lit("h").alias("_src"),
+        F.concat(F.lit("d"), F.col("id")).alias("_dst"),
         F.lit(0).alias("_rank"))
     bg = spark.range(10_000).select(
-        F.concat(F.lit("s"), (F.col("id") % 5_000)).alias("src"),
-        F.concat(F.lit("t"), F.col("id")).alias("dst"),
+        F.concat(F.lit("s"), (F.col("id") % 5_000)).alias("_src"),
+        F.concat(F.lit("t"), F.col("id")).alias("_dst"),
         F.lit(0).alias("_rank"))
     edges = hub.unionByName(bg).localCheckpoint(eager=True)
-    frontier = (edges.select(F.col("src").alias("vid")).distinct()
+    frontier = (edges.select(F.col("_src").alias("_vid")).distinct()
                 .localCheckpoint(eager=True))
     return edges, frontier
 
@@ -261,9 +261,9 @@ def test_all_paths_expands_half_depth_from_both_ends(spark, monkeypatch):
     monkeypatch.setattr(P, "traverse", spy)
     e = spark.createDataFrame(
         [("a", "b", 0), ("b", "c", 0), ("c", "d", 0)],
-        "src string, dst string, _rank long")
-    src = spark.createDataFrame([("a",)], ["vid"])
-    dst = spark.createDataFrame([("d",)], ["vid"])
+        "_src string, _dst string, _rank long")
+    src = spark.createDataFrame([("a",)], ["_vid"])
+    dst = spark.createDataFrame([("d",)], ["_vid"])
     got = P.all_paths(e, src, dst, max_hops=6).collect()
     assert [(r.start_vid, r.end_vid, r.hops) for r in got] == [("a", "d", 3)]
     assert sorted(calls) == [(3, "in"), (3, "out")]
@@ -278,9 +278,9 @@ def test_all_paths_conjunct_is_equi_join(spark):
 
     e = spark.createDataFrame(
         [("a", "b", 0), ("b", "c", 0), ("b", "d", 0), ("c", "d", 0)],
-        "src string, dst string, _rank long")
-    src = spark.createDataFrame([("a",)], ["vid"])
-    dst = spark.createDataFrame([("d",)], ["vid"])
+        "_src string, _dst string, _rank long")
+    src = spark.createDataFrame([("a",)], ["_vid"])
+    dst = spark.createDataFrame([("d",)], ["_vid"])
     plan = plan_of(all_paths(e, src, dst, max_hops=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -163,8 +163,8 @@ def test_bfs_min_paths_equals_enumerate_prune(spark, edges, direction,
 
     e = spark.createDataFrame(
         [(f"v{s}", f"v{d}", 0) for s, d in edges],
-        "src string, dst string, _rank long")
-    starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
+        "_src string, _dst string, _rank long")
+    starts = spark.createDataFrame([("v0",), ("v1",)], ["_vid"])
 
     got = bfs_min_paths(e, starts, max_hops=max_hops, direction=direction,
                         mode=mode).collect()
@@ -212,8 +212,8 @@ def test_bfs_min_paths_both_finds_triangle_cycle(spark):
 
     e = spark.createDataFrame(
         [("v0", "v1", 0), ("v0", "v2", 0), ("v1", "v2", 0)],
-        "src string, dst string, _rank long")
-    starts = spark.createDataFrame([("v0",)], ["vid"])
+        "_src string, _dst string, _rank long")
+    starts = spark.createDataFrame([("v0",)], ["_vid"])
     got = bfs_min_paths(e, starts, max_hops=3, direction="both").collect()
     cycles = sorted(
         tuple((p.s, p.d) for p in r.path)
@@ -249,10 +249,10 @@ def test_bidir_min_paths_equals_enumerate_prune(spark, edges, direction,
 
     e = spark.createDataFrame(
         [(f"v{s}", f"v{d}", 0) for s, d in edges],
-        "src string, dst string, _rank long")
-    starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
+        "_src string, _dst string, _rank long")
+    starts = spark.createDataFrame([("v0",), ("v1",)], ["_vid"])
     tvids = [f"v{i}" for i in range(n_targets)]   # overlaps sources: diag
-    targets = spark.createDataFrame([(t,) for t in tvids], ["vid"])
+    targets = spark.createDataFrame([(t,) for t in tvids], ["_vid"])
 
     got = bidir_min_paths(e, starts, targets, max_hops=max_hops,
                           direction=direction, mode=mode).collect()
@@ -305,13 +305,13 @@ def test_bidir_distances_equals_single_direction_bfs(spark, edges,
 
     e = spark.createDataFrame(
         [(f"v{s}", f"v{d}", 0) for s, d in edges],
-        "src string, dst string, _rank long")
-    starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
-    targets = spark.createDataFrame([("v0",), ("v2",), ("v3",)], ["vid"])
-    got = sorted((r.src, r.dst, r.dist) for r in
+        "_src string, _dst string, _rank long")
+    starts = spark.createDataFrame([("v0",), ("v1",)], ["_vid"])
+    targets = spark.createDataFrame([("v0",), ("v2",), ("v3",)], ["_vid"])
+    got = sorted((r["_src"], r["_dst"], r.dist) for r in
                  bidir_distances(e, starts, targets, max_hops,
                                  direction).collect())
-    want = sorted((r.src, r.dst, r.dist) for r in
+    want = sorted((r["_src"], r["_dst"], r.dist) for r in
                   bfs_shortest_paths(e, starts, targets, max_hops,
                                      direction).collect())
     assert got == want
@@ -341,9 +341,9 @@ def test_all_paths_bidir_equals_forward_enumeration(spark, edges, direction,
 
     e = spark.createDataFrame(
         [(f"v{s}", f"v{d}", 0) for s, d in edges],
-        "src string, dst string, _rank long")
-    starts = spark.createDataFrame([("v0",), ("v1",)], ["vid"])
-    targets = spark.createDataFrame([("v0",), ("v2",), ("v3",)], ["vid"])
+        "_src string, _dst string, _rank long")
+    starts = spark.createDataFrame([("v0",), ("v1",)], ["_vid"])
+    targets = spark.createDataFrame([("v0",), ("v2",), ("v3",)], ["_vid"])
 
     def key(rows):
         return sorted(
@@ -362,7 +362,7 @@ def test_all_paths_bidir_equals_forward_enumeration(spark, edges, direction,
             & ~F.array_contains(F.transform("path", lambda p: p["d"]),
                                 F.col("start_vid")))
     ref = ref.join(
-        F.broadcast(targets.select(F.col("vid").alias("end_vid"))),
+        F.broadcast(targets.select(F.col("_vid").alias("end_vid"))),
         "end_vid", "left_semi")
     assert got == key(ref.collect())
 

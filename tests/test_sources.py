@@ -66,10 +66,10 @@ def csv_space(spark, tmp_path_factory):
 
 def test_csv_space_load(csv_space):
     p = csv_space.tag("player")
-    assert {(r.vid, r.name, r.age) for r in p.collect()} \
+    assert {(r["_vid"], r.name, r.age) for r in p.collect()} \
         == {("p1", "Tim", 42), ("p2", "Tony", 36), ("p3", "Manu", 41)}
     e = csv_space.edge("like")
-    assert e.filter("src = 'p1'").count() == 2
+    assert e.filter("_src = 'p1'").count() == 2
     assert dict(e.dtypes)["_rank"] == "bigint"
 
 
@@ -90,7 +90,7 @@ def test_sink_layout_roundtrip(spark, csv_space, tmp_path):
     write_edges(csv_space.edge("like"), ep, num_partitions=2)
     back = spark.read.parquet(ep)
     assert back.count() == 3
-    assert {"src", "dst", "_rank", "likeness"} <= set(back.columns)
+    assert {"_src", "_dst", "_rank", "likeness"} <= set(back.columns)
     tp = str(tmp_path / "tags")
     write_tag(csv_space.tag("player"), tp, num_partitions=2)
     assert spark.read.parquet(tp).count() == 3

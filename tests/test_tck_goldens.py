@@ -838,7 +838,7 @@ def test_go_is_not_empty(nba_space):
     whose dst carries the player tag (team dsts have EMPTY→NULL name)."""
     df = execute(nba_space,
                  'GO FROM "Paul Gasol" OVER * '
-                 'WHERE $$.player.name IS NOT EMPTY YIELD like.dst AS d')
+                 'WHERE $$.player.name IS NOT EMPTY YIELD like._dst AS d')
     assert sorted(r.d for r in df.collect()) == ["Kobe Bryant", "Marc Gasol"]
 
 
@@ -847,7 +847,7 @@ def test_go_is_empty(nba_space):
     itself is EMPTY→NULL there (serve edges in the OVER * union)."""
     df = execute(nba_space,
                  'GO FROM "Paul Gasol" OVER * '
-                 'WHERE $$.player.name IS EMPTY YIELD like.dst AS d')
+                 'WHERE $$.player.name IS EMPTY YIELD like._dst AS d')
     assert [r.d for r in df.collect()] == [None] * 5
 
 
@@ -3581,9 +3581,9 @@ def test_ldbc_bi10_central_person(nba_space):
     df = execute(nba_space, '''
         MATCH (t:team {name: "Spurs"})
         OPTIONAL MATCH (t)<-[:serve]-(s:player)
-        WITH t, collect(DISTINCT s.player.vid) AS interested
+        WITH t, collect(DISTINCT id(s)) AS interested
         OPTIONAL MATCH (t)<-[:serve]-(m:player) WHERE m.player.age > 35
-        WITH t, interested + collect(DISTINCT m.player.vid) AS persons
+        WITH t, interested + collect(DISTINCT id(m)) AS persons
         UNWIND persons AS pid
         WITH DISTINCT t, pid
         MATCH (person:player) WHERE id(person) == pid
@@ -8593,21 +8593,46 @@ def test_insert_edge_prop_named_rank(spark):
     assert row.kr == 0 and row.pr is not None
 
 
-def test_create_prop_colliding_with_key_refused(spark):
-    """Engine-documented deviation: `vid`/`src`/`dst` props collide with
-    the physical key columns and are refused eagerly at CREATE (the
-    reference's separate key namespace accepts them — SURVEY §2.12)."""
+def test_create_prop_named_like_key_roundtrips(spark):
+    """r8: user props named `vid`/`src`/`dst` are legal — the reference
+    keeps keys outside the row payload (NebulaKeyUtils.h:13-27), and our
+    physical key columns are namespaced `_vid`/`_src`/`_dst` so they
+    never collide (the r7 `_rank` recipe applied to the whole key set).
+    The pseudo-prop spellings and graph fns keep reading KEYS."""
     from nebula_spark.catalog import SpaceCatalog
     cat = SpaceCatalog(spark)
     execute(cat, "CREATE SPACE keycol; USE keycol")
-    with pytest.raises(ValueError, match="collides"):
-        execute(cat, "USE keycol; CREATE TAG t(vid int)")
-    with pytest.raises(ValueError, match="collides"):
-        execute(cat, "USE keycol; CREATE EDGE e(src int)")
-    with pytest.raises(ValueError, match="collides"):
-        execute(cat, "USE keycol; CREATE EDGE e(dst string)")
-    # `rank` is NOT refused — the key is namespaced `_rank`
+    execute(cat, "USE keycol; CREATE TAG t(vid int)")
+    execute(cat, 'USE keycol; INSERT VERTEX t(vid) VALUES "k":(7)')
+    [row] = execute(cat, 'USE keycol; FETCH PROP ON t "k" '
+                         'YIELD t.vid AS pv, id(vertex) AS key').collect()
+    assert (row.pv, row.key) == (7, "k")
+    execute(cat, "USE keycol; CREATE EDGE e(src int, dst string)")
+    execute(cat, 'USE keycol; INSERT EDGE e(src, dst) '
+                 'VALUES "k"->"m"@0:(42, "payload")')
+    [row] = execute(cat, 'USE keycol; FETCH PROP ON e "k"->"m" '
+                         'YIELD src(edge) AS ks, dst(edge) AS kd, '
+                         'e.src AS ps, e.dst AS pd, '
+                         'e._src AS pss, e._dst AS psd').collect()
+    assert (row.ks, row.kd) == ("k", "m")       # graph fns read keys
+    assert (row.ps, row.pd) == (42, "payload")  # props read user columns
+    assert (row.pss, row.psd) == ("k", "m")     # pseudo-props read keys
+    # LOOKUP WHERE on the user prop seeks the prop, not the key
+    [row] = execute(cat, 'USE keycol; LOOKUP ON e WHERE e.src > 40 '
+                         'YIELD e.src AS v').collect()
+    assert row.v == 42
+    # `rank` stays legal too (r7) and the whole `_` prefix is the
+    # key/meta namespace: the reference lexer can't spell such names
+    # (scanner.lex LABEL), so CREATE refuses them
     execute(cat, "USE keycol; CREATE EDGE ok(rank int)")
+    for bad in ("CREATE TAG b1(_rank int)", "CREATE EDGE b2(_src int)",
+                "CREATE TAG b3(_vid int)", "CREATE EDGE b4(_x int)"):
+        with pytest.raises(ValueError, match="syntax error"):
+            execute(cat, "USE keycol; " + bad)
+    # ALTER ADD is gated by the same rule
+    with pytest.raises(ValueError, match="syntax error"):
+        execute(cat, "USE keycol; ALTER TAG t ADD (_dir int)")
+    execute(cat, "USE keycol; ALTER TAG t ADD (src int)")
 
 
 def test_rank_pseudo_prop_and_user_prop_namespaces(spark):
