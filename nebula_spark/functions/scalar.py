@@ -18,18 +18,71 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _rand32(*_: Column) -> Column:
     return (F.rand() * (1 << 32) - (1 << 31)).cast("long")
 
 
+def murmur64a(data: bytes, seed: int = 0xc70f6907) -> int:
+    """MurmurHash64A — libstdc++'s std::hash<string> (_Hash_bytes), the
+    reference's hash() for strings (FunctionManager.cpp:1707 →
+    std::hash<nebula::Value>, Value.h:569-578). Returns the SIGNED
+    64-bit value the reference's int64 cast produces; return.feature
+    pins hash("Boris") == 9126854228122744212."""
+    m, r, mask = 0xc6a4a7935bd1e995, 47, (1 << 64) - 1
+    h = (seed ^ (len(data) * m)) & mask
+    n = len(data) // 8
+    for i in range(n):
+        k = int.from_bytes(data[i * 8:(i + 1) * 8], "little")
+        k = (k * m) & mask
+        k ^= k >> r
+        k = (k * m) & mask
+        h = ((h ^ k) * m) & mask
+    tail = data[n * 8:]
+    if tail:
+        h = ((h ^ int.from_bytes(tail, "little")) * m) & mask
+    h ^= h >> r
+    h = (h * m) & mask
+    h ^= h >> r
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _hash_batch(s: "pd.Series") -> "pd.Series":
+    if pd.api.types.is_integer_dtype(s.dtype) \
+            or pd.api.types.is_bool_dtype(s.dtype):
+        return s.astype("int64")
+
+    def one(v):
+        if v is None:
+            return None
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v
+        if isinstance(v, bytes):
+            return murmur64a(v)
+        return murmur64a(str(v).encode("utf-8"))
+    return s.map(one).astype("Int64")
+
+
+_HASH_UDF = None  # built lazily: pandas_udf needs an active SparkContext
+
+
 def _hash(c: Column) -> Column:
-    # reference hash() is MurmurHash2 over the string form; any stable
-    # 64-bit hash satisfies the contract (it is never persisted)
-    return F.xxhash64(c)
+    """Reference-exact hash() (std::hash<nebula::Value>, Value.h:569):
+    integers hash to THEMSELVES (return.feature: hash(123) == 123);
+    strings via MurmurHash64A seed 0xc70f6907 (libstdc++ _Hash_bytes —
+    hash("Boris") == 9126854228122744212); everything else over the
+    value's string form (documented approximation of Value::hash).
+    Arrow-batched pandas_udf — hash() is a key-spelling scalar, not the
+    bulk-dedup path (pipelines use F.xxhash64 internally)."""
+    global _HASH_UDF
+    if _HASH_UDF is None:
+        _HASH_UDF = pandas_udf(_hash_batch, "long")
+    return _HASH_UDF(c)
 
 
 def _json_extract(c: Column) -> Column:

@@ -133,6 +133,8 @@ class _UndefinedAliasError(ValueError):
 def _is_agg(e: tuple) -> bool:
     if not isinstance(e, tuple):
         return False
+    if not e:
+        return False
     if e[0] in ("call", "call_distinct") and e[1] in _AGG_FNS:
         return True
     if e[0] == "raw_agg":        # pre-built aggregate Column (ordered collect)
@@ -272,6 +274,8 @@ class ExprCompiler:
             return F.array(*[self.col(x) for x in e[1:]])
         if op == "set":                  # {a, b, …} — deduped list
             return F.array_distinct(F.array(*[self.col(x) for x in e[1:]]))
+        if op == "map_empty":            # MAP{} — the empty Map value
+            return F.create_map()
         if op == "map":                  # {k: v, …} → struct (typed fields)
             return F.struct(*[self.col(v).alias(k) for k, v in e[1]])
         if op == "cast":                 # (INT)x — TypeCastingExpression
@@ -303,7 +307,7 @@ class ExprCompiler:
             # map-literal keys are case-SENSITIVE in the reference
             # ({k1: 1}.K1 → NULL) while Spark struct access follows
             # spark.sql.caseSensitive=false — enforce statically
-            if isinstance(e[1], tuple) and e[1][0] == "map":
+            if isinstance(e[1], tuple) and e[1] and e[1][0] == "map":
                 if e[2] not in [k for k, _ in e[1][1]]:
                     return F.lit(None)
             return self.col(e[1])[e[2]]
@@ -1404,7 +1408,13 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
         if kind == "edge_prop":
             # schema-qualified prop ref — the qualifier must be the
             # LOOKUP target and the column must exist
-            # (LookupTag2.feature "Invalid column: col5")
+            # (LookupTag2.feature "Invalid column: col5"; base
+            # LookUp.feature YieldClauseTest: YIELD/WHERE naming a
+            # DIFFERENT schema is a SemanticError, never a silent
+            # resolution against the target's columns)
+            if args[0] != st.name:
+                raise ValueError(f"SemanticError: Schema name error: "
+                                 f"`{args[0]}'")
             if args[1] not in t.columns:
                 raise ValueError(f"Invalid column: {args[1]}")
             return F.col(args[1])

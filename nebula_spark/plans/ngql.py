@@ -62,6 +62,10 @@ _TOKEN_SPEC = [
     ("REGEX_M", r"=~"),
     ("ASSIGN", r"="),
     ("LT", r"<"), ("GT", r">"),
+    # `--` is its own token in the reference lexer (scanner.lex:370
+    # MINUS_MINUS) with no grammar production — `1--1` is a syntax error
+    # (yield/return.feature), never parsed as 1-(-1)
+    ("MINUSMINUS", r"--"),
     ("PLUS", r"\+"), ("MINUS", r"-"), ("STAR", r"\*"), ("SLASH", r"/"),
     ("PCT", r"%"),
     ("LP", r"\("), ("RP", r"\)"), ("LB", r"\["), ("RB", r"\]"),
@@ -616,7 +620,7 @@ class Parser:
         bound = {v.lstrip("$") for v, _ in stmts if v}
         missing: list[str] = []
         for e in _iter_exprs(node):
-            if e[0] == "param_unres" and e[1] not in missing \
+            if e and e[0] == "param_unres" and e[1] not in missing \
                     and e[1] not in bound:
                 missing.append(e[1])
         if missing:
@@ -686,7 +690,23 @@ class Parser:
             # return"): the clause chain starts from a unit row
             return self.match_sentence()
         if self.at_kw("return"):
-            # standalone RETURN (Null.feature etc.) — unit-row evaluation
+            # "A standalone return sentence is actually a yield sentence"
+            # (yield/return.feature header): when the items read pipe
+            # input ($-.col), parse through the yield grammar so
+            # `GO … | RETURN $-.x` works; otherwise the openCypher
+            # unit-row evaluation
+            j = self.i + 1
+            while j < len(self.toks) \
+                    and self.toks[j].kind not in ("PIPE", "SEMI", "EOF"):
+                if self.toks[j].kind in ("PIPE_REF", "PIPE_INPUT",
+                                         "SRC_REF", "DST_REF"):
+                    # $-.col / $^.tag.prop / $$.tag.prop are yield-layer
+                    # reads — route through the yield grammar (and its
+                    # TagNotFound validation, return.feature "Error
+                    # check"), not the openCypher unit row
+                    self.eat_kw("return")
+                    return self._yield_body()
+                j += 1
             return self.match_sentence()
         if self.at_kw("unwind"):
             # two forms share the keyword: a pipe stage (`… | UNWIND l AS
@@ -1710,6 +1730,9 @@ class Parser:
     # -- YIELD / GROUP BY / ORDER BY / LIMIT (pipe stages)
     def yield_sentence(self) -> YieldStmt:
         self.eat_kw("yield")
+        return self._yield_body()
+
+    def _yield_body(self) -> YieldStmt:
         distinct = self.try_kw("distinct")
         start = self.peek().pos
         items = self.yield_items()
@@ -2244,6 +2267,28 @@ class Parser:
             e = self.expr()
             self.eat("RP")
             return e
+        if t.kind in ("NAME", "KW") \
+                and t.text.lower() in ("list", "set", "map") \
+                and self.peek(1).kind in ("LB", "LC"):
+            kwd = t.text.lower()
+            if kwd == "list" and self.peek(1).kind == "LB":
+                self.i += 1
+                return self.expr_atom()
+            if kwd in ("set", "map") and self.peek(1).kind == "LC":
+                self.i += 1
+                e = self.expr_atom()
+                if kwd == "map":
+                    if e[0] == "set" and len(e) == 1:
+                        # 1-tuple marker: an empty () inside the AST
+                        # would trip tuple-walkers expecting e[0]
+                        return ("map_empty",)
+                    if e[0] != "map":
+                        raise SyntaxError(
+                            f"syntax error near `{t.text}' @{t.pos}")
+                elif e[0] == "map":
+                    raise SyntaxError(
+                        f"syntax error near `{t.text}' @{t.pos}")
+                return e
         if t.kind == "LB":       # list literal or comprehension
             self.eat("LB")
             # [x IN list WHERE pred | out] (ListComprehensionExpression)
@@ -2477,4 +2522,11 @@ def _const_eval(e):
 
 
 def parse(query: str, params: dict | None = None) -> Pipeline:
+    # idempotent re-assert of the import-time headroom: test harnesses
+    # (hypothesis's ensure_free_stackframes) save/restore the process
+    # limit around tests and can leave it at the 1000 default, under
+    # which 300-deep nesting dies with RecursionError before the 512
+    # depth guard fires
+    if sys.getrecursionlimit() < 10000:
+        sys.setrecursionlimit(10000)
     return Parser(tokenize(query), params, src=query).parse()

@@ -97,7 +97,8 @@ def test_find_all_path(space):
 
 def test_get_subgraph(space):
     df = execute(space, 'GET SUBGRAPH 1 STEPS FROM "p1" OUT like')
-    got = {(r["_src"], r["_dst"]) for r in df.collect()}
+    # legacy no-YIELD shape keeps public bare src/dst names (r8)
+    got = {(r.src, r.dst) for r in df.collect()}
     assert ("p1", "p2") in got and ("p1", "p3") in got
 
 

@@ -1,0 +1,266 @@
+"""Residual TCK transcriptions (r7 verdict item 3): the base
+lookup/LookUp.feature sweep, yield/return.feature, and
+basic/Parser.feature. With these, the uncovered TCK remainder is exactly
+optimizer plan-shape files (Catalyst owns plan shapes), obsolete admin,
+.IntVid fixture duplicates, and the upstream-@skip'd files.
+
+Reference files (query/expected pairs transcribed):
+  tests/tck/features/lookup/LookUp.feature   (1066 lines)
+  tests/tck/features/yield/return.feature    (144 lines)
+  tests/tck/features/basic/Parser.feature    (16 lines)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nebula_spark.catalog import SpaceCatalog
+from nebula_spark.plans import execute
+from nebula_spark.plans.ngql import parse
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# basic/Parser.feature — special whitespace tolerance
+# ---------------------------------------------------------------------------
+
+def test_parser_special_whitespace(spark):
+    """Parser.feature: runs of spaces (and tabs) between tokens lex away."""
+    cat = SpaceCatalog(spark)
+    execute(cat, "CREATE SPACE pws; USE pws")
+    assert execute(cat, "USE pws; SHOW  SPACES").count() == 1
+    df = execute(cat, "USE pws; RETURN  1")
+    assert [tuple(r) for r in df.collect()] == [(1,)]
+    assert execute(cat, "USE pws; RETURN\t1\t AS x").collect()[0].x == 1
+
+
+# ---------------------------------------------------------------------------
+# yield/return.feature — "A standalone return sentence is actually a
+# yield sentence"
+# ---------------------------------------------------------------------------
+
+def test_return_base(spark, nba):
+    from nebula_spark.catalog import GraphSpace
+    sp = GraphSpace(spark, "ret")
+    sp.create_tag("player", df=nba["player"])
+    sp.create_edge("like", df=nba["like"])
+
+    assert execute(sp, "RETURN 1+1 AS sum").collect()[0].sum == 2
+    r = execute(sp, "RETURN last(LIST[]) AS a, head(LIST[]) AS b").collect()
+    assert (r[0].a, r[0].b) == (None, None)
+    assert execute(sp, "RETURN 1- -1 AS sub").collect()[0].sub == 2
+    # `--` is MINUS_MINUS in the reference lexer (scanner.lex:370) with
+    # no production — a syntax error, never 1-(-1)
+    with pytest.raises(SyntaxError):
+        execute(sp, "RETURN 1--1 AS sub")
+    # list minus is a type refusal in both engines (ours via Catalyst's
+    # DATATYPE_MISMATCH remapped to SemanticError; the reference phrases
+    # the spaced form as SemanticError and the unspaced one as a
+    # SyntaxError on `]-` — both refuse, class deviation documented)
+    with pytest.raises(ValueError, match="SemanticError"):
+        execute(sp, "RETURN [2,3 ] - [3] AS sub")
+    with pytest.raises(ValueError, match="SemanticError"):
+        execute(sp, "RETURN [2,3 ]-[3] AS sub")
+
+
+def test_return_distinct_casts_row(spark):
+    from nebula_spark.catalog import GraphSpace
+    sp = GraphSpace(spark, "ret2")
+    df = execute(sp, "RETURN DISTINCT 1+1, '1+1', (int)3.14, "
+                     "(string)(1+1), (string)true")
+    # expression-text column names, exactly the reference's header
+    assert df.columns == ['(1+1)', '"1+1"', '(INT)3.14',
+                          '(STRING)(1+1)', '(STRING)true']
+    assert [tuple(r) for r in df.collect()] == [(2, "1+1", 3, "2", "true")]
+
+
+def test_return_as_pipe_stage(spark, nba):
+    from nebula_spark.catalog import GraphSpace
+    sp = GraphSpace(spark, "ret3")
+    sp.create_tag("player", df=nba["player"])
+    sp.create_edge("like", df=nba["like"])
+    df = execute(sp, 'GO FROM "p1" OVER like YIELD id($$) AS vid '
+                     '| RETURN $-.vid AS dst')
+    assert {r.dst for r in df.collect()} == {"p2", "p3"}
+    df = execute(sp, 'FETCH PROP ON player "p2" YIELD player.age AS age '
+                     '| RETURN $-.age + 100 AS age')
+    assert [r.age for r in df.collect()] == [136]
+
+
+def test_return_hash_call(spark):
+    """return.feature "hash call": reference-exact values — strings via
+    MurmurHash64A seed 0xc70f6907 (libstdc++ std::hash<string>), ints
+    hash to themselves (Value.h:569-578)."""
+    from nebula_spark.catalog import GraphSpace
+    sp = GraphSpace(spark, "ret4")
+    df = execute(sp, 'RETURN hash("Boris")')
+    assert df.columns == ['hash("Boris")']
+    assert df.collect()[0][0] == 9126854228122744212 - (1 << 64) \
+        or df.collect()[0][0] == 9126854228122744212
+    assert execute(sp, "RETURN hash(123)").collect()[0][0] == 123
+
+
+def test_return_logical_precedence(spark):
+    from nebula_spark.catalog import GraphSpace
+    sp = GraphSpace(spark, "ret5")
+    df = execute(sp, "RETURN NOT FALSE OR FALSE AND FALSE XOR FALSE")
+    assert df.columns == ["((!(false) OR (false AND false)) XOR false)"]
+    assert df.collect()[0][0] is True
+
+
+def test_return_error_checks(spark, nba):
+    from nebula_spark.catalog import GraphSpace
+    sp = GraphSpace(spark, "ret6")
+    sp.create_tag("player", df=nba["player"])
+    # non-deterministic functions inside aggregates are refused (the
+    # reference raises at parse; Catalyst raises at analysis — both land
+    # in the SemanticError refusal class here)
+    with pytest.raises((ValueError, SyntaxError)):
+        execute(sp, "RETURN count(rand32())")
+    with pytest.raises((ValueError, SyntaxError)):
+        execute(sp, "RETURN avg(ranD()+1)")
+    # $$/$^ on an unknown tag → TagNotFound (routed through the yield
+    # grammar — return.feature "Error check")
+    with pytest.raises(ValueError, match="TagNotFound"):
+        execute(sp, "RETURN $$.dummyTag.p")
+    with pytest.raises(ValueError, match="TagNotFound"):
+        execute(sp, "RETURN $^.dummyTag.p")
+    with pytest.raises(ValueError, match="not exist prop"):
+        execute(sp, "RETURN $-.dummyTag.p")
+    # bare label (reference: "Invalid label identifiers: name"; ours
+    # phrases it as the undefined-alias refusal — same class)
+    with pytest.raises(ValueError):
+        execute(sp, "RETURN name")
+
+
+# ---------------------------------------------------------------------------
+# lookup/LookUp.feature — base-file sweep
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lookup_cat(spark):
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE lkbase; USE lkbase;
+        CREATE TAG lookup_tag_1(col1 int, col2 int, col3 int);
+        CREATE TAG lookup_tag_2(col1 bool, col2 int, col3 double, col4 bool);
+        CREATE TAG INDEX t_index_1 ON lookup_tag_1(col1, col2, col3);
+        CREATE TAG INDEX t_index_2 ON lookup_tag_2(col2, col3, col4);
+        CREATE EDGE lookup_edge_1(col1 int, col2 int, col3 int);
+        CREATE EDGE INDEX e_index_1 ON lookup_edge_1(col1, col2, col3);
+        CREATE TAG student(number int, age int);
+        CREATE TAG INDEX student_index ON student(number, age);
+        CREATE TAG teacher(number int, age int)
+    """)
+    execute(cat, 'USE lkbase; INSERT VERTEX lookup_tag_1(col1, col2, col3) '
+                 'VALUES "200":(200, 200, 200), "201":(201, 201, 201), '
+                 '"202":(202, 202, 202)')
+    execute(cat, 'USE lkbase; INSERT EDGE lookup_edge_1(col1, col2, col3) '
+                 'VALUES "200" -> "201"@0:(201, 201, 201), '
+                 '"200" -> "202"@0:(202, 202, 202)')
+    execute(cat, 'USE lkbase; '
+                 'INSERT VERTEX student(number, age), teacher(number, age) '
+                 'VALUES "220":(1, 20, 1, 30), "221":(2, 22, 2, 32)')
+    return cat
+
+
+def test_lookup_vertex_index_hint(lookup_cat):
+    """LookUp.feature VertexIndexHint — equality, AND-empty, OR."""
+    q = 'USE lkbase; LOOKUP ON lookup_tag_1 WHERE %s YIELD id(vertex) as id'
+    df = execute(lookup_cat, q % "lookup_tag_1.col2 == 200")
+    assert rows(df, "id") == [("200",)]
+    df = execute(lookup_cat,
+                 q % "lookup_tag_1.col2 == 200 AND lookup_tag_1.col3 > 202")
+    assert df.count() == 0
+    df = execute(lookup_cat,
+                 q % "lookup_tag_1.col2 >= 202 OR lookup_tag_1.col1 < 201")
+    assert rows(df, "id") == [("200",), ("202",)]
+    # empty tag2 scans
+    df = execute(lookup_cat, 'USE lkbase; LOOKUP ON lookup_tag_2 '
+                 'WHERE lookup_tag_2.col3 >= 0 YIELD id(vertex) as id')
+    assert df.count() == 0
+
+
+def test_lookup_edge_index_hint(lookup_cat):
+    """LookUp.feature EdgeIndexHint — keys via src/dst/rank fns, IN+AND,
+    bool-prop type error."""
+    q = ('USE lkbase; LOOKUP ON lookup_edge_1 WHERE %s YIELD '
+         'src(edge) as src, dst(Edge) as dst, rank(edge) as rank')
+    df = execute(lookup_cat, q % "lookup_edge_1.col2 == 201")
+    assert rows(df, "src", "dst", "rank") == [("200", "201", 0)]
+    df = execute(lookup_cat,
+                 q % "lookup_edge_1.col2 == 201 AND lookup_edge_1.col3 == 200")
+    assert df.count() == 0
+    df = execute(lookup_cat,
+                 q % "lookup_edge_1.col2 == 201 OR lookup_edge_1.col3 == 200")
+    assert rows(df, "src", "dst", "rank") == [("200", "201", 0)]
+    df = execute(lookup_cat,
+                 q % "lookup_edge_1.col2 IN [201] and lookup_edge_1.col2>3")
+    assert rows(df, "src", "dst", "rank") == [("200", "201", 0)]
+
+
+def test_lookup_function_expr_refusals(lookup_cat):
+    """LookUp.feature FunctionExprTest — constant/prop-vs-prop/unknown-fn
+    WHEREs are refusals; a foldable function argument is fine."""
+    with pytest.raises(ValueError, match="not supported yet"):
+        execute(lookup_cat, "USE lkbase; LOOKUP ON lookup_tag_2 "
+                            "WHERE 1 == 1 YIELD vertex as node")
+    with pytest.raises(ValueError, match="not supported yet"):
+        execute(lookup_cat, "USE lkbase; LOOKUP ON lookup_tag_2 "
+                            "WHERE 1 != 1 YIELD vertex as node")
+    with pytest.raises(ValueError):
+        execute(lookup_cat,
+                "USE lkbase; LOOKUP ON lookup_tag_2 WHERE "
+                "udf_is_in(lookup_tag_2.col2, 100, 200) YIELD vertex as node")
+    with pytest.raises(ValueError, match="not supported yet"):
+        execute(lookup_cat,
+                "USE lkbase; LOOKUP ON lookup_tag_2 WHERE "
+                "lookup_tag_2.col2 != lookup_tag_2.col3 YIELD id(vertex) as id")
+    # abs(-5) folds to a constant operand — legal
+    df = execute(lookup_cat, "USE lkbase; LOOKUP ON lookup_tag_2 WHERE "
+                             "lookup_tag_2.col2 > abs(-5) YIELD id(vertex) as id")
+    assert df.count() == 0
+
+
+def test_lookup_yield_clause(lookup_cat):
+    """LookUp.feature YieldClauseTest — YIELD/WHERE naming a schema other
+    than the LOOKUP target is a SemanticError (never silently resolved
+    against the target's same-named columns — found by this sweep, r8)."""
+    with pytest.raises(ValueError, match="Schema name error"):
+        execute(lookup_cat, "USE lkbase; LOOKUP ON student WHERE "
+                            "student.number == 1 YIELD teacher.age")
+    with pytest.raises(ValueError, match="Schema name error"):
+        execute(lookup_cat, "USE lkbase; LOOKUP ON student WHERE "
+                            "student.number == 1 "
+                            "YIELD teacher.age AS student_name")
+    with pytest.raises(ValueError, match="Schema name error"):
+        execute(lookup_cat, "USE lkbase; LOOKUP ON student WHERE "
+                            "teacher.number == 1 YIELD student.age")
+    df = execute(lookup_cat, "USE lkbase; LOOKUP ON student WHERE "
+                             "student.number == 1 "
+                             "YIELD id(vertex) as name, student.age")
+    assert df.columns == ["name", "student.age"]
+    assert rows(df, "name", "student.age") == [("220", 20)]
+
+
+def test_lookup_no_index_still_scans(lookup_cat):
+    """LookUp.feature "no index to use at runtime" raises ExecutionError
+    in the reference (IndexScan needs a secondary index). Parquet stats +
+    Catalyst pushdown subsume secondary indexes here (SURVEY §2.1), so
+    the same query legitimately ANSWERS — pinned as the documented
+    improvement, not an accidental pass."""
+    df = execute(lookup_cat, "USE lkbase; LOOKUP ON teacher WHERE "
+                             "teacher.number == 1 YIELD id(vertex) as id")
+    assert rows(df, "id") == [("220",)]
+
+
+def test_parser_fuzz_corpus_includes_residual_grammar():
+    """Parser.feature doubles as fuzz-corpus seed (r7 verdict): the
+    statements this sweep exercises must parse standalone."""
+    for q in ("SHOW  SPACES", "RETURN  1",
+              "LOOKUP ON t WHERE t.a IN [1] and t.a>3 YIELD id(vertex)",
+              "RETURN last(LIST[]) AS a"):
+        parse(q)
