@@ -1043,14 +1043,15 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
         hop = hop.join(renamed, hop[side] == renamed[f"{marker}{VID}"],
                        "left")
 
-    def _side_props(side: str) -> list[Column]:
+    def _side_props(side: str, skip: tuple = ()) -> list[Column]:
         # every tag's props of that side in sorted-tag order, same-named
         # props coalesced across tags (the reference merges the per-tag
-        # prop maps into one vertex value)
+        # prop maps into one vertex value); `skip` lets the full-vertex
+        # struct drop a user prop whose name would duplicate a field
         by_name: dict[str, list[str]] = {}
         for tg in sorted(space.tags):
             for p in space.tag(tg).columns:
-                if p != VID:
+                if p != VID and p not in skip:
                     by_name.setdefault(p, []).append(
                         f"__{side}_tag_{tg}__{p}")
         return [F.coalesce(*[F.col(c) for c in cols]).alias(p)
@@ -1098,7 +1099,12 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
         return expr
 
     def _vert_struct(side: str) -> Column:
-        return F.struct(F.col(side).alias("vid"), *_side_props(side))
+        # the key field leads as `vid`; a USER prop named vid (legal
+        # since r8) is skipped from the flat struct rather than emitting
+        # a duplicate field — the reference's Vertex value nests props
+        # per tag so this collision can't arise there
+        return F.struct(F.col(side).alias("vid"),
+                        *_side_props(side, skip=("vid",)))
 
     def resolve(kind, *args):
         if kind == "edge_prop":

@@ -42,6 +42,8 @@ KEYS = {
     "nation": [],                  # fixed dim
     "region": [],                  # fixed dim
     "documents": [],               # doc_id is a string — salted below
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
 }
 
 
@@ -79,8 +81,14 @@ def generate(spark):
               flush=True)
 
 
-QUERIES = ["pagerank", "dedup_clusters", "bfs_distances", "go_2step",
-           "minhash_lsh_pairs"]
+# r8 (r7 verdict item 4): the FULL 18-query headline set, not just the
+# five most expensive — any query whose sf0.1→sf1 ratio exceeds ~5x for
+# 10x data needs a plan explanation or a fix
+QUERIES = ["scan_project", "agg_group", "join_agg", "topn", "left_join",
+           "rollup_apply", "window_topk", "go_1step", "go_2step",
+           "bfs_distances", "sessionize", "minhash_lsh_pairs", "ann_topk",
+           "doc_stats", "multimodal_meta", "shortest_path_fn", "pagerank",
+           "dedup_clusters"]
 
 
 def run(spark, sf_dir):
