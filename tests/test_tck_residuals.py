@@ -264,3 +264,63 @@ def test_parser_fuzz_corpus_includes_residual_grammar():
               "LOOKUP ON t WHERE t.a IN [1] and t.a>3 YIELD id(vertex)",
               "RETURN last(LIST[]) AS a"):
         parse(q)
+
+
+def test_lookup_string_field(spark):
+    """LookUp.feature StringFieldTest — compound predicates over string
+    index columns (string-prefix indexes collapse to plain pushdown
+    filters here)."""
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE lkstr; USE lkstr;
+        CREATE TAG tag_with_str(c1 int, c2 string, c3 string);
+        CREATE TAG INDEX i1_with_str ON tag_with_str(c1, c2(30));
+        CREATE TAG INDEX i2_with_str ON tag_with_str(c2(30), c3(30));
+        CREATE TAG INDEX i3_with_str ON tag_with_str(c1, c2(30), c3(30))
+    """)
+    execute(cat, 'USE lkstr; INSERT VERTEX tag_with_str(c1, c2, c3) VALUES '
+                 '"1":(1, "c1_row1", "c2_row1"), "2":(2, "c1_row2", "c2_row2"), '
+                 '"3":(3, "abc", "abc"), "4":(4, "abc", "abc"), '
+                 '"5":(5, "ab", "cabc"), "6":(5, "abca", "bc")')
+    q = ('USE lkstr; LOOKUP ON tag_with_str WHERE %s '
+         'YIELD id(vertex) as id')
+    cases = [
+        ("tag_with_str.c1 == 1", [("1",)]),
+        ('tag_with_str.c1 == 1 AND tag_with_str.c2 == "ccc"', []),
+        ('tag_with_str.c1 == 1 AND tag_with_str.c2 == "c1_row1"', [("1",)]),
+        ('tag_with_str.c1 == 5 AND tag_with_str.c2 == "ab"', [("5",)]),
+        ('tag_with_str.c2 == "abc" AND tag_with_str.c3 == "abc"',
+         [("3",), ("4",)]),
+        ('tag_with_str.c1 == 5 AND tag_with_str.c2 == "abca" '
+         'AND tag_with_str.c3 == "bc"', [("6",)]),
+    ]
+    for cond, want in cases:
+        assert rows(execute(cat, q % cond), "id") == want, cond
+
+
+def test_lookup_condition_unicode(spark):
+    """LookUp.feature ConditionTest — multi-clause AND with a non-ASCII
+    string equality and int range; one clause misses → empty."""
+    cat = SpaceCatalog(spark)
+    execute(cat, """
+        CREATE SPACE lkcond; USE lkcond;
+        CREATE TAG identity(BIRTHDAY int, NATION string,
+                            BIRTHPLACE_CITY string);
+        CREATE TAG INDEX idx_identity ON
+            identity(BIRTHDAY, NATION(30), BIRTHPLACE_CITY(30))
+    """)
+    execute(cat, 'USE lkcond; INSERT VERTEX '
+                 'identity(BIRTHDAY, NATION, BIRTHPLACE_CITY) '
+                 'VALUES "1" : (19860413, "汉族", "aaa")')
+    df = execute(cat, 'USE lkcond; LOOKUP ON identity WHERE '
+                      'identity.NATION == "汉族" AND '
+                      'identity.BIRTHDAY > 19620101 AND '
+                      'identity.BIRTHDAY < 20021231 AND '
+                      'identity.BIRTHPLACE_CITY == "bbb" '
+                      'YIELD id(vertex) as id')
+    assert df.count() == 0
+    df = execute(cat, 'USE lkcond; LOOKUP ON identity WHERE '
+                      'identity.NATION == "汉族" AND '
+                      'identity.BIRTHPLACE_CITY == "aaa" '
+                      'YIELD id(vertex) as id, identity.NATION AS nation')
+    assert rows(df, "id", "nation") == [("1", "汉族")]
