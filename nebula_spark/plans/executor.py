@@ -2880,7 +2880,13 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                 # a name that resolves to nothing on the clause frame is
                 # the reference's undefined-alias SemanticError
                 # (SeekById.feature `WHERE id(x) == …`), raised here
-                # rather than surfacing Spark's UNRESOLVED_COLUMN
+                # rather than surfacing Spark's UNRESOLVED_COLUMN; on a
+                # unit row with NO bindings at all (standalone RETURN)
+                # the reference phrases it as a label error
+                # (return.feature "label expr")
+                if not bound and not paths:
+                    raise _UndefinedAliasError(
+                        f"Invalid label identifiers: {a}")
                 raise _UndefinedAliasError(
                     f"Alias used but not defined: `{a}'")
             return F.col(a)

@@ -130,9 +130,8 @@ def test_return_error_checks(spark, nba):
         execute(sp, "RETURN $^.dummyTag.p")
     with pytest.raises(ValueError, match="not exist prop"):
         execute(sp, "RETURN $-.dummyTag.p")
-    # bare label (reference: "Invalid label identifiers: name"; ours
-    # phrases it as the undefined-alias refusal — same class)
-    with pytest.raises(ValueError):
+    # bare label on the unit row — reference phrasing exactly
+    with pytest.raises(ValueError, match="Invalid label identifiers: name"):
         execute(sp, "RETURN name")
 
 
