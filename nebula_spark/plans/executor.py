@@ -415,6 +415,18 @@ class ExprCompiler:
                 self.col(e[1]),
                 F.concat(F.lit("^(?:"), self.col(e[2]), F.lit(")$")))
         if op == "in":
+            # x IN MAP{…} is KEY membership (basic/data.feature: "a" IN
+            # MAP{a:1, b:2} → true); the map literal's keys are known at
+            # compile time
+            if e[2][0] == "map":
+                keys = [k for k, _v in e[2][1]]
+                return self.col(e[1]).isin(*keys) if keys else F.lit(False)
+            if e[2][0] == "map_empty":
+                return F.lit(False)
+            # x IN []/LIST[]/SET{} — the empty container literal: always
+            # false (array<void> would fail Spark's type check)
+            if e[2][0] in ("list", "set") and len(e[2]) == 1:
+                return F.lit(False)
             vals = None
             if e[2][0] == "lit" and isinstance(e[2][1], list):
                 vals = e[2][1]          # folded parameter list (IN $p9)

@@ -2181,6 +2181,40 @@ class Parser:
             left = (op, left, self.expr_unary())
         return left
 
+    def _brace_atom(self, empty_kind: str | None = None):
+        """``{…}`` literal body. A BARE empty ``{}`` is the reference's
+        syntax error (basic/data.feature `RETURN [], {}, {}`): the empty
+        container must be spelled ``SET{}`` or ``MAP{}`` (empty_kind
+        carries which prefix was consumed)."""
+        t0 = self.peek()
+        self.eat("LC")
+        if self.peek().kind == "RC":
+            self.eat("RC")
+            if empty_kind == "map":
+                # 1-tuple marker: an empty () inside the AST would trip
+                # tuple-walkers expecting e[0]
+                return ("map_empty",)
+            if empty_kind == "set":
+                return ("set",)
+            raise SyntaxError(f"syntax error near `{{}}' @{t0.pos}")
+        if self.peek().kind == "NAME" and self.peek(1).kind == "COLON":
+            pairs = []
+            while self.peek().kind != "RC":
+                k = self.eat("NAME").text
+                self.eat("COLON")
+                pairs.append((k, self.expr()))
+                if self.peek().kind == "COMMA":
+                    self.eat("COMMA")
+            self.eat("RC")
+            return ("map", tuple(pairs))
+        items = []               # Set value kind — dedup list
+        while self.peek().kind != "RC":
+            items.append(self.expr())
+            if self.peek().kind == "COMMA":
+                self.eat("COMMA")
+        self.eat("RC")
+        return ("set", *items)
+
     def expr_unary(self):
         if self.peek().kind == "MINUS":
             self.eat("MINUS")
@@ -2276,16 +2310,12 @@ class Parser:
                 return self.expr_atom()
             if kwd in ("set", "map") and self.peek(1).kind == "LC":
                 self.i += 1
-                e = self.expr_atom()
+                e = self._brace_atom(empty_kind=kwd)
                 if kwd == "map":
-                    if e[0] == "set" and len(e) == 1:
-                        # 1-tuple marker: an empty () inside the AST
-                        # would trip tuple-walkers expecting e[0]
-                        return ("map_empty",)
-                    if e[0] != "map":
+                    if e[0] not in ("map", "map_empty"):
                         raise SyntaxError(
                             f"syntax error near `{t.text}' @{t.pos}")
-                elif e[0] == "map":
+                elif e[0] in ("map", "map_empty"):
                     raise SyntaxError(
                         f"syntax error near `{t.text}' @{t.pos}")
                 return e
@@ -2312,24 +2342,7 @@ class Parser:
             self.eat("RB")
             return ("list", *items)
         if t.kind == "LC":       # {k: v, …} map or {a, b, …} set literal
-            self.eat("LC")
-            if self.peek().kind == "NAME" and self.peek(1).kind == "COLON":
-                pairs = []
-                while self.peek().kind != "RC":
-                    k = self.eat("NAME").text
-                    self.eat("COLON")
-                    pairs.append((k, self.expr()))
-                    if self.peek().kind == "COMMA":
-                        self.eat("COMMA")
-                self.eat("RC")
-                return ("map", tuple(pairs))
-            items = []               # Set value kind — dedup list
-            while self.peek().kind != "RC":
-                items.append(self.expr())
-                if self.peek().kind == "COMMA":
-                    self.eat("COMMA")
-            self.eat("RC")
-            return ("set", *items)
+            return self._brace_atom()
         if t.kind in ("STRING", "INT", "FLOAT"):
             return ("lit", self.literal())
         if t.kind == "KW" and t.text in ("true", "false"):

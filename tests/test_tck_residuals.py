@@ -323,3 +323,35 @@ def test_lookup_condition_unicode(spark):
                       'identity.BIRTHPLACE_CITY == "aaa" '
                       'YIELD id(vertex) as id, identity.NATION AS nation')
     assert rows(df, "id", "nation") == [("1", "汉族")]
+
+
+def test_basic_data_containers(spark):
+    """basic/data.feature — typed container literals LIST[…]/SET{…}/
+    MAP{…}: size/IN over empty and populated forms, map-key membership,
+    nested values, subscript; BARE `{}` is the reference's syntax error
+    (the empty container must carry its SET/MAP prefix)."""
+    from nebula_spark.catalog import GraphSpace
+    sp = GraphSpace(spark, "datafeat")
+    r = execute(sp, "RETURN size(LIST[]) AS a, size(SET{}) AS b, "
+                    "size(MAP{}) AS c").collect()[0]
+    assert (r.a, r.b, r.c) == (0, 0, 0)
+    r = execute(sp, 'RETURN 1 IN LIST[] AS a, "Tony" IN SET{} AS b, '
+                    '"a" IN MAP{} AS c').collect()[0]
+    assert (r.a, r.b, r.c) == (False, False, False)
+    r = execute(sp, "RETURN LIST[1, 2] AS a, SET{1, 2, 1} AS b, "
+                    "MAP{a:1, b:2} AS c").collect()[0]
+    assert r.a == [1, 2] and sorted(r.b) == [1, 2]
+    assert (r.c.a, r.c.b) == (1, 2)
+    r = execute(sp, 'RETURN 1 IN LIST[1, 2] AS a, 2 IN SET{1, 2, 1} AS b, '
+                    '"a" IN MAP{a:1, b:2} AS c').collect()[0]
+    assert (r.a, r.b, r.c) == (True, True, True)
+    r = execute(sp, 'RETURN MAP{a: LIST[1,2], b: SET{1,2,1}, c: "hee"}["b"]'
+                    " AS d").collect()[0]
+    assert sorted(r.d) == [1, 2]
+    # unprefixed forms stay legal…
+    r = execute(sp, 'RETURN 2 IN [1, 2] AS a, 2 IN {1, 2, 1} AS b, '
+                    '"b" IN MAP{a:1, b:2} AS c').collect()[0]
+    assert (r.a, r.b, r.c) == (True, True, True)
+    # …but a BARE empty {} is a syntax error (data.feature)
+    with pytest.raises(SyntaxError):
+        execute(sp, "RETURN [], {}, {}")
