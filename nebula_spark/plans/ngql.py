@@ -1850,7 +1850,7 @@ class Parser:
     # -- MATCH (clause chain)
     def match_path(self) -> MatchPath:
         nodes, edges = [self.match_node()], []
-        while self.peek().kind in ("MINUS", "ARROW_L"):
+        while self.peek().kind in ("MINUS", "ARROW_L", "MINUSMINUS"):
             edges.append(self.match_edge())
             nodes.append(self.match_node())
         return MatchPath(nodes, edges)
@@ -1998,6 +1998,17 @@ class Parser:
 
     def match_edge(self) -> MatchEdge:
         direction = "out"
+        if self.peek().kind == "MINUSMINUS":
+            # `--` / `-->` detail-less edges are single tokens in the
+            # reference lexer (scanner.lex:370-371 MINUS_MINUS /
+            # MINUS_R_ARROW); the expression grammar rejects the token,
+            # the pattern grammar reads it as an undirected (or, with
+            # the trailing `>`, outbound) edge with no bracket
+            self.eat("MINUSMINUS")
+            if self.peek().kind == "GT":
+                self.eat("GT")
+                return MatchEdge(None, [], "out", 1, 1, {}, var_len=False)
+            return MatchEdge(None, [], "both", 1, 1, {}, var_len=False)
         if self.peek().kind == "ARROW_L":
             self.eat("ARROW_L")
             direction = "in"

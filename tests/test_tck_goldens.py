@@ -8282,25 +8282,30 @@ def test_opencypher_map_static_access(nba_space):
 
 # ---------------------------------------------------------------------------
 # Int-vid parity — tests/tck/features/delete/DeleteVertex.IntVid.feature
-# pipe scenarios + GO.IntVid.feature hash() seeds. The reference hashes
-# string names to int64 vids with MurmurHash2; the repo's hash() is a
-# stable 64-bit xxhash64 (functions/scalar.py) — the fixture derives its
-# vids with the SAME function, so hash("name") seeds resolve identically.
+# pipe scenarios + GO.IntVid.feature hash() seeds. Since r8 the repo's
+# hash() IS the reference's (std::hash<Value>: MurmurHash64A for strings,
+# functions/scalar.py murmur64a) — the fixture derives its vids with the
+# same function, so hash("name") seeds resolve identically AND equal the
+# reference's own printed int vids.
 # ---------------------------------------------------------------------------
 
 @pytest.fixture
 def nba_int_space(spark):
     from nebula_spark.catalog import GraphSpace
+    # vids are hash("name") — the ENGINE's hash (reference-exact
+    # MurmurHash64A since r8), so `FETCH … hash("Tim Duncan")` keys in
+    # the transcribed queries hit by construction
+    from nebula_spark.functions.scalar import _hash
     player = _read(spark, "player", ["vid", "name", "age"]).select(
-        F.xxhash64("vid").alias("vid"), "name",
+        _hash(F.col("vid")).alias("vid"), "name",
         F.col("age").cast("long").alias("age"))
     like = _read(spark, "like", ["src", "dst", "likeness"]).select(
-        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst"),
+        _hash(F.col("src")).alias("src"), _hash(F.col("dst")).alias("dst"),
         F.lit(0).cast("long").alias("_rank"),
         F.col("likeness").cast("long").alias("likeness")
     ).dropDuplicates(["src", "dst", "_rank"])
     bachelor = _read(spark, "bachelor", ["vid", "name", "speciality"]) \
-        .select(F.xxhash64("vid").alias("vid"), "name", "speciality")
+        .select(_hash(F.col("vid")).alias("vid"), "name", "speciality")
     sp = GraphSpace(spark, "nba_int")
     sp.options = {"vid_type": "int64"}
     sp.create_tag("player", df=player)
@@ -8322,10 +8327,8 @@ def test_delete_int_vertex_by_pipe(nba_int_space):
     df = execute(sp, 'GO FROM hash("Boris Diaw") OVER like '
                      "YIELD like._dst AS d")
     got = {r.d for r in df.collect()}
-    want = {r.v for r in sp.spark.range(1).select(
-        F.xxhash64(F.lit("Tony Parker")).alias("v")).collect()} | \
-        {r.v for r in sp.spark.range(1).select(
-            F.xxhash64(F.lit("Tim Duncan")).alias("v")).collect()}
+    from nebula_spark.functions.scalar import murmur64a
+    want = {murmur64a(b"Tony Parker"), murmur64a(b"Tim Duncan")}
     assert got == want
     with pytest.raises(ValueError,
                        match=r"`src\(\$-\.e\)' is not an evaluable "
