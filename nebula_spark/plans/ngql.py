@@ -2057,6 +2057,12 @@ class Parser:
             else:
                 self.eat("MINUS")
                 direction = "both"
+        elif self.peek().kind == "ARROW_R":
+            # <-[e]-> / <--> — arrowheads on both ends = BOTH direction
+            # (parser.yy match_edge L_ARROW_L_BRACKET … R_BRACKET_R_ARROW
+            # and L_ARROW_R_ARROW productions)
+            self.eat("ARROW_R")
+            direction = "both"
         else:
             self.eat("MINUS")
         if mn > mx:

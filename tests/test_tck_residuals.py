@@ -355,3 +355,21 @@ def test_basic_data_containers(spark):
     # …but a BARE empty {} is a syntax error (data.feature)
     with pytest.raises(SyntaxError):
         execute(sp, "RETURN [], {}, {}")
+
+
+def test_match_edge_arrowhead_forms(spark, nba):
+    """parser.yy match_edge production sweep: detail-less `--`/`-->`/
+    `<--`/`<-->` tokens (scanner.lex:370-373) and both-arrowhead
+    `<-[e]->` all parse, with BOTH direction for double-arrow forms."""
+    from nebula_spark.catalog import GraphSpace
+    sp = GraphSpace(spark, "arrows")
+    sp.create_tag("player", df=nba["player"])
+    sp.create_edge("like", df=nba["like"])
+    q = "MATCH (a:player {name: 'Tim'})%s(b:player) RETURN b.player.name AS n"
+    out = {form: sorted(r.n for r in execute(sp, q % form).collect())
+           for form in ("-->", "<--", "--", "<-->", "<-[:like]->")}
+    assert out["-->"] == ["Manu", "Tony"]
+    assert out["<--"] == ["Tony"]
+    assert out["--"] == ["Manu", "Tony", "Tony"]      # in+out union
+    assert out["<-->"] == out["--"]
+    assert out["<-[:like]->"] == out["--"]
