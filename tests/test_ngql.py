@@ -663,6 +663,9 @@ def test_executor_fuzz_smoke(space):
         'LOOKUP ON player YIELD id(vertex) AS id '
         '| DELETE TAG player FROM $-.id',
         'DELETE EDGE like "p1"->"p2"@0',
+        'MATCH (a:player)-->(b) RETURN b.player.name AS n',
+        'RETURN 1 IN MAP{a:1} AS m, size(SET{}) AS z',
+        'GO FROM "p1" OVER like YIELD id($$) AS v | RETURN $-.v AS v',
     ]
     pool = ["age", "name", "player", "like", "p1", "$-.d", "id(vertex)",
             "dst(edge)", "rank(edge)", "*", "0", "NULL", "count(*)",

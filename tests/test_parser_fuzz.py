@@ -89,6 +89,13 @@ GOLDEN = [
     'DELETE EDGE e hash("a")->hash("b")@-1',
     'LOOKUP ON t YIELD id(vertex) AS id | DELETE TAG t1 FROM $-.id',
     "CREATE TAG kt(vid int, src string, dst double, rank timestamp)",
+    # r8 grammar: container literals, arrowhead edge forms, piped RETURN
+    "RETURN size(LIST[]) AS a, size(SET{}) AS b, size(MAP{}) AS c",
+    "YIELD 1 IN MAP{a:1} AS m, 2 IN SET{1,2} AS s2",
+    "MATCH (a)-->(b)<--(c) RETURN a",
+    "MATCH (a)<-->(b) RETURN a",
+    "MATCH (a)<-[e:like]->(b) RETURN e",
+    'GO FROM "x" OVER e YIELD id($$) AS v | RETURN $-.v AS v',
 ]
 
 _TOKEN_POOL = [
