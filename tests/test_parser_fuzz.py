@@ -114,6 +114,8 @@ _TOKEN_POOL = [
     "$var", ".", "..", ":", "::", "\"str\"", "'s'", "`q`", "42",
     "3.14", "0x1F", "player", "like", "name", "v", "e", "p",
     "count", "sum", "id", "src", "dst", "rank", "properties",
+    "LIST[", "SET{", "MAP{", "-->", "<--", "<-->", "--", "hash(",
+    "RETURN", "$-.",
 ]
 
 

@@ -27,9 +27,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
+# COPIES is env-tunable (r8): SPARK_GRAFT_SCALE_COPIES=30 materializes an
+# sf3-like point under .sf3_scale/ for a 3-point linearity trend
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   ".sf1_scale")
-COPIES = 10
+                   f".sf{COPIES // 10}_scale" if COPIES % 10 == 0
+                   else f".sfx{COPIES}_scale")
 SHIFT = 10_000_000
 
 # which columns are entity keys, per table (shift by copy*SHIFT)
