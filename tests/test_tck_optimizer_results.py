@@ -1,0 +1,67 @@
+"""Result assertions from the reference's optimizer feature files.
+
+The optimizer/ TCK directory pins the reference's PLAN SHAPES (operator
+trees with ids/dependencies) — obsolete here by design, since Catalyst
+owns plan shapes (SURVEY §2, TCK-coverage note). But several scenarios
+ALSO carry result tables; those are engine semantics and transcribe
+directly. Queries + expected rows from:
+  optimizer/PrunePropertiesRule.feature ("optional match", :562)
+  optimizer/TopNRule.feature
+  optimizer/PushFilterDownTraverseRule.feature
+Plan health on our side is pinned separately (tests/test_plans.py
+PushedFilters / AQE-skew assertions), not as operator-tree diffs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nebula_spark.plans import execute
+from tests.test_tck_goldens import nba_space  # noqa: F401 — fixture
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_prune_properties_optional_match_results(nba_space):  # noqa: F811
+    """PrunePropertiesRule.feature "optional match" — mixed-direction
+    3-hop MATCH + WITH aggregate + OPTIONAL MATCH re-entry + second
+    aggregate; values and column names exactly the reference's."""
+    df = execute(nba_space, """
+        MATCH (v:player)-[:like]-(:player)<-[:teammate]-(b:player)
+              -[:serve]->(t:team)
+          WHERE id(v) == 'Tim Duncan' AND b.player.age > 20
+        WITH v, count(b) AS countB, t
+        OPTIONAL MATCH (v)-[:like]-()<-[:like]-(oldB)-[:serve]->(t)
+        WITH v, countB, t, count(oldB) AS cb
+        RETURN t.team.name, sum(countB)
+    """)
+    assert df.columns == ["t.team.name", "sum(countB)"]
+    assert rows(df, *df.columns) == [("Hornets", 3), ("Spurs", 11)]
+
+
+def test_topn_rule_results(nba_space):  # noqa: F811
+    """TopNRule.feature — ORDER BY | LIMIT over a GO pipe (the reference
+    fuses these into TopN; Spark plans TakeOrderedAndProject)."""
+    df = execute(nba_space, 'GO 1 STEPS FROM "Marco Belinelli" OVER like '
+                            "YIELD like.likeness AS likeness | "
+                            "ORDER BY $-.likeness | LIMIT 2")
+    assert [r.likeness for r in df.collect()] == [50, 55]
+    df = execute(nba_space, 'GO 1 STEPS FROM "Marco Belinelli" OVER like '
+                            "REVERSELY YIELD like.likeness AS likeness | "
+                            "ORDER BY $-.likeness | LIMIT 1")
+    assert [r.likeness for r in df.collect()] == [83]
+
+
+def test_push_filter_down_traverse_results(nba_space):  # noqa: F811
+    """PushFilterDownTraverseRule.feature — edge-prop and rank() WHERE
+    filters on MATCH relationships; values from the reference tables."""
+    df = execute(nba_space, "MATCH (v:player)-[e:like]->(v2) "
+                            "WHERE e.likeness > 99 "
+                            "RETURN e.likeness, v2.player.age")
+    assert df.columns == ["e.likeness", "v2.player.age"]
+    assert rows(df, *df.columns) == [(100, 31), (100, 43)]
+    df = execute(nba_space, "MATCH (v:player)-[e:like]->(v2) "
+                            "WHERE rank(e) == 0 RETURN COUNT(*)")
+    assert [tuple(r) for r in df.collect()] == [(81,)]
