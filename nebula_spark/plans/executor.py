@@ -402,6 +402,26 @@ class ExprCompiler:
                         .when(ad > 0, F.lit(float("inf")))
                         .when(ad < 0, F.lit(float("-inf")))
                         .otherwise(F.lit(float("nan"))))
+            if op == "/":
+                # both sides statically integral → C++ integer division
+                # (Value.cpp operator/: int64/int64 truncates toward
+                # zero; optimizer/CollapseProjectRule.feature pins
+                # v.player.age/10 == 4 for age 40-42). Spark's `div` is
+                # IntegralDivide — same truncation, NULL on /0 like the
+                # DIV_BY_ZERO null. Anything not provably integral keeps
+                # true division (data-dependent dtypes resolve via the
+                # attached frame when available).
+                from pyspark.sql.types import IntegralType
+
+                def _intish(x):
+                    if isinstance(x, tuple) and x[0] == "lit":
+                        return isinstance(x[1], int)                             and not isinstance(x[1], bool)
+                    return False
+                da, db = self._dtype(a), self._dtype(b)
+                ia = isinstance(da, IntegralType) or                     (da is None and _intish(e[1]))
+                ib = isinstance(db, IntegralType) or                     (db is None and _intish(e[2]))
+                if ia and ib:
+                    return F.call_function("div", a, b)
             return {"==": a == b, "!=": a != b, "<": a < b, "<=": a <= b,
                     ">": a > b, ">=": a >= b, "+": a + b, "-": a - b,
                     "*": a * b, "/": a / b, "%": a % b}[op]

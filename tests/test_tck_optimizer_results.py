@@ -65,3 +65,28 @@ def test_push_filter_down_traverse_results(nba_space):  # noqa: F811
     df = execute(nba_space, "MATCH (v:player)-[e:like]->(v2) "
                             "WHERE rank(e) == 0 RETURN COUNT(*)")
     assert [tuple(r) for r in df.collect()] == [(81,)]
+
+
+def test_collapse_project_integer_division(nba_space):  # noqa: F811
+    """CollapseProjectRule.feature — `age/10` over int columns is C++
+    INTEGER division (Value.cpp operator/: truncation toward zero), not
+    true division; found by the r8 optimizer-results sweep (we returned
+    3.9 where the reference returns 3)."""
+    df = execute(nba_space, """
+        MATCH (v:player)
+        WHERE v.player.age > 38
+        WITH v, v.player.age AS age, v.player.age/10 AS iage,
+             v.player.age%10 AS mage, v.player.name AS name
+        RETURN iage
+    """)
+    got = sorted(r.iage for r in df.collect())
+    assert all(isinstance(x, int) for x in got)
+    assert got == [3] + [4] * 10   # the feature table: ten 4s, one 3
+
+
+def test_integer_division_semantics(nba_space):  # noqa: F811
+    """Int/int division truncates toward zero; /0 is the DIV_BY_ZERO
+    null; any float side keeps IEEE true division."""
+    [r] = execute(nba_space, "RETURN 7/2 AS a, -39/10 AS n, 1/0 AS z, "
+                             "7.0/2 AS f, 7/2.0 AS g").collect()
+    assert (r.a, r.n, r.z, r.f, r.g) == (3, -3, None, 3.5, 3.5)
