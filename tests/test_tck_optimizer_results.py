@@ -90,3 +90,49 @@ def test_integer_division_semantics(nba_space):  # noqa: F811
     [r] = execute(nba_space, "RETURN 7/2 AS a, -39/10 AS n, 1/0 AS z, "
                              "7.0/2 AS f, 7/2.0 AS g").collect()
     assert (r.a, r.n, r.z, r.f, r.g) == (3, -3, None, 3.5, 3.5)
+
+
+def test_embed_edge_all_pred_varlen_full_enumeration(nba_space):  # noqa: F811
+    """EmbedEdgeAllPredIntoTraverseRule.feature `[e:like*2..4]` with
+    `all(i in e where i.likeness>90)` — DOCUMENTED DEVIATION, ours is
+    the correct side: the reference's expected table lists only the 11
+    paths starting at Dejounte Murray, silently dropping every valid
+    start vertex that itself has a qualifying in-edge (Tim/Tony/Gasols —
+    an artifact of the rule being pinned, not of openCypher semantics).
+    The full edge-unique enumeration over like-edges >90
+    (Tony↔Tim 95s, Tim/Tony→Manu 95s, Gasol↔Gasol 99s, Dejounte→* 99s,
+    LeBron→Ray 100) yields 19 paths; hand-derived:
+      2-hop: Tony→Tim→{Tony,Manu}, Tim→Tony→{Tim,Manu} (95,95)×4;
+             Marc→Paul→Marc, Paul→Marc→Paul (99,99)×2;
+             Dejounte→{Tim,Tony}→{…} (99,95)×4; Dejounte→LeBron→Ray
+             (99,100)×1
+      3-hop: Dejounte→{Tim,Tony}→… (99,95,95)×4;
+             Tony→Tim→Tony→Manu, Tim→Tony→Tim→Manu (95,95,95)×2
+      4-hop: Dejounte prefixes of those two (99,95,95,95)×2
+    The *1 case matches the reference exactly (19 rows there too)."""
+    df = execute(nba_space, """
+        MATCH (v:player)-[e:like*2..4]->(n)
+        WHERE all(i in e where i.likeness>90)
+        RETURN [i in e | i.likeness] AS likeness, n.player.age AS nage
+    """)
+    got = sorted((tuple(r.likeness), r.nage) for r in df.collect())
+    want = sorted([
+        ((95, 95), 36), ((95, 95), 41), ((95, 95), 41), ((95, 95), 42),
+        ((99, 99), 34), ((99, 99), 38),
+        ((99, 95), 36), ((99, 95), 41), ((99, 95), 41), ((99, 95), 42),
+        ((99, 100), 43),
+        ((99, 95, 95), 36), ((99, 95, 95), 41), ((99, 95, 95), 41),
+        ((99, 95, 95), 42),
+        ((95, 95, 95), 41), ((95, 95, 95), 41),
+        ((99, 95, 95, 95), 41), ((99, 95, 95, 95), 41),
+    ])
+    assert got == want
+    # the single-hop form agrees with the reference outright
+    df1 = execute(nba_space, """
+        MATCH (v:player)-[e:like*1]->(n)
+        WHERE all(i in e where i.likeness>90)
+        RETURN [i in e | i.likeness] AS likeness
+    """)
+    from collections import Counter
+    c = Counter(tuple(r.likeness) for r in df1.collect())
+    assert c == {(99,): 13, (95,): 5, (100,): 2}
