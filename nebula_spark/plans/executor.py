@@ -2168,6 +2168,26 @@ def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
     lbl_aliases = {r[2][1] for r in lrefs
                    if len(r) >= 3 and r[1] in ("labels", "tags")
                    and isinstance(r[2], tuple) and r[2][0] == "name"}
+    # properties(v) on an UNTAGGED alias (tagless MATCH (v) bind): no
+    # direct prop columns exist, so join every tag lazily — the
+    # reference returns the vertex's full prop map
+    # (optimizer/PrunePropertiesRule.feature "test properties"; found by
+    # the r8 optimizer-results sweep as an empty-struct field error)
+    prop_aliases = {r[2][1] for r in lrefs
+                    if len(r) >= 3 and r[1] in ("properties", "props")
+                    and isinstance(r[2], tuple) and r[2][0] == "name"}
+    for a in sorted(prop_aliases):
+        if tagmap.get(a) is not None or f"{a}___vid" not in cur.columns:
+            continue
+        for t in sorted(space.tags):
+            if f"{a}___t_{t}___vid" in cur.columns:
+                continue
+            td = space.tag(t)
+            sel = td.select(*[F.col(c).alias(f"{a}___t_{t}__{c}")
+                              for c in td.columns])
+            cur = cur.join(sel,
+                           cur[f"{a}___vid"] == sel[f"{a}___t_{t}___vid"],
+                           "left")
     for a in sorted(lbl_aliases):
         col = f"{a}___labels"
         if tagmap.get(a) is None or col not in cur.columns \
@@ -2821,8 +2841,31 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                 pc = [c for c in columns
                       if c.startswith(f"{alias}__") and c not in skip
                       and not c.startswith(f"{alias}___")]
-                return F.struct(*[F.col(c).alias(c.split("__", 1)[1])
-                                  for c in pc])
+                if pc:
+                    return F.struct(*[F.col(c).alias(c.split("__", 1)[1])
+                                      for c in pc])
+                # untagged alias: gather the lazily-joined per-tag prop
+                # columns ({alias}___t_{tag}__{prop}, added by
+                # _ensure_tag_props), coalescing same-named props across
+                # tags like the reference's merged vertex prop map
+                by_name: dict[str, list[str]] = {}
+                pref = f"{alias}___t_"
+                for c in columns:
+                    if not c.startswith(pref):
+                        continue
+                    rest = c[len(pref):]
+                    if "__" not in rest:
+                        continue
+                    _tag, pn = rest.split("__", 1)
+                    if pn == "_vid":     # per-tag key witness, not a prop
+                        continue
+                    by_name.setdefault(pn, []).append(c)
+                if by_name:
+                    return F.struct(*[
+                        F.coalesce(*[F.col(c) for c in cols]).alias(pn)
+                        if len(cols) > 1 else F.col(cols[0]).alias(pn)
+                        for pn, cols in sorted(by_name.items())])
+                return F.struct(*[])
             raise ValueError(f"unknown graph fn {fn}")
         if kind == "path_fn":            # nodes(p) / relationships(p) / …
             fn, alias = args

@@ -136,3 +136,21 @@ def test_embed_edge_all_pred_varlen_full_enumeration(nba_space):  # noqa: F811
     from collections import Counter
     c = Counter(tuple(r.likeness) for r in df1.collect())
     assert c == {(99,): 13, (95,): 5, (100,): 2}
+
+
+def test_properties_on_untagged_alias(nba_space):  # noqa: F811
+    """PrunePropertiesRule.feature "test properties" shape:
+    properties(v) on a TAGLESS bind returns the vertex's merged prop map
+    (per-tag maps coalesced by name), with field access working — was an
+    empty-struct FIELD_NOT_FOUND before the r8 sweep."""
+    df = execute(nba_space, 'match (v)-[]->(b:player) '
+                            'where id(v) == "Tim Duncan" '
+                            'return id(v) AS id, properties(v).name AS name, '
+                            'v.player.age AS age')
+    assert sorted(set(tuple(r) for r in df.collect())) == \
+        [("Tim Duncan", "Tim Duncan", 42)]
+    df = execute(nba_space,
+                 'match (v:player) '
+                 'where properties(v).name=="LaMarcus Aldridge" '
+                 'return properties(v).age AS a')
+    assert [r.a for r in df.collect()] == [33]
