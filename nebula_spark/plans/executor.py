@@ -3438,6 +3438,14 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
         aggs = [_compile_mixed_agg(y.expr, ec).alias(_yname(y, i))
                 for i, y, _ in items if _is_agg(y.expr)]
         out = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
+        # groupBy().agg() emits keys-then-aggregates; restore the WRITTEN
+        # item order (`RETURN count(v2), v1` must lead with the count —
+        # found by the r8 optimizer-results sweep). Bracket access, not
+        # F.col: expression-text names carry dots ("t.team.name").
+        names = [_yname(y, i) for i, y, _ in items]
+        if len(set(names)) == len(names) and set(names) == set(out.columns) \
+                and names != out.columns:
+            out = out.select(*[out[n] for n in names])
     else:
         out = cur.select(*[c for _, _, c in items])
     if st.distinct:

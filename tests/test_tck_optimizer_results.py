@@ -154,3 +154,15 @@ def test_properties_on_untagged_alias(nba_space):  # noqa: F811
                  'where properties(v).name=="LaMarcus Aldridge" '
                  'return properties(v).age AS a')
     assert [r.a for r in df.collect()] == [33]
+
+
+def test_return_preserves_written_column_order_with_agg(nba_space):  # noqa: F811
+    """PrunePropertiesRule.feature pins `RETURN count(v2), v1` with the
+    count FIRST — groupBy().agg() emits keys-then-aggregates, so the
+    executor must restore the written order (r8 sweep find)."""
+    df = execute(nba_space, 'MATCH (v1)-[:like]->(v2) '
+                            'WHERE id(v1) == "Tim Duncan" '
+                            'RETURN count(v2), v1')
+    assert df.columns == ["count(v2)", "v1"]
+    [r] = df.collect()
+    assert r[0] == 2 and r[1].vid == "Tim Duncan"
