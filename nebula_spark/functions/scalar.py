@@ -56,12 +56,19 @@ def _hash_batch(s: "pd.Series") -> "pd.Series":
     if pd.api.types.is_integer_dtype(s.dtype) \
             or pd.api.types.is_bool_dtype(s.dtype):
         return s.astype("int64")
+    # Arrow delivers a NULLABLE long batch as float64 (NaN for NULL),
+    # so a batch's dtype alone can't distinguish LONG-with-nulls from a
+    # genuine double column. Restore integral floats to ints (identity
+    # hash) and NaN to NULL; a non-integral double still hashes over its
+    # string form (documented approximation of std::hash<double>).
 
     def one(v):
-        if v is None:
+        if v is None or v is pd.NA or (isinstance(v, float) and v != v):
             return None
         if isinstance(v, int) and not isinstance(v, bool):
             return v
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
         if isinstance(v, bytes):
             return murmur64a(v)
         return murmur64a(str(v).encode("utf-8"))

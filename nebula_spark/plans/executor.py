@@ -3440,12 +3440,15 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
         out = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
         # groupBy().agg() emits keys-then-aggregates; restore the WRITTEN
         # item order (`RETURN count(v2), v1` must lead with the count —
-        # found by the r8 optimizer-results sweep). Bracket access, not
-        # F.col: expression-text names carry dots ("t.team.name").
+        # found by the r8 optimizer-results sweep). Backtick-quote the
+        # names: bare access (df[name] / df[ordinal] both resolve by
+        # name) splits expression-text names on dots ("v.player.name"
+        # reads as a nested-field path and raises).
         names = [_yname(y, i) for i, y, _ in items]
         if len(set(names)) == len(names) and set(names) == set(out.columns) \
                 and names != out.columns:
-            out = out.select(*[out[n] for n in names])
+            out = out.select(
+                *[F.col("`" + n.replace("`", "``") + "`") for n in names])
     else:
         out = cur.select(*[c for _, _, c in items])
     if st.distinct:
@@ -4733,6 +4736,14 @@ def execute(space: GraphSpace | SpaceCatalog, query: str,
     # per-statement resolution reads THIS, so a concurrent thread's USE
     # on the same catalog can't redirect this script's statements
     cur = [cat.current_name]
+    cur_at_entry = cur[0]
+
+    def _sync_current():
+        # write back ONLY when this query actually moved the pointer
+        # (USE / DROP SPACE); an unconditional write would let any
+        # concurrent read-only query revert another session's USE
+        if cur[0] != cur_at_entry:
+            cat.current_name = cur[0]
 
     def _current() -> GraphSpace:
         if cur[0] is None:
@@ -4749,16 +4760,20 @@ def execute(space: GraphSpace | SpaceCatalog, query: str,
             # result
             env: dict[str, DataFrame] = {}
             df: DataFrame | None = None
-            for var, stmt in node.statements:
-                df = _space_level(cat, stmt, cur)
-                if df is None:
-                    df = _execute_node(_current(), stmt, env)
-                if var is not None:
-                    env[var] = df
-            cat.current_name = cur[0]   # session persistence, synced once
+            try:
+                for var, stmt in node.statements:
+                    df = _space_level(cat, stmt, cur)
+                    if df is None:
+                        df = _execute_node(_current(), stmt, env)
+                    if var is not None:
+                        env[var] = df
+            finally:
+                # sync in a finally: a USE that succeeded earlier in the
+                # script stays committed even if a later statement raises
+                _sync_current()
             return df
         df = _space_level(cat, node, cur)
-        cat.current_name = cur[0]
+        _sync_current()
         return df if df is not None else _execute_node(_current(), node)
     except Exception as ex:
         # Catalyst analysis failures on plan build (unresolved column
