@@ -1587,9 +1587,9 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
                 "use full-text index as an optimal solution")
     out = t.filter(ec_where.col(st.where)) if st.where is not None else t
     if st.yields:
-        return out.select(*[ec.col(y.expr).alias(_yname(y, i))
-                            for i, y in enumerate(st.yields)])
-    return out
+        out = out.select(*[ec.col(y.expr).alias(_yname(y, i))
+                           for i, y in enumerate(st.yields)])
+    return out.distinct() if st.distinct else out
 
 
 def _find_path_where(space: GraphSpace, names: list[str],
@@ -3509,21 +3509,37 @@ _REBIND_CHECKPOINT_EVERY = 8
 
 def _rebind(space: GraphSpace, name: str, is_edge: bool,
             new_df: DataFrame) -> None:
-    """Swap a tag/edge table for its mutated version, keeping TTL config
-    (the Delta-MERGE commit analog for the in-memory catalog; durable
-    spaces write through sources/sink.py instead).
+    """Swap a tag/edge table for its mutated version, keeping TTL config.
 
-    Lineage truncation (r8 deep-fuzz finding): every mutation stacks an
-    anti-join + union on the previous PLAN, so a long-running session
-    issuing hundreds of DML statements grows an analyzer tree whose
-    resolution OOMs the JVM (reproduced at ~390 mutations on a 5-row
-    table — the cost is in Catalyst, not the data). The reference pays a
-    storage write per mutation (RocksDB); the analog here is an eager
-    localCheckpoint every ``_REBIND_CHECKPOINT_EVERY`` mutations per
-    table, bounding the live plan depth while keeping single-statement
-    scripts zero-cost."""
+    **Path-backed tables write through** (r9): when the ``TagDef``/
+    ``EdgeDef`` carries a parquet ``path``, the mutation is committed to
+    disk per statement via :func:`~nebula_spark.operators.mutate
+    .commit_table` (atomic tmp+swap) and the binding re-reads the path —
+    the reference persists every mutation the same way
+    (``AddVerticesProcessor.cpp``: a RocksDB write per statement). The
+    re-read also truncates plan lineage for free. df-backed (test/bench)
+    spaces stay in-memory.
+
+    Lineage truncation (r8 deep-fuzz finding, df-backed lane): every
+    mutation stacks an anti-join + union on the previous PLAN, so a
+    long-running session issuing hundreds of DML statements grows an
+    analyzer tree whose resolution OOMs the JVM (reproduced at ~390
+    mutations on a 5-row table — the cost is in Catalyst, not the
+    data). The analog of the reference's per-statement storage write is
+    an eager localCheckpoint every ``_REBIND_CHECKPOINT_EVERY``
+    mutations per table, bounding the live plan depth while keeping
+    single-statement scripts zero-cost."""
     defs = space.edges if is_edge else space.tags
     d = defs[name]
+    maker = space.create_edge if is_edge else space.create_tag
+    if d.path is not None:
+        from nebula_spark.operators.mutate import commit_table
+        commit_table(new_df, d.path)       # materializes BEFORE the swap
+        maker(name, path=d.path, ttl_col=d.ttl_col,
+              ttl_duration=d.ttl_duration, decl=d.decl,
+              defaults=d.defaults, required=d.required,
+              comments=d.comments)
+        return
     counts = getattr(space, "_mut_counts", None)
     if counts is None:
         counts = space._mut_counts = {}
@@ -3531,7 +3547,6 @@ def _rebind(space: GraphSpace, name: str, is_edge: bool,
     counts[k] = counts.get(k, 0) + 1
     if counts[k] % _REBIND_CHECKPOINT_EVERY == 0:
         new_df = new_df.localCheckpoint(eager=True)
-    maker = space.create_edge if is_edge else space.create_tag
     maker(name, df=new_df, ttl_col=d.ttl_col, ttl_duration=d.ttl_duration,
           decl=d.decl, defaults=d.defaults, required=d.required,
           comments=d.comments)

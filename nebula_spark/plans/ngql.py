@@ -219,6 +219,7 @@ class LookupStmt:
     name: str
     where: tuple | None
     yields: list[YieldItem]
+    distinct: bool = False
 
 
 @dataclass
@@ -1610,10 +1611,14 @@ class Parser:
         self.eat_kw("on")
         name = self.name()
         where = self.expr() if self.try_kw("where") else None
-        yields = []
+        yields, distinct = [], False
         if self.try_kw("yield"):
+            # LOOKUP shares the generic yield_clause (parser.yy:2202 →
+            # 1574-1588), which admits YIELD DISTINCT — gap found by the
+            # r9 result-fuzzer
+            distinct = self.try_kw("distinct")
             yields = self.yield_items()
-        return LookupStmt(False, name, where, yields)
+        return LookupStmt(False, name, where, yields, distinct)
 
     # -- FIND PATH
     def find_path_sentence(self) -> FindPathStmt:
