@@ -284,6 +284,16 @@ def q_lookup(spark: SparkSession, sf: str) -> DataFrame:
             .select("p_partkey", "p_name", "p_size", "p_type"))
 
 
+def q_frontend_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Front-end LOOKUP end-to-end (parse→validate→plan→run) — the bench
+    front-end lane's index-seek shape (r9 verdict #6; operator twin is
+    q_lookup)."""
+    from nebula_spark.plans import execute
+    sp = tpch_space(spark, sf)
+    return execute(sp, "LOOKUP ON part WHERE part.p_size >= 40 "
+                       "YIELD id(vertex) AS k, part.p_type AS t")
+
+
 def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 5% sample via md5 bucketing (the distributed,
     reproducible analog of the reference's reservoir Sample)."""

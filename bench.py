@@ -36,6 +36,18 @@ BENCH_QUERIES = [
     "dedup_clusters",
 ]
 
+# Front-end latency lane (r9 verdict #6): execute() END-TO-END —
+# parse→validate→plan in pure Python plus the Spark job — so parser/
+# planner regressions show in the official artifact. Reported under
+# "frontend"/"frontend_total_sec", NOT folded into the headline total
+# (which stays comparable to the r1 baseline gate).
+FRONTEND_LANE = {
+    "frontend_go_pipe": "ngql_go_pipe",
+    "frontend_match_2hop": "ngql_match_2hop",
+    "frontend_lookup": "frontend_lookup",
+    "frontend_dml_script": "dml_lifecycle",
+}
+
 
 def wait_for_quiet_machine() -> tuple[float, list[float], bool]:
     """Contention guard (r8, per r7 verdict task #1): three consecutive
@@ -85,7 +97,8 @@ def main() -> None:
     def run(name: str) -> float:
         # q_* functions are the source of truth: the bench set stays stable
         # across rounds even when the (slot-capped) queries() dict rotates
-        fn = getattr(entry, f"q_{name}", None) or qs[name]
+        qn = FRONTEND_LANE.get(name, name)
+        fn = getattr(entry, f"q_{qn}", None) or qs[qn]
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -96,18 +109,23 @@ def main() -> None:
     # untimed warm-up pass of the full list: whole-stage codegen compiles,
     # broadcast thresholds settle, shuffle dirs exist — after this, repeat
     # runs of a byte-identical query agree within ~20%
-    for name in BENCH_QUERIES:
+    for name in (*BENCH_QUERIES, *FRONTEND_LANE):
         run(name)
 
     samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    fe_samples: dict[str, list[float]] = {n: [] for n in FRONTEND_LANE}
     for _ in range(reps):
         for name in BENCH_QUERIES:
             samples[name].append(run(name))
+        for name in FRONTEND_LANE:
+            fe_samples[name].append(run(name))
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     detail = {n: {"min": round(min(s), 3),
                   "median": round(statistics.median(s), 3),
                   "max": round(max(s), 3)} for n, s in samples.items()}
+    frontend = {n: round(statistics.median(s), 3)
+                for n, s in fe_samples.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
@@ -115,6 +133,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_detail": detail,
+        "frontend": frontend,
+        "frontend_total_sec": round(sum(frontend.values()), 3),
         "reps": reps,
         "sf": sf_dir,
         "load_avg_1m": {"before": round(load_before[0], 2),
