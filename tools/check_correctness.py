@@ -62,9 +62,11 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failed = []
+    ran = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        ran += 1
         t0 = time.time()
         try:
             df = fn(spark, SF)
@@ -101,7 +103,16 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"PASS {name}: rows={len(sr)} ({dt:.1f}s)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} passed")
+    # honest denominator (r8 verdict nit): count only slots actually RUN
+    # under a filter, and name the skipped remainder
+    skipped = len(qs) - ran
+    tail = f" ({skipped} filtered out)" if skipped else ""
+    print(f"\n{ran - len(failed)}/{ran} passed{tail}")
+    if ONLY:
+        unknown = ONLY - set(qs)
+        if unknown:
+            print(f"WARNING: unknown query names: {sorted(unknown)}")
+            return 1
     return 1 if failed else 0
 
 
