@@ -19,6 +19,7 @@ read-time filter ``ttl_col + ttl_duration >= now()`` in :meth:`GraphSpace.tag`
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,6 +102,14 @@ class GraphSpace:
     # SHOW/DESCRIBE INDEX lifecycle even though scans ride Parquet
     # stats + Catalyst pushdown rather than secondary indexes
     indexes: dict = field(default_factory=dict)
+    # per-space mutation mutex: DML's read-modify-swap and DDL registry
+    # writes serialize driver-side (the analog of the reference's
+    # per-part raft log serializing writers, RaftPart.cpp). Readers
+    # never take it — an in-flight DataFrame is an immutable snapshot,
+    # so reads behave MVCC-style (see tests/test_concurrency.py
+    # shared-space DML races for the pinned semantics)
+    _mutex: object = field(default_factory=threading.RLock,
+                           repr=False, compare=False)
 
     # -- DDL ---------------------------------------------------------------
     def create_tag(self, name: str, *, path: str | None = None,

@@ -19,6 +19,9 @@ Conventions:
 
 from __future__ import annotations
 
+import contextlib
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -236,8 +239,23 @@ def _expr_text(e) -> str | None:
 
 def _yname(y, i: int) -> str:
     """Result column name for a YIELD/RETURN item: explicit alias, else
-    the reference's expression-text rendering, else positional."""
-    return y.alias or _expr_text(y.expr) or f"c{i}"
+    the reference's expression-text rendering, else positional. The
+    rendering preserves the writer's case (Expression::toString keeps
+    fn names as written — `COUNT(*)` headers as `COUNT(*)`): when the
+    as-written source slice equals the rendering up to case, the slice
+    wins."""
+    if y.alias:
+        return y.alias
+    text = _expr_text(y.expr)
+    src = getattr(y, "src", None)
+    if text is not None and src and src.lower() == text.lower() \
+            and y.expr[0] in ("call", "call_distinct"):
+        m = re.match(r"[A-Za-z_]\w*", src)
+        if m and m.group(0).lower() == y.expr[1]:
+            # only the FN NAME keeps its written case; everything else
+            # (cast names upper, string quotes double) stays normalized
+            return m.group(0) + text[len(y.expr[1]):]
+    return text or f"c{i}"
 
 
 class ExprCompiler:
@@ -261,6 +279,23 @@ class ExprCompiler:
             return self.df.select(c.alias("_t")).schema[0].dataType
         except Exception:
             return None
+
+    def _boolish(self, e) -> Column | None:
+        """Operand of a logical op → boolean Column, or None when it is
+        statically BAD_TYPE. Mirrors Value::isImplicitBool (Value.cpp:
+        1975): BOOL is itself, LIST is non-emptiness, anything else is
+        BAD_TYPE. Untyped NULL casts through; without an attached frame
+        (no static type) the plain compile stands."""
+        from pyspark.sql.types import ArrayType, BooleanType, NullType
+        c = self.col(e)
+        t = self._dtype(c)
+        if t is None or isinstance(t, BooleanType):
+            return c
+        if isinstance(t, NullType):
+            return c.cast("boolean")
+        if isinstance(t, ArrayType):
+            return F.size(c) > 0
+        return None
 
     def col(self, e) -> Column:
         if not isinstance(e, tuple):
@@ -310,7 +345,16 @@ class ExprCompiler:
             if isinstance(e[1], tuple) and e[1] and e[1][0] == "map":
                 if e[2] not in [k for k, _ in e[1][1]]:
                     return F.lit(None)
-            return self.col(e[1])[e[2]]
+            base = self.col(e[1])
+            bt = self._dtype(base)
+            from pyspark.sql.types import StructType as _St
+            if isinstance(bt, _St) and e[2] not in bt.fieldNames():
+                # UNKNOWN_PROP → NULL (exact-name miss; Spark would
+                # either raise or resolve case-insensitively) —
+                # properties(e[0]).degree over a like-edge hop struct
+                # (PrunePropertiesRule.feature "test properties")
+                return F.lit(None)
+            return base[e[2]]
         if op in ("name", "edge_prop", "alias_tag_prop", "src_prop",
                   "dst_prop", "input_prop", "var_prop", "src_vert",
                   "dst_vert", "param_unres"):
@@ -318,13 +362,27 @@ class ExprCompiler:
             # (not a parameter) — per-clause resolvers decide its error
             return self.resolve(*e)
         if op in ("and", "or"):
-            a, b = self.col(e[1]), self.col(e[2])
+            a, b = self._boolish(e[1]), self._boolish(e[2])
+            # LogicalExpression.cpp evalAnd/evalOr: a statically non-bool
+            # operand (not BOOL, not LIST — implicitBool covers those two
+            # only, Value.cpp:1975) is BAD_TYPE. BADNULL short-circuits,
+            # so `true OR (age+1)` is true but `(age+1) OR true` is NULL.
+            if a is None:
+                return F.lit(None).cast("boolean")
+            if b is None:
+                return (F.when(a, F.lit(True)) if op == "or"
+                        else F.when(~a, F.lit(False)))
             return a & b if op == "and" else a | b
         if op == "xor":
-            a, b = self.col(e[1]), self.col(e[2])
+            a, b = self._boolish(e[1]), self._boolish(e[2])
+            if a is None or b is None:   # evalXor: BAD_TYPE → NULL
+                return F.lit(None).cast("boolean")
             return (a | b) & ~(a & b)
         if op == "not":
-            return ~self.col(e[1])
+            a = self._boolish(e[1])
+            if a is None:                # UnaryExpression !non-bool
+                return F.lit(None).cast("boolean")
+            return ~a
         if op == "neg":
             return -self.col(e[1])
         if op == "eqns":                 # null-safe equality (CASE arms)
@@ -748,7 +806,8 @@ class ExprCompiler:
                         "or STRING")
         if name in ("id", "type", "rank", "startnode", "endnode",
                     "properties", "props", "src", "dst", "labels",
-                    "tags", "keys") and len(args) == 1 \
+                    "tags", "keys", "none_direct_src",
+                    "none_direct_dst") and len(args) == 1 \
                 and isinstance(args[0], tuple) \
                 and args[0][0] in ("name", "src_vert", "dst_vert"):
             # `properties($^)` / `type(edge)` pass the marker kind as the
@@ -758,6 +817,19 @@ class ExprCompiler:
                 return self.resolve("graph_fn", name, key)
             except ValueError:
                 pass                      # not a MATCH binding → fall through
+        if name in ("properties", "props") and len(args) == 1:
+            # properties() of a computed VALUE (`properties(e[0])` on a
+            # var-len hop struct — PrunePropertiesRule.feature "test
+            # properties"): strip the edge/vertex meta fields, keep props
+            from pyspark.sql.types import MapType, StructType
+            c = self.col(args[0])
+            t = self._dtype(c)
+            if isinstance(t, StructType):
+                meta = {"s", "d", "r", "t", "et", "vid"}
+                fields = [f.name for f in t.fields if f.name not in meta]
+                return F.struct(*[c[f].alias(f) for f in fields])
+            if isinstance(t, MapType):
+                return c
         if name in ("is_edge", "is_vertex", "is_path") and len(args) == 1 \
                 and isinstance(args[0], tuple) and args[0][0] == "name" \
                 and self.df is not None:
@@ -2168,19 +2240,19 @@ def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
     lbl_aliases = {r[2][1] for r in lrefs
                    if len(r) >= 3 and r[1] in ("labels", "tags")
                    and isinstance(r[2], tuple) and r[2][0] == "name"}
-    # properties(v) on an UNTAGGED alias (tagless MATCH (v) bind): no
-    # direct prop columns exist, so join every tag lazily — the
-    # reference returns the vertex's full prop map
-    # (optimizer/PrunePropertiesRule.feature "test properties"; found by
-    # the r8 optimizer-results sweep as an empty-struct field error)
+    # properties(v) on a node alias joins every OTHER tag lazily — the
+    # reference returns the vertex's full prop map across all its tags,
+    # for tagless binds AND tagged ones (a :player-bound Tim Duncan
+    # includes bachelor's speciality — PrunePropertiesRule.feature
+    # "test properties" / "Project on not exist tag"; r8/r9 sweep finds)
     prop_aliases = {r[2][1] for r in lrefs
                     if len(r) >= 3 and r[1] in ("properties", "props")
                     and isinstance(r[2], tuple) and r[2][0] == "name"}
     for a in sorted(prop_aliases):
-        if tagmap.get(a) is not None or f"{a}___vid" not in cur.columns:
+        if f"{a}___vid" not in cur.columns:
             continue
         for t in sorted(space.tags):
-            if f"{a}___t_{t}___vid" in cur.columns:
+            if t == tagmap.get(a) or f"{a}___t_{t}___vid" in cur.columns:
                 continue
             td = space.tag(t)
             sel = td.select(*[F.col(c).alias(f"{a}___t_{t}__{c}")
@@ -2829,9 +2901,26 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                 raise ValueError(f"{alias!r} is not a bound alias")
             col = {"id": "___vid", "rank": "___rank", "type": "___etype",
                    "startnode": "___src", "endnode": "___dst",
-                   "src": "___src", "dst": "___dst"}.get(fn)
+                   "none_direct_src": "___src",
+                   "none_direct_dst": "___dst"}.get(fn)
             if col is not None:
+                # startNode/endNode and none_direct_src/dst read the RAW
+                # traversed entry (FunctionManager.cpp:2261 edge.src as
+                # stored; MatchPathPlanner.cpp:60 binds hops with
+                # none_direct_dst) — our ___src/___dst columns ARE
+                # traversal-ordered, so they map straight through
                 return F.col(f"{alias}{col}")
+            if fn in ("src", "dst"):
+                # src()/dst() NORMALIZE direction (FunctionManager.cpp:
+                # 2112: `edge.type > 0 ? edge.src : edge.dst`): a
+                # REVERSELY/BOTH-flipped hop (_dir == -1) reports its
+                # canonical endpoints, so un-flip
+                s, d = F.col(f"{alias}___src"), F.col(f"{alias}___dst")
+                if columns is not None and f"{alias}___dir" in columns:
+                    rev = F.col(f"{alias}___dir") < 0
+                    return (F.when(rev, d).otherwise(s) if fn == "src"
+                            else F.when(rev, s).otherwise(d))
+                return s if fn == "src" else d
             if fn in ("labels", "tags") and columns is not None \
                     and f"{alias}___labels" in columns:
                 return F.col(f"{alias}___labels")
@@ -2841,14 +2930,17 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                 pc = [c for c in columns
                       if c.startswith(f"{alias}__") and c not in skip
                       and not c.startswith(f"{alias}___")]
-                if pc:
-                    return F.struct(*[F.col(c).alias(c.split("__", 1)[1])
-                                      for c in pc])
-                # untagged alias: gather the lazily-joined per-tag prop
-                # columns ({alias}___t_{tag}__{prop}, added by
-                # _ensure_tag_props), coalescing same-named props across
-                # tags like the reference's merged vertex prop map
+                # the merged vertex prop map spans EVERY tag on the
+                # vertex, not just the bound one (a :player-bound Tim
+                # Duncan reports bachelor's speciality too —
+                # PrunePropertiesRule.feature "Project on not exist
+                # tag"): direct (bound-tag) columns win a name clash,
+                # other tags ride the lazily-joined ___t_ columns from
+                # _ensure_tag_props, fields sorted like the reference's
+                # std::map rendering
                 by_name: dict[str, list[str]] = {}
+                for c in pc:
+                    by_name.setdefault(c.split("__", 1)[1], []).append(c)
                 pref = f"{alias}___t_"
                 for c in columns:
                     if not c.startswith(pref):
@@ -2896,10 +2988,13 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                 lazy = f"{alias}___t_{tag}__{prop}"
                 if columns is None or lazy in columns:
                     return F.col(lazy)
-                if f"{alias}___t_{tag}___vid" in columns:
-                    # tag joined but prop not in its schema → NULL
-                    # (UNKNOWN_PROP semantics)
-                    return F.lit(None)
+                # tag joined but prop not in its schema, OR the tag does
+                # not exist in the space at all (_ensure_tag_props skips
+                # unknown tags): both are NULL — the reference's
+                # UNKNOWN_PROP / invalid-prop-eliminated-to-NULL behavior
+                # (optimizer/ElimintateInvalidProp.feature; a node alias
+                # never falls through to a bare prop column)
+                return F.lit(None)
             if columns is not None and f"{alias}___t_{tag}___vid" in columns:
                 # vid-valued plain column (UNWIND nodes(p) AS a) enriched
                 # by _ensure_tag_props — lazy col, NULL if the prop is
@@ -2936,9 +3031,19 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                     # bare EDGE alias as a value (`CASE r WHEN null`,
                     # ShortReads.feature:7): the edge's identity struct,
                     # NULL — not a struct of nulls — when an OPTIONAL
-                    # MATCH left it unmatched
-                    ident = F.struct(F.col(f"{a}___src").alias("s"),
-                                     F.col(f"{a}___dst").alias("d"),
+                    # MATCH left it unmatched. Endpoints CANONICAL like
+                    # the reference's Edge value (a reversed hop's
+                    # negative type normalizes on read — Value.h Edge;
+                    # src()/dst() in FunctionManager.cpp:2112): un-flip
+                    # _dir == -1 hops
+                    s, d = F.col(f"{a}___src"), F.col(f"{a}___dst")
+                    if f"{a}___dir" in columns:
+                        rev = F.col(f"{a}___dir") < 0
+                        s, d = (F.when(rev, F.col(f"{a}___dst"))
+                                .otherwise(F.col(f"{a}___src")),
+                                F.when(rev, F.col(f"{a}___src"))
+                                .otherwise(F.col(f"{a}___dst")))
+                    ident = F.struct(s.alias("s"), d.alias("d"),
                                      F.col(f"{a}___rank").alias("r"))
                     return F.when(F.col(f"{a}___src").isNotNull(), ident)
             # bare path alias (`p IS NULL` after OPTIONAL MATCH p = …,
@@ -3081,6 +3186,25 @@ def _project_impl(cur, items, ec, bound):
                 keys.append(ec.col(y.expr).alias(_yname(y, i)))
     if has_agg:
         out = cur.groupBy(*keys).agg(*aggs) if keys else cur.agg(*aggs)
+        # groupBy().agg() emits keys-then-aggregates; restore the WRITTEN
+        # item order so `WITH min(87) AS n0, age` + `RETURN *` surfaces
+        # n0 first (optimizer/PushFilterDownAggregateRule.feature — same
+        # parity as the RETURN-side restore, found by the r9 sweep)
+        names: list[str] = []
+        star = False
+        for i, y in enumerate(items):
+            if y.expr == ("star",):
+                star = True
+                break
+            if y.expr[0] == "name" and y.expr[1] in bound:
+                pref = (y.alias or y.expr[1]) + "__"
+                names.extend(c for c in out.columns if c.startswith(pref))
+            else:
+                names.append(_yname(y, i))
+        if not star and len(set(names)) == len(names) \
+                and set(names) == set(out.columns) and names != out.columns:
+            out = out.select(
+                *[F.col("`" + n.replace("`", "``") + "`") for n in names])
     else:
         out = cur.select(*keys)
     return out, out_bound, renames
@@ -3172,7 +3296,8 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                     keep.append(it)
             cl.items = keep or [A.YieldItem(("lit", 1), "_lit_with")]
     if lit_env:
-        st.returns = [A.YieldItem(_subst(y.expr), y.alias)
+        st.returns = [A.YieldItem(_subst(y.expr), y.alias,
+                                  getattr(y, "src", None))
                       for y in st.returns]
         if st.order_by:
             st.order_by = [(_subst(e), asc) for e, asc in st.order_by]
@@ -3373,7 +3498,8 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
         cur = space.spark.range(1).select()
     cur, rexprs = _rewrite_pattern_values(
         space, cur, [y.expr for y in st.returns], bound, ebound, counter)
-    rets_in = [A.YieldItem(e, y.alias) for e, y in zip(rexprs, st.returns)]
+    rets_in = [A.YieldItem(e, y.alias, getattr(y, "src", None))
+               for e, y in zip(rexprs, st.returns)]
     cur = _ensure_tag_props(
         space, cur, [y.expr for y in rets_in]
         + [e for e, _ in (st.order_by or [])], tagmap)
@@ -3384,24 +3510,55 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
             _ordered_collect_rewrite(y.expr, ec, pending_order), y.alias)
             for y in rets_in]
 
-    # RETURN * — expand to every vertex binding (struct form) + every
-    # plain projected column, in frame order
+    # RETURN * — expand to every NAMED binding (vertex/edge/path, struct
+    # form) + every plain projected column, in frame order (openCypher
+    # `RETURN *` carries all named bindings; anonymous `_eN` hops stay
+    # hidden — optimizer/PushFilterDownTraverseRule.feature pins
+    # `v, e, v2`)
     returns: list[A.YieldItem] = []
     for y in rets_in:
         if y.expr != ("star",):
             returns.append(y)
             continue
+        # bindings surface in PATTERN order (the reference pins
+        # `me, both, he` for two joined MATCHes), not joined-frame
+        # order: walk the clauses for first-introduction order, then
+        # fall back to frame order for anything else
+        pattern_order: list[str] = []
+
+        def _intro(a):
+            if a and not a.startswith("_") and a not in pattern_order:
+                pattern_order.append(a)
+        for cl in st.clauses:
+            for p in getattr(cl, "paths", None) or []:
+                _intro(p.path_alias)
+                for k, nd in enumerate(p.nodes):
+                    _intro(nd.alias)
+                    if k < len(p.edges):
+                        _intro(p.edges[k].alias)
+            for it in getattr(cl, "items", None) or []:
+                _intro(it.alias)
+            _intro(getattr(cl, "alias", None))
         seen: set[str] = set()
+        frame: list[str] = []
+        plain: list[str] = []
         for c in cur.columns:
             if c.startswith("_ob"):      # hidden WITH-ORDER-BY sort keys
                 continue
             if "__" in c:
                 a = c.split("__", 1)[0]
-                if a in bound and a not in seen:
+                if a.startswith("_"):    # anonymous `_eN` hop — hidden
+                    continue
+                if a in (bound | ebound | pbound) and a not in seen:
                     seen.add(a)
-                    returns.append(A.YieldItem(("name", a), a))
+                    frame.append(a)
             else:
-                returns.append(A.YieldItem(("name", c), c))
+                plain.append(c)
+        frame.sort(key=lambda a: (pattern_order.index(a)
+                                  if a in pattern_order
+                                  else len(pattern_order)))
+        returns.extend(A.YieldItem(("name", a), a) for a in frame)
+        returns.extend(A.YieldItem(("name", c), c) for c in plain)
 
     def ret_col(y: A.YieldItem, i: int):
         # RETURN p (bare path alias) → the path value as a struct of the
@@ -4348,22 +4505,33 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
             df = _exec_match(space, st)
         elif isinstance(st, A.UnwindStmt):
             df = _exec_unwind(st, df, space.spark)
-        elif isinstance(st, A.InsertStmt):
-            df = _exec_insert(space, st)
-        elif isinstance(st, A.UpdateStmt):
-            df = _exec_update(space, st, df, env)
-        elif isinstance(st, A.DeleteStmt):
-            df = _exec_delete(space, st, df, env)
+        elif isinstance(st, (A.InsertStmt, A.UpdateStmt, A.DeleteStmt,
+                             A.DdlStmt, A.AlterStmt, A.DropStmt,
+                             A.ClearStmt)):
+            # mutations serialize on the space's mutex: DML is a
+            # read-modify-swap over the table binding, so two concurrent
+            # INSERTs on one space would otherwise lose one (the
+            # reference serializes writers in the per-part raft log,
+            # RaftPart.cpp). Readers don't lock — in-flight DataFrames
+            # are immutable snapshots. Pinned by
+            # tests/test_concurrency.py::test_shared_space_dml_race.
+            with getattr(space, "_mutex", None) or contextlib.nullcontext():
+                if isinstance(st, A.InsertStmt):
+                    df = _exec_insert(space, st)
+                elif isinstance(st, A.UpdateStmt):
+                    df = _exec_update(space, st, df, env)
+                elif isinstance(st, A.DeleteStmt):
+                    df = _exec_delete(space, st, df, env)
+                elif isinstance(st, A.DdlStmt):
+                    df = _exec_ddl(space, st)
+                elif isinstance(st, A.AlterStmt):
+                    df = _exec_alter(space, st)
+                elif isinstance(st, A.DropStmt):
+                    df = _exec_drop(space, st)
+                else:
+                    df = _exec_clear(space)
         elif isinstance(st, A.AdminStmt):
             df = _exec_admin(space, st)
-        elif isinstance(st, A.DdlStmt):
-            df = _exec_ddl(space, st)
-        elif isinstance(st, A.AlterStmt):
-            df = _exec_alter(space, st)
-        elif isinstance(st, A.DropStmt):
-            df = _exec_drop(space, st)
-        elif isinstance(st, A.ClearStmt):
-            df = _exec_clear(space)
         else:
             raise ValueError(f"unsupported statement {type(st).__name__}")
     return df
@@ -4404,13 +4572,16 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
     # (FultextIndexDDL.feature)
     ft_cols = {f for k, s, f in getattr(space, "ft_indexes", {}).values()
                if k == st.entity and s == st.name}
-    for col, _t in list(st.changes) + [(c, None) for c in st.drops]:
+    for col, *_rest in list(st.changes) + [(c,) for c in st.drops]:
         if col in ft_cols:
             raise ValueError("Related fulltext index exists, please "
                              "drop it first")
     df = space._load(d)
     decl = list(d.decl or [])
-    for col, typ in st.adds:
+    defaults = dict(d.defaults or {})
+    required = list(d.required or [])
+    comments = dict(d.comments or {})
+    for col, typ, default, notnull, comment in st.adds:
         dt = _TYPE_MAP.get(typ)
         if dt is None:
             raise ValueError(f"unknown type {typ!r}")
@@ -4420,9 +4591,20 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
             raise ValueError(f"SyntaxError: syntax error near `{col}'")
         if col in df.columns:
             raise ValueError(f"Existed prop {col!r}!")
-        df = df.withColumn(col, F.lit(None).cast(dt))
+        # rows written before the ALTER read the new column's DEFAULT
+        # (schema-versioned reads in the reference: old rows materialize
+        # the default — PrunePropertiesRule.feature "test properties")
+        df = df.withColumn(
+            col, _default_col(default.strip("\"'"), dt) if default
+            is not None else F.lit(None).cast(dt))
         decl.append((col, "int64" if typ == "int" else typ))
-    for col, typ in st.changes:
+        if default is not None:
+            defaults[col] = default.strip("\"'")
+        if notnull:
+            required.append(col)
+        if comment is not None:
+            comments[col] = comment
+    for col, typ, default, notnull, comment in st.changes:
         dt = _TYPE_MAP.get(typ)
         if dt is None:
             raise ValueError(f"unknown type {typ!r}")
@@ -4431,14 +4613,24 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
         df = df.withColumn(col, F.col(col).cast(dt))
         decl = [(c, "int64" if typ == "int" else typ) if c == col
                 else (c, t) for c, t in decl]
+        if default is not None:
+            defaults[col] = default.strip("\"'")
+        if notnull and col not in required:
+            required.append(col)
+        if comment is not None:
+            comments[col] = comment
     for col in st.drops:
         if col not in df.columns:
             raise ValueError(f"{st.entity.capitalize()} prop not existed!")
         df = df.drop(col)
         decl = [(c, t) for c, t in decl if c != col]
+        defaults.pop(col, None)
+        comments.pop(col, None)
+        required = [c for c in required if c != col]
     maker = space.create_edge if st.entity == "edge" else space.create_tag
     maker(st.name, df=df, ttl_col=d.ttl_col, ttl_duration=d.ttl_duration,
-          decl=decl or None)
+          decl=decl or None, defaults=defaults or None,
+          required=required or None, comments=comments or None)
     return space.spark.range(0)
 
 

@@ -94,6 +94,16 @@ _KEYWORDS = {
 }
 
 
+# keywords the reference's grammar accepts as plain identifiers
+# (parser.yy unreserved_keyword, intersected with _KEYWORDS above):
+# `MATCH (both)` binds a node named `both` there, so it must here too
+_UNRESERVED = {
+    "values", "bidirect", "all", "shortest", "noloop", "contains",
+    "starts", "ends", "limit", "skip", "optional", "offset", "both",
+    "out", "subgraph", "then", "else", "end", "sample",
+}
+
+
 @dataclass
 class Tok:
     kind: str
@@ -176,6 +186,11 @@ def tokenize(s: str) -> list[Tok]:
 class YieldItem:
     expr: tuple
     alias: str | None
+    # as-written source slice of an UNALIASED item — used only to keep
+    # the writer's fn-name case in auto-derived column headers
+    # (`RETURN COUNT(*)` names the column `COUNT(*)`, Expression::
+    # toString preserves case); None when aliased or unavailable
+    src: str | None = None
 
 
 @dataclass
@@ -825,7 +840,36 @@ class Parser:
                     typ = self.name().lower()
                     if self.peek().kind == "LP":     # fixed_string(N)
                         self.eat("LP"), self.eat(), self.eat("RP")
-                    (adds if op == "add" else changes).append((col, typ))
+                    # optional NULL / NOT NULL / DEFAULT <expr> /
+                    # COMMENT "…" (parser.yy column_spec — same surface
+                    # as CREATE; PrunePropertiesRule.feature "test
+                    # properties" ALTERs with NOT NULL DEFAULT)
+                    default = comment = None
+                    notnull = False
+                    while True:
+                        w = self.peek().text.lower()
+                        if w == "not":
+                            self.eat()
+                            if self.name().lower() != "null":
+                                raise SyntaxError("expected NULL after NOT")
+                            notnull = True
+                        elif w == "null":
+                            self.eat()
+                            notnull = False
+                        elif w == "default":
+                            self.eat()
+                            d0 = self.peek().pos
+                            self.expr()
+                            d1 = self.peek().pos
+                            default = (self.src[d0:d1].strip()
+                                       if self.src else None)
+                        elif w == "comment":
+                            self.eat()
+                            comment = self.eat("STRING").text[1:-1]
+                        else:
+                            break
+                    (adds if op == "add" else changes).append(
+                        (col, typ, default, notnull, comment))
                 if self.peek().kind == "COMMA":
                     self.eat("COMMA")
             self.eat("RP")
@@ -1496,7 +1540,9 @@ class Parser:
         if self.peek().kind == "STAR":   # WITH * / RETURN * passthrough
             self.eat("STAR")
             return YieldItem(("star",), None)
+        src_start = self.peek().pos
         e = self.expr()
+        src_end = self.peek().pos
         # a yield item that IS a bare `$var` (possibly subscripted /
         # attributed) is the reference's parse-level refusal — even for
         # an undefined name (parameter.feature [param-test-001])
@@ -1516,7 +1562,10 @@ class Parser:
             # last path component
             if e[0] in ("name", "input_prop", "var_prop"):
                 alias = e[1] if e[0] == "name" else e[-1]
-        return YieldItem(e, alias)
+        src = None
+        if alias is None and self.src is not None:
+            src = self.src[src_start:src_end].strip()
+        return YieldItem(e, alias, src)
 
     # -- FETCH
     def fetch_sentence(self):
@@ -1980,8 +2029,10 @@ class Parser:
     def match_node(self) -> MatchNode:
         self.eat("LP")
         alias = tag = None
-        if self.peek().kind == "NAME":
-            alias = self.eat("NAME").text
+        if self.peek().kind == "NAME" or (
+                self.peek().kind == "KW"
+                and self.peek().text in _UNRESERVED):
+            alias = self.eat().text
         # `:tag{props}` items repeat — `(v:person{name:"Mary"}:teacher)`
         # intersects every listed tag (Scan.feature), each prop map
         # scoped to its own tag

@@ -1,0 +1,704 @@
+"""Gherkin result-table runner for the reference's TCK feature files.
+
+Parses `.feature` files from the read-only reference checkout
+(`tests/tck/features/...`), extracts every `When executing/profiling
+query` → `Then the result should be …` pair, executes the query through
+our front end, and compares rows against the reference's expected table.
+Plan-shape steps (`the execution plan should be`) are skipped by design:
+Catalyst owns plan shapes (SURVEY §2 TCK-coverage note); result rows are
+engine semantics and those are what this runner pins.
+
+Comparison semantics (mirrors tests/common/comparator.py in the
+reference, reduced to what our value model carries):
+
+* scalars compare exactly (floats with 1e-6 tolerance, int/float
+  numerically);
+* ``EMPTY`` and ``NULL`` both compare equal to our SQL NULL — the
+  reference's EMPTY-vs-NULL split collapses onto NULL here (documented
+  deviation, README);
+* a ``/regex/`` cell fullmatches the rendered actual value;
+* vertices compare on vid — our bare-bind structs are Catalyst-pruned
+  to the fields the query actually reads, so prop maps in expected
+  vertex literals are fixture data already pinned by the hand
+  transcriptions (test_tck_goldens), not by this runner;
+* edges compare on (src, dst, rank) and, when both sides carry one, the
+  edge type and any prop whose name our struct carries;
+* paths compare start vid + per-hop (direction, type, rank, dst vid).
+
+Tables match as multisets ("in any order") or sequences ("in order");
+column headers must equal ``df.columns`` exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# expected-value parser (the TCK's value grammar, recursive descent)
+# ---------------------------------------------------------------------------
+
+
+class Regex:
+    def __init__(self, pat: str):
+        self.pat = pat
+
+    def __repr__(self):
+        return f"/{self.pat}/"
+
+
+@dataclass(frozen=True)
+class Vertex:
+    vid: object
+    tags: tuple = ()          # ((tag, props-dict-as-tuple), ...)
+
+
+@dataclass(frozen=True)
+class Edge:
+    etype: object             # None = unspecified
+    src: object               # None = unspecified
+    dst: object
+    rank: object
+    props: tuple = ()
+
+
+@dataclass(frozen=True)
+class Path:
+    start: Vertex
+    hops: tuple               # ((dir 'F'|'R', Edge, Vertex), ...)
+
+
+class _P:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def ws(self):
+        while self.i < len(self.s) and self.s[self.i] in " \t":
+            self.i += 1
+
+    def peek(self):
+        self.ws()
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def eat(self, tok: str):
+        self.ws()
+        if not self.s.startswith(tok, self.i):
+            raise ValueError(f"expected {tok!r} at {self.s[self.i:]!r}")
+        self.i += len(tok)
+
+    def try_eat(self, tok: str) -> bool:
+        self.ws()
+        if self.s.startswith(tok, self.i):
+            self.i += len(tok)
+            return True
+        return False
+
+    def ident(self) -> str:
+        self.ws()
+        m = re.match(r"[A-Za-z_][A-Za-z_0-9]*", self.s[self.i:])
+        if not m:
+            raise ValueError(f"expected ident at {self.s[self.i:]!r}")
+        self.i += m.end()
+        return m.group(0)
+
+    def string(self) -> str:
+        self.ws()
+        q = self.s[self.i]
+        assert q in "\"'"
+        self.i += 1
+        out = []
+        while self.s[self.i] != q:
+            c = self.s[self.i]
+            if c == "\\":
+                self.i += 1
+                c = self.s[self.i]
+                c = {"n": "\n", "t": "\t"}.get(c, c)
+            out.append(c)
+            self.i += 1
+        self.i += 1
+        return "".join(out)
+
+    def number(self):
+        self.ws()
+        m = re.match(r"-?\d+\.\d+(?:[eE][-+]?\d+)?|-?\d+[eE][-+]?\d+|-?\d+",
+                     self.s[self.i:])
+        if not m:
+            raise ValueError(f"expected number at {self.s[self.i:]!r}")
+        self.i += m.end()
+        t = m.group(0)
+        return float(t) if ("." in t or "e" in t or "E" in t) else int(t)
+
+    # ---- composite values ----
+
+    def value(self):
+        c = self.peek()
+        if c == "/":
+            j = self.s.rindex("/")
+            pat = self.s[self.i + 1:j]
+            self.i = j + 1
+            return Regex(pat)
+        if c in "\"'":
+            return self.string()
+        if c == "[":
+            # edge literal iff a ':' follows the '['
+            save = self.i
+            self.i += 1
+            if self.peek() == ":":
+                self.i = save
+                return self.edge()
+            self.i = save
+            return self.list_()
+        if c == "(":
+            return self.vertex()
+        if c == "<":
+            return self.path()
+        if c == "{":
+            return self.map_or_set()
+        if c == "-" or c.isdigit():
+            return self.number()
+        w = self.ident()
+        lw = w.lower()
+        if lw == "null":
+            if self.try_eat("("):          # NULL(OUT_OF_RANGE) etc.
+                self.ident()
+                self.eat(")")
+            return None
+        if lw == "empty":
+            return None                    # EMPTY folds onto NULL (doc'd)
+        if lw == "true":
+            return True
+        if lw == "false":
+            return False
+        if lw == "nan":
+            return float("nan")
+        raise ValueError(f"unknown bare word {w!r}")
+
+    def list_(self):
+        self.eat("[")
+        out = []
+        if not self.try_eat("]"):
+            out.append(self.value())
+            while self.try_eat(","):
+                out.append(self.value())
+            self.eat("]")
+        return out
+
+    def map_or_set(self):
+        self.eat("{")
+        if self.try_eat("}"):
+            return {}
+        save = self.i
+        # map iff `key:` prefix (ident or string key then ':')
+        try:
+            if self.peek() in "\"'":
+                self.string()
+            else:
+                self.ident()
+            is_map = self.try_eat(":")
+        except ValueError:
+            is_map = False
+        self.i = save
+        if is_map:
+            d = {}
+            while True:
+                k = self.string() if self.peek() in "\"'" else self.ident()
+                self.eat(":")
+                d[k] = self.value()
+                if not self.try_eat(","):
+                    break
+            self.eat("}")
+            return d
+        out = []                           # sets compare as any-order lists
+        out.append(self.value())
+        while self.try_eat(","):
+            out.append(self.value())
+        self.eat("}")
+        return ("SET", tuple(out))
+
+    def vertex(self) -> Vertex:
+        self.eat("(")
+        vid = None
+        c = self.peek()
+        if c in "\"'":
+            vid = self.string()
+        elif c == "-" or c.isdigit():
+            vid = self.number()
+        tags = []
+        while self.try_eat(":"):
+            t = self.ident()
+            props = {}
+            if self.peek() == "{":
+                props = self.map_or_set()
+            tags.append((t, tuple(sorted(props.items()))))
+        self.eat(")")
+        return Vertex(vid, tuple(tags))
+
+    def edge(self) -> Edge:
+        self.eat("[")
+        etype = None
+        if self.try_eat(":"):
+            etype = self.ident()
+        src = dst = None
+        if self.peek() in "\"'":
+            src = self.string()
+            self.eat("->")
+            dst = self.string() if self.peek() in "\"'" else self.number()
+        elif self.peek().isdigit() or (self.peek() == "-"
+                                       and not self.s.startswith(
+                                           "->", self.i)):
+            src = self.number()
+            self.eat("->")
+            dst = self.string() if self.peek() in "\"'" else self.number()
+        rank = None
+        if self.try_eat("@"):
+            rank = self.number()
+        props = {}
+        if self.peek() == "{":
+            props = self.map_or_set()
+        self.eat("]")
+        return Edge(etype, src, dst, rank, tuple(sorted(props.items())))
+
+    def path(self) -> Path:
+        self.eat("<")
+        start = self.vertex()
+        hops = []
+        while True:
+            if self.try_eat("<-"):
+                e = self.edge()
+                self.eat("-")
+                v = self.vertex()
+                hops.append(("R", e, v))
+            elif self.try_eat("-"):
+                e = self.edge()
+                self.eat("->")
+                v = self.vertex()
+                hops.append(("F", e, v))
+            else:
+                break
+        self.eat(">")
+        return Path(start, tuple(hops))
+
+
+def parse_cell(text: str):
+    text = text.strip()
+    if text == "":
+        return ""
+    p = _P(text)
+    v = p.value()
+    p.ws()
+    if p.i != len(p.s):
+        raise ValueError(f"trailing input in cell {text!r}: {p.s[p.i:]!r}")
+    return v
+
+
+# ---------------------------------------------------------------------------
+# feature-file parser
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Assertion:
+    query: str
+    mode: str                  # 'any' | 'order'
+    header: list
+    rows: list                 # list[list[raw cell str]]
+    line: int
+
+
+@dataclass
+class ErrorAssertion:
+    query: str
+    line: int
+
+
+@dataclass
+class Scenario:
+    feature: str
+    name: str
+    space: str | None = None
+    setup: list = field(default_factory=list)   # DDL scripts to run first
+    fresh_space: str | None = None  # 'nba' → build a throwaway copy
+    asserts: list = field(default_factory=list)
+    unsupported: str | None = None  # step we can't drive → skip reason
+    tags: tuple = ()                # gherkin @tags (@skip honored upstream)
+
+
+def _split_table_row(line: str) -> list[str]:
+    # cells are |-delimited; no escaped pipes in the corpus
+    parts = line.strip().strip("|").split("|")
+    return [p.strip() for p in parts]
+
+
+def parse_feature(path: str, space_subs: dict | None = None) -> list[Scenario]:
+    """Parse one feature file into Scenarios ready to run.
+
+    ``space_subs`` maps outline variables (e.g. ``space_name``) to the
+    single substitution we run (nba — the IntVid example is the
+    documented-obsolete duplicate fixture).
+    """
+    with open(path) as f:
+        lines = f.read().splitlines()
+    subs = space_subs or {"space_name": "nba"}
+
+    scenarios: list[Scenario] = []
+    background: list[tuple] = []   # steps shared by every scenario
+    cur: Scenario | None = None
+    cur_steps: list[tuple] | None = None
+    in_background = False
+    pending_tags: tuple = ()
+    i = 0
+    n = len(lines)
+
+    def read_docstring(i):
+        assert lines[i].strip() in ('"""', "'''")
+        out = []
+        i += 1
+        while lines[i].strip() not in ('"""', "'''"):
+            out.append(lines[i])
+            i += 1
+        return "\n".join(out), i + 1
+
+    def read_table(i):
+        rows = []
+        while i < n and lines[i].strip().startswith("|"):
+            rows.append(_split_table_row(lines[i]))
+            i += 1
+        return rows, i
+
+    # first pass: collect raw steps per scenario
+    raw: list[tuple] = []       # (kind, payload, line)
+    while i < n:
+        line = lines[i].strip()
+        for k, v in subs.items():
+            line = line.replace(f"<{k}>", v)
+        low = line.lower()
+        if low.startswith("background"):
+            in_background = True
+            cur_steps = background
+            i += 1
+            continue
+        if low.startswith("@"):
+            pending_tags += tuple(w for w in line.split() if w.startswith("@"))
+            i += 1
+            continue
+        if low.startswith("scenario"):
+            name = line.split(":", 1)[1].strip() if ":" in line else line
+            cur = Scenario(feature=path.rsplit("/", 1)[-1], name=name,
+                           tags=pending_tags)
+            pending_tags = ()
+            scenarios.append(cur)
+            cur_steps = []
+            cur.raw_steps = cur_steps      # type: ignore[attr-defined]
+            in_background = False
+            i += 1
+            continue
+        if cur_steps is None or not line or line.startswith("#") \
+                or low.startswith(("feature:", "examples:", "@")) \
+                or (line.startswith("|") and cur_steps is background
+                    and not background):
+            # feature-level Examples table rows land here too
+            if line.startswith("|") and not low.startswith("examples"):
+                pass
+            i += 1
+            continue
+
+        if re.match(r"(given|and)\s+a graph with space named", low):
+            m = re.search(r'"([^"]+)"', line)
+            cur_steps.append(("space", m.group(1), i + 1))
+            i += 1
+        elif re.match(r"(given|and)\s+an empty graph", low):
+            cur_steps.append(("empty", None, i + 1))
+            i += 1
+        elif re.match(r"(given|and)\s+load \"(\w+)\" csv data", low):
+            m = re.search(r'load "(\w+)" csv', line)
+            cur_steps.append(("fresh", m.group(1), i + 1))
+            i += 1
+        elif re.match(r"(given|and|when)\s+having executed:", low):
+            doc, i2 = read_docstring(i + 1)
+            cur_steps.append(("setup", doc, i + 1))
+            i = i2
+        elif re.match(r"(when|and)\s+(executing|profiling) query:", low):
+            doc, i2 = read_docstring(i + 1)
+            cur_steps.append(("query", doc, i + 1))
+            i = i2
+        elif "the result should be" in low:
+            mode = "order" if ", in order" in low else "any"
+            tbl, i2 = read_table(i + 1)
+            cur_steps.append(("result", (mode, tbl), i + 1))
+            i = i2
+        elif "the execution plan should be" in low:
+            tbl, i2 = read_table(i + 1)   # consumed, ignored by design
+            cur_steps.append(("plan", None, i + 1))
+            i = i2
+        elif "should be raised" in low:
+            cur_steps.append(("error", line, i + 1))
+            i += 1
+        elif re.match(r"(and|then)\s+wait \d+ seconds", low):
+            i += 1                        # replication settle — no-op here
+        elif "drop the used space" in low:
+            i += 1                        # throwaway spaces are per-test
+        elif "the execution should be successful" in low:
+            cur_steps.append(("ok", None, i + 1))
+            i += 1
+        elif line.startswith("|"):
+            i += 1                        # stray Examples row
+        else:
+            cur_steps.append(("unsupported", line, i + 1))
+            i += 1
+
+    # second pass: fold raw steps into runnable scenarios
+    for sc in scenarios:
+        steps = background + getattr(sc, "raw_steps", [])
+        query = None
+        for kind, payload, ln in steps:
+            if kind == "space":
+                sc.space = payload
+            elif kind == "empty":
+                sc.space = None
+            elif kind == "fresh":
+                sc.fresh_space = payload
+            elif kind == "setup":
+                sc.setup.append(payload)
+            elif kind == "query":
+                query = payload
+            elif kind == "result":
+                mode, tbl = payload
+                if not tbl:
+                    raise ValueError(f"{path}:{ln} result step w/o table")
+                if query is not None and "order by" not in query.lower():
+                    ql = query.lower()
+                    if mode == "order":
+                        # the reference pins its own operators' emission
+                        # order; without ORDER BY that order is undefined
+                        # (openCypher CIP) — compare as a multiset
+                        mode = "any"
+                    if re.search(r"\b(limit|sample)\b", ql):
+                        # LIMIT/SAMPLE without ORDER BY: WHICH rows
+                        # survive is undefined too — the reference's
+                        # table pins its storage iteration order; only
+                        # the row count is semantics
+                        mode = "count"
+                sc.asserts.append(Assertion(
+                    query, mode, tbl[0], tbl[1:], ln))
+            elif kind == "error":
+                sc.asserts.append(ErrorAssertion(query, ln))
+            elif kind == "ok":
+                sc.asserts.append(Assertion(query, "any", None, None, ln))
+            elif kind == "plan":
+                pass
+            elif kind == "unsupported":
+                sc.unsupported = payload
+    return scenarios
+
+
+# ---------------------------------------------------------------------------
+# canonicalization + comparison
+# ---------------------------------------------------------------------------
+
+
+def canon_actual(v):
+    """Reduce a collected Spark value to the comparable form."""
+    try:
+        from pyspark.sql import Row
+    except ImportError:                    # pragma: no cover
+        Row = ()
+    if v is None:
+        return None
+    if isinstance(v, Row):
+        d = v.asDict()
+        if "start" in d and "hops" in d:
+            hops = []
+            for h in d["hops"]:
+                hd = h.asDict() if isinstance(h, Row) else dict(h)
+                direction = "F" if hd.get("t", 1) >= 0 else "R"
+                props = tuple(sorted(
+                    (k, canon_actual(x)) for k, x in hd.items()
+                    if k not in ("s", "d", "r", "t", "et")))
+                hops.append((direction,
+                             Edge(hd.get("et"), None, None,
+                                  hd.get("r"), props),
+                             Vertex(hd.get("d"))))
+            return Path(Vertex(d["start"]), tuple(hops))
+        if "vid" in d:
+            props = tuple(sorted((k, canon_actual(x))
+                                 for k, x in d.items() if k != "vid"))
+            return Vertex(d["vid"], (("", dict(props)),) if props else ())
+        if {"s", "d", "r"} <= set(d):
+            props = tuple(sorted(
+                (k, canon_actual(x)) for k, x in d.items()
+                if k not in ("s", "d", "r", "t", "et")))
+            return Edge(d.get("et"), d["s"], d["d"], d["r"], props)
+        return ("MAP", tuple(sorted((k, canon_actual(x))
+                                    for k, x in d.items())))
+    if isinstance(v, dict):
+        return ("MAP", tuple(sorted((k, canon_actual(x))
+                                    for k, x in v.items())))
+    if isinstance(v, (list, tuple)):
+        return ("LIST", tuple(canon_actual(x) for x in v))
+    return v
+
+
+def _num_eq(a, b) -> bool:
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    try:
+        return abs(float(a) - float(b)) <= 1e-6 * max(
+            1.0, abs(float(a)), abs(float(b)))
+    except (TypeError, ValueError):
+        return False
+
+
+def _render(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def values_match(exp, act) -> bool:
+    """Expected (parsed TCK value) vs actual (canon_actual output)."""
+    if isinstance(exp, Regex):
+        return re.fullmatch(exp.pat, _render(act)) is not None
+    if exp is None:
+        return act is None
+    if isinstance(exp, bool) or isinstance(act, bool):
+        return exp is act if isinstance(exp, bool) and isinstance(act, bool) \
+            else False
+    if isinstance(exp, (int, float)) and isinstance(act, (int, float)):
+        return _num_eq(exp, act)
+    if isinstance(exp, str):
+        return exp == act
+    if isinstance(exp, Vertex):
+        if not isinstance(act, Vertex):
+            return False
+        if exp.vid is not None and not _loose_eq(exp.vid, act.vid):
+            return False
+        # props: check the intersection our pruned struct carries
+        act_props = dict(act.tags[0][1]) if act.tags else {}
+        for _tag, props in exp.tags:
+            for k, pv in props:
+                if k in act_props and not values_match(pv, act_props[k]):
+                    return False
+        return True
+    if isinstance(exp, Edge):
+        if not isinstance(act, Edge):
+            return False
+        if exp.etype is not None and act.etype is not None \
+                and exp.etype != act.etype:
+            return False
+        if exp.src is not None and not _loose_eq(exp.src, act.src):
+            return False
+        if exp.dst is not None and not _loose_eq(exp.dst, act.dst):
+            return False
+        er = 0 if exp.rank is None else exp.rank
+        if act.rank is not None and not _num_eq(er, act.rank):
+            return False
+        act_props = dict(act.props)
+        for k, pv in exp.props:
+            if k in act_props and not values_match(pv, act_props[k]):
+                return False
+        return True
+    if isinstance(exp, Path):
+        if not isinstance(act, Path):
+            return False
+        if not values_match(exp.start, act.start):
+            return False
+        if len(exp.hops) != len(act.hops):
+            return False
+        for (ed, ee, ev), (ad, ae, av) in zip(exp.hops, act.hops):
+            if ed != ad or not values_match(ee, ae) \
+                    or not values_match(ev, av):
+                return False
+        return True
+    if isinstance(exp, tuple) and exp and exp[0] == "SET":
+        if not (isinstance(act, tuple) and act and act[0] == "LIST"):
+            return False
+        return _multiset_match(list(exp[1]), list(act[1]))
+    if isinstance(exp, list):
+        if not (isinstance(act, tuple) and act and act[0] == "LIST"):
+            return False
+        if len(exp) != len(act[1]):
+            return False
+        return all(values_match(e, a) for e, a in zip(exp, act[1]))
+    if isinstance(exp, dict):
+        if not (isinstance(act, tuple) and act and act[0] == "MAP"):
+            return False
+        am = dict(act[1])
+        if set(exp) != set(am):
+            return False
+        return all(values_match(v, am[k]) for k, v in exp.items())
+    return False
+
+
+def _loose_eq(a, b) -> bool:
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return _num_eq(a, b)
+    return a == b
+
+
+def _multiset_match(exp_rows: list, act_rows: list) -> bool:
+    if len(exp_rows) != len(act_rows):
+        return False
+    used = [False] * len(act_rows)
+    for e in exp_rows:
+        for j, a in enumerate(act_rows):
+            if not used[j] and values_match(e, a):
+                used[j] = True
+                break
+        else:
+            return False
+    return True
+
+
+def run_assertion(space, a, execute):
+    """Run one Assertion/ErrorAssertion; raise AssertionError on mismatch."""
+    if isinstance(a, ErrorAssertion):
+        try:
+            execute(space, a.query).collect()
+        except Exception:
+            return
+        raise AssertionError(
+            f"line {a.line}: expected an error for {a.query!r}")
+    df = execute(space, a.query)
+    if a.header is None:                  # bare "should be successful"
+        df.collect()
+        return
+    assert df.columns == a.header, (
+        f"line {a.line}: columns {df.columns} != expected {a.header}")
+    actual = [[canon_actual(v) for v in row]
+              for row in (tuple(r) for r in df.collect())]
+    expected = [[parse_cell(c) for c in row] for row in a.rows]
+    if a.mode == "count":
+        ok = len(expected) == len(actual)
+    elif a.mode == "order":
+        ok = (len(expected) == len(actual) and all(
+            _row_match(er, ar) for er, ar in zip(expected, actual)))
+    else:
+        ok = _ms(expected, actual)
+    if not ok:
+        raise AssertionError(
+            f"line {a.line}: result mismatch for\n{a.query}\n"
+            f"expected ({len(expected)} rows): {expected[:8]}\n"
+            f"actual   ({len(actual)} rows): {actual[:8]}")
+
+
+# row-tuple matching: cells pair positionally
+def _row_match(er, ar) -> bool:
+    return len(er) == len(ar) and all(
+        values_match(e, a) for e, a in zip(er, ar))
+
+
+def _ms(exp_rows, act_rows) -> bool:
+    if len(exp_rows) != len(act_rows):
+        return False
+    used = [False] * len(act_rows)
+    for e in exp_rows:
+        for j, a in enumerate(act_rows):
+            if not used[j] and _row_match(e, a):
+                used[j] = True
+                break
+        else:
+            return False
+    return True

@@ -177,3 +177,103 @@ def test_dml_lineage_is_truncated(spark):
     # (18 here); with checkpoints every 8 mutations at most ~2 survive
     assert plan.count("Union") <= 8, plan[:2000]
     assert sp.tag("t").count() == 18
+
+
+def test_shared_space_dml_race(spark):
+    """N threads INSERT into ONE shared space/tag concurrently (r9
+    verdict item 7). Pinned semantics: DML is a read-modify-swap over
+    the table binding, serialized by the per-space mutex
+    (GraphSpace._mutex — the analog of the reference's per-part raft
+    log serializing writers, RaftPart.cpp), so EVERY insert lands;
+    without the lock, concurrent writers would lose updates. Readers
+    never take the mutex: an in-flight DataFrame is an immutable
+    snapshot (MVCC-style reads)."""
+    sp = GraphSpace(spark, "conc_dml_shared")
+    sp.options = {"vid_type": "int64"}
+    execute(sp, "CREATE TAG acc(t int, r int)")
+
+    def worker(i: int):
+        def body():
+            for r in range(N_ROUNDS):
+                execute(sp, f"INSERT VERTEX acc(t, r) VALUES "
+                            f"{i * 1000 + r}:({i}, {r})")
+                # interleaved read sees a consistent snapshot: full
+                # (t, r) rows only, never a torn row
+                df = execute(sp, "LOOKUP ON acc YIELD acc.t AS t, "
+                                 "acc.r AS r")
+                assert all(row.t is not None and row.r is not None
+                           for row in df.collect())
+        return body
+
+    _run_all([worker(i) for i in range(N_THREADS)])
+    # zero lost updates: every thread's every round is present
+    rows = {(r.t, r.r) for r in execute(
+        sp, "LOOKUP ON acc YIELD acc.t AS t, acc.r AS r").collect()}
+    want = {(i, r) for i in range(N_THREADS) for r in range(N_ROUNDS)}
+    assert rows == want, f"lost updates: {sorted(want - rows)[:5]}"
+
+
+def test_shared_space_update_race_single_key(spark):
+    """All threads UPSET the SAME vertex: increments serialize through
+    the mutex, so the final value is exactly the sum of all applied
+    increments — the classic lost-update litmus."""
+    sp = GraphSpace(spark, "conc_upd_shared")
+    sp.options = {"vid_type": "int64"}
+    execute(sp, "CREATE TAG ctr(n int); INSERT VERTEX ctr(n) VALUES 1:(0)")
+
+    def worker(_i: int):
+        def body():
+            for _ in range(N_ROUNDS):
+                execute(sp, "UPDATE VERTEX ON ctr 1 SET n = n + 1")
+        return body
+
+    _run_all([worker(i) for i in range(N_THREADS)])
+    [row] = execute(sp, "FETCH PROP ON ctr 1 YIELD ctr.n AS n").collect()
+    assert row.n == N_THREADS * N_ROUNDS
+
+
+def test_shared_space_ddl_race_create_drop(spark):
+    """Concurrent CREATE TAG (same name) and DROP TAG on one space.
+    Pinned semantics: schema registry writes serialize on the same
+    per-space mutex; exactly ONE racing CREATE of a name wins and the
+    rest fail `Existed!` (the reference's meta service refuses
+    duplicates the same way); DROP of a missing tag raises. The catalog
+    must end consistent — no half-registered schema."""
+    sp = GraphSpace(spark, "conc_ddl_shared")
+    sp.options = {"vid_type": "int64"}
+    created = []
+    lock = threading.Lock()
+
+    def creator(i: int):
+        def body():
+            try:
+                execute(sp, "CREATE TAG hot(a int)")
+                with lock:
+                    created.append(i)
+            except ValueError as e:
+                assert "Existed" in str(e)
+        return body
+
+    _run_all([creator(i) for i in range(N_THREADS)])
+    assert len(created) == 1, f"{len(created)} CREATEs won the race"
+    assert sp.show_tags() == ["hot"]
+
+    # create/drop churn on distinct names while a reader polls: the
+    # registry stays a consistent dict (each SHOW sees some subset of
+    # fully-registered names, never a broken def)
+    def churner(i: int):
+        def body():
+            for r in range(N_ROUNDS):
+                execute(sp, f"CREATE TAG churn_{i}_{r}(x int)")
+                execute(sp, f"INSERT VERTEX churn_{i}_{r}(x) "
+                            f"VALUES {r}:({r})")
+                execute(sp, f"DROP TAG churn_{i}_{r}")
+        return body
+
+    def reader():
+        for _ in range(N_THREADS * N_ROUNDS):
+            for t in sp.show_tags():
+                assert t == "hot" or t.startswith("churn_")
+
+    _run_all([churner(i) for i in range(N_THREADS)] + [reader])
+    assert sp.show_tags() == ["hot"]

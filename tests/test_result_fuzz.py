@@ -35,7 +35,7 @@ def test_result_fuzz_smoke(spark):
                     f"{mm[0][0]}: {mm[0][1]!r}\n got={mm[0][3]}"
                     f"\nwant={mm[0][4]}")
     # the wheel must actually exercise every generator
-    assert len(counts) == 10, counts
+    assert len(counts) == 13, counts
 
 
 @pytest.mark.parametrize("q,expected_distinct", [

@@ -39,8 +39,10 @@ def _read(spark, name: str, cols: list[str]):
     return df.toDF(*cols)
 
 
-@pytest.fixture(scope="session")
-def nba_space(spark):
+def build_nba_space(spark, name="nba"):
+    """Load the reference's nba CSVs into a fresh GraphSpace — shared by
+    the session fixture below and the TCK sweep's throwaway-space
+    scenarios (tck_runner `load "nba" csv data to a new space`)."""
     player = _read(spark, "player", ["vid", "name", "age"])
     null_rows = _read(spark, "null", ["vid", "name", "age"])
     player = (player.unionByName(null_rows)
@@ -63,7 +65,7 @@ def nba_space(spark):
                 .select("src", "dst", F.lit(0).cast("long").alias("_rank"),
                         F.col("start_year").cast("long").alias("start_year"),
                         F.col("end_year").cast("long").alias("end_year")))
-    sp = GraphSpace(spark, "nba")
+    sp = GraphSpace(spark, name)
     sp.create_tag("player", df=player)
     sp.create_tag("team", df=team)
     sp.create_tag("bachelor", df=bachelor)
@@ -74,6 +76,11 @@ def nba_space(spark):
     sp.create_edge("teammate",
                    df=teammate.dropDuplicates(["src", "dst", "_rank"]))
     return sp
+
+
+@pytest.fixture(scope="session")
+def nba_space(spark):
+    return build_nba_space(spark)
 
 
 def rows(df, *cols):

@@ -421,11 +421,93 @@ def gen_meta_pipe_identity(rng, frames):
     return ngql, b, "meta_set"
 
 
+def gen_match_filter(rng, frames):
+    """MATCH node-scan / 1-hop with a WHERE — SQL twin (r9: exercises the
+    MATCH-lane filter compile, incl. the schema-directed logical ops)."""
+    if rng.random() < 0.5:
+        pred_n, pred_s = gen_vpred(rng, "v.player.", "")
+        ngql = (f"MATCH (v:player) WHERE {pred_n} RETURN "
+                f"v.player.name AS n, v.player.age AS a, id(v) AS i")
+        sql = f"SELECT name AS n, age AS a, _vid AS i FROM player " \
+              f"WHERE {pred_s}"
+        return ngql, sql, "set"
+    edge = rng.choice(("like", "knows"))
+    p = E_PROPS[edge][0]
+    vids = _pick_vids(rng, frames, 1, 3)
+    qv = ", ".join(f'"{v}"' for v in vids)
+    sv = ", ".join(f"'{v}'" for v in vids)
+    k = rng.randint(0, 100)
+    op = rng.choice((">", ">=", "<", "<=", "==", "!="))
+    sop = "=" if op == "==" else ("<>" if op == "!=" else op)
+    ngql = (f"MATCH (v:player)-[e:{edge}]->(w) WHERE id(v) IN [{qv}] "
+            f"AND e.{p} {op} {k} "
+            f"RETURN id(w) AS d, e.{p} AS wt, rank(e) AS r")
+    sql = (f'SELECT e._dst AS d, e.{p} AS wt, e._rank AS r FROM "{edge}" e '
+           f"WHERE e._src IN ({sv}) AND e.{p} {sop} {k}")
+    return ngql, sql, "set"
+
+
+def gen_match_badtype_logic(rng, frames):
+    """Logical ops with a statically non-boolean operand
+    (LogicalExpression.cpp evalAnd/evalOr: BAD_TYPE short-circuit — the
+    r9 sweep find). Each variant has a provable SQL twin:
+      `true OR <nonbool>`      ≡ true        (short-circuits first)
+      `<nonbool> OR true`      ≡ BADNULL     (zero rows)
+      `p OR (<nonbool> AND x)` ≡ p           (AND arm is NULL)
+    """
+    pred_n, pred_s = gen_vpred(rng, "v.player.", "")
+    nonbool = rng.choice(("v.player.age", "v.player.name",
+                          "v.player.age + 1", "v.player.score"))
+    ret = "RETURN id(v) AS i, v.player.age AS a"
+    sret = "SELECT _vid AS i, age AS a FROM player"
+    roll = rng.randrange(3)
+    if roll == 0:
+        ngql = f"MATCH (v:player) WHERE true OR {nonbool} {ret}"
+        sql = sret
+    elif roll == 1:
+        ngql = f"MATCH (v:player) WHERE {nonbool} OR true {ret}"
+        sql = sret + " WHERE 1 = 0"
+    else:
+        ngql = (f"MATCH (v:player) WHERE {pred_n} OR ({nonbool} AND "
+                f"false) {ret}")
+        # OR(p, NULL): true where p true, NULL (dropped) otherwise
+        sql = sret + f" WHERE {pred_s}"
+    return ngql, sql, "set"
+
+
+def gen_match_edge_endpoints(rng, frames):
+    """src()/dst() vs none_direct_src()/none_direct_dst() under a
+    REVERSED pattern (r9 sweep find: src/dst are CANONICAL per
+    FunctionManager.cpp:2112, none_direct_* are the raw traversed entry
+    per ExpressionUtils.cpp:156). For `(a)<-[e]-(b)` anchored at a, the
+    physical edge is b→a, so the twin reads the edge table by _dst."""
+    edge = rng.choice(("like", "knows"))
+    vids = _pick_vids(rng, frames, 1, 3)
+    qv = ", ".join(f'"{v}"' for v in vids)
+    sv = ", ".join(f"'{v}'" for v in vids)
+    if rng.random() < 0.5:
+        ngql = (f"MATCH (a)<-[e:{edge}]-(b) WHERE id(a) IN [{qv}] "
+                "RETURN src(e) AS s, dst(e) AS d, "
+                "none_direct_src(e) AS ns, none_direct_dst(e) AS nd, "
+                "id(b) AS b")
+        sql = (f"SELECT e._src AS s, e._dst AS d, e._dst AS ns, "
+               f'e._src AS nd, e._src AS b FROM "{edge}" e '
+               f"WHERE e._dst IN ({sv})")
+    else:
+        ngql = (f"MATCH (a)-[e:{edge}]->(b) WHERE id(a) IN [{qv}] "
+                "RETURN src(e) AS s, dst(e) AS d, "
+                "none_direct_dst(e) AS nd, id(b) AS b")
+        sql = (f"SELECT e._src AS s, e._dst AS d, e._dst AS nd, "
+               f'e._dst AS b FROM "{edge}" e WHERE e._src IN ({sv})')
+    return ngql, sql, "set"
+
+
 GENERATORS = [
-    (gen_lookup, 16), (gen_fetch, 8), (gen_go, 26), (gen_go_groupby, 12),
+    (gen_lookup, 14), (gen_fetch, 8), (gen_go, 24), (gen_go_groupby, 12),
     (gen_go_orderby, 10), (gen_meta_where_pipe, 8), (gen_meta_mton, 7),
     (gen_meta_match_varlen, 5), (gen_meta_bidirect, 4),
-    (gen_meta_pipe_identity, 4),
+    (gen_meta_pipe_identity, 4), (gen_match_filter, 8),
+    (gen_match_badtype_logic, 5), (gen_match_edge_endpoints, 5),
 ]
 _WHEEL = [g for g, w in GENERATORS for _ in range(w)]
 
