@@ -75,7 +75,40 @@ def _hash_batch(s: "pd.Series") -> "pd.Series":
     return s.map(one).astype("Int64")
 
 
+def _hash_double_batch(s: "pd.Series") -> "pd.Series":
+    """std::hash<double> — libstdc++ hashes the 8 raw little-endian
+    bytes with the SAME _Hash_bytes murmur as strings (verified:
+    murmur64a(pack('<d', 123.0)) == -2256853663865737834, the
+    yield.feature HashCall golden), with ±0.0 pinned to 0
+    (_Hash_impl: `d != 0 ? hash(&d, 8) : 0`)."""
+    import struct
+
+    def one(v):
+        if v is None or v is pd.NA or (isinstance(v, float) and v != v):
+            # NaN: hash its bytes like libstdc++ does — but a NaN cell
+            # in an Arrow float batch is indistinguishable from NULL,
+            # so NULL wins (nullable-batch delivery)
+            return None
+        v = float(v)
+        if v == 0.0:
+            return 0
+        return murmur64a(struct.pack("<d", v))
+    return s.map(one).astype("Int64")
+
+
 _HASH_UDF = None  # built lazily: pandas_udf needs an active SparkContext
+_HASH_DBL_UDF = None
+
+
+def hash_double(c: Column) -> Column:
+    """hash() over a STATICALLY-double column — reference-exact
+    std::hash<double>. The generic `_hash` cannot use this: Arrow
+    delivers nullable LONG batches as float64, so only the caller's
+    Spark-side type (ExprCompiler dispatch) can tell a true double."""
+    global _HASH_DBL_UDF
+    if _HASH_DBL_UDF is None:
+        _HASH_DBL_UDF = pandas_udf(_hash_double_batch, "long")
+    return _HASH_DBL_UDF(c)
 
 
 def _hash(c: Column) -> Column:

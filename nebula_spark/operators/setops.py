@@ -43,10 +43,19 @@ def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def _membership_join(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
     _check_cols(a, b)
-    bb = b.select(*a.columns).distinct()
-    cond = reduce(lambda acc, c: acc & a[c].eqNullSafe(bb[c]),
-                  a.columns[1:], a[a.columns[0]].eqNullSafe(bb[a.columns[0]]))
-    return a.join(bb, cond, how)
+    # backtick-quoted, alias-qualified refs: expression-text column names
+    # carry dots (`$^.player.name`) that bare df[c] would read as a
+    # nested-field path (set/Set.feature Minus/Intersect — r9 sweep find)
+    from pyspark.sql import functions as F
+
+    def q(side, c):
+        return F.col(f"{side}.`" + c.replace("`", "``") + "`")
+    la, rb = a.alias("_sl"), b.distinct().alias("_sr")
+    cond = reduce(lambda acc, c: acc & q("_sl", c).eqNullSafe(q("_sr", c)),
+                  a.columns[1:],
+                  q("_sl", a.columns[0]).eqNullSafe(q("_sr", a.columns[0])))
+    return la.join(rb, cond, how).select(
+        *[q("_sl", c).alias(c) for c in a.columns])
 
 
 def intersect(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -219,14 +219,18 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
             lim = order = None
             if step_limits is not None and step <= len(step_limits):
                 lim = step_limits[step - 1]
-            elif step_samples is not None and step <= len(step_samples):
-                lim = step_samples[step - 1]
-                order = [F.rand(sample_seed + step)]
             hop = get_neighbors(frontier, step_edges, direction, edge_filter,
                                 broadcast_frontier=small,
                                 limit_per_vertex=lim, order_per_vertex=order,
                                 carry_cols=carry,
                                 dedup_frontier=False)  # frontier is distinct
+            if step_samples is not None and step <= len(step_samples):
+                # SAMPLE is a GLOBAL per-step draw, not per-vertex
+                # truncation (GO.feature "go step sample": 3 steps with
+                # SAMPLE [1,3,2] returns exactly 2 rows) — LIMIT keeps
+                # the per-vertex window (storage truncate) semantics
+                hop = (hop.orderBy(F.rand(sample_seed + step))
+                       .limit(step_samples[step - 1]))
             if step >= min_steps:
                 step_df = hop.withColumn("step", F.lit(step))
                 results = step_df if results is None else results.unionByName(

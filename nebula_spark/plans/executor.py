@@ -133,6 +133,25 @@ class _UndefinedAliasError(ValueError):
     the user, never be swallowed by graph-fn arity fallbacks."""
 
 
+def _static_nonbool_const(e) -> bool:
+    """Is *e* a literal constant (possibly negated) that is neither BOOL
+    nor LIST nor NULL? Logical ops refuse those at validation
+    (DeduceTypeVisitor; yield.feature `-1 AND TRUE`) while column-typed
+    non-bools evaluate to BAD_TYPE at runtime."""
+    def val(x):
+        if isinstance(x, tuple):
+            if x[0] == "lit":
+                return True, x[1]
+            if x[0] == "neg":
+                ok, v = val(x[1])
+                if ok and isinstance(v, (int, float)) \
+                        and not isinstance(v, bool):
+                    return True, -v
+        return False, None
+    ok, v = val(e)
+    return ok and v is not None and not isinstance(v, (bool, list))
+
+
 def _is_agg(e: tuple) -> bool:
     if not isinstance(e, tuple):
         return False
@@ -142,7 +161,14 @@ def _is_agg(e: tuple) -> bool:
         return True
     if e[0] == "raw_agg":        # pre-built aggregate Column (ordered collect)
         return True
-    return any(_is_agg(x) for x in e[1:] if isinstance(x, tuple))
+
+    def scan(x) -> bool:
+        if isinstance(x, tuple):
+            return _is_agg(x)
+        if isinstance(x, list):   # map-constructor pairs, case arms
+            return any(scan(i) for i in x)
+        return False
+    return any(scan(x) for x in e[1:])
 
 
 def _walk(e, kinds: set[str], out: list) -> None:
@@ -182,7 +208,12 @@ def _expr_text(e) -> str | None:
             return "true" if v else "false"
         if isinstance(v, str):
             return f'"{v}"'
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            # folly::to<string>(double) shortest form — 123.0 renders
+            # "123" (yield.feature HashCall header `hash(123)`)
+            return str(int(v)) if v == int(v) and abs(v) < 2**63 \
+                else repr(v)
+        if isinstance(v, int):
             return str(v)
         return None
     if op == "name":
@@ -212,14 +243,36 @@ def _expr_text(e) -> str | None:
         args = [_expr_text(a) for a in e[2:]]
         if any(a is None for a in args):
             return None
+        if e[1] in ("src", "dst", "rank", "type") and len(e) == 3 \
+                and isinstance(e[2], tuple) and e[2][0] == "name" \
+                and str(e[2][1]).lower() == "edge":
+            # Edge{Src,Dst}IdExpression toString upper-cases the marker:
+            # `dst(edge)` headers as `dst(EDGE)` (GoYieldVertexEdge)
+            return f"{e[1]}(EDGE)"
         d = "distinct " if op == "call_distinct" else ""
-        return f"{e[1]}({d}{','.join(args)})"
+        # FnName carries the writer's spelling (toString keeps case)
+        return f"{getattr(e[1], 'src', e[1])}({d}{','.join(args)})"
+    if op == "map":
+        parts = []
+        for k, v in e[1]:
+            tv = _expr_text(v)
+            if tv is None:
+                return None
+            parts.append(f"{k}:{tv}")
+        return "{" + ",".join(parts) + "}"
+    if op == "list":
+        args = [_expr_text(a) for a in e[1:]]
+        if any(a is None for a in args):
+            return None
+        return "[" + ",".join(args) + "]"
     if op == "not":
         a = _expr_text(e[1])
         return None if a is None else f"!({a})"
     if op == "neg":
+        # UnaryExpression::toString always parenthesizes: `-(1)`
+        # (yield.feature:125; WithComment pins `(1--(1))`)
         a = _expr_text(e[1])
-        return None if a is None else f"-{a}"
+        return None if a is None else f"-({a})"
     if op == "attr":
         a = _expr_text(e[1])
         return None if a is None else f"{a}.{e[2]}"
@@ -248,6 +301,12 @@ def _yname(y, i: int) -> str:
         return y.alias
     text = _expr_text(y.expr)
     src = getattr(y, "src", None)
+    if src and src.startswith("$") and isinstance(y.expr, tuple) \
+            and y.expr and y.expr[0] == "lit":
+        # a substituted parameter headers as WRITTEN (`YIELD $p3` →
+        # column `$p3` — parameter.feature [param-test-006]), not as the
+        # folded literal's text
+        return src
     if text is not None and src and src.lower() == text.lower() \
             and y.expr[0] in ("call", "call_distinct"):
         m = re.match(r"[A-Za-z_]\w*", src)
@@ -362,6 +421,15 @@ class ExprCompiler:
             # (not a parameter) — per-clause resolvers decide its error
             return self.resolve(*e)
         if op in ("and", "or"):
+            # a CONSTANT non-bool operand refuses at validation (the
+            # reference's DeduceTypeVisitor — yield.feature `-1 AND
+            # TRUE`); column-typed non-bools stay runtime BAD_TYPE
+            for x in (e[1], e[2]):
+                if _static_nonbool_const(x):
+                    raise ValueError(
+                        f"SemanticError: `{_expr_text(e)}' is not a "
+                        "valid expression, can not apply `&&' or `AND' "
+                        "operator to non-BOOL operands")
             a, b = self._boolish(e[1]), self._boolish(e[2])
             # LogicalExpression.cpp evalAnd/evalOr: a statically non-bool
             # operand (not BOOL, not LIST — implicitBool covers those two
@@ -384,6 +452,13 @@ class ExprCompiler:
                 return F.lit(None).cast("boolean")
             return ~a
         if op == "neg":
+            if isinstance(e[1], tuple) and e[1] and e[1][0] == "lit" \
+                    and e[1][1] == -(2**63):
+                # -(INT64_MIN) overflows at validation (yield.feature
+                # CalculateOverflow `- -9223372036854775808`)
+                raise ValueError(
+                    "SemanticError: result of -(-9223372036854775808) "
+                    "cannot be represented as an integer")
             return -self.col(e[1])
         if op == "eqns":                 # null-safe equality (CASE arms)
             return self.col(e[1]).eqNullSafe(self.col(e[2]))
@@ -407,6 +482,30 @@ class ExprCompiler:
                 if _is_duration_type(da) \
                         and _is_duration_type(self._dtype(self.col(e[2]))):
                     return F.lit(None).cast("boolean")
+        if op in ("+", "-", "*", "/", "%"):
+            # CONSTANT int64 arithmetic refuses overflow and /0 at
+            # validation (the reference folds constants in the
+            # validator — yield.feature CalculateOverflow:
+            # `9223372036854775807+1` / `1/0` / `2%0`)
+            def _cint(x):
+                if isinstance(x, tuple) and x and x[0] == "lit" \
+                        and isinstance(x[1], int) \
+                        and not isinstance(x[1], bool):
+                    return x[1]
+                if isinstance(x, tuple) and x and x[0] == "neg":
+                    v = _cint(x[1])
+                    return None if v is None else -v
+                return None
+            ca, cb = _cint(e[1]), _cint(e[2])
+            if ca is not None and cb is not None:
+                if op in ("/", "%") and cb == 0:
+                    raise ValueError("SemanticError: Divide by 0")
+                if op in ("+", "-", "*"):
+                    r = {"+": ca + cb, "-": ca - cb, "*": ca * cb}[op]
+                    if not (-2**63 <= r < 2**63):
+                        raise ValueError(
+                            f"SemanticError: result of ({ca}{op}{cb}) "
+                            "cannot be represented as an integer")
         if op in ("==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%"):
             a, b = self.col(e[1]), self.col(e[2])
             if op == "+" and (_is_stringish(e[1]) or _is_stringish(e[2])):
@@ -869,15 +968,33 @@ class ExprCompiler:
                     f"Type error `toFloat({str(v).lower()})'")
         if name in _AGG_FNS:
             if args and args[0] == ("star",):
+                if name != "count":
+                    # only COUNT takes `*` (AggFunctionManager;
+                    # aggregate/Agg.feature "Error Check")
+                    raise ValueError(
+                        "SyntaxError: Could not apply aggregation "
+                        f"function on `*` near `{name}'")
                 return agg_call("count", F.lit(1))
-            if not args:
-                # zero-arity aggregate — `sum()` — is the reference's
-                # wrong-arity SemanticError (found by the r8 fuzz run:
-                # crashed with IndexError)
+            if len(args) != 1:
+                # aggregates take exactly one argument — `sum()` (r8
+                # fuzz find: IndexError) and `COUNT(a, b)` (Agg.feature
+                # "Error Check") are the reference's arity SemanticError
                 raise ValueError(
-                    f"SemanticError: Unknown function: {name}() — "
+                    f"SemanticError: Unknown function: {name} — "
                     f"wrong number of arguments")
-            return agg_call(name, self.col(args[0]), distinct=distinct)
+            c = self.col(args[0])
+            if name in ("bit_and", "bit_or", "bit_xor"):
+                # bitwise aggregates need integral input — anything else
+                # folds to BAD_TYPE → NULL per row-group (Value.cpp
+                # bitwise ops; aggregate/Agg.feature [15]/[17] expect
+                # BAD_TYPE for BIT_OR over a boolean column)
+                from pyspark.sql.types import (ByteType, IntegerType,
+                                               LongType, ShortType)
+                t = self._dtype(c)
+                if t is not None and not isinstance(
+                        t, (ByteType, ShortType, IntegerType, LongType)):
+                    return F.max(F.lit(None).cast("bigint"))
+            return agg_call(name, c, distinct=distinct)
         if name in _GRAPH_FNS:
             if args and isinstance(args[0], tuple) \
                     and args[0][0] in ("name", "src_vert", "dst_vert"):
@@ -949,6 +1066,17 @@ class ExprCompiler:
                                      "Parameter's type error")
                 mode = args[2][1]
             return round_mode(self.col(args[0]), self.col(args[1]), mode)
+        if name == "hash" and len(args) == 1:
+            # type-directed: a statically-DOUBLE argument hashes its raw
+            # bytes (std::hash<double> — reference-exact, yield.feature
+            # HashCall `hash(123.0)`); the generic batch hash cannot,
+            # because Arrow delivers nullable LONG batches as float64
+            from pyspark.sql.types import DoubleType, FloatType
+            c = self.col(args[0])
+            if isinstance(self._dtype(c), (DoubleType, FloatType)):
+                from nebula_spark.functions.scalar import hash_double
+                return hash_double(c.cast("double"))
+            return FUNCTIONS["hash"](c)
         if name in FUNCTIONS:
             return FUNCTIONS[name](*[self.col(a) for a in args])
         raise ValueError(f"unknown function {name}")
@@ -1218,8 +1346,25 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
                     and prop not in space.edge(ename).columns:
                 raise ValueError(f"`{ename}.{prop}', not found the "
                                  f"property `{prop}'.")
-            col = F.col({"_dst": DST, "_src": SRC, "_rank": RANK,
-                         "_type": "_etype"}.get(prop, prop))
+            if prop == "_type":
+                # `e._type` is the NUMERIC type id (EdgeType in the
+                # edge key; negative for a reversely-read entry —
+                # GO.feature "edge type" pins /-?\d+/). Ids assign by
+                # schema-name order: stable per space, exactly the kind
+                # of small int the reference's meta service hands out.
+                ids = {n: i + 1 for i, n in enumerate(sorted(space.edges))}
+                tid = None
+                for n, i in ids.items():
+                    c = F.when(F.col("_etype") == n, F.lit(i))
+                    tid = c if tid is None else tid.when(
+                        F.col("_etype") == n, F.lit(i))
+                tid = tid if tid is not None else F.lit(None)
+                if "_dir" in hop.columns:
+                    tid = F.when(F.col("_dir") < 0, -tid).otherwise(tid)
+                col = tid.cast("long")
+            else:
+                col = F.col({"_dst": DST, "_src": SRC,
+                             "_rank": RANK}.get(prop, prop))
             # per-edge-type scoping over a multi-edge union (OVER a,b /
             # OVER *): serve._dst is NULL on a like-edge row — matching
             # the reference's EMPTY cells (GO.feature "multi edges over
@@ -1293,7 +1438,7 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
                 else F.col(c)
         raise ValueError(f"unresolvable {kind} {args}")
 
-    ec = ExprCompiler(resolve)
+    ec = ExprCompiler(resolve, df=hop)
     if st.where is not None:
         # EMPTY comparison semantics over a multi-type OVER: a
         # type-qualified prop read on another type's row is EMPTY, and
@@ -1320,6 +1465,13 @@ def _exec_go(space: GraphSpace, st: A.GoStmt, piped: DataFrame | None,
     if not st.yields:
         out = hop.select(F.col(DST).alias("dst"))
     else:
+        for i, y in enumerate(st.yields):
+            if _is_agg(y.expr):
+                # GoValidator refuses aggregates in GO YIELD — aggregate
+                # through a pipe instead (Agg.feature "Error Check")
+                raise ValueError(
+                    f"SemanticError: `{_yname(y, i)}', not support "
+                    "aggregate function in go sentence.")
         cols = [ec.col(y.expr).alias(_yname(y, i))
                 for i, y in enumerate(st.yields)]
         out = hop.select(*cols)
@@ -1956,6 +2108,22 @@ def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt,
         parts.append(oriented(_edge_union(space, st.in_edges), "in"))
     if st.both_edges:
         parts.append(oriented(_edge_union(space, st.both_edges), "both"))
+    if not parts and not space.edges:
+        # a space with NO edge schema: the subgraph is the seed vertices
+        # alone (subgraph.feature "Get subgraph in a space which doesn't
+        # have edge schema")
+        seeds = _vid_frame(space, st.sources, piped, st.src_col, env)
+        out = seeds.select(
+            F.array(F.struct(F.col(VID).alias("vid"))).alias("nodes"),
+            F.array().cast("array<string>").alias("relationships"))
+        if st.yields:
+            cols = []
+            for y in st.yields:
+                src_col = ("nodes" if y.expr[1] == "vertices"
+                           else "relationships")
+                cols.append(F.col(src_col).alias(y.alias or y.expr[1]))
+            return out.select(*cols)
+        return out
     if not parts:
         parts = [oriented(_edge_union(space, list(space.edges)), "both")]
     edges = parts[0]
@@ -1964,6 +2132,20 @@ def _exec_subgraph(space: GraphSpace, st: A.SubgraphStmt,
     if st.where is not None:
         edges = _subgraph_where(space, st, edges)
     seeds = _vid_frame(space, st.sources, piped, st.src_col, env)
+    # runtime-input vids must match the space's vid type
+    # (GetSubgraphValidator — subgraph.feature "invalid input":
+    # `GET SUBGRAPH FROM $-.id` where id is an INT prop refuses)
+    from pyspark.sql.types import NumericType
+    vt = str((getattr(space, "options", None) or {})
+             .get("vid_type", "FIXED_STRING")).lower()
+    if "string" in vt and st.src_col is not None \
+            and isinstance(seeds.schema[0].dataType, NumericType):
+        ref = (f"$-.{st.src_col}" if st.sources == "$-"
+               else f"{st.sources}.{st.src_col}" if isinstance(
+                   st.sources, str) else st.src_col)
+        raise ValueError(
+            f"SemanticError: `{ref}', the srcs should be type of "
+            "FIXED_STRING, but was`INT'")
     # edges already oriented (carry _dir) — k_hop_subgraph detects the _dir
     # column and skips re-orienting, so IN/OUT identity survives dedup
     verts, collected = k_hop_subgraph(edges, seeds, st.steps)
@@ -2075,12 +2257,24 @@ def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
     # row-source, columns namespaced var__prop
     used: list = []
     for y in st.yields:
-        _walk(y.expr, {"var_prop"}, used)
+        _walk(y.expr, {"var_prop", "var_star"}, used)
     if st.where is not None:
         _walk(st.where, {"var_prop"}, used)
-    var_names = sorted({v for _, v, _ in used})
+    var_names = sorted({r[1] for r in used})
     if var_names and not env:
         raise ValueError(f"unresolvable var_prop: ${var_names[0]}")
+    if var_names:
+        irefs: list = []
+        for y in st.yields:
+            _walk(y.expr, {"input_prop"}, irefs)
+        if st.where is not None:
+            _walk(st.where, {"input_prop"}, irefs)
+        if irefs:
+            # YieldValidator: one row source only — `$var.x` with `$-.y`
+            # in the same sentence refuses (Agg.feature "Error Check")
+            raise ValueError("Not support both input and variable.")
+        if len(var_names) > 1:
+            raise ValueError("Only one variable allowed to use.")
     env = {k.lstrip("$"): v for k, v in env.items()} if env else env
 
     def resolve(kind, *args):
@@ -2114,7 +2308,8 @@ def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
         if v not in env:
             raise ValueError(f"undefined variable ${v}")
         vf = env[v].select(
-            *[F.col(c).alias(f"_v_{v}__{c}") for c in env[v].columns])
+            *[F.col("`" + c.replace("`", "``") + "`")
+              .alias(f"_v_{v}__{c}") for c in env[v].columns])
         base = base.crossJoin(vf) if base is not None else vf
     if var_names and piped is None:
         # the var table is the row source — drop the synthetic range(1) row
@@ -2124,16 +2319,64 @@ def _exec_yield(st: A.YieldStmt, piped: DataFrame | None,
     if st.where is not None:
         base = base.filter(ec.col(st.where))
     aggish = any(_is_agg(y.expr) for y in st.yields)
-    cols = [ec.col(y.expr).alias(_yname(y, i))
-            for i, y in enumerate(st.yields)]
+    cols = []                 # (is_agg, name, Column) in written order
+    for i, y in enumerate(st.yields):
+        if isinstance(y.expr, tuple) and y.expr[0] == "input_star":
+            if piped is None:
+                raise ValueError("`$-.*', not exist prop `*'")
+            cols.extend(
+                (False, f"$-.{c}",
+                 F.col("`" + c.replace("`", "``") + "`").alias(f"$-.{c}"))
+                for c in piped.columns)
+            continue
+        if isinstance(y.expr, tuple) and y.expr[0] == "var_star":
+            # `$var.*` — one output column per var-table column, headers
+            # `$var.<col>` (YieldValidator::makeOutputColumn star form)
+            v = y.expr[1]
+            pref = f"_v_{v}__"
+            cols.extend(
+                (False, f"${v}.{c[len(pref):]}",
+                 F.col("`" + c.replace("`", "``") + "`")
+                 .alias(f"${v}.{c[len(pref):]}"))
+                for c in base.columns if c.startswith(pref))
+            continue
+        cols.append((_is_agg(y.expr), _yname(y, i),
+                     ec.col(y.expr).alias(_yname(y, i))))
     if aggish:
-        out = base.agg(*cols)
+        # mixed agg + plain items: IMPLICIT grouping on the non-agg
+        # items (aggregate/Agg.feature "Implicit GroupBy" — the
+        # reference's YieldValidator folds this into an Aggregate)
+        keys = [c for a, _n, c in cols if not a]
+        aggs = [c for a, _n, c in cols if a]
+        out = base.groupBy(*keys).agg(*aggs) if keys else base.agg(*aggs)
+        names = [n for _a, n, _c in cols]
+        if keys and (len(set(names)) == len(names)
+                     and set(names) == set(out.columns)
+                     and names != out.columns):
+            out = out.select(*[F.col("`" + n.replace("`", "``") + "`")
+                               for n in names])
     else:
-        out = base.select(*cols)
+        out = base.select(*[c for _a, _n, c in cols])
     return out.distinct() if st.distinct else out
 
 
-def _exec_group_by(st: A.GroupByStmt, piped: DataFrame) -> DataFrame:
+def _exec_group_by(st: A.GroupByStmt, piped: DataFrame,
+                   env: dict[str, DataFrame] | None = None) -> DataFrame:
+    # standalone `GROUP BY $var.x YIELD $var.y …` reads the named result
+    # table as its row source (GroupByValidator var form —
+    # aggregate/Agg.feature "GroupBy user defined var")
+    if piped is None and env:
+        vrefs: list = []
+        for y in st.yields:
+            _walk(y.expr, {"var_prop"}, vrefs)
+        for k in st.keys:
+            _walk(k, {"var_prop"}, vrefs)
+        envn = {k.lstrip("$"): v for k, v in env.items()}
+        vs = sorted({r[1] for r in vrefs})
+        if vs and all(v in envn for v in vs):
+            if len(vs) > 1:
+                raise ValueError("Only one variable allowed to use.")
+            piped = envn[vs[0]]
     if piped is None:
         # standalone GROUP BY — the reference's input-prop refusal
         # (GroupByValidator: $-.x with no input; found by fuzzing)
@@ -2144,21 +2387,65 @@ def _exec_group_by(st: A.GroupByStmt, piped: DataFrame) -> DataFrame:
     def resolve(kind, *args):
         if kind in ("input_prop", "name"):
             return F.col(args[0])
+        if kind == "var_prop":
+            return F.col("`" + args[1].replace("`", "``") + "`")
         if kind == "edge_prop":
             return F.col(args[1])
         raise ValueError(f"unresolvable {kind}")
 
-    ec = ExprCompiler(resolve)
-    keys = [ec.col(k) for k in st.keys]
+    for k in st.keys:
+        krefs: list = []
+        _walk(k, {"input_prop", "var_prop"}, krefs)
+        if not krefs:
+            # a group key that reads NO input column is refused
+            # (GroupByValidator — go/GroupbyLimit.feature "Syntax test2":
+            # `GROUP BY 1+1`)
+            raise ValueError(
+                f"SemanticError: Group `{_expr_text(k) or '?'}' invalid")
+    ec = ExprCompiler(resolve, df=piped)
+    keys = [ec.col(k).alias(f"_gk{j}") for j, k in enumerate(st.keys)]
     aggs = [ec.col(y.expr).alias(_yname(y, i))
             for i, y in enumerate(st.yields) if _is_agg(y.expr)]
     grouped = piped.groupBy(*keys).agg(*aggs) if aggs else \
         piped.select(*keys).distinct()
-    # final projection in yield order: non-agg items re-compile against the
-    # grouped output (their source columns are the group keys), agg items
-    # are picked up by alias
-    final = [F.col(_yname(y, i)) if _is_agg(y.expr)
-             else ec.col(y.expr).alias(_yname(y, i))
+
+    # non-agg YIELD items must be functionally dependent on the group
+    # keys — the reference matches by EXPRESSION equality (GroupBy
+    # sentence: `GROUP BY $-.age+1 YIELD (INT)($-.age+1)` reuses the
+    # key; a bare label is "Not supported … for props deduction" —
+    # Agg.feature "Error Check"). Substitute key-equal subtrees with the
+    # key's grouped column, then compile what remains.
+    def subst(e):
+        if not isinstance(e, tuple):
+            return e
+        for j, k in enumerate(st.keys):
+            if e == k:
+                return ("raw_agg", F.col(f"_gk{j}"))
+        return tuple(subst(x) for x in e)
+
+    def resolve_final(kind, *args):
+        if kind == "name":
+            raise ValueError(
+                f"Not supported expression `{args[0]}' for props "
+                "deduction.")
+        if kind in ("input_prop", "var_prop"):
+            # survived key substitution → not a group key
+            # (GroupByValidator functional-dependence refusal)
+            ref = f"$-.{args[0]}" if kind == "input_prop" \
+                else f"${args[0]}.{args[1]}"
+            raise ValueError(
+                f"Yield non-agg expression `{ref}' must be functionally "
+                "dependent on items in GROUP BY clause")
+        return resolve(kind, *args)
+
+    ec_final = ExprCompiler(resolve_final)
+    # agg items are picked up by alias — backtick-quoted, since
+    # expression-text names carry dots/parens (`MAX($-.start_year)`,
+    # Agg.feature — r9 sweep find: bare F.col read the dots as a
+    # nested-field path)
+    final = [F.col("`" + _yname(y, i).replace("`", "``") + "`")
+             if _is_agg(y.expr)
+             else ec_final.col(subst(y.expr)).alias(_yname(y, i))
              for i, y in enumerate(st.yields)]
     return grouped.select(*final)
 
@@ -3151,7 +3438,27 @@ def _compile_mixed_agg(e: tuple, ec: ExprCompiler) -> Column:
         a = _compile_mixed_agg(e[1], ec)
         b = _compile_mixed_agg(e[2], ec)
         return a & b if e[0] == "and" else a | b
-    return ec.col(e)                 # other mixed shapes: plain compile
+
+    # generic mixed shape (map/list constructors, casts, non-agg fns
+    # over agg args — `{name2: collect(m.player.name)}`, Agg.feature
+    # "Match Implicit GroupBy"): compile each subtree through the mixed
+    # path, re-wrap as a prebuilt raw_agg Column, and let the normal
+    # compiler assemble the op around them
+    def wrap(x):
+        if not isinstance(x, tuple) or not x or x[0] == "lit":
+            return x
+        return ("raw_agg", _compile_mixed_agg(x, ec))
+    if e[0] == "map":
+        return ec.col(("map", [(k, wrap(v)) for k, v in e[1]]))
+    if e[0] == "pred_fn":
+        # any/all/single/none over an agg-built list (`ANY(l IN
+        # COLLECT(d) WHERE l==1)`): only the LIST argument is in agg
+        # position — the lambda var and predicate compile inside
+        return ec.col(("pred_fn", e[1], e[2], wrap(e[3]), e[4]))
+    if e[0] == "comprehension":
+        return ec.col(("comprehension", e[1], wrap(e[2]), e[3], e[4]))
+    return ec.col(tuple(
+        [e[0]] + [wrap(x) if isinstance(x, tuple) else x for x in e[1:]]))
 
 
 def _project_impl(cur, items, ec, bound):
@@ -3957,6 +4264,40 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
                         "requirements. Use the correct type of data.")
     decl_ref = {c: str(t).strip().lower() for c, t in defn0.decl} \
         if defn0 is not None and defn0.decl else {}
+    # scalar VALUES type strictness beyond temporals: a string literal
+    # into an int column (or vice versa) is the reference's storage
+    # type error, never a silent cast-to-null
+    # (parameter.feature [param-test-013]: `player(age, name)
+    # values "1":($p6.c, $p1+40)` with c a string must refuse)
+    type_src = decl_ref or {
+        c: t for c, t in table.dtypes if not c.startswith("_")}
+    if type_src:
+        idx = {c: i for i, c in enumerate(cols)}
+        _want = {"int": int, "int64": int, "int32": int, "int16": int,
+                 "int8": int, "bool": bool, "string": str,
+                 "fixed_string": str,
+                 # spark dtype spellings (df-backed spaces with no DDL)
+                 "bigint": int, "smallint": int, "tinyint": int,
+                 "boolean": bool, "varchar": str}
+        for row in data:
+            for c, t in type_src.items():
+                base_t = t.split("(", 1)[0]
+                py = _want.get(base_t)
+                i = idx.get(c)
+                v = row[i] if i is not None else None
+                if py is None or v is None or isinstance(v, tuple):
+                    continue
+                if py is int and isinstance(v, bool):
+                    ok = False
+                elif py is int and isinstance(v, float):
+                    ok = True            # reference coerces float→int
+                else:
+                    ok = isinstance(v, py)
+                if not ok:
+                    raise ValueError(
+                        "Storage Error: The data type does not meet "
+                        "the requirements. Use the correct type of "
+                        "data.")
     if any(isinstance(v, tuple) and len(v) == 2
            and v[0] == "__const_expr__" for row in data for v in row):
         data = _eval_const_exprs(space, data, cols, decl_ref, dt0)
@@ -4159,6 +4500,30 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt,
                                         v["sec"].cast("double"))
             except Exception:  # noqa: BLE001 — non-struct SET value
                 pass
+        # SET value type strictness: a statically-string value into a
+        # numeric column is the reference's STORAGE-side type error —
+        # raised only when a row actually takes the bad value, so a
+        # false WHEN guard keeps the statement successful
+        # (parameter.feature [param-test-013]: `set likeness =
+        # likeness+$p6.c when likeness>300` succeeds, `when
+        # likeness<300` refuses)
+        from pyspark.sql.types import NumericType, StringType
+        try:
+            probe_t = base.select(v.alias("_t")).schema[0].dataType
+        except Exception:  # noqa: BLE001 — unresolvable probes keep going
+            probe_t = None
+        want = dt.get(p, "")
+        bad_type = (isinstance(probe_t, StringType)
+                    and want.startswith(("bigint", "int", "smallint",
+                                         "tinyint", "double", "float",
+                                         "boolean"))) or \
+                   (isinstance(probe_t, NumericType) and want == "string")
+        if bad_type:
+            hit = base if guard is None else base.filter(guard)
+            if hit.limit(1).count() > 0:
+                raise ValueError("Storage Error: Invalid data, may be "
+                                 "wrong value type.")
+            continue                     # guard excluded every row
         v = v.cast(dt[p])
         if guard is not None:
             v = F.when(guard, v).otherwise(F.col(p))
@@ -4464,7 +4829,17 @@ def _execute_node(space: GraphSpace, node,
 def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
                       env: dict[str, DataFrame] | None = None) -> DataFrame:
     df: DataFrame | None = None
-    for st in pipeline.stages:
+    for k, st in enumerate(pipeline.stages):
+        if df is not None and k < len(pipeline.stages) \
+                and len(set(df.columns)) != len(df.columns):
+            # a frame with duplicate output names cannot feed a pipe —
+            # `$-.x` would be ambiguous (Validator::checkDuplicateColName;
+            # GO.feature "duplicate column name")
+            seen: set = set()
+            dup = next(c for c in df.columns
+                       if c in seen or seen.add(c))
+            raise ValueError(f"SemanticError: Duplicate Column Name : "
+                             f"`{dup}'")
         if isinstance(st, (A.Pipeline, A.SetOp)):
             # parenthesized statement group as a stage — a fresh chain
             # (parens scope the pipe; no piped input flows in)
@@ -4484,25 +4859,75 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
         elif isinstance(st, A.YieldStmt):
             df = _exec_yield(st, df, space.spark, env, space)
         elif isinstance(st, A.GroupByStmt):
-            df = _exec_group_by(st, df)
+            df = _exec_group_by(st, df, env)
         elif isinstance(st, A.OrderByStmt):
+            if df is None and env:
+                # standalone `ORDER BY $var.x` sorts the named result
+                # table (go/Orderby.feature "Order by with Variable")
+                vrefs: list = []
+                for e, _asc in st.items:
+                    _walk(e, {"var_prop"}, vrefs)
+                vs = sorted({r[1] for r in vrefs})
+                envn = {k.lstrip("$"): v for k, v in env.items()}
+                if len(vs) == 1 and vs[0] in envn:
+                    df = envn[vs[0]]
+
             def resolve(kind, *args):
                 if kind in ("input_prop", "name"):
                     return F.col(args[0])
+                if kind == "var_prop":
+                    return F.col("`" + args[1].replace("`", "``") + "`")
                 if kind == "edge_prop":
                     return F.col(args[1])
                 raise ValueError(f"unresolvable {kind}")
-            ec = ExprCompiler(resolve)
+            ec = ExprCompiler(resolve, df=df)
             # NULL ordering per reference Value comparison (Value.h:64-83)
-            cols = [ec.col(e).asc_nulls_last() if asc
-                    else ec.col(e).desc_nulls_first()
-                    for e, asc in st.items]
+            from pyspark.sql.types import MapType, StructType
+            cols = []
+            for e, asc in st.items:
+                c = ec.col(e)
+                t = ec._dtype(c)
+                if isinstance(t, StructType) \
+                        and {"start", "path"} <= set(t.fieldNames()):
+                    # PATH ordering is (src vid, then steps lexicographic
+                    # on (dst, type, rank)) — Path.h:211 / Step<:86 —
+                    # which Spark expresses as (string, array<struct>)
+                    # sort keys; the raw struct is unorderable (map-typed
+                    # prop field). Edge-type NAME stands in for |type|
+                    # (ids assign in name order here).
+                    cols.append(c["start"].asc_nulls_last() if asc
+                                else c["start"].desc_nulls_first())
+                    c = F.transform(
+                        c["path"],
+                        lambda x: F.struct(x["d"].alias("d"),
+                                           x["et"].alias("et"),
+                                           x["r"].alias("r")))
+                elif isinstance(t, StructType) and any(
+                        isinstance(f.dataType, MapType) for f in t.fields):
+                    c = F.to_json(c)
+                cols.append(c.asc_nulls_last() if asc
+                            else c.desc_nulls_first())
             df = df.orderBy(*cols)
         elif isinstance(st, A.LimitStmt):
-            df = df.offset(st.offset).limit(st.count) if st.offset \
-                else df.limit(st.count)
+            if st.offset:
+                df = df.offset(st.offset)
+            if st.count is not None:
+                df = df.limit(st.count)
         elif isinstance(st, A.MatchStmt):
-            df = _exec_match(space, st)
+            vrefs: list = []
+            if not st.clauses and env:
+                for y in st.returns:
+                    _walk(y.expr, {"var_prop", "var_star"}, vrefs)
+            if vrefs:
+                # standalone `RETURN …($var.x)…` — a yield sentence over
+                # the named result table, same as the piped-RETURN form
+                # (parameter.feature [param-test-013] RETURN
+                # count($var.VertexID))
+                df = _exec_yield(
+                    A.YieldStmt(st.returns, None, st.distinct),
+                    df, space.spark, env, space)
+            else:
+                df = _exec_match(space, st)
         elif isinstance(st, A.UnwindStmt):
             df = _exec_unwind(st, df, space.spark)
         elif isinstance(st, (A.InsertStmt, A.UpdateStmt, A.DeleteStmt,

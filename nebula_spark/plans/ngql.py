@@ -58,6 +58,7 @@ _TOKEN_SPEC = [
     ("ARROW_R", r"->"),
     ("ARROW_L", r"<-"),
     ("NEQ", r"!=|<>"),
+    ("BANG", r"!"),              # prefix NOT (scanner.lex "!" → NOT)
     ("LE", r"<="), ("GE", r">="), ("EQ", r"=="),
     ("REGEX_M", r"=~"),
     ("ASSIGN", r"="),
@@ -92,6 +93,21 @@ _KEYWORDS = {
     "unwind", "optional", "insert", "update", "upsert", "delete", "values",
     "set",
 }
+
+
+class FnName(str):
+    """A function name as the engine matches it (lowercase str — all
+    dispatch tables and comparisons see the canonical form) that also
+    remembers the writer's spelling for column-header rendering:
+    Expression::toString keeps case, so `YIELD COUNT($-.x)` headers as
+    `COUNT($-.x)` even nested (`(COUNT(*)+1)`, Agg.feature)."""
+
+    __slots__ = ("src",)
+
+    def __new__(cls, written: str):
+        o = super().__new__(cls, written.lower())
+        o.src = written
+        return o
 
 
 # keywords the reference's grammar accepts as plain identifiers
@@ -307,7 +323,7 @@ class OrderByStmt:
 
 @dataclass
 class LimitStmt:
-    count: int
+    count: int | None            # None = offset-only (`| OFFSET m`)
     offset: int = 0
 
 
@@ -699,6 +715,12 @@ class Parser:
             return self.order_by_sentence()
         if self.at_kw("limit"):
             return self.limit_sentence()
+        if self.at_kw("offset"):
+            # `| OFFSET m [LIMIT n]` (GO.feature:1848) — offset-first form
+            self.eat_kw("offset")
+            off = self._limit_int("OFFSET")
+            n = self._limit_int() if self.try_kw("limit") else None
+            return LimitStmt(n, off)
         if self.at_kw("match"):
             return self.match_sentence()
         if self.at_kw("with"):
@@ -1120,12 +1142,39 @@ class Parser:
                     j += 1
                 self.i = j + 1
                 vals.append(("__const_expr__", "".join(parts)))
+            elif self.peek().kind == "VAR_REF" \
+                    and self.peek().text[1:] in self.params:
+                # parameter value expression — `$p6.c`, `$p1+40`
+                # (parameter.feature [param-test-013]): params substitute
+                # to literals inside expr(), so the remainder folds
+                vals.append(self._fold_const(self.expr()))
             else:
                 vals.append(self.literal())
             if self.peek().kind == "COMMA":
                 self.eat("COMMA")
         self.eat("RP")
         return vals
+
+    def _fold_const(self, e):
+        """Constant-fold a parameter-substituted VALUES expression."""
+        if isinstance(e, tuple):
+            if e[0] == "lit":
+                return e[1]
+            if e[0] == "neg":
+                return -self._fold_const(e[1])
+            if e[0] in ("+", "-", "*", "/", "%") and len(e) == 3:
+                a, b = self._fold_const(e[1]), self._fold_const(e[2])
+                import operator as _op
+                return {"+": _op.add, "-": _op.sub, "*": _op.mul,
+                        "/": _op.truediv, "%": _op.mod}[e[0]](a, b)
+            if e[0] == "attr":
+                base = self._fold_const(e[1])
+                if isinstance(base, dict):
+                    return base.get(e[2])
+            if e[0] == "subscript":
+                base = self._fold_const(e[1])
+                return base[self._fold_const(e[2])]
+        raise SyntaxError(f"expected literal, got non-constant {e!r}")
 
     def update_sentence(self) -> UpdateStmt:
         insertable = self.eat_kw("update", "upsert").text == "upsert"
@@ -1555,13 +1604,17 @@ class Parser:
                               f"prohibited near `${core[1]}'")
         alias = None
         if self.try_kw("as"):
-            alias = self.eat("NAME").text
+            # alias position accepts unreserved keywords (`AS end` —
+            # yield/join.feature "join path")
+            alias = self.name()
         elif isinstance(e, tuple):
             # default output name from the expression (reference derives
-            # column names from expression text): bare refs keep their
-            # last path component
-            if e[0] in ("name", "input_prop", "var_prop"):
-                alias = e[1] if e[0] == "name" else e[-1]
+            # column names from expression text): a bare label keeps its
+            # name; `$-.x`/`$var.x` header as WRITTEN (`$-.x` — GO.feature
+            # "reference pipe in yield and where", r9 sweep find), via
+            # _expr_text at projection time
+            if e[0] == "name":
+                alias = e[1]
         src = None
         if alias is None and self.src is not None:
             src = self.src[src_start:src_end].strip()
@@ -1881,6 +1934,8 @@ class Parser:
             self.eat("COMMA")
             b = self._limit_int()
             return LimitStmt(b, a)
+        if self.try_kw("offset"):       # LIMIT n OFFSET m (parser.yy)
+            return LimitStmt(a, self._limit_int("OFFSET"))
         return LimitStmt(a)
 
     def _limit_int(self, clause: str = "LIMIT") -> int:
@@ -1891,6 +1946,17 @@ class Parser:
         if self.peek().kind == "INT" and self.peek(1).kind not in (
                 "PLUS", "MINUS", "STAR", "SLASH", "PCT"):
             return int(self.eat("INT").text)
+        if self.peek().kind in ("FLOAT", "STRING"):
+            # the reference grammar takes ONLY an integer or a parameter
+            # expr here — `LIMIT 2.0` is its syntax error
+            raise SyntaxError(f"syntax error near `{self.peek().text}'")
+        if self.peek().kind == "INT":
+            # integer followed by an operator — `LIMIT 1+2` is a syntax
+            # error (GroupbyLimit.feature) while `LIMIT $p1+1` folds
+            # (parameter.feature)
+            self.eat()
+            t = self.peek()
+            raise SyntaxError(f"syntax error near `{t.text}'")
         e = self.expr()
         names = [x[1] for x in _iter_exprs(e) if x[0] == "param_unres"]
         if names:
@@ -2178,6 +2244,9 @@ class Parser:
     def expr_not(self):
         if self.try_kw("not"):
             return ("not", self.expr_not())
+        if self.peek().kind == "BANG":   # scanner.lex maps "!" onto NOT
+            self.eat("BANG")
+            return ("not", self.expr_not())
         return self.expr_cmp()
 
     def expr_cmp(self):
@@ -2292,13 +2361,17 @@ class Parser:
         if self.peek().kind == "MINUS":
             self.eat("MINUS")
             if self.peek().kind == "INT":
-                # fold the sign into the literal (parser.yy does the
-                # same) so -9223372036854775808 == INT64_MIN parses
                 t = self.eat("INT")
                 v = -int(t.text)
                 if v < -(2**63):
                     raise SyntaxError(f"Out of range: near `{t.text}'")
-                return ("lit", v)
+                if v == -(2**63):
+                    # fold the sign ONLY where it must (parser.yy folds
+                    # so INT64_MIN parses); everywhere else `-1` stays a
+                    # unary expression whose toString is `-(1)`
+                    # (yield.feature:125, WithComment `(1--(1))`)
+                    return ("lit", v)
+                return ("neg", ("lit", -v))
             return ("neg", self.expr_unary())
         return self.expr_postfix()
 
@@ -2429,6 +2502,12 @@ class Parser:
         if t.kind == "PIPE_REF":
             self.i += 1
             return ("input_prop", t.text.split(".", 1)[1])
+        if t.kind == "PIPE_INPUT" and self.peek(1).kind == "DOT" \
+                and self.peek(2).kind == "STAR":
+            # `$-.*` — every piped column, headers `$-.<col>`
+            # (yield.feature YieldPipe)
+            self.i += 3
+            return ("input_star",)
         if t.kind == "SRC_REF":
             self.i += 1
             _, tag, prop = t.text.split(".")
@@ -2458,7 +2537,12 @@ class Parser:
                 # filter, parameter.feature) — decided by the caller
                 return ("param_unres", name)
             self.eat("DOT")
-            return ("var_prop", name, self.eat("NAME").text)
+            if self.peek().kind == "STAR":
+                # `$var.*` — every column of the var table, headers
+                # `$var.<col>` (set/Set.feature Assign)
+                self.eat("STAR")
+                return ("var_star", name)
+            return ("var_prop", name, self.name())
         if t.kind == "NAME" or (t.kind == "KW" and (
                 # fn/label names that are keywords: all(...) predicate,
                 # `path` as a bound path alias (LDBC IC13 `CASE path IS
@@ -2520,13 +2604,15 @@ class Parser:
                             self.eat("COMMA")
                 self.eat("RP")
                 return ("call_distinct" if distinct else "call",
-                        name.lower(), *args)
+                        FnName(name), *args)
             if self.peek().kind == "DOT":  # edge.prop or alias.tag.prop
                 self.eat("DOT")
-                p1 = self.eat("NAME").text
+                # prop position accepts unreserved keywords as names
+                # (`$a.end` — yield/join.feature "join path")
+                p1 = self.name()
                 if self.peek().kind == "DOT":
                     self.eat("DOT")
-                    p2 = self.eat("NAME").text
+                    p2 = self.name()
                     return ("alias_tag_prop", name, p1, p2)
                 return ("edge_prop", name, p1)
             return ("name", name)

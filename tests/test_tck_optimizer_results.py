@@ -85,11 +85,20 @@ def test_collapse_project_integer_division(nba_space):  # noqa: F811
 
 
 def test_integer_division_semantics(nba_space):  # noqa: F811
-    """Int/int division truncates toward zero; /0 is the DIV_BY_ZERO
-    null; any float side keeps IEEE true division."""
-    [r] = execute(nba_space, "RETURN 7/2 AS a, -39/10 AS n, 1/0 AS z, "
+    """Int/int division truncates toward zero; any float side keeps IEEE
+    true division; CONSTANT /0 refuses at validation like the
+    reference's folding validator (yield.feature `YIELD 1/0` →
+    SemanticError `Divide by 0`) while a data-dependent /0 stays the
+    DIV_BY_ZERO null."""
+    [r] = execute(nba_space, "RETURN 7/2 AS a, -39/10 AS n, "
                              "7.0/2 AS f, 7/2.0 AS g").collect()
-    assert (r.a, r.n, r.z, r.f, r.g) == (3, -3, None, 3.5, 3.5)
+    assert (r.a, r.n, r.f, r.g) == (3, -3, 3.5, 3.5)
+    with pytest.raises(ValueError, match="Divide by 0"):
+        execute(nba_space, "RETURN 1/0 AS z")
+    [r] = execute(nba_space, "MATCH (v:player) WHERE id(v)=='Tim Duncan' "
+                             "RETURN v.player.age/(v.player.age-42) AS z"
+                  ).collect()
+    assert r.z is None
 
 
 def test_embed_edge_all_pred_varlen_full_enumeration(nba_space):  # noqa: F811
