@@ -29,7 +29,10 @@ from tests.test_tck_optimizer_sweep import student_space  # noqa: F401
 ROOT = "/root/reference/tests/tck/features"
 
 # directories swept; each entry was brought green (or ledgered) in r9
-DIRS = ["go", "path", "set", "yield", "subgraph", "aggregate"]
+DIRS = ["go", "path", "set", "yield", "subgraph", "aggregate",
+        "match", "expression", "fetch", "lookup", "function",
+        "insert", "update", "delete", "ttl", "mutate", "ddl",
+        "index", "schema", "basic", "explain", "parser", "geo"]
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(ROOT), reason="reference TCK corpus absent")
