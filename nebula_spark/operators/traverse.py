@@ -276,7 +276,7 @@ def _edge_id_reversed(prefix: str = "") -> Column:
 
 
 def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
-             max_hops: int = 1, direction: str = "out",
+             max_hops: int | None = 1, direction: str = "out",
              edge_filter: Column | None = None,
              self_loop_once: bool = False,
              prop_cols: list[str] | None = None) -> DataFrame:
@@ -328,7 +328,15 @@ def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
     paths = zero_paths()
     extra = [F.col(c).alias(c) for c in props]
     results: DataFrame | None = None
-    for hop in range(1, max_hops + 1):
+    # max_hops=None is the reference's open-ended range (`[e*]` /
+    # `[e*m..]` — parser.yy match_step_range, MatchStepRange.h default
+    # max SIZE_MAX): iterate until edge-uniqueness empties the frontier.
+    # Each unbounded superstep eagerly checkpoints + counts, so the loop
+    # is frontier-bounded (≤ longest simple edge path), never SIZE_MAX.
+    unbounded = max_hops is None
+    hop = 0
+    while unbounded or hop < max_hops:
+        hop += 1
         new_edge = F.struct(*_edge_id_fields(), *extra) if props \
             else _edge_id()
         # edge-uniqueness via array_contains(path, struct(...)) — a lambda
@@ -351,12 +359,21 @@ def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
                            F.col(DST).alias("end_vid"),
                            F.lit(hop).alias("hops"),
                            F.concat("path", F.array(new_edge)).alias("path")))
-        stepped = stepped.localCheckpoint(eager=False) if hop % 4 == 0 else stepped
+        n = None
+        if unbounded:
+            stepped, n = checkpoint_count(stepped)
+        else:
+            stepped = stepped.localCheckpoint(eager=False) \
+                if hop % 4 == 0 else stepped
         if hop >= min_hops:
             results = stepped if results is None else results.unionByName(stepped)
         paths = stepped
+        if n == 0:        # unbounded: frontier exhausted (after the
+            break         # union so an empty result keeps its schema)
     if min_hops == 0:
         results = zero_paths() if results is None else zero_paths().unionByName(results)
+    if results is None:     # frontier died before min_hops (unbounded)
+        results = paths.limit(0)
     return results
 
 

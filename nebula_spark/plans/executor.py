@@ -579,6 +579,28 @@ class ExprCompiler:
                 ib = isinstance(db, IntegralType) or                     (db is None and _intish(e[2]))
                 if ia and ib:
                     return F.call_function("div", a, b)
+            if op in ("==", "!=", "<", "<=", ">", ">="):
+                # container-vs-scalar comparison: the reference's
+                # dynamically-typed Value compare yields NULL on
+                # mismatched kinds (MatchByVariable.feature "bugfix":
+                # `id(v) == vid` where vid is LIST[] matches 0 rows);
+                # Spark refuses the cast at analysis, so resolve here
+                from pyspark.sql.types import (ArrayType, MapType,
+                                               StructType)
+
+                def _kind(t):
+                    if t is None:
+                        return None
+                    if isinstance(t, ArrayType):
+                        return "array"
+                    if isinstance(t, MapType):
+                        return "map"
+                    if isinstance(t, StructType):
+                        return "struct"
+                    return "scalar"
+                ka, kb = _kind(self._dtype(a)), _kind(self._dtype(b))
+                if ka and kb and ka != kb:
+                    return F.lit(None).cast("boolean")
             return {"==": a == b, "!=": a != b, "<": a < b, "<=": a <= b,
                     ">": a > b, ">=": a >= b, "+": a + b, "-": a - b,
                     "*": a * b, "/": a / b, "%": a % b}[op]
@@ -641,7 +663,30 @@ class ExprCompiler:
             # NULL-bearing / computed lists — membership over the array
             # value (heterogeneous elements coerce to a common Spark
             # type, matching the reference's dynamic IN)
-            return F.array_contains(self.col(e[2]), self.col(e[1]))
+            rhs = self.col(e[2])
+            rt = self._dtype(rhs)
+            from pyspark.sql.types import ArrayType, NullType
+            if isinstance(rt, NullType):
+                # x IN NULL → NULL (MatchByVariable.feature "bugfix":
+                # `WHERE v1.player.name IN name` over a NULL binding
+                # matches zero rows, it is not an error)
+                return F.lit(None).cast("boolean")
+            if rt is not None and not isinstance(rt, ArrayType):
+                # the reference's dynamic IN over a non-list VALUE is a
+                # runtime error ("Failed to evaluate condition",
+                # MatchByVariable.feature [2] match by prop index) — but
+                # only when a row actually evaluates it: an empty frame
+                # or a NULL value yields no error and zero rows
+                # (MatchByVariable "bugfix": id(v)=='A' start). Encode
+                # exactly that with a row-level raise.
+                return F.when(rhs.isNull(), F.lit(None).cast("boolean")) \
+                    .otherwise(F.raise_error(F.lit(
+                        "Failed to evaluate condition: IN expects a LIST "
+                        "on the right side. For boolean conditions, "
+                        "please write in their full forms like "
+                        "<condition> == <true/false> or <condition> IS "
+                        "[NOT] NULL.")))
+            return F.array_contains(rhs, self.col(e[1]))
         if op == "is_null":
             return self.col(e[1]).isNull()
         if op in ("starts_with", "ends_with", "contains_str"):
@@ -2816,16 +2861,19 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                 # clamped to 1 — with max_hops=0 the BFS then returns
                 # no rows at all
                 sp_min = max(1, me.min_hops)
-                if sp_targets is not None and me.max_hops >= 3:
+                # open-ended `*m..` range: the BFS loops break on an
+                # empty frontier, so a large bound IS unbounded
+                sp_max = me.max_hops if me.max_hops is not None else 2**31
+                if sp_targets is not None and sp_max >= 3:
                     tr = bidir_min_paths(
                         edges.select(SRC, DST, RANK, "_etype"), seeds,
-                        sp_targets, max_hops=me.max_hops,
+                        sp_targets, max_hops=sp_max,
                         direction=me.direction, mode=sp_mode,
                         min_hops=sp_min, self_loop_once=True)
                 else:
                     tr = bfs_min_paths(
                         edges.select(SRC, DST, RANK, "_etype"), seeds,
-                        max_hops=me.max_hops, direction=me.direction,
+                        max_hops=sp_max, direction=me.direction,
                         mode=sp_mode, min_hops=sp_min,
                         self_loop_once=True)
                 shortest_done = True
@@ -3638,6 +3686,40 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
         return base.crossJoin(pat) if how == "inner" \
             else base.join(pat, F.lit(True), "left")
 
+    def _edge_value_constraint(cur: DataFrame, ea: str) -> DataFrame:
+        """A MATCH edge alias colliding with a WITH-projected VALUE
+        column (a relationships(p) list or a single edge struct)
+        constrains the new pattern's edges to equal that value —
+        MatchJoinOnEdge.feature "Multiple Match joined on edge list":
+        `WITH relationships(p1) AS e MATCH p2=…-[e:like*1..2]-…`
+        keeps only p2 enumerations whose hop list IS e. Identity
+        compares on storage orientation (Edge.cpp keyEqual), so an
+        undirected re-traversal matches the directed original."""
+        from pyspark.sql.types import ArrayType, StructType
+        vt = cur.schema[ea].dataType
+
+        def canon(c):
+            fwd = c["t"] != -1
+            return F.struct(
+                F.when(fwd, c["s"]).otherwise(c["d"]).alias("s"),
+                F.when(fwd, c["d"]).otherwise(c["s"]).alias("d"),
+                c["r"].alias("r"), c["et"].alias("et"))
+        if isinstance(vt, ArrayType):
+            if f"{ea}__path" not in cur.columns:
+                raise ValueError(f"`{ea}' binding to different type: "
+                                 "Edge vs EdgeList")
+            val, pl = F.col(ea), F.col(f"{ea}__path")
+            zipped = F.zip_with(val, pl, lambda a, b: canon(a) == canon(b))
+            return cur.filter((F.size(val) == F.size(pl))
+                              & F.forall(zipped, lambda x: x))
+        if isinstance(vt, StructType):
+            if f"{ea}___src" not in cur.columns:
+                raise ValueError(f"`{ea}' binding to different type: "
+                                 "EdgeList vs Edge")
+            return cur.filter(canon(F.col(ea)) == _edge_canon(ea))
+        raise ValueError(f"`{ea}' binding to different type: Edge vs "
+                         + str(vt))
+
     for cl in st.clauses:
         if isinstance(cl, A.MatchClause):
             # relationship uniqueness is per path pattern, NOT across
@@ -3662,6 +3744,27 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 seen_e |= {me.alias for me in path.edges if me.alias}
                 if path.path_alias:
                     seen_p.add(path.path_alias)
+            # a node alias colliding with a WITH-projected VALUE column
+            # is a same-vertex constraint (AliasTypeDeduce.feature:
+            # `WITH c[0][0][0] AS prev … OPTIONAL MATCH (curr)<-…->(prev)`)
+            # — materialize its ___vid binding so the ordinary shared-
+            # alias join applies (left-join keys stay base-side, so an
+            # OPTIONAL miss keeps the bound vid and nulls only the
+            # pattern's own columns)
+            if cur is not None:
+                from pyspark.sql.types import StructType as _VST
+                for path in cl.paths:
+                    for n_ in path.nodes:
+                        a_ = n_.alias
+                        if a_ and a_ not in bound and a_ not in ebound \
+                                and a_ in cur.columns \
+                                and f"{a_}___vid" not in cur.columns:
+                            vt_ = cur.schema[a_].dataType
+                            vid_ = F.col(a_)["vid"] \
+                                if isinstance(vt_, _VST) else F.col(a_)
+                            cur = cur.withColumn(f"{a_}___vid", vid_)
+                            bound.add(a_)
+                            tagmap.setdefault(a_, None)
             built = [_build_pattern(space, path, counter,
                                     lazy_path_props=lazy_props)
                      for path in cl.paths]
@@ -3696,9 +3799,14 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 if cur is None:
                     cur = pat
                 else:
+                    val_e = [] if cl.optional else \
+                        [ea for ea in eals if ea not in ebound
+                         and ea in cur.columns]
                     cur = _join_pattern(
                         cur, bound, ebound, pat, set(aliases), set(eals),
                         "left" if cl.optional else "inner")
+                    for ea in val_e:
+                        cur = _edge_value_constraint(cur, ea)
                 bound |= aliases
                 ebound |= eals
                 pbound |= ppaths
@@ -4513,11 +4621,21 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt,
         except Exception:  # noqa: BLE001 — unresolvable probes keep going
             probe_t = None
         want = dt.get(p, "")
-        bad_type = (isinstance(probe_t, StringType)
-                    and want.startswith(("bigint", "int", "smallint",
-                                         "tinyint", "double", "float",
-                                         "boolean"))) or \
-                   (isinstance(probe_t, NumericType) and want == "string")
+        # json_extract(s)[key] carries the JSON value's OWN type in the
+        # reference (its Value map is dynamically typed —
+        # SubscriptInUpdate.feature sets an int column from ['b']); our
+        # map<string,string> encoding makes the probe statically string,
+        # so exempt that provenance and let the numeric cast decide
+        dyn_json = (isinstance(e, tuple) and e[0] == "subscript"
+                    and isinstance(e[1], tuple)
+                    and e[1][0] in ("call", "call_distinct")
+                    and str(e[1][1]).lower() == "json_extract")
+        bad_type = (not dyn_json) and (
+            (isinstance(probe_t, StringType)
+             and want.startswith(("bigint", "int", "smallint",
+                                  "tinyint", "double", "float",
+                                  "boolean"))) or
+            (isinstance(probe_t, NumericType) and want == "string"))
         if bad_type:
             hit = base if guard is None else base.filter(guard)
             if hit.limit(1).count() > 0:

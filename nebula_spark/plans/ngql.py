@@ -2152,17 +2152,23 @@ class Parser:
             if self.peek().kind == "STAR":
                 self.eat("STAR")
                 var_len = True
+                # parser.yy match_step_range: `*` → [1, ∞), `*m` →
+                # [m, m], `*..n` → [1, n], `*m..` → [m, ∞), `*m..n` →
+                # [m, n] (MatchStepRange.h default max SIZE_MAX). The
+                # open-ended ranges carry max_hops=None — traverse()
+                # iterates until edge-uniqueness empties the frontier.
                 if self.peek().kind == "INT":
                     mn = mx = int(self.eat("INT").text)
                     if self.peek().kind == "DOTDOT":
                         self.eat("DOTDOT")
-                        mx = int(self.eat("INT").text)
+                        mx = int(self.eat("INT").text) \
+                            if self.peek().kind == "INT" else None
                 elif self.peek().kind == "DOTDOT":
                     self.eat("DOTDOT")
                     mn = 1
                     mx = int(self.eat("INT").text)
                 else:
-                    mn, mx = 1, 5
+                    mn, mx = 1, None
             if self.peek().kind == "LC":   # inline edge props {k: v, …}
                 self.eat("LC")
                 while self.peek().kind != "RC":
@@ -2187,7 +2193,7 @@ class Parser:
             direction = "both"
         else:
             self.eat("MINUS")
-        if mn > mx:
+        if mx is not None and mn > mx:
             # the reference refuses an inverted range at validation
             # (MatchValidator::validateStepRange,
             # MatchValidator.cpp:574-580) — left unchecked it crashed

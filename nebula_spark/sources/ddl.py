@@ -64,7 +64,10 @@ _COL = re.compile(
     # DEFAULT takes the rest of the column def up to an optional COMMENT
     # — it may be a constant expression like datetime("…") that the
     # statement re-serializer spaced out into several tokens
-    r"(\s+not\s+null)?(?:\s+default\s+(.+?))?"
+    # nullability: NOT NULL or an explicit NULL (parser.yy column_spec —
+    # bare NULL is the default and parses as a no-op,
+    # TimeDefaultValue.feature `col1 date NULL default NULL`)
+    r"(\s+not\s+null|\s+null)?(?:\s+default\s+(.+?))?"
     r"(?:\s+comment\s+(\"[^\"]*\"|'[^']*'))?\s*$", re.IGNORECASE)
 
 
@@ -123,6 +126,10 @@ def _parse_cols(body: str) -> tuple[StructType, dict, list, dict]:
         if not m:
             raise ValueError(f"bad column def: {part!r}")
         name, typ, flen, notnull, default, comment = m.groups()
+        # the group also matches an explicit bare NULL — that spells
+        # the default nullability, not a constraint
+        if notnull is not None and "not" not in notnull.lower():
+            notnull = None
         if comment is not None:
             comments[name] = comment[1:-1]
         ref_type = typ.lower()

@@ -31,6 +31,7 @@ column headers must equal ``df.columns`` exactly.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -156,6 +157,9 @@ class _P:
         if c == "{":
             return self.map_or_set()
         if c == "-" or c.isdigit():
+            if self.s[self.i:self.i + 4] == "-inf":
+                self.i += 4
+                return float("-inf")
             return self.number()
         w = self.ident()
         lw = w.lower()
@@ -174,6 +178,8 @@ class _P:
             return False
         if lw == "nan":
             return float("nan")
+        if lw == "inf":
+            return float("inf")
         raise ValueError(f"unknown bare word {w!r}")
 
     def list_(self):
@@ -621,10 +627,17 @@ def _num_eq(a, b) -> bool:
     if isinstance(a, bool) != isinstance(b, bool):
         return False
     try:
-        return abs(float(a) - float(b)) <= 1e-6 * max(
-            1.0, abs(float(a)), abs(float(b)))
+        fa, fb = float(a), float(b)
     except (TypeError, ValueError):
         return False
+    # IEEE-754 specials render as table cells `nan`/`inf`/`-inf`
+    # (NaNInfinityFloat.feature) — compare identity-wise, not by
+    # difference (nan - nan is nan, inf - inf is nan)
+    if math.isnan(fa) or math.isnan(fb):
+        return math.isnan(fa) and math.isnan(fb)
+    if math.isinf(fa) or math.isinf(fb):
+        return fa == fb
+    return abs(fa - fb) <= 1e-6 * max(1.0, abs(fa), abs(fb))
 
 
 def _render(v) -> str:
@@ -690,20 +703,11 @@ def values_match(exp, act) -> bool:
     if isinstance(exp, Path):
         if not isinstance(act, Path):
             return False
-        if not values_match(exp.start, act.start):
-            return False
-        if len(exp.hops) != len(act.hops):
-            return False
-        cur = exp.start.vid
-        for (ed, ee, ev), (ad, ae, av) in zip(exp.hops, act.hops):
-            # a self-loop hop has no observable direction (the reference
-            # renders whichever entry it read — NoLoop.feature self-loop)
-            if ed != ad and ev.vid != cur:
-                return False
-            if not values_match(ee, ae) or not values_match(ev, av):
-                return False
-            cur = ev.vid
-        return True
+        # the reference's renderer may assemble the SAME result path
+        # from either end depending on which node FindStart seeded
+        # (BuildPathMistake.feature pins the cycle row reversed while
+        # its siblings render forward) — accept either rendering
+        return _path_match(exp, act) or _path_match(exp, _rev_path(act))
     if isinstance(exp, tuple) and exp and exp[0] == "SET":
         if not (isinstance(act, tuple) and act and act[0] == "LIST"):
             return False
@@ -728,6 +732,34 @@ def values_match(exp, act) -> bool:
             return False
         return all(values_match(v, am[k]) for k, v in exp.items())
     return False
+
+
+def _rev_path(p: Path) -> Path:
+    """The same path rendered from its other end: reversed hop order,
+    flipped hop directions, node sequence shifted by one."""
+    nodes = [p.start] + [v for _d, _e, v in p.hops]
+    hops = []
+    for i in range(len(p.hops) - 1, -1, -1):
+        d, e, _v = p.hops[i]
+        hops.append(("R" if d == "F" else "F", e, nodes[i]))
+    return Path(nodes[-1], tuple(hops))
+
+
+def _path_match(exp: Path, act: Path) -> bool:
+    if not values_match(exp.start, act.start):
+        return False
+    if len(exp.hops) != len(act.hops):
+        return False
+    cur = exp.start.vid
+    for (ed, ee, ev), (ad, ae, av) in zip(exp.hops, act.hops):
+        # a self-loop hop has no observable direction (the reference
+        # renders whichever entry it read — NoLoop.feature self-loop)
+        if ed != ad and ev.vid != cur:
+            return False
+        if not values_match(ee, ae) or not values_match(ev, av):
+            return False
+        cur = ev.vid
+    return True
 
 
 def _loose_eq(a, b) -> bool:

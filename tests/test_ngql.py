@@ -315,9 +315,17 @@ def test_go_step_limit(space):
 
 
 def test_go_step_sample(space):
-    # random per-vertex sample of 1: one edge per source
+    # SAMPLE is a GLOBAL per-step random draw (GO.feature "go step
+    # sample": 3 steps with SAMPLE [1,3,2] returns exactly 2 rows), not
+    # per-vertex truncation — that is LIMIT's semantics
     df = execute(space, 'GO FROM "p1","p2","p3" OVER like '
-                        'YIELD src(edge) AS s, dst(edge) AS d SAMPLE [1]')
+                        'YIELD src(edge) AS s, dst(edge) AS d SAMPLE [2]')
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {r.s for r in rows} <= {"p1", "p2", "p3"}
+    # LIMIT keeps the per-vertex window (storage truncate) semantics
+    df = execute(space, 'GO FROM "p1","p2","p3" OVER like '
+                        'YIELD src(edge) AS s, dst(edge) AS d LIMIT [1]')
     rows = df.collect()
     assert len(rows) == 3
     assert {r.s for r in rows} == {"p1", "p2", "p3"}
@@ -494,22 +502,32 @@ def test_typed_null_strict_mode(space):
 
     spark = space.spark
 
-    # DIV_BY_ZERO: yield.feature:505 — default folds to NULL
-    assert execute(space, "YIELD 1/0 AS x").collect()[0].x is None
-    assert execute(space, "YIELD 2%0 AS x").collect()[0].x is None
+    # DIV_BY_ZERO on CONSTANTS is the reference's validation-time
+    # SemanticError in every mode (yield.feature:505 'Divide by 0' —
+    # the r9 sweep aligned the fold); runtime (column-typed) division
+    # keeps the default-NULL / strict-raise split
+    for q in ("YIELD 1/0 AS x", "YIELD 2%0 AS x"):
+        with pytest.raises(ValueError, match="Divide by 0"):
+            execute(space, q).collect()
+    rt_div = ('LOOKUP ON player YIELD player.age AS a | '
+              'YIELD $-.a/0 AS x | LIMIT 1')
+    assert execute(space, rt_div).collect()[0].x is None
     with strict_nulls(spark):
         with pytest.raises(Exception, match="DIVIDE_BY_ZERO|Division"):
-            execute(space, "YIELD 1/0 AS x").collect()
-        with pytest.raises(Exception, match="REMAINDER_BY_ZERO|DIVIDE"):
-            execute(space, "YIELD 2%0 AS x").collect()
+            execute(space, rt_div).collect()
 
-    # ERR_OVERFLOW: yield.feature:502 — default wraps (int64 two's
-    # complement, same cells Spark computes), strict raises
-    assert execute(space,
-                   "YIELD 9223372036854775807*-2 AS x").collect()[0].x == 2
+    # ERR_OVERFLOW: constant overflow refuses at validation
+    # (yield.feature:502, CalculateOverflow); runtime overflow wraps in
+    # default mode (int64 two's complement — the same cells Spark
+    # computes) and raises in strict
+    with pytest.raises(ValueError, match="cannot be represented"):
+        execute(space, "YIELD 9223372036854775807*-2 AS x").collect()
+    rt_ovf = ('LOOKUP ON player YIELD player.age AS a | '
+              'YIELD ($-.a*0+9223372036854775807)+($-.a*0+1) AS x | LIMIT 1')
+    assert execute(space, rt_ovf).collect()[0].x == -2**63
     with strict_nulls(spark):
         with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
-            execute(space, "YIELD 9223372036854775807*-2 AS x").collect()
+            execute(space, rt_ovf).collect()
 
     # BAD_DATA: unparseable cast — default NULL, strict raises
     assert execute(space, 'YIELD (INT)"abc" AS x').collect()[0].x is None

@@ -42,7 +42,8 @@ DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    ".skew_scale")
 
 PASSTHROUGH = ["region", "nation", "part", "supplier", "embeddings"]
-QUERIES = ["go_2step", "bfs_distances", "sessionize", "dedup_clusters"]
+QUERIES = ["go_2step", "bfs_distances", "sessionize", "minhash_lsh_pairs",
+           "dedup_clusters"]
 
 
 def _u01(col):
