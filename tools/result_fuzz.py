@@ -323,7 +323,9 @@ def gen_go_groupby(rng, frames):
 
 
 def gen_go_orderby(rng, frames):
-    """GO … | ORDER BY all cols | LIMIT — ordered list compare."""
+    """GO … | ORDER BY all cols | LIMIT [OFFSET] — ordered list compare.
+    The sort covers every output column, so the window is deterministic
+    and OFFSET windows (r9 front-end forms) compare exactly."""
     edge = rng.choice(("like", "knows"))
     p = E_PROPS[edge][0]
     direction = rng.choice(("", "REVERSELY"))
@@ -333,9 +335,11 @@ def gen_go_orderby(rng, frames):
     d1 = rng.choice(("ASC", "DESC"))
     d2 = rng.choice(("ASC", "DESC"))
     lim = rng.randint(1, 12)
+    off = rng.choice((0, 0, 1, 2, 5))
+    off_n = f" OFFSET {off}" if off else ""
     ngql = (f"GO FROM {qv} OVER {edge} {direction} "
             f"YIELD {edge}._dst AS d, {edge}.{p} AS w "
-            f"| ORDER BY $-.w {d1}, $-.d {d2} | LIMIT {lim}"
+            f"| ORDER BY $-.w {d1}, $-.d {d2} | LIMIT {lim}{off_n}"
             ).replace("  ", " ")
     ori = _oriented_sql(edge, direction)
     # reference NULL order: last when ASC, first when DESC (Value.h type
@@ -345,8 +349,102 @@ def gen_go_orderby(rng, frames):
     sql = (f"WITH e AS (SELECT * FROM ({ori}) h), "
            f"f0 AS (SELECT unnest(ARRAY[{sv}]) AS v) "
            f"SELECT h.nb AS d, h.{p} AS w FROM e h JOIN f0 f "
-           f"ON h.og = f.v ORDER BY w {d1} {n1}, d {d2} {n2} LIMIT {lim}")
+           f"ON h.og = f.v ORDER BY w {d1} {n1}, d {d2} {n2} "
+           f"LIMIT {lim} OFFSET {off}")
     return ngql, sql, "list"
+
+
+def gen_setops(rng, frames):
+    """Set ops between two LOOKUPs vs DuckDB (r10). Reference semantics
+    (SetExecutor.cpp): UNION dedups, UNION ALL keeps bags, MINUS /
+    INTERSECT are null-safe left-anti/semi MEMBERSHIP joins — LHS
+    duplicates survive, so the SQL twin is NOT EXISTS / EXISTS with
+    IS NOT DISTINCT FROM, not EXCEPT/INTERSECT."""
+    items = rng.sample([("player.age AS a", "age AS a", "a"),
+                        ("player.score AS sc", "score AS sc", "sc"),
+                        ("player.name AS n", "name AS n", "n")],
+                       k=rng.randint(1, 2))
+    ni = ", ".join(i for i, _s, _c in items)
+    si = ", ".join(s for _i, s, _c in items)
+    cols = [c for _i, _s, c in items]
+    p1n, p1s = gen_vpred(rng, "player.", "")
+    p2n, p2s = gen_vpred(rng, "player.", "")
+    q1n = f"LOOKUP ON player WHERE {p1n} YIELD {ni}"
+    q2n = f"LOOKUP ON player WHERE {p2n} YIELD {ni}"
+    q1s = f"SELECT {si} FROM player WHERE {p1s}"
+    q2s = f"SELECT {si} FROM player WHERE {p2s}"
+    op = rng.choice(("UNION", "UNION ALL", "MINUS", "INTERSECT"))
+    ngql = f"{q1n} {op} {q2n}"
+    if op in ("UNION", "UNION ALL"):
+        return ngql, f"({q1s}) {op} ({q2s})", "set"
+    cond = " AND ".join(f"(l.{c} IS NOT DISTINCT FROM r.{c})"
+                        for c in cols)
+    ex = "NOT EXISTS" if op == "MINUS" else "EXISTS"
+    sql = (f"SELECT * FROM ({q1s}) l WHERE {ex} "
+           f"(SELECT 1 FROM ({q2s}) r WHERE {cond})")
+    return ngql, sql, "set"
+
+
+def gen_unwind(rng, frames):
+    """UNWIND over a piped list — constant and prop-derived elements;
+    SQL twin via unnest (r10). NULL elements stay rows (openCypher keeps
+    nulls INSIDE lists; only a NULL/empty list yields no rows)."""
+    pred_n, pred_s = gen_vpred(rng, "player.", "")
+    els = []
+    for _ in range(rng.randint(1, 4)):
+        r = rng.random()
+        if r < 0.4:
+            k = rng.randint(-3, 9)
+            els.append((str(k), str(k)))
+        elif r < 0.7:
+            els.append(("$-.a", "age"))
+        else:
+            k = rng.randint(1, 5)
+            els.append((f"$-.a + {k}", f"age + {k}"))
+    nl = ", ".join(n for n, _s in els)
+    sl = ", ".join(s for _n, s in els)
+    ngql = (f"LOOKUP ON player WHERE {pred_n} YIELD player.age AS a "
+            f"| UNWIND [{nl}] AS u | YIELD $-.u AS u")
+    sql = (f"SELECT unnest(ARRAY[{sl}]) AS u FROM player "
+           f"WHERE {pred_s}")
+    return ngql, sql, "set"
+
+
+def gen_dml_roundtrip(rng, frames):
+    """Lane C (r10): a random DML script on a fresh space, final state
+    vs a Python simulation of the reference's mutation semantics
+    (INSERT overwrites, IF NOT EXISTS skips, UPDATE requires the key,
+    UPSERT inserts-with-defaults, DELETE drops). kind='dml' — run_trials
+    builds the space, runs the script, dumps and compares."""
+    sim: dict[str, int] = {}
+    stmts: list[str] = []
+    keys = [f"k{i}" for i in range(6)]
+    for _ in range(rng.randint(4, 12)):
+        k = rng.choice(keys)
+        roll = rng.random()
+        if roll < 0.35:
+            v = rng.randint(0, 99)
+            stmts.append(f'INSERT VERTEX kv(x) VALUES "{k}":({v})')
+            sim[k] = v
+        elif roll < 0.50:
+            v = rng.randint(0, 99)
+            stmts.append(
+                f'INSERT VERTEX IF NOT EXISTS kv(x) VALUES "{k}":({v})')
+            sim.setdefault(k, v)
+        elif roll < 0.70 and k in sim:
+            c = rng.randint(1, 9)
+            stmts.append(f'UPDATE VERTEX ON kv "{k}" SET x = x + {c}')
+            if sim[k] is not None:
+                sim[k] += c
+        elif roll < 0.85:
+            v = rng.randint(0, 99)
+            stmts.append(f'UPSERT VERTEX ON kv "{k}" SET x = {v}')
+            sim[k] = v
+        elif k in sim:
+            stmts.append(f'DELETE VERTEX "{k}"')
+            sim.pop(k, None)
+    expected = sorted(sim.items())
+    return stmts, expected, "dml"
 
 
 # ------------------------------------------------------------ lane B gen
@@ -508,6 +606,7 @@ GENERATORS = [
     (gen_meta_match_varlen, 5), (gen_meta_bidirect, 4),
     (gen_meta_pipe_identity, 4), (gen_match_filter, 8),
     (gen_match_badtype_logic, 5), (gen_match_edge_endpoints, 5),
+    (gen_setops, 7), (gen_unwind, 6), (gen_dml_roundtrip, 4),
 ]
 _WHEEL = [g for g, w in GENERATORS for _ in range(w)]
 
@@ -554,6 +653,22 @@ def run_trials(spark, sp, con, n_trials: int, seed: int, log=None):
             errors.append((gen.__name__, "<gen>", repr(ex)))
             continue
         try:
+            if kind == "dml":
+                from nebula_spark.catalog import GraphSpace
+                fresh = GraphSpace(spark, f"fuzz_dml_{i}")
+                execute(fresh, "CREATE TAG kv(x int)")
+                for stmt in q:
+                    execute(fresh, stmt)
+                got = [tuple(r) for r in execute(
+                    fresh, "LOOKUP ON kv YIELD id(vertex) AS v, kv.x AS x"
+                ).collect()]
+                want = oracle
+                if canon(got) != canon(want):
+                    mismatches.append((gen.__name__, "; ".join(q), oracle,
+                                       canon(got)[:8], canon(want)[:8]))
+                    if log:
+                        log(f"MISMATCH [{gen.__name__}] {'; '.join(q)}")
+                continue
             got = execute(sp, q).collect()
             got = [tuple(r) for r in got]
             if kind == "list":
