@@ -331,6 +331,31 @@ def test_go_step_sample(space):
     assert {r.s for r in rows} == {"p1", "p2", "p3"}
 
 
+def test_match_varlen_open_ended(spark):
+    """`[e*]` and `[e*m..]` are OPEN-ENDED ranges (parser.yy
+    match_step_range → MatchStepRange.h default max SIZE_MAX), NOT a
+    capped window: traverse() iterates until per-path edge uniqueness
+    empties the frontier. A 7-edge chain distinguishes unbounded from
+    any small cap."""
+    sp = GraphSpace(spark, "chain_open")
+    n = 8
+    sp.create_tag("node", df=spark.createDataFrame(
+        [(f"n{i}",) for i in range(n)], "_vid string"))
+    sp.create_edge("r", df=spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 0) for i in range(n - 1)],
+        "_src string, _dst string, _rank long"))
+    rows = execute(sp, 'MATCH (a:node)-[e:r*]->(b) '
+                       "WHERE id(a) == 'n0' "
+                       'RETURN id(b) AS b, size(e) AS hops').collect()
+    got = {(r.b, r.hops) for r in rows}
+    assert got == {(f"n{i}", i) for i in range(1, n)}, got
+    # *3.. : lower bound honored, still unbounded above
+    rows = execute(sp, 'MATCH (a:node)-[e:r*3..]->(b) '
+                       "WHERE id(a) == 'n0' "
+                       'RETURN size(e) AS hops').collect()
+    assert sorted(r.hops for r in rows) == [3, 4, 5, 6, 7]
+
+
 def test_graph_value_functions(space):
     df = execute(space,
                  'MATCH (v:player {name: "Tim"})-[e:serve]->(t:team) '
