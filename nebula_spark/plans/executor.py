@@ -4077,6 +4077,29 @@ def _cast_like(df: DataFrame, table: DataFrame) -> DataFrame:
 
 
 _REBIND_CHECKPOINT_EVERY = 8
+_STATS_RESET_MAX_ROWS = 20_000
+
+
+def _stats_reset(df: DataFrame, n: int) -> DataFrame:
+    """Rebuild a SMALL materialized frame as a LocalRelation so Catalyst
+    stats restart from REAL bytes.
+
+    localCheckpoint severs LINEAGE but PRESERVES the child plan's
+    sizeInBytes estimate (LogicalRDD keeps originStats), and an UPDATE
+    plan joins the table with a table-derived side (update_rows:
+    table ⋈ updates) — so the estimate SQUARES per statement. By ~20
+    sequential UPDATEs the BigInt product has millions of digits and
+    the driver burns minutes inside SizeInBytesOnlyStatsPlanVisitor's
+    Toom-Cook multiplications (r10 finding: the shared-space UPDATE
+    race hung the whole suite; reproduced single-threaded — digit
+    counts 58→133→285→588→1194→2407→4832 over six statements). A
+    collect + createDataFrame on the already-materialized rows is one
+    cheap driver pass for DML-sized frames and fully resets the
+    estimate; larger frames keep the checkpoint (their stats then grow
+    only linearly — the keys side is a real-stats LocalRelation)."""
+    if 0 <= n <= _STATS_RESET_MAX_ROWS:
+        return df.sparkSession.createDataFrame(df.collect(), df.schema)
+    return df
 
 
 def _rebind(space: GraphSpace, name: str, is_edge: bool,
@@ -4118,7 +4141,11 @@ def _rebind(space: GraphSpace, name: str, is_edge: bool,
     k = (is_edge, name)
     counts[k] = counts.get(k, 0) + 1
     if counts[k] % _REBIND_CHECKPOINT_EVERY == 0:
-        new_df = new_df.localCheckpoint(eager=True)
+        from nebula_spark.operators.traverse import checkpoint_count
+        new_df, n = checkpoint_count(new_df)
+        # reset Catalyst's size estimate too — it rides through the
+        # checkpoint and compounds across statements (see _stats_reset)
+        new_df = _stats_reset(new_df, n)
     maker(name, df=new_df, ttl_col=d.ttl_col, ttl_duration=d.ttl_duration,
           decl=d.decl, defaults=d.defaults, required=d.required,
           comments=d.comments)
@@ -4661,9 +4688,18 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt,
         from nebula_spark.operators.traverse import checkpoint_observe
         updates, m = checkpoint_observe(
             updates, missing=F.sum(
-                F.when(F.col("__exists").isNull(), 1).otherwise(0)))
+                F.when(F.col("__exists").isNull(), 1).otherwise(0)),
+            n=F.count(F.lit(1)))
         if int(m["missing"] or 0) > 0:
             raise ValueError("Storage Error: Vertex or edge not found.")
+        updates = _stats_reset(updates, int(m["n"]))
+    else:
+        # UPSERT: same materialize + stats reset — without it the
+        # table ⋈ updates(table-derived) join SQUARES the sizeInBytes
+        # estimate per statement (see _stats_reset)
+        from nebula_spark.operators.traverse import checkpoint_count
+        updates, n_upd = checkpoint_count(updates)
+        updates = _stats_reset(updates, n_upd)
     updates = updates.drop("__exists")
     new = update_rows(table, updates, key, st.insertable)
     _rebind(space, st.name, st.is_edge, new)
