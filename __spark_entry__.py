@@ -1075,11 +1075,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup cluster assignment: LSH candidate pairs → connected
-    components, cluster id = min member (the doc a dedup pass keeps)."""
-    from nebula_spark.pipeline import connected_components, minhash_lsh_pairs
+    """Near-dup cluster assignment: LSH bucket STAR edges → connected
+    components, cluster id = min member (the doc a dedup pass keeps).
+    Star edges (doc → bucket-min) span the same components as the
+    all-pairs bucket cliques but stay LINEAR in bucket size — the
+    100 TB shape where one duplicate-heavy template must not emit a
+    quadratic pair list (r10; see pipeline.dedup.lsh_star_edges)."""
+    from nebula_spark.pipeline import connected_components, lsh_star_edges
     docs = load_tables(spark, sf, ("documents",))["documents"]
-    pairs = minhash_lsh_pairs(docs, k=3, num_hashes=8, bands=4)
+    pairs = lsh_star_edges(docs, k=3, num_hashes=8, bands=4)
     cc = connected_components(pairs, "id_a", "id_b")
     return (cc.select(F.col("node").alias("doc_id"), "cluster_id")
             .orderBy("doc_id"))

@@ -207,6 +207,46 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str = "doc_id",
                        F.round(est, 6).alias("est_jaccard"))
 
 
+def lsh_star_edges(df: DataFrame, key_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3,
+                   num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Linear-output LSH bucketing for CLUSTERING: within each
+    (band, band-signature) bucket emit one edge doc → bucket-min instead
+    of all O(n²) pairs. A star spans exactly the same connected
+    component as the clique, so cluster assignment downstream is
+    IDENTICAL to feeding minhash_lsh_pairs into connected_components —
+    but a 1M-clone duplicate group costs 10⁶ edges, not 5·10¹¹ pairs.
+    (r10 skew-probe finding: a 10%-template skew dataset turned a
+    500-doc group into 145k pairs; quadratic pair output is inherent to
+    the pairs-with-similarity CONTRACT, not to clustering.)
+
+    One window shuffle on (band, bsig) + one distinct — no self-join.
+    Returns (id_a, id_b) edges with id_a = bucket min, id_a < id_b.
+    """
+    from pyspark.sql.window import Window
+
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    from nebula_spark.session import scoped_conf
+    sigs = minhash_signatures(df, key_col, text_col, k, num_hashes)
+    with scoped_conf(df.sparkSession,
+                     **{"spark.sql.codegen.wholeStage": "false"}):
+        sigs = sigs.localCheckpoint(eager=True)
+    banded = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.array_join(F.slice("sig", i * r + 1, r), "_")
+                     .alias("bsig"))
+            for i in range(bands)])).alias("b"))
+    w = Window.partitionBy("b.band", "b.bsig")
+    return (banded.withColumn("_root", F.min("id").over(w))
+            .filter(F.col("id") != F.col("_root"))
+            .select(F.col("_root").alias("id_a"), F.col("id").alias("id_b"))
+            .distinct())
+
+
 def simhash64(df: DataFrame, key_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """SimHash: 64-bit near-dup signature — per-token md5 hash, per-bit

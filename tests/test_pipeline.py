@@ -77,6 +77,29 @@ def test_minhash_detects_neardups(spark):
     assert all(p != (1, 3) and p != (2, 3) for p in ids)
 
 
+def test_lsh_star_edges_same_clusters_linear_output(spark):
+    """Star edges (doc → bucket-min) must yield IDENTICAL connected
+    components as the all-pairs bucket cliques while staying linear in
+    bucket size — the 100 TB dedup shape (a clone-heavy template must
+    not emit a quadratic pair list; r10 skew-probe finding)."""
+    from nebula_spark.pipeline import connected_components, lsh_star_edges
+    tmpl = "the same duplicated template text repeated often enough "
+    rows = [(i, tmpl + f"tail{i % 3}") for i in range(30)]       # clones
+    rows += [(100 + i, f"unique document number {i} " * 8 +
+              f"salt{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, k=3, num_hashes=8, bands=4)
+    star = lsh_star_edges(df, k=3, num_hashes=8, bands=4)
+    n_pairs, n_star = pairs.count(), star.count()
+    # the clone group produces a quadratic clique but a linear star
+    assert n_star < n_pairs, (n_star, n_pairs)
+    c_pairs = {(r.node, r.cluster_id) for r in
+               connected_components(pairs, "id_a", "id_b").collect()}
+    c_star = {(r.node, r.cluster_id) for r in
+              connected_components(star, "id_a", "id_b").collect()}
+    assert c_pairs == c_star
+
+
 def test_simhash_close_for_neardups(spark):
     a = " ".join(f"tok{i}" for i in range(60))
     b = " ".join(f"tok{i}" for i in range(59)) + " changed"
