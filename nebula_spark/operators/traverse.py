@@ -333,10 +333,17 @@ def traverse(edges: DataFrame, start: DataFrame, min_hops: int = 1,
     # max SIZE_MAX): iterate until edge-uniqueness empties the frontier.
     # Each unbounded superstep eagerly checkpoints + counts, so the loop
     # is frontier-bounded (≤ longest simple edge path), never SIZE_MAX.
-    unbounded = max_hops is None
+    # A LARGE bounded range takes the same counted loop — the TCK's
+    # `[:serve*1000000000..1000000002]` (VariableLengthPattern.feature
+    # "Over expand end") must terminate on frontier death, not unroll a
+    # billion driver iterations; small ranges keep the free-running
+    # unrolled loop (no per-hop count job).
+    unbounded = max_hops is None or max_hops > 32
     hop = 0
     while unbounded or hop < max_hops:
         hop += 1
+        if max_hops is not None and hop > max_hops:
+            break
         new_edge = F.struct(*_edge_id_fields(), *extra) if props \
             else _edge_id()
         # edge-uniqueness via array_contains(path, struct(...)) — a lambda

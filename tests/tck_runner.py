@@ -248,16 +248,28 @@ class _P:
         if self.try_eat(":"):
             etype = self.ident()
         src = dst = None
+
+        def _arrow():
+            # `"a"->"b"` is an edge a→b; `"a"<-"b"` the stored edge b→a
+            # (VariableLengthPattern.feature reversed-hop cells)
+            if self.try_eat("<-"):
+                return True
+            self.eat("->")
+            return False
         if self.peek() in "\"'":
             src = self.string()
-            self.eat("->")
+            rev = _arrow()
             dst = self.string() if self.peek() in "\"'" else self.number()
+            if rev:
+                src, dst = dst, src
         elif self.peek().isdigit() or (self.peek() == "-"
                                        and not self.s.startswith(
                                            "->", self.i)):
             src = self.number()
-            self.eat("->")
+            rev = _arrow()
             dst = self.string() if self.peek() in "\"'" else self.number()
+            if rev:
+                src, dst = dst, src
         rank = None
         if self.try_eat("@"):
             rank = self.number()
@@ -692,8 +704,12 @@ def values_match(exp, act) -> bool:
             return False
         if exp.dst is not None and not _loose_eq(exp.dst, act.dst):
             return False
-        er = 0 if exp.rank is None else exp.rank
-        if act.rank is not None and not _num_eq(er, act.rank):
+        # a cell WITHOUT @rank leaves the rank UNCHECKED — the corpus
+        # relies on it for parallel edges (VariableLengthPattern.feature
+        # lists two identical `"MB"->"Hornets"` cells, one per rank);
+        # tables that pin a rank spell @0/@1 explicitly
+        if exp.rank is not None and act.rank is not None \
+                and not _num_eq(exp.rank, act.rank):
             return False
         act_props = dict(act.props)
         for k, pv in exp.props:
@@ -768,18 +784,33 @@ def _loose_eq(a, b) -> bool:
     return a == b
 
 
-def _multiset_match(exp_rows: list, act_rows: list) -> bool:
+def _bipartite_match(exp_rows: list, act_rows: list, match_fn) -> bool:
+    """Perfect matching between expected and actual rows. GREEDY
+    first-fit is order-sensitive once cells carry wildcards (an edge
+    without @rank matches several actuals) — a wildcard row can consume
+    the only actual a LATER pinned row accepts. Augmenting paths find a
+    perfect matching whenever one exists (rows are few; O(V·E) is
+    nothing here)."""
     if len(exp_rows) != len(act_rows):
         return False
-    used = [False] * len(act_rows)
-    for e in exp_rows:
-        for j, a in enumerate(act_rows):
-            if not used[j] and values_match(e, a):
-                used[j] = True
-                break
-        else:
-            return False
-    return True
+    adj = [[j for j, a in enumerate(act_rows) if match_fn(e, a)]
+           for e in exp_rows]
+    owner = [-1] * len(act_rows)
+
+    def aug(i, seen):
+        for j in adj[i]:
+            if not seen[j]:
+                seen[j] = True
+                if owner[j] == -1 or aug(owner[j], seen):
+                    owner[j] = i
+                    return True
+        return False
+    return all(aug(i, [False] * len(act_rows))
+               for i in range(len(exp_rows)))
+
+
+def _multiset_match(exp_rows: list, act_rows: list) -> bool:
+    return _bipartite_match(exp_rows, act_rows, values_match)
 
 
 def run_assertion(space, a, execute):
@@ -828,14 +859,4 @@ def _row_match(er, ar) -> bool:
 
 
 def _ms(exp_rows, act_rows) -> bool:
-    if len(exp_rows) != len(act_rows):
-        return False
-    used = [False] * len(act_rows)
-    for e in exp_rows:
-        for j, a in enumerate(act_rows):
-            if not used[j] and _row_match(e, a):
-                used[j] = True
-                break
-        else:
-            return False
-    return True
+    return _bipartite_match(exp_rows, act_rows, _row_match)
