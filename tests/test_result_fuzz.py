@@ -35,7 +35,8 @@ def test_result_fuzz_smoke(spark):
                     f"{mm[0][0]}: {mm[0][1]!r}\n got={mm[0][3]}"
                     f"\nwant={mm[0][4]}")
     # the wheel must actually exercise every generator
-    assert len(counts) == 13, counts
+    from tools.result_fuzz import GENERATORS
+    assert len(counts) == len(GENERATORS), counts
 
 
 @pytest.mark.parametrize("q,expected_distinct", [

@@ -4208,12 +4208,15 @@ def test_goyve_reversely_vertex_and_props(nba_space):
 def test_goyve_pipe_carries_vertex_value(nba_space):
     """GoYieldVertexEdge.feature "reference pipe in yield and where"
     (3rd query) — a $^ vertex VALUE piped through $-.src survives the
-    next GO; id($$) works as the id accessor."""
+    next GO; id($$) works as the id accessor. Re-pinned r11: the
+    reference headers the unaliased yield AS WRITTEN (`$-.src` — the
+    feature's own expected table), not the bare piped name."""
     df = execute(nba_space,
                  'GO FROM "Yao Ming" OVER * YIELD $^ as src, '
                  'id($$) AS id | '
                  'GO FROM $-.id OVER * YIELD $-.src, id($$) as id')
-    got = [(r["src"].vid, r.id) for r in df.collect()]
+    assert df.columns == ["$-.src", "id"]
+    got = [(r["$-.src"].vid, r.id) for r in df.collect()]
     assert len(got) == 15
     assert all(s == "Yao Ming" for s, _ in got)
     assert sorted(i for _, i in got) == sorted([
@@ -8662,8 +8665,10 @@ def test_rank_pseudo_prop_and_user_prop_namespaces(spark):
     df = execute(sp, 'GO FROM "p1" OVER like YIELD like._rank AS r, '
                      "like._src AS s, like._dst AS d, like._type AS t, "
                      "like.rank AS pr")
-    assert rows(df, "r", "s", "d", "t", "pr") == [("p1", "p2", 0, "like", 5)] \
-        or [tuple(x) for x in df.collect()] == [(0, "p1", "p2", "like", 5)]
+    # re-pinned r11: `e._type` is the NUMERIC EdgeType id (GO.feature
+    # "edge type" pins /-?\d+/; ids assign by schema-name order, so the
+    # sole edge in this space is 1) — supersedes the r7 name rendering
+    assert [tuple(x) for x in df.collect()] == [(0, "p1", "p2", 1, 5)]
     df = execute(sp, 'FETCH PROP ON like "p2"->"p3"@1 YIELD like._rank '
                      "AS kr, like.rank AS pr")
     assert [tuple(x) for x in df.collect()] == [(1, 9)]

@@ -47,11 +47,17 @@ def test_values_match_vertex_is_vid_based():
     assert not values_match(exp, Vertex("Tim", (("", {"age": 43}),)))
 
 
-def test_values_match_edge_rank_defaults_zero():
+def test_values_match_edge_rank_semantics():
+    """Decided r10/r11: a cell WITHOUT @rank leaves rank UNCHECKED (the
+    corpus relies on it for parallel edges — VariableLengthPattern lists
+    two identical cells, one per rank); a cell WITH @rank pins it."""
     exp = parse_cell('[:like "a"->"b"]')
     assert values_match(exp, Edge(None, "a", "b", 0, ()))
-    assert not values_match(exp, Edge(None, "a", "b", 2, ()))
+    assert values_match(exp, Edge(None, "a", "b", 2, ()))      # wildcard
     assert not values_match(exp, Edge("serve", "a", "b", 0, ()))
+    pinned = parse_cell('[:like "a"->"b" @0]')
+    assert values_match(pinned, Edge(None, "a", "b", 0, ()))
+    assert not values_match(pinned, Edge(None, "a", "b", 2, ()))
 
 
 def test_regex_cell_matches_rendered():
