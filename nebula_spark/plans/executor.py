@@ -4551,10 +4551,43 @@ def _exec_insert(space: GraphSpace, st: A.InsertStmt) -> DataFrame:
     return space.spark.range(0)
 
 
+def _update_wrong_expr(st: A.UpdateStmt) -> None:
+    """UpdateValidator symbol check (UpdateValidator.cpp
+    checkAndResetSymExpr): an UPDATE/UPSERT EDGE may only reference the
+    updated edge's props — any `$^`/`$$` vertex expression is a
+    SemanticError ("2.0 storage not support update edge can use
+    vertex", Update.feature:142+); an UPDATE VERTEX additionally
+    forbids `$$` ("the $$.TagName.PropName expressions are not allowed
+    in any update sentence", Update.IntVid.feature:229). Clauses
+    validate SET → WHEN → YIELD (Update.IntVid.feature:237 reports the
+    SET's `($$.course.credits+1)` though WHEN/YIELD are also wrong) and
+    the error carries the clause's Expression::toString text — raised
+    BEFORE any mutation, so the stored row stays untouched."""
+    kinds = {"src_prop", "dst_prop", "src_vert", "dst_vert"} \
+        if st.is_edge else {"dst_prop", "dst_vert"}
+
+    def bad(e) -> bool:
+        if isinstance(e, tuple):
+            if e and e[0] in kinds:
+                return True
+            return any(bad(x) for x in e)
+        if isinstance(e, list):
+            return any(bad(x) for x in e)
+        return False
+
+    for e in ([e for _, e in st.sets]
+              + ([st.when] if st.when is not None else [])
+              + [it.expr for it in (st.yields or [])]):
+        if bad(e):
+            raise ValueError(
+                f"Has wrong expr in `{_expr_text(e) or '...'}'")
+
+
 def _exec_update(space: GraphSpace, st: A.UpdateStmt,
                  piped: DataFrame | None = None,
                  env: dict[str, DataFrame] | None = None) -> DataFrame:
     from nebula_spark.operators.mutate import update_rows
+    _update_wrong_expr(st)
     table = space.edge(st.name) if st.is_edge else space.tag(st.name)
     key = [SRC, DST, RANK] if st.is_edge else [VID]
     if st.var is not None:
@@ -4609,6 +4642,24 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt,
     # condition reads a row that does not exist yet)
     guard = None
     if st.when is not None:
+        # the WHEN condition must be statically Boolean
+        # (UpdateValidator deduce: `WHEN 123` → "`123', expected
+        # Boolean, but was `INT'", Update.feature:247-287)
+        from pyspark.sql.types import (BooleanType, NullType,
+                                       IntegralType, FractionalType,
+                                       StringType as _Str)
+        try:
+            wt = base.select(ec.col(st.when).alias("_w")) \
+                     .schema[0].dataType
+        except Exception:  # noqa: BLE001 — let the guard itself raise
+            wt = None
+        if wt is not None and not isinstance(wt, (BooleanType, NullType)):
+            tn = ("INT" if isinstance(wt, IntegralType) else
+                  "FLOAT" if isinstance(wt, FractionalType) else
+                  "STRING" if isinstance(wt, _Str) else
+                  wt.simpleString().upper())
+            raise ValueError(f"`{_expr_text(st.when) or '...'}', "
+                             f"expected Boolean, but was `{tn}'")
         guard = ec.col(st.when).cast("boolean")
         if st.insertable:
             guard = F.col("__exists").isNull() | guard
@@ -4696,10 +4747,29 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt,
     else:
         # UPSERT: same materialize + stats reset — without it the
         # table ⋈ updates(table-derived) join SQUARES the sizeInBytes
-        # estimate per statement (see _stats_reset)
-        from nebula_spark.operators.traverse import checkpoint_count
-        updates, n_upd = checkpoint_count(updates)
-        updates = _stats_reset(updates, n_upd)
+        # estimate per statement (see _stats_reset). The SAME job also
+        # counts insert-path rows that leave a NOT NULL/no-default
+        # field NULL — the reference's storage refusal
+        # (Update.feature:355 "Invalid field value…")
+        from nebula_spark.operators.traverse import checkpoint_observe
+        req = [p for p in (getattr(defn_u, "required", None) or [])
+               if p in dt and p not in (defn_u.defaults or {})]
+        viol = F.lit(0)
+        if req:
+            isnull = F.col(req[0]).isNull()
+            for p in req[1:]:
+                isnull = isnull | F.col(p).isNull()
+            viol = F.sum(F.when(F.col("__exists").isNull() & isnull, 1)
+                         .otherwise(0))
+        else:
+            viol = F.sum(F.lit(0))
+        updates, m_upd = checkpoint_observe(updates, viol=viol,
+                                            n=F.count(F.lit(1)))
+        if int(m_upd["viol"] or 0) > 0:
+            raise ValueError(
+                "Storage Error: Invalid field value: may be the filed "
+                "is not NULL or without default value or wrong schema.")
+        updates = _stats_reset(updates, int(m_upd["n"]))
     updates = updates.drop("__exists")
     new = update_rows(table, updates, key, st.insertable)
     _rebind(space, st.name, st.is_edge, new)

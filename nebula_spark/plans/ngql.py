@@ -688,13 +688,29 @@ class Parser:
             stages: list = [inner]
             while self.peek().kind == "PIPE":
                 self.eat("PIPE")
-                stages.append(self.sentence())
+                self._pipe_stage(stages)
             return Pipeline(stages)
         stages = [self.sentence()]
         while self.peek().kind == "PIPE":
             self.eat("PIPE")
-            stages.append(self.sentence())
+            self._pipe_stage(stages)
         return Pipeline(stages)
+
+    def _pipe_stage(self, stages: list) -> None:
+        """One pipe stage; `| (GO … | GO …)` parenthesized groups in
+        piped position (parser.yy set_exp — GO.feature:140-163) splice
+        their stages: the pipe is associative, the group's first
+        sentence reads the outer `$-`."""
+        if self.peek().kind == "LP":
+            self.eat("LP")
+            inner = self._set_op_chain()
+            self.eat("RP")
+            if isinstance(inner, Pipeline):
+                stages.extend(inner.stages)
+            else:
+                stages.append(inner)
+            return
+        stages.append(self.sentence())
 
     def sentence(self):
         if self.at_kw("go"):
@@ -1217,18 +1233,31 @@ class Parser:
             name = self.name()
         self.eat_kw("set")
         sets = []
+        on_name = name
+        set_schemas: list[str] = []
         while True:
             prop = self.name()
+            tgt_schema = on_name or ""
             if self.peek().kind == "DOT":      # tag.prop form
                 self.eat("DOT")
                 name = name or prop
+                tgt_schema = prop
                 prop = self.name()
             self.eat("ASSIGN")
+            set_schemas.append(tgt_schema)
             sets.append((prop, self.expr()))
             if self.peek().kind == "COMMA":
                 self.eat("COMMA")
                 continue
             break
+        if not is_edge and len(set(set_schemas)) > 1:
+            # 1.0 vertex syntax: every SET target must name ONE tag —
+            # `SET course.credits = …, name = …` mixes "course" with a
+            # bare target (UpdateValidator, Update.feature:329 "Multi
+            # schema name: ,course"); edges allow bare + `OF`-matching
+            # targets (Update.feature:118)
+            raise ValueError(
+                "Multi schema name: " + ",".join(sorted(set(set_schemas))))
         if name is None:
             raise SyntaxError("UPDATE needs ON <schema> or tag.prop SETs")
         when = self.expr() if self.try_kw("when") else None

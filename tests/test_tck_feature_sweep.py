@@ -168,7 +168,10 @@ def test_tck_feature_results(sc, request, spark):
         if (sc.feature, a.line) in ERROR_OK:
             try:
                 run_assertion(space, a, execute)
-            except Exception:  # noqa: BLE001 — adjudicated deviation
-                pass
+            except Exception as exc:  # noqa: BLE001
+                # only the adjudicated engine error is forgiven; a
+                # wrong-answer assertion failure must still surface
+                if "Failed to evaluate condition" not in str(exc):
+                    raise
             continue
         run_assertion(space, a, execute)
