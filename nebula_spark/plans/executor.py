@@ -4714,6 +4714,20 @@ def _exec_update(space: GraphSpace, st: A.UpdateStmt,
                                   "tinyint", "double", "float",
                                   "boolean"))) or
             (isinstance(probe_t, NumericType) and want == "string"))
+        # typed-container SETs: `hobby + [3525]` over a List< string >
+        # prop coerces to array<bigint> in Spark's analysis — the
+        # element-kind flip is the reference's storage type refusal
+        # (Update.feature:1239 "Invalid data, may be wrong value type")
+        from pyspark.sql.types import ArrayType as _Arr
+        if not bad_type and not dyn_json and want.startswith("array<") \
+                and isinstance(probe_t, _Arr):
+            el_want = want[len("array<"):-1]
+            el_got = probe_t.elementType
+            bad_type = (
+                (isinstance(el_got, StringType)
+                 and el_want in ("bigint", "int", "smallint", "tinyint",
+                                 "double", "float", "boolean")) or
+                (isinstance(el_got, NumericType) and el_want == "string"))
         if bad_type:
             hit = base if guard is None else base.filter(guard)
             if hit.limit(1).count() > 0:

@@ -363,6 +363,69 @@ def _split_table_row(line: str) -> list[str]:
     return [p.strip() for p in parts]
 
 
+def _expand_outlines(lines: list[str]) -> list[str]:
+    """Expand ``Scenario Outline`` + ``Examples:`` into one plain
+    ``Scenario: <name> [k]`` per data row, substituting ``<var>``
+    placeholders everywhere in the body (queries, expected tables,
+    setup). Outlines WITHOUT a per-scenario Examples table (SeekByEdge's
+    feature-level ``space_name`` style) pass through unchanged and keep
+    riding the ``space_subs`` substitution."""
+    out: list[str] = []
+    i, n = 0, len(lines)
+    sc_re = re.compile(r"^(\s*)scenario(\s+outline)?\s*:", re.I)
+    while i < n:
+        m = sc_re.match(lines[i])
+        if not (m and m.group(2)):
+            out.append(lines[i])
+            i += 1
+            continue
+        j = i + 1
+        while j < n and not sc_re.match(lines[j]) \
+                and not re.match(r"\s*feature\s*:", lines[j], re.I):
+            j += 1
+        # tags directly above the NEXT scenario belong to it, not here
+        while j > i + 1 and lines[j - 1].strip().startswith("@"):
+            j -= 1
+        chunk = lines[i:j]
+        body: list[str] = []
+        examples: list[tuple[list, list]] = []
+        k = 0
+        while k < len(chunk):
+            if re.match(r"\s*examples\s*:\s*$", chunk[k], re.I):
+                k += 1
+                tbl = []
+                while k < len(chunk) and chunk[k].strip().startswith("|"):
+                    tbl.append(_split_table_row(chunk[k]))
+                    k += 1
+                if len(tbl) > 1:
+                    examples.append((tbl[0], tbl[1:]))
+            else:
+                body.append(chunk[k])
+                k += 1
+        if not examples:
+            out.extend(chunk)
+            i = j
+            continue
+        # tag lines directly above the outline apply to every copy
+        tags: list[str] = []
+        while out and out[-1].strip().startswith("@"):
+            tags.insert(0, out.pop())
+        head = re.sub(r"(?i)outline\s*:", ":", body[0], count=1)
+        cnt = 0
+        for header, rows in examples:
+            for row in rows:
+                cnt += 1
+                sub = dict(zip(header, row))
+                out.extend(tags)
+                out.append(f"{head} [{cnt}]")
+                for bl in body[1:]:
+                    for kk, vv in sub.items():
+                        bl = bl.replace(f"<{kk}>", vv)
+                    out.append(bl)
+        i = j
+    return out
+
+
 def parse_feature(path: str, space_subs: dict | None = None) -> list[Scenario]:
     """Parse one feature file into Scenarios ready to run.
 
@@ -372,6 +435,7 @@ def parse_feature(path: str, space_subs: dict | None = None) -> list[Scenario]:
     """
     with open(path) as f:
         lines = f.read().splitlines()
+    lines = _expand_outlines(lines)
     subs = space_subs or {"space_name": "nba"}
 
     scenarios: list[Scenario] = []
