@@ -2526,6 +2526,28 @@ def _bind_tag(space: GraphSpace, alias: str, tag: str | None) -> DataFrame:
                       for c in t.columns if c != VID])
 
 
+_NUM_DTYPES = ("tinyint", "smallint", "int", "bigint",
+               "float", "double", "decimal")
+
+
+def _pattern_prop_eq(df: DataFrame, col: str, v) -> Column:
+    """Type-strict `{prop: value}` pattern equality: the reference's
+    Value::equal never coerces across kinds, so `{likeness: "99"}` on an
+    INT prop matches NOTHING (match/Base.feature "filter evaluable"
+    line 803) where Spark's implicit cast would match 99. Numeric kinds
+    stay one family (42 == 42.0)."""
+    dt = dict(df.dtypes).get(col, "")
+    if isinstance(v, bool):
+        ok = dt == "boolean"
+    elif isinstance(v, (int, float)):
+        ok = dt.startswith(_NUM_DTYPES)
+    elif isinstance(v, str):
+        ok = dt == "string"
+    else:
+        ok = True
+    return (F.col(col) == F.lit(v)) if ok else F.lit(False)
+
+
 def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
                       tagmap: dict[str, str | None]) -> DataFrame:
     """Lazy AppendVertices: for every ``alias.tag.prop`` in *exprs* whose
@@ -2594,9 +2616,12 @@ def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
                            "left")
     for a in sorted(lbl_aliases):
         col = f"{a}___labels"
-        if tagmap.get(a) is None or col not in cur.columns \
-                or f"{a}___vid" not in cur.columns:
+        if f"{a}___vid" not in cur.columns:
+            continue
+        if tagmap.get(a) is None and col in cur.columns:
             continue                    # tagless bind already carries all
+        if tagmap.get(a) is not None and col not in cur.columns:
+            continue                    # not a node bind (edge alias etc.)
         u = None
         for tname in space.tags:
             part = space.tag(tname).select(
@@ -2715,7 +2740,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
         cur = _bind_tag(space, a0, n0.tag)
     for k, v in n0.props.items():
         # undeclared prop → no match (UNKNOWN_PROP, MatchCrash.feature)
-        cur = cur.filter(F.col(f"{a0}__{k}") == v) \
+        cur = cur.filter(_pattern_prop_eq(cur, f"{a0}__{k}", v)) \
             if f"{a0}__{k}" in cur.columns else cur.filter(F.lit(False))
     cur = _apply_extra_tags(cur, n0, f"{a0}___vid")
 
@@ -2791,8 +2816,8 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             # reference's UNKNOWN_PROP → no-match, MatchCrash.feature);
             # on a multi-type union the other types read NULL, which the
             # equality already drops (RewriteEdgeFilter.feature)
-            edges = edges.filter(F.col(k) == v) if k in edges.columns \
-                else edges.filter(F.lit(False))
+            edges = edges.filter(_pattern_prop_eq(edges, k, v)) \
+                if k in edges.columns else edges.filter(F.lit(False))
         if me.min_hops == 1 and me.max_hops == 1 \
                 and not getattr(me, "var_len", False):
             # explicit `[e*1]` skips this single-hop fast path: the `*`
@@ -2850,7 +2875,8 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                     for k, v in mn.props.items():
                         # undeclared prop → no vertex matches
                         # (UNKNOWN_PROP, MatchCrash.feature)
-                        tt = tt.filter(F.col(k) == v) if k in tt.columns \
+                        tt = tt.filter(_pattern_prop_eq(tt, k, v)) \
+                            if k in tt.columns \
                             else tt.filter(F.lit(False))
                     sp_targets = tt.select(VID)
                 # the reference never emits zero-length shortest paths:
@@ -2921,7 +2947,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                                "left_semi")
             for k, v in mn.props.items():
                 # undeclared prop → no match (UNKNOWN_PROP)
-                cur = cur.filter(F.col(f"{na}__{k}") == v) \
+                cur = cur.filter(_pattern_prop_eq(cur, f"{na}__{k}", v)) \
                     if f"{na}__{k}" in cur.columns \
                     else cur.filter(F.lit(False))
             cur = _apply_extra_tags(cur, mn, end_col)
@@ -2935,7 +2961,7 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             for k, v in mn.props.items():
                 # undeclared prop → no match (UNKNOWN_PROP,
                 # MatchCrash.feature `{age: 102, in_service: false}`)
-                cur = cur.filter(F.col(f"{na}__{k}") == v) \
+                cur = cur.filter(_pattern_prop_eq(cur, f"{na}__{k}", v)) \
                     if f"{na}__{k}" in cur.columns \
                     else cur.filter(F.lit(False))
             cur = _apply_extra_tags(cur, mn, f"{na}___vid")

@@ -15,6 +15,7 @@ the prop-deduction pass the executor runs (the analog of
 
 from __future__ import annotations
 
+import math
 import re
 import sys
 from dataclasses import dataclass, field
@@ -296,6 +297,49 @@ def _has_agg(e) -> bool:
     if e[0] in ("call", "call_distinct") and e[1] in _AGG_FNS:
         return True
     return any(_has_agg(x) for x in e[1:] if isinstance(x, tuple))
+
+
+def _const_eval(e):
+    """Fold a constant expression AST to its Python value (pattern prop
+    values — `{age: 1+19}`; the reference folds via Expression::eval).
+    Non-constant shapes raise SyntaxError."""
+    if not isinstance(e, tuple) or not e:
+        raise SyntaxError(f"Invalid value in property pattern: {e!r}")
+    op = e[0]
+    if op == "lit":
+        return e[1]
+    if op == "neg":
+        v = _const_eval(e[1])
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise SyntaxError("expected numeric operand under `-'")
+        return -v
+    if op == "list":
+        return [_const_eval(x) for x in e[1:]]
+    if op in ("+", "-", "*", "/", "%") and len(e) == 3:
+        a, b = _const_eval(e[1]), _const_eval(e[2])
+        if op == "+" and isinstance(a, str) and isinstance(b, str):
+            return a + b
+        if isinstance(a, bool) or isinstance(b, bool) \
+                or not isinstance(a, (int, float)) \
+                or not isinstance(b, (int, float)):
+            raise SyntaxError(f"non-numeric operands for `{op}'")
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            if b == 0:
+                raise SyntaxError("Division by zero")
+            # integral `/` truncates toward zero like the reference
+            return int(a / b) if isinstance(a, int) \
+                and isinstance(b, int) else a / b
+        if b == 0:
+            raise SyntaxError("Division by zero")
+        return a % b if not (isinstance(a, int) and isinstance(b, int)) \
+            else int(math.fmod(a, b))
+    raise SyntaxError(f"Invalid value in property pattern near `{op}'")
 
 
 @dataclass
@@ -2096,6 +2140,17 @@ class Parser:
             limit = self._limit_int()
         return MatchStmt(clauses, rets, order_by, limit, distinct, skip)
 
+    def _const_prop_value(self):
+        """A pattern prop value: a literal, or a constant arithmetic
+        expression folded at parse time (`{age: +20}`, `{age: 1+19}`,
+        `{likeness: 40+50+5}` — match/Base.feature "filter evaluable";
+        the reference folds via Expression::eval on a const expr)."""
+        nxt = self.peek().kind
+        if nxt in ("LB", "LC"):          # list/set literal value
+            return self.literal()
+        e = self.expr()
+        return _const_eval(e)
+
     def _match_prop_map(self) -> dict:
         props: dict = {}
         self.eat("LC")
@@ -2115,7 +2170,7 @@ class Parser:
                         f"Invalid value in property pattern: {k}")
                 props[k] = e[1]
             else:
-                props[k] = self.literal()
+                props[k] = self._const_prop_value()
             if self.peek().kind == "COMMA":
                 self.eat("COMMA")
         self.eat("RC")
@@ -2177,6 +2232,10 @@ class Parser:
                 types = [self.name()]
                 while self.peek().kind == "PIPE":
                     self.eat("PIPE")
+                    # `[r:serve|:like]` — the colon after | is optional
+                    # (parser.yy match_edge_type_list both alternatives)
+                    if self.peek().kind == "COLON":
+                        self.eat("COLON")
                     types.append(self.name())
             if self.peek().kind == "STAR":
                 self.eat("STAR")
@@ -2203,7 +2262,7 @@ class Parser:
                 while self.peek().kind != "RC":
                     k = self.eat("NAME").text
                     self.eat("COLON")
-                    props[k] = self.literal()
+                    props[k] = self._const_prop_value()
                     if self.peek().kind == "COMMA":
                         self.eat("COMMA")
                 self.eat("RC")
@@ -2393,6 +2452,10 @@ class Parser:
         return ("set", *items)
 
     def expr_unary(self):
+        if self.peek().kind == "PLUS":
+            # unary plus is identity (parser.yy unary_expression PLUS)
+            self.eat("PLUS")
+            return self.expr_unary()
         if self.peek().kind == "MINUS":
             self.eat("MINUS")
             if self.peek().kind == "INT":

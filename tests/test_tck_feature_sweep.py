@@ -50,6 +50,16 @@ SKIP: dict = {
         "heterogeneous containers, same documented deviation",
     ("yield/parameter.feature", "[param-test-004] cypher with parameters"):
         "same heterogeneous container parameters through MATCH",
+    ("match/MatchGroupBy.feature", "[9] Match GroupBy"):
+        "collect([name, likeness, team]) builds heterogeneous "
+        "string+int inner lists — a Spark array has one element type, "
+        "so ints coerce to strings; documented deviation (README "
+        "dynamic-Value entry). [5]-[8] cover grouped collect forms",
+    ("match/Unwind.feature", "unwind return"):
+        "UNWIND [1, [2, 3, NULL, 4], 5] — heterogeneous outer list "
+        "(INT and LIST elements), same documented deviation; the "
+        "homogeneous unwind forms are covered by yield/unwind fuzz "
+        "lane + ngql_unwind oracle slot",
 }
 
 # (feature-file, Then-line) -> an engine-raised error satisfies the
