@@ -265,6 +265,21 @@ def _expr_text(e) -> str | None:
         if any(a is None for a in args):
             return None
         return "[" + ",".join(args) + "]"
+    if op in ("starts_with", "ends_with", "contains_str") and len(e) == 3:
+        kw = {"starts_with": "STARTS WITH", "ends_with": "ENDS WITH",
+              "contains_str": "CONTAINS"}[op]
+        a, b = _expr_text(e[1]), _expr_text(e[2])
+        return None if a is None or b is None else f"({a} {kw} {b})"
+    if op == "not" and isinstance(e[1], tuple) \
+            and e[1] and e[1][0] in ("starts_with", "ends_with",
+                                     "contains_str"):
+        # RelationalExpression toString keeps the NOT inline:
+        # `("apple" NOT ENDS WITH "le")` (expression/EndsWith.feature)
+        kw = {"starts_with": "NOT STARTS WITH",
+              "ends_with": "NOT ENDS WITH",
+              "contains_str": "NOT CONTAINS"}[e[1][0]]
+        a, b = _expr_text(e[1][1]), _expr_text(e[1][2])
+        return None if a is None or b is None else f"({a} {kw} {b})"
     if op == "not":
         a = _expr_text(e[1])
         return None if a is None else f"!({a})"
@@ -314,6 +329,13 @@ def _yname(y, i: int) -> str:
             # only the FN NAME keeps its written case; everything else
             # (cast names upper, string quotes double) stays normalized
             return m.group(0) + text[len(y.expr[1]):]
+    if text is None and src:
+        # shapes without a stable rendering (pattern expressions
+        # `(v)-->()`, rewritten collects) header AS WRITTEN — the
+        # reference names every output by Expression::toString, and the
+        # written slice is that text for these (PathExpr.feature
+        # "In Return" line 328; With.feature "match with return")
+        return " ".join(src.split())
     return text or f"c{i}"
 
 
@@ -3143,7 +3165,8 @@ def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
             plain.append(c)
     if plain:
         cur, plain = _rewrite_pattern_values(space, cur, plain, bound,
-                                             ebound, counter)
+                                             ebound, counter,
+                                             pbound, tagmap)
         pred = plain[0]
         for p in plain[1:]:
             pred = ("and", pred, p)
@@ -3160,13 +3183,26 @@ def _apply_where(space: GraphSpace, cur: DataFrame, where: tuple,
         # AnalysisException remap
         if str(c) == str(F.lit(None)):
             c = c.cast("boolean")
+        else:
+            # `WHERE [ii in relationships(p) where …]` — a LIST-valued
+            # filter is truthy when non-empty (match/Base.feature "match
+            # with tag filter": 243 rows through a comprehension WHERE)
+            from pyspark.sql.types import ArrayType as _ArrT
+            try:
+                if isinstance(cur.select(c.alias("_w")).schema[0].dataType,
+                              _ArrT):
+                    c = F.size(c) > 0
+            except Exception:  # noqa: BLE001 — let filter() raise its own
+                pass
         cur = cur.filter(c)
     return cur
 
 
 def _rewrite_pattern_values(space: GraphSpace, cur: DataFrame,
                             exprs: list[tuple], bound: set[str],
-                            ebound: set[str], counter: list[int]
+                            ebound: set[str], counter: list[int],
+                            pbound: frozenset = frozenset(),
+                            tagmap: dict | None = None
                             ) -> tuple[DataFrame, list[tuple]]:
     """Pattern expressions used as *values* — ``RETURN (v)-->()``,
     ``size((v)-[:like]->())`` — become RollUpApply: group the matched
@@ -3220,10 +3256,262 @@ def _rewrite_pattern_values(space: GraphSpace, cur: DataFrame,
             cur = cur.drop(*tmp)
         return ("name", val)
 
-    def walk(e, boolctx: bool = False):
+    def _tagset_col(tag: str) -> str:
+        """Attach (once) a one-row broadcast column holding every vid of
+        *tag* — collect_set rides a single agg job, no driver collect.
+        Small-dim path: a tag endpoint inside a lambda predicate can't
+        join, so the set must travel with the row; fine for dimension
+        tags, the join-based PatternApply handles the big-tag shapes."""
+        nonlocal cur
+        k = f"_pptag_{tag}"
+        if k not in cur.columns:
+            vids = space.tag(tag).agg(
+                F.collect_set(F.col(VID)).alias(k))
+            cur = cur.crossJoin(F.broadcast(vids))
+        return k
+
+    def _conj(parts):
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return ("lit", True)
+        out = parts[0]
+        for p in parts[1:]:
+            out = ("and", out, p)
+        return out
+
+    def lambda_edge_pred(path: A.MatchPath, lv: str, has_t: bool = True):
+        """A single-hop pattern whose edge slot is a comprehension
+        variable — `[ii in e WHERE (v)-[ii]-(v2) | ii]`
+        (match/Base.feature "match with tag filter";
+        PathExprRefLocalVariable `(v)-[ii]->(:team)`): ii IS a stored
+        hop struct, so the pattern is a plain predicate over its
+        endpoint/type fields against the bound node ids / tag vid sets —
+        no RollUpApply. Returns the predicate AST, or None if the shape
+        doesn't qualify (multi-hop / unbound untagged aliases)."""
+        if len(path.edges) != 1 or len(path.nodes) != 2:
+            return None
+        ed = path.edges[0]
+        n0, n1 = path.nodes
+        for n in path.nodes:
+            if n.alias and n.alias not in bound:
+                return None
+            if n.props:
+                return None
+            if n.tag and n.tag not in space.tags:
+                return None
+        hop = ("name", lv)
+        # canonical endpoints: the hop struct stores TRAVERSED s/d with
+        # a negative t marking a flipped read; minimal (s,d,r) structs
+        # are already stored-canonical
+        if has_t:
+            canon_s = ("case", [((">=", ("attr", hop, "t"), ("lit", 0)),
+                                 ("attr", hop, "s"))], ("attr", hop, "d"))
+            canon_d = ("case", [((">=", ("attr", hop, "t"), ("lit", 0)),
+                                 ("attr", hop, "d"))], ("attr", hop, "s"))
+        else:
+            canon_s = ("attr", hop, "s")
+            canon_d = ("attr", hop, "d")
+
+        def end_pred(n, canon):
+            ps = []
+            if n.alias:
+                ps.append(("==", canon, ("call", "id", ("name", n.alias))))
+            if n.tag:
+                ps.append(("in", canon, ("name", _tagset_col(n.tag))))
+            return _conj(ps) if ps else None
+
+        fwd = _conj([end_pred(n0, canon_s), end_pred(n1, canon_d)])
+        rev = _conj([end_pred(n1, canon_s), end_pred(n0, canon_d)])
+        if ed.direction == "out":
+            pred = fwd
+        elif ed.direction == "in":
+            pred = rev
+        else:
+            pred = ("or", fwd, rev)
+        if ed.types and has_t:
+            tlist = tuple(("lit", t) for t in ed.types)
+            pred = ("and", pred,
+                    ("in", ("attr", hop, "et"), ("list",) + tlist))
+        return pred
+
+    def lambda_node_pred(path: A.MatchPath, lv: str, lvars, idexpr):
+        """A single-hop pattern whose NODE slot is a comprehension
+        variable — `[ii in nodes(p) WHERE (v)-[:like]->(ii)]`
+        (PathExprRefLocalVariable "In Where"): ii is a vid value, so
+        the pattern is membership in the bound endpoint's neighbor
+        list. The list column attaches once per (alias, types, dir) via
+        a groupBy(src)->collect_set agg + equi-join — one keyed shuffle,
+        no per-row subquery."""
+        nonlocal cur
+        if len(path.edges) != 1 or len(path.nodes) != 2:
+            return None
+        ed = path.edges[0]
+        if ed.alias and (ed.alias in lvars or ed.alias in ebound):
+            return None
+        n0, n1 = path.nodes
+        if n0.alias == lv:
+            other, me_end = n1, "n0"
+        elif n1.alias == lv:
+            other, me_end = n0, "n1"
+        else:
+            return None
+        if other.alias is None or other.alias not in bound \
+                or other.props or other.tag:
+            return None
+        lamn = path.nodes[0] if me_end == "n0" else path.nodes[1]
+        if lamn.props or lamn.tag:
+            return None
+        # direction relative to the BOUND endpoint
+        d = ed.direction
+        if me_end == "n0":               # lambda is the LEFT node
+            d = {"out": "in", "in": "out"}.get(d, d)
+        enames = ed.types or sorted(space.edges)
+        edges = _edge_union(space, enames)
+        for k, v in ed.props.items():
+            edges = edges.filter(_pattern_prop_eq(edges, k, v)) \
+                if k in edges.columns else edges.filter(F.lit(False))
+        counter[0] += 1
+        k = f"_ppnbr{counter[0]}"
+        if d == "out":
+            nbr = edges.select(F.col(SRC).alias("_pk"),
+                               F.col(DST).alias("_pv"))
+        elif d == "in":
+            nbr = edges.select(F.col(DST).alias("_pk"),
+                               F.col(SRC).alias("_pv"))
+        else:
+            nbr = edges.select(F.col(SRC).alias("_pk"),
+                               F.col(DST).alias("_pv")).unionByName(
+                edges.select(F.col(DST).alias("_pk"),
+                             F.col(SRC).alias("_pv")))
+        grouped = nbr.groupBy("_pk").agg(F.collect_set("_pv").alias(k))
+        cur = (cur.join(grouped,
+                        cur[f"{other.alias}___vid"] == grouped["_pk"],
+                        "left").drop("_pk")
+               .withColumn(k, F.coalesce(F.col(k), F.array())))
+        return ("in", idexpr, ("name", k))
+
+    def lambda_edge_value(path: A.MatchPath, lv: str,
+                          has_t: bool = True):
+        """Pattern VALUE whose edge slot is a lambda hop struct —
+        `[ii in [e] | (v)-[ii]->()]` (PathExprRefLocalVariable
+        "In With"/"In Unwind"): per element, the value is the one-hop
+        path [ii] when the predicate holds, else []."""
+        pred = lambda_edge_pred(path, lv, has_t)
+        if pred is None:
+            return None
+        return ("case", [(pred, ("list", ("list", ("name", lv))))],
+                ("list",))
+
+    def lambda_node_value(path: A.MatchPath, lv: str, idexpr):
+        """Pattern VALUE whose node slot is a lambda element —
+        `[t in [t] | (v)-[:serve]->(t)]`: RollUpApply grouped on the
+        bound aliases, collecting (end-vid, path) pairs; per element the
+        value filters by end == id(element). One keyed shuffle, the
+        per-element work is a lambda over the joined array."""
+        nonlocal cur
+        import dataclasses
+        if len(path.edges) != 1 or len(path.nodes) != 2:
+            return None
+        if any(n.alias == lv and (n.props or n.tag) for n in path.nodes):
+            return None
+        for n in path.nodes:
+            if n.alias and n.alias != lv and n.alias not in bound:
+                return None
+        if any(ed.alias and ed.alias not in ebound for ed in path.edges):
+            return None
+        counter[0] += 1
+        ta = f"_ple{counter[0]}"
+        nodes = [dataclasses.replace(n, alias=ta) if n.alias == lv else n
+                 for n in path.nodes]
+        counter[0] += 1
+        pa = f"_ppv{counter[0]}"
+        p2 = dataclasses.replace(path, nodes=nodes, path_alias=pa)
+        n0 = p2.nodes[0]
+        seed = None
+        if n0.tag is None and n0.alias in bound:
+            seed = cur.select(F.col(f"{n0.alias}___vid")).distinct()
+        pat, aliases, eals, _pp, _tm, _cn = _build_pattern(
+            space, p2, counter, seed=seed)
+        shared = sorted(bound & aliases)
+        shared_e = sorted(ebound & eals)
+        if not shared and not shared_e:
+            return None
+        keys = [f"{a}___vid" for a in shared]
+        tmp: list[str] = []
+        for ea in shared_e:
+            k = f"_pp_canon_{ea}"
+            cur = cur.withColumn(k, _edge_canon(ea))
+            pat = pat.withColumn(k, _edge_canon(ea))
+            keys.append(k)
+            tmp.append(k)
+        counter[0] += 1
+        val = f"_ppall{counter[0]}"
+        grouped = pat.groupBy(*keys).agg(
+            F.collect_list(F.struct(
+                F.col(f"{ta}___vid").alias("end"),
+                F.col(f"{pa}__path").alias("path"))).alias(val))
+        cur = (cur.join(grouped, on=keys, how="left")
+               .withColumn(val, F.coalesce(F.col(val), F.array())))
+        if tmp:
+            cur = cur.drop(*tmp)
+        counter[0] += 1
+        tv = f"_ppt{counter[0]}"
+        return ("comprehension", tv, ("name", val),
+                ("==", ("attr", ("name", tv), "end"), idexpr),
+                ("attr", ("name", tv), "path"))
+
+    def _domain_kind(dom) -> str:
+        """Element kind of a comprehension domain: "hop" (edge structs),
+        "vertex" (structs with a vid field), "vid" (plain ids), or "?"."""
+        try:
+            c = ExprCompiler(_match_resolver(
+                bound | ebound, pbound, cur.columns, tagmap),
+                df=cur).col(dom)
+            dt = cur.select(c.alias("_dk")).schema[0].dataType
+        except Exception:  # noqa: BLE001 — unknown shapes opt out
+            return "?"
+        from pyspark.sql.types import ArrayType, StructType
+        if not isinstance(dt, ArrayType):
+            return "?"
+        el = dt.elementType
+        if isinstance(el, StructType):
+            names = set(el.fieldNames())
+            if {"s", "d", "r"} <= names:
+                # minimal hop structs (s,d,r only) are stored-canonical
+                return "hop" if "t" in names else "hop0"
+            if "vid" in names:
+                return "vertex"
+            return "?"
+        return "vid"
+
+    def walk(e, boolctx: bool = False, lvars: dict | None = None):
+        lvars = lvars or {}
         if not isinstance(e, tuple):
             return e
         if e and e[0] == "pattern_path":
+            path = e[1]
+            lv = next((ed.alias for ed in path.edges
+                       if ed.alias in lvars
+                       and lvars[ed.alias] in ("hop", "hop0", "?")), None)
+            if lv is not None:
+                has_t = lvars[lv] != "hop0"
+                pred = lambda_edge_pred(path, lv, has_t) if boolctx \
+                    else lambda_edge_value(path, lv, has_t)
+                if pred is not None:
+                    return pred
+            nlv = next((n.alias for n in path.nodes
+                        if n.alias in lvars
+                        and lvars[n.alias] in ("vid", "vertex", "?")),
+                       None)
+            if nlv is not None:
+                idexpr = ("attr", ("name", nlv), "vid") \
+                    if lvars[nlv] == "vertex" else ("name", nlv)
+                if boolctx:
+                    pred = lambda_node_pred(path, nlv, lvars, idexpr)
+                else:
+                    pred = lambda_node_value(path, nlv, idexpr)
+                if pred is not None:
+                    return pred
             v = repl(e[1])
             # a pattern expression in boolean position is an existence
             # test (openCypher; reference IC7 `not((liker)-[:KNOWS]-…)`);
@@ -3232,17 +3520,25 @@ def _rewrite_pattern_values(space: GraphSpace, cur: DataFrame,
                 return (">", ("call", "size", v), ("lit", 0))
             return v
         if e[0] in ("not", "and", "or", "xor"):
-            return tuple([e[0]] + [walk(x, True) for x in e[1:]])
+            return tuple([e[0]] + [walk(x, True, lvars) for x in e[1:]])
         if e[0] == "comprehension":
             # the WHERE of [x IN l WHERE pred | out] is boolean position
             # (BoolCheckingInExpr.feature: a bare pattern there is an
-            # existence test)
-            return ("comprehension", e[1], walk(e[2]),
-                    walk(e[3], True) if e[3] is not None else None,
-                    walk(e[4]) if e[4] is not None else None)
+            # existence test); the lambda var may stand in a pattern's
+            # edge or node slot inside either the WHERE or the output
+            dom = walk(e[2], False, lvars)
+            inner = dict(lvars)
+            inner[e[1]] = _domain_kind(dom)
+            return ("comprehension", e[1], dom,
+                    walk(e[3], True, inner) if e[3] is not None else None,
+                    walk(e[4], False, inner) if e[4] is not None else None)
         if e[0] == "pred_fn":
-            return ("pred_fn", e[1], e[2], walk(e[3]), walk(e[4], True))
-        return tuple(walk(x) for x in e)
+            dom = walk(e[3], False, lvars)
+            inner = dict(lvars)
+            if isinstance(e[2], str):
+                inner[e[2]] = _domain_kind(dom)
+            return ("pred_fn", e[1], e[2], dom, walk(e[4], True, inner))
+        return tuple(walk(x, False, lvars) for x in e)
 
     out = [walk(e) if e is not None else None for e in exprs]
     return cur, out                # after walk() — repl() rebinds cur
@@ -3622,8 +3918,43 @@ def _stmt_reads_path_props(st: A.MatchStmt) -> bool:
         or scan(st.order_by)
 
 
+def _node_prop_patterns_need_tag(st: A.MatchStmt) -> None:
+    """MatchValidator: a node prop pattern without a tag is a
+    SemanticError — `(v{name: "hello"})` →
+    `` `name:"hello"': No tag found for property.`` (PathExpr.feature:14,
+    Base.feature "match_with_wrong_syntax"). Checks every clause path
+    AND pattern expressions nested in WHERE/WITH/RETURN."""
+    def chk(path):
+        for n in getattr(path, "nodes", []):
+            if n.props and not n.tag:
+                k, v = next(iter(n.props.items()))
+                raise ValueError(
+                    f"`{k}:{_expr_text(('lit', v)) or v}': "
+                    "No tag found for property.")
+
+    def chk_expr(e):
+        refs: list = []
+        if e is not None:
+            _walk(e, {"pattern_path", "pattern_pred"}, refs)
+        for r in refs:
+            chk(r[1])
+
+    for cl in st.clauses:
+        for p in getattr(cl, "paths", []) or []:
+            chk(p)
+        if getattr(cl, "where", None) is not None:
+            chk_expr(cl.where)
+        for it in getattr(cl, "items", []) or []:
+            chk_expr(it.expr)
+        if getattr(cl, "expr", None) is not None:
+            chk_expr(cl.expr)
+    for y in st.returns:
+        chk_expr(y.expr)
+
+
 def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     counter = [0]
+    _node_prop_patterns_need_tag(st)
     lazy_props = _stmt_reads_path_props(st)
     cur: DataFrame | None = None
     bound: set[str] = set()
@@ -3846,7 +4177,7 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 cur = space.spark.range(1).select()
             cur, wexprs = _rewrite_pattern_values(
                 space, cur, [y.expr for y in cl.items], bound, ebound,
-                counter)
+                counter, pbound, tagmap)
             witems = [A.YieldItem(e, y.alias)
                       for e, y in zip(wexprs, cl.items)]
             cur = _ensure_tag_props(
@@ -3918,7 +4249,8 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                 # clause-chain UNWIND sees the full frame: tag props,
                 # path fns, pattern expressions (Unwind.feature:120,163)
                 cur, (uex,) = _rewrite_pattern_values(
-                    space, cur, [cl.expr], bound, ebound, counter)
+                    space, cur, [cl.expr], bound, ebound, counter,
+                    pbound, tagmap)
                 cur = _ensure_tag_props(space, cur, [uex], tagmap)
                 col = ExprCompiler(_match_resolver(
                     bound | ebound, pbound, cur.columns, tagmap)).col(uex)
@@ -3938,9 +4270,18 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     if cur is None:                      # standalone RETURN — unit row
         cur = space.spark.range(1).select()
     cur, rexprs = _rewrite_pattern_values(
-        space, cur, [y.expr for y in st.returns], bound, ebound, counter)
-    rets_in = [A.YieldItem(e, y.alias, getattr(y, "src", None))
-               for e, y in zip(rexprs, st.returns)]
+        space, cur, [y.expr for y in st.returns], bound, ebound, counter,
+        pbound, tagmap)
+    rets_in = [A.YieldItem(
+        e,
+        # a rewritten pattern VALUE keeps its as-written header —
+        # `RETURN (v)-->()` names the column `(v)-->()`
+        # (PathExpr.feature "In Return"), not the internal _ppval slot
+        y.alias or (" ".join(y.src.split())
+                    if e != y.expr and getattr(y, "src", None)
+                    else None),
+        getattr(y, "src", None))
+        for e, y in zip(rexprs, st.returns)]
     cur = _ensure_tag_props(
         space, cur, [y.expr for y in rets_in]
         + [e for e, _ in (st.order_by or [])], tagmap)

@@ -782,7 +782,15 @@ def values_match(exp, act) -> bool:
         return True
     if isinstance(exp, Path):
         if not isinstance(act, Path):
-            return False
+            # a pattern-expression VALUE arrives as a plain hop list
+            # (array of edge structs — PathExpr.feature "In Return"):
+            # chain the canonical edges back into a Path for comparison
+            if isinstance(act, tuple) and act and act[0] == "LIST" \
+                    and act[1] and len(act[1]) == len(exp.hops) \
+                    and all(isinstance(x, Edge) for x in act[1]):
+                act = _edges_to_path(act[1])
+            if not isinstance(act, Path):
+                return False
         # the reference's renderer may assemble the SAME result path
         # from either end depending on which node FindStart seeded
         # (BuildPathMistake.feature pins the cycle row reversed while
@@ -812,6 +820,28 @@ def values_match(exp, act) -> bool:
             return False
         return all(values_match(v, am[k]) for k, v in exp.items())
     return False
+
+
+def _edges_to_path(edges) -> "Path | None":
+    """Chain canonical (src, dst)-bearing edges into a traversal Path:
+    try each end of the first edge as the start, follow F/R hops."""
+    for start in (edges[0].src, edges[0].dst):
+        cur, hops, ok = start, [], True
+        for a in edges:
+            if _loose_eq(a.src, cur):
+                hops.append(("F", Edge(a.etype, None, None, a.rank,
+                                       a.props), Vertex(a.dst)))
+                cur = a.dst
+            elif _loose_eq(a.dst, cur):
+                hops.append(("R", Edge(a.etype, None, None, a.rank,
+                                       a.props), Vertex(a.src)))
+                cur = a.src
+            else:
+                ok = False
+                break
+        if ok:
+            return Path(Vertex(start), tuple(hops))
+    return None
 
 
 def _rev_path(p: Path) -> Path:
