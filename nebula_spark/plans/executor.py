@@ -3888,16 +3888,32 @@ def _project_impl(cur, items, ec, bound):
 
 
 def _stmt_reads_path_props(st: A.MatchStmt) -> bool:
-    """Does any clause expression contain an attribute access? — the
-    (deliberately over-approximate) trigger for lazily joining props onto
-    BFS-routed shortest-path structs. False keeps those paths
-    identity-only, which is the common case; a false positive only costs
-    the shaping-time join when a shortest var-len segment also exists."""
+    """Does any clause expression read edge props off a path value? —
+    the (deliberately over-approximate) trigger for lazily joining props
+    onto BFS-routed shortest-path structs. Attribute access counts, and
+    so does RETURNING the path/edge-list value itself (`RETURN p` /
+    `RETURN e` / `RETURN *` renders props — AllShortestPaths.feature).
+    False keeps those paths identity-only, which is the cheap case; a
+    false positive only costs the shaping-time join when a shortest
+    var-len segment also exists."""
+    names: set[str] = set()
+    for cl in st.clauses:
+        for p in getattr(cl, "paths", []) or []:
+            if p.path_alias:
+                names.add(p.path_alias)
+            for ed in p.edges:
+                if ed.alias and (ed.var_len or ed.min_hops != 1
+                                 or ed.max_hops != 1):
+                    names.add(ed.alias)
+
     def scan(e) -> bool:
         if isinstance(e, tuple):
             # attr: x["likeness"] on a struct value; edge_prop: the
-            # `x.likeness` form a comprehension var takes
-            if e and e[0] in ("attr", "edge_prop"):
+            # `x.likeness` form a comprehension var takes; a bare
+            # path/edge-list alias renders its full value
+            if e and e[0] in ("attr", "edge_prop", "star"):
+                return True
+            if e and e[0] == "name" and len(e) == 2 and e[1] in names:
                 return True
             return any(scan(x) for x in e)
         if isinstance(e, list):
