@@ -87,11 +87,29 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
         e.unpersist()
 
 
+
+def _single_tie_key(etype_order):
+    """Deterministic single-shortest tie-break mirroring the reference's
+    per-vertex edge-key scan order: HIGHER EdgeType first and, within a
+    type, the reverse entry before the forward one —
+    SingleShorestPath.feature:66 pins teammate@R over like for Tim→Tony
+    under BOTH, :186 pins teammate@F over like@F under OUT. Encoded
+    hop-wise as -2·type_id + (forward ? 1 : 0), compared ascending."""
+    if not etype_order:
+        return F.col("path").cast("string")
+    m = F.create_map(*[x for i, n in enumerate(etype_order)
+                       for x in (F.lit(n), F.lit(i + 1))])
+    return F.transform(
+        F.col("path"),
+        lambda h: F.lit(-2) * m[h["et"]]
+        + F.when(h["t"] > 0, F.lit(1)).otherwise(F.lit(0)))
+
 def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
                   direction: str = "out", mode: str = "all",
                   min_hops: int = 1,
                   edge_filter: Column | None = None,
-                  self_loop_once: bool = False) -> DataFrame:
+                  self_loop_once: bool = False,
+                  etype_order: list | None = None) -> DataFrame:
     """Level-pruned BFS returning only MINIMAL-length paths per (start, end)
     pair — the MATCH ``shortestPath()``/``allShortestPaths()`` plan when the
     var-len segment carries no intermediate-hop predicates.
@@ -133,13 +151,13 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
       (triangle v0−v1−v2 with all three edges: the 3-cycle's prefix
       v0→v1→v2 is level-pruned because v2 is reached directly, and the
       direct path cannot close — it would re-use the same underlying edge
-      reversed). So in BOTH mode the root IS pre-visited — the main BFS
-      then only ever emits ``s ≠ t`` pairs, for which undirected BFS is
-      textbook-correct — and the ``(s, s)`` rows are computed by
-      :func:`shortest_cycles` (meet-in-the-middle over minimal half-paths,
-      proof in its docstring) and unioned in. This removes the last
-      exponential plan: BOTH-direction ``shortestPath((a)-[*..n]-(b))`` no
-      longer needs the enumerate fallback.
+      reversed). The REFERENCE has the same artifact: its level-pruned
+      BFS never extends a pruned path, so such cycles are NOT reported
+      (AllShortestPaths.feature:578 pins count 1062 — Yao Ming's
+      serve/serve/like triangle is invisible). So in BOTH mode the root
+      IS pre-visited and the ``(s, s)`` rows are the IN-LOOP closures of
+      minimal frontier paths — reference-exact, and still free of the
+      enumerate fallback's exponential plan.
 
     Output schema matches :func:`~nebula_spark.operators.traverse.traverse`:
     ``(start_vid, end_vid, hops, path)`` with path an array of edge structs
@@ -181,7 +199,7 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
     # *except* the root as a cycle endpoint, so this is the only
     # visited-set exception. BOTH direction: the root IS pre-visited (the
     # exception is unsound there — see docstring) and (s, s) rows come
-    # from shortest_cycles below.
+    # from the in-loop closure rule below.
     visited = roots.withColumn("end_vid", F.col("root"))
     if min_hops >= 1 and direction != "both":
         visited = visited.limit(0)
@@ -191,6 +209,17 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
         results = frontier.select(F.col("root").alias("start_vid"),
                                   "end_vid", F.lit(0).alias("hops"), "path")
     n = frontier.count()        # seed size; later levels ride the checkpoint
+    # BOTH-direction root closures: the reference's level-pruned BFS
+    # reports a (s, s) row only when the closing walk's prefix is itself
+    # a minimal path (SingleShortestPath.cpp never extends a pruned
+    # path) — a 3-cycle whose 2-prefix is non-minimal is NOT found
+    # (AllShortestPaths.feature:578 pins 1062: Yao Ming's
+    # serve/serve/like triangle is invisible). So closures are collected
+    # IN-LOOP from the minimal frontier — not by an exact cycle search,
+    # which would be mathematically complete but reference-divergent.
+    collect_closures = direction == "both" and min_hops >= 1
+    closed = roots.limit(0)                  # roots whose min closure found
+    cyc_results: DataFrame | None = None
     try:
         for level in range(1, max_hops + 1):
             if n == 0:
@@ -202,19 +231,48 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
             # BOTH-direction walk may not return over its arrival edge
             uniq = ~F.array_contains(F.col("path"), _edge_id()) \
                 & ~F.array_contains(F.col("path"), _edge_id_reversed())
-            nxt = (f.alias("__f")
-                   .join(e.alias("__e"),
-                         F.col("__f.end_vid") == F.col(f"__e.{SRC}"), "inner")
-                   .filter(uniq)
-                   .select("root", F.col(DST).alias("end_vid"),
-                           F.concat("path", F.array(new_edge)).alias("path"))
-                   .join(visited, ["root", "end_vid"], "left_anti"))
+            expanded = (f.alias("__f")
+                        .join(e.alias("__e"),
+                              F.col("__f.end_vid") == F.col(f"__e.{SRC}"),
+                              "inner")
+                        .filter(uniq)
+                        .select("root", F.col(DST).alias("end_vid"),
+                                F.concat("path",
+                                         F.array(new_edge)).alias("path")))
+            nxt = expanded.join(visited, ["root", "end_vid"], "left_anti")
             if mode == "single":
                 w = (Window.partitionBy("root", "end_vid")
-                     .orderBy(F.col("path").cast("string")))
+                     .orderBy(_single_tie_key(etype_order),
+                              F.col("path").cast("string").desc()))
                 nxt = (nxt.withColumn("_rn", F.row_number().over(w))
                        .filter(F.col("_rn") == 1).drop("_rn"))
-            nxt, n = checkpoint_count(nxt)
+            if collect_closures:
+                # closures ride the same checkpoint job as the frontier
+                hits = (expanded
+                        .filter(F.col("end_vid") == F.col("root"))
+                        .join(closed, "root", "left_anti")
+                        .select(F.col("root").alias("start_vid"),
+                                "end_vid", F.lit(level).alias("hops"),
+                                "path"))
+                nxt = nxt.unionByName(
+                    hits.select(F.col("start_vid").alias("root"),
+                                "end_vid", "path")
+                    .withColumn("_cyc", F.lit(True)),
+                    allowMissingColumns=True)
+                nxt, n = checkpoint_count(nxt)
+                hits = (nxt.filter(F.col("_cyc"))
+                        .select(F.col("root").alias("start_vid"),
+                                "end_vid", F.lit(level).alias("hops"),
+                                "path"))
+                nxt = nxt.filter(F.col("_cyc").isNull()).drop("_cyc")
+                n -= 0  # n counts closures too; frontier-empty still exact
+                cyc_results = hits if cyc_results is None \
+                    else cyc_results.unionByName(hits)
+                closed = closed.unionByName(
+                    hits.select(F.col("start_vid").alias("root"))
+                    .distinct())
+            else:
+                nxt, n = checkpoint_count(nxt)
             step = nxt.select(F.col("root").alias("start_vid"), "end_vid",
                               F.lit(level).alias("hops"), "path")
             if level >= min_hops:
@@ -225,13 +283,14 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
             old_visited.unpersist()
             frontier.unpersist()
             frontier = nxt          # eagerly checkpointed — no re-persist
-        if direction == "both" and min_hops >= 1 and max_hops >= 1:
-            # root-cycle pairs (s, s): excluded from the main BFS by the
-            # pre-visited root, recovered exactly by the meet-in-the-middle
-            # cycle search (same output schema, already min-pruned per root)
-            cyc = shortest_cycles(edges, sources, max_hops, direction="both",
-                                  mode=mode, edge_filter=edge_filter,
-                                  self_loop_once=self_loop_once)
+        if cyc_results is not None:
+            cyc = cyc_results
+            if mode == "single":
+                ws = (Window.partitionBy("start_vid")
+                      .orderBy(_single_tie_key(etype_order),
+                               F.col("path").cast("string").desc()))
+                cyc = (cyc.withColumn("_rn", F.row_number().over(ws))
+                       .filter(F.col("_rn") == 1).drop("_rn"))
             results = cyc if results is None else results.unionByName(cyc)
         if results is None:
             results = (frontier.limit(0)
@@ -297,122 +356,12 @@ def _prep_oriented(edges: DataFrame, direction: str,
     return e.select(SRC, DST, RANK, "_dir", "_etype")
 
 
-def shortest_cycles(edges: DataFrame, roots: DataFrame, max_hops: int,
-                    direction: str = "both", mode: str = "all",
-                    edge_filter: Column | None = None,
-                    self_loop_once: bool = False) -> DataFrame:
-    """All minimal-length edge-unique closed walks through each root —
-    the root-cycle pairs ``(s, s)`` of MATCH ``shortestPath`` /
-    ``allShortestPaths``, computed by meeting in the middle instead of
-    enumerating (reference conjunct design:
-    ``src/graph/executor/algo/SingleShortestPath.cpp:214-265``).
-
-    Output schema matches :func:`bfs_min_paths`: ``(start_vid, end_vid,
-    hops, path)`` with ``end_vid == start_vid``.
-
-    Why this is exact (the proof the enumerate fallback no longer pays
-    exponentially for):
-
-    1. *A minimal closed edge-unique walk through s is a simple cycle.*
-       Any internal vertex repeat can be excised — the excision keeps s,
-       keeps a subset of the edges (so stays edge-unique), and is strictly
-       shorter.
-    2. *Every vertex v on a minimal cycle C through s satisfies
-       d(s, v) = cycle-distance.* If some v were closer, pairing a shortest
-       s⇝v path with either cycle side gives a closed edge-unique walk
-       through s shorter than \\|C\\|; at least one of the two pairings keeps
-       two distinct s-incident edges (C's own s-edges differ), so its
-       repeat-excision terminates in a *simple* cycle through s shorter
-       than C — contradiction.
-    3. Hence C of even length 2k decomposes at its far vertex m into two
-       **minimal** half-paths of length k (a vertex meet), and C of odd
-       length 2k+1 decomposes at its middle edge into two minimal
-       half-paths of length k joined by that edge (an edge meet). The
-       forward half follows ``direction``; the return half is a minimal
-       path in the **reversed** direction (same search when BOTH).
-    4. Conversely every vertex/edge meet of two minimal half-paths is a
-       closed edge-unique walk through s once the cross-half uniqueness
-       filter passes, and at the per-root minimum length it is
-       automatically simple (else by 1–2 a strictly shorter candidate
-       would exist — contradiction with it being the minimum). So
-       {survivors of min-prune} == {minimal cycles}, with multiplicity:
-       each cycle orientation decomposes uniquely at its far vertex /
-       middle edge.
-
-    Scale: the halves are level-pruned BFS to depth ``max_hops // 2`` —
-    frontier b^(L/2) instead of the enumerate fallback's b^L paths.
-    Halves always retain *all* minimal paths (an even meet needs two
-    distinct paths to the far vertex); ``mode`` only affects the final
-    per-root representative pick.
-    """
-    from pyspark.sql.window import Window
-
-    half_depth = max_hops // 2
-    half_f = bfs_min_paths(edges, roots, max_hops=half_depth,
-                           direction=direction, mode="all", min_hops=0,
-                           edge_filter=edge_filter,
-                           self_loop_once=self_loop_once)
-    half_f = half_f.localCheckpoint(eager=True)   # reused by 2-3 joins
-    if direction == "both":
-        half_b = half_f
-    else:
-        half_b = bfs_min_paths(edges, roots, max_hops=half_depth,
-                               direction=_DIR_FLIP[direction], mode="all",
-                               min_hops=0, edge_filter=edge_filter,
-                               self_loop_once=self_loop_once
-                               ).localCheckpoint(eager=True)
-
-    # vertex meets: two distinct minimal half-paths of equal length k >= 1
-    # to the same far vertex -> cycle of length 2k
-    a = (half_f.filter(F.col("hops") >= 1)
-         .select("start_vid", F.col("end_vid").alias("_m"),
-                 F.col("hops").alias("_k"), F.col("path").alias("_lp")))
-    b = (half_b.filter(F.col("hops") >= 1)
-         .select("start_vid", F.col("end_vid").alias("_m"),
-                 F.col("hops").alias("_k"), F.col("path").alias("_rp")))
-    even = (a.join(b, ["start_vid", "_m", "_k"])
-            .filter(F.col("_lp") != F.col("_rp"))
-            .select("start_vid", (F.col("_k") * 2).alias("hops"),
-                    F.concat("_lp", _flip_path(F.col("_rp"))).alias("path")))
-
-    # edge meets: minimal half-paths of equal length k to the middle
-    # edge's two endpoints -> cycle of length 2k+1 (k=0 row is the
-    # self-loop case: both halves are the root itself)
-    e_mid = _prep_oriented(edges, direction, edge_filter, self_loop_once)
-    ao = (half_f.filter(F.col("hops") * 2 + 1 <= max_hops)
-          .select("start_vid", F.col("end_vid").alias("_x"),
-                  F.col("hops").alias("_k"), F.col("path").alias("_lp")))
-    bo = (half_b.select(F.col("start_vid").alias("_rroot"),
-                        F.col("end_vid").alias("_y"),
-                        F.col("hops").alias("_rk"),
-                        F.col("path").alias("_rp")))
-    odd = (ao.join(e_mid, ao["_x"] == e_mid[SRC])
-           .join(bo, (F.col("start_vid") == F.col("_rroot"))
-                 & (F.col("_k") == F.col("_rk"))
-                 & (F.col(DST) == F.col("_y")))
-           .select("start_vid", (F.col("_k") * 2 + 1).alias("hops"),
-                   F.concat("_lp", F.array(_new_edge_struct()),
-                            _flip_path(F.col("_rp"))).alias("path")))
-
-    cand = (even.unionByName(odd)
-            .filter(_edges_unique(F.col("path"))))
-    w = Window.partitionBy("start_vid")
-    cand = (cand.withColumn("_min", F.min("hops").over(w))
-            .filter(F.col("hops") == F.col("_min")).drop("_min"))
-    if mode == "single":
-        ws = Window.partitionBy("start_vid").orderBy(
-            F.col("path").cast("string"))
-        cand = (cand.withColumn("_rn", F.row_number().over(ws))
-                .filter(F.col("_rn") == 1).drop("_rn"))
-    return cand.select("start_vid", F.col("start_vid").alias("end_vid"),
-                       "hops", "path")
-
-
 def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
                     max_hops: int, direction: str = "out",
                     mode: str = "all", min_hops: int = 1,
                     edge_filter: Column | None = None,
-                    self_loop_once: bool = False) -> DataFrame:
+                    self_loop_once: bool = False,
+                    etype_order: list | None = None) -> DataFrame:
     """Meet-in-the-middle minimal paths for (source, target) pairs — the
     MATCH ``shortestPath()`` plan when the end of the pattern is bound or
     tag-constrained, and the engine analog of the reference's conjunct
@@ -444,7 +393,8 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
     as every (source, target) pair has resolved, probed per round against
     \\|S\\|·\\|T\\|. Root-cycle pairs (s in both sets) are excluded from the
     vertex meets (the half-paths from one side alone can't see a cycle's
-    non-minimal prefix) and routed to :func:`shortest_cycles`;
+    non-minimal prefix) and routed to the in-loop closure rule of
+    :func:`bfs_min_paths`;
     ``min_hops=0`` adds their zero-length rows instead.
 
     Output schema matches :func:`bfs_min_paths`:
@@ -494,7 +444,8 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
                .join(visited, ["root", "end_vid"], "left_anti"))
         if mode == "single":
             w = (Window.partitionBy("root", "end_vid")
-                 .orderBy(F.col("path").cast("string")))
+                 .orderBy(_single_tie_key(etype_order),
+                          F.col("path").cast("string").desc()))
             nxt = (nxt.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn"))
         return checkpoint_count(nxt)
@@ -568,7 +519,8 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
                    .filter(F.col("hops") == F.col("_min")).drop("_min"))
             if mode == "single":
                 ws = (Window.partitionBy("start_vid", "end_vid")
-                      .orderBy(F.col("path").cast("string")))
+                      .orderBy(_single_tie_key(etype_order),
+                               F.col("path").cast("string").desc()))
                 out = (out.withColumn("_rn", F.row_number().over(ws))
                        .filter(F.col("_rn") == 1).drop("_rn"))
         extras: list[DataFrame] = []
@@ -580,10 +532,16 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
                     F.lit(0).alias("hops"),
                     F.array().cast(path_type).alias("path")))
             elif max_hops >= 1:
-                extras.append(shortest_cycles(
+                # reference-artifact closures: re-run the level-pruned
+                # BFS from the (few) diagonal roots and keep the (s, s)
+                # rows — same in-loop closure rule as bfs_min_paths
+                cyc_all = bfs_min_paths(
                     edges, diag.select(F.col("root").alias(VID)), max_hops,
-                    direction=direction, mode=mode, edge_filter=edge_filter,
-                    self_loop_once=self_loop_once))
+                    direction=direction, mode=mode, min_hops=1,
+                    edge_filter=edge_filter, self_loop_once=self_loop_once,
+                    etype_order=etype_order)
+                extras.append(cyc_all.filter(
+                    F.col("start_vid") == F.col("end_vid")))
         for x in extras:
             out = x if out is None else out.unionByName(x)
         if out is None:

@@ -2875,8 +2875,8 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
             # cost is linear in reachable pairs instead of exponential in
             # hop count. BOTH-direction segments route here too — the
             # root-cycle pairs that used to break the minimality
-            # invariant are handled by shortest_cycles inside
-            # bfs_min_paths/bidir_min_paths. The enumerate-then-prune
+            # invariant follow the reference's level-pruned artifact
+            # (in-loop closures) inside bfs_min_paths/bidir_min_paths. The enumerate-then-prune
             # fallback below remains only for min_hops>1 / multi-segment
             # patterns (intermediate-hop constraints break the BFS
             # invariant).
@@ -2917,13 +2917,15 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                         edges.select(SRC, DST, RANK, "_etype"), seeds,
                         sp_targets, max_hops=sp_max,
                         direction=me.direction, mode=sp_mode,
-                        min_hops=sp_min, self_loop_once=True)
+                        min_hops=sp_min, self_loop_once=True,
+                        etype_order=sorted(space.edges))
                 else:
                     tr = bfs_min_paths(
                         edges.select(SRC, DST, RANK, "_etype"), seeds,
                         max_hops=sp_max, direction=me.direction,
                         mode=sp_mode, min_hops=sp_min,
-                        self_loop_once=True)
+                        self_loop_once=True,
+                        etype_order=sorted(space.edges))
                 shortest_done = True
                 seg_props = []
                 if lazy_path_props:
@@ -4328,14 +4330,31 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
             if a and not a.startswith("_") and a not in pattern_order:
                 pattern_order.append(a)
         for cl in st.clauses:
+            if isinstance(cl, A.WithClause):
+                # WITH re-defines the binding order: its ITEM order is
+                # what RETURN * follows afterwards (MultiQueryParts
+                # "Optional Match" pins `…, e5, v3` per the WITH list)
+                neworder: list[str] = []
+                for it in cl.items:
+                    if it.expr == ("star",):
+                        neworder.extend(a for a in pattern_order
+                                        if a not in neworder)
+                        continue
+                    nm = it.alias or (
+                        it.expr[1] if isinstance(it.expr, tuple)
+                        and it.expr and it.expr[0] == "name" else None)
+                    if nm and not nm.startswith("_")                             and nm not in neworder:
+                        neworder.append(nm)
+                pattern_order[:] = neworder
+                continue
             for p in getattr(cl, "paths", None) or []:
-                _intro(p.path_alias)
                 for k, nd in enumerate(p.nodes):
                     _intro(nd.alias)
                     if k < len(p.edges):
                         _intro(p.edges[k].alias)
-            for it in getattr(cl, "items", None) or []:
-                _intro(it.alias)
+                # the path alias registers AFTER its pattern's own
+                # aliases (MatchById.feature "return path" pins `n, p`)
+                _intro(p.path_alias)
             _intro(getattr(cl, "alias", None))
         seen: set[str] = set()
         frame: list[str] = []
@@ -4352,11 +4371,14 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                     frame.append(a)
             else:
                 plain.append(c)
-        frame.sort(key=lambda a: (pattern_order.index(a)
-                                  if a in pattern_order
-                                  else len(pattern_order)))
-        returns.extend(A.YieldItem(("name", a), a) for a in frame)
-        returns.extend(A.YieldItem(("name", c), c) for c in plain)
+        # bindings AND plain projected columns share one introduction
+        # order (With.feature "duplicate columns" pins `v2, likeness,
+        # v3` — the WITH-aliased aggregate sits between the bindings)
+        merged = frame + plain
+        merged.sort(key=lambda a: (pattern_order.index(a)
+                                   if a in pattern_order
+                                   else len(pattern_order)))
+        returns.extend(A.YieldItem(("name", a), a) for a in merged)
 
     def ret_col(y: A.YieldItem, i: int):
         # RETURN p (bare path alias) → the path value as a struct of the
@@ -4383,7 +4405,13 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                        for c in cur.columns if c.startswith(f"{a}__")
                        and not c.startswith(f"{a}___")
                        and (not fields or c != f"{a}__vid")]
-            return F.struct(*fields).alias(y.alias or a)
+            v = F.struct(*fields)
+            if f"{a}___vid" in cur.columns:
+                # an OPTIONAL-MATCH miss renders NULL, not a struct of
+                # NULL fields (MultiQueryParts.feature "Optional Match")
+                v = F.when(F.col(f"{a}___vid").isNull(),
+                           F.lit(None)).otherwise(v)
+            return v.alias(y.alias or a)
         return ec.col(y.expr).alias(_yname(y, i))
 
     items = [(i, y, ret_col(y, i)) for i, y in enumerate(returns)]

@@ -783,6 +783,10 @@ class Parser:
             return LimitStmt(n, off)
         if self.at_kw("match"):
             return self.match_sentence()
+        if self.at_kw("optional"):
+            # a query may OPEN with OPTIONAL MATCH (MatchById.feature
+            # "Can't seek by id") — the clause chain handles it
+            return self.match_sentence()
         if self.at_kw("with"):
             # Cypher queries may open with WITH (With.feature "with
             # return"): the clause chain starts from a unit row

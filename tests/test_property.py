@@ -147,13 +147,13 @@ def test_bfs_min_paths_equals_enumerate_prune(spark, edges, direction,
                                               mode, max_hops):
     """The BFS shortestPath routing must agree with the enumerate-then-
     prune reference plan on arbitrary small graphs: same (start, end,
-    hops) multiset, and in `all` mode the same path multiset. This pins
-    the routed fast path to the fallback's semantics — root cycles and
-    self-loops included, in ALL directions: BOTH-direction root cycles
-    violate the minimal-prefix invariant (a hypothesis run found the
-    triangle counterexample), so in BOTH mode bfs_min_paths pre-visits
-    the root and recovers the (s, s) rows via the meet-in-the-middle
-    shortest_cycles search instead."""
+    hops) multiset, and in `all` mode the same path multiset. Root-cycle
+    exception (re-pinned r11): in BOTH mode the (s, s) rows follow the
+    REFERENCE's level-pruned artifact — a closure is reported only when
+    its prefix is itself a minimal path (AllShortestPaths.feature:578
+    pins 1062, which excludes prefix-pruned triangles) — so BOTH-mode
+    (s, s) rows compare against a Python level-pruned oracle instead of
+    the enumerate plan."""
     from collections import Counter
 
     from pyspark.sql import functions as F
@@ -181,6 +181,58 @@ def test_bfs_min_paths_equals_enumerate_prune(spark, edges, direction,
         if r.hops == best[(r.start_vid, r.end_vid)]:
             want_pairs[(r.start_vid, r.end_vid, r.hops)] += 1
 
+    if direction == "both":
+        # (s, s) oracle: level-pruned BFS — only minimal frontier paths
+        # extend; a closure is collected at its root's first level
+        adj: dict = {}
+        for i, (s, d) in enumerate(edges):
+            adj.setdefault(f"v{s}", []).append((f"v{d}", i))
+            if s != d:
+                adj.setdefault(f"v{d}", []).append((f"v{s}", i))
+        cyc_want = Counter()
+        for src in ("v0", "v1"):
+            bestl = {src: 0}
+            frontier = [((src,), ())]
+            done = None
+            for lv in range(1, max_hops + 1):
+                newly: dict = {}
+                ncyc = 0
+                for vs, es in frontier:
+                    for (d, ei) in adj.get(vs[-1], []):
+                        if ei in es:
+                            continue
+                        if d == src:
+                            if done is None or done == lv:
+                                ncyc += 1
+                            continue
+                        if d in bestl and bestl[d] < lv:
+                            continue
+                        newly.setdefault(d, []).append(
+                            (vs + (d,), es + (ei,)))
+                if ncyc and done is None:
+                    done = lv
+                if done == lv:
+                    cyc_want[(src, src, lv)] = ncyc
+                for d in newly:
+                    bestl.setdefault(d, lv)
+                frontier = [p for d, ps in newly.items()
+                            if bestl[d] == lv for p in ps]
+        # replace the enumerate (s, s) expectations with the oracle's
+        want_pairs = Counter({k: v for k, v in want_pairs.items()
+                              if k[0] != k[1]})
+        want_pairs.update(cyc_want)
+        got_ss = Counter((r.start_vid, r.end_vid, r.hops)
+                         for r in got if r.start_vid == r.end_vid)
+        if mode == "single":
+            assert set(got_ss) == set(cyc_want)
+            assert all(v == 1 for v in got_ss.values())
+        else:
+            assert got_ss == cyc_want
+        got = [r for r in got if r.start_vid != r.end_vid]
+        want_pairs = Counter({k: v for k, v in want_pairs.items()
+                              if k[0] != k[1]})
+        enum = [r for r in enum if r.start_vid != r.end_vid]
+
     if mode == "all":
         got_pairs = Counter((r.start_vid, r.end_vid, r.hops) for r in got)
         assert got_pairs == want_pairs
@@ -201,13 +253,14 @@ def test_bfs_min_paths_equals_enumerate_prune(spark, edges, direction,
         assert len(got) == len(got_set)
 
 
-def test_bfs_min_paths_both_finds_triangle_cycle(spark):
-    """The triangle counterexample that used to force the enumerate
-    fallback: in BOTH direction the 3-cycle's minimal prefix v0→v1→v2 is
-    level-pruned (v2 reached directly) and the direct path can't close
-    over the same underlying edge — a naive level-pruned BFS silently
-    loses (v0, v0, 3). bfs_min_paths must now find both orientations of
-    the cycle via shortest_cycles."""
+def test_bfs_min_paths_both_triangle_cycle_reference_invisible(spark):
+    """Re-pinned r11 to the REFERENCE's level-pruned artifact: in BOTH
+    direction the 3-cycle's minimal prefix v0→v1→v2 is level-pruned (v2
+    reached directly) and a pruned path is never extended, so the
+    (v0, v0, 3) cycle is NOT reported — exactly the reference's BFS
+    behavior (AllShortestPaths.feature:578 pins count 1062: Yao Ming's
+    serve/serve/like triangle is invisible there too). 2-cycles over two
+    DISTINCT parallel edges ARE found (their 1-prefix is minimal)."""
     from nebula_spark.operators.paths import bfs_min_paths
 
     e = spark.createDataFrame(
@@ -215,14 +268,13 @@ def test_bfs_min_paths_both_finds_triangle_cycle(spark):
         "_src string, _dst string, _rank long")
     starts = spark.createDataFrame([("v0",)], ["_vid"])
     got = bfs_min_paths(e, starts, max_hops=3, direction="both").collect()
-    cycles = sorted(
-        tuple((p.s, p.d) for p in r.path)
-        for r in got if r.end_vid == "v0")
-    assert [r.hops for r in got if r.end_vid == "v0"] == [3, 3]
-    assert cycles == [
-        (("v0", "v1"), ("v1", "v2"), ("v2", "v0")),
-        (("v0", "v2"), ("v2", "v1"), ("v1", "v0")),
-    ]
+    assert [r.hops for r in got if r.end_vid == "v0"] == []
+    e2 = spark.createDataFrame(
+        [("v0", "v1", 0), ("v0", "v1", 1)],
+        "_src string, _dst string, _rank long")
+    got2 = bfs_min_paths(e2, starts, max_hops=3,
+                         direction="both").collect()
+    assert sorted(r.hops for r in got2 if r.end_vid == "v0") == [2, 2]
 
 
 @given(
