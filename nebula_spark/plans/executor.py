@@ -556,6 +556,23 @@ class ExprCompiler:
                                              op == "+")
                 if c is not None:
                     return c
+            if op in ("-", "*", "/", "%"):
+                # non-`+` arithmetic over a statically-STRING operand is
+                # the reference's planning refusal: `v.player.name-'n'`
+                # → "`(v.player.name-"n")' is not a valid expression,
+                # can not apply `-' to `__EMPTY__' and `STRING'."
+                # (match/Base.feature "filter is not a valid expression")
+                from pyspark.sql.types import StringType as _SStr
+                sa = isinstance(self._dtype(a), _SStr) \
+                    or _is_stringish(e[1])
+                sb = isinstance(self._dtype(b), _SStr) \
+                    or _is_stringish(e[2])
+                if sa or sb:
+                    ta = "__EMPTY__" if sa else "STRING"
+                    raise ValueError(
+                        f"`{_expr_text(e) or '...'}' is not a valid "
+                        f"expression, can not apply `{op}' to "
+                        f"`{ta}' and `STRING'.")
             if op in ("==", "!=", "<", "<=", ">", ">=") \
                     and (_is_floatish(e[1]) or _is_floatish(e[2])):
                 # FLOAT comparisons are epsilon-tolerant in the reference
@@ -610,6 +627,9 @@ class ExprCompiler:
                 from pyspark.sql.types import (ArrayType, MapType,
                                                StructType)
 
+                from pyspark.sql.types import (BooleanType, NumericType,
+                                               StringType)
+
                 def _kind(t):
                     if t is None:
                         return None
@@ -619,9 +639,29 @@ class ExprCompiler:
                         return "map"
                     if isinstance(t, StructType):
                         return "struct"
+                    if isinstance(t, StringType):
+                        return "string"
+                    if isinstance(t, BooleanType):
+                        return "bool"
+                    if isinstance(t, NumericType):
+                        return "num"
                     return "scalar"
                 ka, kb = _kind(self._dtype(a)), _kind(self._dtype(b))
-                if ka and kb and ka != kb:
+                known = {"string", "bool", "num", "array", "map", "struct"}
+                if ka in known and kb in known and ka != kb:
+                    # Value::equal on mismatched non-numeric kinds is
+                    # FALSE (Value.cpp:1873-1882) and kRelNE is !equal —
+                    # `src(e) != 0` keeps every row (match/Base.feature
+                    # "match with rank1"); the ordering operators stay
+                    # NULL (lessThan's kNullBadType)
+                    if op == "==":
+                        return F.when(a.isNull() | b.isNull(),
+                                      F.lit(None).cast("boolean")) \
+                                .otherwise(F.lit(False))
+                    if op == "!=":
+                        return F.when(a.isNull() | b.isNull(),
+                                      F.lit(None).cast("boolean")) \
+                                .otherwise(F.lit(True))
                     return F.lit(None).cast("boolean")
             return {"==": a == b, "!=": a != b, "<": a < b, "<=": a <= b,
                     ">": a > b, ">=": a >= b, "+": a + b, "-": a - b,
@@ -1214,6 +1254,15 @@ def _vid_frame(space: GraphSpace, vids, piped: DataFrame | None,
 
 
 def _edge_union(space: GraphSpace, names: list[str]) -> DataFrame:
+    if not names:
+        # a space with NO edge schema matches nothing, it doesn't crash
+        # (match/Base.feature "Match a path in a space which doesn't
+        # have edge schema")
+        vt = "bigint" if "int" in str((getattr(space, "options", None)
+                                       or {}).get("vid_type", "")).lower() \
+            else "string"
+        return space.spark.createDataFrame(
+            [], f"{SRC} {vt}, {DST} {vt}, {RANK} bigint, _etype string")
     dfs = []
     for n in names:
         e = space.edge(n)
@@ -2581,6 +2630,15 @@ def _ensure_tag_props(space: GraphSpace, cur: DataFrame, exprs: list,
     for e in exprs:
         if e is not None:
             _walk(e, {"alias_tag_prop"}, refs)
+    # 2-part `v.tag` TAG-MAP access on a node binding (match/Base.feature
+    # "Get property or tag from a vertex": `v.player` → the prop map,
+    # `v.name` → NULL) joins the named tag the same lazy way
+    trefs: list = []
+    for e in exprs:
+        if e is not None:
+            _walk(e, {"edge_prop"}, trefs)
+    refs += [("_", r[1], r[2]) for r in trefs
+             if r[1] in tagmap and r[2] in space.tags]
     dtypes = None
     for a, t in sorted({(r[1], r[2]) for r in refs}):
         if t not in space.tags or f"{a}___t_{t}___vid" in cur.columns:
@@ -3670,17 +3728,43 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                     # bound alias, prop absent from its tag schema → NULL
                     return F.lit(None)
             return F.col(f"{alias}__{prop}")
-        if kind == "edge_prop":          # e.prop (or alias.prop)
-            if columns is not None and f"{args[0]}__{args[1]}" not in columns:
-                if args[0] in columns:
-                    return F.col(args[0])[args[1]]
-                if f"{args[0]}___src" in columns:
+        if kind == "edge_prop":          # e.prop (or alias.prop / v.tag)
+            a, x = args
+            if tagmap is not None and a in tagmap and columns is not None \
+                    and f"{a}___vid" in columns:
+                # `v.x` on a NODE binding is TAG access, never prop
+                # access (match/Base.feature "Get property or tag from a
+                # vertex"): the named tag's prop struct, NULL when the
+                # vertex lacks the tag or no such tag exists
+                if tagmap.get(a) == x:
+                    flat = [c for c in columns
+                            if c.startswith(f"{a}__")
+                            and not c.startswith(f"{a}___")]
+                    if flat:
+                        return F.struct(*[
+                            F.col(c).alias(c.split("__", 1)[1])
+                            for c in sorted(flat)])
+                    return F.lit(None)
+                lazy_vid = f"{a}___t_{x}___vid"
+                if lazy_vid in columns:
+                    props = sorted(c for c in columns
+                                   if c.startswith(f"{a}___t_{x}__")
+                                   and c != lazy_vid)
+                    st_ = F.struct(*[
+                        F.col(c).alias(c.rsplit("__", 1)[1])
+                        for c in props])
+                    return F.when(F.col(lazy_vid).isNotNull(), st_)
+                return F.lit(None)
+            if columns is not None and f"{a}__{x}" not in columns:
+                if a in columns:
+                    return F.col(a)[x]
+                if f"{a}___src" in columns:
                     # bound edge alias, prop not in the edge schema —
                     # case-sensitive miss (Attribute.feature e.Likeness)
                     # → UNKNOWN_PROP NULL; F.col would resolve it
                     # case-insensitively and return the wrong column
                     return F.lit(None)
-            return F.col(f"{args[0]}__{args[1]}")
+            return F.col(f"{a}__{x}")
         if kind in ("name", "input_prop"):
             a = args[0]
             if a in bound:
@@ -4437,11 +4521,20 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     if st.distinct:
         out = out.distinct()
     if st.order_by:
-        ret_aliases = [y.alias for y in st.returns]
+        # OrderByValidator: a RETURN-tail sort item must NAME an output
+        # column — `ORDER BY v.player.age` after `RETURN … AS Age` is
+        # "Only column name can be used as sort item" (Base.feature
+        # "Order by vertex prop"; MatchById "order skip limit"). The
+        # expression-text rendering covers unaliased columns that are
+        # literally named `v.player.age`.
+        out_names = set(out.columns)
         order_cols = []
         for e, asc in st.order_by:
-            c = (F.col(e[1]) if e[0] == "name" and e[1] in ret_aliases
-                 else ec.col(e))
+            name = e[1] if e[0] == "name" else _expr_text(e)
+            if name is None or name not in out_names:
+                raise ValueError(
+                    "Only column name can be used as sort item")
+            c = F.col("`" + name.replace("`", "``") + "`")
             # reference Value ordering: NULLVALUE is the largest type tag
             # (Value.h:64-83) — NULL last ascending, first descending
             order_cols.append(c.asc_nulls_last() if asc
