@@ -66,6 +66,7 @@ class TagDef:
     defaults: dict | None = None  # DDL DEFAULT exprs, applied at INSERT
     required: list | None = None  # NOT NULL columns (DDL nullability)
     comments: dict | None = None  # per-column COMMENT text (DESC)
+    schema_comment: str | None = None  # COMMENT = "…" (SHOW CREATE)
 
 
 @dataclass
@@ -88,6 +89,7 @@ class EdgeDef:
     defaults: dict | None = None  # DDL DEFAULT exprs, applied at INSERT
     required: list | None = None  # NOT NULL columns (DDL nullability)
     comments: dict | None = None  # per-column COMMENT text (DESC)
+    schema_comment: str | None = None  # COMMENT = "…" (SHOW CREATE)
 
 
 @dataclass
@@ -117,9 +119,10 @@ class GraphSpace:
                    ttl_duration: int = 0, decl: list | None = None,
                    defaults: dict | None = None,
                    required: list | None = None,
-                   comments: dict | None = None) -> TagDef:
+                   comments: dict | None = None,
+                   schema_comment: str | None = None) -> TagDef:
         tag = TagDef(name, path, df, ttl_col, ttl_duration, decl, defaults,
-                     required, comments)
+                     required, comments, schema_comment)
         self.tags[name] = tag
         return tag
 
@@ -128,9 +131,10 @@ class GraphSpace:
                     ttl_duration: int = 0, decl: list | None = None,
                     defaults: dict | None = None,
                     required: list | None = None,
-                    comments: dict | None = None) -> EdgeDef:
+                    comments: dict | None = None,
+                    schema_comment: str | None = None) -> EdgeDef:
         edge = EdgeDef(name, path, df, ttl_col, ttl_duration, decl,
-                       defaults, required, comments)
+                       defaults, required, comments, schema_comment)
         self.edges[name] = edge
         return edge
 
@@ -153,11 +157,32 @@ class GraphSpace:
             if new not in df.columns and old in df.columns:
                 df = df.withColumnRenamed(old, new)
         if d.ttl_col and d.ttl_duration > 0:
-            # read-time TTL filter (CompactionFilter.h:76-131 parity)
-            df = df.filter(
-                F.col(d.ttl_col) + F.expr(f"INTERVAL {d.ttl_duration} SECOND")
-                >= F.current_timestamp()
-            )
+            # read-time TTL filter (CompactionFilter.h:76-131 parity):
+            # expired when ttl_col + ttl_duration <= now. Evaluated as
+            # now − col < duration so an INT64_MAX duration (TTL2.feature
+            # "never expires") cannot overflow; the col is epoch seconds
+            # (int64 or timestamp — both legal ttl types), and a NULL
+            # ttl value never expires (the filter can't evaluate → keep)
+            c = F.col(d.ttl_col)
+            dt = dict(df.dtypes).get(d.ttl_col, "")
+            epoch = F.unix_timestamp(c) if dt.startswith("timestamp") \
+                else c.cast("bigint")
+            # NOW_OVERRIDE, when a harness pins it (the TCK runner's
+            # `wait N seconds` steps), freezes the read clock between
+            # waits so sub-5s TTL scenarios don't race statement
+            # latency; unset (production) reads use the real clock
+            from nebula_spark.functions.scalar import NOW_OVERRIDE
+            now_col = F.lit(int(NOW_OVERRIDE[0])) \
+                if NOW_OVERRIDE[0] is not None \
+                else F.unix_timestamp(F.current_timestamp())
+            age = now_col - epoch
+            # the reference's expiration ALSO fires when col + duration
+            # overflows int64 (a pinned upstream bug — TTL2.feature "ttl
+            # expire" expects EMPTY for ttl_duration=INT64_MAX with the
+            # correct rows commented out under a TODO)
+            thr = (2**63 - 1) - d.ttl_duration
+            df = df.filter(c.isNull() | ((age < F.lit(d.ttl_duration))
+                                         & (epoch <= F.lit(thr))))
         return df
 
     def tag(self, name: str) -> DataFrame:

@@ -15,13 +15,27 @@ non-ANSI mode.
 """
 
 from __future__ import annotations
-
 import math
 
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+# test-harness logical clock: when set (seconds since epoch), now() and
+# the TTL read filter evaluate against THIS instant instead of the real
+# clock — the TCK runner advances it on explicit `wait N seconds` steps
+# so second-granular TTL scenarios don't race per-statement latency.
+# None (production) keeps the real clock.
+NOW_OVERRIDE: list = [None]
+
+
+def _now_col() -> Column:
+    if NOW_OVERRIDE[0] is not None:
+        return F.timestamp_seconds(F.lit(int(NOW_OVERRIDE[0])))
+    return F.current_timestamp()
+
+
 
 
 def _rand32(*_: Column) -> Column:
@@ -232,7 +246,7 @@ FUNCTIONS: dict[str, object] = {
     "strcasecmp": _strcasecmp, "hash": _hash,
     "md5": F.md5, "json_extract": _json_extract,
     # temporal
-    "now": F.current_timestamp, "timestamp": F.to_timestamp,
+    "now": lambda: _now_col(), "timestamp": F.to_timestamp,
     "date": F.to_date, "datetime": F.to_timestamp,
     # reference extract() is regex-match-all (FunctionManager.cpp
     # "extract": std::regex iteration over the haystack;

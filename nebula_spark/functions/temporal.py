@@ -99,7 +99,8 @@ def d_timestamp(s: Column | None = None) -> Column:
     Zero-arg = now (TimeUtils::utcTimestamp — InsertEdgeOnDiffParts
     .feature's `default timestamp()`)."""
     if s is None:
-        return F.unix_timestamp()
+        from nebula_spark.functions.scalar import _now_col
+        return F.unix_timestamp(_now_col())
     return F.unix_timestamp(F.to_timestamp(s))
 
 

@@ -4652,7 +4652,7 @@ def _rebind(space: GraphSpace, name: str, is_edge: bool,
         new_df = _stats_reset(new_df, n)
     maker(name, df=new_df, ttl_col=d.ttl_col, ttl_duration=d.ttl_duration,
           decl=d.decl, defaults=d.defaults, required=d.required,
-          comments=d.comments)
+          comments=d.comments, schema_comment=d.schema_comment)
 
 
 def _default_col(text, dtype: str) -> Column:
@@ -5509,7 +5509,13 @@ def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
         ix = space.indexes.get(st.name)
         if ix is None or ix.kind != st.entity:
             raise ValueError(f"Index not existed: {st.name}")
-        body = ",\n".join(f" `{c}`" for c in ix.cols)
+        specs = getattr(ix, "cols_spec", None) or ix.cols
+        def _ixcol(c):
+            m = re.match(r"(\w+)\s*\(\s*(\d+)\s*\)", c)
+            if m:
+                return f" `{m.group(1)}`({m.group(2)})"
+            return f" `{c}`"
+        body = ",\n".join(_ixcol(c) for c in specs)
         stmt = (f"CREATE {ix.kind.upper()} INDEX `{ix.name}` ON "
                 f"`{ix.on}` (\n{body}\n)")
         if getattr(ix, "options", None):
@@ -5542,7 +5548,8 @@ def _exec_admin(space: GraphSpace, st: A.AdminStmt) -> DataFrame:
     skip = {VID} if st.entity == "tag" else {SRC, DST, RANK}
     if d.decl is not None:
         data = [(c, rt, "NO" if c in (d.required or []) else "YES",
-                 (d.defaults or {}).get(c),
+                 (_render_default((d.defaults or {})[c], rt).strip('"')
+                  if c in (d.defaults or {}) else None),
                  (d.comments or {}).get(c)) for c, rt in d.decl]
     else:
         data = [(f, _REF_TYPE.get(t, t), "YES" if n else "NO",
@@ -5713,6 +5720,11 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
     if st.name not in reg:
         raise KeyError(f"no {st.entity} named {st.name!r}")
     d = reg[st.name]
+    if getattr(st, "schema_comment", None) is not None \
+            and not (st.adds or st.changes or st.drops):
+        # ALTER TAG x comment = "…" (schema/Comment.feature)
+        d.schema_comment = st.schema_comment
+        return space.spark.range(0)
     if st.ttl_duration is not None or st.ttl_col is not None:
         # ALTER … ttl_duration / ttl_col (TTL2.feature "ttl ddl"):
         # refused when any index exists on the schema; a duration needs
@@ -5723,18 +5735,32 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
             raise ValueError("Unsupported!")
         col = st.ttl_col if st.ttl_col is not None else d.ttl_col
         decl_t = {c: str(t).strip().lower() for c, t in (d.decl or [])}
-        if st.ttl_col is not None:
+        if st.ttl_col == "":
+            # `ALTER … ttl_col = ""` disables TTL (TTL2.feature "ttl
+            # ddl2"); rows already expired stay gone — the re-bound
+            # frame below reads through the still-active filter
+            d.df = space._load(d)
+            d.ttl_col = None
+            d.ttl_duration = 0
+            if not (st.adds or st.changes or st.drops):
+                return space.spark.range(0)
+        elif st.ttl_col is not None:
             if st.ttl_col not in decl_t:
                 raise ValueError(
                     f"{st.entity.capitalize()} prop not existed!")
             if decl_t[st.ttl_col] not in ("int", "int64", "timestamp"):
                 raise ValueError("Ttl column type illegal")
-        if st.ttl_duration and not col:
-            raise ValueError("Unsupported!")
-        d.ttl_col = col
-        if st.ttl_duration is not None:
-            d.ttl_duration = st.ttl_duration
-        return space.spark.range(0)
+        if st.ttl_col != "":
+            if st.ttl_duration and not col:
+                raise ValueError("Unsupported!")
+            d.ttl_col = col
+            if st.ttl_duration is not None:
+                d.ttl_duration = st.ttl_duration
+        if not (st.adds or st.changes or st.drops):
+            return space.spark.range(0)
+        # `ALTER TAG woman Drop (name) ttl_duration = 200` carries BOTH
+        # a section and ttl options (TTL.feature Schematest) — fall
+        # through to apply the section too
     # a column carrying a fulltext index cannot CHANGE or DROP
     # (FultextIndexDDL.feature)
     ft_cols = {f for k, s, f in getattr(space, "ft_indexes", {}).values()
@@ -5748,10 +5774,33 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
     defaults = dict(d.defaults or {})
     required = list(d.required or [])
     comments = dict(d.comments or {})
+    dup = [c for c in ([x[0] for x in st.adds + st.changes] + st.drops)
+           if ([x[0] for x in st.adds + st.changes]
+               + st.drops).count(c) > 1]
+    if dup:
+        # one section may not name a column twice
+        # (TTL.feature Schematest `change(address string, address
+        # string)`)
+        raise ValueError(f"Storage Error: Conflict on column `{dup[0]}'.")
+    both = {c for c, *_ in st.changes} & set(st.drops)
+    if both:
+        # one statement may not CHANGE and DROP the same column
+        # (TTL.feature Schematest `change(name string), drop(name)`)
+        raise ValueError(
+            f"Storage Error: Conflict on column `{sorted(both)[0]}'.")
     for col, typ, default, notnull, comment in st.adds:
         dt = _TYPE_MAP.get(typ)
         if dt is None:
             raise ValueError(f"unknown type {typ!r}")
+        if notnull and default is None:
+            # ADD NOT NULL needs a default (schema/Schema.feature:874)
+            raise ValueError(f"Column `{col}' must have a default value "
+                             "if it's not nullable")
+        if col in getattr(d, "_dropped", set()):
+            # a previously-dropped column may not come back — the
+            # reference keeps it in older schema versions
+            # (schema/Schema.feature "drop … and add it back later")
+            raise ValueError("Storage Error: Schema exisited before!")
         if col.startswith("_"):
             # same rule as CREATE: the `_` prefix is the key/meta
             # namespace; the reference lexer can't spell such a name
@@ -5777,12 +5826,39 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
             raise ValueError(f"unknown type {typ!r}")
         if col not in df.columns:
             raise ValueError(f"{st.entity.capitalize()} prop not existed!")
+        if col == d.ttl_col:
+            # the active TTL column cannot CHANGE (TTL.feature
+            # Schematest: `ALTER TAG woman CHANGE (age int64)` refuses
+            # while age is the ttl_col)
+            raise ValueError("Storage Error: The column is the TTL "
+                             "column, please remove the TTL first.")
+        old_t = {c: str(t).strip().lower() for c, t in decl}.get(col)
+        new_t = "int64" if typ == "int" else typ
+        if notnull and default is None and col not in required:
+            # CHANGE to NOT NULL needs a default (schema/Schema.feature
+            # "alter a edge to change an column … to not nullable")
+            raise ValueError(f"Column `{col}' must have a default value "
+                             "if it's not nullable")
+        if old_t is not None and old_t != new_t \
+                and not (old_t.startswith("fixed_string")
+                         and new_t == "string"):
+            # CHANGE may not re-type a column (TTL.feature Schematest:
+            # `CHANGE (age int64)` over int64 succeeds, `CHANGE (age
+            # string)` refuses)
+            raise ValueError("Storage Error: Column type can not be "
+                             "changed.")
         df = df.withColumn(col, F.col(col).cast(dt))
         decl = [(c, "int64" if typ == "int" else typ) if c == col
                 else (c, t) for c, t in decl]
+        # CHANGE replaces the WHOLE column spec (parser.yy column_spec;
+        # schema/Comment.feature: a CHANGE without COMMENT drops the
+        # old comment) — reset default/comment/nullability to the new
+        defaults.pop(col, None)
+        comments.pop(col, None)
+        required = [c for c in required if c != col]
         if default is not None:
             defaults[col] = default.strip("\"'")
-        if notnull and col not in required:
+        if notnull:
             required.append(col)
         if comment is not None:
             comments[col] = comment
@@ -5794,10 +5870,24 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
         defaults.pop(col, None)
         comments.pop(col, None)
         required = [c for c in required if c != col]
+        if d.ttl_col == col:
+            # dropping the ttl column clears the TTL setting
+            # (TTL.feature Schematest: SHOW CREATE renders
+            # `ttl_duration = 0, ttl_col = ""` after the drop)
+            d.ttl_col = None
+            d.ttl_duration = 0
+        if not hasattr(d, "_dropped"):
+            d._dropped = set()
+        d._dropped.add(col)
     maker = space.create_edge if st.entity == "edge" else space.create_tag
-    maker(st.name, df=df, ttl_col=d.ttl_col, ttl_duration=d.ttl_duration,
-          decl=decl or None, defaults=defaults or None,
-          required=required or None, comments=comments or None)
+    nd = maker(st.name, df=df, ttl_col=d.ttl_col,
+               ttl_duration=d.ttl_duration,
+               decl=decl or None, defaults=defaults or None,
+               required=required or None, comments=comments or None,
+               schema_comment=d.schema_comment)
+    # dropped-column history survives the rebind (re-ADD refuses —
+    # schema/Schema.feature "drop … and add it back later")
+    nd._dropped = getattr(d, "_dropped", set())
     return space.spark.range(0)
 
 
@@ -5913,7 +6003,8 @@ def _exec_ddl(space: GraphSpace, st) -> DataFrame:
                defaults=sd.defaults,
                required=[f.name for f in sd.schema.fields
                          if not f.nullable],
-               comments=sd.comments)
+               comments=sd.comments,
+               schema_comment=getattr(sd, "schema_comment", None))
     for ix in _indexes:
         # index DDL stays metadata-only (Parquet stats + Catalyst
         # pushdown subsume it) but the column check is real: a column
@@ -5965,6 +6056,28 @@ _REF_TYPE = {"bigint": "int64", "int": "int32", "smallint": "int16",
              "timestamp_ntz": "datetime", "timestamp": "timestamp"}
 
 
+def _render_default(text, ref_type: str) -> str:
+    """DDL DEFAULT rendering for SHOW CREATE / DESCRIBE: constant
+    expressions fold (`0 + 0` → `0` — the reference folds via
+    Expression::eval), strings re-quote, non-constant expressions
+    (timestamp()) echo as written."""
+    try:
+        e = A.Parser(A.tokenize(str(text))).expr()
+        from nebula_spark.plans.ngql import _const_eval
+        v = _const_eval(e)
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return f'"{v}"'
+        return str(v)
+    except Exception:  # noqa: BLE001 — non-constant default
+        t = str(text)
+        if str(ref_type).lower().startswith(("string", "fixed_string")) \
+                and not t.endswith(")"):
+            return f'"{t}"'
+        return t
+
+
 def _exec_show_create(space: GraphSpace, st) -> DataFrame:
     """SHOW CREATE TAG/EDGE — the reference's exact rendering
     (TTL.feature Schematest): backquoted names, one prop per line,
@@ -5985,12 +6098,26 @@ def _exec_show_create(space: GraphSpace, st) -> DataFrame:
                                        f.dataType.simpleString()))
                 for f in fields]
         nullable = {f.name: f.nullable for f in fields}
-    lines = ",\n".join(
-        f" `{c}` {t} {'NULL' if nullable.get(c, True) else 'NOT NULL'}"
-        for c, t in cols)
+    reqs = set(d.required or [])
+    defaults = d.defaults or {}
+    col_comments = d.comments or {}
+
+    def _colline(c, t):
+        nn = "NOT NULL" if (c in reqs or not nullable.get(c, True)) \
+            else "NULL"
+        s = f" `{c}` {t} {nn}"
+        if c in defaults:
+            s += f" DEFAULT {_render_default(defaults[c], t)}"
+        if c in col_comments:
+            s += f' COMMENT "{col_comments[c]}"'
+        return s
+
+    lines = ",\n".join(_colline(c, t) for c, t in cols)
     ttl_col = f'"{d.ttl_col}"' if d.ttl_col else '""'
     body = (f"CREATE {st.entity.upper()} `{st.name}` (\n{lines}\n) "
             f"ttl_duration = {d.ttl_duration}, ttl_col = {ttl_col}")
+    if d.schema_comment is not None:
+        body += f', comment = "{d.schema_comment}"'
     from pyspark.sql.types import StringType, StructField, StructType
     head = st.entity.capitalize()
     schema = StructType([StructField(head, StringType()),

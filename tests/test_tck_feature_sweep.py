@@ -122,6 +122,8 @@ _FRESH = [0]
 @pytest.mark.parametrize(
     "sc", SCENARIOS, ids=lambda s: f"{s.feature}::{s.name}"[:140])
 def test_tck_feature_results(sc, request, spark):
+    from nebula_spark.functions import scalar as _sc
+    _sc.NOW_OVERRIDE[0] = None    # per-scenario logical TTL clock reset
     if "@skip" in sc.tags:
         pytest.skip("upstream @skip — the reference's own runner "
                     "excludes this scenario")
