@@ -436,6 +436,28 @@ class ExprCompiler:
                 # (PrunePropertiesRule.feature "test properties")
                 return F.lit(None)
             return base[e[2]]
+        if op in ("edge_prop", "alias_tag_prop") and self.df is not None \
+                and e[1] in self.df.columns:
+            # field chain over a plain STRUCT/MAP column ({a:1,b:2}.c):
+            # a missing struct field is UNKNOWN_PROP → NULL, and chaining
+            # off a scalar is NULL too (With.feature "with agg return" /
+            # "with exists") — Spark would raise FIELD_NOT_FOUND
+            from pyspark.sql.types import MapType as _Mt
+            from pyspark.sql.types import StructType as _St2
+            cur_t = self.df.schema[e[1]].dataType
+            col = F.col("`" + e[1].replace("`", "``") + "`")
+            for fld in e[2:]:
+                if isinstance(cur_t, _St2):
+                    if fld not in cur_t.fieldNames():
+                        return F.lit(None)
+                    cur_t = cur_t[fld].dataType
+                    col = col[fld]
+                elif isinstance(cur_t, _Mt):
+                    cur_t = cur_t.valueType
+                    col = col[fld]
+                else:
+                    return self.resolve(*e)   # not a container chain
+            return col
         if op in ("name", "edge_prop", "alias_tag_prop", "src_prop",
                   "dst_prop", "input_prop", "var_prop", "src_vert",
                   "dst_vert", "param_unres"):
@@ -4391,7 +4413,8 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                                       tagmap), df=cur)
     if pending_order and any(_is_agg(y.expr) for y in rets_in):
         rets_in = [A.YieldItem(
-            _ordered_collect_rewrite(y.expr, ec, pending_order), y.alias)
+            _ordered_collect_rewrite(y.expr, ec, pending_order), y.alias,
+            getattr(y, "src", None))
             for y in rets_in]
 
     # RETURN * — expand to every NAMED binding (vertex/edge/path, struct

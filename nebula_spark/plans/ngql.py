@@ -299,49 +299,6 @@ def _has_agg(e) -> bool:
     return any(_has_agg(x) for x in e[1:] if isinstance(x, tuple))
 
 
-def _const_eval(e):
-    """Fold a constant expression AST to its Python value (pattern prop
-    values — `{age: 1+19}`; the reference folds via Expression::eval).
-    Non-constant shapes raise SyntaxError."""
-    if not isinstance(e, tuple) or not e:
-        raise SyntaxError(f"Invalid value in property pattern: {e!r}")
-    op = e[0]
-    if op == "lit":
-        return e[1]
-    if op == "neg":
-        v = _const_eval(e[1])
-        if isinstance(v, bool) or not isinstance(v, (int, float)):
-            raise SyntaxError("expected numeric operand under `-'")
-        return -v
-    if op == "list":
-        return [_const_eval(x) for x in e[1:]]
-    if op in ("+", "-", "*", "/", "%") and len(e) == 3:
-        a, b = _const_eval(e[1]), _const_eval(e[2])
-        if op == "+" and isinstance(a, str) and isinstance(b, str):
-            return a + b
-        if isinstance(a, bool) or isinstance(b, bool) \
-                or not isinstance(a, (int, float)) \
-                or not isinstance(b, (int, float)):
-            raise SyntaxError(f"non-numeric operands for `{op}'")
-        if op == "+":
-            return a + b
-        if op == "-":
-            return a - b
-        if op == "*":
-            return a * b
-        if op == "/":
-            if b == 0:
-                raise SyntaxError("Division by zero")
-            # integral `/` truncates toward zero like the reference
-            return int(a / b) if isinstance(a, int) \
-                and isinstance(b, int) else a / b
-        if b == 0:
-            raise SyntaxError("Division by zero")
-        return a % b if not (isinstance(a, int) and isinstance(b, int)) \
-            else int(math.fmod(a, b))
-    raise SyntaxError(f"Invalid value in property pattern near `{op}'")
-
-
 @dataclass
 class YieldStmt:
     yields: list[YieldItem]
@@ -1458,7 +1415,15 @@ class Parser:
     # -- UNWIND (UnwindValidator.cpp: non-list → 1 row, empty list dropped)
     def unwind_sentence(self) -> UnwindStmt:
         self.eat_kw("unwind")
+        e0 = self.peek().pos
         e = self.expr()
+        if _has_agg(e):
+            # UnwindValidator (match/Unwind.feature "unwind invalid
+            # expression")
+            text = self.src[e0:self.peek().pos].strip() if self.src \
+                else "..."
+            raise ValueError("Can't use aggregating expressions in "
+                             f"unwind clause, `{text}'")
         self.eat_kw("as")
         return UnwindStmt(e, self.name())
 
@@ -1696,6 +1661,11 @@ class Parser:
             return YieldItem(("star",), None)
         src_start = self.peek().pos
         e = self.expr()
+        if _ast_depth(e) > 512:
+            # MAX_EXPRESSION_DEPTH (expression/Depth.feature: 128 `+`
+            # terms pass, ~840 refuse)
+            raise SyntaxError("The above expression's depth exceeds "
+                              "the maximum depth")
         src_end = self.peek().pos
         # a yield item that IS a bare `$var` (possibly subscripted /
         # attributed) is the reference's parse-level refusal — even for
@@ -2114,6 +2084,15 @@ class Parser:
         while self.peek().kind == "COMMA":
             self.eat("COMMA")
             paths.append(self._maybe_named_path())
+        if optional and self.at_kw("where"):
+            # the reference's grammar has NO where slot on OPTIONAL
+            # MATCH (parser.yy optional_match; MultiLineMultiQueryParts
+            # pins the SyntaxError in every spelling)
+            pos = self.peek().pos
+            near = (self.src[pos:pos + 40].split("\n")[0].rstrip()
+                    if self.src else "WHERE …")
+            raise SyntaxError("Where clause in optional match is not "
+                              f"supported. near `{near}'")
         where = self.expr() if self.try_kw("where") else None
         return MatchClause(paths, where, optional)
 
@@ -2136,6 +2115,12 @@ class Parser:
         self.eat_kw("with")
         distinct = self.try_kw("distinct")
         items = self.yield_items()
+        for it in items:
+            if it.alias is None and isinstance(it.expr, tuple) \
+                    and it.expr and it.expr[0] not in ("star", "name"):
+                # WithValidator (match/With.feature "error check")
+                raise ValueError(
+                    "Expression in WITH must be aliased (use AS)")
         order_by = self._order_by_items() if self.try_kw("order") else None
         skip = self._limit_int("SKIP") if self.try_kw("skip") else None
         limit = self._limit_int() if self.try_kw("limit") else None
@@ -2181,7 +2166,11 @@ class Parser:
         if nxt in ("LB", "LC"):          # list/set literal value
             return self.literal()
         e = self.expr()
-        return _const_eval(e)
+        try:
+            return _const_eval(e)
+        except ValueError:
+            raise SyntaxError(
+                f"Invalid value in property pattern near `{e!r}'")
 
     def _match_prop_map(self) -> dict:
         props: dict = {}
@@ -2792,6 +2781,20 @@ def _iter_exprs(obj):
     elif _dc.is_dataclass(obj) and not isinstance(obj, type):
         for f in _dc.fields(obj):
             yield from _iter_exprs(getattr(obj, f.name))
+
+
+def _ast_depth(e) -> int:
+    """Max nesting depth of an expression AST, iteratively (an 800-term
+    `1 + 1 + ...` chain is an 800-deep left tree; recursion would blow)."""
+    stack = [(e, 1)]
+    mx = 0
+    while stack:
+        x, d = stack.pop()
+        if isinstance(x, (tuple, list)):
+            if d > mx:
+                mx = d
+            stack.extend((y, d + 1) for y in x)
+    return mx
 
 
 def _const_eval(e):

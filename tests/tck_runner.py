@@ -436,17 +436,57 @@ def _expand_outlines(lines: list[str]) -> list[str]:
     return out
 
 
+def _feature_examples(lines: list[str]):
+    """A FEATURE-level Examples table (before any Scenario) applies to
+    the whole file — LookupTag2's vid_type/id rows template the
+    Background itself, so the file parses once per row."""
+    sc_re = re.compile(r"^\s*scenario(\s+outline)?\s*:", re.I)
+    j, n = 0, len(lines)
+    while j < n and not sc_re.match(lines[j]):
+        if re.match(r"\s*examples\s*:\s*$", lines[j], re.I):
+            j += 1
+            tbl = []
+            while j < n and lines[j].strip().startswith("|"):
+                tbl.append(_split_table_row(lines[j]))
+                j += 1
+            if len(tbl) > 1:
+                return tbl[0], tbl[1:]
+            return None
+        j += 1
+    return None
+
+
 def parse_feature(path: str, space_subs: dict | None = None) -> list[Scenario]:
     """Parse one feature file into Scenarios ready to run.
 
-    ``space_subs`` maps outline variables (e.g. ``space_name``) to the
-    single substitution we run (nba — the IntVid example is the
-    documented-obsolete duplicate fixture).
+    ``space_subs`` maps outline variables (e.g. ``space_name``) to a
+    substitution. A feature-level Examples table re-parses the whole
+    file once per data row (each row templates the Background too).
     """
     with open(path) as f:
-        lines = f.read().splitlines()
-    lines = _expand_outlines(lines)
+        raw = f.read().splitlines()
+    feat = _feature_examples(raw) if space_subs is None else None
+    if feat:
+        header, rows = feat
+        out: list[Scenario] = []
+        for k, row in enumerate(rows, 1):
+            subs = dict(zip(header, row))
+            subs.setdefault("space_name", "nba")
+            for sc in parse_feature(path, subs):
+                if len(rows) > 1:
+                    sc.name += f" [f{k}]"
+                out.append(sc)
+        return out
+    lines = _expand_outlines(raw)
     subs = space_subs or {"space_name": "nba"}
+    # substitute TEMPLATE variables everywhere up front — docstring
+    # bodies are read verbatim by read_docstring, so the per-step-line
+    # replace below never reaches a `<where_condition>` inside a query
+    def _sub_all(ln: str) -> str:
+        for k, v in subs.items():
+            ln = ln.replace(f"<{k}>", v)
+        return ln
+    lines = [_sub_all(ln) for ln in lines]
 
     scenarios: list[Scenario] = []
     background: list[tuple] = []   # steps shared by every scenario
@@ -932,9 +972,11 @@ def run_assertion(space, a, execute):
     kw = {"params": a.params} if a.params else {}
     if isinstance(a, WaitStep):
         # advance the LOGICAL clock (now() + TTL reads, see
-        # scalar.NOW_OVERRIDE) by exactly the waited seconds — real
-        # statement latency never leaks into TTL age, so the reference's
-        # second-granular TTL scenarios are deterministic here
+        # scalar.NOW_OVERRIDE) by exactly the waited seconds — no real
+        # sleep: every time-sensitive read goes through the override, so
+        # the reference's second-granular TTL scenarios are deterministic
+        # and the index-settle waits (which our engine doesn't need)
+        # cost nothing
         import time
         from nebula_spark.functions import scalar as _sc
         if _sc.NOW_OVERRIDE[0] is None:
