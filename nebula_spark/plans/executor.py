@@ -265,6 +265,9 @@ def _expr_text(e) -> str | None:
         if any(a is None for a in args):
             return None
         return "[" + ",".join(args) + "]"
+    if op == "not_in" and len(e) == 3:
+        a, b = _expr_text(e[1]), _expr_text(e[2])
+        return None if a is None or b is None else f"({a} NOT IN {b})"
     if op in ("starts_with", "ends_with", "contains_str") and len(e) == 3:
         kw = {"starts_with": "STARTS WITH", "ends_with": "ENDS WITH",
               "contains_str": "CONTAINS"}[op]
@@ -697,6 +700,10 @@ class ExprCompiler:
             return F.regexp_like(
                 self.col(e[1]),
                 F.concat(F.lit("^(?:"), self.col(e[2]), F.lit(")$")))
+        if op == "not_in":
+            inner = self.col(("in",) + e[1:])
+            return F.when(inner.isNull(),
+                          F.lit(None).cast("boolean")).otherwise(~inner)
         if op == "in":
             # x IN MAP{…} is KEY membership (basic/data.feature: "a" IN
             # MAP{a:1, b:2} → true); the map literal's keys are known at
@@ -1928,11 +1935,35 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
             for x in e[1:]:
                 _check_rel(x)
 
+    def _check_scan_preds(e) -> None:
+        """IndexScan predicate whitelist (TagIndexFullScan /
+        EdgeIndexFullScan): CONTAINS / ENDS WITH (and their NOT forms,
+        plus NOT STARTS WITH) can't ride an index → "use full-text
+        index"; a prefix `NOT (<rel>)` is "not supported yet". Plain
+        STARTS WITH stays — it is a prefix scan."""
+        if not isinstance(e, tuple) or not e:
+            return
+        if e[0] == "not" and isinstance(e[1], tuple) and e[1] and \
+                e[1][0] in ("starts_with", "ends_with", "contains_str"):
+            raise ValueError(
+                f"Expression {_expr_text(e) or '(…)'} is not supported, "
+                "please use full-text index as an optimal solution")
+        if e[0] in ("ends_with", "contains_str"):
+            raise ValueError(
+                f"Expression {_expr_text(e) or '(…)'} is not supported, "
+                "please use full-text index as an optimal solution")
+        if e[0] == "not":
+            inner = _expr_text(e[1]) or "(…)"
+            raise ValueError(f"Expression !({inner}) not supported yet")
+        for x in e[1:]:
+            _check_scan_preds(x)
+
     ec_where = ExprCompiler(resolve_where)
     ec = ExprCompiler(resolve)
     if st.where is not None:
         _fold_int(st.where)
         _check_rel(st.where)
+        _check_scan_preds(st.where)
         rex: list = []
         _walk(st.where, {"=~"}, rex)
         if rex:

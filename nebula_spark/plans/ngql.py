@@ -2377,9 +2377,12 @@ class Parser:
             return ("in", left, self.expr_add())
         if self.at_kw("not") and self.peek(1).kind == "KW" \
                 and self.peek(1).text == "in":
+            # the INFIX spelling keeps its own node: LOOKUP's IndexScan
+            # accepts `x NOT IN [...]` but refuses the prefix
+            # `NOT (x IN [...])` (TagIndexFullScan.feature:305 vs :307)
             self.eat_kw("not")
             self.eat_kw("in")
-            return ("not", ("in", left, self.expr_add()))
+            return ("not_in", left, self.expr_add())
         if self.at_kw("is"):
             self.eat_kw("is")
             neg = self.try_kw("not")

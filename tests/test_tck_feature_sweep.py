@@ -75,6 +75,20 @@ ERROR_OK: dict = {
         "(same message), which matches the other four assertions.",
 }
 
+# (feature-file, Then-line) -> the reference expects an ERROR there but
+# our engine legitimately succeeds (documented deviations where the
+# refused capability is a non-feature of the Spark design)
+NO_ERROR_OK: dict = {
+    ("lookup/LookUp.feature", 1065):
+        "LOOKUP without a CREATE INDEX: index DDL is metadata-only here "
+        "— scans ride Parquet stats + Catalyst pushdown (SURVEY §2.1 "
+        "IndexScan note), so the reference's 'no index to use at "
+        "runtime' refusal has no analog; the query returns the right "
+        "rows instead",
+    ("lookup/LookUp.IntVid.feature", 847):
+        "same index-free LOOKUP deviation, IntVid spelling",
+}
+
 # (feature-file, Then-line) -> downgrade one assertion to count-only
 RELAX_TO_COUNT: dict = {
     ("go/GO.feature", 1850):
@@ -177,6 +191,13 @@ def test_tck_feature_results(sc, request, spark):
     for a in sc.asserts:
         if (sc.feature, a.line) in RELAX_TO_COUNT:
             a.mode = "count"
+        if (sc.feature, a.line) in NO_ERROR_OK:
+            try:
+                run_assertion(space, a, execute)
+            except AssertionError as exc:
+                if "expected an error" not in str(exc):
+                    raise
+            continue
         if (sc.feature, a.line) in ERROR_OK:
             try:
                 run_assertion(space, a, execute)
