@@ -249,6 +249,14 @@ def _expr_text(e) -> str | None:
             # Edge{Src,Dst}IdExpression toString upper-cases the marker:
             # `dst(edge)` headers as `dst(EDGE)` (GoYieldVertexEdge)
             return f"{e[1]}(EDGE)"
+        if e[1] in ("id", "properties", "props", "tags", "labels") \
+                and len(e) == 3 and isinstance(e[2], tuple) \
+                and e[2][0] == "name" \
+                and str(e[2][1]).lower() in ("vertex", "edge"):
+            # the VERTEX/EDGE markers upper-case in headers too:
+            # `id(vertex)` → `id(VERTEX)` (FetchVertices.strVid
+            # "format yield"), `properties(vertex)` likewise
+            return f"{e[1]}({str(e[2][1]).upper()})"
         d = "distinct " if op == "call_distinct" else ""
         # FnName carries the writer's spelling (toString keeps case)
         return f"{getattr(e[1], 'src', e[1])}({d}{','.join(args)})"
@@ -327,10 +335,17 @@ def _yname(y, i: int) -> str:
         return src
     if text is not None and src and src.lower() == text.lower() \
             and y.expr[0] in ("call", "call_distinct"):
+        if '"' not in src and "'" not in src \
+                and "(VERTEX)" not in text and "(EDGE)" not in text:
+            # the whole written spelling survives when it matches the
+            # rendering up to case and carries no quoting to normalize;
+            # the VERTEX/EDGE markers normalize UP instead (the text
+            # branch below / _expr_text)
+            return " ".join(src.split())
         m = re.match(r"[A-Za-z_]\w*", src)
         if m and m.group(0).lower() == y.expr[1]:
-            # only the FN NAME keeps its written case; everything else
-            # (cast names upper, string quotes double) stays normalized
+            # only the FN NAME keeps its written case; quoted args
+            # (string literals normalize to double quotes) stay rendered
             return m.group(0) + text[len(y.expr[1]):]
     if text is None and src:
         # shapes without a stable rendering (pattern expressions
@@ -1202,6 +1217,16 @@ class ExprCompiler:
                                      "Parameter's type error")
                 mode = args[2][1]
             return round_mode(self.col(args[0]), self.col(args[1]), mode)
+        if name == "id" and len(args) == 1:
+            # id(<vertex struct>) reads the vid field (a piped
+            # `YIELD vertex AS node | YIELD id($-.node)` —
+            # FetchVertices.strVid "Fetch and Yield id(v)")
+            from pyspark.sql.types import StructType as _St3
+            c = self.col(args[0])
+            dt = self._dtype(c)
+            if isinstance(dt, _St3) and "vid" in dt.fieldNames():
+                return c["vid"]
+            return FUNCTIONS["id"](c) if "id" in FUNCTIONS else c
         if name == "hash" and len(args) == 1:
             # type-directed: a statically-DOUBLE argument hashes its raw
             # bytes (std::hash<double> — reference-exact, yield.feature
@@ -1857,6 +1882,16 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
         if kind == "name":
             if args[0] == "vertex" and is_tag:
                 return F.col(VID)
+            if args[0] == "edge" and not is_tag:
+                # YIELD edge AS e — the full edge value
+                # (lookup/WithYield.feature "[2] edge with yield")
+                props = [c for c in t.columns
+                         if c not in (SRC, DST, RANK)]
+                return F.struct(
+                    F.col(SRC).alias("src"), F.col(DST).alias("dst"),
+                    F.col(RANK).alias("_rank"),
+                    F.lit(st.name).alias("_etype"),
+                    *[F.col(c).alias(c) for c in props])
             if args[0] not in t.columns:
                 # a bare label is not a prop ref (LookUpLimit.feature)
                 if in_where:
@@ -1953,6 +1988,12 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
                 f"Expression {_expr_text(e) or '(…)'} is not supported, "
                 "please use full-text index as an optimal solution")
         if e[0] == "not":
+            if isinstance(e[1], tuple) and e[1] and e[1][0] == "is_null":
+                # IS NOT NULL parses to not(is_null) here but is the
+                # reference's own kIsNotNull unary — the canonical
+                # LOOKUP full-scan idiom (TagIndexFullScan.feature);
+                # never refused
+                return
             inner = _expr_text(e[1]) or "(…)"
             raise ValueError(f"Expression !({inner}) not supported yet")
         for x in e[1:]:
@@ -5828,6 +5869,16 @@ def _exec_alter(space: GraphSpace, st) -> DataFrame:
     defaults = dict(d.defaults or {})
     required = list(d.required or [])
     comments = dict(d.comments or {})
+    idx_cols = {c for ix in space.indexes.values()
+                if ix.kind == st.entity and ix.on == st.name
+                for c in ix.cols}
+    for col in list(st.drops) + [x[0] for x in st.changes]:
+        if col in idx_cols:
+            # a column covered by an index cannot DROP or CHANGE
+            # (index/Index.feature TagIndexTTL: `ALTER TAG person_ttl_2
+            # DROP (age)` refuses while person_ttl_2_index_age exists)
+            raise ValueError("Storage Error: Column is referenced by "
+                             "an index, please drop the index first.")
     dup = [c for c in ([x[0] for x in st.adds + st.changes] + st.drops)
            if ([x[0] for x in st.adds + st.changes]
                + st.drops).count(c) > 1]

@@ -1728,6 +1728,10 @@ class Parser:
             if self.peek().kind in ("PIPE_REF", "VAR_REF") and \
                     self._ref_is_edge_key():
                 return self.fetch_edges_tail(names[0])
+            if self.peek().kind == "PIPE_INPUT":
+                # bare `$-` (no .col) is 1.x syntax the reference
+                # dropped (FetchVertices.strVid "Different from v1.x")
+                raise SyntaxError("syntax error near `$-'")
             vids, col = self.vid_list(bare_var=False)
             yields, distinct = [], False
             if self.try_kw("yield"):

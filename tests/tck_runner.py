@@ -634,7 +634,12 @@ def parse_feature(path: str, space_subs: dict | None = None) -> list[Scenario]:
             if kind == "space":
                 sc.space = payload
             elif kind == "empty":
+                # a scenario-level `Given an empty graph` RESETS the
+                # lifecycle: background setups targeted the replaced
+                # space (Insert.feature "… ignore existed index" re-runs
+                # CREATE TAG person in ITS fresh space)
                 sc.space = None
+                sc.setup = []
             elif kind == "fresh":
                 sc.fresh_space = payload
             elif kind == "setup":

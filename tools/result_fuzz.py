@@ -97,15 +97,20 @@ def make_duck(frames):
 
 # ---------------------------------------------------------- predicates
 
-def gen_vpred(rng, pre_ngql: str, pre_sql: str, depth=0):
-    """Vertex-prop predicate: (ngql, sql). ``pre_*`` qualify the prop."""
+def gen_vpred(rng, pre_ngql: str, pre_sql: str, depth=0, lookup=False):
+    """Vertex-prop predicate: (ngql, sql). ``pre_*`` qualify the prop.
+    ``lookup=True`` restricts to index-scannable shapes — the LOOKUP
+    scan-predicate whitelist (reference IndexScanRule) refuses prefix
+    NOT / ENDS WITH / CONTAINS, so LOOKUP-based fuzz lanes must not
+    generate them (both engines would refuse; there is no result to
+    compare)."""
     roll = rng.random()
     if depth < 2 and roll < 0.30:
         op = rng.choice(("AND", "OR"))
-        a = gen_vpred(rng, pre_ngql, pre_sql, depth + 1)
-        b = gen_vpred(rng, pre_ngql, pre_sql, depth + 1)
+        a = gen_vpred(rng, pre_ngql, pre_sql, depth + 1, lookup)
+        b = gen_vpred(rng, pre_ngql, pre_sql, depth + 1, lookup)
         return (f"({a[0]} {op} {b[0]})", f"({a[1]} {op} {b[1]})")
-    if depth < 2 and roll < 0.38:
+    if depth < 2 and roll < 0.38 and not lookup:
         a = gen_vpred(rng, pre_ngql, pre_sql, depth + 1)
         return (f"(NOT {a[0]})", f"(NOT {a[1]})")
     atom = rng.randrange(6)
@@ -116,7 +121,8 @@ def gen_vpred(rng, pre_ngql: str, pre_sql: str, depth=0):
         return (f"{pre_ngql}{p} {op} {k}", f"{pre_sql}{p} {sop} {k}")
     if atom == 1:
         pre = "".join(rng.choices(NAME_ALPHA, k=rng.randint(1, 2)))
-        kw = rng.choice(("STARTS WITH", "ENDS WITH", "CONTAINS"))
+        kw = "STARTS WITH" if lookup else \
+            rng.choice(("STARTS WITH", "ENDS WITH", "CONTAINS"))
         pat = {"STARTS WITH": f"'{pre}%'", "ENDS WITH": f"'%{pre}'",
                "CONTAINS": f"'%{pre}%'"}[kw]
         return (f"{pre_ngql}name {kw} '{pre}'",
@@ -180,7 +186,7 @@ def _pick_vids(rng, frames, lo=1, hi=3):
 
 
 def gen_lookup(rng, frames):
-    pred_n, pred_s = gen_vpred(rng, "player.", "")
+    pred_n, pred_s = gen_vpred(rng, "player.", "", lookup=True)
     items = rng.sample([
         ("player.name AS n", "name AS n"),
         ("player.age AS a", "age AS a"),
@@ -367,8 +373,8 @@ def gen_setops(rng, frames):
     ni = ", ".join(i for i, _s, _c in items)
     si = ", ".join(s for _i, s, _c in items)
     cols = [c for _i, _s, c in items]
-    p1n, p1s = gen_vpred(rng, "player.", "")
-    p2n, p2s = gen_vpred(rng, "player.", "")
+    p1n, p1s = gen_vpred(rng, "player.", "", lookup=True)
+    p2n, p2s = gen_vpred(rng, "player.", "", lookup=True)
     q1n = f"LOOKUP ON player WHERE {p1n} YIELD {ni}"
     q2n = f"LOOKUP ON player WHERE {p2n} YIELD {ni}"
     q1s = f"SELECT {si} FROM player WHERE {p1s}"
@@ -389,7 +395,7 @@ def gen_unwind(rng, frames):
     """UNWIND over a piped list — constant and prop-derived elements;
     SQL twin via unnest (r10). NULL elements stay rows (openCypher keeps
     nulls INSIDE lists; only a NULL/empty list yields no rows)."""
-    pred_n, pred_s = gen_vpred(rng, "player.", "")
+    pred_n, pred_s = gen_vpred(rng, "player.", "", lookup=True)
     els = []
     for _ in range(rng.randint(1, 4)):
         r = rng.random()
