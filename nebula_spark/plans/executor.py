@@ -239,10 +239,24 @@ def _expr_text(e) -> str | None:
     if op == "graph_fn":
         key = {"src_vert": "$^", "dst_vert": "$$"}.get(e[2], e[2])
         return f"{e[1]}({key})"
+    if op == "subscript":
+        b, k = _expr_text(e[1]), _expr_text(e[2])
+        return f"{b}[{k}]" if b is not None and k is not None else None
+    if op == "pred_fn":
+        # PredicateExpression::toString: lowercase keyword, `var IN
+        # coll WHERE pred` (PredicateExpression.cpp:265-281)
+        c, p = _expr_text(e[3]), _expr_text(e[4])
+        if c is None or p is None:
+            return None
+        return f"{e[1]}({e[2]} IN {c} WHERE {p})"
     if op in ("call", "call_distinct"):
         args = [_expr_text(a) for a in e[2:]]
         if any(a is None for a in args):
             return None
+        if str(getattr(e[1], "src", e[1])).lower() == "exists":
+            # exists() is a PredicateExpression — toString lowercases
+            # the keyword regardless of the written spelling
+            return f"exists({args[0]})"
         if e[1] in ("src", "dst", "rank", "type") and len(e) == 3 \
                 and isinstance(e[2], tuple) and e[2][0] == "name" \
                 and str(e[2][1]).lower() == "edge":
@@ -336,11 +350,14 @@ def _yname(y, i: int) -> str:
     if text is not None and src and src.lower() == text.lower() \
             and y.expr[0] in ("call", "call_distinct"):
         if '"' not in src and "'" not in src \
+                and y.expr[0] == "call" \
                 and "(VERTEX)" not in text and "(EDGE)" not in text:
             # the whole written spelling survives when it matches the
             # rendering up to case and carries no quoting to normalize;
             # the VERTEX/EDGE markers normalize UP instead (the text
-            # branch below / _expr_text)
+            # branch below / _expr_text), and a DISTINCT call keeps the
+            # rendered lowercase `distinct` (Agg.feature headers
+            # `COLLECT(distinct a)`) — only the fn name keeps case
             return " ".join(src.split())
         m = re.match(r"[A-Za-z_]\w*", src)
         if m and m.group(0).lower() == y.expr[1]:
@@ -355,6 +372,105 @@ def _yname(y, i: int) -> str:
         # "In Return" line 328; With.feature "match with return")
         return " ".join(src.split())
     return text or f"c{i}"
+
+
+_CMP_MISS = object()
+
+
+def _const_val(e):
+    """AST → Python value for literal shapes; _CMP_MISS when dynamic."""
+    if not isinstance(e, tuple) or not e:
+        return _CMP_MISS
+    if e[0] == "lit":
+        return e[1]
+    if e[0] == "list":
+        vals = [_const_val(x) for x in e[1:]]
+        return _CMP_MISS if any(v is _CMP_MISS for v in vals) else vals
+    if e[0] == "neg":
+        v = _const_val(e[1])
+        return -v if isinstance(v, (int, float)) \
+            and not isinstance(v, bool) else _CMP_MISS
+    return _CMP_MISS
+
+
+def _val_eq(a, b, nested=False):
+    """Value::equal over folded Python values — epsilon floats
+    (kEpsilon 1e-8), kind mismatch false, lists element-wise. NULLs
+    null out only at the TOP level (the kRelEQ operator); nested inside
+    lists Value::equal(NULL, NULL) is true (RelationalExpr.feature
+    `[2,null]==[2,null]` → true)."""
+    if a is None or b is None:
+        if nested:
+            return a is None and b is None
+        return None
+    num = (lambda v: isinstance(v, (int, float))
+           and not isinstance(v, bool))
+    if num(a) and num(b):
+        if isinstance(a, float) or isinstance(b, float):
+            return abs(a - b) < 1e-8
+        return a == b
+    if isinstance(a, list) and isinstance(b, list):
+        if len(a) != len(b):
+            return False
+        for x, y in zip(a, b):
+            r = _val_eq(x, y, nested=True)
+            if r is not True:
+                return r
+        return True
+    if type(a) is not type(b):
+        return False
+    return a == b
+
+
+def _val_lt(a, b):
+    """Value::lessThan — True/False, None for BAD_TYPE kinds."""
+    if a is None or b is None:
+        return None
+    num = (lambda v: isinstance(v, (int, float))
+           and not isinstance(v, bool))
+    if num(a) and num(b):
+        if isinstance(a, float) or isinstance(b, float):
+            return (not abs(a - b) < 1e-8) and a < b
+        return a < b
+    if isinstance(a, list) and isinstance(b, list):
+        for x, y in zip(a, b):
+            eq = _val_eq(x, y)
+            if eq is None:
+                return None
+            if not eq:
+                return _val_lt(x, y)
+        return len(a) < len(b)
+    if isinstance(a, bool) and isinstance(b, bool):
+        return a < b
+    if type(a) is not type(b):
+        return None
+    return a < b
+
+
+def _fold_const_list_cmp(op, ea, eb):
+    """Fold a comparison when both sides are constants and at least one
+    is a LIST — Spark has no heterogeneous array type to carry these."""
+    a, b = _const_val(ea), _const_val(eb)
+    if a is _CMP_MISS or b is _CMP_MISS:
+        return _CMP_MISS
+    if not (isinstance(a, list) or isinstance(b, list)):
+        return _CMP_MISS
+    eq = _val_eq(a, b)
+    if op == "==":
+        return eq
+    if op == "!=":
+        return None if eq is None else not eq
+    lt = _val_lt(a, b)
+    gt = _val_lt(b, a)
+    if eq is None:
+        return None
+    if op == "<":
+        return lt
+    if op == "<=":
+        return True if eq else lt
+    if op == ">":
+        return gt
+    return True if eq else gt
 
 
 class ExprCompiler:
@@ -444,14 +560,36 @@ class ExprCompiler:
             if isinstance(e[1], tuple) and e[1] and e[1][0] == "map":
                 if e[2] not in [k for k, _ in e[1][1]]:
                     return F.lit(None)
+            if isinstance(e[1], tuple) and e[1][0] == "lit" \
+                    and not isinstance(e[1][1], (list, dict)) \
+                    and e[1][1] is not None:
+                # attribute on a literal scalar — DeduceTypeVisitor's
+                # SemanticError (`(true).attr`, Attribute.feature
+                # "Invalid type")
+                tn = ("BOOL" if isinstance(e[1][1], bool) else
+                      "INT" if isinstance(e[1][1], int) else
+                      "FLOAT" if isinstance(e[1][1], float) else
+                      "STRING")
+                raise ValueError(
+                    f"SemanticError: `{_expr_text(e[1])}.{e[2]}', "
+                    "expected type with attribute like Date, Time, "
+                    "DateTime, Map, Vertex or Edge but was "
+                    f"{tn}: {_expr_text(e[1])}")
             base = self.col(e[1])
             bt = self._dtype(base)
-            from pyspark.sql.types import StructType as _St
+            from pyspark.sql.types import (MapType as _Mt,
+                                           StructType as _St)
             if isinstance(bt, _St) and e[2] not in bt.fieldNames():
                 # UNKNOWN_PROP → NULL (exact-name miss; Spark would
                 # either raise or resolve case-insensitively) —
                 # properties(e[0]).degree over a like-edge hop struct
                 # (PrunePropertiesRule.feature "test properties")
+                return F.lit(None)
+            if bt is not None and not isinstance(bt, (_St, _Mt)):
+                # attribute over a runtime scalar VALUE is the
+                # reference's BAD_TYPE null (`v.player.name.test`,
+                # Attribute.feature "Invalid type") — Spark's extract
+                # would refuse at analysis
                 return F.lit(None)
             return base[e[2]]
         if op in ("edge_prop", "alias_tag_prop") and self.df is not None \
@@ -613,6 +751,14 @@ class ExprCompiler:
                         f"`{_expr_text(e) or '...'}' is not a valid "
                         f"expression, can not apply `{op}' to "
                         f"`{ta}' and `STRING'.")
+            if op in ("==", "!=", "<", "<=", ">", ">="):
+                _r0 = _fold_const_list_cmp(op, e[1], e[2])
+                if _r0 is not _CMP_MISS:
+                    # const list comparisons fold BEFORE the epsilon
+                    # branch — `2.0 == [1.99…]` is kind-mismatch false,
+                    # not a float compare (RelationalExpr.feature)
+                    return F.lit(_r0).cast("boolean") if _r0 is None \
+                        else F.lit(_r0)
             if op in ("==", "!=", "<", "<=", ">", ">=") \
                     and (_is_floatish(e[1]) or _is_floatish(e[2])):
                 # FLOAT comparisons are epsilon-tolerant in the reference
@@ -659,6 +805,44 @@ class ExprCompiler:
                 if ia and ib:
                     return F.call_function("div", a, b)
             if op in ("==", "!=", "<", "<=", ">", ">="):
+                r = _fold_const_list_cmp(op, e[1], e[2])
+                if r is not _CMP_MISS:
+                    # constant list comparison folds in Python with the
+                    # reference's dynamic semantics (heterogeneous
+                    # elements, epsilon floats — RelationalExpr.feature
+                    # `[1,"a"]<=[1]`): Spark arrays can't mix types
+                    return F.lit(r).cast("boolean") if r is None \
+                        else F.lit(r)
+                # json_extract(s)[key] carries the JSON value's OWN type
+                # in the reference (dynamically-typed Value map —
+                # SubscriptInUpdate.feature compares ['a'] == 1); our
+                # map<string,string> encoding makes it statically
+                # string, so adapt the JSON side to the OTHER side's
+                # static type before the kind-mismatch rule fires
+                def _is_json_sub(x):
+                    return (isinstance(x, tuple) and x
+                            and x[0] == "subscript"
+                            and isinstance(x[1], tuple)
+                            and x[1][0] in ("call", "call_distinct")
+                            and str(getattr(x[1][1], "src", x[1][1]))
+                            .lower() == "json_extract")
+                ja, jb = _is_json_sub(e[1]), _is_json_sub(e[2])
+                if ja != jb:
+                    from pyspark.sql.types import (BooleanType as _JB,
+                                                   FractionalType as _JF,
+                                                   NumericType as _JN)
+                    other_t = self._dtype(b if ja else a)
+                    tgt = None
+                    if isinstance(other_t, _JN):
+                        tgt = "double" if isinstance(other_t, _JF) \
+                            else "bigint"
+                    elif isinstance(other_t, _JB):
+                        tgt = "boolean"
+                    if tgt is not None:
+                        if ja:
+                            a = a.try_cast(tgt)
+                        else:
+                            b = b.try_cast(tgt)
                 # container-vs-scalar comparison: the reference's
                 # dynamically-typed Value compare yields NULL on
                 # mismatched kinds (MatchByVariable.feature "bugfix":
@@ -720,6 +904,26 @@ class ExprCompiler:
             return F.when(inner.isNull(),
                           F.lit(None).cast("boolean")).otherwise(~inner)
         if op == "in":
+            _ci, _cl = _const_val(e[1]), _const_val(e[2])
+            if _ci is not _CMP_MISS and _cl is not _CMP_MISS \
+                    and isinstance(_cl, list) \
+                    and (_ci is None or isinstance(_ci, list)
+                         or any(x is None or isinstance(x, list)
+                                for x in _cl)):
+                # const membership with NULLs / nested lists folds in
+                # Python (RelationalExpr.feature in_test): three-valued
+                # any over Value::equal — a found match beats NULL
+                if _ci is None:
+                    return F.lit(None).cast("boolean")
+                saw_null = False
+                for x in _cl:
+                    r = _val_eq(_ci, x)
+                    if r is True:
+                        return F.lit(True)
+                    if r is None:
+                        saw_null = True
+                return F.lit(None).cast("boolean") if saw_null \
+                    else F.lit(False)
             # x IN MAP{…} is KEY membership (basic/data.feature: "a" IN
             # MAP{a:1, b:2} → true); the map literal's keys are known at
             # compile time
@@ -816,11 +1020,14 @@ class ExprCompiler:
             # condition cast to boolean: `WHEN null THEN …` must resolve
             # (NullType isn't boolean to Spark) and behave as not-matched
             whens, default = e[1], e[2]
-            c = F.when(self.col(whens[0][0]).cast("boolean"),
-                       self.col(whens[0][1]))
-            for cond, val in whens[1:]:
-                c = c.when(self.col(cond).cast("boolean"), self.col(val))
-            return c.otherwise(self.col(default)) if default else c
+            vals = [self.col(v) for _, v in whens]
+            if default:
+                vals.append(self.col(default))
+            vals = self._unify_structs(vals)
+            c = F.when(self.col(whens[0][0]).cast("boolean"), vals[0])
+            for i, (cond, _) in enumerate(whens[1:], start=1):
+                c = c.when(self.col(cond).cast("boolean"), vals[i])
+            return c.otherwise(vals[-1]) if default else c
         if op in ("call", "call_distinct"):
             return self.call(e[1], list(e[2:]), distinct=op == "call_distinct")
         if op == "subscript":            # SubscriptExpression: 0-based lists
@@ -847,6 +1054,14 @@ class ExprCompiler:
                     and isinstance(e[2][1], str)):
                 from pyspark.sql.types import StructType
                 dt = self._dtype(base)
+                if (dt is None and isinstance(e[1], tuple)
+                        and e[1][0] == "name"
+                        and e[1][1] in getattr(self, "var_dtypes", {})):
+                    # lambda variable: the element type was recorded by
+                    # scoped() — a select-probe can't analyze a
+                    # namedlambdavariable (Predicate.feature
+                    # `EXISTS(e['likeness'])` over a var-len hop list)
+                    dt = self.var_dtypes[e[1][1]]
                 if isinstance(dt, StructType):
                     # struct-encoded map literal: case-SENSITIVE key,
                     # absent → NULL (the map-literal attr rule)
@@ -878,14 +1093,23 @@ class ExprCompiler:
                                   F.greatest(hi - lo, F.lit(0))))
         if op == "comprehension":        # [x IN l WHERE p | out]
             _, var, lst, where, out = e
+            g = self._coll_guard(lst)
+            if g is not None:
+                return g
             c = self.col(lst)
+            el = self._elem_dtype(c)
             if where is not None:
-                c = F.filter(c, lambda x: self.scoped({var: x}).col(where))
+                c = F.filter(c, lambda x: self.scoped(
+                    {var: x}, {var: el}).col(where))
             if out is not None:
-                c = F.transform(c, lambda x: self.scoped({var: x}).col(out))
+                c = F.transform(c, lambda x: self.scoped(
+                    {var: x}, {var: el}).col(out))
             return c
         if op == "pred_fn":              # all/any/none/single(x IN l WHERE p)
             _, fn, var, lst, pred = e
+            g = self._coll_guard(lst)
+            if g is not None:
+                return g.cast("boolean")
             if (lst[0] == "lit" and isinstance(lst[1], list)
                     and len({type(v) for v in lst[1]}) > 1
                     and fn in ("all", "any", "none")):
@@ -908,29 +1132,106 @@ class ExprCompiler:
                     acc = (acc & p) if fn == "all" else (acc | p)
                 return ~acc if fn == "none" else acc
             c = self.col(lst)
-            lam = lambda x: self.scoped({var: x}).col(pred)  # noqa: E731
+            el = self._elem_dtype(c)
+            lam = lambda x: self.scoped({var: x},            # noqa: E731
+                                        {var: el}).col(pred)
             if fn == "all":
                 return F.forall(c, lam)
             if fn == "any":
                 return F.exists(c, lam)
             if fn == "none":
                 return ~F.exists(c, lam)
-            return F.size(F.filter(c, lam)) == 1      # single
+            # single: exactly one true — three-valued (Predicate.feature
+            # `Single(a IN [2, 3, NULL] WHERE a == 3)` is NULL: the NULL
+            # row could be a second match). >1 true dominates NULL.
+            nt = F.size(F.filter(c, lambda x: lam(x).cast(
+                "boolean").eqNullSafe(F.lit(True))))
+            nn = F.size(F.filter(c, lambda x: lam(x).isNull()))
+            return (F.when(nt > 1, F.lit(False))
+                    .when(nn > 0, F.lit(None).cast("boolean"))
+                    .otherwise(nt == 1))
         if op == "reduce":               # reduce(acc = init, x IN l | body)
             _, acc, init, var, lst, body = e
+            g = self._coll_guard(lst)
+            if g is not None:
+                return g
             zero = self.col(init)
             if init[0] == "lit" and isinstance(init[1], int):
                 # reference INT is int64 (Value.h); Spark aggregate() needs
                 # zero type == merge result type
                 zero = zero.cast("bigint")
+            lc = self.col(lst)
+            el = self._elem_dtype(lc)
             return F.aggregate(
-                self.col(lst), zero,
-                lambda a, x: self.scoped({acc: a, var: x}).col(body))
+                lc, zero,
+                lambda a, x: self.scoped({acc: a, var: x},
+                                         {var: el}).col(body))
         raise ValueError(f"cannot compile {e!r}")
 
-    def scoped(self, vars_: dict) -> "ExprCompiler":
+    def _unify_structs(self, vals: list[Column]) -> list[Column]:
+        """CASE branches over the dynamically-typed Value can mix struct
+        shapes (an edge value vs a map literal — Case.feature "use
+        generic case in match"); Spark's casewhen needs one type, so
+        rebuild every struct branch on the UNION of field names with
+        NULL for the missing ones. Non-struct branches pass through."""
+        from pyspark.sql.types import StructType
+        dts = [self._dtype(v) for v in vals]
+        structs = [dt for dt in dts if isinstance(dt, StructType)]
+        if len(structs) < 2 or len(
+                {tuple(dt.fieldNames()) for dt in structs}) < 2:
+            return vals
+        fields: list[str] = []
+        for dt in structs:
+            for f in dt.fieldNames():
+                if f not in fields:
+                    fields.append(f)
+        out = []
+        for v, dt in zip(vals, dts):
+            if isinstance(dt, StructType):
+                have = set(dt.fieldNames())
+                out.append(F.struct(
+                    *[(v[f] if f in have else F.lit(None)).alias(f)
+                      for f in fields]))
+            else:
+                out.append(v)
+        return out
+
+    def _elem_dtype(self, c: Column):
+        """Element type of an array-typed Column (None when unknown) —
+        handed to scoped() so lambda bodies can field-access elements."""
+        from pyspark.sql.types import ArrayType
+        dt = self._dtype(c)
+        return dt.elementType if isinstance(dt, ArrayType) else None
+
+    def _coll_guard(self, lst):
+        """Comprehension / predicate / reduce collection argument: a
+        statically non-LIST literal is the reference's SemanticError
+        (`` `18', expected LIST, but was INT`` —
+        ListComprehension/Predicate/Reduce "collection is not a LIST");
+        a NULL literal nulls the whole expression instead of reaching
+        Spark's VOID-typed higher-order function (which refuses)."""
+        if isinstance(lst, tuple) and lst and lst[0] == "lit":
+            v = lst[1]
+            if v is None:
+                return F.lit(None)
+            if not isinstance(v, list):
+                tn = ("BOOL" if isinstance(v, bool) else
+                      "INT" if isinstance(v, int) else
+                      "FLOAT" if isinstance(v, float) else
+                      "STRING" if isinstance(v, str) else
+                      "MAP" if isinstance(v, dict) else
+                      type(v).__name__.upper())
+                raise ValueError(
+                    f"SemanticError: `{_expr_text(lst) or lst[1]!r}', "
+                    f"expected LIST, but was {tn}")
+        return None
+
+    def scoped(self, vars_: dict,
+               dtypes: dict | None = None) -> "ExprCompiler":
         """Child compiler where lambda variables shadow outer resolution;
-        ``var.prop`` on a struct element becomes a field access."""
+        ``var.prop`` on a struct element becomes a field access.
+        ``dtypes`` records known element types (a lambda variable cannot
+        be select-probed, so subscripts need the type handed down)."""
         outer = self.resolve
 
         def resolve(kind, *args):
@@ -939,7 +1240,10 @@ class ExprCompiler:
             if kind == "edge_prop" and args[0] in vars_:
                 return vars_[args[0]][args[1]]
             return outer(kind, *args)
-        return ExprCompiler(resolve)
+        child = ExprCompiler(resolve)
+        child.var_dtypes = {**getattr(self, "var_dtypes", {}),
+                            **(dtypes or {})}
+        return child
 
     def call(self, name: str, args: list, distinct: bool = False) -> Column:
         from nebula_spark.operators.aggregate import agg_call
@@ -1790,8 +2094,10 @@ def _exec_fetch_edges(space: GraphSpace, st: A.FetchEdgesStmt,
         source = piped if st.var == "$-" else (env or {}).get(st.var)
         if source is None:
             raise ValueError(f"FETCH: no bound input for {st.var}")
+        rank_c = (F.col(st.key_rank_col) if st.key_rank_col
+                  else F.lit(0)).cast("long")
         kdf = source.select(F.col(st.key_src_col).alias(SRC),
-                            F.lit(0).cast("long").alias(RANK),
+                            rank_c.alias(RANK),
                             F.col(st.key_dst_col).alias(DST))
     else:
         flat = _eval_const_vids(space,
@@ -3880,8 +4186,17 @@ def _match_resolver(bound: set[str], paths: set[str] = frozenset(),
                                 .otherwise(F.col(f"{a}___src")),
                                 F.when(rev, F.col(f"{a}___src"))
                                 .otherwise(F.col(f"{a}___dst")))
-                    ident = F.struct(s.alias("s"), d.alias("d"),
-                                     F.col(f"{a}___rank").alias("r"))
+                    props = [c for c in columns
+                             if c.startswith(f"{a}__")
+                             and not c.startswith(f"{a}___")]
+                    ident = F.struct(
+                        s.alias("s"), d.alias("d"),
+                        F.col(f"{a}___rank").alias("r"),
+                        # props ride along so a CASE that mixes the edge
+                        # VALUE with a map can still read them
+                        # (Case.feature "use generic case in match":
+                        # `case when … then e else {likeness:13} end`)
+                        *[F.col(c).alias(c[len(a) + 2:]) for c in props])
                     return F.when(F.col(f"{a}___src").isNotNull(), ident)
             # bare path alias (`p IS NULL` after OPTIONAL MATCH p = …,
             # LDBC IC10 shape) OR bare var-len edge alias (`RETURN e` for
@@ -4007,6 +4322,12 @@ def _compile_mixed_agg(e: tuple, ec: ExprCompiler) -> Column:
         return ec.col(("pred_fn", e[1], e[2], wrap(e[3]), e[4]))
     if e[0] == "comprehension":
         return ec.col(("comprehension", e[1], wrap(e[2]), e[3], e[4]))
+    if e[0] == "reduce":
+        # reduce(acc = init, x IN collect(…) | body): init and the list
+        # are in agg position; acc/x and the body stay lambda-scoped
+        # (Reduce.feature "aggregate function in collection")
+        return ec.col(("reduce", e[1], wrap(e[2]), e[3], wrap(e[4]),
+                       e[5]))
     return ec.col(tuple(
         [e[0]] + [wrap(x) if isinstance(x, tuple) else x for x in e[1:]]))
 
@@ -4148,8 +4469,170 @@ def _node_prop_patterns_need_tag(st: A.MatchStmt) -> None:
         chk_expr(y.expr)
 
 
+def _fixed_path_nodes(st: A.MatchStmt) -> dict[str, list[str]]:
+    """path_alias → ordered node aliases, for ``p = (a)-[e]->(b)…``
+    patterns where every hop is a fixed single edge and every node is
+    aliased. Used to rewrite ``nodes(p)`` prop access onto the bound
+    aliases (the reference's Path value carries full vertices —
+    Path.h:60 — while our path column carries vids + edge hops)."""
+    out: dict[str, list[str]] = {}
+    for cl in st.clauses:
+        for p in getattr(cl, "paths", None) or []:
+            if not p.path_alias or p.shortest:
+                continue
+            if any(e.var_len or e.min_hops != 1 or e.max_hops != 1
+                   for e in p.edges):
+                continue
+            if any(n.alias is None for n in p.nodes):
+                continue
+            out[p.path_alias] = [n.alias for n in p.nodes]
+    return out
+
+
+def _subst_lambda_var(e, var: str, alias: str):
+    """Substitute a lambda variable with a bound node alias in an AST:
+    ``("name", var)`` → the alias, ``var.tag.prop`` / ``var.prop``
+    chains re-anchor. Stops at a nested lambda that rebinds ``var``."""
+    if isinstance(e, list):
+        return [_subst_lambda_var(x, var, alias) for x in e]
+    if not isinstance(e, tuple) or not e:
+        return e
+    if e[0] == "name" and len(e) == 2 and e[1] == var:
+        return ("name", alias)
+    if e[0] == "alias_tag_prop" and e[1] == var:
+        return ("alias_tag_prop", alias, *e[2:])
+    if e[0] in ("edge_prop", "attr") and e[1] == var:
+        return (e[0], alias, *[_subst_lambda_var(x, var, alias)
+                               for x in e[2:]])
+    if e[0] == "comprehension" and e[1] == var:
+        return e
+    if e[0] == "pred_fn" and e[2] == var:
+        return e
+    if e[0] == "reduce" and (e[1] == var or e[3] == var):
+        return e
+    return (e[0], *[_subst_lambda_var(x, var, alias) for x in e[1:]])
+
+
+def _rewrite_path_nodes(e, pn: dict[str, list[str]]):
+    """Rewrite ``nodes(p)`` access patterns over fixed-length aliased
+    paths into direct node-alias references (expression/Reduce
+    "use a reduce in MATCH", Predicate "use a predicate in MATCH",
+    ListComprehension "Using a list comprehension in a MATCH"):
+      nodes(p)[k]            → the k-th node alias
+      all/any/none(x IN nodes(p) WHERE pred)  → unrolled AND/OR chain
+      [x IN nodes(p) | out]  → list literal of per-node substitutions
+      reduce(a = i, x IN nodes(p) | body)     → nested substitution"""
+    if isinstance(e, list):
+        return [_rewrite_path_nodes(x, pn) for x in e]
+    if not isinstance(e, tuple) or not e:
+        return e
+
+    def nodes_of(x):
+        if (isinstance(x, tuple) and len(x) == 3
+                and x[0] in ("call", "call_distinct")
+                and str(getattr(x[1], "src", x[1])).lower() == "nodes"
+                and isinstance(x[2], tuple) and x[2][0] == "name"
+                and x[2][1] in pn):
+            return pn[x[2][1]]
+        return None
+
+    if e[0] == "subscript":
+        nl = nodes_of(e[1])
+        if (nl is not None and isinstance(e[2], tuple)
+                and e[2][0] == "lit" and isinstance(e[2][1], int)
+                and not isinstance(e[2][1], bool)
+                and -len(nl) <= e[2][1] < len(nl)):
+            return ("name", nl[e[2][1]])
+    if e[0] == "attr" and isinstance(e[1], tuple) and e[1] \
+            and e[1][0] == "attr":
+        # nodes(p)[k].tag.prop parses as attr(attr(subscript, tag),
+        # prop); re-anchor onto the rewritten alias as the parser
+        # would have (alias_tag_prop) so tag-prop resolution applies
+        base = _rewrite_path_nodes(e[1][1], pn)
+        if isinstance(base, tuple) and base[0] == "name" \
+                and base != e[1][1]:
+            return ("alias_tag_prop", base[1], e[1][2], e[2])
+    if e[0] == "attr":
+        base = _rewrite_path_nodes(e[1], pn)
+        if isinstance(base, tuple) and base[0] == "name" and base != e[1]:
+            return ("edge_prop", base[1], e[2])
+    if e[0] == "pred_fn":
+        nl = nodes_of(e[3])
+        if nl:
+            per = [_rewrite_path_nodes(
+                _subst_lambda_var(e[4], e[2], a), pn) for a in nl]
+            if e[1] in ("all", "any", "none"):
+                acc = per[0]
+                for p in per[1:]:
+                    acc = ("and" if e[1] == "all" else "or", acc, p)
+                return ("not", acc) if e[1] == "none" else acc
+            # single: reuse the 3-valued single compile over the list
+            # of per-node predicate VALUES
+            return ("pred_fn", "single", "_pnb", ("list", *per),
+                    ("name", "_pnb"))
+    if e[0] == "comprehension" and e[4] is not None:
+        nl = nodes_of(e[2])
+        if nl:
+            if e[3] is None:
+                return ("list", *[_rewrite_path_nodes(
+                    _subst_lambda_var(e[4], e[1], a), pn) for a in nl])
+            # WHERE form: per-node (cond, val) structs filtered then
+            # projected — inclusion can't unroll statically
+            els = []
+            for a in nl:
+                cond = _rewrite_path_nodes(
+                    _subst_lambda_var(e[3], e[1], a), pn)
+                val = _rewrite_path_nodes(
+                    _subst_lambda_var(e[4], e[1], a), pn)
+                els.append(("map", [("c", cond), ("v", val)]))
+            return ("comprehension", "_pnx", ("list", *els),
+                    ("attr", ("name", "_pnx"), "c"),
+                    ("attr", ("name", "_pnx"), "v"))
+    if e[0] == "reduce":
+        nl = nodes_of(e[4])
+        if nl:
+            acc_e = _rewrite_path_nodes(e[2], pn)
+            for a in nl:
+                body = _rewrite_path_nodes(
+                    _subst_lambda_var(e[5], e[3], a), pn)
+                acc_e = _subst_reduce_acc(body, e[1], acc_e)
+            return acc_e
+    return (e[0], *[_rewrite_path_nodes(x, pn) for x in e[1:]])
+
+
+def _subst_reduce_acc(e, acc: str, val):
+    """Replace the reduce accumulator name with the accumulated AST."""
+    if isinstance(e, list):
+        return [_subst_reduce_acc(x, acc, val) for x in e]
+    if not isinstance(e, tuple) or not e:
+        return e
+    if e[0] == "name" and len(e) == 2 and e[1] == acc:
+        return val
+    if e[0] == "reduce" and e[1] == acc:
+        return e
+    return (e[0], *[_subst_reduce_acc(x, acc, val) for x in e[1:]])
+
+
 def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
     counter = [0]
+    _pn = _fixed_path_nodes(st)
+    if _pn:
+        for cl in st.clauses:
+            for it in getattr(cl, "items", None) or []:
+                it.expr = _rewrite_path_nodes(it.expr, _pn)
+            if getattr(cl, "where", None) is not None:
+                cl.where = _rewrite_path_nodes(cl.where, _pn)
+            if getattr(cl, "order_by", None):
+                cl.order_by = [(_rewrite_path_nodes(x, _pn), asc)
+                               for x, asc in cl.order_by]
+            if getattr(cl, "expr", None) is not None:       # UNWIND
+                cl.expr = _rewrite_path_nodes(cl.expr, _pn)
+        st.returns = [A.YieldItem(_rewrite_path_nodes(y.expr, _pn),
+                                  y.alias, getattr(y, "src", None))
+                      for y in st.returns]
+        if st.order_by:
+            st.order_by = [(_rewrite_path_nodes(x, _pn), asc)
+                           for x, asc in st.order_by]
     _node_prop_patterns_need_tag(st)
     lazy_props = _stmt_reads_path_props(st)
     cur: DataFrame | None = None

@@ -243,6 +243,7 @@ class FetchEdgesStmt:
     var: str | None = None       # … or "$-"/"$var" keyed rows
     key_src_col: str | None = None
     key_dst_col: str | None = None
+    key_rank_col: str | None = None   # $-.src->$-.dst@$-.rank
 
 
 @dataclass
@@ -1763,12 +1764,18 @@ class Parser:
             var, src_col = self._edge_key_ref()
             self.eat("ARROW_R")
             _, dst_col = self._edge_key_ref()
+            rank_col = None
+            if self.peek().kind == "AT":
+                # $-.src -> $-.dst@$-.maxRank (GO.feature:185 piped
+                # max-rank fetch); the rank ref shares the key source
+                self.eat("AT")
+                _, rank_col = self._edge_key_ref()
             yields, distinct = [], False
             if self.try_kw("yield"):
                 distinct = self.try_kw("distinct")
                 yields = self.yield_items()
             return FetchEdgesStmt(edge, [], yields, distinct,
-                                  var, src_col, dst_col)
+                                  var, src_col, dst_col, rank_col)
         keys = []
         while True:
             src = self._vid_value()

@@ -28,7 +28,10 @@ from tests.test_tck_optimizer_sweep import student_space  # noqa: F401
 
 ROOT = "/root/reference/tests/tck/features"
 
-# directories swept; each entry was brought green (or ledgered) in r9
+# directories swept. History: the first six were brought green in r9;
+# the r9-boundary expansion to the full corpus shipped red (r10 verdict)
+# and was burned down across r10-r11 — every remaining red is either
+# fixed or carries a named adjudication in the ledgers below.
 DIRS = ["go", "path", "set", "yield", "subgraph", "aggregate",
         "match", "expression", "fetch", "lookup", "function",
         "insert", "update", "delete", "ttl", "mutate", "ddl",
@@ -148,7 +151,11 @@ def test_tck_feature_results(sc, request, spark):
         pytest.skip(f"runner-unsupported step: {sc.unsupported!r}")
     if not sc.asserts:
         pytest.skip("no result assertions (plan-shape/admin only)")
-    if sc.fresh_space == "nba" or (sc.space == "nba" and sc.setup):
+    if sc.fresh_space == "nba_int_vid":
+        from tests.test_tck_goldens import build_nba_int_space
+        _FRESH[0] += 1
+        space = build_nba_int_space(spark, name=f"tcksw_{_FRESH[0]}")
+    elif sc.fresh_space == "nba" or (sc.space == "nba" and sc.setup):
         _FRESH[0] += 1
         space = build_nba_space(spark, name=f"tcksw_{_FRESH[0]}")
     elif sc.space == "nba":

@@ -78,6 +78,26 @@ def build_nba_space(spark, name="nba"):
     return sp
 
 
+def build_nba_int_space(spark, name="nba_int_full"):
+    """Full nba space keyed by hash(vid) int64 vids — the `load
+    "nba_int_vid" csv data` sweep scenarios (MatchReturnEmptyTag [f2]).
+    Same tables as build_nba_space; every vid/src/dst runs through the
+    engine's reference-exact MurmurHash64A so hash("name") seeds in the
+    transcribed queries resolve to real keys."""
+    from nebula_spark.functions.scalar import _hash
+    base = build_nba_space(spark, name=name + "_str")
+    sp = GraphSpace(spark, name)
+    sp.options = {"vid_type": "int64"}
+    for t in base.tags:
+        df = base.tag(t)
+        sp.create_tag(t, df=df.withColumn("_vid", _hash(F.col("_vid"))))
+    for e in base.edges:
+        df = base.edge(e)
+        sp.create_edge(e, df=df.withColumn("_src", _hash(F.col("_src")))
+                            .withColumn("_dst", _hash(F.col("_dst"))))
+    return sp
+
+
 @pytest.fixture(scope="session")
 def nba_space(spark):
     return build_nba_space(spark)
@@ -1326,19 +1346,21 @@ def test_ldbc_ic10_friend_recommendation(nba_space):
 
 def test_ldbc_ic4_new_topics(nba_space):
     """IC4 shape (ComplexReads.feature:123): MATCH+agg WITH → OPTIONAL
-    MATCH with its own WHERE → cp == 0 gate → grouped sum. The reference
-    itself REFUSES the WHERE-in-OPTIONAL-MATCH form (ComplexReads:141
-    pins a SyntaxError); this engine executes it. Port: teams friends
-    joined since 2015 that no friend served before 2015; friend bindings
-    carry like-edge multiplicity (Tim↔Tony bind twice), verified by the
-    pandas oracle both ways (same result on this data)."""
+    MATCH → conditional count → cp == 0 gate → grouped sum. The
+    reference REFUSES WHERE on OPTIONAL MATCH (parser.yy:1793, pinned
+    by the MultiLineMultiQueryParts sweep scenario and r10's refusal),
+    so the filtered count rides a CASE inside the aggregate — the
+    reference's own device for this shape (ComplexReads:141 commentary).
+    Port: teams friends joined since 2015 that no friend served before
+    2015; friend bindings carry like-edge multiplicity (Tim↔Tony bind
+    twice), verified by the pandas oracle both ways."""
     df = execute(nba_space, '''
         MATCH (person:player)-[:like]-(friend:player)-[s:serve]->(team:team)
         WHERE id(person) == "Tim Duncan" AND s.start_year >= 2015
         WITH person, count(s) AS servesOnTeam, team
         OPTIONAL MATCH (person)-[:like]-(:player)-[olds:serve]->(team)
-        WHERE olds.start_year < 2015
-        WITH person, servesOnTeam, team, count(olds) AS cp
+        WITH person, servesOnTeam, team,
+             sum(CASE WHEN olds.start_year < 2015 THEN 1 ELSE 0 END) AS cp
         WHERE cp == 0
         RETURN team.team.name AS teamName, sum(servesOnTeam) AS serveCount
         ORDER BY serveCount DESC, teamName ASC
@@ -1750,15 +1772,17 @@ def test_ldbc_bi9_related_counts(nba_space):
 def test_ldbc_bi3_windowed_optional_counts(nba_space):
     """BI3 shape (Read.feature:90): two OPTIONAL MATCH windows with
     filtered counts + abs-diff. The reference raises 'Where clause in
-    optional match is not supported' for this exact shape — we support the
-    openCypher semantics (the WHERE filters the pattern side before the
-    left join), so the LDBC query works as written."""
+    optional match is not supported' (parser.yy:1793) — since r10 so do
+    we, and the windowed counts ride CASE conditionals inside the
+    aggregates instead (value-identical: the no-match row contributes
+    0 either way)."""
     df = execute(nba_space, '''
         MATCH (t:team)
-        OPTIONAL MATCH (p1:player)-[s1:serve]->(t) WHERE s1.start_year < 2000
-        WITH t, count(p1) AS early
-        OPTIONAL MATCH (p2:player)-[s2:serve]->(t) WHERE s2.start_year >= 2000
-        WITH t, early, count(p2) AS late
+        OPTIONAL MATCH (p1:player)-[s1:serve]->(t)
+        WITH t, sum(CASE WHEN s1.start_year < 2000 THEN 1 ELSE 0 END) AS early
+        OPTIONAL MATCH (p2:player)-[s2:serve]->(t)
+        WITH t, early,
+             sum(CASE WHEN s2.start_year >= 2000 THEN 1 ELSE 0 END) AS late
         RETURN t.team.name AS teamName, early, late, abs(early - late) AS diff
         ORDER BY diff DESC, teamName ASC
         LIMIT 10
@@ -3589,8 +3613,9 @@ def test_ldbc_bi10_central_person(nba_space):
         MATCH (t:team {name: "Spurs"})
         OPTIONAL MATCH (t)<-[:serve]-(s:player)
         WITH t, collect(DISTINCT id(s)) AS interested
-        OPTIONAL MATCH (t)<-[:serve]-(m:player) WHERE m.player.age > 35
-        WITH t, interested + collect(DISTINCT id(m)) AS persons
+        OPTIONAL MATCH (t)<-[:serve]-(m:player)
+        WITH t, interested + collect(DISTINCT
+             CASE WHEN m.player.age > 35 THEN id(m) END) AS persons
         UNWIND persons AS pid
         WITH DISTINCT t, pid
         MATCH (person:player) WHERE id(person) == pid
@@ -6506,7 +6531,7 @@ def test_ddl_comments_if_not_exists_index_check(spark):
         assert df.collect() == []          # IF NOT EXISTS kept zero-prop A
         df = execute(cat, "USE ddlf; DESC TAG B")
         assert [tuple(r) for r in df.collect()] == [
-            ("id", "int64", "NO", "0 + 0", "primary key"),
+            ("id", "int64", "NO", "0", "primary key"),
             ("name", "string", "NO", None, None),
             ("createDate", "datetime", "YES", None, None),
             ("isVisited", "bool", "YES", None, "kHop search flag"),
