@@ -1352,6 +1352,16 @@ class ExprCompiler:
                     return (F.when(F.size(c["path"]) > 0,
                                    F.element_at(c["path"], -1)["d"])
                             .otherwise(c["start"]))
+                if name in ("startnode", "endnode") \
+                        and isinstance(dt, StructType):
+                    # startNode/endNode of an EDGE value: the endpoint
+                    # vertex (by vid — the comparator's bare-vid vertex
+                    # identity; FetchEdges.strVid `startNode($-.e)`)
+                    fn = set(dt.fieldNames())
+                    if {"src", "dst"} <= fn:
+                        return c["src" if name == "startnode" else "dst"]
+                    if {"s", "d"} <= fn:
+                        return c["s" if name == "startnode" else "d"]
                 if name == "length" and isinstance(dt, StructType):
                     # length() of a vertex/edge VALUE — openCypher
                     # Path3.feature [2]: InvalidArgumentType
@@ -1379,7 +1389,12 @@ class ExprCompiler:
             c = self.col(args[0])
             t = self._dtype(c)
             if isinstance(t, StructType):
-                meta = {"s", "d", "r", "t", "et", "vid"}
+                # meta keys of every graph-value struct shape: hop
+                # structs (s/d/r/t/et), vertex values (vid), FETCH /
+                # LOOKUP `edge AS e` values (src/dst/_rank/_etype —
+                # FetchEdges.strVid "Fetch and Yield" properties($-.e))
+                meta = {"s", "d", "r", "t", "et", "vid",
+                        "src", "dst", "_rank", "_etype", "_type"}
                 fields = [f.name for f in t.fields if f.name not in meta]
                 return F.struct(*[c[f].alias(f) for f in fields])
             if isinstance(t, MapType):
@@ -1476,6 +1491,14 @@ class ExprCompiler:
                 c = self.col(args[0])
                 if name in ("src", "dst", "rank"):
                     return c[{"src": "s", "dst": "d", "rank": "r"}[name]]
+                if name == "id":
+                    # id() of a vertex VALUE struct reads the vid field
+                    # (piped `YIELD vertex AS node | YIELD id($-.node)`,
+                    # FetchVertices.strVid "Fetch and Yield id(v)")
+                    from pyspark.sql.types import StructType as _Sv
+                    dt = self._dtype(c)
+                    if isinstance(dt, _Sv) and "vid" in dt.fieldNames():
+                        return c["vid"]
                 try:
                     return _GRAPH_FNS[name](c)
                 except TypeError:
@@ -2110,6 +2133,11 @@ def _exec_fetch_edges(space: GraphSpace, st: A.FetchEdgesStmt,
 
     def resolve(kind, *args):
         if kind == "edge_prop":
+            if args[0] != st.edge:
+                # qualifier must be the fetched edge (GetEdgesValidator;
+                # FetchEdges.strVid "Fetch prop Error": `abc.start_year`)
+                raise ValueError(
+                    f"EdgeNotFound: EdgeName `{args[0]}`")
             return F.col({"_dst": DST, "_src": SRC,
                           "_rank": RANK}.get(args[1], args[1]))
         if kind == "graph_fn" and args[1] == "edge":
@@ -2271,6 +2299,19 @@ def _exec_lookup(space: GraphSpace, st: A.LookupStmt) -> DataFrame:
             if not lp and not rp:
                 raise ValueError(
                     f"Expression {_expr_text(e)} not supported yet")
+            # LookupValidator checkTSExpr type check: a BOOL column
+            # compared against a non-bool constant is "Column type
+            # error" (LookUp.feature EdgeIndexHint:
+            # `lookup_edge_2.col1 == 200` over col1 bool)
+            prop_side, const_side = (e[1], e[2]) if lp else (e[2], e[1])
+            if isinstance(prop_side, tuple) \
+                    and prop_side[0] in ("edge_prop", "alias_tag_prop") \
+                    and const_side[0] == "lit" \
+                    and const_side[1] is not None:
+                pcol = prop_side[-1]
+                if dict(t.dtypes).get(pcol) == "boolean" \
+                        and not isinstance(const_side[1], bool):
+                    raise ValueError("SemanticError: Column type error")
             return
         if e[0] in ("and", "or", "xor", "not"):
             for x in e[1:]:
@@ -6234,6 +6275,21 @@ def _execute_pipeline(space: GraphSpace, pipeline: A.Pipeline,
                     c = F.to_json(c)
                 cols.append(c.asc_nulls_last() if asc
                             else c.desc_nulls_first())
+            # deterministic tie-break: append the remaining (simple)
+            # columns ascending — the reference's std::stable_sort over
+            # its ascending index/storage scan order yields exactly this
+            # among ties (LookUpTopN.feature `ORDER BY $-.src | Limit 2`
+            # pins Chris Paul before LeBron James within equal src)
+            named = {e[1] for e, _ in st.items
+                     if isinstance(e, tuple) and len(e) == 2
+                     and e[0] in ("input_prop", "name", "edge_prop")}
+            from pyspark.sql.types import AtomicType
+            for cname in df.columns:
+                if cname in named:
+                    continue
+                tc = F.col("`" + cname.replace("`", "``") + "`")
+                if isinstance(ec._dtype(tc), AtomicType):
+                    cols.append(tc.asc_nulls_last())
             df = df.orderBy(*cols)
         elif isinstance(st, A.LimitStmt):
             if st.offset:

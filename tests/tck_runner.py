@@ -630,7 +630,18 @@ def parse_feature(path: str, space_subs: dict | None = None) -> list[Scenario]:
         steps = background + getattr(sc, "raw_steps", [])
         query = None
         params = None
+        q_used = True
+
+        def _flush_pending(ln2):
+            # a `When executing query` with NO Then step still EXECUTES
+            # in the reference's runner (FetchEmpty.feature's CREATE TAG
+            # before `And wait 5 seconds`) — emit a bare execute
+            if query is not None and not q_used:
+                sc.asserts.append(Assertion(query, "any", None, None,
+                                            ln2, params))
         for kind, payload, ln in steps:
+            if kind in ("query", "try_query"):
+                _flush_pending(ln)
             if kind == "space":
                 sc.space = payload
             elif kind == "empty":
@@ -648,19 +659,23 @@ def parse_feature(path: str, space_subs: dict | None = None) -> list[Scenario]:
                 sc.new_space = payload
             elif kind == "query":
                 query = payload
+                q_used = False
             elif kind == "params":
                 params = payload or None
             elif kind == "try_query":
                 query = payload
+                q_used = True
                 sc.asserts.append(TryQuery(payload, ln, params))
             elif kind == "result_hashed":
                 mode, tbl = payload
+                q_used = True
                 if tbl:
                     sc.asserts.append(Assertion(
                         query, "count", tbl[0], tbl[1:], ln, params))
                     sc.skipped_asserts += 1
             elif kind == "result":
                 mode, tbl = payload
+                q_used = True
                 if not tbl:
                     raise ValueError(f"{path}:{ln} result step w/o table")
                 if query is not None and "order by" not in query.lower():
@@ -679,10 +694,12 @@ def parse_feature(path: str, space_subs: dict | None = None) -> list[Scenario]:
                 sc.asserts.append(Assertion(
                     query, mode, tbl[0], tbl[1:], ln, params))
             elif kind == "error":
+                q_used = True
                 sc.asserts.append(ErrorAssertion(query, ln, params))
             elif kind == "wait":
                 sc.asserts.append(WaitStep(payload, ln))
             elif kind == "ok":
+                q_used = True
                 if sc.asserts and isinstance(sc.asserts[-1], TryQuery) \
                         and sc.asserts[-1].query == query:
                     # `try to execute` + `should be successful`: run
@@ -696,6 +713,7 @@ def parse_feature(path: str, space_subs: dict | None = None) -> list[Scenario]:
                 pass
             elif kind == "unsupported":
                 sc.unsupported = payload
+        _flush_pending(sc.asserts[-1].line if sc.asserts else 0)
     return scenarios
 
 
@@ -712,8 +730,19 @@ def canon_actual(v):
         Row = ()
     if v is None:
         return None
+    import datetime as _dt
+    if isinstance(v, _dt.datetime):
+        # DateTime renders ISO-with-T and microseconds
+        # (FunctionCall.feature pins /^\d{4}-\d{2}-\d{2}T…\.\d{6}$/)
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
     if isinstance(v, Row):
         d = v.asDict()
+        if set(d) == {"hour", "minute", "sec"}:
+            # TIME value struct → the reference's HH:MM:SS.ffffff
+            return "%02d:%02d:%09.6f" % (d["hour"], d["minute"],
+                                         float(d["sec"]))
         if "start" in d and "path" in d:   # FIND PATH value convention
             d = {"start": d["start"], "hops": d["path"]}
         if "start" in d and "hops" in d:

@@ -65,6 +65,13 @@ SKIP: dict = {
         "lane + ngql_unwind oracle slot",
 }
 
+SKIP[("expression/TimeComputation.feature",
+      "datetime add or subtract duration [1]0")] = (
+    "upstream-broken query text: the first outline's second step is "
+    "literally `WITH  as x,  as d` (TimeComputation.feature:70 — empty "
+    "expressions, a typo in the reference corpus); the corrected "
+    "duplicate outline at :85 runs green")
+
 # (feature-file, Then-line) -> an engine-raised error satisfies the
 # assertion (documented deviations where the reference's outcome is an
 # accident of ITS plan shape, not semantics)
