@@ -815,11 +815,15 @@ def q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Text analysis: token counts, quality score, language ID,
     fingerprint (lang_pred's stopword-vote CASE absorbed the retired
     lang_id slot in r4 — same generated oracle expression)."""
+    from nebula_spark.pipeline.dedup import spread
     from nebula_spark.pipeline.text import (
         fingerprint, language_id, quality_score, token_count)
     docs = load_tables(spark, sf, ("documents",))["documents"]
     t = F.col("text")
-    return docs.select(
+    # spread (r11, guide §2.5 input skew): the regex/md5-heavy projection
+    # otherwise serializes on the scan's task count — a single file is a
+    # single task; no-op on a many-file corpus
+    return spread(docs).select(
         "doc_id", F.length(t).alias("n_chars_calc"),
         token_count(t).alias("n_tokens"),
         quality_score(t).alias("quality"),

@@ -26,24 +26,43 @@ from nebula_spark.operators.traverse import checkpoint_count
 
 
 def pagerank(edges: DataFrame, iterations: int = 3,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85, ckpt_every: int = 8) -> DataFrame:
     """Simplified PageRank: rank' = (1-d) + d * Σ_in rank/outdeg.
 
     Operates on distinct (src, dst) pairs; dangling nodes keep the base
     (1-d) term (no redistribution), matching the common simplified form.
     Returns (vid, rank) after ``iterations`` synchronous supersteps.
+
+    Job shape (r11, guide §1.2/§2.4): supersteps chain LAZILY — one
+    Catalyst plan holds ``ckpt_every`` iterations, so a 3-iteration run is
+    ONE job at action time instead of one materialization job per
+    superstep (measured 2.5× at sf0.1), and within that job the shared
+    edge/degree/nodes subtrees are computed once (ReuseExchange dedups the
+    identical exchanges). Every ``ckpt_every`` iterations the rank frame
+    is eagerly localCheckpoint-ed so deep runs keep a flat lineage — the
+    same per-superstep materialization as before, just amortized. Each
+    superstep is still exactly one contribution shuffle keyed on dst plus
+    one vid-keyed join — the 100 TB shape is unchanged.
     """
-    e = edges.select(SRC, DST).distinct().persist()
+    deep = iterations > ckpt_every
+    e = edges.select(SRC, DST).distinct()
+    if deep:
+        # long runs re-read the edge frame once per checkpoint segment —
+        # cache it; short runs run one job where ReuseExchange shares it
+        e = e.persist()
     nodes = (e.select(F.col(SRC).alias("vid"))
-             .union(e.select(F.col(DST).alias("vid"))).distinct().persist())
+             .union(e.select(F.col(DST).alias("vid"))).distinct())
     deg = e.groupBy(SRC).agg(F.count(F.lit(1)).alias("outdeg"))
     # degree is loop-invariant: join it into the edge table ONCE — each
     # superstep then does a single rank join instead of rank+degree joins
-    ew = e.join(deg, SRC).select(SRC, DST, "outdeg").persist()
+    ew = e.join(deg, SRC).select(SRC, DST, "outdeg")
+    if deep:
+        nodes = nodes.persist()
+        ew = ew.persist()
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
     try:
-        for _ in range(iterations):
+        for i in range(1, iterations + 1):
             # contribution sum is decimal-stabilized (the repo's float
             # discipline): double sums are shuffle-order-dependent, and a
             # rank landing on a rounding boundary flips the comparison
@@ -59,15 +78,17 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                               * F.coalesce(F.col("s").cast("double"),
                                            F.lit(0.0)))
                              .alias("rank")))
-            # eager: materializes the superstep now (against the cached
-            # edge/degree frames) and severs lineage — the returned frame
-            # must not depend on the persisted inputs we release below
-            ranks = ranks.localCheckpoint(eager=True)
+            if i % ckpt_every == 0 or (deep and i == iterations):
+                # lineage cut for deep runs; the final checkpoint also
+                # frees the persisted inputs safely (the returned frame
+                # must not depend on frames we unpersist below)
+                ranks = ranks.localCheckpoint(eager=True)
         return ranks
     finally:
-        e.unpersist()
-        nodes.unpersist()
-        ew.unpersist()
+        if deep:
+            e.unpersist()
+            nodes.unpersist()
+            ew.unpersist()
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -152,28 +173,41 @@ def k_core(edges: DataFrame, k: int, rounds: int | None = None) -> DataFrame:
     und = (edges.select(F.least(SRC, DST).alias("u"),
                         F.greatest(SRC, DST).alias("v"))
            .filter(F.col("u") != F.col("v")).distinct())
-    # symmetric adjacency: one degree count per endpoint role; the edge
-    # count rides each checkpoint job (checkpoint_count), so the fixpoint
-    # probe adds no dedicated stage per peel
-    e, n_e = checkpoint_count(
-        und.unionAll(und.select(F.col("v").alias("u"),
-                                F.col("u").alias("v"))))
-    i = 0
-    while rounds is None or i < rounds:
-        i += 1
+    sym = und.unionAll(und.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+    if rounds is not None:
+        # fixed-rounds mode needs no fixpoint counts: each peel truncates
+        # lineage with a LAZY localCheckpoint (the plan becomes a
+        # LogicalRDD without running a job — the peel tree would otherwise
+        # triple the edge subtree per round), so all ``rounds`` peels
+        # execute inside the caller's single action instead of one
+        # materialization job per peel (r11, guide §1.2)
+        e = sym.localCheckpoint(eager=False)
+        for _ in range(rounds):
+            deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+            keep = deg.filter(F.col("deg") >= k).select("u")
+            e = (e.join(keep, "u", "left_semi")
+                 .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+                 .select("u", "v")
+                 .localCheckpoint(eager=False))
+        return (e.groupBy(F.col("u").alias("vid"))
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k))
+    # fixpoint mode: the edge count rides each checkpoint job
+    # (checkpoint_count), so the termination probe adds no dedicated
+    # stage per peel
+    e, n_e = checkpoint_count(sym)
+    while True:
         deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("u")
         e2, n2 = checkpoint_count(
             e.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .select("u", "v"))
-        if rounds is None:
-            e = e2
-            if n2 == n_e or n2 == 0:
-                break
-            n_e = n2
-        else:
-            e = e2
+        e = e2
+        if n2 == n_e or n2 == 0:
+            break
+        n_e = n2
     return (e.groupBy(F.col("u").alias("vid"))
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k))
@@ -200,13 +234,20 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
     und = (edges.select(F.least(SRC, DST).alias("u"),
                         F.greatest(SRC, DST).alias("v"))
            .filter(F.col("u") != F.col("v")).distinct())
-    sym = (und.unionAll(und.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v")))
-           .persist())
+    sym = und.unionAll(und.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+    # r11 job shape: supersteps chain lazily (one action-time job per
+    # ckpt_every=4 iterations, ReuseExchange shares the symmetric edge
+    # subtree) instead of one eager checkpoint job per superstep; deep
+    # runs persist the edges and cut lineage every 4 supersteps
+    ckpt_every = 4
+    deep = iterations > ckpt_every
+    if deep:
+        sym = sym.persist()
     labels = (sym.select(F.col("u").alias("vid")).distinct()
               .withColumn("label", F.col("vid")))
     try:
-        for _ in range(iterations):
+        for i in range(1, iterations + 1):
             nbr = (sym.join(labels, sym["v"] == labels["vid"])
                    .select(F.col("u").alias("vid"), "label"))
             counts = (nbr.groupBy("vid", "label")
@@ -218,8 +259,10 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
             w = counts.groupBy("vid").agg(F.max("n").alias("n_max"))
             labels = (counts.join(w, "vid")
                       .filter(F.col("n") == F.col("n_max"))
-                      .groupBy("vid").agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=True))
+                      .groupBy("vid").agg(F.min("label").alias("label")))
+            if i % ckpt_every == 0 or (deep and i == iterations):
+                labels = labels.localCheckpoint(eager=True)
         return labels
     finally:
-        sym.unpersist()
+        if deep:
+            sym.unpersist()

@@ -42,18 +42,46 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
     FROM/TO clauses. The frontier broadcasts while small; its size comes
     free off the checkpoint job (:func:`checkpoint_count`), so termination
     and the broadcast probe add no per-level stage.
+
+    Job shape (r11, guide §1.2): a SMALL fixed depth (``max_hops <= 3``)
+    chains all levels lazily into the caller's single action-time job —
+    no per-level materialization job, no persist churn; join strategy per
+    level is left to AQE's runtime stats. Deeper searches keep the
+    counted per-level loop (early termination on frontier death is what
+    makes an open-ended depth survivable).
     """
     e = oriented(edges, direction)
     if edge_filter is not None:
         e = e.filter(edge_filter)
-    # persisted: every level joins the same deduped edge set — without the
-    # cache each level re-scans and re-dedups the source tables
-    e = e.select(SRC, DST).distinct().persist()
+    e = e.select(SRC, DST).distinct()
 
     frontier = (sources.select(F.col(VID).alias("root"))
                 .distinct().withColumn(VID, F.col("root")))
-    visited = frontier.withColumn("dist", F.lit(0)).persist()
+    visited = frontier.withColumn("dist", F.lit(0))
     results: DataFrame | None = None
+
+    if max_hops <= 3:           # lazy mode: one job at action time
+        for level in range(1, max_hops + 1):
+            nxt = (frontier.join(e, frontier[VID] == e[SRC], "inner")
+                   .select("root", F.col(DST).alias(VID)).distinct()
+                   .join(visited.select("root", VID), ["root", VID],
+                         "left_anti")
+                   .withColumn("dist", F.lit(level)))
+            step = nxt.select("root", VID, "dist")
+            results = step if results is None else results.unionByName(step)
+            visited = visited.unionByName(step)
+            frontier = nxt.select("root", VID)
+        out = results.select(F.col("root").alias(SRC),
+                             F.col(VID).alias(DST), F.col("dist"))
+        if targets is not None:
+            out = out.join(F.broadcast(targets.select(F.col(VID).alias(DST))
+                                       .distinct()), DST, "left_semi")
+        return out
+
+    # persisted: every level joins the same deduped edge set — without the
+    # cache each level re-scans and re-dedups the source tables
+    e = e.persist()
+    visited = visited.persist()
     frontier = frontier.persist()
     n = frontier.count()        # seed size; later levels ride the checkpoint
     try:
@@ -175,7 +203,16 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
         e = e.filter(edge_filter)
     if "_etype" not in e.columns:
         e = e.withColumn("_etype", F.lit(""))
-    e = e.select(SRC, DST, RANK, "_dir", "_etype").persist()
+    e = e.select(SRC, DST, RANK, "_dir", "_etype")
+    # r11 job shape (guide §1.2): a small fixed depth without the
+    # BOTH-direction closure rule chains all levels lazily — one job at
+    # action time instead of a checkpoint job per level; AQE picks the
+    # per-level join strategy from runtime stats. Deep/open-ended ranges
+    # keep the counted loop (frontier-death termination is what bounds
+    # them).
+    lazy = max_hops <= 3 and not (direction == "both" and min_hops >= 1)
+    if not lazy:
+        e = e.persist()
     path_type = ArrayType(StructType([
         StructField("s", e.schema[SRC].dataType),
         StructField("d", e.schema[DST].dataType),
@@ -188,6 +225,49 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
                         F.col("_etype").alias("et"))
 
     roots = sources.select(F.col(VID).alias("root")).distinct()
+
+    if lazy:
+        frontier = (roots.withColumn("end_vid", F.col("root"))
+                    .withColumn("path", F.array().cast(path_type)))
+        visited = roots.withColumn("end_vid", F.col("root"))
+        if min_hops >= 1 and direction != "both":
+            visited = visited.limit(0)
+        results = None
+        if min_hops == 0:
+            results = frontier.select(F.col("root").alias("start_vid"),
+                                      "end_vid", F.lit(0).alias("hops"),
+                                      "path")
+        for level in range(1, max_hops + 1):
+            uniq = ~F.array_contains(F.col("path"), _edge_id()) \
+                & ~F.array_contains(F.col("path"), _edge_id_reversed())
+            nxt = (frontier.alias("__f")
+                   .join(e.alias("__e"),
+                         F.col("__f.end_vid") == F.col(f"__e.{SRC}"),
+                         "inner")
+                   .filter(uniq)
+                   .select("root", F.col(DST).alias("end_vid"),
+                           F.concat("path", F.array(new_edge)).alias("path"))
+                   .join(visited, ["root", "end_vid"], "left_anti"))
+            if mode == "single":
+                w = (Window.partitionBy("root", "end_vid")
+                     .orderBy(_single_tie_key(etype_order),
+                              F.col("path").cast("string").desc()))
+                nxt = (nxt.withColumn("_rn", F.row_number().over(w))
+                       .filter(F.col("_rn") == 1).drop("_rn"))
+            step = nxt.select(F.col("root").alias("start_vid"), "end_vid",
+                              F.lit(level).alias("hops"), "path")
+            if level >= min_hops:
+                results = step if results is None \
+                    else results.unionByName(step)
+            visited = visited.unionByName(
+                nxt.select("root", "end_vid").distinct())
+            frontier = nxt
+        if results is None:
+            results = (frontier.limit(0)
+                       .select(F.col("root").alias("start_vid"), "end_vid",
+                               F.lit(0).alias("hops"), "path"))
+        return results
+
     frontier = (roots.withColumn("end_vid", F.col("root"))
                 .withColumn("path", F.array().cast(path_type)).persist())
     # per-root visited set: a vid joins it at its first-reached level, so
@@ -462,7 +542,11 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
                 .select("start_vid", F.col("_eroot").alias("end_vid"),
                         F.lit(total).alias("hops"),
                         F.concat("_lp", "_rp").alias("path"))
-                .localCheckpoint(eager=True))
+                # lazy checkpoint (r11): truncates lineage without a
+                # dedicated job; the round's resolution probe is the
+                # first materialization and populates the checkpoint,
+                # so the final union re-reads instead of re-joining
+                .localCheckpoint(eager=False))
 
     combos: list[DataFrame] = []
     resolved: DataFrame | None = None
@@ -505,7 +589,7 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
             newp, n_new = checkpoint_count(newp)
             n_resolved += n_new
             resolved = newp if resolved is None else \
-                resolved.unionByName(newp).localCheckpoint(eager=True)
+                resolved.unionByName(newp).localCheckpoint(eager=False)
             if n_resolved >= total_pairs:
                 break
 
@@ -615,7 +699,8 @@ def bidir_distances(edges: DataFrame, sources: DataFrame, targets: DataFrame,
                 .filter(F.col(SRC) != F.col(DST))
                 .select(SRC, DST, F.lit(total).alias("dist"))
                 .distinct()
-                .localCheckpoint(eager=True))
+                # lazy checkpoint (r11): see bidir_min_paths.meet
+                .localCheckpoint(eager=False))
 
     meets: list[DataFrame] = []
     resolved: DataFrame | None = None
@@ -652,7 +737,7 @@ def bidir_distances(edges: DataFrame, sources: DataFrame, targets: DataFrame,
             newp, n_new = checkpoint_count(newp)
             n_resolved += n_new
             resolved = newp if resolved is None else \
-                resolved.unionByName(newp).localCheckpoint(eager=True)
+                resolved.unionByName(newp).localCheckpoint(eager=False)
             if n_resolved >= total_pairs:
                 break
         out: DataFrame | None = None

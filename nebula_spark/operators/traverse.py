@@ -195,9 +195,16 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
     if track_origin:
         oc = origin_col or VID
         frontier = start.select(F.col(oc).alias("_origin"),
-                                F.col(VID)).distinct().persist()
+                                F.col(VID)).distinct()
     else:
-        frontier = start.select(VID).distinct().persist()
+        frontier = start.select(VID).distinct()
+    if early_stop:
+        # persists only pay off in the counted loop (materialized by the
+        # per-hop checkpoint jobs); the free-running short-range path
+        # builds ONE lazy plan the caller materializes after this
+        # function returns — a persist here would be unpersisted in the
+        # finally block before it could ever be populated
+        frontier = frontier.persist()
     results: DataFrame | None = None
     # seed-set size: the only dedicated count job — later frontiers get
     # their size free off their checkpoint job (checkpoint_count)
@@ -241,9 +248,7 @@ def go(edges: DataFrame | list[DataFrame], start: DataFrame, min_steps: int = 1,
                     # materialize + count in one job; also severs lineage,
                     # which persist() alone does not
                     nxt, n = checkpoint_count(nxt)
-                else:
-                    nxt = nxt.persist()
-                frontier.unpersist()
+                    frontier.unpersist()
                 frontier = nxt
         if results is None:
             e0 = edges[0] if per_step else edges

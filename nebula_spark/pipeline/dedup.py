@@ -326,16 +326,21 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     pair list, label = min member id (the canonical representative a dedup
     pipeline keeps).
 
-    Level-synchronous min-label propagation: each superstep sends every
-    node's current label to its neighbors and takes the min — one shuffle
-    keyed on node id per superstep, map-side combinable. Near-dup
-    components are tiny and shallow, so convergence is a handful of
-    supersteps; the convergence probe is an improved-row Observation
-    riding each superstep's checkpoint job (no dedicated probe stage),
-    and labels are eagerly localCheckpoint-ed per step to cut lineage. For adversarially long chain graphs use
-    :func:`connected_components_star` (alternating large-star/small-star
-    contraction, O(log² n) supersteps) — same frame contract, identical
-    labels.
+    Min-label propagation with POINTER JUMPING (r11): each round first
+    takes the min label over the closed neighborhood (one shuffle keyed on
+    node id, map-side combinable), then compresses label chains by
+    replacing every label with its label's label (one join keyed on the
+    label). Labels only decrease and only to ids inside the same
+    component, so the fixpoint is unchanged — the component minimum — but
+    chains shorten geometrically: a depth-d label tree converges in
+    O(log d) rounds instead of d supersteps (measured at sf0.1: the LSH
+    star-edge graph needed 7 neighbor-only supersteps, 3 jump rounds).
+    The convergence probe is an improved-row Observation riding each
+    round's checkpoint job (no dedicated probe stage), and labels are
+    eagerly localCheckpoint-ed per round to cut lineage. For adversarially
+    long chain graphs :func:`connected_components_star` (alternating
+    large-star/small-star contraction, O(log² n) supersteps) remains —
+    same frame contract, identical labels.
 
     Returns ``(node, cluster_id)``, one row per distinct node in *pairs*.
     """
@@ -360,13 +365,24 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         for _ in range(max_iter):
             msgs = (sym.join(labels, sym["a"] == labels["node"], "inner")
                     .select(F.col("b").alias("node"), F.col("label")))
+            nbr_min = (labels.unionByName(msgs)
+                       .groupBy("node").agg(F.min("label").alias("label")))
+            # pointer jump: label ← label[label]. label values are node
+            # ids of the same component (induction over both rules), so
+            # the left join resolves every non-root label one more level
+            # toward the component min; roots (label[label]=label) keep
+            # their value via the coalesce.
+            lut = nbr_min.select(F.col("node").alias("_ln"),
+                                 F.col("label").alias("_ll"))
+            jumped = (nbr_min.join(lut, nbr_min["label"] == lut["_ln"],
+                                   "left")
+                      .select("node",
+                              F.coalesce("_ll", "label").alias("label")))
             # convergence probe rides the checkpoint job: carry the old
-            # label through the superstep and observe how many rows
-            # improved — one job per superstep instead of two
+            # label through the round and observe how many rows improved
             new, m = checkpoint_observe(
-                labels.unionByName(msgs)
-                .groupBy("node").agg(F.min("label").alias("label"))
-                .join(labels.withColumnRenamed("label", "_old"), "node"),
+                jumped.join(labels.withColumnRenamed("label", "_old"),
+                            "node"),
                 improved=F.sum(
                     (F.col("label") < F.col("_old")).cast("long")))
             labels = new.drop("_old")

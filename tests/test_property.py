@@ -293,10 +293,18 @@ def test_bidir_min_paths_equals_enumerate_prune(spark, edges, direction,
     """Meet-in-the-middle (source, target) minimal paths must agree with
     enumerate-then-prune restricted to the target set — including
     root-cycle pairs when a vertex is in both sets, odd and even path
-    lengths, and all directions."""
+    lengths, and all directions.
+
+    Exception (r11 pin, matching the r10 shortest-path parity rework):
+    under ``direction='both'`` the root-cycle ``(s, s)`` rows follow the
+    REFERENCE's level-pruned closure artifact, not exact cycle search —
+    a cycle whose prefix was level-pruned is invisible
+    (AllShortestPaths.feature:578; bfs_min_paths docstring). Those rows
+    are therefore compared against the closure rule's own output
+    (bfs_min_paths), which bidir routes its diagonal pairs through."""
     from collections import Counter
 
-    from nebula_spark.operators.paths import bidir_min_paths
+    from nebula_spark.operators.paths import bfs_min_paths, bidir_min_paths
     from nebula_spark.operators.traverse import traverse
 
     e = spark.createDataFrame(
@@ -312,6 +320,21 @@ def test_bidir_min_paths_equals_enumerate_prune(spark, edges, direction,
     enum = [r for r in traverse(e, starts, min_hops=1, max_hops=max_hops,
                                 direction=direction).collect()
             if r.end_vid in set(tvids)]
+
+    if direction == "both":
+        def pkey(r):
+            return (r.start_vid, r.end_vid, r.hops,
+                    tuple((p.s, p.d, p.r, p.t) for p in r.path))
+        diag_got = Counter(pkey(r) for r in got
+                           if r.start_vid == r.end_vid)
+        closure = Counter(
+            pkey(r) for r in bfs_min_paths(
+                e, starts, max_hops=max_hops, direction="both",
+                mode=mode, min_hops=1).collect()
+            if r.start_vid == r.end_vid and r.end_vid in set(tvids))
+        assert diag_got == closure
+        got = [r for r in got if r.start_vid != r.end_vid]
+        enum = [r for r in enum if r.start_vid != r.end_vid]
     best: dict[tuple, int] = {}
     for r in enum:
         k = (r.start_vid, r.end_vid)
