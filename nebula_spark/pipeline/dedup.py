@@ -350,9 +350,11 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     sym = (e.unionByName(e.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
            .distinct().persist())
+    # lazy init (r11): round 1's checkpoint job materializes the seed
+    # labels off the freshly-persisted sym — a dedicated init job bought
+    # nothing
     labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
+              .withColumn("label", F.col("node")))
     # whole-stage codegen off for the supersteps: every iteration builds a
     # *new* plan (fresh checkpoint lineage), so generated code recompiles
     # per superstep — compile latency dominates the fusion win, and when
@@ -362,6 +364,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     # fresh-session 32.7 s → ~15-20 s, warm 8.4 s → ~5 s.
     with scoped_conf(sym.sparkSession,
                      **{"spark.sql.codegen.wholeStage": "false"}):
+        prev_total = None
         for _ in range(max_iter):
             msgs = (sym.join(labels, sym["a"] == labels["node"], "inner")
                     .select(F.col("b").alias("node"), F.col("label")))
@@ -378,16 +381,17 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                                    "left")
                       .select("node",
                               F.coalesce("_ll", "label").alias("label")))
-            # convergence probe rides the checkpoint job: carry the old
-            # label through the round and observe how many rows improved
-            new, m = checkpoint_observe(
-                jumped.join(labels.withColumnRenamed("label", "_old"),
-                            "node"),
-                improved=F.sum(
-                    (F.col("label") < F.col("_old")).cast("long")))
-            labels = new.drop("_old")
-            if not m["improved"]:
+            # convergence probe rides the checkpoint job: per-node labels
+            # are monotone non-increasing, so the (exact, decimal) label
+            # sum strictly decreases iff any node improved — no join
+            # against the previous labels needed (r11; was one extra
+            # node-keyed join per round)
+            labels, m = checkpoint_observe(
+                jumped,
+                total=F.sum(F.col("label").cast("decimal(38,0)")))
+            if prev_total is not None and m["total"] == prev_total:
                 break
+            prev_total = m["total"]
     sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 

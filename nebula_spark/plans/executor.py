@@ -5149,6 +5149,13 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
         out_names = set(out.columns)
         order_cols = []
         for e, asc in st.order_by:
+            if e[0] == "lit":
+                # evaluable sort items are no-ops, not errors — the
+                # reference SKIPS them (MatchValidator::validateOrderBy:
+                # `if (isEvaluableExpr(factorExpr)) continue;`), which is
+                # how `ORDER BY v, $p3` with a substituted parameter
+                # constant passes (parameter.feature [param-test-004])
+                continue
             name = e[1] if e[0] == "name" else _expr_text(e)
             if name is None or name not in out_names:
                 raise ValueError(

@@ -40,6 +40,16 @@ _DEFAULTS = {
     # the events table is written with TIMESTAMP(NANOS) which the vectorized
     # parquet reader rejects; read as long and convert (catalog.load_tables)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # r11: PySpark's call-site origin capture for error enrichment wraps
+    # EVERY DataFrame API call with ~4 extra py4j roundtrips plus a Python
+    # stack walk (pyspark/errors/utils.py _with_origin). The nGQL front
+    # end issues thousands of Column/DataFrame calls per statement, all
+    # driver-side — disabling the debug origin measured 0.96 s → 0.35 s
+    # on the MATCH-2hop build phase (2.8×) and is machine-size
+    # independent (pure driver overhead). Cost: JVM errors lose the
+    # "== DataFrame ==" Python call-site section; engine refusals carry
+    # their own reference-style messages, so nothing user-facing changes.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
