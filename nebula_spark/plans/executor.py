@@ -6828,6 +6828,20 @@ def _space_level(cat: SpaceCatalog, node,
         if cur is not None and cur[0] == st.name:
             cur[0] = None
         return cat.spark.range(0)
+    if isinstance(st, A.ClearStmt):
+        # CLEAR SPACE resolves its TARGET against the catalog — a named
+        # space that does not exist is the reference's runtime error
+        # unless IF EXISTS (ClearSpace.feature "Clear space syntax test")
+        target = st.name
+        if target is None:
+            target = cur[0] if cur is not None else cat.current_name
+        sp0 = cat.spaces.get(target) if target is not None else None
+        if sp0 is None:
+            if st.if_exists:
+                return cat.spark.range(0)
+            raise ValueError("SpaceNotFound: Space not existed!")
+        with getattr(sp0, "_mutex", None) or contextlib.nullcontext():
+            return _exec_clear(sp0)
     if isinstance(st, A.AdminStmt) and st.kind == "spaces":
         return cat.spark.createDataFrame(
             [(n,) for n in cat.show_spaces()], "Name string")

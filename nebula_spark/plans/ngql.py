@@ -402,6 +402,7 @@ class ClearStmt:
     """CLEAR SPACE — wipe all rows, keep schemas
     (mutate/ClearSpace.feature)."""
     name: str | None = None
+    if_exists: bool = False
 
 
 @dataclass
@@ -1015,12 +1016,14 @@ class Parser:
     def clear_sentence(self) -> ClearStmt:
         self.eat()                                   # CLEAR
         self.eat(text="space")
+        if_exists = False
         if self.peek().text.lower() == "if":
             self.eat(), self.eat(text="exists")
+            if_exists = True
         name = None
         if self.peek().kind in ("NAME", "KW"):
             name = self.name()
-        return ClearStmt(name)
+        return ClearStmt(name, if_exists)
 
     def ddl_sentence(self) -> DdlStmt:
         """CREATE … — re-serialize the statement's tokens for the DDL

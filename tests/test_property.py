@@ -166,12 +166,16 @@ def test_bfs_min_paths_equals_enumerate_prune(spark, edges, direction,
         "_src string, _dst string, _rank long")
     starts = spark.createDataFrame([("v0",), ("v1",)], ["_vid"])
 
+    # self_loop_once=True on BOTH sides: this pins the MATCH shortestPath
+    # ROUTING, which always passes it (a BOTH-mode self-loop's two
+    # orientations are ONE edge, SelfReflectiveEdges.feature) — the
+    # Python closure oracle below models the same single-edge adjacency
     got = bfs_min_paths(e, starts, max_hops=max_hops, direction=direction,
-                        mode=mode).collect()
+                        mode=mode, self_loop_once=True).collect()
 
     # reference plan: enumerate all edge-unique paths, keep per-pair min
     enum = traverse(e, starts, min_hops=1, max_hops=max_hops,
-                    direction=direction).collect()
+                    direction=direction, self_loop_once=True).collect()
     best: dict[tuple, int] = {}
     for r in enum:
         k = (r.start_vid, r.end_vid)
