@@ -1087,7 +1087,10 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     quadratic pair list (r10; see pipeline.dedup.lsh_star_edges)."""
     from nebula_spark.pipeline import connected_components, lsh_star_edges
     docs = load_tables(spark, sf, ("documents",))["documents"]
-    pairs = lsh_star_edges(docs, k=3, num_hashes=8, bands=4)
+    # distinct=False: connected_components symmetrizes-then-distincts the
+    # pair list anyway, so the star edges' own dedup exchange is redundant
+    # here (identical clusters, one less full shuffle)
+    pairs = lsh_star_edges(docs, k=3, num_hashes=8, bands=4, distinct=False)
     cc = connected_components(pairs, "id_a", "id_b")
     return (cc.select(F.col("node").alias("doc_id"), "cluster_id")
             .orderBy("doc_id"))

@@ -61,6 +61,11 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
     results: DataFrame | None = None
 
     if max_hops <= 3:           # lazy mode: one job at action time
+        # the deduped edge set is loop-invariant but would be re-embedded
+        # in every level's subtree of the single action-time plan; a LAZY
+        # localCheckpoint computes it once inside that job (no dedicated
+        # materialization job) and later levels read the blocks
+        e = e.localCheckpoint(eager=False)
         for level in range(1, max_hops + 1):
             nxt = (frontier.join(e, frontier[VID] == e[SRC], "inner")
                    .select("root", F.col(DST).alias(VID)).distinct()
@@ -213,6 +218,11 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
     lazy = max_hops <= 3 and not (direction == "both" and min_hops >= 1)
     if not lazy:
         e = e.persist()
+    else:
+        # loop-invariant edge frame, re-embedded per level in the single
+        # action-time plan — lazy-checkpoint so it computes once in that
+        # job and later levels read blocks (see bfs_shortest_paths)
+        e = e.localCheckpoint(eager=False)
     path_type = ArrayType(StructType([
         StructField("s", e.schema[SRC].dataType),
         StructField("d", e.schema[DST].dataType),

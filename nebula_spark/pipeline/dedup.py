@@ -209,7 +209,8 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str = "doc_id",
 
 def lsh_star_edges(df: DataFrame, key_col: str = "doc_id",
                    text_col: str = "text", k: int = 3,
-                   num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                   num_hashes: int = 16, bands: int = 4,
+                   distinct: bool = True) -> DataFrame:
     """Linear-output LSH bucketing for CLUSTERING: within each
     (band, band-signature) bucket emit one edge doc → bucket-min instead
     of all O(n²) pairs. A star spans exactly the same connected
@@ -241,10 +242,15 @@ def lsh_star_edges(df: DataFrame, key_col: str = "doc_id",
                      .alias("bsig"))
             for i in range(bands)])).alias("b"))
     w = Window.partitionBy("b.band", "b.bsig")
-    return (banded.withColumn("_root", F.min("id").over(w))
-            .filter(F.col("id") != F.col("_root"))
-            .select(F.col("_root").alias("id_a"), F.col("id").alias("id_b"))
-            .distinct())
+    out = (banded.withColumn("_root", F.min("id").over(w))
+           .filter(F.col("id") != F.col("_root"))
+           .select(F.col("_root").alias("id_a"), F.col("id").alias("id_b")))
+    # ``distinct=False`` skips the dedup exchange for consumers that
+    # re-shuffle-dedup anyway (connected_components symmetrizes then
+    # distincts, so the same edge appearing under several bands is
+    # absorbed one operator later — one full Exchange saved end-to-end);
+    # the standalone contract stays deduped by default
+    return out.distinct() if distinct else out
 
 
 def simhash64(df: DataFrame, key_col: str = "doc_id",
@@ -422,9 +428,11 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
     centered on each component's minimum).
     """
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # lazy: node set is only read by the final label join — the eager
+    # variant paid a dedicated materialization job up front for nothing
     nodes = (e.select(F.col("u").alias("node"))
              .unionByName(e.select(F.col("v").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().localCheckpoint(eager=False))
     # canonical orientation big→small; self-loops carry no connectivity
     edges, n_edges = checkpoint_count(
         e.filter(F.col("u") != F.col("v"))
