@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from nebula_spark.catalog import DST, RANK, SRC, VID
 from nebula_spark.operators.traverse import (
     BROADCAST_FRONTIER_ROWS, _edge_id, _edge_id_reversed, checkpoint_count,
-    oriented, traverse,
+    checkpoint_observe, oriented, traverse,
 )
 
 
@@ -586,6 +586,10 @@ def bidir_min_paths(edges: DataFrame, sources: DataFrame, targets: DataFrame,
             combos.extend(round_meets)
             if (2 * r <= max_hops and n_r == 0):
                 break
+            if r == rounds:
+                # the probe's only effect is breaking out of LATER rounds
+                # — in the final round it is a guaranteed-wasted job
+                break
             # all-pairs-resolved probe: a pair's minimal combos all appear
             # in the round it first meets, so once every pair has met
             # there is nothing left to find
@@ -738,6 +742,10 @@ def bidir_distances(edges: DataFrame, sources: DataFrame, targets: DataFrame,
             meets.extend(round_meets)
             if 2 * r <= max_hops and n_r == 0:
                 break
+            if r == rounds:
+                # final round: the probe could only break out of later
+                # rounds — skip the guaranteed-wasted job
+                break
             newp = round_meets[0].select(SRC, DST)
             for m in round_meets[1:]:
                 newp = newp.unionByName(m.select(SRC, DST))
@@ -817,17 +825,31 @@ def weighted_shortest_paths(edges: DataFrame, sources: DataFrame,
                 else frontier
             cand = (f.join(e, f[VID] == e[SRC], "inner")
                     .select("root", F.col(DST).alias(VID),
-                            (F.col("dist") + F.col("_w")).alias("dist")))
-            new = (tentative.unionByName(cand)
-                   .groupBy("root", VID).agg(F.min("dist").alias("dist"))
-                   .localCheckpoint(eager=True))
-            frontier, n = checkpoint_count(
-                new.join(tentative.withColumnRenamed("dist", "_old"),
-                         ["root", VID], "left")
-                .filter(F.col("_old").isNull()
-                        | (F.col("dist") < F.col("_old")))
-                .select("root", VID, "dist"))
-            tentative = new
+                            (F.col("dist") + F.col("_w")).alias("dist"),
+                            F.lit(False).alias("_old_row")))
+            # ONE job per superstep (was two: an eager checkpoint of the
+            # new tentative set plus a join-based improved-frontier
+            # count): tag the union branches and take a conditional min
+            # alongside the overall min — `_prev` is the vertex's prior
+            # tentative distance (NULL when newly reached), so the
+            # improved set is a filter over the SAME aggregate output,
+            # no (root, vid)-keyed join against the previous state, and
+            # the improved-row count rides the one checkpoint job as an
+            # Observation. Both aggregates are map-side combinable.
+            merged = (tentative.withColumn("_old_row", F.lit(True))
+                      .unionByName(cand))
+            agg = (merged.groupBy("root", VID)
+                   .agg(F.min("dist").alias("dist"),
+                        F.min(F.when(F.col("_old_row"), F.col("dist")))
+                        .alias("_prev")))
+            improved = (F.col("_prev").isNull()
+                        | (F.col("dist") < F.col("_prev")))
+            new, m = checkpoint_observe(
+                agg.withColumn("_imp", improved),
+                n_imp=F.sum(F.when(improved, 1).otherwise(0)))
+            n = int(m["n_imp"])
+            frontier = new.filter(F.col("_imp")).select("root", VID, "dist")
+            tentative = new.select("root", VID, "dist")
         out = tentative.select(F.col("root").alias(SRC),
                                F.col(VID).alias(DST), "dist")
         if targets is not None:
