@@ -42,6 +42,12 @@ def k_hop_subgraph(edges: DataFrame, seeds: DataFrame, steps: int = 1,
     e_all = edges if "_dir" in edges.columns else oriented(edges, direction)
     if edge_filter is not None:
         e_all = e_all.filter(edge_filter)
+    # every step's hop join (and the closing pass) reads the same oriented
+    # edge frame — lazy-checkpoint it so step 1's job computes it once and
+    # later steps read the blocks instead of re-scanning the source
+    # (blocks are reclaimed by the ContextCleaner; a persist() could not
+    # be unpersisted before the caller materializes the lazy result)
+    e_all = e_all.localCheckpoint(eager=False)
 
     frontier = seeds.select(VID).distinct().persist()
     visited = frontier.withColumn("step", F.lit(0)).persist()
@@ -52,17 +58,18 @@ def k_hop_subgraph(edges: DataFrame, seeds: DataFrame, steps: int = 1,
             if n == 0:
                 break
             f = F.broadcast(frontier) if n <= BROADCAST_FRONTIER_ROWS else frontier
+            # LAZY checkpoint: hop feeds both the collected union and the
+            # nxt frontier below — the checkpoint_count(nxt) job is hop's
+            # first materialization and writes its blocks, which the final
+            # collected union then re-reads. The old eager checkpoint paid
+            # a SECOND dedicated job per step for the same sharing.
             hop = (e_all.join(f, e_all[SRC] == f[VID], "inner").drop(VID)
                    .withColumn("step", F.lit(step))
-                   .localCheckpoint(eager=True))
+                   .localCheckpoint(eager=False))
             collected = hop if collected is None else collected.unionByName(hop)
-            # eager localCheckpoint, not persist(): nxt feeds both the
-            # visited union and the next frontier, but a per-iteration
-            # persist() was never unpersisted (one leaked cache entry per
-            # hop); checkpoint blocks are reclaimed by the ContextCleaner.
             # The next level's size (termination + broadcast probe) rides
-            # the same materialization job via checkpoint_count — no
-            # dedicated frontier.count() stage per level (traverse.py:39).
+            # the materialization job via checkpoint_count — no dedicated
+            # frontier.count() stage per level (traverse.py:39).
             nxt = (hop.select(F.col(DST).alias(VID)).distinct()
                    .join(visited.select(VID), VID, "left_anti")
                    .withColumn("step", F.lit(step)))
