@@ -115,3 +115,42 @@ def test_bfs_min_paths_lazy_matches_counted(spark):
     # minimality: 3 only via the direct 1->3 edge, 4 at 2 hops
     assert {(s, e, h) for s, e, h, _ in lazy} == {
         (1, 2, 1), (1, 3, 1), (1, 4, 2)}
+
+
+def test_weighted_superstep_merge_matches_dijkstra(spark):
+    # r11: the Bellman-Ford superstep fused the improved-frontier join
+    # into the tentative-min aggregate (tagged conditional min). Pin the
+    # result against a Python Dijkstra oracle on a graph that forces
+    # repeated re-relaxation of already-reached vertices.
+    import heapq
+
+    from nebula_spark.operators.paths import weighted_shortest_paths
+
+    rows = []
+    # ladder: direct expensive edges that cheaper multi-hop chains beat
+    for i in range(8):
+        rows.append((0, i + 1, 0, float(10 * (i + 1))))   # direct, costly
+        rows.append((i, i + 1, 0, 1.5))                   # chain, cheap
+    rows += [(3, 7, 0, 2.0), (7, 2, 0, 0.25), (5, 5, 0, 0.0)]
+    e = spark.createDataFrame(
+        rows, "_src long, _dst long, _rank long, weight double")
+
+    adj = {}
+    for s, d, _, w in rows:
+        adj.setdefault(s, []).append((d, w))
+    dist = {0: 0.0}
+    pq = [(0.0, 0)]
+    while pq:
+        dv, v = heapq.heappop(pq)
+        if dv > dist.get(v, float("inf")):
+            continue
+        for d, w in adj.get(v, ()):
+            nd = dv + w
+            if nd < dist.get(d, float("inf")):
+                dist[d] = nd
+                heapq.heappush(pq, (nd, d))
+
+    src = spark.createDataFrame([(0,)], ["_vid"])
+    got = {r["_dst"]: r.dist
+           for r in weighted_shortest_paths(e, src).collect()}
+    assert got == dist
