@@ -229,6 +229,14 @@ def lsh_star_edges(df: DataFrame, key_col: str = "doc_id",
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
+    # Signature checkpoint stays EAGER (measured twice, r11): skipping it
+    # looks attractive — the signatures feed one banded explode under the
+    # window Exchange — but connected_components' symmetrization unions
+    # two copies of this frame, and A/B at sf0.1 (3+5 reps, both orders)
+    # put the skip at best neutral (eager med 2.96/3.07 s vs lazy
+    # 3.43/3.19 s for the full cluster pipeline). Same family as the
+    # lazy-checkpoint negative result in OPTIMIZATION_r11.md item 14:
+    # a map-only subtree with concurrent readers wants a real barrier.
     from nebula_spark.session import scoped_conf
     sigs = minhash_signatures(df, key_col, text_col, k, num_hashes)
     with scoped_conf(df.sparkSession,
@@ -356,11 +364,6 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     sym = (e.unionByName(e.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
            .distinct().persist())
-    # lazy init (r11): round 1's checkpoint job materializes the seed
-    # labels off the freshly-persisted sym — a dedicated init job bought
-    # nothing
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node")))
     # whole-stage codegen off for the supersteps: every iteration builds a
     # *new* plan (fresh checkpoint lineage), so generated code recompiles
     # per superstep — compile latency dominates the fusion win, and when
@@ -370,32 +373,41 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     # fresh-session 32.7 s → ~15-20 s, warm 8.4 s → ~5 s.
     with scoped_conf(sym.sparkSession,
                      **{"spark.sql.codegen.wholeStage": "false"}):
-        prev_total = None
-        for it in range(max_iter):
+        # round 0 folded into the seed (r11 second pass): with identity
+        # labels the neighbor-min round is algebraically min over the
+        # CLOSED neighborhood — min(node, min of neighbors) — which is a
+        # single map-side-combinable aggregate over the symmetric edge
+        # list (every node appears as `a` in sym). The identity-label
+        # frame, the sym⋈labels message join and the union it fed are
+        # gone; the probe sum rides the same checkpoint job as before.
+        labels, m0 = checkpoint_observe(
+            sym.groupBy(F.col("a").alias("node"))
+               .agg(F.min(F.least("a", "b")).alias("label")),
+            total=F.sum(F.col("label").cast("decimal(38,0)")))
+        prev_total = m0["total"]
+        for it in range(1, max_iter):
             msgs = (sym.join(labels, sym["a"] == labels["node"], "inner")
                     .select(F.col("b").alias("node"), F.col("label")))
             nbr_min = (labels.unionByName(msgs)
                        .groupBy("node").agg(F.min("label").alias("label")))
-            if it >= 1:
-                # pointer jump: label ← label[label]. label values are
-                # node ids of the same component (induction over both
-                # rules), so the left join resolves every non-root label
-                # one more level toward the component min; roots
-                # (label[label]=label) keep their value via the coalesce.
-                # Deferred to round >= 1: in round 0 labels are still the
-                # identity, so the jump would re-aggregate the largest
-                # pre-convergence frame for almost no compression
-                # (measured at sf0.1: always-jump 2.7 s, jump-from-1
-                # 1.8 s, no-jump 2.0 s / 7 rounds) — one extra leading
-                # round keeps the O(log d) tail.
-                lut = nbr_min.select(F.col("node").alias("_ln"),
-                                     F.col("label").alias("_ll"))
-                nbr_min = (nbr_min.join(lut,
-                                        nbr_min["label"] == lut["_ln"],
-                                        "left")
-                           .select("node",
-                                   F.coalesce("_ll", "label")
-                                   .alias("label")))
+            # pointer jump: label ← label[label]. label values are
+            # node ids of the same component (induction over both
+            # rules), so the left join resolves every non-root label
+            # one more level toward the component min; roots
+            # (label[label]=label) keep their value via the coalesce.
+            # Never applied to the round-0 identity seed (folded into
+            # the aggregate above): there the jump would re-aggregate
+            # the largest pre-convergence frame for almost no
+            # compression (measured at sf0.1: always-jump 2.7 s,
+            # jump-from-1 1.8 s, no-jump 2.0 s / 7 rounds).
+            lut = nbr_min.select(F.col("node").alias("_ln"),
+                                 F.col("label").alias("_ll"))
+            nbr_min = (nbr_min.join(lut,
+                                    nbr_min["label"] == lut["_ln"],
+                                    "left")
+                       .select("node",
+                               F.coalesce("_ll", "label")
+                               .alias("label")))
             # convergence probe rides the checkpoint job: per-node labels
             # are monotone non-increasing, so the (exact, decimal) label
             # sum strictly decreases iff any node improved — no join
