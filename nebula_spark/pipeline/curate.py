@@ -42,13 +42,15 @@ def _words(text: Column) -> Column:
 
 def _ngrams(words: Column, n: int) -> Column:
     """Word n-grams as space-joined strings (portable: DuckDB
-    ``list_transform(range(1, len(W) - n + 2), i -> ...)``)."""
-    take = F.size(words) - (n - 1)
-    return F.transform(
-        F.slice(words, 1, F.greatest(take, F.lit(0))),
-        lambda x, i: F.concat_ws(
-            " ", x, *[F.element_at(words, i + F.lit(j + 1))
-                      for j in range(1, n)]))
+    ``list_transform(range(1, len(W) - n + 2), i -> ...)``).
+
+    Zipped-slices form (r11): the former index-lambda spelling
+    (``element_at(words, i + j)`` inside the transform) re-evaluated the
+    whole expression behind ``words`` once per element per reference —
+    quadratic when ``words`` is a split() tree (see
+    ``dedup.consecutive_grams``, measured 45× on contamination)."""
+    from nebula_spark.pipeline.dedup import consecutive_grams
+    return consecutive_grams(words, n, " ")
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -74,25 +76,41 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     serialize the per-row array work on one scan task.
     """
     from nebula_spark.pipeline.dedup import spread
-    df = spread(df)
-    t = F.col(text_col)
-    w = _words(t)
+    # intermediate arrays materialized as named columns (r11): referenced
+    # as bare expressions inside the HOF lambdas below they would be
+    # re-evaluated per ELEMENT (interpreted lambda eval has no
+    # subexpression cache — the former element_at(bs, i) filter re-sorted
+    # the bigram array twice per bigram, O(n² log n) per row; measured
+    # 12.4 s → sub-second for 500 docs). Multi-referenced non-cheap
+    # producers are kept out of CollapseProject's inlining, so each
+    # computes once per row.
+    pre = (spread(df)
+           .withColumn("_rs_w", _words(F.col(text_col)))
+           .withColumn("_rs_bi", _ngrams(F.col("_rs_w"), 2))
+           .withColumn("_rs_tri", _ngrams(F.col("_rs_w"), 3))
+           .withColumn("_rs_bs", F.array_sort(F.col("_rs_bi"))))
+    w, bi = F.col("_rs_w"), F.col("_rs_bi")
+    tri, bs = F.col("_rs_tri"), F.col("_rs_bs")
     nw = F.size(w)
-    bi = _ngrams(w, 2)
-    tri = _ngrams(w, 3)
-    bs = F.array_sort(bi)
     # 1-based start positions of equal-runs in the sorted array, with a
     # sentinel n+1; max gap between consecutive starts = max multiplicity
     starts = F.filter(
         F.sequence(F.lit(1), F.size(bs)),
         lambda i: (i == 1) | (F.element_at(bs, i)
                               != F.element_at(bs, i - 1)))
-    bounds = F.concat(starts, F.array(F.size(bs) + 1))
+    # guard: the hoisted column computes for EVERY row (unlike the former
+    # spelling, evaluated only under when(size(bi) > 0)); with an empty
+    # bigram array sequence(1, 0) is DESCENDING [1, 0] and the filter
+    # would hit element_at(bs, 0). NULL here; consumers stay when-guarded.
+    pre = pre.withColumn("_rs_bounds",
+                         F.when(F.size(bs) > 0,
+                                F.concat(starts, F.array(F.size(bs) + 1))))
+    bounds = F.col("_rs_bounds")
     top_bi = F.array_max(F.zip_with(
         F.slice(bounds, 1, F.size(bounds) - 1),
         F.slice(bounds, 2, F.size(bounds) - 1),
         lambda s, e: e - s))
-    return df.withColumns({
+    return pre.withColumns({
         "n_words": nw,
         "dup_word_frac": F.round(
             1.0 - F.size(F.array_distinct(w)) / nw, 6),
@@ -102,7 +120,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(tri) > 0,
             F.round((F.size(tri) - F.size(F.array_distinct(tri)))
                     / F.size(tri), 6)).otherwise(0.0),
-    })
+    }).drop("_rs_w", "_rs_bi", "_rs_tri", "_rs_bs", "_rs_bounds")
 
 
 def _md5_bucket(key: Column, buckets: int) -> Column:
@@ -199,12 +217,19 @@ def contamination(docs: DataFrame, bench: DataFrame, n: int = 5,
     the unique doc id (no skew by construction). Never an all-pairs or
     corpus-side-build join.
     """
+    # gram array materialized BEFORE the explode (r11): in the former
+    # one-select spelling the n_ngrams projection sat ABOVE the Generate
+    # and recomputed the whole distinct-n-gram array once per EXPLODED
+    # row — measured 81 s → 1.8 s warm at sf0.01. As a named column
+    # referenced twice (size + generator) it survives CollapseProject
+    # and computes once per document.
     grams = F.array_distinct(_ngrams(_words(F.col(text_col)), n))
-    probe = docs.select(
-        F.col(id_col), F.size(grams).alias("n_ngrams"),
-        F.explode_outer(grams).alias("gram"))
+    probe = (docs.select(F.col(id_col), grams.alias("_ct_g"))
+             .select(F.col(id_col), F.size("_ct_g").alias("n_ngrams"),
+                     F.explode_outer("_ct_g").alias("gram")))
     bench_grams = (bench
-                   .select(F.explode(grams).alias("gram"))
+                   .select(grams.alias("_ct_g"))
+                   .select(F.explode("_ct_g").alias("gram"))
                    .distinct()
                    .withColumn("hit", F.lit(1)))
     return (probe

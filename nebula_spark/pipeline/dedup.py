@@ -46,6 +46,31 @@ def normalize_text(c: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
 
 
+def consecutive_grams(arr: Column, n: int, sep: str = " ") -> Column:
+    """n-grams of consecutive array elements via zipped shifted slices.
+
+    The obvious spelling — ``transform(indices, i -> concat(element_at(
+    arr, i), element_at(arr, i+1), …))`` — re-evaluates the WHOLE
+    expression tree behind ``arr`` once per element per reference when
+    ``arr`` is not a plain column: higher-order-function lambdas are
+    interpreted (CodegenFallback) with no subexpression cache, so a
+    split/regex-backed array turns O(n) grams into O(n·cost(arr)) —
+    measured 45× on the contamination operator (OPTIMIZATION_r11.md,
+    third pass). Here every lambda touches only its lambda variable;
+    ``arr`` is referenced n+1 times per ROW (the slices + the size),
+    never per element.
+
+    Exactly ``max(size(arr) - n + 1, 0)`` grams; each slice has exactly
+    that length (start j+1 ≤ n, so j+take ≤ size), so ``arrays_zip``
+    never pads. NULL array → NULL, matching the transform spelling.
+    """
+    take = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    slices = [F.slice(arr, j + 1, take).alias(f"_g{j}") for j in range(n)]
+    return F.transform(
+        F.arrays_zip(*slices),
+        lambda s: F.concat_ws(sep, *[s[f"_g{j}"] for j in range(n)]))
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Give a compute-heavy row-wise stage input parallelism.
 
@@ -93,9 +118,9 @@ def shingles(c: Column, k: int = 5, mode: str = "word") -> Column:
                 .otherwise(F.array().cast("array<int>"))
 
     if mode == "word":
-        toks = F.split(normalize_text(c), " ")
-        idx = safe_seq(F.size(toks))
-        sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        # zipped-slices form (r11): the per-index transform re-evaluated
+        # the normalize+split tree once per token (see consecutive_grams)
+        sh = consecutive_grams(F.split(normalize_text(c), " "), k, " ")
     elif mode == "char":
         s = normalize_text(c)
         idx = safe_seq(F.length(s))
@@ -270,9 +295,12 @@ def simhash64(df: DataFrame, key_col: str = "doc_id",
     (aggregate over the token array), no UDF. 64 aggregate expressions is
     heavy codegen but still one projection pass, no shuffle.
     """
-    df = spread(df)
+    # token-hash array materialized as a named column (r11): as a bare
+    # expression it was re-evaluated by each of the 64 bit aggregates —
+    # 64 × (normalize + split + per-token md5) per row
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    h = F.transform(toks, _md5_64)
+    df = spread(df).withColumn("_sh_h", F.transform(toks, _md5_64))
+    h = F.col("_sh_h")
 
     def mask(bit: int) -> int:
         v = 1 << bit

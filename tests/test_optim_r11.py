@@ -154,3 +154,38 @@ def test_weighted_superstep_merge_matches_dijkstra(spark):
     got = {r["_dst"]: r.dist
            for r in weighted_shortest_paths(e, src).collect()}
     assert got == dist
+
+
+def test_consecutive_grams_matches_index_transform(spark):
+    # zipped-slices n-grams (r11 third pass) vs a Python oracle, over the
+    # edge cases that an unconditional column hoist exposes: empty array,
+    # array shorter than n, NULL array, and n in {2, 3, 5}
+    from nebula_spark.pipeline.dedup import consecutive_grams
+    from pyspark.sql import functions as F
+
+    rows = [(1, ["a", "b", "c", "d"]), (2, ["x"]), (3, []),
+            (4, None), (5, ["p", "q"]), (6, list("abcdefg"))]
+    df = spark.createDataFrame(rows, "id long, arr array<string>")
+    for n in (2, 3, 5):
+        got = {r.id: r.g for r in df.select(
+            "id", consecutive_grams(F.col("arr"), n).alias("g")).collect()}
+        for rid, arr in rows:
+            if arr is None:
+                assert got[rid] is None, (n, rid, got[rid])
+            else:
+                want = [" ".join(arr[i:i + n])
+                        for i in range(max(len(arr) - n + 1, 0))]
+                assert got[rid] == want, (n, rid, got[rid], want)
+
+
+def test_repetition_stats_single_word_and_null_text(spark):
+    # the hoisted _rs_bounds column computes for every row — it must not
+    # evaluate element_at(bs, 0) on empty/NULL bigram arrays (the
+    # sequence(1, 0)-is-descending trap caught at the r11 third pass)
+    from nebula_spark.pipeline.curate import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "a a")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].top_bigram_frac == 0.0
+    assert got[4].top_bigram_frac == 1.0
