@@ -72,6 +72,16 @@ def bfs_shortest_paths(edges: DataFrame, sources: DataFrame,
                    .join(visited.select("root", VID), ["root", VID],
                          "left_anti")
                    .withColumn("dist", F.lit(level)))
+            # each level's output is read by THREE later subtrees (results
+            # union, every later level's visited anti-join, the next
+            # frontier) — without a cut the static plan re-embeds level L
+            # once per reader and the leaf count grows geometrically
+            # (measured: 20 parquet scans / 33 Exchange for 3 levels). A
+            # LAZY localCheckpoint linearizes the plan; the level sits
+            # directly above its distinct's shuffle, the shape where
+            # racing readers just re-read shuffle files (the r11 item-14
+            # rule), and no dedicated job is paid.
+            nxt = nxt.localCheckpoint(eager=False)
             step = nxt.select("root", VID, "dist")
             results = step if results is None else results.unionByName(step)
             visited = visited.unionByName(step)
@@ -264,6 +274,15 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
                               F.col("path").cast("string").desc()))
                 nxt = (nxt.withColumn("_rn", F.row_number().over(w))
                        .filter(F.col("_rn") == 1).drop("_rn"))
+            # NOT lazy-checkpointed (measured, r11 fourth pass): the same
+            # per-level cut that wins in bfs_shortest_paths regressed this
+            # operator ~2× (min 1.15→2.33 s on shortest_path_fn) — here
+            # the level output carries the materialized path-struct
+            # arrays, and the level tree's joins are all broadcast-side
+            # (no shuffle directly below the cut), so racing readers
+            # recompute the map-only segment into block storage instead
+            # of re-reading shuffle files. Same family as the minhash
+            # lazy-signature negative result (item 14).
             step = nxt.select(F.col("root").alias("start_vid"), "end_vid",
                               F.lit(level).alias("hops"), "path")
             if level >= min_hops:

@@ -389,9 +389,19 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     from nebula_spark.session import scoped_conf
 
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = (e.unionByName(e.select(F.col("b").alias("a"),
-                                  F.col("a").alias("b")))
-           .distinct().persist())
+    # Dedup BEFORE symmetrizing (r11 fourth pass): distinct(e ∪ swap(e))
+    # is a symmetric set, i.e. exactly can ∪ swap(can) where can is the
+    # canonically-oriented (min, max) distinct pair set — so the dedup
+    # exchange carries |pairs| rows instead of 2·|pairs| and the swap is
+    # a free projection on top of it. (A self-loop appears twice in sym
+    # instead of once; every consumer is a min-aggregate or a join feeding
+    # one, so labels are identical.)
+    can = (e.select(F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b"))
+           .distinct())
+    sym = (can.unionByName(can.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+           .persist())
     # whole-stage codegen off for the supersteps: every iteration builds a
     # *new* plan (fresh checkpoint lineage), so generated code recompiles
     # per superstep — compile latency dominates the fusion win, and when
