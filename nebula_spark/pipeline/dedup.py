@@ -418,10 +418,21 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         # list (every node appears as `a` in sym). The identity-label
         # frame, the sym⋈labels message join and the union it fed are
         # gone; the probe sum rides the same checkpoint job as before.
+        # Seed stays EAGER (measured, r11 fourth pass): folding its
+        # checkpoint job into round 1 via a lazy cut saved one job
+        # barrier (28→27) but round 1's two readers re-ran the seed's
+        # post-exchange aggregation (345→599 tasks) — locally a wash
+        # (interleaved mins 2.57/3.10 vs 3.20/2.72), and at scale a
+        # full node-keyed aggregate re-run costs more than the barrier
+        # it saves. The probe sum is coalesced so an EMPTY pair list
+        # converges at round 1 instead of looping max_iter times
+        # (SUM over empty is NULL, and NULL==NULL is never true).
         labels, m0 = checkpoint_observe(
             sym.groupBy(F.col("a").alias("node"))
                .agg(F.min(F.least("a", "b")).alias("label")),
-            total=F.sum(F.col("label").cast("decimal(38,0)")))
+            total=F.coalesce(
+                F.sum(F.col("label").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)")))
         prev_total = m0["total"]
         for it in range(1, max_iter):
             msgs = (sym.join(labels, sym["a"] == labels["node"], "inner")
@@ -453,7 +464,13 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
             # node-keyed join per round)
             labels, m = checkpoint_observe(
                 nbr_min,
-                total=F.sum(F.col("label").cast("decimal(38,0)")))
+                # coalesce: SUM over an empty labeling is NULL, and
+                # NULL != NULL would keep an empty input looping to
+                # max_iter — fold it to 0 so emptiness converges at
+                # the first comparison
+                total=F.coalesce(
+                    F.sum(F.col("label").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)")))
             if prev_total is not None and m["total"] == prev_total:
                 break
             prev_total = m["total"]

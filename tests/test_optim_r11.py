@@ -189,3 +189,13 @@ def test_repetition_stats_single_word_and_null_text(spark):
     got = {r.doc_id: r for r in repetition_stats(df).collect()}
     assert got[1].top_bigram_frac == 0.0
     assert got[4].top_bigram_frac == 1.0
+
+
+def test_connected_components_empty_pairs_terminates(spark):
+    # the convergence probe's label SUM over an empty labeling is NULL,
+    # and NULL == NULL never satisfies the fixpoint check — the r11
+    # fourth-pass coalesce folds it to 0 so an empty pair list converges
+    # at the first comparison instead of looping max_iter checkpoints
+    from nebula_spark.pipeline import connected_components
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).collect() == []
