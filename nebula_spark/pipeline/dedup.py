@@ -25,6 +25,32 @@ from nebula_spark.operators.traverse import (checkpoint_count,
 MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
 _A_SEED, _B_SEED = 0x9E3779B1, 0x85EBCA77
 
+# Scale-adaptive partitioning for the CC superstep loop (r12, guide §2.2):
+# each round shuffles (node, label) pairs — ~16-32 B a row — so ~2M rows a
+# task lands shuffle partitions in the guide's 100 MB-1 GB band. The round
+# width is derived from the OBSERVED node count (rides the seed job free)
+# and capped at the session's configured spark.sql.shuffle.partitions, so
+# a cluster-scaled config is never shrunk for big graphs while a tiny
+# graph stops paying 32-task stages and per-stage AQE planning for a few
+# thousand rows (measured at sf0.1: 2.05 s → 1.0 s for the round loop).
+_CC_ROUND_ROWS_PER_TASK = 2_000_000
+
+# Same idea for the LSH banding shuffle (explode rows are ~120 B: id, the
+# signature array and the band signature string — 1M rows/task ≈ 100 MB,
+# guide §2.2). The width is derived from the doc count observed free on
+# the signature checkpoint job and embedded as an explicit repartition
+# that the band window / band self-join then REUSES (hash(band, bsig, p)
+# satisfies their clustered distribution — no second Exchange), capped at
+# the session's configured shuffle width so cluster configs are never
+# shrunk for corpora that need them.
+_LSH_BAND_ROWS_PER_TASK = 1_000_000
+
+
+def _band_width(df, n_rows: int) -> int:
+    sess_p = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    return max(1, min(sess_p, -(-n_rows // _LSH_BAND_ROWS_PER_TASK)))
+
 
 def _md5_64(c: Column) -> Column:
     """Stable 60-bit integer from md5 hex — the cross-engine base hash."""
@@ -205,11 +231,12 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str = "doc_id",
     # per-expression interpreted path computes the same md5s at nearly the
     # same throughput because hashing, not virtual-call overhead, is the
     # bottleneck.
+    from nebula_spark.operators.traverse import checkpoint_count
     from nebula_spark.session import scoped_conf
     sigs = minhash_signatures(df, key_col, text_col, k, num_hashes)
     with scoped_conf(df.sparkSession,
                      **{"spark.sql.codegen.wholeStage": "false"}):
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs, n_docs = checkpoint_count(sigs)
     banded = sigs.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -217,19 +244,28 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str = "doc_id",
                      F.array_join(F.slice("sig", i * r + 1, r), "_")
                      .alias("bsig"))
             for i in range(bands)])).alias("b"))
+    # size-derived band-join width (r12, guide §2.2): the doc count rides
+    # the signature checkpoint free; the explicit repartition is what both
+    # join sides reuse, so tiny corpora stop paying session-width stages
+    banded = banded.repartition(_band_width(df, n_docs * bands),
+                                F.col("b.band"), F.col("b.bsig"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, (F.col("a.b.band") == F.col("b.b.band"))
-                   & (F.col("a.b.bsig") == F.col("b.b.bsig"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+    # estimated similarity computed BEFORE the pair dedup (r12, guide
+    # §2.3 shuffle fewer bytes): duplicate (id_a, id_b) rows from
+    # different bands carry identical signatures, hence identical
+    # estimates, so deduping (id_a, id_b, est) is equivalent — and the
+    # dropDuplicates exchange moves one double per row instead of two
+    # num_hashes-long signature arrays.
+    est = (F.size(F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"),
                                       lambda x, y: x == y),
                            lambda v: v))
            / F.lit(num_hashes))
-    return cand.select("id_a", "id_b",
-                       F.round(est, 6).alias("est_jaccard"))
+    return (a.join(b, (F.col("a.b.band") == F.col("b.b.band"))
+                   & (F.col("a.b.bsig") == F.col("b.b.bsig"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round(est, 6).alias("est_jaccard"))
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def lsh_star_edges(df: DataFrame, key_col: str = "doc_id",
@@ -262,11 +298,12 @@ def lsh_star_edges(df: DataFrame, key_col: str = "doc_id",
     # 3.43/3.19 s for the full cluster pipeline). Same family as the
     # lazy-checkpoint negative result in OPTIMIZATION_r11.md item 14:
     # a map-only subtree with concurrent readers wants a real barrier.
+    from nebula_spark.operators.traverse import checkpoint_count
     from nebula_spark.session import scoped_conf
     sigs = minhash_signatures(df, key_col, text_col, k, num_hashes)
     with scoped_conf(df.sparkSession,
                      **{"spark.sql.codegen.wholeStage": "false"}):
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs, n_docs = checkpoint_count(sigs)
     banded = sigs.select(
         "id",
         F.explode(F.array(*[
@@ -274,6 +311,12 @@ def lsh_star_edges(df: DataFrame, key_col: str = "doc_id",
                      F.array_join(F.slice("sig", i * r + 1, r), "_")
                      .alias("bsig"))
             for i in range(bands)])).alias("b"))
+    # size-derived window width (r12, guide §2.2): the bucket-min window
+    # reuses the explicit hash(band, bsig, p) repartition — one Exchange,
+    # sized to the corpus instead of the session default (see
+    # _band_width; the count rides the signature checkpoint job free)
+    banded = banded.repartition(_band_width(df, n_docs * bands),
+                                F.col("b.band"), F.col("b.bsig"))
     w = Window.partitionBy("b.band", "b.bsig")
     out = (banded.withColumn("_root", F.min("id").over(w))
            .filter(F.col("id") != F.col("_root"))
@@ -389,6 +432,11 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     from nebula_spark.session import scoped_conf
 
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # NULL endpoints carry no connectivity and are dropped outright (r12,
+    # ADVICE): under least/greatest canonicalization a (x, NULL) pair would
+    # otherwise silently collapse to a self-loop (x, x) — make the NULL-id
+    # contract explicit instead of an artifact of NULL-skipping functions.
+    e = e.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
     # Dedup BEFORE symmetrizing (r11 fourth pass): distinct(e ∪ swap(e))
     # is a symmetric set, i.e. exactly can ∪ swap(can) where can is the
     # canonically-oriented (min, max) distinct pair set — so the dedup
@@ -424,57 +472,77 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         # post-exchange aggregation (345→599 tasks) — locally a wash
         # (interleaved mins 2.57/3.10 vs 3.20/2.72), and at scale a
         # full node-keyed aggregate re-run costs more than the barrier
-        # it saves. The probe sum is coalesced so an EMPTY pair list
-        # converges at round 1 instead of looping max_iter times
-        # (SUM over empty is NULL, and NULL==NULL is never true).
+        # it saves. The node COUNT rides the same observation (r12):
+        # it sizes the round shuffles below and makes the empty-input
+        # convergence explicit (n == 0) instead of overloading the sum
+        # probe — a decimal(38,0) overflow now keeps iterating to
+        # max_iter (NULL total never equals) rather than conflating
+        # with emptiness (ADVICE r11).
         labels, m0 = checkpoint_observe(
             sym.groupBy(F.col("a").alias("node"))
                .agg(F.min(F.least("a", "b")).alias("label")),
-            total=F.coalesce(
-                F.sum(F.col("label").cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)")))
+            total=F.sum(F.col("label").cast("decimal(38,0)")),
+            n=F.count(F.lit(1)))
         prev_total = m0["total"]
-        for it in range(1, max_iter):
-            msgs = (sym.join(labels, sym["a"] == labels["node"], "inner")
-                    .select(F.col("b").alias("node"), F.col("label")))
-            nbr_min = (labels.unionByName(msgs)
-                       .groupBy("node").agg(F.min("label").alias("label")))
-            # pointer jump: label ← label[label]. label values are
-            # node ids of the same component (induction over both
-            # rules), so the left join resolves every non-root label
-            # one more level toward the component min; roots
-            # (label[label]=label) keep their value via the coalesce.
-            # Never applied to the round-0 identity seed (folded into
-            # the aggregate above): there the jump would re-aggregate
-            # the largest pre-convergence frame for almost no
-            # compression (measured at sf0.1: always-jump 2.7 s,
-            # jump-from-1 1.8 s, no-jump 2.0 s / 7 rounds).
-            lut = nbr_min.select(F.col("node").alias("_ln"),
-                                 F.col("label").alias("_ll"))
-            nbr_min = (nbr_min.join(lut,
-                                    nbr_min["label"] == lut["_ln"],
-                                    "left")
-                       .select("node",
-                               F.coalesce("_ll", "label")
-                               .alias("label")))
-            # convergence probe rides the checkpoint job: per-node labels
-            # are monotone non-increasing, so the (exact, decimal) label
-            # sum strictly decreases iff any node improved — no join
-            # against the previous labels needed (r11; was one extra
-            # node-keyed join per round)
-            labels, m = checkpoint_observe(
-                nbr_min,
-                # coalesce: SUM over an empty labeling is NULL, and
-                # NULL != NULL would keep an empty input looping to
-                # max_iter — fold it to 0 so emptiness converges at
-                # the first comparison
-                total=F.coalesce(
-                    F.sum(F.col("label").cast("decimal(38,0)")),
-                    F.lit(0).cast("decimal(38,0)")))
-            if prev_total is not None and m["total"] == prev_total:
-                break
-            prev_total = m["total"]
+        n_nodes = int(m0["n"] or 0)
+        # round-loop partitioning derived from the observed node count
+        # (guide §2.2; see _CC_ROUND_ROWS_PER_TASK). The symmetric edge
+        # list is re-hashed ONCE onto the round layout keyed by the
+        # message-join key, so every round's sym-side Exchange
+        # disappears (the persisted InMemoryRelation advertises
+        # hash(a, p)); rounds shuffle only the shrinking label frame.
+        sess_p = int(sym.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+        p = max(1, min(sess_p, -(-n_nodes // _CC_ROUND_ROWS_PER_TASK)))
+        sym_r = sym.repartition(p, "a").persist()
+        round_confs = {"spark.sql.shuffle.partitions": str(p)}
+        if p == 1:
+            # a single-partition round plan has nothing for AQE to adapt
+            # (no coalescing, no skew split, no join re-planning across
+            # one partition) while AQE still materializes every Exchange
+            # as its own job — at p == 1 each round collapses to ONE job
+            # under static planning (measured: 1.0 → 0.88 s round loop).
+            # Any graph big enough for p > 1 keeps AQE untouched.
+            round_confs["spark.sql.adaptive.enabled"] = "false"
+        with scoped_conf(sym.sparkSession, **round_confs):
+            for it in range(1, max_iter if n_nodes else 1):
+                msgs = (sym_r.join(labels, sym_r["a"] == labels["node"],
+                                   "inner")
+                        .select(F.col("b").alias("node"), F.col("label")))
+                nbr_min = (labels.unionByName(msgs)
+                           .groupBy("node")
+                           .agg(F.min("label").alias("label")))
+                # pointer jump: label ← label[label]. label values are
+                # node ids of the same component (induction over both
+                # rules), so the left join resolves every non-root label
+                # one more level toward the component min; roots
+                # (label[label]=label) keep their value via the coalesce.
+                # Never applied to the round-0 identity seed (folded into
+                # the aggregate above): there the jump would re-aggregate
+                # the largest pre-convergence frame for almost no
+                # compression (measured at sf0.1: always-jump 2.7 s,
+                # jump-from-1 1.8 s, no-jump 2.0 s / 7 rounds).
+                lut = nbr_min.select(F.col("node").alias("_ln"),
+                                     F.col("label").alias("_ll"))
+                nbr_min = (nbr_min.join(lut,
+                                        nbr_min["label"] == lut["_ln"],
+                                        "left")
+                           .select("node",
+                                   F.coalesce("_ll", "label")
+                                   .alias("label")))
+                # convergence probe rides the checkpoint job: per-node
+                # labels are monotone non-increasing, so the (exact,
+                # decimal) label sum strictly decreases iff any node
+                # improved — no join against the previous labels needed
+                # (r11; was one extra node-keyed join per round)
+                labels, m = checkpoint_observe(
+                    nbr_min,
+                    total=F.sum(F.col("label").cast("decimal(38,0)")))
+                if m["total"] is not None and m["total"] == prev_total:
+                    break
+                prev_total = m["total"]
     sym.unpersist()
+    sym_r.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

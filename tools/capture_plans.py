@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for every bench query to plans/r11/<q>_<tag>.txt."""
+"""Dump .explain('formatted') for every bench query to plans/r12/<q>_<tag>.txt."""
 import os, sys, io
 sys.path.insert(0, "/root/repo")
 tag = sys.argv[1] if len(sys.argv) > 1 else "before"
@@ -26,6 +26,6 @@ for name in names:
         out = buf.getvalue()
     except Exception as ex:
         out = f"ERROR building plan: {ex}\n"
-    with open(f"/root/repo/plans/r11/{name}_{tag}.txt", "w") as f:
+    with open(f"/root/repo/plans/r12/{name}_{tag}.txt", "w") as f:
         f.write(out)
     print(name, "->", len(out), "bytes")
