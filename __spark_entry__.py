@@ -1035,7 +1035,14 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_tables(spark, sf, ("documents",))["documents"]
     blobs = (docs.filter(F.col("doc_id") < 300)
              .select("doc_id", F.encode("text", "utf-8").alias("content")))
-    feats = image_features(blobs, fake=True, batch_partitions=8)
+    # no salt repartition (r12, guide §4.2): the probe is bounded to
+    # ≤300 tiny rows by the pushed doc_id filter — an 8-way content-hash
+    # exchange only fragmented them into sub-vectorization Arrow batches
+    # across 8 Python workers (the r11 scaling block's 0.85 ratio at 8
+    # cores was this lane's over-parallelization). The salt stays the
+    # right call for unbounded corpora and remains a parameter of
+    # image_features.
+    feats = image_features(blobs, fake=True)
     return (feats.select(
         "doc_id", "width", "height", "channels", "format",
         F.round(F.element_at("feat", 1) * 255).cast("int").alias("feat0_byte"))

@@ -412,6 +412,110 @@ def bfs_min_paths(edges: DataFrame, sources: DataFrame, max_hops: int,
         e.unpersist()
 
 
+def bfs_min_dists(edges: DataFrame, sources: DataFrame, max_hops: int,
+                  direction: str = "out", min_hops: int = 1,
+                  edge_filter: Column | None = None,
+                  self_loop_once: bool = False) -> DataFrame:
+    """Distance-only single-shortestPath: the ``(start_vid, end_vid,
+    hops)`` row set of :func:`bfs_min_paths` ``mode="single"`` without
+    materializing any path struct — for statements that never read path
+    CONTENTS (``RETURN length(p)`` and friends; guide §2.3: the per-level
+    frontier shuffles identity pairs instead of growing edge-struct
+    arrays, and the per-level representative-pick window disappears).
+
+    Row-set equality with ``mode="single"``: level-pruned BFS emits a
+    pair exactly at its first-reached level, and single mode keeps ONE
+    row per pair — which tied path it would have kept cannot change
+    (start, end, hops). The per-level ``distinct`` here is that same
+    one-row-per-pair rule. The edge-uniqueness filter of the path variant
+    is vacuous on surviving rows in a fixed direction: a frontier path
+    repeating a directed edge would have to re-reach a visited vertex
+    (pruned), or re-leave the root — whose onward targets were all
+    reached two levels earlier. Root-cycle semantics match the out/in
+    rule: the root is NOT pre-visited when ``min_hops >= 1``, so
+    ``(s, s)`` is reported at its shortest ≥1-hop closed-walk length.
+
+    ``direction="both"`` is NOT supported: its reference-exact closure
+    artifact (in-loop closures only off minimal frontier paths, arrival
+    edge excluded) depends on the frontier's edge lists — callers keep
+    :func:`bfs_min_paths` there. ``min_hops`` must be 1 (the shortestPath
+    planner clamps the lower bound to 1 before routing here).
+
+    Output schema matches :func:`bfs_min_paths`; ``path`` is an array of
+    ``hops`` typed-NULL edge structs so ``length(p)``-style consumers
+    (``F.size``) stay exact while contents are never produced.
+    """
+    if direction == "both":
+        raise ValueError("bfs_min_dists does not support direction='both'")
+    if min_hops != 1:
+        raise ValueError("bfs_min_dists requires min_hops == 1")
+    e = oriented(edges, direction, self_loop_once=self_loop_once)
+    if edge_filter is not None:
+        e = e.filter(edge_filter)
+    path_type = _path_struct_type(e)
+    e = e.select(SRC, DST).distinct()
+
+    roots = sources.select(F.col(VID).alias("root")).distinct()
+    frontier = roots.withColumn("end_vid", F.col("root"))
+    # root NOT pre-visited (min_hops == 1, fixed direction): (s, s) rows
+    # surface at their shortest closed-walk length, as in bfs_min_paths
+    visited = frontier.limit(0)
+    results: DataFrame | None = None
+    null_hop = F.lit(None).cast(path_type.elementType)
+
+    def shape(level_df: DataFrame, level: int) -> DataFrame:
+        return level_df.select(
+            F.col("root").alias("start_vid"), "end_vid",
+            F.lit(level).alias("hops"),
+            F.array_repeat(null_hop, level).alias("path"))
+
+    if max_hops <= 3:           # lazy mode: one job at action time
+        # loop-invariant deduped edge set — computed once inside the
+        # caller's action-time job (see bfs_shortest_paths)
+        e = e.localCheckpoint(eager=False)
+        for level in range(1, max_hops + 1):
+            nxt = (frontier.join(e, frontier["end_vid"] == e[SRC], "inner")
+                   .select("root", F.col(DST).alias("end_vid")).distinct()
+                   .join(visited, ["root", "end_vid"], "left_anti"))
+            # per-level output read by three later subtrees — lazy cut
+            # directly above the distinct's shuffle (r11 item-14 rule)
+            nxt = nxt.localCheckpoint(eager=False)
+            step = shape(nxt, level)
+            results = step if results is None else results.unionByName(step)
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        return results
+
+    e = e.persist()
+    frontier = frontier.persist()
+    visited = visited.persist()
+    n = frontier.count()
+    try:
+        for level in range(1, max_hops + 1):
+            if n == 0:
+                break
+            f = F.broadcast(frontier) if n <= BROADCAST_FRONTIER_ROWS \
+                else frontier
+            nxt = (f.join(e, f["end_vid"] == e[SRC], "inner")
+                   .select("root", F.col(DST).alias("end_vid")).distinct()
+                   .join(visited, ["root", "end_vid"], "left_anti"))
+            nxt, n = checkpoint_count(nxt)
+            step = shape(nxt, level)
+            results = step if results is None else results.unionByName(step)
+            old_visited = visited
+            visited = visited.unionByName(nxt).persist()
+            old_visited.unpersist()
+            frontier.unpersist()
+            frontier = nxt
+        if results is None:
+            results = shape(frontier.limit(0), 0)
+        return results
+    finally:
+        frontier.unpersist()
+        visited.unpersist()
+        e.unpersist()
+
+
 _DIR_FLIP = {"out": "in", "in": "out", "both": "both"}
 
 

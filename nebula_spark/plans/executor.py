@@ -29,8 +29,9 @@ from nebula_spark.catalog import (DST, RANK, SRC, VID, GraphSpace,
                                   SpaceCatalog)
 from nebula_spark.functions.scalar import FUNCTIONS
 from nebula_spark.operators import go, k_hop_subgraph, traverse
-from nebula_spark.operators.paths import (all_paths, bfs_min_paths,
-                                          bidir_distances, bidir_min_paths)
+from nebula_spark.operators.paths import (all_paths, bfs_min_dists,
+                                          bfs_min_paths, bidir_distances,
+                                          bidir_min_paths)
 from nebula_spark.plans import ngql as A
 
 _AGG_FNS = {"count", "sum", "avg", "max", "min", "std", "collect",
@@ -3206,7 +3207,8 @@ def _enrich_min_paths_props(space: GraphSpace, tr: DataFrame,
 
 def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                    seed: DataFrame | None = None,
-                   lazy_path_props: bool = False
+                   lazy_path_props: bool = False,
+                   path_struct_unused: bool = False
                    ) -> tuple[DataFrame, set[str]]:
     """One pattern chain → DataFrame with alias-prefixed columns + the set
     of node aliases it binds (the Traverse/AppendVertices emission,
@@ -3418,6 +3420,20 @@ def _build_pattern(space: GraphSpace, path: A.MatchPath, counter: list[int],
                         direction=me.direction, mode=sp_mode,
                         min_hops=sp_min, self_loop_once=True,
                         etype_order=sorted(space.edges))
+                elif (sp_mode == "single" and path_struct_unused
+                      and me.direction != "both" and sp_min == 1):
+                    # distance-only route (r12, guide §2.3): the
+                    # statement never observes path CONTENTS (every
+                    # path-alias reference is length(p)), so the
+                    # per-level edge-struct arrays and the per-level
+                    # representative-pick window are dead weight — the
+                    # identity-only BFS emits the same (start, end,
+                    # hops) rows with a typed-NULL path of the right
+                    # length for size()/length() consumers
+                    tr = bfs_min_dists(
+                        edges.select(SRC, DST, RANK, "_etype"), seeds,
+                        max_hops=sp_max, direction=me.direction,
+                        min_hops=sp_min, self_loop_once=True)
                 else:
                     tr = bfs_min_paths(
                         edges.select(SRC, DST, RANK, "_etype"), seeds,
@@ -4476,6 +4492,63 @@ def _stmt_reads_path_props(st: A.MatchStmt) -> bool:
         or scan(st.order_by)
 
 
+def _stmt_path_contents_unused(st: A.MatchStmt) -> bool:
+    """True when NO clause expression can observe the CONTENTS of a bound
+    path or var-len edge list — every reference to such an alias is
+    exactly ``length(alias)``, and no var-len edge alias is shared across
+    patterns (sharing joins on the hop list itself). Under this flag a
+    single-shortestPath segment may route to the distance-only BFS
+    (``bfs_min_dists``), whose ``path`` column carries typed NULLs of the
+    right LENGTH but no edge identities. Deliberately conservative the
+    same way :func:`_stmt_reads_path_props` is: any ``attr``/
+    ``edge_prop``/``star`` expression anywhere disables the route."""
+    names: set[str] = set()
+    seen_edge_aliases: list[str] = []
+    for cl in st.clauses:
+        for p in getattr(cl, "paths", []) or []:
+            if p.path_alias:
+                names.add(p.path_alias)
+            for ed in p.edges:
+                if ed.alias:
+                    seen_edge_aliases.append(ed.alias)
+                if ed.alias and (ed.var_len or ed.min_hops != 1
+                                 or ed.max_hops != 1):
+                    names.add(ed.alias)
+    # a var-len edge alias appearing in two patterns joins on its hop
+    # list — contents observed structurally, not via an expression
+    if any(seen_edge_aliases.count(a) > 1 for a in names):
+        return False
+
+    def scan(e) -> bool:
+        """True = some expression observes path contents."""
+        if isinstance(e, tuple):
+            if e and e[0] in ("attr", "edge_prop", "star"):
+                return True
+            if e and e[0] == "name" and len(e) == 2 and e[1] in names:
+                return True
+            if e and e[0] == "call" and len(e) == 3 and e[1] == "length" \
+                    and isinstance(e[2], tuple) and e[2][0] == "name":
+                return False          # length(p): size only, no contents
+            return any(scan(x) for x in e)
+        if isinstance(e, list):
+            return any(scan(x) for x in e)
+        return False
+
+    for cl in st.clauses:
+        for ex in getattr(cl, "items", None) or []:
+            if scan(getattr(ex, "expr", ex)):
+                return False
+        if scan(getattr(cl, "where", None)):
+            return False
+        if scan(getattr(cl, "expr", None)):
+            return False
+        if scan(getattr(cl, "order_by", None)):
+            return False
+    if any(scan(y.expr) for y in st.returns) or scan(st.order_by):
+        return False
+    return True
+
+
 def _node_prop_patterns_need_tag(st: A.MatchStmt) -> None:
     """MatchValidator: a node prop pattern without a tag is a
     SemanticError — `(v{name: "hello"})` →
@@ -4676,6 +4749,7 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                            for x, asc in st.order_by]
     _node_prop_patterns_need_tag(st)
     lazy_props = _stmt_reads_path_props(st)
+    contents_unused = _stmt_path_contents_unused(st)
     cur: DataFrame | None = None
     bound: set[str] = set()
     ebound: set[str] = set()
@@ -4843,7 +4917,8 @@ def _exec_match(space: GraphSpace, st: A.MatchStmt) -> DataFrame:
                             bound.add(a_)
                             tagmap.setdefault(a_, None)
             built = [_build_pattern(space, path, counter,
-                                    lazy_path_props=lazy_props)
+                                    lazy_path_props=lazy_props,
+                                    path_struct_unused=contents_unused)
                      for path in cl.paths]
             if cl.optional and len(built) > 1:
                 # comma patterns of ONE OPTIONAL MATCH are a single
@@ -6002,6 +6077,15 @@ def _exec_delete(space: GraphSpace, st: A.DeleteStmt,
         vids = src_df.select(
             _delete_ref_col(space, st, st.src_col, piped, env, "vid")
             .alias(VID))
+        # the key frame fans out to EVERY tag table plus both edge
+        # endpoints under WITH EDGE — each consumer re-embeds the whole
+        # piped LOOKUP plan in the final action's tree. An explicit
+        # distinct gives those copies an IDENTICAL Exchange subtree that
+        # ReuseExchange collapses to one computation (guide §7.2), with
+        # zero statement-time jobs — unlike a checkpoint: the eager one
+        # was a measured regression twice (r11), and even a lazy one
+        # materializes its shuffle stages at statement time under AQE.
+        vids = vids.distinct()
     else:
         keys = _eval_const_vids(space, list(st.keys))
         _check_vid_len(space, keys)

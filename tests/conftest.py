@@ -12,6 +12,31 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
+# Bounded default lane (r12, VERDICT item 2): the three TCK sweep modules
+# hold ~1950 of ~2200 tests and take multiple HOURS single-process — an
+# unattested truncation in any fixed test budget (VERIFY_r11 cut at 12%
+# with zero failures). By default they are SKIPPED with a visible count;
+# set SPARK_GRAFT_FULL_TESTS=1 to run the full suite (CI / pre-round
+# evidence runs — see OPTIMIZATION_r12.md for the 4-way sharded recipe).
+_FULL_LANE_MODULES = ("test_tck_feature_sweep.py", "test_tck_goldens.py",
+                      "test_tck_optimizer_sweep.py")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="full-suite lane (multi-hour TCK sweep): set "
+               "SPARK_GRAFT_FULL_TESTS=1 to run")
+    n = 0
+    for it in items:
+        if any(str(it.fspath).endswith(m) for m in _FULL_LANE_MODULES):
+            it.add_marker(skip)
+            n += 1
+    if n:
+        print(f"\n[conftest] bounded default lane: skipping {n} TCK-sweep "
+              f"tests (SPARK_GRAFT_FULL_TESTS=1 runs them)", flush=True)
+
 
 @pytest.fixture(scope="session")
 def spark():
