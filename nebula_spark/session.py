@@ -50,17 +50,18 @@ _DEFAULTS = {
     # "== DataFrame ==" Python call-site section; engine refusals carry
     # their own reference-style messages, so nothing user-facing changes.
     "spark.python.sql.dataFrameDebugging.enabled": "false",
-    # r11 fourth pass (guide §3.1/§9): allow shuffled-hash join instead of
-    # sort-merge when a side fits a per-partition hash map — skips the
-    # sort entirely. Two layers: the static planner's preference flip
-    # (the guide's recommended baseline) and AQE's runtime SMJ→SHJ
-    # rewrite, which uses REAL post-shuffle sizes (no estimate-driven OOM
-    # risk) with the same 64 MB bound as the broadcast threshold.
-    # Measured on the SMJ-bearing lanes: dml_lifecycle min 2.51 vs
-    # 2.63 s, pagerank 1.09 vs 1.10 s (A/B ×2, both orders) — small
-    # local win, and at scale SHJ avoids sorting both sides of every
-    # iterative-superstep join whose build side fits.
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # r12 (ADVICE r11, guide §3.1): SMJ→SHJ rewrites are left to AQE
+    # ONLY. The r11 static preference flip
+    # (preferSortMergeJoin=false) let the STATIC planner pick
+    # shuffled-hash from size ESTIMATES — a misestimated or skewed
+    # build side that doesn't fit executor memory is an OOM at scale,
+    # and the flip's local win did not survive a quiet-box interleaved
+    # A/B this round (static-SMJ 8.30 s vs static-SHJ 8.77 s over the 6
+    # join-bearing lanes; per-lane mins within noise). The AQE rewrite
+    # below uses REAL post-shuffle partition sizes with the same 64 MB
+    # bound as the broadcast threshold, so every SHJ it plans is
+    # runtime-size-verified — the sort-skipping win where it is safe,
+    # sort-merge's graceful spill everywhere else.
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
         str(64 * 1024 * 1024),
 }

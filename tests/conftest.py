@@ -15,11 +15,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 # Bounded default lane (r12, VERDICT item 2): the three TCK sweep modules
 # hold ~1950 of ~2200 tests and take multiple HOURS single-process — an
 # unattested truncation in any fixed test budget (VERIFY_r11 cut at 12%
-# with zero failures). By default they are SKIPPED with a visible count;
-# set SPARK_GRAFT_FULL_TESTS=1 to run the full suite (CI / pre-round
-# evidence runs — see OPTIMIZATION_r12.md for the 4-way sharded recipe).
+# with zero failures). The property/fuzz/stress modules add another ~20
+# wall-minutes for 22 tests (measured per-module, r12). By default all
+# are SKIPPED with a visible count, bounding `pytest tests/ -x -q` to
+# ~245 tests / under ten minutes; set SPARK_GRAFT_FULL_TESTS=1 to run
+# the full suite (CI / pre-round evidence runs — see OPTIMIZATION_r12.md
+# for the 4-way sharded recipe).
 _FULL_LANE_MODULES = ("test_tck_feature_sweep.py", "test_tck_goldens.py",
-                      "test_tck_optimizer_sweep.py")
+                      "test_tck_optimizer_sweep.py", "test_property.py",
+                      "test_concurrency.py", "test_result_fuzz.py")
 
 
 def pytest_collection_modifyitems(config, items):
