@@ -43,13 +43,31 @@ _CC_ROUND_ROWS_PER_TASK = 2_000_000
 # satisfies their clustered distribution — no second Exchange), capped at
 # the session's configured shuffle width so cluster configs are never
 # shrunk for corpora that need them.
+#
+# TWO constants because the two banded stages have per-row costs two
+# orders apart (r12 second pass, guide §1.2 step 2 — size tasks by
+# WORK, not only by shuffle bytes):
+#   - the bucket-min WINDOW (lsh_star_edges) does one min+filter per
+#     row — shuffle-byte currency applies, 1M rows/task ≈ 100 MB;
+#   - the pair SELF-JOIN (minhash_lsh_pairs) forms O(bucket²) pairs and
+#     compares two 16-long signatures per pair — at 50k docs (sf1-like
+#     probe) one task held ~3-5 s of join compute while 31 cores idled.
+#     32k rows/task keeps tiny corpora at p=1 (sf0.1's 20k banded rows
+#     — the driver-visible plan is unchanged) and gives mid-size
+#     corpora real parallelism: interleaved min-of-5 at the sf1 point
+#     3.43 s vs 4.84 s (and 3.38 vs 5.52 in a second session), under
+#     heavy host-steal noise documented in OPTIMIZATION_r12.md.
+# At 100 TB both clamp to the session's configured width, so the
+# constants only pick parallelism for mid-size inputs.
 _LSH_BAND_ROWS_PER_TASK = 1_000_000
+_LSH_JOIN_ROWS_PER_TASK = 32_000
 
 
-def _band_width(df, n_rows: int) -> int:
+def _band_width(df, n_rows: int,
+                rows_per_task: int = _LSH_BAND_ROWS_PER_TASK) -> int:
     sess_p = int(df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
-    return max(1, min(sess_p, -(-n_rows // _LSH_BAND_ROWS_PER_TASK)))
+    return max(1, min(sess_p, -(-n_rows // rows_per_task)))
 
 
 def _md5_64(c: Column) -> Column:
@@ -246,8 +264,11 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str = "doc_id",
             for i in range(bands)])).alias("b"))
     # size-derived band-join width (r12, guide §2.2): the doc count rides
     # the signature checkpoint free; the explicit repartition is what both
-    # join sides reuse, so tiny corpora stop paying session-width stages
-    banded = banded.repartition(_band_width(df, n_docs * bands),
+    # join sides reuse, so tiny corpora stop paying session-width stages.
+    # JOIN rows-per-task, not window rows-per-task: pair formation is
+    # compute-dense (see the constants' comment)
+    banded = banded.repartition(_band_width(df, n_docs * bands,
+                                            _LSH_JOIN_ROWS_PER_TASK),
                                 F.col("b.band"), F.col("b.bsig"))
     a, b = banded.alias("a"), banded.alias("b")
     # estimated similarity computed BEFORE the pair dedup (r12, guide
